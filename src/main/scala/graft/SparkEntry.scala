@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Aggregates, Cleaning, Dashboard, StarSchema, Tables}
+import graft.functions.WeightedMean
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2, each with an equivalent DuckDB oracle SQL.
+  *
+  * Determinism rules applied uniformly (so the driver's hash compare is
+  * meaningful): every query ends in an explicit ORDER BY over non-null
+  * keys; every floating SUM/AVG uses the exact-decimal construction
+  * (Aggregates.sumExact and its SQL twin); DuckDB HUGEINT sums are cast
+  * back to BIGINT to match Spark's long.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregates.airlineMonthlyPerformance(
+      StarSchema.wideView(spark, "/root/testdata/sf0.001"))
+
+  private def wide(s: SparkSession, dir: String): DataFrame =
+    StarSchema.wideView(s, dir)
+
+  private def withWide(body: String): String =
+    s"WITH wide AS (\n${StarSchema.wideViewSql}\n)\n$body"
+
+  private val airlineMonthlyCte =
+    s"""WITH wide AS (
+       |${StarSchema.wideViewSql}
+       |), am AS (
+       |${Aggregates.airlineMonthlyPerformanceSql}
+       |)""".stripMargin
+
+  private val airportPerfCte =
+    s"""WITH wide AS (
+       |${StarSchema.wideViewSql}
+       |), ap AS (
+       |${Aggregates.airportPerformanceSql}
+       |)""".stripMargin
+
+  private def am(s: SparkSession, dir: String): DataFrame =
+    Aggregates.airlineMonthlyPerformance(wide(s, dir))
+  private def ap(s: SparkSession, dir: String): DataFrame =
+    Aggregates.airportPerformance(wide(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // A1/A8/B1-B4/C1-C4 — the denormalized wide view itself.
+    "q01_wide_view" -> ((s, dir) =>
+      wide(s, dir).orderBy("l_orderkey", "l_linenumber")),
+
+    // D1 + H6 — airline×month rollup (two-phase hash agg, correct avg).
+    "q02_airline_monthly" -> ((s, dir) =>
+      am(s, dir).orderBy("airline_name", "month")),
+
+    // D2 — airline×month×city rollup.
+    "q03_airport_performance" -> ((s, dir) =>
+      ap(s, dir).orderBy("airline_name", "month", "origin_city")),
+
+    // D4 + D5 — global KPI scalars + weighted on-time-percentage.
+    "q04_kpis" -> ((s, dir) => Aggregates.kpis(am(s, dir))),
+
+    // D6 + F0b — ranking by unweighted mean of monthly means.
+    "q05_ranking" -> ((s, dir) => Aggregates.ranking(am(s, dir))),
+
+    // D7 + H7 — monthly trend with label recode.
+    "q06_trend" -> ((s, dir) => Aggregates.trend(am(s, dir))),
+
+    // D8 — delay-cause attribution, unpivoted via stack.
+    "q07_delay_attribution" -> ((s, dir) =>
+      Aggregates.delayAttribution(am(s, dir)).orderBy("cause")),
+
+    // C5 + B6 + D9 — coord lookup join + geo re-aggregation.
+    "q08_geo_map" -> ((s, dir) =>
+      Dashboard.geoMap(ap(s, dir), Aggregates.coordsDf(s))
+        .orderBy("origin_city")),
+
+    // G1 + D3 — union-distinct role-playing dimension build.
+    "q09_dim_airports" -> ((s, dir) =>
+      StarSchema.dimAirports(s, dir).orderBy("airport_key")),
+
+    // F0a + D3 — ordered calendar dimension.
+    "q10_dim_calendar" -> ((s, dir) => StarSchema.dimCalendar(s, dir)),
+
+    // D11 + F0c — sorted distinct widget lists.
+    "q11_distinct_months" -> ((s, dir) =>
+      Aggregates.distinctSorted(wide(s, dir), "month")),
+    "q12_distinct_airlines" -> ((s, dir) =>
+      Aggregates.distinctSorted(wide(s, dir), "airline_name")),
+
+    // B5 — master IN-list filter feeding the KPI cards.
+    "q13_filtered_kpis" -> ((s, dir) =>
+      Dashboard.kpiCards(Dashboard.masterFilter(filterMonths, filterAirlines)(am(s, dir)))),
+
+    // B5 + D9 — filtered geo map (months only).
+    "q14_filtered_geo" -> ((s, dir) =>
+      Dashboard.geoMap(
+        Dashboard.masterFilter(Seq(4, 5, 6, 7, 8, 9), Nil)(ap(s, dir)),
+        Aggregates.coordsDf(s)).orderBy("origin_city")),
+
+    // G2 + D10 — validation counts via UNION ALL.
+    "q15_union_counts" -> ((s, dir) => {
+      val a = Tables.lineitem(s, dir).agg(count(lit(1)).as("n"))
+        .select(lit("lineitem").as("src"), col("n"))
+      val b = wide(s, dir).agg(count(lit(1)).as("n"))
+        .select(lit("wide").as("src"), col("n"))
+      a.union(b).orderBy("src")
+    }),
+
+    // H1 + B7 — HHMM→"HH:MM" formatter incl. the 2400 wrap.
+    "q16_time_format" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(2401))
+            .cast("int").as("hhmm"))
+        .withColumn("dep_time", Cleaning.formatHHMM(col("hhmm")))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // H2-H5 — imputation, flag derivation, date parse round-trip.
+    "q17_cleaning_flags" -> ((s, dir) => {
+      val isoDow = ((dayofweek(col("date_key")) + 5) % 7) + 1
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("date_key", to_date(col("date_str"), "yyyy-MM-dd"))
+        .withColumn("is_weekend", Cleaning.isWeekend(isoDow))
+        .withColumn("is_cancelled", Cleaning.cancelledFlag(
+          Some(when(col("o_orderstatus") === "F", 1)), col("o_totalprice")))
+        .withColumn("price_filled", Cleaning.fillZero(
+          when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_totalprice"))))
+        .drop("o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.E extension — top-3 routes per month via window ranking.
+    "q18_top3_per_month" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("month")
+        .orderBy(col("total_flights").desc, col("airline_name"), col("origin_city"))
+      ap(s, dir).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("month", "rn")
+    }),
+
+    // §2.J extension — weighted-mean Aggregator (typed UDAF surface).
+    "q19_weighted_mean" -> ((s, dir) =>
+      wide(s, dir).groupBy("airline_name")
+        .agg(round(WeightedMean(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("w_avg_price"))
+        .orderBy("airline_name")),
+
+    // F0d — deterministic LIMIT.
+    "q20_limit10" -> ((s, dir) =>
+      wide(s, dir).select("l_orderkey", "l_linenumber", "airline_name",
+        "month", "dep_del15")
+        .orderBy("l_orderkey", "l_linenumber").limit(10)),
+
+    // A7/A8 — SQL-surface query over a registered temp view.
+    "q21_sql_view" -> ((s, dir) => {
+      wide(s, dir).createOrReplaceTempView("v_flight_performance_analysis")
+      s.sql(
+        """SELECT month, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+          |FROM v_flight_performance_analysis
+          |GROUP BY month ORDER BY month""".stripMargin)
+    })
+  )
+
+  private val filterMonths = Seq(1, 2, 3)
+  private val filterAirlines = (1 to 5).map(i => f"Supplier#$i%09d")
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_wide_view" -> withWide(
+      "SELECT * FROM wide ORDER BY l_orderkey, l_linenumber"),
+
+    "q02_airline_monthly" -> s"""$airlineMonthlyCte
+      |SELECT airline_name, month, depdel15_count,
+      |  CAST(depdel15_sum AS BIGINT) AS depdel15_sum,
+      |  delay_minutes_mean,
+      |  CAST(is_cancelled_sum AS BIGINT) AS is_cancelled_sum,
+      |  carrier_delay_sum, weather_delay_sum, nas_delay_sum,
+      |  late_aircraft_delay_sum, on_time_rate
+      |FROM am ORDER BY airline_name, month""".stripMargin,
+
+    "q03_airport_performance" -> s"""$airportPerfCte
+      |SELECT airline_name, month, origin_city, total_flights,
+      |  CAST(delayed_flights AS BIGINT) AS delayed_flights
+      |FROM ap ORDER BY airline_name, month, origin_city""".stripMargin,
+
+    "q04_kpis" -> s"""$airlineMonthlyCte
+      |SELECT CAST(SUM(depdel15_count) AS BIGINT) AS total_flights,
+      |  CAST(SUM(depdel15_sum) AS BIGINT) AS delayed_flights,
+      |  CAST(SUM(is_cancelled_sum) AS BIGINT) AS cancelled_flights,
+      |  ${Aggregates.sumExactSql("on_time_rate * depdel15_count", 10)} /
+      |  ${Aggregates.sumExactSql("depdel15_count", 10)} * 100 AS avg_otp_pct
+      |FROM am""".stripMargin,
+
+    "q05_ranking" -> s"""$airlineMonthlyCte
+      |SELECT airline_name,
+      |  ${Aggregates.sumExactSql("delay_minutes_mean", 10)} / COUNT(*) AS avg_delay
+      |FROM am GROUP BY airline_name
+      |ORDER BY avg_delay NULLS FIRST, airline_name""".stripMargin,
+
+    "q06_trend" -> s"""$airlineMonthlyCte
+      |SELECT month,
+      |  ${Aggregates.sumExactSql("on_time_rate", 10)} / COUNT(*) AS avg_on_time_rate,
+      |  CASE month WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar'
+      |    WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun'
+      |    WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep'
+      |    WHEN 10 THEN 'Oct' WHEN 11 THEN 'Nov' WHEN 12 THEN 'Dec'
+      |  END AS month_label
+      |FROM am GROUP BY month ORDER BY month""".stripMargin,
+
+    "q07_delay_attribution" -> s"""$airlineMonthlyCte, tot AS (
+      |  SELECT ${Aggregates.sumExactSql("carrier_delay_sum")} AS carrier,
+      |    ${Aggregates.sumExactSql("weather_delay_sum")} AS weather,
+      |    ${Aggregates.sumExactSql("nas_delay_sum")} AS nas,
+      |    ${Aggregates.sumExactSql("late_aircraft_delay_sum")} AS late_aircraft
+      |  FROM am)
+      |SELECT cause, minutes FROM (
+      |  SELECT 'carrier' AS cause, carrier AS minutes FROM tot
+      |  UNION ALL SELECT 'weather', weather FROM tot
+      |  UNION ALL SELECT 'nas', nas FROM tot
+      |  UNION ALL SELECT 'late_aircraft', late_aircraft FROM tot)
+      |ORDER BY cause""".stripMargin,
+
+    "q08_geo_map" -> s"""$airportPerfCte
+      |SELECT ap.origin_city, coords.lat, coords.lon,
+      |  CAST(SUM(total_flights) AS BIGINT) AS total_flights,
+      |  CAST(SUM(delayed_flights) AS BIGINT) AS delayed_flights,
+      |  ROUND(CASE WHEN SUM(total_flights) > 0
+      |    THEN CAST(CAST(SUM(delayed_flights) AS BIGINT) AS DOUBLE)
+      |         / CAST(SUM(total_flights) AS BIGINT) * 100
+      |    ELSE 0.0 END, 2) AS delay_rate
+      |FROM ap JOIN ${Aggregates.coordsSql} ON ap.origin_city = coords.origin_city
+      |GROUP BY ap.origin_city, coords.lat, coords.lon
+      |ORDER BY ap.origin_city""".stripMargin,
+
+    "q09_dim_airports" -> """SELECT airport_key, n_name AS city,
+      |  n_regionkey AS state_key
+      |FROM (SELECT c_nationkey AS airport_key FROM customer
+      |      UNION SELECT s_nationkey FROM supplier) u
+      |JOIN nation ON u.airport_key = nation.n_nationkey
+      |ORDER BY airport_key""".stripMargin,
+
+    "q10_dim_calendar" -> """SELECT date_key,
+      |  CAST(year(date_key) AS INTEGER) AS year,
+      |  CAST(month(date_key) AS INTEGER) AS month,
+      |  CAST(day(date_key) AS INTEGER) AS day_of_month,
+      |  CAST(isodow(date_key) AS INTEGER) AS day_of_week,
+      |  CASE WHEN isodow(date_key) >= 6 THEN 1 ELSE 0 END AS is_weekend
+      |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_key FROM orders)
+      |ORDER BY date_key""".stripMargin,
+
+    "q11_distinct_months" -> withWide(
+      "SELECT DISTINCT month FROM wide ORDER BY month NULLS FIRST"),
+
+    "q12_distinct_airlines" -> withWide(
+      "SELECT DISTINCT airline_name FROM wide ORDER BY airline_name NULLS FIRST"),
+
+    "q13_filtered_kpis" -> s"""$airlineMonthlyCte
+      |SELECT CAST(SUM(depdel15_count) AS BIGINT) AS total_flights,
+      |  CAST(SUM(depdel15_sum) AS BIGINT) AS delayed_flights,
+      |  CAST(SUM(is_cancelled_sum) AS BIGINT) AS cancelled_flights,
+      |  ${Aggregates.sumExactSql("on_time_rate * depdel15_count", 10)} /
+      |  ${Aggregates.sumExactSql("depdel15_count", 10)} * 100 AS avg_otp_pct
+      |FROM am
+      |WHERE month IN (${filterMonths.mkString(", ")})
+      |  AND airline_name IN (${filterAirlines.map(a => s"'$a'").mkString(", ")})""".stripMargin,
+
+    "q14_filtered_geo" -> s"""$airportPerfCte
+      |SELECT ap.origin_city, coords.lat, coords.lon,
+      |  CAST(SUM(total_flights) AS BIGINT) AS total_flights,
+      |  CAST(SUM(delayed_flights) AS BIGINT) AS delayed_flights,
+      |  ROUND(CASE WHEN SUM(total_flights) > 0
+      |    THEN CAST(CAST(SUM(delayed_flights) AS BIGINT) AS DOUBLE)
+      |         / CAST(SUM(total_flights) AS BIGINT) * 100
+      |    ELSE 0.0 END, 2) AS delay_rate
+      |FROM ap JOIN ${Aggregates.coordsSql} ON ap.origin_city = coords.origin_city
+      |WHERE month IN (4, 5, 6, 7, 8, 9)
+      |GROUP BY ap.origin_city, coords.lat, coords.lon
+      |ORDER BY ap.origin_city""".stripMargin,
+
+    "q15_union_counts" -> withWide(
+      """SELECT * FROM (
+        |  SELECT 'lineitem' AS src, COUNT(*) AS n FROM lineitem
+        |  UNION ALL SELECT 'wide', COUNT(*) FROM wide)
+        |ORDER BY src""".stripMargin),
+
+    "q16_time_format" -> """SELECT l_orderkey, l_linenumber,
+      |  CAST((l_orderkey * 7 + l_linenumber) % 2401 AS INTEGER) AS hhmm,
+      |  substr(t, 1, 2) || ':' || substr(t, 3, 2) AS dep_time
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |  regexp_replace(lpad(CAST(CAST(COALESCE(
+      |    (l_orderkey * 7 + l_linenumber) % 2401, 0) AS INTEGER) AS VARCHAR),
+      |    4, '0'), '^2400$', '0000') AS t
+      |  FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q17_cleaning_flags" -> """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+      |  CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS date_key,
+      |  CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+      |  CAST(COALESCE(CASE WHEN o_orderstatus = 'F' THEN 1 END, 0) AS INTEGER)
+      |    AS is_cancelled,
+      |  COALESCE(CASE WHEN o_orderstatus = 'O' THEN NULL
+      |    ELSE o_totalprice END, 0.0) AS price_filled
+      |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q18_top3_per_month" -> s"""$airportPerfCte
+      |SELECT * FROM (
+      |  SELECT airline_name, month, origin_city, total_flights,
+      |    CAST(delayed_flights AS BIGINT) AS delayed_flights,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY month
+      |      ORDER BY total_flights DESC, airline_name, origin_city)
+      |      AS INTEGER) AS rn
+      |  FROM ap) t
+      |WHERE rn <= 3 ORDER BY month, rn""".stripMargin,
+
+    "q19_weighted_mean" -> withWide(
+      s"""SELECT airline_name,
+         |  ROUND(${WeightedMean.sql("l_extendedprice", "l_quantity")}, 6)
+         |    AS w_avg_price
+         |FROM wide GROUP BY airline_name ORDER BY airline_name""".stripMargin),
+
+    "q20_limit10" -> withWide(
+      """SELECT l_orderkey, l_linenumber, airline_name, month, dep_del15
+        |FROM wide ORDER BY l_orderkey, l_linenumber LIMIT 10""".stripMargin),
+
+    "q21_sql_view" -> withWide(
+      """SELECT month, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM wide GROUP BY month ORDER BY month""".stripMargin)
+  )
 }

@@ -1,0 +1,181 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's aggregation tier (SURVEY.md §2.D), restated over the
+  * wide view. Each function is a pure `DataFrame => DataFrame` plan
+  * fragment; Spark's partial/final HashAggregate replaces the reference's
+  * manual chunk-partial-then-combine (`aggregate_flight_data.py:26-37`) —
+  * and fixes its quirk Q1 (sum-of-per-chunk-means): `avg` here decomposes
+  * into (sum, count) and is correct under any partitioning.
+  *
+  * Float determinism: every floating-point SUM/AVG routes through
+  * [[sumExact]] — cast to `DECIMAL(28,6)`, sum exactly (order-insensitive),
+  * cast back to double. This makes results bit-identical across shuffle
+  * orders, partition counts, AND engines (the DuckDB oracle applies the
+  * same construction), which a plain double `sum()` is not. At 100 TB this
+  * also means rerunning a query yields the same bytes — a property the
+  * plain-double plan loses the moment AQE changes partitioning.
+  */
+object Aggregates {
+
+  /** Order-insensitive exact sum of a (conceptually decimal) double
+    * measure: `CAST(SUM(CAST(x AS DECIMAL(28,scale))) AS DOUBLE)`. */
+  def sumExact(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Deterministic mean built from an exact sum and a count. */
+  def avgExact(c: Column, scale: Int = 6): Column =
+    sumExact(c, scale) / count(c)
+
+  /** SQL (DuckDB dialect = ANSI) twins of the two helpers above. */
+  def sumExactSql(x: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(28,$scale))) AS DOUBLE)"
+  def avgExactSql(x: String, scale: Int = 6): String =
+    s"${sumExactSql(x, scale)} / COUNT($x)"
+
+  /** D1 + H6 — the airline×month performance rollup
+    * (`/root/reference/src/aggregate_flight_data.py:18-43`): counts, delayed
+    * sums, mean delay, cancellation and per-cause delay totals, on-time rate.
+    * The reference streams 200k-row chunks and combines partials by hand;
+    * here it is one `groupBy().agg()` — Spark plans the identical
+    * partial(map-side)/final(reduce-side) pair automatically. */
+  def airlineMonthlyPerformance(wide: DataFrame): DataFrame = {
+    val cause = (flag: String) =>
+      when(col("l_returnflag") === flag, col("delay_minutes")).otherwise(lit(0.0))
+    wide.groupBy("airline_name", "month")
+      .agg(
+        count(lit(1)).as("depdel15_count"),
+        sum("dep_del15").as("depdel15_sum"),
+        avgExact(col("delay_minutes")).as("delay_minutes_mean"),
+        sum("is_cancelled").as("is_cancelled_sum"),
+        sumExact(cause("A")).as("carrier_delay_sum"),
+        sumExact(cause("N")).as("weather_delay_sum"),
+        sumExact(cause("R")).as("nas_delay_sum"),
+        sumExact(when(col("l_linestatus") === "F", col("delay_minutes"))
+          .otherwise(lit(0.0))).as("late_aircraft_delay_sum"))
+      .withColumn("on_time_rate",
+        Cleaning.onTimeRate(col("depdel15_sum"), col("depdel15_count")))
+  }
+
+  /** Oracle twin of [[airlineMonthlyPerformance]] (FROM a `wide` CTE). */
+  val airlineMonthlyPerformanceSql: String = {
+    def cause(flag: String) =
+      s"CASE WHEN l_returnflag = '$flag' THEN delay_minutes ELSE 0.0 END"
+    s"""SELECT airline_name, month,
+       |  COUNT(*) AS depdel15_count,
+       |  SUM(dep_del15) AS depdel15_sum,
+       |  ${avgExactSql("delay_minutes")} AS delay_minutes_mean,
+       |  SUM(is_cancelled) AS is_cancelled_sum,
+       |  ${sumExactSql(cause("A"))} AS carrier_delay_sum,
+       |  ${sumExactSql(cause("N"))} AS weather_delay_sum,
+       |  ${sumExactSql(cause("R"))} AS nas_delay_sum,
+       |  ${sumExactSql("CASE WHEN l_linestatus = 'F' THEN delay_minutes ELSE 0.0 END")} AS late_aircraft_delay_sum,
+       |  1.0 - CAST(SUM(dep_del15) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS on_time_rate
+       |FROM wide GROUP BY airline_name, month""".stripMargin
+  }
+
+  /** D2 — airline×month×city rollup
+    * (`/root/reference/src/aggregate_flight_data.py:51-60`). */
+  def airportPerformance(wide: DataFrame): DataFrame =
+    wide.groupBy("airline_name", "month", "origin_city")
+      .agg(count(lit(1)).as("total_flights"),
+        sum("dep_del15").as("delayed_flights"))
+
+  val airportPerformanceSql: String =
+    """SELECT airline_name, month, origin_city,
+      |  COUNT(*) AS total_flights, SUM(dep_del15) AS delayed_flights
+      |FROM wide GROUP BY airline_name, month, origin_city""".stripMargin
+
+  /** C5 — the reference's 12-entry in-code city→(lat,lon) dict
+    * (`/root/reference/src/aggregate_flight_data.py:65-72`), as a literal
+    * dimension to broadcast-join (12 of the 25 nations are mapped; unmapped
+    * cities drop via the inner join, reproducing `.map()` + `dropna`). */
+  val cityCoords: Seq[(String, Double, Double)] = Seq(
+    ("NATION_0", 36.75, 3.04), ("NATION_1", -34.61, -58.38),
+    ("NATION_2", -15.79, -47.88), ("NATION_3", 45.42, -75.7),
+    ("NATION_4", 39.91, 116.4), ("NATION_5", 30.06, 31.25),
+    ("NATION_6", 48.86, 2.35), ("NATION_7", 52.52, 13.41),
+    ("NATION_8", 28.61, 77.21), ("NATION_9", 35.68, 139.69),
+    ("NATION_10", 51.51, -0.13), ("NATION_11", 38.91, -77.04))
+
+  def coordsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    cityCoords.toDF("origin_city", "lat", "lon")
+  }
+
+  /** VALUES-list twin of [[cityCoords]] for the oracle. */
+  val coordsSql: String = cityCoords
+    .map { case (c, la, lo) => s"('$c', $la, $lo)" }
+    .mkString("(VALUES ", ", ", ") AS coords(origin_city, lat, lon)")
+
+  /** C5 + B6 — attach coordinates; inner broadcast join reproduces the
+    * lookup-then-dropna (`/root/reference/src/aggregate_flight_data.py:74-76`). */
+  def withCoords(airportPerf: DataFrame, coords: DataFrame): DataFrame =
+    airportPerf.join(broadcast(coords), Seq("origin_city"), "inner")
+
+  /** D9 — geo re-aggregation over the composite (city,lat,lon) key after
+    * dashboard filtering (`/root/reference/src/app.py:161-168`), plus the
+    * guarded delay-rate percent (H6). */
+  def geoAggregate(withCoords: DataFrame): DataFrame =
+    withCoords.groupBy("origin_city", "lat", "lon")
+      .agg(sum("total_flights").as("total_flights"),
+        sum("delayed_flights").as("delayed_flights"))
+      .withColumn("delay_rate",
+        round(when(col("total_flights") > 0,
+          col("delayed_flights").cast("double") / col("total_flights") * 100)
+          .otherwise(lit(0.0)), 2))
+
+  /** D4 + D5 — dashboard KPI scalars (`/root/reference/src/app.py:94-97`):
+    * grand totals plus the count-weighted average on-time rate. */
+  def kpis(airlineMonthly: DataFrame): DataFrame =
+    airlineMonthly.agg(
+      sum("depdel15_count").as("total_flights"),
+      sum("depdel15_sum").as("delayed_flights"),
+      sum("is_cancelled_sum").as("cancelled_flights"),
+      (sumExact(col("on_time_rate") * col("depdel15_count"), 10)
+        / sumExact(col("depdel15_count"), 10) * 100).as("avg_otp_pct"))
+
+  /** D6 + F0b — airline ranking by unweighted mean of monthly means —
+    * deliberately two-level, NOT a flight-weighted mean, matching
+    * `/root/reference/src/app.py:117-118`. */
+  def ranking(airlineMonthly: DataFrame): DataFrame =
+    airlineMonthly.groupBy("airline_name")
+      .agg((sumExact(col("delay_minutes_mean"), 10) / count(lit(1)))
+        .as("avg_delay"))
+      .orderBy("avg_delay", "airline_name")
+
+  /** D7 + H7 — monthly on-time-rate trend with month-label recode
+    * (`/root/reference/src/app.py:149-150`). */
+  def trend(airlineMonthly: DataFrame): DataFrame = {
+    val labels = Seq(1 -> "Jan", 2 -> "Feb", 3 -> "Mar", 4 -> "Apr",
+      5 -> "May", 6 -> "Jun", 7 -> "Jul", 8 -> "Aug", 9 -> "Sep",
+      10 -> "Oct", 11 -> "Nov", 12 -> "Dec")
+    airlineMonthly.groupBy("month")
+      .agg((sumExact(col("on_time_rate"), 10) / count(lit(1)))
+        .as("avg_on_time_rate"))
+      .withColumn("month_label", Cleaning.recode(col("month"), labels))
+      .orderBy("month")
+  }
+
+  /** D8 — delay-cause attribution: four scalar sums unpivoted to
+    * (cause, minutes) rows via `stack`, the shape the reference's pie chart
+    * consumes (`/root/reference/src/app.py:134-137`). */
+  def delayAttribution(airlineMonthly: DataFrame): DataFrame =
+    airlineMonthly.agg(
+      sumExact(col("carrier_delay_sum"), 6).as("carrier"),
+      sumExact(col("weather_delay_sum"), 6).as("weather"),
+      sumExact(col("nas_delay_sum"), 6).as("nas"),
+      sumExact(col("late_aircraft_delay_sum"), 6).as("late_aircraft"))
+      .select(expr(
+        """stack(4, 'carrier', carrier, 'weather', weather,
+          |'nas', nas, 'late_aircraft', late_aircraft)
+          |AS (cause, minutes)""".stripMargin))
+
+  /** D11 + F0c — sorted distinct value lists feeding the filter widgets
+    * (`/root/reference/src/app.py:56,62`). */
+  def distinctSorted(df: DataFrame, column: String): DataFrame =
+    df.select(column).distinct().orderBy(column)
+}

@@ -1,0 +1,112 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Star-schema build + denormalized wide view (SURVEY.md §2.A7/A8, §2.C).
+  *
+  * The reference materializes fact + 3 dims in MySQL
+  * (`/root/reference/sql/data_modeling.sql`) and layers a 4-way LEFT-join
+  * view over them (`/root/reference/sql/wide_table.sql:4-36`). Here the
+  * same shape is a lazy DataFrame: Catalyst re-analyzes the join tree per
+  * query exactly like MySQL re-evaluates the view, and AQE/broadcast hints
+  * pick the physical join.
+  *
+  * Scale notes (100 TB): `lineitem ⋈ orders` is the one genuinely large
+  * join — it shuffles on the order key (sort-merge at scale, and both
+  * sides can be bucketed on the key to eliminate the exchange entirely).
+  * `supplier`/`customer`/`nation` are dimensions and explicitly
+  * `broadcast()`-hinted, reproducing the reference's "every join is a
+  * small-dimension lookup" property (SURVEY.md §2.C conclusion), so no
+  * dimension ever shuffles the fact table.
+  */
+object StarSchema {
+  import Tables._
+
+  /** The flight-analog fact: lineitem enriched with its order header.
+    * Role mapping per FIXTURES.md §A: DepDel15 ≈ (l_discount > 0.05),
+    * delay minutes ≈ l_extendedprice * l_tax, Is_Cancelled ≈
+    * (o_orderstatus = 'F'), month ≈ month(o_orderdate). */
+  def fact(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).join(orders(s, dir),
+      col("l_orderkey") === col("o_orderkey"), "left")
+
+  /** A8 — the denormalized wide view (`v_flight_performance_analysis`
+    * analog). Role-playing dim: `nation` joined twice — once through the
+    * customer (origin) and once through the supplier (dest) — mirroring
+    * dim_airports origin/dest at `/root/reference/sql/wide_table.sql:31-34`. */
+  def wideView(s: SparkSession, dir: String): DataFrame = {
+    val nat = nation(s, dir)
+    fact(s, dir)
+      .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(nat.select(col("n_nationkey").as("o_nkey"),
+        col("n_name").as("origin_city"))), col("c_nationkey") === col("o_nkey"), "left")
+      .join(broadcast(nat.select(col("n_nationkey").as("d_nkey"),
+        col("n_name").as("dest_city"))), col("s_nationkey") === col("d_nkey"), "left")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("s_name").as("airline_name"),
+        col("o_orderdate").cast("date").as("date_key"),
+        month(col("o_orderdate")).as("month"),
+        col("origin_city"), col("dest_city"),
+        when(col("l_discount") > 0.05, 1).otherwise(0).as("dep_del15"),
+        (col("l_extendedprice") * col("l_tax")).as("delay_minutes"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("is_cancelled"),
+        col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Equivalent ANSI-SQL body of [[wideView]] for the DuckDB oracle. */
+  val wideViewSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  s_name AS airline_name,
+      |  CAST(o_orderdate AS DATE) AS date_key,
+      |  CAST(month(o_orderdate) AS INTEGER) AS month,
+      |  n1.n_name AS origin_city, n2.n_name AS dest_city,
+      |  CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS dep_del15,
+      |  l_extendedprice * l_tax AS delay_minutes,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_cancelled,
+      |  l_quantity, l_extendedprice, l_discount, l_tax,
+      |  l_returnflag, l_linestatus
+      |FROM lineitem
+      |LEFT JOIN orders   ON l_orderkey = o_orderkey
+      |LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |LEFT JOIN nation n2 ON s_nationkey = n2.n_nationkey""".stripMargin
+
+  /** G1 + D3 — dimension build by UNION-distinct of the two airport roles
+    * (`/root/reference/sql/data_modeling.sql:8-16`): origin-side keys come
+    * through customers, dest-side through suppliers; the same nation showing
+    * up in both roles dedups, exactly like the same IATA code appearing as
+    * Origin and Dest. Spark `union` is UNION ALL, so the explicit
+    * `.distinct()` reproduces SQL UNION semantics. */
+  def dimAirports(s: SparkSession, dir: String): DataFrame = {
+    val o = customer(s, dir).select(col("c_nationkey").as("airport_key"))
+    val d = supplier(s, dir).select(col("s_nationkey").as("airport_key"))
+    o.union(d).distinct()
+      .join(broadcast(nation(s, dir)), col("airport_key") === col("n_nationkey"))
+      .select(col("airport_key"), col("n_name").as("city"),
+        col("n_regionkey").as("state_key"))
+  }
+
+  /** F0a + D3 — dim_calendar analog: DISTINCT dates with derived attributes,
+    * ordered (`/root/reference/sql/data_modeling.sql:30-48`). ISO
+    * day-of-week (Mon=1..Sun=7); weekend = Sat/Sun, the reference's
+    * `DayOfWeek >= 6` boundary (`/root/reference/src/data_cleaning.py:103`). */
+  def dimCalendar(s: SparkSession, dir: String): DataFrame = {
+    val isoDow = ((dayofweek(col("date_key")) + 5) % 7) + 1
+    orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("date_key")).distinct()
+      .select(
+        col("date_key"),
+        year(col("date_key")).as("year"),
+        month(col("date_key")).as("month"),
+        dayofmonth(col("date_key")).as("day_of_month"),
+        isoDow.as("day_of_week"),
+        Cleaning.isWeekend(isoDow).as("is_weekend"))
+      .orderBy("date_key")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Aggregates, Dashboard, StarSchema}
+import graft.functions.WeightedMean
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wide = StarSchema.wideView(spark, sf).cache()
+  private lazy val am = Aggregates.airlineMonthlyPerformance(wide)
+
+  test("airline monthly rollup: counts reconcile to fact total") {
+    val total = am.agg(sum("depdel15_count")).as[Long].head()
+    assert(total == wide.count())
+  }
+
+  test("avg is partitioning-invariant — fixes reference quirk Q1 " +
+    "(sum-of-per-chunk-means, aggregate_flight_data.py:37)") {
+    val one = Aggregates.airlineMonthlyPerformance(wide.repartition(1))
+      .orderBy("airline_name", "month").collect()
+    val many = Aggregates.airlineMonthlyPerformance(wide.repartition(13))
+      .orderBy("airline_name", "month").collect()
+    assert(one.sameElements(many))
+  }
+
+  test("sumExact is exact and order-insensitive for decimal-valued doubles") {
+    val vals = (1 to 1000).map(i => i / 100.0)
+    val a = vals.toDF("x").repartition(1)
+      .agg(Aggregates.sumExact($"x")).as[Double].head()
+    val b = vals.reverse.toDF("x").repartition(17)
+      .agg(Aggregates.sumExact($"x")).as[Double].head()
+    assert(a == b && a == 5005.0)
+  }
+
+  test("weighted mean: exact value on literal data, partitioning-invariant") {
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("x", "w")
+    val got = df.agg(WeightedMean($"x", $"w")).as[Double].head()
+    assert(got == 17.5)
+    val big = (1 to 5000).map(i => (i.toDouble, (i % 7 + 1).toDouble))
+    val g1 = big.toDF("x", "w").repartition(1).agg(WeightedMean($"x", $"w"))
+      .as[Double].head()
+    val g2 = big.toDF("x", "w").repartition(23).agg(WeightedMean($"x", $"w"))
+      .as[Double].head()
+    assert(g1 == g2)
+  }
+
+  test("geo join drops cities without coords (C5 lookup + dropna)") {
+    val ap = Aggregates.airportPerformance(wide)
+    val geo = Dashboard.geoMap(ap, Aggregates.coordsDf(spark))
+    val cities = geo.select("origin_city").as[String].collect().toSet
+    assert(cities.subsetOf(Aggregates.cityCoords.map(_._1).toSet))
+    assert(cities.nonEmpty)
+  }
+
+  test("master filter: empty selection selects all (B5 default)") {
+    assert(Dashboard.masterFilter(Nil, Nil)(am).count() == am.count())
+    val only3 = Dashboard.masterFilter(Seq(3), Nil)(am)
+    assert(only3.select("month").distinct().as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("kpis emit one row with non-negative totals and a sane OTP pct") {
+    val Row(tot: Long, del: Long, can: Long, otp: Double) =
+      Aggregates.kpis(am).head()
+    assert(tot > 0 && del >= 0 && can >= 0 && otp >= 0.0 && otp <= 100.0)
+  }
+
+  test("delay attribution unpivots to exactly the four causes") {
+    val causes = Aggregates.delayAttribution(am)
+      .select("cause").as[String].collect().toSet
+    assert(causes == Set("carrier", "weather", "nas", "late_aircraft"))
+  }
+}
