@@ -36,7 +36,7 @@ object Dedup {
     val toks = TextFunctions.tokens(text)
     val grams = transform(
       sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + 1, n), " "))
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
     array_distinct(
       when(size(toks) >= n, grams).otherwise(array(array_join(toks, " "))))
   }
@@ -139,7 +139,7 @@ object Dedup {
     val r = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)), j =>
       concat_ws(":", j.cast("string"),
-        array_join(transform(slice(sigCol, j * r + 1, r), _.cast("string")), "_")))
+        array_join(transform(slice(sigCol, j * r + 1, lit(r)), _.cast("string")), "_")))
   }
 
   /** MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
@@ -188,15 +188,21 @@ object Dedup {
       .select(col("id"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
-    * band join on 4×16-bit chunks (pigeonhole: ≤3 differing bits ⇒ at least
-    * one identical 16-bit band), then exact `bit_count(xor)` verify. */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (must be
+    * ≤ 3): band join on 4×16-bit chunks (pigeonhole: ≤3 differing bits ⇒ at
+    * least one identical 16-bit band), then exact `bit_count(xor)` verify.
+    * Recall is exact for maxHamming ≤ 3 — a pair with more differing bits
+    * could spread them across all four bands, so larger radii are refused
+    * rather than silently under-recalled. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sh = simhash(df, idCol, textCol)
-    val bands = sh.select(col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)), j =>
-        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)))))
+    // shiftright takes a literal Int shift — unroll the four bands.
+    val bandArr = array((0 until 4).map(j =>
+      shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val bands = sh.select(col("id"), col("simhash"), posexplode(bandArr))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
     bands.as("a")

@@ -65,8 +65,8 @@ object Multimodal {
   val decodeSql: String =
     """SELECT doc_id AS media_id,
       |  'image/src_' || regexp_extract(source, '\d+', 0) AS media_type,
-      |  CAST(length(text) AS INTEGER) AS n_bytes,
-      |  CAST((length(text) * 7919 + doc_id * 31) % 640 + 16 AS INTEGER) AS width,
-      |  CAST((length(text) * 104729 + doc_id * 17) % 480 + 16 AS INTEGER) AS height
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  CAST((octet_length(encode(text)) * 7919 + doc_id * 31) % 640 + 16 AS INTEGER) AS width,
+      |  CAST((octet_length(encode(text)) * 104729 + doc_id * 17) % 480 + 16 AS INTEGER) AS height
       |FROM documents""".stripMargin
 }
