@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, StarSchema, Tables}
-import graft.functions.WeightedMean
+import graft.functions.{TextFunctions, WeightedMean}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle SQL.
@@ -168,7 +169,74 @@ object SparkEntry {
         """SELECT month, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
           |FROM v_flight_performance_analysis
           |GROUP BY month ORDER BY month""".stripMargin)
-    })
+    }),
+
+    // ---- training-data pipeline tier (beyond the reference surface) ----
+
+    // Exact dedup — canonical min-id representative per identical text.
+    "q22_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted shingle index.
+    "q23_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
+
+    // MinHash+LSH near-dup with exact-Jaccard verification. On the planted
+    // bimodal corpus (near-dups at J≥0.9, background <0.1) the 16×4 band
+    // scheme has miss probability < 1e-12, so the output equals the
+    // exhaustive true-Jaccard oracle.
+    "q24_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup candidate pairs (Hamming ≤ 3 over 64-bit simhash).
+    "q25_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text")
+        .select("id_a", "id_b").orderBy("id_a", "id_b")),
+
+    // Brute-force cosine top-k — ANN correctness baseline.
+    "q26_brute_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding cosine near-dup pairs (exact, symmetric-half cross join).
+    "q27_embedding_near_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // IVF-partitioned ANN — probes nProbe cells instead of the full corpus.
+    "q28_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Text-analysis feature sweep: token counts, quality, lang-ID,
+    // fingerprints — all codegen'd built-in compositions.
+    "q29_text_features" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
+        TextFunctions.fingerprintPoly(col("text")).as("fp_poly"))
+        .orderBy("doc_id")),
+
+    // Multimodal decode plumbing: binary payload column → partition-batched
+    // (stub) decoder → typed metadata.
+    "q30_media_decode" -> ((s, dir) =>
+      Multimodal.decode(s,
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .toDF().orderBy("media_id"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -334,6 +402,53 @@ object SparkEntry {
 
     "q21_sql_view" -> withWide(
       """SELECT month, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
-        |FROM wide GROUP BY month ORDER BY month""".stripMargin)
+        |FROM wide GROUP BY month ORDER BY month""".stripMargin),
+
+    "q22_exact_dedup" -> """SELECT MIN(doc_id) AS doc_id, text
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      (Dedup.ngramJaccardPairsSql(3, 0.5) + "\nORDER BY id_a, id_b"),
+
+    // LSH filter-verify output == exhaustive true-Jaccard ground truth
+    // (recall argument at the queries entry).
+    "q24_minhash_pairs" ->
+      (Dedup.trueJaccardPairsSql(3, 0.5) + "\nORDER BY id_a, id_b"),
+
+    "q26_brute_topk" -> s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    ${Similarity.Sql.cosine("q_emb", "c_emb")} AS cosine
+      |  FROM c JOIN q ON query_id != neighbor_id)
+      |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q27_embedding_near_dup" -> s"""SELECT id_a, id_b, cosine FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ${Similarity.Sql.cosine("a.embedding", "b.embedding")} AS cosine
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+      |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q29_text_features" -> {
+      import TextFunctions.{Sql => T}
+      s"""SELECT doc_id,
+        |  CAST(${T.tokenCount("text")} AS INTEGER) AS n_tokens,
+        |  CAST(${T.bpeTokenCount("text")} AS INTEGER) AS n_bpe_tokens,
+        |  ${T.punctRatio("text")} AS punct_ratio,
+        |  ${T.stopwordRatio("text")} AS stopword_ratio,
+        |  ${T.qualityScore("text")} AS quality,
+        |  ${T.langId("text")} AS lang_id,
+        |  ${T.fingerprintMd5("text")} AS fp_md5,
+        |  ${T.fingerprintPoly("text")} AS fp_poly
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q30_media_decode" ->
+      (Multimodal.decodeSql + "\nORDER BY media_id")
   )
 }
