@@ -5,9 +5,10 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Aggregates, Cleaning, Dashboard, StarSchema, Tables}
+import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
 import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle SQL.
@@ -236,7 +237,94 @@ object SparkEntry {
     "q30_media_decode" -> ((s, dir) =>
       Multimodal.decode(s,
           Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
-        .toDF().orderBy("media_id"))
+        .toDF().orderBy("media_id")),
+
+    // A1 — multi-file CSV ingest: write a two-file CSV fixture from
+    // lineitem, re-read it with an explicit schema + column whitelist
+    // (the reference's usecols), and check the round-trip against the
+    // parquet source. CSV doubles/dates round-trip exactly
+    // (Double.toString ↔ parseDouble, ISO dates).
+    "q31_csv_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate").cast("date").as("ship_date"))
+      val root = s"${Sinks.scratch}/q31_csv"
+      Sinks.writeCsv(base.filter(col("l_orderkey") % 2 === 0), s"$root/even")
+      Sinks.writeCsv(base.filter(col("l_orderkey") % 2 === 1), s"$root/odd")
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_returnflag", StringType),
+        StructField("ship_date", DateType)))
+      Ingest.readCsv(s, Seq(s"$root/even", s"$root/odd"), schema,
+        keepCols = Seq("l_orderkey", "l_linenumber", "l_quantity", "ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A4 — batch parquet sink round-trip: overwrite months 1-6 with a
+    // month-partitioned layout (the index analog), append months 7-12,
+    // read back — replicating the reference's first-file-replace /
+    // rest-append protocol (`data_cleaning.py:108-116`).
+    "q32_sink_roundtrip" -> ((s, dir) => {
+      val path = s"${Sinks.scratch}/q32_parquet"
+      val amDf = am(s, dir)
+      Sinks.writeParquet(amDf.filter(col("month") <= 6), path,
+        "overwrite", Seq("month"))
+      Sinks.writeParquet(amDf.filter(col("month") > 6), path,
+        "append", Seq("month"))
+      s.read.parquet(path)
+        .select("airline_name", "month", "depdel15_count", "depdel15_sum",
+          "delay_minutes_mean", "is_cancelled_sum", "carrier_delay_sum",
+          "weather_delay_sum", "nas_delay_sum", "late_aircraft_delay_sum",
+          "on_time_rate")
+        .orderBy("airline_name", "month")
+    }),
+
+    // A5 — CSV sink round-trip of the airport cache table, the reference's
+    // `to_csv(..., index=False)` (`aggregate_flight_data.py:42,79`).
+    "q33_csv_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = s"${Sinks.scratch}/q33_csv"
+      Sinks.writeCsv(ap(s, dir), path)
+      val schema = StructType(Seq(
+        StructField("airline_name", StringType),
+        StructField("month", IntegerType),
+        StructField("origin_city", StringType),
+        StructField("total_flights", LongType),
+        StructField("delayed_flights", LongType)))
+      Ingest.readCsv(s, Seq(path), schema)
+        .orderBy("airline_name", "month", "origin_city")
+    }),
+
+    // A7 — CTAS materialization: dim_airports persisted as a catalog table
+    // (`data_modeling.sql:3-16`), then queried back.
+    "q34_ctas" -> ((s, dir) => {
+      Sinks.ctas(s, "graft_ctas_dim_airports", StarSchema.dimAirports(s, dir))
+      s.table("graft_ctas_dim_airports").orderBy("airport_key")
+    }),
+
+    // B7 + H1 — masked conditional formatting: the HH:MM formatter applied
+    // only where the raw value is present (cancelled flights keep NULL
+    // DepTime, `data_cleaning.py:51-53`).
+    "q35_time_format_masked" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_linenumber") % 3 === 0, lit(null).cast("int"))
+            .otherwise(pmod(col("l_orderkey") * 7 + col("l_linenumber"),
+              lit(2401)).cast("int"))
+            .as("hhmm"))
+        .withColumn("dep_time", Cleaning.formatHHMMIfPresent(col("hhmm")))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2.I extension — the streaming job's plan in batch mode: tumbling
+    // event-time windows over the events table (the streaming path itself
+    // is covered by the MemoryStream spec).
+    "q36_event_windows" -> ((s, dir) =>
+      EventStream.windowedKpis(Tables.events(s, dir))
+        .orderBy("window_start", "event_type"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -434,6 +522,37 @@ object SparkEntry {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
       |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
+    // Deterministic centroids (every 53rd vec) let the oracle replay the
+    // exact IVF cell assignment: nearest cell per corpus vector, top-3
+    // cells per query, cell-local scoring, per-query top-5.
+    "q28_ivf_topk" -> s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_emb
+      |  FROM embeddings WHERE vec_id % 53 = 0),
+      |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+      |       FROM embeddings WHERE vec_id < 10),
+      |corpus_cells AS (
+      |  SELECT neighbor_id, c_emb, cent_id FROM (
+      |    SELECT neighbor_id, c_emb, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY neighbor_id
+      |        ORDER BY ${Similarity.Sql.cosine("c_emb", "cent_emb")} DESC, cent_id) AS r
+      |    FROM corpus CROSS JOIN cents) t WHERE r = 1),
+      |query_cells AS (
+      |  SELECT query_id, q_emb, cent_id FROM (
+      |    SELECT query_id, q_emb, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY ${Similarity.Sql.cosine("q_emb", "cent_emb")} DESC, cent_id) AS r
+      |    FROM qs CROSS JOIN cents) t WHERE r <= 3),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    ${Similarity.Sql.cosine("q_emb", "c_emb")} AS cosine
+      |  FROM corpus_cells JOIN query_cells USING (cent_id)
+      |  WHERE query_id != neighbor_id)
+      |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q29_text_features" -> {
       import TextFunctions.{Sql => T}
       s"""SELECT doc_id,
@@ -449,6 +568,52 @@ object SparkEntry {
     },
 
     "q30_media_decode" ->
-      (Multimodal.decodeSql + "\nORDER BY media_id")
+      (Multimodal.decodeSql + "\nORDER BY media_id"),
+
+    // CSV round-trips are exact (Double.toString ↔ parseDouble, ISO
+    // dates), so the oracle reads the parquet source directly.
+    "q31_csv_ingest" -> """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q32_sink_roundtrip" -> s"""$airlineMonthlyCte
+      |SELECT airline_name, month, depdel15_count,
+      |  CAST(depdel15_sum AS BIGINT) AS depdel15_sum,
+      |  delay_minutes_mean,
+      |  CAST(is_cancelled_sum AS BIGINT) AS is_cancelled_sum,
+      |  carrier_delay_sum, weather_delay_sum, nas_delay_sum,
+      |  late_aircraft_delay_sum, on_time_rate
+      |FROM am ORDER BY airline_name, month""".stripMargin,
+
+    "q33_csv_sink" -> s"""$airportPerfCte
+      |SELECT airline_name, month, origin_city, total_flights,
+      |  CAST(delayed_flights AS BIGINT) AS delayed_flights
+      |FROM ap ORDER BY airline_name, month, origin_city""".stripMargin,
+
+    "q34_ctas" -> """SELECT airport_key, n_name AS city,
+      |  n_regionkey AS state_key
+      |FROM (SELECT c_nationkey AS airport_key FROM customer
+      |      UNION SELECT s_nationkey FROM supplier) u
+      |JOIN nation ON u.airport_key = nation.n_nationkey
+      |ORDER BY airport_key""".stripMargin,
+
+    "q35_time_format_masked" -> """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_linenumber % 3 = 0 THEN NULL
+      |      ELSE CAST((l_orderkey * 7 + l_linenumber) % 2401 AS INTEGER)
+      |    END AS hhmm
+      |  FROM lineitem),
+      |fmt AS (SELECT *, regexp_replace(lpad(CAST(CAST(COALESCE(hhmm, 0)
+      |    AS INTEGER) AS VARCHAR), 4, '0'), '^2400$', '0000') AS t FROM base)
+      |SELECT l_orderkey, l_linenumber, hhmm,
+      |  CASE WHEN hhmm IS NOT NULL
+      |    THEN substr(t, 1, 2) || ':' || substr(t, 3, 2) END AS dep_time
+      |FROM fmt ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q36_event_windows" -> s"""SELECT window_start, event_type,
+      |  n_events, CAST(n_delayed AS BIGINT) AS n_delayed, total_value
+      |FROM (${EventStream.windowedKpisSql()})
+      |ORDER BY window_start, event_type""".stripMargin
   )
 }

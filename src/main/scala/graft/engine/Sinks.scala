@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's write surface (SURVEY.md §2.A4/A5/A7), Spark-first.
+  *
+  *  - A4: chunked batch DB sink with replace/append modes
+  *    (`/root/reference/src/data_cleaning.py:108-116` — first file
+  *    `if_exists='replace'`, the rest `'append'`). Here: parquet writes
+  *    with `mode(overwrite|append)`; the reference's `chunksize=10000`
+  *    batching is Spark task-level row-group writing, free. The
+  *    `partitionBy("month")` layout is the physical-design analog of the
+  *    reference's B-tree indexes (`/root/reference/sql/data_modeling.sql:78-80`)
+  *    — month-pruned scans skip whole directories, and parquet row-group
+  *    min/max stats replace the index lookup (SURVEY.md §2.A9).
+  *  - A5: CSV sink with header and no index column
+  *    (`/root/reference/src/aggregate_flight_data.py:42,79`). `coalesce(1)`
+  *    reproduces the single-file cache shape the dashboard re-reads; drop
+  *    it for large outputs.
+  *  - A7: CTAS materialization
+  *    (`/root/reference/sql/data_modeling.sql:3-16,52-74`) via
+  *    `saveAsTable` against the session catalog.
+  */
+object Sinks {
+
+  /** Scratch root for sink round-trips (tests, verify queries). */
+  def scratch: String =
+    sys.env.getOrElse("GRAFT_SCRATCH",
+      s"${sys.props("java.io.tmpdir")}/graft-scratch")
+
+  /** A4 — batch parquet sink; `mode` ∈ overwrite|append, optional
+    * partition layout (e.g. `Seq("month")`). */
+  def writeParquet(df: DataFrame, path: String, mode: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** A5 — headered CSV sink, single file like the reference's cache CSVs. */
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.coalesce(1).write.mode(mode).option("header", "true").csv(path)
+
+  /** A7 — CTAS: materialize a DataFrame as a catalog table (parquet under
+    * the session warehouse dir). Re-runnable like the reference's
+    * `CREATE TABLE IF NOT EXISTS`: a stale location from a previous
+    * session (the in-memory catalog forgets tables but the filesystem
+    * doesn't) is dropped before the write. */
+  def ctas(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+}

@@ -34,9 +34,16 @@ object StarSchema {
   /** A8 — the denormalized wide view (`v_flight_performance_analysis`
     * analog). Role-playing dim: `nation` joined twice — once through the
     * customer (origin) and once through the supplier (dest) — mirroring
-    * dim_airports origin/dest at `/root/reference/sql/wide_table.sql:31-34`. */
+    * dim_airports origin/dest at `/root/reference/sql/wide_table.sql:31-34`;
+    * plus the calendar dim joined on date_key (the reference's 4th dim
+    * join, `/root/reference/sql/wide_table.sql:35-36`) supplying `month`.
+    * All four dims are broadcast — the fact table never shuffles for a
+    * dimension lookup. */
   def wideView(s: SparkSession, dir: String): DataFrame = {
     val nat = nation(s, dir)
+    val cal = orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("cal_date")).distinct()
+      .withColumn("cal_month", month(col("cal_date")))
     fact(s, dir)
       .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"), "left")
       .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"), "left")
@@ -44,11 +51,13 @@ object StarSchema {
         col("n_name").as("origin_city"))), col("c_nationkey") === col("o_nkey"), "left")
       .join(broadcast(nat.select(col("n_nationkey").as("d_nkey"),
         col("n_name").as("dest_city"))), col("s_nationkey") === col("d_nkey"), "left")
+      .join(broadcast(cal),
+        col("o_orderdate").cast("date") === col("cal_date"), "left")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("s_name").as("airline_name"),
         col("o_orderdate").cast("date").as("date_key"),
-        month(col("o_orderdate")).as("month"),
+        col("cal_month").as("month"),
         col("origin_city"), col("dest_city"),
         when(col("l_discount") > 0.05, 1).otherwise(0).as("dep_del15"),
         (col("l_extendedprice") * col("l_tax")).as("delay_minutes"),
@@ -58,12 +67,13 @@ object StarSchema {
         col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** Equivalent ANSI-SQL body of [[wideView]] for the DuckDB oracle. */
+  /** Equivalent ANSI-SQL body of [[wideView]] for the DuckDB oracle —
+    * mirrors the 4-dim join shape including the calendar dim. */
   val wideViewSql: String =
     """SELECT l_orderkey, l_linenumber,
       |  s_name AS airline_name,
       |  CAST(o_orderdate AS DATE) AS date_key,
-      |  CAST(month(o_orderdate) AS INTEGER) AS month,
+      |  cal.cal_month AS month,
       |  n1.n_name AS origin_city, n2.n_name AS dest_city,
       |  CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS dep_del15,
       |  l_extendedprice * l_tax AS delay_minutes,
@@ -75,7 +85,11 @@ object StarSchema {
       |LEFT JOIN supplier ON l_suppkey = s_suppkey
       |LEFT JOIN customer ON o_custkey = c_custkey
       |LEFT JOIN nation n1 ON c_nationkey = n1.n_nationkey
-      |LEFT JOIN nation n2 ON s_nationkey = n2.n_nationkey""".stripMargin
+      |LEFT JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |LEFT JOIN (SELECT DISTINCT CAST(o_orderdate AS DATE) AS cal_date,
+      |             CAST(month(o_orderdate) AS INTEGER) AS cal_month
+      |           FROM orders) cal
+      |  ON CAST(o_orderdate AS DATE) = cal.cal_date""".stripMargin
 
   /** G1 + D3 — dimension build by UNION-distinct of the two airport roles
     * (`/root/reference/sql/data_modeling.sql:8-16`): origin-side keys come

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -23,9 +24,15 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: canonical representative (min id) per identical text.
-    * Plain hash aggregation — Spark's partial/final agg handles any scale. */
+    * Plain hash aggregation — Spark's partial/final agg handles any scale.
+    * The group key is the 128-bit MD5 fingerprint of the text, not the text
+    * itself, so the shuffle sorts/compares 16-byte keys instead of full
+    * documents; the text rides along as a `first` aggregate (identical
+    * within a group, and map-side partial agg collapses duplicates before
+    * anything crosses the wire). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(textCol).agg(min(idCol).as(idCol))
+    df.groupBy(md5(col(textCol).cast("binary")).as("_fp"))
+      .agg(min(idCol).as(idCol), first(textCol).as(textCol))
       .select(idCol, textCol)
 
   // ------------------------------------------------------------- shingles
@@ -57,13 +64,19 @@ object Dedup {
     * a pair is only missed if ALL its shared shingles are ubiquitous. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
+    // Shingling is the expensive projection and feeds four consumers
+    // (sizes ×2 join sides, postings ×2 self-join sides) — persist so it
+    // runs once instead of being re-inlined into every consumer by
+    // projection collapse.
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val postings = inv.join(rare.select("s"), Seq("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val shared = postings.as("a")
       .join(postings.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -141,15 +154,25 @@ object Dedup {
   }
 
   /** MinHash signature (array of `numHashes` minima) over a shingle array,
-    * fully columnar: h_i(s) = (a_i · xxhash64(s) + b_i) mod P. */
+    * fully columnar and single-pass: h_i(s) = (a_i · xxhash64(s) + b_i)
+    * mod P.
+    *
+    * Structured as one `aggregate` over the shingle array with an array
+    * accumulator of running minima: each shingle is string-hashed exactly
+    * once, then folded into all `numHashes` minima with a `zip_with`
+    * against the (a, b) parameter array. The naive transpose — `transform`
+    * over hash indices, each re-scanning the shingles — re-evaluates
+    * `xxhash64` numHashes× per shingle, which is the difference between
+    * O(S) and O(S·H) string hashing per document. */
   def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long): Column = {
     val (as, bs) = hashFamily(numHashes, seed)
-    val aLit = typedlit(as)
-    val bLit = typedlit(bs)
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shinglesCol, s =>
-        pmod(element_at(aLit, i + 1) * pmod(xxhash64(s), lit(MinhashP))
-          + element_at(bLit, i + 1), lit(MinhashP)))))
+    val params = typedlit(as.zip(bs))
+    val hashes = transform(shinglesCol, s => pmod(xxhash64(s), lit(MinhashP)))
+    aggregate(
+      hashes,
+      array_repeat(lit(MinhashP), numHashes),
+      (acc, h) => zip_with(acc, params, (m, p) =>
+        least(m, pmod(p.getField("_1") * h + p.getField("_2"), lit(MinhashP)))))
   }
 
   /** LSH band keys: signature split into `bands` bands of
@@ -171,11 +194,19 @@ object Dedup {
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    // Persist the shingle projection (reused by both verify join-backs and
+    // the signature) and the banded keys (reused by both self-join sides).
+    // Without the materialization barriers, projection collapse inlines the
+    // full signature expression into every band key and both join sides —
+    // recomputing the whole signature ~bands× per row, measured as a >30×
+    // slowdown at sf0.1.
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
       .select(col("id"),
         explode(lshBandKeys(col("sig"), numHashes, bands)).as("band"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -221,9 +252,13 @@ object Dedup {
     // shiftright takes a literal Int shift — unroll the four bands.
     val bandArr = array((0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    // simhash() shuffles (token explode + 64-sum agg); persist the banded
+    // result so the self-join reads it once instead of re-running the
+    // aggregation for each side.
     val bands = sh.select(col("id"), col("simhash"), posexplode(bandArr))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

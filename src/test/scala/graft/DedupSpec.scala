@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.Dedup
+
+/** Unit coverage for the dedup tier over the sf0.001 documents corpus —
+  * in particular the two components the DuckDB oracle can't express
+  * (SimHash uses Spark's xxhash64, which DuckDB lacks). */
+class DedupSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("exact dedup: representatives are distinct texts with min ids") {
+    val out = Dedup.exact(docs, "doc_id", "text").cache()
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(out.count() == distinctTexts)
+    // Every representative id is the minimum id among rows with that text.
+    val mins = docs.groupBy("text").agg(min("doc_id").as("want"))
+    val joined = out.join(mins, Seq("text"))
+    assert(joined.filter(col("doc_id") =!= col("want")).count() == 0)
+    out.unpersist()
+  }
+
+  test("simhash banding finds exactly the brute-force Hamming<=3 pairs") {
+    val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").cache()
+    // Ground truth: all-pairs Hamming over the same simhash values. The
+    // 4x16-bit pigeonhole guarantees recall for <=3 differing bits, so the
+    // banded output must equal the exhaustive filter exactly.
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).cache()
+    assert(banded.except(brute).count() == 0)
+    assert(brute.except(banded).count() == 0)
+    assert(brute.count() > 0) // the planted corpus must exercise the path
+    banded.unpersist(); brute.unpersist()
+  }
+
+  test("minhash LSH pairs match exhaustive true-Jaccard pairs on the planted corpus") {
+    val lsh = Dedup.minhashNearDup(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").cache()
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .filter(Dedup.jaccard(col("a.sh"), col("b.sh")) >= 0.5)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).cache()
+    assert(lsh.except(brute).count() == 0)
+    assert(brute.except(lsh).count() == 0)
+    lsh.unpersist(); brute.unpersist()
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.engine.{Aggregates, Cleaning}
+
+/** ScalaCheck properties for the algebraic contracts (SURVEY.md §5.4).
+  * Each case runs real Spark jobs, so the suites cap case counts low —
+  * the point is the algebra (partitioning invariance, totality,
+  * idempotence), not sampling density. */
+object EngineProperties extends Properties("Engine") {
+
+  private lazy val spark = TestSpark.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val cents: Gen[Double] =
+    Gen.chooseNum(-1000000L, 1000000L).map(_ / 100.0)
+
+  property("sumExact: partial+final under any partitioning == exact decimal sum") =
+    forAll(Gen.nonEmptyListOf(cents), Gen.choose(1, 8)) { (xs, parts) =>
+      import spark.implicits._
+      val got = xs.toDF("x").repartition(parts)
+        .agg(Aggregates.sumExact(col("x")).as("s"))
+        .head().getDouble(0)
+      val want = xs.map(BigDecimal(_)).sum.toDouble
+      got == want
+    }
+
+  property("avgExact: partitioning-invariant (no sum-of-chunk-means, quirk Q1)") =
+    forAll(Gen.nonEmptyListOf(cents), Gen.choose(1, 8), Gen.choose(1, 8)) {
+      (xs, p1, p2) =>
+        import spark.implicits._
+        def run(p: Int) = xs.toDF("x").repartition(p)
+          .agg(Aggregates.avgExact(col("x")).as("a")).head().getDouble(0)
+        run(p1) == run(p2)
+    }
+
+  property("formatHHMM: total on 0..2400, HH:MM shape, 2400 wraps") =
+    forAll(Gen.listOfN(50, Gen.choose(0, 2400))) { vs =>
+      import spark.implicits._
+      val got = vs.toDF("hhmm")
+        .select(Cleaning.formatHHMM(col("hhmm")).as("t"))
+        .as[String].collect()
+      got.zip(vs).forall { case (t, v) =>
+        val w = if (v == 2400) 0 else v
+        t == f"${w / 100}%02d:${w % 100}%02d"
+      }
+    }
+
+  property("union then distinct == distinct of distincts (G1 idempotence)") =
+    forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) {
+      (a, b) =>
+        import spark.implicits._
+        val da = a.toDF("k"); val db = b.toDF("k")
+        val u1 = da.union(db).distinct()
+        val u2 = da.distinct().union(db.distinct()).distinct()
+        u1.except(u2).count() == 0 && u2.except(u1).count() == 0 &&
+          u1.count() == (a ++ b).distinct.size
+    }
+}

