@@ -26,5 +26,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Spark's generated code for wide aggregations/joins can exceed the
+  // JVM's 8 KB per-method JIT limit; by default such methods silently run
+  // in the bytecode interpreter (measured 20-30x slowdowns, and Spark
+  // logs "Generated method too long to be JIT compiled"). Lift the limit
+  // and give the JIT room — on a cluster the same flags belong in
+  // spark.executor.extraJavaOptions.
+  "-XX:-DontCompileHugeMethods",
+  "-XX:ReservedCodeCacheSize=512m",
+  // A 36-query suite generates hundreds of codegen classes; with the
+  // default 2-3 C2 compiler threads the compile queue saturates and hot
+  // loops run at interpreter/C1 speed for most of a stage. Scale the
+  // JIT with the core count.
+  "-XX:CICompilerCount=12",
 )

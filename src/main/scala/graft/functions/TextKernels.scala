@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-document text kernels for the dedup hot paths.
+  *
+  * Both operations are expressible with built-ins (`split` + `transform`
+  * lambdas, or an explode + 64-column aggregation), but those forms either
+  * evaluate as interpreted higher-order functions or generate huge
+  * aggregation methods — measured as the dominant cost of the dedup tier.
+  * A tight per-row loop over the document's UTF-8 bytes does the same work
+  * in microseconds, stays inside whole-stage codegen (the generated code
+  * is a single static call), and needs no shuffle at all for SimHash.
+  *
+  * Tokenization contract: single-space splitting, identical to
+  * `split(text, " ")` with trailing/empty tokens preserved — splitting on
+  * the 0x20 byte is UTF-8-safe (continuation bytes are ≥ 0x80). Token
+  * hashes reuse Spark's own XXH64 with the builtin `xxhash64` seed, so
+  * values are bit-identical to the built-in-composed formulation (verified
+  * in DedupSpec).
+  */
+object TextKernels {
+
+  private val XxSeed = 42L
+
+  /** 64-bit SimHash of a single-space-tokenized document: per-token
+    * xxhash64, ±1 per bit position, sign → bit. Identical semantics to
+    * explode-tokens + 64 conditional sums + sign-pack. */
+  def simhash64(text: UTF8String): Long = {
+    val b = text.getBytes
+    val counts = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val len = b.length
+    while (i <= len) {
+      if (i == len || b(i) == 0x20) {
+        val h = XXH64.hashUTF8String(UTF8String.fromBytes(b, start, i - start), XxSeed)
+        var k = 0
+        while (k < 64) {
+          counts(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+          k += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  /** Word n-gram shingles (with duplicates; caller dedups): tokens joined
+    * by single spaces, n at a time; documents shorter than n tokens yield
+    * the whole token sequence as one shingle. Byte-identical to
+    * `transform(sequence(...), i -> array_join(slice(tokens, i, n), " "))`
+    * with the same short-document fallback. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val b = text.getBytes
+    val len = b.length
+    // Token boundaries: starts(i) .. ends(i) (exclusive).
+    var t = 1
+    var i = 0
+    while (i < len) { if (b(i) == 0x20) t += 1; i += 1 }
+    val starts = new Array[Int](t)
+    val ends = new Array[Int](t)
+    var ti = 0
+    var s = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || b(i) == 0x20) { starts(ti) = s; ends(ti) = i; ti += 1; s = i + 1 }
+      i += 1
+    }
+    def joined(from: Int, until: Int): UTF8String = {
+      // Tokens from..until-1 joined with single spaces: contiguous bytes
+      // from starts(from) to ends(until-1) re-joined explicitly so the
+      // result is canonical even for non-single-spaced input.
+      var size = until - from - 1
+      var j = from
+      while (j < until) { size += ends(j) - starts(j); j += 1 }
+      val out = new Array[Byte](math.max(size, 0))
+      var pos = 0
+      j = from
+      while (j < until) {
+        if (j > from) { out(pos) = 0x20; pos += 1 }
+        val l = ends(j) - starts(j)
+        System.arraycopy(b, starts(j), out, pos, l)
+        pos += l
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+    if (t < n) {
+      new GenericArrayData(Array[Any](joined(0, t)))
+    } else {
+      val grams = new Array[Any](t - n + 1)
+      var g = 0
+      while (g <= t - n) { grams(g) = joined(g, g + n); g += 1 }
+      new GenericArrayData(grams)
+    }
+  }
+
+  /** SimHash expression: `text → long`, codegen'd as one static call. */
+  case class SimhashExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects string, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      simhash64(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Shingles expression: `text → array<string>` (n fixed at plan time). */
+  case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"word_shingles expects string, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      shingles(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def simhashCol(text: Column): Column =
+    GraftSql.column(SimhashExpr(GraftSql.expression(text)))
+
+  def shinglesCol(text: Column, n: Int): Column =
+    GraftSql.column(ShinglesExpr(GraftSql.expression(text), n))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, TextKernels}
 
 /** Document deduplication for training-data pipelines: exact, n-gram
   * Jaccard (inverted-index), MinHash+LSH, and SimHash near-dup.
@@ -20,6 +20,28 @@ import graft.functions.TextFunctions
   *    pairs, joined back by id — the classic filter-verify pattern.
   */
 object Dedup {
+
+  /** Spread an under-partitioned input (e.g. a single small parquet file
+    * → one scan task) across the cluster before CPU-heavy per-document
+    * work. Shingling/hashing cost is per-row, not per-byte, so scan
+    * parallelism must track cores, not file sizes; inputs that already
+    * have enough partitions pass through untouched (no shuffle at 100 TB,
+    * where scans are naturally wide). */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Persist AND eagerly materialize a reused intermediate. Lazy persist
+    * lets AQE's concurrent stage materialization race several consumers
+    * into the uncomputed cache — duplicated work plus per-block lock
+    * contention (measured as multi-× wall blowups). A cheap count() is a
+    * deterministic barrier: every consumer then reads warm cache. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
 
   // ---------------------------------------------------------------- exact
 
@@ -37,16 +59,14 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (distinct), computed columnar. Documents shorter
-    * than `n` tokens yield their whole text as a single shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
-    array_distinct(
-      when(size(toks) >= n, grams).otherwise(array(array_join(toks, " "))))
-  }
+  /** Word n-gram shingles (distinct). Documents shorter than `n` tokens
+    * yield their whole text as a single shingle. The gram construction is
+    * a native byte-scan kernel ([[TextKernels.ShinglesExpr]]) — semantics
+    * identical to the `transform`/`slice`/`array_join` composition (and
+    * the DuckDB oracle twin), but evaluated as one codegen'd static call
+    * instead of interpreted per-element lambdas. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(TextKernels.shinglesCol(text, n))
 
   /** Exact Jaccard over two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -68,15 +88,13 @@ object Dedup {
     // (sizes ×2 join sides, postings ×2 self-join sides) — persist so it
     // runs once instead of being re-inlined into every consumer by
     // projection collapse.
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = materialized(parallelized(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
-    val postings = inv.join(rare.select("s"), Seq("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = materialized(inv.join(rare.select("s"), Seq("s")))
     val shared = postings.as("a")
       .join(postings.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -163,7 +181,12 @@ object Dedup {
     * against the (a, b) parameter array. The naive transpose — `transform`
     * over hash indices, each re-scanning the shingles — re-evaluates
     * `xxhash64` numHashes× per shingle, which is the difference between
-    * O(S) and O(S·H) string hashing per document. */
+    * O(S) and O(S·H) string hashing per document.
+    *
+    * Note: higher-order functions evaluate interpreted; for the hot path
+    * [[minhashSignatures]] computes the same minima through a codegen'd
+    * explode + 64-way min aggregation instead. This Column form remains
+    * for composition on small inputs. */
   def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long): Column = {
     val (as, bs) = hashFamily(numHashes, seed)
     val params = typedlit(as.zip(bs))
@@ -173,6 +196,25 @@ object Dedup {
       array_repeat(lit(MinhashP), numHashes),
       (acc, h) => zip_with(acc, params, (m, p) =>
         least(m, pmod(p.getField("_1") * h + p.getField("_2"), lit(MinhashP)))))
+  }
+
+  /** Per-document MinHash signatures as 64 scalar columns `m0..m{H-1}`,
+    * computed fully inside whole-stage codegen: explode shingles, hash
+    * each once, take `numHashes` affine minima in one hash aggregation.
+    * The groupBy(id) shuffle is tiny — partial aggregation collapses each
+    * partition to one row per document before the exchange — and nothing
+    * in the plan is an interpreted lambda, so this is the form that scans
+    * a 100 TB corpus at full speed. Semantics identical to
+    * [[minhashSignature]]. */
+  def minhashSignatures(df: DataFrame, idCol: String, shCol: String,
+      numHashes: Int, seed: Long): DataFrame = {
+    val (as, bs) = hashFamily(numHashes, seed)
+    val minCols = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashP))).as(s"m$i"))
+    df.select(col(idCol), explode(col(shCol)).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(MinhashP)))
+      .groupBy(idCol)
+      .agg(minCols.head, minCols.tail: _*)
   }
 
   /** LSH band keys: signature split into `bands` bands of
@@ -196,17 +238,21 @@ object Dedup {
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     // Persist the shingle projection (reused by both verify join-backs and
     // the signature) and the banded keys (reused by both self-join sides).
-    // Without the materialization barriers, projection collapse inlines the
-    // full signature expression into every band key and both join sides —
-    // recomputing the whole signature ~bands× per row, measured as a >30×
-    // slowdown at sf0.1.
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-      .select(col("id"),
-        explode(lshBandKeys(col("sig"), numHashes, bands)).as("band"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Without the materialization barriers, projection collapse would
+    // inline the signature computation into every consumer — measured as a
+    // >30× slowdown at sf0.1.
+    val r = numHashes / bands
+    val sh = materialized(parallelized(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    // Codegen'd signature (64 min-agg columns), then band keys as plain
+    // string concats over column slices — no interpreted lambdas anywhere.
+    val bandArr = array((0 until bands).map(j =>
+      concat_ws(":", lit(j).cast("string"),
+        concat_ws("_", (j * r until (j + 1) * r).map(i =>
+          col(s"m$i").cast("string")): _*))): _*)
+    val banded = materialized(
+      minhashSignatures(sh, "id", "sh", numHashes, seed)
+        .select(col("id"), explode(bandArr).as("band")))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -222,21 +268,16 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document: explode tokens, per-bit ±1 sums, sign →
-    * bit. One shuffle on the id (same key as any per-doc agg). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i"))
-    val packed = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-      .reduce(_ + _)
-    tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), packed.as("simhash"))
-  }
+  /** 64-bit SimHash per document: per-token xxhash64, per-bit ±1 sums,
+    * sign → bit — computed by a native per-row kernel
+    * ([[TextKernels.SimhashExpr]]), so the whole operation is a single
+    * codegen'd projection over the scan: no token explode, no 64-column
+    * aggregation, no shuffle. Token hashes are Spark's own `xxhash64`, so
+    * values are bit-identical to the built-in-composed formulation
+    * (asserted in DedupSpec). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    parallelized(df).select(col(idCol).as("id"),
+      TextKernels.simhashCol(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (must be
     * ≤ 3): band join on 4×16-bit chunks (pigeonhole: ≤3 differing bits ⇒ at
@@ -252,13 +293,13 @@ object Dedup {
     // shiftright takes a literal Int shift — unroll the four bands.
     val bandArr = array((0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    // simhash() shuffles (token explode + 64-sum agg); persist the banded
-    // result so the self-join reads it once instead of re-running the
-    // aggregation for each side.
-    val bands = sh.select(col("id"), col("simhash"), posexplode(bandArr))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_val")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // simhash() shuffles (token explode + 64-sum agg); materialize the
+    // banded result so the self-join reads warm cache instead of re-running
+    // the aggregation for each side.
+    val bands = materialized(
+      sh.select(col("id"), col("simhash"), posexplode(bandArr))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_val"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

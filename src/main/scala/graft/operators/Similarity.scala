@@ -38,14 +38,15 @@ object Similarity {
     * `range(1, dim+1)` to match. */
   val Dim = 64
 
-  /** Strict left-to-right dot product of two fixed-`dim` float vectors in
-    * double precision: `((0.0 + x₁y₁) + x₂y₂) + …` — an unrolled chain of
-    * codegen'd scalar ops (stays inside whole-stage codegen; `get` is the
-    * ANSI-safe 0-based element access). */
+  /** Strict left-to-right dot product of two float vectors in double
+    * precision: `((0.0 + x₁y₁) + x₂y₂) + …` — a native codegen'd loop
+    * ([[graft.functions.VectorExpressions.DotProductExpr]]). An unrolled
+    * `get(a,i)*get(b,i)` chain generates ~18 KB of bytecode per use site,
+    * over the JVM's 8 KB JIT limit, leaving the hot join stage at
+    * interpreter speed; the loop form JIT-compiles. `dim` is kept for the
+    * SQL twins (the loop runs over the common array prefix). */
   def dot(a: Column, b: Column, dim: Int = Dim): Column =
-    (0 until dim).map(i =>
-      get(a, lit(i)).cast("double") * get(b, lit(i)).cast("double"))
-      .foldLeft(lit(0.0))(_ + _)
+    graft.functions.VectorExpressions.vectorDot(a, b)
 
   def norm(a: Column, dim: Int = Dim): Column = sqrt(dot(a, a, dim))
 
@@ -114,14 +115,22 @@ object Similarity {
     val base = corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
       norm(col("embedding")).as("nrm"),
       pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
+    // Explicit hash repartitioning on the block-pair key: AQE's coalescer
+    // sizes partitions by shuffle BYTES, but this stage's work is
+    // quadratic in its input — a few MB of vectors is millions of dot
+    // products — so byte-based coalescing would collapse the join into
+    // one task. A user-specified repartition pins the parallelism.
+    val p = corpus.sparkSession.sparkContext.defaultParallelism
     // Role i (left): bucket b covers keys (b, j) for j in b..blocks-1.
     val lhs = base.withColumn("pk",
       explode(transform(sequence(col("blk"), lit(blocks - 1)),
         j => col("blk") * blocks + j)))
+      .repartition(p, col("pk"))
     // Role j (right): bucket b covers keys (i, b) for i in 0..b.
     val rhs = base.withColumn("pk",
       explode(transform(sequence(lit(0), col("blk")),
         i => i * blocks + col("blk"))))
+      .repartition(p, col("pk"))
     lhs.as("a").join(rhs.as("b"), Seq("pk"))
       // Same-bucket keys see both orientations — keep one; cross-bucket
       // keys see each pair exactly once already.

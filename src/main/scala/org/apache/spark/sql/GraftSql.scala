@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between `Column` and Catalyst `Expression` for this library's
+  * native expressions. Spark 4 made `Column` representation-opaque (it
+  * wraps a ColumnNode, not an Expression) and gated the converters as
+  * `private[sql]`, so libraries shipping custom codegen'd expressions
+  * need this one-file shim in the `org.apache.spark.sql` package — the
+  * same approach used by typed-DataFrame libraries built on Spark
+  * internals. Everything else in this repo lives under `graft.*`. */
+object GraftSql {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -23,6 +23,49 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("native shingle kernel == transform/slice/array_join composition") {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens(col("text"))
+    val hofGrams = array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => array_join(slice(toks, i + 1, lit(3)), " ")))
+        .otherwise(array(array_join(toks, " "))))
+    val diff = docs.select(
+      Dedup.shingles(col("text"), 3).as("a"), hofGrams.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.count() == 0)
+  }
+
+  test("native simhash kernel == explode + 64-bit-sum composition") {
+    import graft.functions.TextFunctions
+    val tok = docs.select(col("doc_id").as("id"),
+      explode(TextFunctions.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val packed = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_ + _)
+    val viaAgg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+    val viaKernel = Dedup.simhash(docs, "doc_id", "text")
+    assert(viaKernel.except(viaAgg).count() == 0)
+    assert(viaAgg.except(viaKernel).count() == 0)
+  }
+
+  test("minhash signatures: codegen agg form == columnar HOF form") {
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val viaAgg = Dedup.minhashSignatures(sh, "id", "sh", 16, 42L)
+      .select(col("id"), array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+    val viaHof = sh.select(col("id"),
+      Dedup.minhashSignature(col("sh"), 16, 42L).as("sig"))
+    assert(viaAgg.except(viaHof).count() == 0)
+    assert(viaHof.except(viaAgg).count() == 0)
+  }
+
   test("simhash banding finds exactly the brute-force Hamming<=3 pairs") {
     val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").cache()
