@@ -41,8 +41,15 @@ object StarSchema {
     * dimension lookup. */
   def wideView(s: SparkSession, dir: String): DataFrame = {
     val nat = nation(s, dir)
-    val cal = orders(s, dir)
-      .select(col("o_orderdate").cast("date").as("cal_date")).distinct()
+    // Generated calendar dim (the standard DW practice): a date-range
+    // sequence needs no fact scan, no distinct shuffle, and broadcasts at
+    // a few thousand rows — where a fact-derived dim would re-scan orders
+    // on every query using the view. The range must cover the fact's date
+    // domain (testdata spans 1995..2001; widen CalStart/CalEnd for other
+    // datasets — uncovered dates fall out of the left join as NULL month,
+    // exactly like a missing dim row).
+    val cal = s.range(1).select(explode(sequence(
+        to_date(lit(CalStart)), to_date(lit(CalEnd)))).as("cal_date"))
       .withColumn("cal_month", month(col("cal_date")))
     fact(s, dir)
       .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"), "left")
@@ -67,6 +74,10 @@ object StarSchema {
         col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Generated-calendar coverage window for the wide view's date dim. */
+  val CalStart = "1990-01-01"
+  val CalEnd = "2010-12-31"
+
   /** Equivalent ANSI-SQL body of [[wideView]] for the DuckDB oracle —
     * mirrors the 4-dim join shape including the calendar dim. */
   val wideViewSql: String =
@@ -86,9 +97,10 @@ object StarSchema {
       |LEFT JOIN customer ON o_custkey = c_custkey
       |LEFT JOIN nation n1 ON c_nationkey = n1.n_nationkey
       |LEFT JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      |LEFT JOIN (SELECT DISTINCT CAST(o_orderdate AS DATE) AS cal_date,
-      |             CAST(month(o_orderdate) AS INTEGER) AS cal_month
-      |           FROM orders) cal
+      |LEFT JOIN (SELECT CAST(d AS DATE) AS cal_date,
+      |             CAST(month(d) AS INTEGER) AS cal_month
+      |           FROM (SELECT unnest(generate_series(DATE '1990-01-01',
+      |             DATE '2010-12-31', INTERVAL 1 DAY)) AS d)) cal
       |  ON CAST(o_orderdate AS DATE) = cal.cal_date""".stripMargin
 
   /** G1 + D3 — dimension build by UNION-distinct of the two airport roles
