@@ -324,7 +324,26 @@ object SparkEntry {
     // is covered by the MemoryStream spec).
     "q36_event_windows" -> ((s, dir) =>
       EventStream.windowedKpis(Tables.events(s, dir))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // Dedup clustering: connected components over the MinHash near-dup
+    // pairs (min-id label per component, iterative label propagation).
+    "q37_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.minhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5))
+        .orderBy("id")),
+
+    // Near-dup survivor filter: anti-join the victim set — the corpus a
+    // training pipeline actually keeps.
+    "q38_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dedupClusters(
+        Dedup.minhashNearDup(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5))
+      Dedup.survivors(docs, "doc_id", clusters)
+        .select("doc_id").orderBy("doc_id")
+    })
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -614,6 +633,37 @@ object SparkEntry {
     "q36_event_windows" -> s"""SELECT window_start, event_type,
       |  n_events, CAST(n_delayed AS BIGINT) AS n_delayed, total_value
       |FROM (${EventStream.windowedKpisSql()})
-      |ORDER BY window_start, event_type""".stripMargin
+      |ORDER BY window_start, event_type""".stripMargin,
+
+    // Connected components as a recursive transitive closure (exhaustive
+    // — fine at oracle scale; the Spark side is the scale path).
+    "q37_dedup_clusters" -> s"""WITH RECURSIVE pairs AS (
+      |${Dedup.trueJaccardPairsSql(3, 0.5)}
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+      |)
+      |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin,
+
+    "q38_dedup_survivors" -> s"""WITH RECURSIVE pairs AS (
+      |${Dedup.trueJaccardPairsSql(3, 0.5)}
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+      |), clusters AS (
+      |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+      |ORDER BY doc_id""".stripMargin
   )
 }

@@ -266,6 +266,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------- cluster + survivors
+
+  /** Connected components over near-dup pairs → (id, cluster_id = min id
+    * in component). Iterative min-label propagation: each round every
+    * node takes the minimum of its own and its neighbors' labels, until
+    * a fixpoint. Dedup graphs are small-diameter (near-dup chains are
+    * short), so this converges in a handful of rounds; each round is one
+    * shuffle-on-id join + aggregation, the same plan GraphX's
+    * connectedComponents lowers to, without the RDD detour. The driver
+    * only sees one convergence counter per round — no edge data. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+    val sym = materialized(
+      edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    var labels = materialized(
+      sym.select(col("id_a").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(min("nl").as("min_nbr"))
+      val next = materialized(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label")))
+      changed = labels.join(next.withColumnRenamed("label", "l2"), Seq("id"))
+        .filter(col("label") =!= col("l2")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup survivor filter: keep only cluster representatives (the min
+    * id per component) plus all documents not in any near-dup pair — the
+    * final "drop the duplicates" step of a dedup pipeline, as a LEFT ANTI
+    * join against the victim set. */
+  def survivors(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val victims = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(victims, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document: per-token xxhash64, per-bit ±1 sums,
