@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator from
@@ -343,7 +343,21 @@ object SparkEntry {
           n = 3, numHashes = 64, bands = 16, threshold = 0.5))
       Dedup.survivors(docs, "doc_id", clusters)
         .select("doc_id").orderBy("doc_id")
-    })
+    }),
+
+    // Flagship curation composition: quality/language gate → near-dup
+    // clustering on the gated corpus → survivor filter.
+    "q39_curation" -> ((s, dir) =>
+      Curation.curate(Tables.documents(s, dir), "doc_id", "text",
+        minQuality = 0.5, lang = "en")
+        .select("doc_id").orderBy("doc_id")),
+
+    // Token-budget sampling: best-quality-first cumulative token cap,
+    // computed as a distributed two-pass prefix sum.
+    "q40_token_budget" -> ((s, dir) =>
+      Curation.tokenBudgetSample(Tables.documents(s, dir), "doc_id", "text",
+        budget = 20000L)
+        .orderBy("doc_id"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -664,6 +678,31 @@ object SparkEntry {
       |)
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
-      |ORDER BY doc_id""".stripMargin
+      |ORDER BY doc_id""".stripMargin,
+
+    "q39_curation" -> {
+      import TextFunctions.{Sql => T}
+      s"""WITH RECURSIVE curated AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE ${T.qualityScore("text")} >= 0.5 AND ${T.langId("text")} = 'en'
+        |), pairs AS (
+        |${Dedup.trueJaccardPairsSql(3, 0.5, from = "curated")}
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT DISTINCT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+        |), clusters AS (
+        |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT doc_id FROM curated
+        |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    "q40_token_budget" ->
+      (Curation.tokenBudgetSampleSql(20000L) + "\nORDER BY doc_id")
   )
 }

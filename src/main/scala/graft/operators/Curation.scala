@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions
+
+/** End-to-end training-corpus curation: the composition a 100 TB text
+  * pipeline actually runs — heuristic quality/language gating, near-dup
+  * removal, and token-budget sampling. Everything is built from the
+  * operators in [[Dedup]] / [[graft.functions.TextFunctions]], so each
+  * stage inherits their scale properties (codegen'd kernels, inverted-
+  * index candidate generation, anti-join survivor filtering).
+  */
+object Curation {
+
+  /** Quality/language gate: keep documents whose heuristic quality score
+    * clears `minQuality` and whose predicted language is `lang`. Pure
+    * codegen'd projections — runs at scan speed. */
+  def qualityGate(docs: DataFrame, textCol: String,
+      minQuality: Double, lang: String): DataFrame =
+    docs.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality &&
+      TextFunctions.langId(col(textCol)) === lang)
+
+  /** Flagship curation: gate → MinHash/LSH near-dup clustering over the
+    * gated corpus → keep cluster representatives + uninvolved docs. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5, lang: String = "en",
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val gated = qualityGate(docs, textCol, minQuality, lang)
+    val clusters = Dedup.dedupClusters(
+      Dedup.minhashNearDup(gated, idCol, textCol, n = n, threshold = threshold))
+    Dedup.survivors(gated, idCol, clusters)
+  }
+
+  /** Token-budget sampling: best-quality-first documents until the
+    * cumulative BPE token count reaches `budget`.
+    *
+    * The naive formulation is a global-window cumulative sum — a single
+    * sorted partition, a non-starter at scale. This is the distributed
+    * two-pass form: range-repartition on the order key, per-partition
+    * prefix sums via a window keyed on the physical partition id, then a
+    * per-partition offset (the tiny totals table, broadcast back). The
+    * result is bit-identical to the global window regardless of where the
+    * sampled range boundaries fall, because offsets are computed from the
+    * actual partition totals. */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.select(col(idCol),
+      TextFunctions.qualityScore(col(textCol)).as("quality"),
+      TextFunctions.bpeTokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val local = base
+      .repartitionByRange(p, col("quality").desc, col(idCol).asc)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_cum", sum("n_tokens").over(
+        Window.partitionBy("pid")
+          .orderBy(col("quality").desc, col(idCol).asc)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    local.count()
+    val totals = local.groupBy("pid").agg(max("local_cum").as("ptotal"))
+    // P rows — the offset window is over partition METADATA, not data.
+    val offsets = totals.withColumn("offset",
+      coalesce(sum("ptotal").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_tokens", col("local_cum") + col("offset"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** SQL twin of [[tokenBudgetSample]] (the global-window formulation —
+    * equivalent by construction, viable at oracle scale). */
+  def tokenBudgetSampleSql(budget: Long): String = {
+    import TextFunctions.{Sql => T}
+    s"""WITH t AS (SELECT doc_id, ${T.qualityScore("text")} AS quality,
+       |    CAST(${T.bpeTokenCount("text")} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= $budget""".stripMargin
+  }
+}

@@ -142,13 +142,14 @@ object Dedup {
     * with exact list intersection/union — the semantic ground truth that
     * [[minhashNearDup]]'s filter-verify pipeline must reproduce. Only
     * viable at oracle scale (quadratic); the LSH path is the scale plan. */
-  def trueJaccardPairsSql(n: Int, threshold: Double): String = {
+  def trueJaccardPairsSql(n: Int, threshold: Double,
+      from: String = "documents"): String = {
     val toks = "string_split(text, ' ')"
     val grams = s"list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1), " +
       s"i -> array_to_string($toks[i:i+${n - 1}], ' '))"
     val sh = s"list_distinct(CASE WHEN len($toks) >= $n THEN $grams " +
       s"ELSE [array_to_string($toks, ' ')] END)"
-    s"""WITH sh AS (SELECT doc_id AS id, $sh AS sh FROM documents),
+    s"""WITH sh AS (SELECT doc_id AS id, $sh AS sh FROM $from),
        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
