@@ -46,12 +46,30 @@ object Sinks {
     * `CREATE TABLE IF NOT EXISTS`: a stale location from a previous
     * session (the in-memory catalog forgets tables but the filesystem
     * doesn't) is dropped before the write. */
-  def ctas(spark: SparkSession, table: String, df: DataFrame): Unit = {
+  def ctas(spark: SparkSession, table: String, df: DataFrame): Unit =
+    ctasWith(spark, table, df)(identity)
+
+  /** A9 analog — bucketed CTAS: hash-bucket (and sort) the table on its
+    * join key so future equi-joins on that key are co-located — both
+    * exchanges of a sort-merge join disappear (asserted in PlanSpec).
+    * This is the physical-design move that replaces the reference's
+    * B-tree indexes (`/root/reference/sql/data_modeling.sql:78-80`) for
+    * the fact⋈fact case, alongside `partitionBy` for pruning: at 100 TB,
+    * bucketing the fact tables on the order key turns the one genuinely
+    * large join in the star schema into a zero-shuffle merge. */
+  def ctasBucketed(spark: SparkSession, table: String, df: DataFrame,
+      buckets: Int, bucketCol: String): Unit =
+    ctasWith(spark, table, df)(
+      _.bucketBy(buckets, bucketCol).sortBy(bucketCol))
+
+  private def ctasWith(spark: SparkSession, table: String, df: DataFrame)(
+      f: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+         org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    f(df.write.mode("overwrite").format("parquet")).saveAsTable(table)
   }
 }

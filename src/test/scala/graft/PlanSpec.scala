@@ -55,6 +55,27 @@ class PlanSpec extends SparkSpec {
       s"quadratic join shape leaked into the plan:\n$p")
   }
 
+  test("bucketed CTAS joins without any exchange (co-located fact join)") {
+    import graft.engine.Sinks
+    Sinks.ctasBucketed(spark, "graft_li_b",
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      buckets = 8, bucketCol = "l_orderkey")
+    Sinks.ctasBucketed(spark, "graft_ord_b",
+      Tables.orders(spark, sf).select("o_orderkey", "o_orderdate"),
+      buckets = 8, bucketCol = "o_orderkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_li_b")
+        .join(spark.table("graft_ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("rollup aggregation is two-phase (map-side partial + final)") {
     val df = graft.engine.Aggregates.airlineMonthlyPerformance(
       StarSchema.wideView(spark, sf))

@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       // PlanSpec asserts on plan strings; don't truncate field lists.
       .config("spark.sql.debug.maxToStringFields", "1000")
+      .config("spark.sql.warehouse.dir",
+        s"${graft.engine.Sinks.scratch}/test-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
