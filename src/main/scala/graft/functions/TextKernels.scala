@@ -109,6 +109,78 @@ object TextKernels {
     }
   }
 
+  /** MinHash band keys per document in one pass: hash each shingle once
+    * (Spark's XXH64, builtin seed), fold all `numHashes` affine minima,
+    * emit the `bands` LSH keys as `"j:v_v_…"` strings. Identical values
+    * to the explode + 64-min-aggregation formulation (asserted in
+    * DedupSpec) with none of its plan surface: no explode, no wide
+    * aggregation method for the JIT to refuse, no shuffle. */
+  def minhashBands(sh: ArrayData, as: Array[Long], bs: Array[Long],
+      bands: Int, p: Long): ArrayData = {
+    val numHashes = as.length
+    val mins = Array.fill(numHashes)(p)
+    val nSh = sh.numElements()
+    var i = 0
+    while (i < nSh) {
+      val h = java.lang.Math.floorMod(
+        XXH64.hashUTF8String(sh.getUTF8String(i), XxSeed), p)
+      var k = 0
+      while (k < numHashes) {
+        val v = java.lang.Math.floorMod(as(k) * h + bs(k), p)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val r = numHashes / bands
+    val out = new Array[Any](bands)
+    var j = 0
+    while (j < bands) {
+      val sb = new java.lang.StringBuilder
+      sb.append(j).append(':')
+      var q = 0
+      while (q < r) {
+        if (q > 0) sb.append('_')
+        sb.append(mins(j * r + q))
+        q += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash-bands expression: `array<string> → array<string>` (hash
+    * family fixed at plan time). */
+  case class MinhashBandsExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
+      bands: Int, p: Long) extends UnaryExpression {
+    require(as.length == bs.length && as.nonEmpty && as.length % bands == 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "minhash_bands"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"minhash_bands expects array<string>, got ${other.catalogString}")
+      }
+    private lazy val asArr = as.toArray
+    private lazy val bsArr = bs.toArray
+    override protected def nullSafeEval(input: Any): Any =
+      minhashBands(input.asInstanceOf[ArrayData], asArr, bsArr, bands, p)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.minhashBands($c, $asRef, $bsRef, $bands, ${p}L)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def minhashBandsCol(sh: Column, as: Seq[Long], bs: Seq[Long],
+      bands: Int, p: Long): Column =
+    GraftSql.column(MinhashBandsExpr(GraftSql.expression(sh), as, bs, bands, p))
+
   /** SimHash expression: `text → long`, codegen'd as one static call. */
   case class SimhashExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType

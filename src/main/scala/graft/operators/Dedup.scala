@@ -242,18 +242,17 @@ object Dedup {
     // Without the materialization barriers, projection collapse would
     // inline the signature computation into every consumer — measured as a
     // >30× slowdown at sf0.1.
-    val r = numHashes / bands
     val sh = materialized(parallelized(df)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-    // Codegen'd signature (64 min-agg columns), then band keys as plain
-    // string concats over column slices — no interpreted lambdas anywhere.
-    val bandArr = array((0 until bands).map(j =>
-      concat_ws(":", lit(j).cast("string"),
-        concat_ws("_", (j * r until (j + 1) * r).map(i =>
-          col(s"m$i").cast("string")): _*))): _*)
+    // Signature + band keys in one native per-row kernel
+    // ([[TextKernels.MinhashBandsExpr]]): each shingle hashed once, all
+    // minima folded in a tight loop, band strings emitted directly — the
+    // whole LSH prelude is a single codegen'd projection over the cached
+    // shingles, with no wide aggregation or explode before the band join.
+    val (as, bs) = hashFamily(numHashes, seed)
     val banded = materialized(
-      minhashSignatures(sh, "id", "sh", numHashes, seed)
-        .select(col("id"), explode(bandArr).as("band")))
+      sh.select(col("id"), explode(TextKernels.minhashBandsCol(
+        col("sh"), as, bs, bands, MinhashP)).as("band")))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))

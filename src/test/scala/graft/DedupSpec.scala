@@ -66,6 +66,25 @@ class DedupSpec extends SparkSpec {
     assert(viaHof.except(viaAgg).count() == 0)
   }
 
+  test("native minhash-bands kernel == band keys built from agg signatures") {
+    import graft.functions.TextKernels
+    val (as, bs) = Dedup.hashFamily(64, 42L)
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val viaKernel = sh.select(col("id"),
+      explode(TextKernels.minhashBandsCol(col("sh"), as, bs, 16,
+        Dedup.MinhashP)).as("band"))
+    val r = 4
+    val bandArr = array((0 until 16).map(j =>
+      concat_ws(":", lit(j).cast("string"),
+        concat_ws("_", (j * r until (j + 1) * r).map(i =>
+          col(s"m$i").cast("string")): _*))): _*)
+    val viaAgg = Dedup.minhashSignatures(sh, "id", "sh", 64, 42L)
+      .select(col("id"), explode(bandArr).as("band"))
+    assert(viaKernel.except(viaAgg).count() == 0)
+    assert(viaAgg.except(viaKernel).count() == 0)
+  }
+
   test("simhash banding finds exactly the brute-force Hamming<=3 pairs") {
     val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").cache()
