@@ -29,7 +29,12 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.5, lang: String = "en",
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // The gate's language-ID scoring contains interpreted lambda filters;
+    // materialize it once — it feeds both the near-dup pipeline and the
+    // survivor anti-join.
     val gated = qualityGate(docs, textCol, minQuality, lang)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    gated.count()
     val clusters = Dedup.dedupClusters(
       Dedup.minhashNearDup(gated, idCol, textCol, n = n, threshold = threshold))
     Dedup.survivors(gated, idCol, clusters)

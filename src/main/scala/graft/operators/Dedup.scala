@@ -277,25 +277,34 @@ object Dedup {
     * connectedComponents lowers to, without the RDD detour. The driver
     * only sees one convergence counter per round — no edge data. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a"), col("id_b"))
     val sym = materialized(
       edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
-    var labels = materialized(
-      sym.select(col("id_a").as("id")).distinct()
-        .withColumn("label", col("id")))
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence by monotone potential: per-node labels only decrease, so
+    // Σlabels strictly decreases every non-converged round (exact decimal
+    // sum — no long overflow at any id scale). The sum is the ONLY action
+    // per round, doubling as the cache-materialization barrier.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var labels = sym.select(col("id_a").as("id"))
+      .distinct().withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null // empty graph
+    while (!converged) {
       val nbrMin = sym
         .join(labels.select(col("id").as("id_b"), col("label").as("nl")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min("nl").as("min_nbr"))
-      val next = materialized(
-        labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label")))
-      changed = labels.join(next.withColumnRenamed("label", "l2"), Seq("id"))
-        .filter(col("label") =!= col("l2")).count()
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
+      converged = s == prevSum
+      prevSum = s
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
