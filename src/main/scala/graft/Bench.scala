@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line of per-query seconds.
   * Caches left behind by operators that persist intermediates (MinHash /
@@ -9,24 +8,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir",
-        s"${graft.engine.Sinks.scratch}/warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.engine.Sessions.local(cpus)
     // Dev-only filter: comma-separated query names (unset = full suite).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Per-query JVM vitals on stderr (stdout stays one parseable JSON
+    // line): code-cache occupancy, cumulative JIT + GC time, loaded-class
+    // count — the counters that explain positional slowdowns (a query
+    // running 10x slower mid-suite than in isolation is a JIT/GC symptom,
+    // not a plan property).
+    def vitals(): String = {
+      import scala.jdk.CollectionConverters._
+      import java.lang.management.{ManagementFactory => mf}
+      val code = mf.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(p => s"${p.getName.stripPrefix("CodeHeap '").stripSuffix("'")}=" +
+          s"${p.getUsage.getUsed / 1024 / 1024}M")
+        .mkString(" ")
+      val jit = mf.getCompilationMXBean.getTotalCompilationTime
+      val gc = mf.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val cls = mf.getClassLoadingMXBean.getLoadedClassCount
+      s"$code jit=${jit}ms gc=${gc}ms classes=$cls"
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s  ${vitals()}")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

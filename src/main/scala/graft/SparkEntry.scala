@@ -536,6 +536,12 @@ object SparkEntry {
     "q24_minhash_pairs" ->
       (Dedup.trueJaccardPairsSql(3, 0.5) + "\nORDER BY id_a, id_b"),
 
+    // Exact twin: per-token md5_number_upper == the kernel's MD5-derived
+    // hash bit-for-bit, so the all-pairs Hamming filter reproduces the
+    // banded pipeline's output identically.
+    "q25_simhash_pairs" ->
+      (Dedup.simhashNearDupSql(3) + "\nORDER BY id_a, id_b"),
+
     "q26_brute_topk" -> s"""WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS q_emb
       |  FROM embeddings WHERE vec_id < 10),

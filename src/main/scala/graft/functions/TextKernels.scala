@@ -20,18 +20,40 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Tokenization contract: single-space splitting, identical to
   * `split(text, " ")` with trailing/empty tokens preserved — splitting on
-  * the 0x20 byte is UTF-8-safe (continuation bytes are ≥ 0x80). Token
-  * hashes reuse Spark's own XXH64 with the builtin `xxhash64` seed, so
-  * values are bit-identical to the built-in-composed formulation (verified
-  * in DedupSpec).
+  * the 0x20 byte is UTF-8-safe (continuation bytes are ≥ 0x80). MinHash
+  * shingle hashes reuse Spark's own XXH64 with the builtin `xxhash64` seed,
+  * so values are bit-identical to the built-in-composed formulation
+  * (verified in DedupSpec); SimHash token hashes are MD5-derived
+  * ([[md5First8LE]]) so the whole SimHash pipeline has an exact DuckDB
+  * oracle twin.
   */
 object TextKernels {
 
   private val XxSeed = 42L
 
-  /** 64-bit SimHash of a single-space-tokenized document: per-token
-    * xxhash64, ±1 per bit position, sign → bit. Identical semantics to
-    * explode-tokens + 64 conditional sums + sign-pack. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(bytes[off, off+len)) interpreted little-endian —
+    * bit-identical to DuckDB's `md5_number_upper`, which is what makes the
+    * SimHash pipeline oracle-expressible in plain SQL. */
+  def md5First8LE(b: Array[Byte], off: Int, len: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(b, off, len)
+    val d = md.digest()
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+    h
+  }
+
+  /** 64-bit SimHash of a single-space-tokenized document: per-token 64-bit
+    * hash (MD5 first half, little-endian — see [[md5First8LE]]), ±1 per bit
+    * position, sign → bit. Identical semantics to explode-tokens + 64
+    * conditional sums + sign-pack over the same per-token hash. */
   def simhash64(text: UTF8String): Long = {
     val b = text.getBytes
     val counts = new Array[Int](64)
@@ -40,7 +62,7 @@ object TextKernels {
     val len = b.length
     while (i <= len) {
       if (i == len || b(i) == 0x20) {
-        val h = XXH64.hashUTF8String(UTF8String.fromBytes(b, start, i - start), XxSeed)
+        val h = md5First8LE(b, start, i - start)
         var k = 0
         while (k < 64) {
           counts(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)

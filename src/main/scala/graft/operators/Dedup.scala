@@ -278,7 +278,11 @@ object Dedup {
     * only sees one convergence counter per round — no edge data. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val edges = pairs.select(col("id_a"), col("id_b"))
+    // The pair source is typically a whole near-dup pipeline — persist it
+    // BEFORE the symmetrize union, which would otherwise re-run that
+    // pipeline once per union branch (and the loop re-reads sym every
+    // round). Two caches, each written exactly once.
+    val edges = materialized(pairs.select(col("id_a"), col("id_b")))
     val sym = materialized(
       edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
     // Convergence by monotone potential: per-node labels only decrease, so
@@ -321,13 +325,15 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document: per-token xxhash64, per-bit ±1 sums,
-    * sign → bit — computed by a native per-row kernel
+  /** 64-bit SimHash per document: per-token 64-bit hash (MD5 first half,
+    * little-endian — DuckDB's `md5_number_upper`), per-bit ±1 sums, sign →
+    * bit — computed by a native per-row kernel
     * ([[TextKernels.SimhashExpr]]), so the whole operation is a single
     * codegen'd projection over the scan: no token explode, no 64-column
-    * aggregation, no shuffle. Token hashes are Spark's own `xxhash64`, so
-    * values are bit-identical to the built-in-composed formulation
-    * (asserted in DedupSpec). */
+    * aggregation, no shuffle. The hash choice makes the pipeline exactly
+    * reproducible in the DuckDB oracle ([[simhashNearDupSql]]); kernel
+    * semantics are asserted against a reference implementation in
+    * DedupSpec. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     parallelized(df).select(col(idCol).as("id"),
       TextKernels.simhashCol(col(textCol)).as("simhash"))
@@ -366,4 +372,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SQL twin of [[simhashNearDup]] for the DuckDB oracle: per-token
+    * `md5_number_upper` (= [[TextKernels.md5First8LE]] bit-for-bit), ±1
+    * bit sums, sign-packed into a 64-bit BIT string, exhaustive
+    * `bit_count(xor) <= maxHamming` pairs. All-pairs is fine at oracle
+    * scale; the banded Spark plan is the scale path. */
+  def simhashNearDupSql(maxHamming: Int = 3, from: String = "documents"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $from),
+       |th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b.range AS bit,
+       |    SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th, range(0, 64) b
+       |  GROUP BY doc_id, b.range),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+       |      ORDER BY bit DESC) AS BIT) AS sig
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
 }

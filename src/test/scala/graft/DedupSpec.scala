@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.operators.Dedup
 
-/** Unit coverage for the dedup tier over the sf0.001 documents corpus —
-  * in particular the two components the DuckDB oracle can't express
-  * (SimHash uses Spark's xxhash64, which DuckDB lacks). */
+/** Unit coverage for the dedup tier over the sf0.001 documents corpus:
+  * kernel-vs-composition equivalences and the recall contracts of the
+  * banded (LSH / pigeonhole) candidate generators. */
 class DedupSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf)
@@ -39,9 +39,15 @@ class DedupSpec extends SparkSpec {
 
   test("native simhash kernel == explode + 64-bit-sum composition") {
     import graft.functions.TextFunctions
+    // Reference per-token hash: first 8 MD5 bytes little-endian, built from
+    // the md5 BUILT-IN (hex string → 16 hex chars → byte-reversed long) —
+    // the same value DuckDB's md5_number_upper returns, computed through an
+    // independent path from the kernel's MessageDigest.
+    val hexLE = concat((0 until 8).reverse.map(i =>
+      substring(md5(col("t").cast("binary")), 2 * i + 1, 2)): _*)
     val tok = docs.select(col("doc_id").as("id"),
       explode(TextFunctions.tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", conv(hexLE, 16, -10).cast("long"))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$i"))
