@@ -33,16 +33,29 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failed query must be VISIBLY broken in the JSON (-1 seconds +
+      // an errors entry), never a plausible positive wall-time.
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.toString) }
       spark.catalog.clearCache()
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s  ${vitals()}")
-      name -> sec
+      val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s  ${vitals()}" +
+        err.map(e => s"  ERR $e").getOrElse(""))
+      name -> (sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      jstr(k) + ":" + jstr(e.take(300)) }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

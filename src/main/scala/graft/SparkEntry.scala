@@ -218,7 +218,7 @@ object SparkEntry {
     }),
 
     // Text-analysis feature sweep: token counts, quality, lang-ID,
-    // fingerprints — all codegen'd built-in compositions.
+    // fingerprints — codegen'd built-ins plus native TextKernels.
     "q29_text_features" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),

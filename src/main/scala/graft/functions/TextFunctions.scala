@@ -4,10 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
-  * (beyond the reference surface; see the build brief). All are pure
-  * Catalyst built-in compositions — codegen'd, no UDFs — so they run at
-  * full scan speed over a 100 TB `documents` table and never leave
-  * whole-stage codegen.
+  * (beyond the reference surface; see the build brief). All are either
+  * Catalyst built-in compositions or native codegen'd kernels
+  * ([[TextKernels]]) — no UDFs, no interpreted higher-order lambdas — so
+  * they run at full scan speed over a 100 TB `documents` table and never
+  * leave whole-stage codegen.
   *
   * Each function has an exact SQL twin used by the DuckDB oracle; where a
   * construction is engine-sensitive (float order, regex dialect) the twin
@@ -30,8 +31,16 @@ object TextFunctions {
     when(length(c) === 0, 0.0)
       .otherwise(regexp_count(c, lit("[^a-zA-Z0-9\\s]")).cast("double") / length(c))
 
-  /** Tokens ∈ `words` (marker/stopword hits). */
+  /** Tokens ∈ `words` (marker/stopword hits) — a native one-byte-scan
+    * kernel ([[TextKernels.MarkerHitsExpr]]). The higher-order form
+    * ([[markerHitsHof]]) is semantically identical but evaluates as an
+    * interpreted per-element lambda; this feeds every row of the q29/q39/
+    * q40 hot paths, so it must stay inside whole-stage codegen. */
   def markerHits(c: Column, words: Seq[String]): Column =
+    TextKernels.markerHitsCol(c, words)
+
+  /** Interpreted reference form of [[markerHits]] (spec equivalence only). */
+  private[graft] def markerHitsHof(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isInCollection(words)))
 
   val stopwords: Seq[String] =
@@ -80,8 +89,16 @@ object TextFunctions {
 
   /** Rolling polynomial fingerprint over the normalized character stream:
     * `acc = (acc*31 + codepoint) mod 1e9+7`. Left-to-right, so the SQL twin
-    * (list_reduce) reproduces it exactly. */
+    * (list_reduce) reproduces it exactly. Computed by a native per-row
+    * kernel ([[TextKernels.PolyFingerprintExpr]]); the higher-order form
+    * ([[fingerprintPolyHof]]) allocates a one-char array element plus an
+    * interpreted lambda call per character per row. */
   def fingerprintPoly(c: Column): Column =
+    TextKernels.polyFingerprintCol(normalize(c))
+
+  /** Interpreted reference form of [[fingerprintPoly]] (spec equivalence
+    * only). */
+  private[graft] def fingerprintPolyHof(c: Column): Column =
     aggregate(
       transform(split(normalize(c), ""), ch => ascii(ch).cast("long")),
       lit(0L),

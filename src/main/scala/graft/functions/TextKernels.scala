@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native per-document text kernels for the dedup hot paths.
@@ -131,6 +131,60 @@ object TextKernels {
     }
   }
 
+  /** Tokens ∈ `words` in one byte-scan: split on the 0x20 byte (identical
+    * to `split(text, " ")` — empty tokens included, never in a word set),
+    * test each token against the set without copying (UTF8String slices
+    * share the backing array). Semantics identical to the
+    * `size(filter(tokens(c), t => t.isInCollection(words)))` higher-order
+    * form, which Spark evaluates as an interpreted per-element lambda —
+    * this kernel is the codegen'd replacement feeding stopwordRatio /
+    * qualityScore / langId on every documents row. */
+  def markerHits(text: UTF8String, words: java.util.HashSet[UTF8String]): Int = {
+    val b = text.getBytes
+    val len = b.length
+    var hits = 0
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || b(i) == 0x20) {
+        if (i > start &&
+            words.contains(UTF8String.fromBytes(b, start, i - start))) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** Rolling polynomial fingerprint `acc = (acc*31 + codepoint) mod 1e9+7`
+    * over the string's Unicode code points, left to right — bit-identical
+    * to the `aggregate(transform(split(c, ""), ch => ascii(ch)), …)`
+    * higher-order form (Spark's `ascii` returns `codePointAt(0)`, and
+    * regex split-on-empty never splits inside a code point) and to the
+    * DuckDB `list_reduce` twin, without the per-character array element +
+    * interpreted lambda call the HOF form allocates. Empty input → 0,
+    * matching `ascii('') = 0` folded once from the HOF's `[""]` split. */
+  def polyFingerprint(text: UTF8String): Long = {
+    val b = text.getBytes
+    val len = b.length
+    var acc = 0L
+    var i = 0
+    while (i < len) {
+      val b0 = b(i) & 0xFF
+      var cp = 0
+      var n = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; n = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; n = 3 }
+      else { cp = b0 & 0x07; n = 4 }
+      var k = 1
+      while (k < n && i + k < len) { cp = (cp << 6) | (b(i + k) & 0x3F); k += 1 }
+      acc = java.lang.Math.floorMod(acc * 31L + cp, 1000000007L)
+      i += n
+    }
+    acc
+  }
+
   /** MinHash band keys per document in one pass: hash each shingle once
     * (Spark's XXH64, builtin seed), fold all `numHashes` affine minima,
     * emit the `bands` LSH keys as `"j:v_v_…"` strings. Identical values
@@ -236,9 +290,57 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  /** Marker-hits expression: `text → int` (word set fixed at plan time). */
+  case class MarkerHitsExpr(child: Expression, words: Seq[String])
+      extends UnaryExpression {
+    require(words.nonEmpty, "marker_hits needs a non-empty word set")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "marker_hits"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"marker_hits expects string, got ${child.dataType.catalogString}")
+    @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](words.size * 2)
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      markerHits(input.asInstanceOf[UTF8String], wordSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("markerWords", wordSet, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.markerHits($c, $setRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Poly-fingerprint expression: `text → long`, one static call. */
+  case class PolyFingerprintExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "poly_fingerprint"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"poly_fingerprint expects string, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      polyFingerprint(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.polyFingerprint($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def simhashCol(text: Column): Column =
     GraftSql.column(SimhashExpr(GraftSql.expression(text)))
 
   def shinglesCol(text: Column, n: Int): Column =
     GraftSql.column(ShinglesExpr(GraftSql.expression(text), n))
+
+  def markerHitsCol(text: Column, words: Seq[String]): Column =
+    GraftSql.column(MarkerHitsExpr(GraftSql.expression(text), words))
+
+  def polyFingerprintCol(text: Column): Column =
+    GraftSql.column(PolyFingerprintExpr(GraftSql.expression(text)))
 }

@@ -41,11 +41,15 @@ object WeightedMean extends Aggregator[(Double, Double), WeightedSumBuf, Double]
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 
+  /** The registered UDAF, built once — `udaf(...)` derives encoders and
+    * codegen classes, so constructing it per call site churns classes on
+    * every query (a measured contributor to late-suite JIT/code-cache
+    * degradation). */
+  private lazy val fn =
+    udaf(this, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+
   /** Column-level entry point: `weighted_mean(value, weight)`. */
-  def apply(value: Column, weight: Column): Column = {
-    val fn = udaf(this, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
-    fn(value, weight)
-  }
+  def apply(value: Column, weight: Column): Column = fn(value, weight)
 
   /** Oracle-SQL twin: the exact decimal construction this Aggregator
     * implements. */

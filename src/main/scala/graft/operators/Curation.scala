@@ -29,9 +29,8 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.5, lang: String = "en",
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // The gate's language-ID scoring contains interpreted lambda filters;
-    // materialize it once — it feeds both the near-dup pipeline and the
-    // survivor anti-join.
+    // The gate feeds two consumers (the near-dup pipeline and the survivor
+    // anti-join); materialize it once so the scoring scan runs once.
     val gated = qualityGate(docs, textCol, minQuality, lang)
       .persist(StorageLevel.MEMORY_AND_DISK)
     gated.count()
