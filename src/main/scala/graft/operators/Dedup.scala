@@ -29,7 +29,13 @@ object Dedup {
     * where scans are naturally wide). */
   private def parallelized(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Source-file count is a logical-plan metadata probe — unlike
+    // `df.rdd.getNumPartitions` it triggers no physical planning or RDD
+    // construction at plan-build time. Few files ⇒ few scan tasks (these
+    // corpora are single-row-group parquet, unsplittable below file
+    // granularity); at 100 TB the file count dwarfs the core count and no
+    // shuffle is added.
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
   /** Persist AND eagerly materialize a reused intermediate. Lazy persist

@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
-import graft.engine.Aggregates
+import graft.engine.{Aggregates, Sinks}
 
 /** Structured Streaming extension (SURVEY.md §2.I/§7 — explicitly beyond
   * the reference, whose "real-time" is interactive re-filtering of batch
@@ -39,6 +40,40 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("n_delayed"),
         col("total_value"))
+
+  /** Streaming parquet sink for the windowed KPIs: append-mode file sink —
+    * only watermark-finalized windows are written, each exactly once
+    * (checkpointed offsets + the sink's transaction log give end-to-end
+    * exactly-once on files). State is evicted as the watermark passes each
+    * window, so a continuously-running job holds O(active windows × types)
+    * state regardless of how long it runs. Default trigger processes all
+    * available data then stops (batch-style catch-up); pass e.g.
+    * `Trigger.ProcessingTime("1 minute")` for a resident job. */
+  def startParquetSink(kpis: DataFrame, path: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    kpis.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+
+  /** Streaming → batch-sink bridge: each micro-batch of finalized windows
+    * is handed to the batch parquet sink ([[Sinks.writeParquet]], append
+    * mode), the idiomatic way to reuse a batch write path (JDBC, MERGE,
+    * custom formats) under a streaming trigger. Exactly-once downgrades to
+    * at-least-once across restarts (foreachBatch may replay a batch);
+    * idempotent sinks should dedup on `batchId`. */
+  def startForeachBatchSink(kpis: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    kpis.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) Sinks.writeParquet(batch, path, "append")
+      }
+      .start()
 
   /** SQL twin of the batch-mode plan (DuckDB `time_bucket` = tumbling
     * window start). */

@@ -59,4 +59,68 @@ class EventStreamSpec extends SparkSpec {
         .filter(col("window_start") === t("2024-01-01 10:00:00")).count() == 1)
     } finally sink.stop()
   }
+
+  test("streaming parquet sink: end-to-end round-trip with state eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = s"${graft.engine.Sinks.scratch}/ev-parquet-sink"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val source = MemoryStream[Ev]
+    val sink = EventStream.startParquetSink(
+      EventStream.windowedKpis(source.toDF(),
+        windowDur = "1 hour", watermarkDelay = "10 minutes"),
+      path = s"$root/data", checkpointDir = s"$root/chk",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // Two types in the 10:00 window → two state rows, nothing written.
+      source.addData(
+        Ev(t("2024-01-01 10:05:00"), "click", 50.0),
+        Ev(t("2024-01-01 10:20:00"), "view", 150.0))
+      sink.processAllAvailable()
+      // 13:00 event → watermark 12:50 → the 10:00 window finalizes: its
+      // rows land in parquet and its state rows are evicted.
+      source.addData(Ev(t("2024-01-01 13:00:00"), "click", 10.0))
+      sink.processAllAvailable()
+      val written = spark.read.parquet(s"$root/data")
+      assert(written.count() == 2)
+      assert(written.filter(col("window_start") =!= t("2024-01-01 10:00:00"))
+        .count() == 0)
+      assert(written.filter(col("event_type") === "view")
+        .head().getAs[Long]("n_delayed") == 1L)
+      // State eviction: only the open 13:00 window's row remains.
+      val state = sink.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(state.numRowsTotal == 1,
+        s"expected finalized windows evicted, state holds ${state.numRowsTotal}")
+    } finally sink.stop()
+  }
+
+  test("streaming foreachBatch bridge reuses the batch parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = s"${graft.engine.Sinks.scratch}/ev-feb-sink"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val source = MemoryStream[Ev]
+    val sink = EventStream.startForeachBatchSink(
+      EventStream.windowedKpis(source.toDF(),
+        windowDur = "1 hour", watermarkDelay = "10 minutes"),
+      path = s"$root/data", checkpointDir = s"$root/chk")
+    try {
+      source.addData(
+        Ev(t("2024-01-01 10:05:00"), "click", 50.0),
+        Ev(t("2024-01-01 10:20:00"), "click", 150.0))
+      sink.processAllAvailable()
+      source.addData(Ev(t("2024-01-01 13:00:00"), "click", 10.0))
+      sink.processAllAvailable()
+      val written = spark.read.parquet(s"$root/data")
+      val row = written.head()
+      assert(written.count() == 1)
+      assert(row.getAs[Long]("n_events") == 2L)
+      assert(row.getAs[Long]("n_delayed") == 1L)
+    } finally sink.stop()
+  }
 }

@@ -38,6 +38,34 @@ class SimilaritySpec extends SparkSpec {
     blocked.unpersist(); naive.unpersist()
   }
 
+  test("nearDupPairs' exact path is a documented choice: the corpus is threshold-inseparable") {
+    // Guard on the separability boundary (TESTDATA: 854 pairs at sf0.001 /
+    // 931 at sf0.01 with cosine in [0.3, 0.4), right under the 0.4
+    // threshold): any sub-quadratic candidate scheme (SRP banding, IVF
+    // cells) keys on similarity structure the near-threshold mass doesn't
+    // have, so it would miss true pairs here — the exact blocked all-pairs
+    // join is REQUIRED for this regime, not a missed optimization. When a
+    // corpus IS separable (near-dup mass well above the threshold, e.g.
+    // planted near-duplicates), route to the sub-quadratic paths instead:
+    // Dedup.simhashNearDup / Dedup.minhashNearDup (text),
+    // Similarity.ivfTopK (vectors).
+    val side = emb.select(col("vec_id").as("id"), col("embedding").as("e"))
+    val cos = Similarity.cosine(col("a.e"), col("b.e"))
+    val counts = side.as("a").join(side.as("b"), col("a.id") < col("b.id"))
+      .select(cos.as("cosine"))
+      .agg(
+        sum(when(col("cosine") >= 0.4, 1L).otherwise(0L)).as("above"),
+        sum(when(col("cosine") >= 0.3 && col("cosine") < 0.4, 1L)
+          .otherwise(0L)).as("band"))
+      .head()
+    val (above, band) = (counts.getLong(0), counts.getLong(1))
+    assert(above > 0, "threshold must select a non-empty pair set")
+    assert(band > above,
+      s"corpus no longer inseparable (band=$band <= above=$above): " +
+        "revisit nearDupPairs — a sub-quadratic candidate path may now be " +
+        "exact enough to replace the all-pairs join")
+  }
+
   test("IVF recall: full probe == brute force (recall 1.0 >= 0.95), monotone in nProbe") {
     // This corpus is deliberately NOT cluster-separable (pairwise cosines
     // form a continuum — even ideal k-means centroids cap recall@nProbe=3
