@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
 import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.sources.Jdbc
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator from
@@ -357,7 +358,33 @@ object SparkEntry {
     "q40_token_budget" -> ((s, dir) =>
       Curation.tokenBudgetSample(Tables.documents(s, dir), "doc_id", "text",
         budget = 20000L)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // A2 + A4 — the reference's REAL ingest/sink boundary (MySQL,
+    // `aggregate_flight_data.py:25`, `data_cleaning.py:108-116`) over an
+    // actual JDBC engine: chunked replace+append write into embedded
+    // Derby, then a partitioned (4 range cursors on month) JDBC read
+    // back. Same call sites would hit MySQL given its url/driver.
+    "q41_jdbc_roundtrip" -> ((s, dir) => {
+      val url = Jdbc.derbyMemUrl("graft_q41")
+      // Aggregate once; both chunk writes read the warm cache instead of
+      // re-running the rollup per write.
+      val amDf = am(s, dir).persist()
+      amDf.count()
+      Jdbc.writeVarchar(amDf.filter(col("month") <= 6), url,
+        "airline_monthly", "overwrite", Jdbc.derbyProps())
+      Jdbc.writeVarchar(amDf.filter(col("month") > 6), url,
+        "airline_monthly", "append", Jdbc.derbyProps())
+      amDf.unpersist()
+      Jdbc.readPartitioned(s, url, "airline_monthly",
+        partitionColumn = "month", lower = 1L, upper = 12L,
+        numPartitions = 4, Jdbc.derbyProps())
+        .select("airline_name", "month", "depdel15_count", "depdel15_sum",
+          "delay_minutes_mean", "is_cancelled_sum", "carrier_delay_sum",
+          "weather_delay_sum", "nas_delay_sum", "late_aircraft_delay_sum",
+          "on_time_rate")
+        .orderBy("airline_name", "month")
+    })
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -709,6 +736,17 @@ object SparkEntry {
     },
 
     "q40_token_budget" ->
-      (Curation.tokenBudgetSampleSql(20000L) + "\nORDER BY doc_id")
+      (Curation.tokenBudgetSampleSql(20000L) + "\nORDER BY doc_id"),
+
+    // The JDBC roundtrip must hand back exactly the airline-monthly
+    // rollup — same oracle as q02/q32.
+    "q41_jdbc_roundtrip" -> s"""$airlineMonthlyCte
+      |SELECT airline_name, month, depdel15_count,
+      |  CAST(depdel15_sum AS BIGINT) AS depdel15_sum,
+      |  delay_minutes_mean,
+      |  CAST(is_cancelled_sum AS BIGINT) AS is_cancelled_sum,
+      |  carrier_delay_sum, weather_delay_sum, nas_delay_sum,
+      |  late_aircraft_delay_sum, on_time_rate
+      |FROM am ORDER BY airline_name, month""".stripMargin
   )
 }
