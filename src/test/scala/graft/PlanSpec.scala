@@ -83,4 +83,28 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final HashAggregate pair in:\n$p")
   }
+
+  test("text-feature path has no interpreted higher-order functions") {
+    // The r3/r4 late-suite bench collapse was interpreted lambda HOFs
+    // (ArrayFilter/ArrayTransform/ArrayAggregate) in the per-row text
+    // path; this pins the fix. The q29 feature sweep and the q39 quality
+    // gate must evaluate as native kernels (marker_hits/poly_fingerprint/
+    // simhash/word_shingles) inside WholeStageCodegen, with no lambda HOF
+    // nodes anywhere in the executed plan.
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf)
+    val q29ish = docs.select(
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang_id"),
+      TextFunctions.fingerprintPoly(col("text")).as("fp_poly"))
+    val p = plan(q29ish.limit(1))
+    for (hof <- Seq("ArrayFilter", "ArrayTransform", "ArrayAggregate",
+        "LambdaFunction"))
+      assert(!p.contains(hof), s"interpreted HOF $hof leaked into:\n$p")
+    assert(p.contains("marker_hits") && p.contains("poly_fingerprint"),
+      s"native kernels missing from:\n$p")
+    // Whole-stage codegen renders as a `*(n)` stage marker on the Project.
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).nonEmpty,
+      s"text projection fell out of whole-stage codegen:\n$p")
+  }
 }

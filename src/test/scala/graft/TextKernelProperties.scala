@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{TextFunctions, TextKernels}
+
+/** ScalaCheck properties for the native per-row text kernels, checked
+  * against independent pure-Scala reference implementations (Java String
+  * splitting / code-point iteration — a different code path from the
+  * kernels' UTF-8 byte scans). No Spark jobs — these are plain function
+  * calls, so case counts can be dense. */
+object TextKernelProperties extends Properties("TextKernels") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  private val P = 1000000007L
+
+  /** Valid-unicode strings (no lone surrogates — UTF8String.fromString
+    * would replace those lossily before the kernel ever ran). Mixes
+    * ASCII words, marker words, multi-byte chars, spaces. */
+  private val token: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf(TextFunctions.stopwords),
+    2 -> Gen.oneOf(TextFunctions.langMarkers.flatMap(_._2)),
+    3 -> Gen.alphaNumStr.map(_.take(8)),
+    1 -> Gen.const(""),
+    1 -> Gen.oneOf("naïve", "über", "café", "一鿿", "☃", "👍", "ｈｅｌｌｏ"))
+
+  private val text: Gen[String] =
+    Gen.listOf(token).map(_.mkString(" "))
+
+  property("markerHits == String.split count over the word set") = {
+    val wordsGen = Gen.oneOf(
+      TextFunctions.stopwords +: TextFunctions.langMarkers.map(_._2))
+    forAll(text, wordsGen) { (s, words) =>
+      val set = new java.util.HashSet[UTF8String]()
+      words.foreach(w => set.add(UTF8String.fromString(w)))
+      val got = TextKernels.markerHits(UTF8String.fromString(s), set)
+      val want = s.split(" ", -1).count(words.contains)
+      got == want
+    }
+  }
+
+  property("polyFingerprint == code-point fold on the String") =
+    forAll(text) { s =>
+      val got = TextKernels.polyFingerprint(UTF8String.fromString(s))
+      var want = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        want = java.lang.Math.floorMod(want * 31L + cp, P)
+        i += Character.charCount(cp)
+      }
+      got == want
+    }
+
+  property("simhash64 is token-order invariant (per-bit ±1 sums commute)") =
+    forAll(Gen.nonEmptyListOf(token), Gen.long) { (toks, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      TextKernels.simhash64(UTF8String.fromString(toks.mkString(" "))) ==
+        TextKernels.simhash64(UTF8String.fromString(shuffled.mkString(" ")))
+    }
+}
