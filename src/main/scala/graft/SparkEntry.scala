@@ -384,7 +384,14 @@ object SparkEntry {
           "weather_delay_sum", "nas_delay_sum", "late_aircraft_delay_sum",
           "on_time_rate")
         .orderBy("airline_name", "month")
-    })
+    }),
+
+    // I (ext) — per-user sessionization, batch twin of the streaming
+    // flatMapGroupsWithState operator (EventStreamSpec proves the
+    // streaming path emits these exact rows).
+    "q42_sessionization" -> ((s, dir) =>
+      EventStream.sessionsBatch(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_idx"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -747,6 +754,9 @@ object SparkEntry {
       |  CAST(is_cancelled_sum AS BIGINT) AS is_cancelled_sum,
       |  carrier_delay_sum, weather_delay_sum, nas_delay_sum,
       |  late_aircraft_delay_sum, on_time_rate
-      |FROM am ORDER BY airline_name, month""".stripMargin
+      |FROM am ORDER BY airline_name, month""".stripMargin,
+
+    "q42_sessionization" ->
+      (EventStream.sessionsBatchSql(30) + "\nORDER BY user_id, session_idx")
   )
 }

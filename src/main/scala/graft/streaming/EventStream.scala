@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.engine.{Aggregates, Sinks}
 
@@ -74,6 +77,152 @@ object EventStream {
         if (!batch.isEmpty) Sinks.writeParquet(batch, path, "append")
       }
       .start()
+
+  // ------------------------------------------------------- sessionization
+
+  /** Per-user sessions: consecutive events of a user belong to one
+    * session while inter-event gaps stay ≤ `gapMinutes`. Batch form:
+    * session boundaries via `lag` over (user, time), session ids via a
+    * running sum of boundary flags, then one aggregation per session.
+    * Gap comparison is exact integer microseconds (`unix_micros`), ties
+    * broken by event_id, and the value total is the exact-decimal
+    * [[Aggregates.sumExact]] — all so the DuckDB twin is bit-identical.
+    *
+    * Scale: both windows and the final aggregation partition by
+    * `user_id` — state and sort runs are per-user (thousands of rows),
+    * never global, and user cardinality grows with the data, so the plan
+    * keeps its parallelism at 100 TB. */
+  def sessionsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    events
+      .withColumn("new_s",
+        when(prev.isNull ||
+          unix_micros(col("ts")) - unix_micros(prev) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        Aggregates.sumExact(col("value")).as("total_value"))
+  }
+
+  /** SQL twin of [[sessionsBatch]] (DuckDB; `epoch_us` = `unix_micros`). */
+  def sessionsBatchSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN prev IS NULL
+       |      OR epoch_us(ts) - epoch_us(prev) > $gapUs THEN 1 ELSE 0 END AS new_s
+       |  FROM o),
+       |s AS (
+       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_idx
+       |  FROM f)
+       |SELECT user_id, session_idx,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Aggregates.sumExactSql("value")} AS total_value
+       |FROM s GROUP BY user_id, session_idx""".stripMargin
+  }
+
+  /** One input event for the streaming sessionizer. */
+  case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp,
+      value: Double)
+
+  /** One emitted session (same shape/semantics as a [[sessionsBatch]]
+    * row). */
+  case class Session(user_id: Long, session_idx: Long,
+      session_start: Timestamp, session_end: Timestamp, n_events: Long,
+      total_value: Double)
+
+  /** Open-session state: bounds in epoch micros, the exact value total as
+    * a 6-dp-scaled long (bit-compatible with `sumExact`'s DECIMAL(28,6)
+    * accumulation), and the running per-user session counter. */
+  case class SessState(idx: Long, startUs: Long, endUs: Long, n: Long,
+      totalScaled: Long)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  private def scaled6(v: Double): Long =
+    new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  private def toSession(userId: Long, s: SessState): Session =
+    Session(userId, s.idx, toTs(s.startUs), toTs(s.endUs), s.n,
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(s.totalScaled), 6)
+        .doubleValue())
+
+  /** Streaming sessionization: the custom-state operator Structured
+    * Streaming is built for — `flatMapGroupsWithState` keyed on
+    * `user_id` with an EVENT-TIME timeout. A session closes either
+    * inline (a later event of the same user arrives past the gap) or by
+    * watermark timeout (no event arrived and the watermark passed
+    * `session_end + gap`), so state is exactly one small record per user
+    * with an open session, regardless of input rate — the property that
+    * makes this run forever on an unbounded stream.
+    *
+    * Within-gap out-of-order events merge into the open session (bounds
+    * extend both directions); events older than an already-emitted
+    * session are watermark-dropped upstream. Input must carry a
+    * watermark on `ts` (append output mode requires it for timeouts). */
+  def sessionizeStream(events: Dataset[SessEvent],
+      gapMinutes: Int = 30): Dataset[Session] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val longEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            val closed = toSession(userId, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption
+            evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val us = micros(e.ts)
+              st match {
+                case None =>
+                  st = Some(SessState(1L, us, us, 1L, scaled6(e.value)))
+                case Some(s) if us - s.endUs > gapUs =>
+                  out += toSession(userId, s)
+                  st = Some(SessState(s.idx + 1, us, us, 1L, scaled6(e.value)))
+                case Some(s) =>
+                  st = Some(s.copy(
+                    startUs = math.min(s.startUs, us),
+                    endUs = math.max(s.endUs, us),
+                    n = s.n + 1,
+                    totalScaled = s.totalScaled + scaled6(e.value)))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60L * 1000)
+            }
+            out.iterator
+          }
+        })
+  }
 
   /** SQL twin of the batch-mode plan (DuckDB `time_bucket` = tumbling
     * window start). */

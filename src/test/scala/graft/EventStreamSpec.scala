@@ -97,6 +97,51 @@ class EventStreamSpec extends SparkSpec {
     } finally sink.stop()
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStream.SessEvent
+    // user 7: two sessions (gap 30 min) — the second closes INLINE when
+    // the third event arrives past the gap. user 8: one session, closed
+    // by EVENT-TIME TIMEOUT when the watermark passes end+gap.
+    // user 8's event must ship in the FIRST micro-batch: with a 0s
+    // watermark delay it would be late (and dropped) once the 10:10
+    // event has advanced the watermark.
+    val evs = Seq(
+      SessEvent(7L, 1L, t("2024-01-01 10:00:00"), 10.5),
+      SessEvent(7L, 2L, t("2024-01-01 10:10:00"), 2.25),
+      SessEvent(8L, 4L, t("2024-01-01 10:05:00"), 7.125),
+      SessEvent(7L, 3L, t("2024-01-01 12:00:00"), 1.0))
+    val source = MemoryStream[SessEvent]
+    val sink = graft.streaming.EventStream.sessionizeStream(
+      source.toDS().withWatermark("ts", "0 seconds").as[SessEvent],
+      gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(evs.take(3)) // user 7 session 1 + user 8 open
+      sink.processAllAvailable()
+      source.addData(evs.drop(3)) // 12:00 closes user 7 s1 inline
+      sink.processAllAvailable()
+      // Watermark is now 12:00; a far-future event pushes it past every
+      // open session's end+gap, firing the timeouts.
+      source.addData(SessEvent(99L, 5L, t("2024-01-02 00:00:00"), 0.0))
+      sink.processAllAvailable()
+      val streamed = spark.table("sess_sink")
+        .filter(col("user_id").isin(7L, 8L))
+        .select("user_id", "session_idx", "session_start", "session_end",
+          "n_events", "total_value")
+      val batch = graft.streaming.EventStream.sessionsBatch(
+        evs.toDF().select(col("user_id"), col("event_id"), col("ts"),
+          col("value")), gapMinutes = 30)
+        .select("user_id", "session_idx", "session_start", "session_end",
+          "n_events", "total_value")
+      assert(streamed.count() == 3) // 2 sessions for user 7, 1 for user 8
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+    } finally sink.stop()
+  }
+
   test("streaming foreachBatch bridge reuses the batch parquet sink") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
