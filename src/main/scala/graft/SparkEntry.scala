@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Sinks, StarSchema, Tables}
+import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Joins, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
 import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 import graft.sources.Jdbc
@@ -391,7 +391,27 @@ object SparkEntry {
     // streaming path emits these exact rows).
     "q42_sessionization" -> ((s, dir) =>
       EventStream.sessionsBatch(Tables.events(s, dir), gapMinutes = 30)
-        .orderBy("user_id", "session_idx"))
+        .orderBy("user_id", "session_idx")),
+
+    // Prefix-filtered exact Jaccard self-join (AllPairs/PPJoin): total
+    // candidate recall by the prefix pigeonhole — unlike q23's maxDf
+    // prune, the oracle is the exhaustive true-Jaccard pair set.
+    "q43_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
+
+    // Skew-salted large×large equi-join (lineitem⋈orders, the one join in
+    // the schema where neither side broadcasts): result must be
+    // bit-identical to the plain join the oracle runs.
+    "q44_salted_join" -> ((s, dir) =>
+      Joins.saltedInner(
+        Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "okey"),
+        Tables.orders(s, dir).withColumnRenamed("o_orderkey", "okey"),
+        "okey", salt = 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Aggregates.sumExact(col("l_quantity")).as("qty_sum"))
+        .orderBy("o_orderpriority"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -757,6 +777,19 @@ object SparkEntry {
       |FROM am ORDER BY airline_name, month""".stripMargin,
 
     "q42_sessionization" ->
-      (EventStream.sessionsBatchSql(30) + "\nORDER BY user_id, session_idx")
+      (EventStream.sessionsBatchSql(30) + "\nORDER BY user_id, session_idx"),
+
+    // Exhaustive all-pairs ground truth — prefix filtering must reproduce
+    // it exactly (recall by pigeonhole, precision by the verify join).
+    "q43_prefix_jaccard" ->
+      (Dedup.trueJaccardPairsSql(3, 0.5) + "\nORDER BY id_a, id_b"),
+
+    // The plain join — salting must not change a single bit of the result.
+    "q44_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${Aggregates.sumExactSql("l_quantity")} AS qty_sum
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -144,6 +144,66 @@ object Dedup {
        |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= $threshold""".stripMargin
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW 2007; Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW 2008).
+    *
+    * Unlike [[ngramJaccardPairs]]' `maxDf` stop-shingle prune — which can
+    * miss a true pair whose every shared shingle is ubiquitous — prefix
+    * filtering is EXACT: order every document's shingles by a single
+    * global rarity order (document frequency asc, shingle asc) and index
+    * only the first `|d| − ⌈t·|d|⌉ + 1` of them. Any pair with
+    * J(a,b) ≥ t shares at least `⌈t·max(|a|,|b|)⌉` shingles, which cannot
+    * all hide in both suffixes, so the two prefixes must collide on some
+    * shingle — candidate recall is total by the pigeonhole, and the
+    * exact-Jaccard verify join-back makes the output precisely the true
+    * Jaccard-≥-t pair set (oracled against the exhaustive all-pairs twin,
+    * [[trueJaccardPairsSql]]).
+    *
+    * Scale shape: the only quadratic-risk step is the posting self-join,
+    * and the global rare-first order concentrates prefixes on the rarest
+    * shingles, so posting lists stay short precisely where the join is
+    * quadratic in their length (ubiquitous shingles land in suffixes and
+    * are never indexed). The size-ratio filter `t·|b| ≤ |a| ≤ |b|/t`
+    * (implied by J ≥ t) prunes candidates before the shuffle carries
+    * them. Per-document prefix selection is a row_number window keyed by
+    * document id — partitions are document-sized, never global.
+    *
+    * Float-safety: both `⌈t·|d|⌉` and the size-ratio bound are relaxed by
+    * 1e-9 so double rounding can only lengthen a prefix or admit an extra
+    * candidate (verified away), never drop a true pair. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = threshold
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
+    val sh = materialized(parallelized(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    val inv = sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    val prefixes = materialized(inv.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(col("n_sh") * t - 1e-9) + 1)
+      .select("id", "n_sh", "s"))
+    val cands = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.n_sh") >= col("b.n_sh") * t - 1e-9 &&
+          col("b.n_sh") >= col("a.n_sh") * t - 1e-9)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** True-Jaccard pair oracle (DuckDB): exhaustive id_a < id_b cross join
     * with exact list intersection/union — the semantic ground truth that
     * [[minhashNearDup]]'s filter-verify pipeline must reproduce. Only

@@ -107,6 +107,39 @@ class DedupSpec extends SparkSpec {
     banded.unpersist(); brute.unpersist()
   }
 
+  test("prefix-filtered Jaccard join == exhaustive all-pairs (total recall, no maxDf caveat)") {
+    val prefix = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).select("id_a", "id_b").cache()
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .filter(Dedup.jaccard(col("a.sh"), col("b.sh")) >= 0.5)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).cache()
+    assert(prefix.except(brute).count() == 0)
+    assert(brute.except(prefix).count() == 0)
+    assert(brute.count() > 0)
+    prefix.unpersist(); brute.unpersist()
+  }
+
+  test("prefix filter recall survives the maxDf-adversarial corpus (all shared shingles ubiquitous)") {
+    import spark.implicits._
+    // Worst case for q23's maxDf stop-shingle prune: 120 identical copies
+    // of one document — every shared shingle has df = 120 > maxDf = 100,
+    // so ngramJaccardPairs drops every posting and finds NONE of the
+    // 120·119/2 true pairs. The prefix filter has no df cutoff (rarity
+    // only orders shingles), so it must find them all.
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val copies = (0L until 120L).map(i => (i, text)).toDF("doc_id", "text")
+    val nPairs = 120L * 119L / 2L
+    val pruned = Dedup.ngramJaccardPairs(copies, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = 100)
+    assert(pruned.count() == 0, "maxDf prune must miss everything here (the documented caveat)")
+    val got = Dedup.prefixJaccardPairs(copies, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    assert(got.count() == nPairs)
+    assert(got.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
   test("minhash LSH pairs match exhaustive true-Jaccard pairs on the planted corpus") {
     val lsh = Dedup.minhashNearDup(docs, "doc_id", "text",
       n = 3, numHashes = 64, bands = 16, threshold = 0.5)
