@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -225,6 +225,57 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Intersection size of two SORTED string arrays by linear merge —
+    * O(n+m) with zero allocation, vs `size(array_intersect(a, b))` which
+    * builds a hash set of boxed UTF8Strings per ROW (measured as ~190
+    * CPU-seconds over 430k candidate pairs in the prefix-join verify).
+    * Order must be Spark's default binary string order (`array_sort`);
+    * with distinct elements (shingle arrays are `array_distinct`'d) the
+    * count equals the set-intersection size, so Jaccard falls out as
+    * `c / (|a| + |b| − c)` with no union array ever materialized. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Sorted-intersect-count expression: `(array<string>, array<string>) →
+    * int`, one codegen'd static call. */
+  case class SortedIntersectExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_count"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count expects two array<string>, got " +
+            s"${l.catalogString}, ${r.catalogString}")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.TextKernels.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def sortedIntersectCol(a: Column, b: Column): Column =
+    GraftSql.column(SortedIntersectExpr(
+      GraftSql.expression(a), GraftSql.expression(b)))
 
   /** MinHash-bands expression: `array<string> → array<string>` (hash
     * family fixed at plan time). */

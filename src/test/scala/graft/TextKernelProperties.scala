@@ -57,6 +57,22 @@ object TextKernelProperties extends Properties("TextKernels") {
       got == want
     }
 
+  property("sortedIntersectCount == Set intersection size on sorted distinct arrays") = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // Binary (unsigned byte) order — what array_sort uses for strings.
+    val byBytes = Ordering.comparatorToOrdering(
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    def arr(toks: List[String]): (GenericArrayData, Set[String]) = {
+      val distinct = toks.distinct.map(UTF8String.fromString).sorted(byBytes)
+      (new GenericArrayData(distinct.toArray[Any]), distinct.map(_.toString).toSet)
+    }
+    forAll(Gen.listOf(token), Gen.listOf(token)) { (ta, tb) =>
+      val (aArr, aSet) = arr(ta)
+      val (bArr, bSet) = arr(tb)
+      TextKernels.sortedIntersectCount(aArr, bArr) == (aSet & bSet).size
+    }
+  }
+
   property("simhash64 is token-order invariant (per-bit ±1 sums commute)") =
     forAll(Gen.nonEmptyListOf(token), Gen.long) { (toks, seed) =>
       val shuffled = new scala.util.Random(seed).shuffle(toks)
