@@ -78,6 +78,26 @@ object EventStream {
       }
       .start()
 
+  /** Streaming exact dedup — the streaming twin of [[graft.operators.Dedup.exact]]
+    * for continuous document ingestion: re-occurrences of the same content
+    * fingerprint arriving within the watermark delay are dropped,
+    * first-seen wins (emitted immediately in append mode).
+    *
+    * `dropDuplicatesWithinWatermark` keys state on the 16-byte MD5
+    * fingerprint, NOT the document text, so the state store holds one
+    * small record per distinct document seen inside the watermark horizon
+    * and the watermark evicts expired fingerprints — bounded state on an
+    * unbounded stream, the property plain `dropDuplicates` (which keeps
+    * every key forever) does not have. After eviction a re-arriving
+    * duplicate is a NEW document by construction; exact global dedup over
+    * an unbounded horizon is the batch operator's job downstream. */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs.withColumn("_fp", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   // ------------------------------------------------------- sessionization
 
   /** Per-user sessions: consecutive events of a user belong to one

@@ -10,6 +10,7 @@ import graft.engine.Tables
 import graft.streaming.EventStream
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 class EventStreamSpec extends SparkSpec {
 
@@ -139,6 +140,45 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed.count() == 3) // 2 sessions for user 7, 1 for user 8
       assert(streamed.except(batch).count() == 0)
       assert(batch.except(streamed).count() == 0)
+    } finally sink.stop()
+  }
+
+  test("streaming dedup drops within-watermark duplicates and evicts expired fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Doc]
+    val sink = EventStream.dedupStream(source.toDF(), "ts", "text",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Three arrivals of the same text inside the watermark horizon:
+      // first-seen wins, the rest are swallowed; a distinct text passes.
+      source.addData(
+        Doc(t("2024-01-01 10:00:00"), 1L, "alpha beta"),
+        Doc(t("2024-01-01 10:02:00"), 2L, "alpha beta"),
+        Doc(t("2024-01-01 10:03:00"), 3L, "gamma"))
+      sink.processAllAvailable()
+      source.addData(Doc(t("2024-01-01 10:05:00"), 4L, "alpha beta"))
+      sink.processAllAvailable()
+      val first = spark.table("dedup_sink")
+      assert(first.count() == 2)
+      assert(first.filter(col("text") === "alpha beta")
+        .head().getAs[Long]("doc_id") == 1L)
+      // Push the watermark past 10:00 + 10 min: the "alpha beta"
+      // fingerprint's state is evicted, so a far-later duplicate is a NEW
+      // document and is emitted again.
+      source.addData(Doc(t("2024-01-01 11:00:00"), 5L, "delta"))
+      sink.processAllAvailable()
+      source.addData(Doc(t("2024-01-01 10:59:00"), 6L, "alpha beta"))
+      sink.processAllAvailable()
+      assert(spark.table("dedup_sink")
+        .filter(col("text") === "alpha beta").count() == 2)
+      // Bounded state: expired fingerprints are gone from the state store.
+      val state = sink.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      assert(state.numRowsTotal <= 3,
+        s"expected expired fingerprints evicted, state holds ${state.numRowsTotal}")
     } finally sink.stop()
   }
 
