@@ -412,6 +412,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           Aggregates.sumExact(col("l_quantity")).as("qty_sum"))
         .orderBy("o_orderpriority"))
+        ,
+
+    // SRP-LSH near-dup over embeddings: the sub-quadratic banded scale
+    // path for vectors (full construction replayed by the oracle —
+    // same plan-time hyperplane literals on both engines).
+    "q45_srp_near_dup" -> ((s, dir) =>
+      Similarity.srpNearDup(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("id_a", "id_b"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -790,6 +798,9 @@ object SparkEntry {
          |  ${Aggregates.sumExactSql("l_quantity")} AS qty_sum
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q45_srp_near_dup" ->
+      (Similarity.srpNearDupSql(0.4) + "\nORDER BY id_a, id_b")
   )
 }

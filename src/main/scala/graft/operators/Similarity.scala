@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -141,6 +143,111 @@ object Similarity {
           col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Deterministic ±1 hyperplane matrix for [[srpNearDup]]: `nBits` rows
+    * of `Dim` signs from a seeded java.util.Random (LCG sequence is
+    * specified, so plan-time Scala and the SQL-twin generator produce the
+    * same matrix on any JVM). */
+  def hyperplanes(nBits: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, Dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  /** Signed-random-projection LSH near-dup pairs — the sub-quadratic
+    * scale path for vector near-dup when the similarity regime is
+    * separable (the vector analog of [[Dedup.simhashNearDup]]; the exact
+    * path for inseparable regimes is [[nearDupPairs]]).
+    *
+    * SRP (Charikar, STOC 2002): signature bit k = sign(h_k · v) for a
+    * fixed random hyperplane h_k; P(bits agree) = 1 − θ(u,v)/π, so
+    * near-parallel vectors collide in whole signature bands and the
+    * band-bucket self-join generates candidates without ever comparing
+    * all pairs. Candidates are verified with exact cosine ≥ `threshold`,
+    * so precision is total; recall is the banding probability
+    * `1 − (1 − p^r)^bands`, a deliberate trade documented at the call
+    * site (raise `bands`/lower `r` for more recall, more candidates).
+    *
+    * Scale shape: signatures are `nBits` codegen'd dot products per row
+    * (one scan, no shuffle); the only shuffle is the band-bucket
+    * equi-join; verification touches candidates only. The hyperplane
+    * matrix is a plan-time literal — the SQL twin embeds the same ±1
+    * signs, so the whole pipeline replays exactly in the DuckDB oracle. */
+  def srpNearDup(corpus: DataFrame, threshold: Double, nBits: Int = 32,
+      bands: Int = 4, seed: Long = 7L): DataFrame = {
+    require(nBits % bands == 0 && nBits <= 62,
+      s"need nBits % bands == 0 and nBits <= 62, got nBits=$nBits bands=$bands")
+    val h = hyperplanes(nBits, seed)
+    val fT = ArrayType(FloatType, containsNull = true)
+    val e = col("embedding").cast(fT)
+    // sig = Σ_k (h_k·v > 0) << k, all inside one codegen'd projection.
+    val sig = h.zipWithIndex.map { case (hk, k) =>
+      when(dot(e, typedlit(hk.toSeq).cast(fT)) > 0.0, lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val base = corpus.select(col("vec_id").as("id"), e.as("e"),
+      norm(col("embedding")).as("nrm"), sig.as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val bandArr = array((0 until bands).map(j =>
+      shiftright(col("sig"), j * r).bitwiseAND(lit(mask))): _*)
+    val banded = base.select(col("id"), posexplode(bandArr))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("e").as("e_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("e").as("e_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cosine",
+        cosineWithNorms(col("e_a"), col("e_b"), col("n_a"), col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** SQL twin of [[srpNearDup]] (DuckDB): the same plan-time hyperplane
+    * signs embedded as per-bit `CASE i IN (+idx)` dot products, same
+    * banding, same exact-cosine verify — a full replay, so the oracle is
+    * the construction itself (the q23/q28 pattern). */
+  def srpNearDupSql(threshold: Double, nBits: Int = 32, bands: Int = 4,
+      seed: Long = 7L, from: String = "embeddings"): String = {
+    val h = hyperplanes(nBits, seed)
+    def signedDot(hk: Array[Float]): String = {
+      val pos = hk.zipWithIndex.collect { case (v, i) if v > 0 => i + 1 }
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, ${Dim + 1}), i -> " +
+        s"CASE WHEN i IN (${pos.mkString(",")}) THEN CAST(embedding[i] AS DOUBLE) " +
+        s"ELSE -CAST(embedding[i] AS DOUBLE) END)), (x, y) -> x + y)"
+    }
+    val sigExpr = h.zipWithIndex.map { case (hk, k) =>
+      s"(CASE WHEN ${signedDot(hk)} > 0.0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, embedding, $sigExpr AS sig FROM $from),
+       |banded AS (
+       |  SELECT id, j.range AS band_idx, (sig >> (j.range * $r)) & $mask AS band_val
+       |  FROM base, range(0, $bands) j),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |      AND a.id < b.id)
+       |SELECT id_a, id_b, ${Sql.cosine("ea.embedding", "eb.embedding")} AS cosine
+       |FROM cands
+       |JOIN base ea ON ea.id = id_a
+       |JOIN base eb ON eb.id = id_b
+       |WHERE ${Sql.cosine("ea.embedding", "eb.embedding")} >= $threshold""".stripMargin
   }
 
   /** IVF-style ANN: deterministic centroids (every `centroidStride`-th

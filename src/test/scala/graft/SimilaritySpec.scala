@@ -66,6 +66,27 @@ class SimilaritySpec extends SparkSpec {
         "exact enough to replace the all-pairs join")
   }
 
+  test("SRP-LSH near-dup: exact precision (subset of all-pairs truth), deterministic") {
+    val srp = Similarity.srpNearDup(emb, threshold = 0.4)
+      .select("id_a", "id_b").cache()
+    val side = emb.select(col("vec_id").as("id"), col("embedding").as("e"))
+    val truth = side.as("a").join(side.as("b"), col("a.id") < col("b.id"))
+      .filter(Similarity.cosine(col("a.e"), col("b.e")) >= 0.4)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).cache()
+    // Precision is total: the exact-cosine verify admits only true pairs.
+    assert(srp.except(truth).count() == 0)
+    // The banded candidate generator must actually find pairs here.
+    assert(srp.count() > 0)
+    // Recall < 1 on this threshold-inseparable corpus is the documented
+    // trade (banding probability, not a bug) — the exact path is
+    // nearDupPairs (q27). Determinism: the hyperplane matrix is seeded.
+    val again = Similarity.srpNearDup(emb, threshold = 0.4)
+      .select("id_a", "id_b")
+    assert(srp.except(again).count() == 0)
+    assert(again.except(srp).count() == 0)
+    srp.unpersist(); truth.unpersist()
+  }
+
   test("IVF recall: full probe == brute force (recall 1.0 >= 0.95), monotone in nProbe") {
     // This corpus is deliberately NOT cluster-separable (pairwise cosines
     // form a continuum — even ideal k-means centroids cap recall@nProbe=3
