@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Joins, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Jdbc
 import graft.streaming.EventStream
 
@@ -419,7 +419,14 @@ object SparkEntry {
     // same plan-time hyperplane literals on both engines).
     "q45_srp_near_dup" -> ((s, dir) =>
       Similarity.srpNearDup(Tables.embeddings(s, dir), threshold = 0.4)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Deterministic content-keyed train/val/test assignment — the
+    // reproducible, leakage-proof split step of a corpus pipeline.
+    "q46_split_assign" -> ((s, dir) =>
+      Sampling.assignSplits(Tables.documents(s, dir), "text")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -801,6 +808,10 @@ object SparkEntry {
          |ORDER BY o_orderpriority""".stripMargin,
 
     "q45_srp_near_dup" ->
-      (Similarity.srpNearDupSql(0.4) + "\nORDER BY id_a, id_b")
+      (Similarity.srpNearDupSql(0.4) + "\nORDER BY id_a, id_b"),
+
+    "q46_split_assign" ->
+      s"""SELECT doc_id, ${Sampling.assignSplitsSql("text")}
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data
+  * pipelines.
+  *
+  * `df.sample()`/`rand()` are the wrong tool for corpus curation: the
+  * sample changes with partitioning, retries, and cluster size, and two
+  * copies of the same document can land in different splits (train/test
+  * leakage). Content-keyed hash bucketing fixes all of it: the bucket is
+  * a pure function of the document text, so assignment is reproducible
+  * run-to-run and engine-to-engine, survives repartitioning and
+  * speculative execution, and identical texts land in identical splits
+  * by construction.
+  *
+  * The hash is the first 8 MD5 bytes little-endian (the same value as
+  * DuckDB's `md5_number_upper` and [[graft.functions.TextKernels.md5First8LE]]),
+  * composed from codegen'd built-ins. Buckets are a power of two taken
+  * with a bitwise AND — low bits are identical under signed (Spark long)
+  * and unsigned (DuckDB UBIGINT) interpretations, which a modulo is not.
+  */
+object Sampling {
+
+  /** 64-bit content fingerprint as a signed long: first 8 MD5 bytes
+    * little-endian, built from `md5`/`substring`/`conv` built-ins (all
+    * codegen'd; `conv(_, 16, -10)` yields the signed interpretation). */
+  def contentHash64(c: Column): Column = {
+    val hexLE = concat((0 until 8).reverse.map(i =>
+      substring(md5(c.cast("binary")), 2 * i + 1, 2)): _*)
+    conv(hexLE, 16, -10).cast("long")
+  }
+
+  /** Deterministic bucket in `[0, nBuckets)`; `nBuckets` must be a power
+    * of two so the result is sign-interpretation-proof (see class doc). */
+  def bucket(c: Column, nBuckets: Int): Column = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    contentHash64(c).bitwiseAND(lit((nBuckets - 1).toLong))
+  }
+
+  /** Content-keyed train/val/test assignment: adds `bucket` and `split`
+    * columns. Thresholds are bucket counts out of `nBuckets` (e.g. 819,
+    * 922 of 1024 ≈ 80/10/10). Assignment granularity is 1/nBuckets. */
+  def assignSplits(df: DataFrame, textCol: String, trainBuckets: Int = 819,
+      valBuckets: Int = 922, nBuckets: Int = 1024): DataFrame = {
+    require(0 <= trainBuckets && trainBuckets <= valBuckets &&
+      valBuckets <= nBuckets,
+      s"need 0 <= train <= val <= nBuckets, got $trainBuckets/$valBuckets/$nBuckets")
+    val b = bucket(col(textCol), nBuckets)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainBuckets, "train")
+          .when(col("bucket") < valBuckets, "val")
+          .otherwise("test"))
+  }
+
+  /** Deterministic ≈`keepBuckets/nBuckets` sample: keeps exactly the rows
+    * whose content bucket falls below the cut — the reproducible
+    * downsampling step of a corpus pipeline (same text kept or dropped
+    * identically everywhere, at any scale, forever). */
+  def sampleByContent(df: DataFrame, textCol: String, keepBuckets: Int,
+      nBuckets: Int = 1024): DataFrame =
+    df.filter(bucket(col(textCol), nBuckets) < keepBuckets)
+
+  /** SQL twin (DuckDB): `md5_number_upper` is bit-identical to
+    * [[contentHash64]]; `& (nBuckets-1)` matches on the low bits
+    * regardless of signedness. */
+  def bucketSql(x: String, nBuckets: Int): String =
+    s"(md5_number_upper($x) & ${nBuckets - 1})"
+
+  def assignSplitsSql(textCol: String, trainBuckets: Int = 819,
+      valBuckets: Int = 922, nBuckets: Int = 1024): String =
+    s"""CAST(${bucketSql(textCol, nBuckets)} AS BIGINT) AS bucket,
+       |  CASE WHEN ${bucketSql(textCol, nBuckets)} < $trainBuckets THEN 'train'
+       |       WHEN ${bucketSql(textCol, nBuckets)} < $valBuckets THEN 'val'
+       |       ELSE 'test' END AS split""".stripMargin
+}

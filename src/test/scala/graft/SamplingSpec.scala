@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.Sampling
+
+/** Deterministic-sampling semantics: hash equivalence with the native
+  * kernel, leakage-proofness, partition invariance, and rate sanity. */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("contentHash64 (built-in composition) == md5First8LE kernel value") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = docs.select(col("text"),
+      Sampling.contentHash64(col("text")).as("h")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = graft.functions.TextKernels.md5First8LE(
+        UTF8String.fromString(r.getString(0)).getBytes, 0,
+        UTF8String.fromString(r.getString(0)).numBytes())
+      assert(r.getLong(1) == want)
+    }
+  }
+
+  test("identical texts always land in the same split (leakage-proof)") {
+    import spark.implicits._
+    // Duplicate every document under fresh ids: each text's split set
+    // must be a singleton no matter how many copies exist.
+    val doubled = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 1000000L, col("text")))
+    val perText = Sampling.assignSplits(doubled.toDF(), "text")
+      .groupBy("text").agg(countDistinct("split").as("n_splits"))
+    assert(perText.filter(col("n_splits") =!= 1).count() == 0)
+  }
+
+  test("assignment is partition-invariant (rand/sample is not)") {
+    val a = Sampling.assignSplits(docs, "text")
+      .select("doc_id", "bucket", "split")
+    val b = Sampling.assignSplits(docs.repartition(17), "text")
+      .select("doc_id", "bucket", "split")
+    assert(a.except(b).count() == 0)
+    assert(b.except(a).count() == 0)
+  }
+
+  test("split rates track the bucket thresholds") {
+    val counts = Sampling.assignSplits(docs, "text")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // 80/10/10 thresholds; tolerance generous for a 500-doc corpus with
+    // duplicated texts (the hash is per-text, not per-row).
+    assert(math.abs(counts.getOrElse("train", 0L) / total - 0.8) < 0.1)
+    assert(counts.getOrElse("val", 0L) > 0 || counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("sampleByContent keeps exactly the below-cut buckets") {
+    val kept = Sampling.sampleByContent(docs, "text", keepBuckets = 512)
+    val check = Sampling.assignSplits(docs, "text")
+    val wantCount = check.filter(col("bucket") < 512).count()
+    assert(kept.count() == wantCount)
+    assert(kept.count() > 0)
+  }
+}
