@@ -228,8 +228,8 @@ object TextKernels {
 
   /** Intersection size of two SORTED string arrays by linear merge —
     * O(n+m) with zero allocation, vs `size(array_intersect(a, b))` which
-    * builds a hash set of boxed UTF8Strings per ROW (measured as ~190
-    * CPU-seconds over 430k candidate pairs in the prefix-join verify).
+    * builds a hash set of boxed UTF8Strings per ROW (measured at 2.3×
+    * this kernel's cost over the prefix-join's candidate pairs).
     * Order must be Spark's default binary string order (`array_sort`);
     * with distinct elements (shingle arrays are `array_distinct`'d) the
     * count equals the set-intersection size, so Jaccard falls out as

@@ -84,6 +84,21 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final HashAggregate pair in:\n$p")
   }
 
+  test("prefix-Jaccard verify uses the merge kernel, not per-pair hash sets") {
+    // The q43 verify must evaluate as sorted_intersect_count inside
+    // codegen; ArrayIntersect/ArrayUnion build per-pair hash sets of
+    // boxed strings (measured 2.3× slower) and must not reappear.
+    import graft.operators.Dedup
+    val df = Dedup.prefixJaccardPairs(Tables.documents(spark, sf),
+      "doc_id", "text", n = 3, threshold = 0.5)
+    val p = plan(df)
+    assert(p.contains("sorted_intersect_count"),
+      s"merge kernel missing from verify plan:\n$p")
+    assert(!p.contains("array_intersect") && !p.contains("array_union"),
+      s"hash-set array ops leaked back into the verify:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("text-feature path has no interpreted higher-order functions") {
     // The r3/r4 late-suite bench collapse was interpreted lambda HOFs
     // (ArrayFilter/ArrayTransform/ArrayAggregate) in the per-row text
