@@ -426,7 +426,12 @@ object SparkEntry {
     "q46_split_assign" -> ((s, dir) =>
       Sampling.assignSplits(Tables.documents(s, dir), "text")
         .select("doc_id", "bucket", "split")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Per-language corpus profile: one scan, one agg, all exact.
+    "q47_corpus_profile" -> ((s, dir) =>
+      Curation.corpusProfile(Tables.documents(s, dir), "text")
+        .orderBy("lang"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -812,6 +817,9 @@ object SparkEntry {
 
     "q46_split_assign" ->
       s"""SELECT doc_id, ${Sampling.assignSplitsSql("text")}
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q47_corpus_profile" ->
+      (Curation.corpusProfileSql() + "\nORDER BY lang")
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.engine.Aggregates
 import graft.functions.TextFunctions
 
 /** End-to-end training-corpus curation: the composition a 100 TB text
@@ -37,6 +38,49 @@ object Curation {
     val clusters = Dedup.dedupClusters(
       Dedup.minhashNearDup(gated, idCol, textCol, n = n, threshold = threshold))
     Dedup.survivors(gated, idCol, clusters)
+  }
+
+  /** Per-language corpus profile — the summary a curator reads before and
+    * after gating: document/token volumes, quality stats, and the gate
+    * pass count per predicted language. One scan (all features are
+    * codegen'd projections), one partial/final aggregation on a
+    * language-cardinality key; every aggregate is exact/deterministic
+    * ([[Aggregates.avgExact]] for the float mean), so the report is
+    * DuckDB-oracle-able and reproducible at any scale. */
+  def corpusProfile(docs: DataFrame, textCol: String,
+      minQuality: Double = 0.5): DataFrame =
+    docs.select(
+        TextFunctions.langId(col(textCol)).as("lang"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextFunctions.bpeTokenCount(col(textCol)).cast("long").as("n_bpe"),
+        TextFunctions.qualityScore(col(textCol)).as("quality"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_bpe").as("total_bpe_tokens"),
+        Aggregates.avgExact(col("quality")).as("mean_quality"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum(when(col("quality") >= minQuality, 1L).otherwise(0L))
+          .as("n_gate_pass"))
+
+  /** SQL twin of [[corpusProfile]] (DuckDB; HUGEINT sums cast back). */
+  def corpusProfileSql(minQuality: Double = 0.5): String = {
+    import TextFunctions.{Sql => T}
+    s"""WITH t AS (SELECT ${T.langId("text")} AS lang,
+       |    CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens,
+       |    CAST(${T.bpeTokenCount("text")} AS BIGINT) AS n_bpe,
+       |    ${T.qualityScore("text")} AS quality
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       |  ${Aggregates.avgExactSql("quality")} AS mean_quality,
+       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       |  CAST(SUM(CASE WHEN quality >= $minQuality THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_gate_pass
+       |FROM t GROUP BY lang""".stripMargin
   }
 
   /** Token-budget sampling: best-quality-first documents until the

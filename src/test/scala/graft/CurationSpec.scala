@@ -26,6 +26,27 @@ class CurationSpec extends SparkSpec {
     assert(global.count() > 0)
   }
 
+  test("corpus profile reconciles with the raw table and the quality gate") {
+    val profile = Curation.corpusProfile(docs, "text", minQuality = 0.5).cache()
+    // Partition of the corpus: language rows cover every document once.
+    assert(profile.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    // Token totals reconcile with a direct scan.
+    val wantTokens = docs
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(profile.agg(sum("total_tokens")).head().getLong(0) == wantTokens)
+    // Gate pass counts reconcile with the gate operator, per language.
+    val wantPass = Curation.qualityGate(docs, "text", 0.5, "en").count()
+    val gotPass = profile.filter(col("lang") === "en")
+      .head().getAs[Long]("n_gate_pass")
+    assert(gotPass == wantPass)
+    // Bounds sane: min <= max, mean in [0, 1].
+    assert(profile.filter(col("min_tokens") > col("max_tokens")).count() == 0)
+    assert(profile.filter(col("mean_quality") < 0.0 ||
+      col("mean_quality") > 1.0).count() == 0)
+    profile.unpersist()
+  }
+
   test("curation output is gated, deduplicated, and non-empty") {
     val out = Curation.curate(docs, "doc_id", "text",
       minQuality = 0.5, lang = "en").cache()
