@@ -29,10 +29,34 @@ object Sinks {
       s"${sys.props("java.io.tmpdir")}/graft-scratch")
 
   /** A4 — batch parquet sink; `mode` ∈ overwrite|append, optional
-    * partition layout (e.g. `Seq("month")`). */
+    * partition layout (e.g. `Seq("month")`).
+    *
+    * Partitioned writes repartition on the partition columns first —
+    * without it every upstream task writes a file into every partition
+    * directory (tasks × partitions files; at cluster scale a small-file
+    * storm that throttles the namenode and every later scan). One shuffle
+    * buys one file per partition value. When a single partition value is
+    * too big for one writer task, `filesPerPartition > 1` adds a
+    * deterministic row-hash salt to the repartition key, bounding file
+    * count at `values × filesPerPartition` while restoring write
+    * parallelism. */
   def writeParquet(df: DataFrame, path: String, mode: String,
-      partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(mode)
+      partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(filesPerPartition >= 1)
+    val repartitioned =
+      if (partitionCols.isEmpty) df
+      else {
+        val keys = partitionCols.map(col)
+        val parts =
+          if (filesPerPartition == 1) keys
+          else {
+            val rest = df.columns.filterNot(partitionCols.contains).map(col)
+            keys :+ pmod(xxhash64(rest.toIndexedSeq: _*), lit(filesPerPartition))
+          }
+        df.repartition(parts: _*)
+      }
+    val w = repartitioned.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }

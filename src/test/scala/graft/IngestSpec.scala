@@ -55,6 +55,34 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("partitioned parquet write emits one file per partition value (no small-file storm)") {
+    import spark.implicits._
+    val path = s"${Sinks.scratch}/ingest-spec-onefile"
+    // Rows of each month spread over many input partitions: without the
+    // sink's repartition, each of them would write its own file per dir.
+    val df = (1 to 200).map(i => (i.toLong, i % 4, s"v$i"))
+      .toDF("id", "month", "v").repartition(16)
+    Sinks.writeParquet(df, path, "overwrite", Seq("month"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until 4).foreach { m =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/month=$m"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"month=$m has ${files.length} files; expected 1")
+    }
+    assert(spark.read.parquet(path).count() == 200)
+    // Salted variant bounds files at filesPerPartition while restoring
+    // write parallelism for oversized partition values.
+    Sinks.writeParquet(df, path, "overwrite", Seq("month"), filesPerPartition = 3)
+    (0 until 4).foreach { m =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/month=$m"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(files.length <= 3 && files.length >= 1)
+    }
+    assert(spark.read.parquet(path).count() == 200)
+  }
+
   test("CSV sink round-trips exactly, including doubles") {
     import spark.implicits._
     val path = s"${Sinks.scratch}/ingest-spec-csv"
