@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** A1 — multi-file CSV ingest with an explicit schema and a column
   * whitelist, the reference's sole entry point
@@ -31,4 +31,40 @@ object Ingest {
       .csv(paths: _*)
     if (keepCols.nonEmpty) df.select(keepCols.map(col): _*) else df
   }
+
+  /** Name of the quarantine column carried by [[readCsvPermissive]]. */
+  val CorruptCol = "_corrupt_record"
+
+  /** Corrupt-tolerant CSV scan: PERMISSIVE parse with the raw text of any
+    * unparseable line captured in [[CorruptCol]] (typed columns null for
+    * that row). At 100 TB a single mangled line must neither kill the job
+    * (FAILFAST) nor vanish silently (DROPMALFORMED) — quarantine keeps
+    * the pipeline running AND the evidence queryable.
+    *
+    * The frame is cached before returning: Spark disallows queries whose
+    * referenced columns are ONLY the internal corrupt-record column on a
+    * raw scan (the parser would have to re-run per consumer with
+    * divergent results), and the [[quarantine]] split needs exactly that
+    * query shape. Caching also means the (expensive) permissive parse
+    * runs once for both halves of the split. */
+  def readCsvPermissive(spark: SparkSession, paths: Seq[String],
+      schema: StructType, header: Boolean = true): DataFrame = {
+    val withCorrupt = schema.add(CorruptCol, StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(paths: _*)
+      .cache()
+  }
+
+  /** Rows that parsed cleanly, without the quarantine column. */
+  def clean(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** The raw text of every line that failed the schema — route to a bad-
+    * records sink for triage/replay. */
+  def quarantine(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNotNull).select(CorruptCol)
 }

@@ -83,6 +83,30 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 200)
   }
 
+  test("permissive CSV ingest quarantines malformed rows instead of dying or dropping") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv")
+    val f = dir.resolve("part1.csv")
+    java.nio.file.Files.writeString(f,
+      """id,qty,name
+        |1,10,alpha
+        |2,notanumber,beta
+        |3,30,gamma
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType),
+      StructField("name", StringType)))
+    val parsed = Ingest.readCsvPermissive(spark, Seq(f.toString), schema)
+    val good = Ingest.clean(parsed)
+    val bad = Ingest.quarantine(parsed)
+    assert(good.count() == 2)
+    assert(good.filter(col("id") === 2L).count() == 0)
+    assert(bad.count() == 1)
+    // The quarantined line is the raw text, evidence intact.
+    assert(bad.head().getString(0).contains("notanumber"))
+    parsed.unpersist()
+  }
+
   test("CSV sink round-trips exactly, including doubles") {
     import spark.implicits._
     val path = s"${Sinks.scratch}/ingest-spec-csv"
