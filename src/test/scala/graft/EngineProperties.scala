@@ -51,6 +51,23 @@ object EngineProperties extends Properties("Engine") {
       }
     }
 
+  property("saltedInner == plain inner join for any key multisets and salt") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 100L))),
+      Gen.listOf(Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 100L))),
+      Gen.choose(1, 7)) { (probe, build, salt) =>
+      import spark.implicits._
+      import graft.engine.Joins
+      val p = probe.toDF("k", "pv")
+      val b = build.toDF("k", "bv")
+      val plain = p.join(b, Seq("k")).select("k", "pv", "bv")
+      val salted = Joins.saltedInner(p, b, "k", salt).select("k", "pv", "bv")
+      // Multiset equality: duplicates on either side must multiply
+      // identically through the salted form.
+      salted.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(salted).count() == 0
+    }
+
   property("union then distinct == distinct of distincts (G1 idempotence)") =
     forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) {
       (a, b) =>
