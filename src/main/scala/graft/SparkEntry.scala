@@ -431,7 +431,26 @@ object SparkEntry {
     // Per-language corpus profile: one scan, one agg, all exact.
     "q47_corpus_profile" -> ((s, dir) =>
       Curation.corpusProfile(Tables.documents(s, dir), "text")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // JSONL round-trip of the documents table (schema-pinned read).
+    "q48_jsonl_roundtrip" -> ((s, dir) => {
+      val path = s"${Sinks.scratch}/q48_jsonl"
+      val docs = Tables.documents(s, dir)
+      Sinks.writeJsonl(docs, path)
+      Ingest.readJsonl(s, Seq(path), docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ORC round-trip of the documents table.
+    "q49_orc_roundtrip" -> ((s, dir) => {
+      val path = s"${Sinks.scratch}/q49_orc"
+      Sinks.writeOrc(Tables.documents(s, dir), path)
+      Ingest.readOrc(s, Seq(path))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    })
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -820,6 +839,12 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q47_corpus_profile" ->
-      (Curation.corpusProfileSql() + "\nORDER BY lang")
+      (Curation.corpusProfileSql() + "\nORDER BY lang"),
+
+    // Round-trips must reproduce the source table exactly.
+    "q48_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q49_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
   )
 }

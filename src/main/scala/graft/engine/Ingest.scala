@@ -32,6 +32,21 @@ object Ingest {
     if (keepCols.nonEmpty) df.select(keepCols.map(col): _*) else df
   }
 
+  /** JSONL (one JSON object per line — the training-data interchange
+    * format) scan with a pinned schema. Never rely on Spark's schema
+    * inference at scale: it runs a whole extra pass over the data and
+    * infers per-batch types that drift between ingests; a declared
+    * schema makes the scan single-pass and the types stable. JSONL
+    * splits by line, so one big file still fans out across tasks. */
+  def readJsonl(spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(paths: _*)
+
+  /** ORC scan — columnar like parquet (pruning + predicate pushdown via
+    * stripe statistics), for interop with ORC-standardized warehouses. */
+  def readOrc(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.orc(paths: _*)
+
   /** Name of the quarantine column carried by [[readCsvPermissive]]. */
   val CorruptCol = "_corrupt_record"
 

@@ -61,6 +61,17 @@ object Sinks {
       .parquet(path)
   }
 
+  /** JSONL sink (Spark's json writer is one object per line). Text fields
+    * with newlines/unicode are JSON-escaped, so the line = record
+    * invariant holds for any content. */
+  def writeJsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** ORC sink — same columnar properties as parquet (see [[writeParquet]]),
+    * for ORC-standardized consumers. */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** A5 — headered CSV sink, single file like the reference's cache CSVs. */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.coalesce(1).write.mode(mode).option("header", "true").csv(path)

@@ -107,6 +107,27 @@ class IngestSpec extends SparkSpec {
     parsed.unpersist()
   }
 
+  test("JSONL round-trips hostile strings; ORC pushes predicates to the scan") {
+    import spark.implicits._
+    // Newlines, quotes, unicode: JSON escaping must keep line == record.
+    val hostile = Seq((1L, "line1\nline2"), (2L, "quote \" and \\ slash"),
+      (3L, "naïve 中文 👍")).toDF("id", "text")
+    val jpath = s"${Sinks.scratch}/ingest-spec-jsonl"
+    Sinks.writeJsonl(hostile, jpath)
+    val jback = Ingest.readJsonl(spark, Seq(jpath), hostile.schema)
+    assert(jback.count() == 3)
+    assert(jback.except(hostile).count() == 0)
+    assert(hostile.except(jback).count() == 0)
+
+    val opath = s"${Sinks.scratch}/ingest-spec-orc"
+    Sinks.writeOrc(hostile, opath)
+    val oback = Ingest.readOrc(spark, Seq(opath)).filter(col("id") === 2L)
+    assert(oback.count() == 1)
+    val plan = oback.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,2)"),
+      s"ORC scan did not receive the pushed filter:\n$plan")
+  }
+
   test("CSV sink round-trips exactly, including doubles") {
     import spark.implicits._
     val path = s"${Sinks.scratch}/ingest-spec-csv"
