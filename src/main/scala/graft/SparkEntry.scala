@@ -450,7 +450,16 @@ object SparkEntry {
       Ingest.readOrc(s, Seq(path))
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Pivot: airline × month on-time matrix (explicit value list).
+    "q50_pivot" -> ((s, dir) =>
+      Aggregates.onTimePivot(am(s, dir)).orderBy("airline_name")),
+
+    // ROLLUP subtotals in one pass, sentinel-coalesced group keys.
+    "q51_rollup" -> ((s, dir) =>
+      Aggregates.delayRollup(wide(s, dir))
+        .orderBy("airline_name", "month"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -845,6 +854,13 @@ object SparkEntry {
     "q48_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q49_orc_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "q50_pivot" -> s"""$airlineMonthlyCte
+      |${Aggregates.onTimePivotSql}
+      |ORDER BY airline_name""".stripMargin,
+
+    "q51_rollup" -> (withWide(Aggregates.delayRollupSql) +
+      "\nORDER BY airline_name, month")
   )
 }

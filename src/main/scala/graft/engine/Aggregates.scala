@@ -178,4 +178,52 @@ object Aggregates {
     * (`/root/reference/src/app.py:56,62`). */
   def distinctSorted(df: DataFrame, column: String): DataFrame =
     df.select(column).distinct().orderBy(column)
+
+  /** D-ext — the BI wide-matrix form of the rollup: one row per airline,
+    * one column per month (`pivot` with an EXPLICIT value list — an
+    * unlisted-values pivot needs a discovery pass over the data and makes
+    * the output schema data-dependent, both wrong at scale). `max` over
+    * the single (airline, month) cell keeps the agg trivially exact. */
+  def onTimePivot(am: DataFrame): DataFrame = {
+    val months = 1 to 12
+    am.groupBy("airline_name")
+      .pivot("month", months)
+      .agg(max("on_time_rate"))
+      .select(col("airline_name") +:
+        months.map(m => col(m.toString).as(f"m$m%02d")): _*)
+  }
+
+  /** Oracle twin of [[onTimePivot]] (FROM an `am` CTE): the classic
+    * conditional-aggregation spelling of a pivot. */
+  val onTimePivotSql: String =
+    "SELECT airline_name, " +
+      (1 to 12).map(m =>
+        f"MAX(CASE WHEN month = $m THEN on_time_rate END) AS m$m%02d")
+        .mkString(", ") +
+      " FROM am GROUP BY airline_name"
+
+  /** D-ext — ROLLUP subtotals over (airline, month): detail rows plus
+    * per-airline and grand totals in one aggregation pass (Spark plans a
+    * single expand + hash agg, not three jobs). Group keys are
+    * sentinel-coalesced ('ALL' / -1) so the output carries no NULL keys —
+    * NULL ordering and NULL hashing differ across engines, sentinels
+    * don't. */
+  def delayRollup(wide: DataFrame): DataFrame =
+    wide.rollup(col("airline_name"), col("month"))
+      .agg(count(lit(1)).as("n_flights"),
+        sum("dep_del15").as("delayed_sum"),
+        sumExact(col("delay_minutes")).as("delay_minutes_sum"))
+      .select(
+        coalesce(col("airline_name"), lit("ALL")).as("airline_name"),
+        coalesce(col("month"), lit(-1)).as("month"),
+        col("n_flights"), col("delayed_sum"), col("delay_minutes_sum"))
+
+  /** Oracle twin of [[delayRollup]] (FROM a `wide` CTE). */
+  val delayRollupSql: String =
+    s"""SELECT COALESCE(airline_name, 'ALL') AS airline_name,
+       |  COALESCE(month, -1) AS month,
+       |  COUNT(*) AS n_flights,
+       |  CAST(SUM(dep_del15) AS BIGINT) AS delayed_sum,
+       |  ${sumExactSql("delay_minutes")} AS delay_minutes_sum
+       |FROM wide GROUP BY ROLLUP (airline_name, month)""".stripMargin
 }

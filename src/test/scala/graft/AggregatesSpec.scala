@@ -17,6 +17,36 @@ class AggregatesSpec extends SparkSpec {
     assert(total == wide.count())
   }
 
+  test("pivot matrix: one row per airline, cells == the long-form rollup") {
+    val piv = Aggregates.onTimePivot(am).cache()
+    assert(piv.count() == am.select("airline_name").distinct().count())
+    // Spot-reconcile every long-form cell against its pivoted position.
+    val longForm = am.select("airline_name", "month", "on_time_rate").collect()
+    val byAirline = piv.collect()
+      .map(r => r.getString(0) -> r).toMap
+    longForm.foreach { r =>
+      val cell = byAirline(r.getString(0))
+        .getAs[Double](f"m${r.getInt(1)}%02d")
+      assert(cell == r.getDouble(2))
+    }
+    piv.unpersist()
+  }
+
+  test("rollup: detail + per-airline + grand total reconcile in one pass") {
+    val ru = Aggregates.delayRollup(wide).cache()
+    val grand = ru.filter(col("airline_name") === "ALL" && col("month") === -1)
+    assert(grand.count() == 1)
+    assert(grand.head().getAs[Long]("n_flights") == wide.count())
+    // Per-airline subtotal == sum of that airline's detail rows.
+    val airline = wide.select("airline_name").head().getString(0)
+    val detailSum = ru.filter(col("airline_name") === airline && col("month") =!= -1)
+      .agg(sum("n_flights")).head().getLong(0)
+    val subtotal = ru.filter(col("airline_name") === airline && col("month") === -1)
+      .head().getAs[Long]("n_flights")
+    assert(detailSum == subtotal)
+    ru.unpersist()
+  }
+
   test("avg is partitioning-invariant — fixes reference quirk Q1 " +
     "(sum-of-per-chunk-means, aggregate_flight_data.py:37)") {
     val one = Aggregates.airlineMonthlyPerformance(wide.repartition(1))
