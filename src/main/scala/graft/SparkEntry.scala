@@ -459,7 +459,55 @@ object SparkEntry {
     // ROLLUP subtotals in one pass, sentinel-coalesced group keys.
     "q51_rollup" -> ((s, dir) =>
       Aggregates.delayRollup(wide(s, dir))
-        .orderBy("airline_name", "month"))
+        .orderBy("airline_name", "month")),
+
+    // Backward as-of join (purchase attribution): each purchase matched
+    // to the latest view by the same user at-or-before it — one shuffle
+    // on user_id, no range-join row blowup (Joins.asofBackward).
+    // Ties resolve to the greatest (view_ts, view_id); unattributed
+    // purchases (no prior view) are dropped.
+    "q52_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      Joins.asofBackward(purchases, views, "user_id",
+        leftTs = "purchase_ts", rightTs = "view_ts")
+        .where(col("view_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("view_id"), col("view_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
+    // Binned interval join: events against 90-minute "surge" windows
+    // (hours ≥ 1.3× the mean hourly rate). The windows OVERLAP and do
+    // not align to the 15-minute bin grid, so the residual range filter
+    // is genuinely load-bearing; the join itself is a shuffle equi-join
+    // on bin id — no BroadcastNestedLoopJoin at any interval count.
+    "q53_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+        .agg(count(lit(1)).as("n"))
+      val thresh = hourly.agg((avg("n") * 1.3).as("_t"))
+      val surge = hourly.crossJoin(broadcast(thresh))
+        .where(col("n") >= col("_t"))
+        .select(col("w_start"),
+          (col("w_start") + expr("INTERVAL 90 MINUTE")).as("w_end"))
+      Joins.binnedIntervalJoin(ev, "ts", surge, "w_start", "w_end",
+        binSeconds = 900)
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"),
+          Aggregates.sumExact(col("value")).as("value_sum"))
+        .orderBy("w_start")
+    })
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -861,6 +909,36 @@ object SparkEntry {
       |ORDER BY airline_name""".stripMargin,
 
     "q51_rollup" -> (withWide(Aggregates.delayRollupSql) +
-      "\nORDER BY airline_name, month")
+      "\nORDER BY airline_name, month"),
+
+    // The naive range-join + argmax spelling of the as-of join (fine at
+    // oracle scale; the Spark side must never plan this shape).
+    "q52_asof_join" ->
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
+         |    ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+         |  FROM events WHERE event_type = 'view'),
+         |j AS (SELECT purchase_id, p.user_id, purchase_ts, view_id, view_ts,
+         |    row_number() OVER (PARTITION BY purchase_id
+         |      ORDER BY view_ts DESC, view_id DESC) AS rn
+         |  FROM p JOIN v ON p.user_id = v.user_id
+         |    AND v.view_ts <= p.purchase_ts)
+         |SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
+         |  CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // The naive inequality-join spelling of the interval join.
+    "q53_interval_join" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', ts) AS w_start,
+         |    count(*) AS n FROM events GROUP BY 1),
+         |surge AS (SELECT w_start, w_start + INTERVAL 90 MINUTE AS w_end
+         |  FROM hourly WHERE n >= 1.3 * (SELECT avg(n) FROM hourly))
+         |SELECT s.w_start, count(*) AS n_events,
+         |  CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_errors,
+         |  ${Aggregates.sumExactSql("e.value")} AS value_sum
+         |FROM events e JOIN surge s
+         |  ON e.ts >= s.w_start AND e.ts < s.w_end
+         |GROUP BY s.w_start ORDER BY s.w_start""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation joins for large×large shuffles.
@@ -49,5 +50,88 @@ object Joins {
     val saltedBuild = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedProbe.join(saltedBuild, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Backward as-of join — for every left row, attach the single right
+    * row with the greatest `(rightTs, remaining right columns)` such that
+    * `rightTs <= leftTs`, within the same `key` group. LEFT semantics:
+    * an unmatched left row keeps null right fields. Output columns are
+    * the left columns followed by the right columns minus `key`
+    * (`rightTs` first).
+    *
+    * Spark has no ASOF JOIN; the naive relational spelling is a range
+    * join (`l.key = r.key AND r.ts <= l.ts` plus an argmax) whose
+    * matched-pair count is quadratic per key. This is the scalable
+    * shape instead: tag both inputs, UNION them, and take a running
+    * `last(right_struct, ignoreNulls)` over a window partitioned by
+    * `key` and ordered by `(ts, side, right_struct)` — ONE shuffle on
+    * `key`, one per-group sort, zero row blowup no matter how many right
+    * rows precede a left row. Right rows order before left rows at equal
+    * timestamps, so the match is inclusive; ties among right rows at the
+    * same timestamp resolve to the struct-greatest row (deterministic
+    * when the right payload carries a unique id). */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayload = rightTs +: right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    require(lCols.intersect(rPayload).isEmpty,
+      s"left/right column collision: ${lCols.intersect(rPayload).mkString(",")}")
+    val lStruct = struct(lCols.map(col): _*)
+    val rStruct = struct(rPayload.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val lTagged = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts").asc, col("_side").asc, col("_r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("_m", last("_r", ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(lCols.map(c => col(s"_l.$c")) ++
+        rPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** Inner join of timestamped points to (possibly overlapping)
+    * `[start, end)` intervals WITHOUT a nested loop. A raw
+    * `pt >= start AND pt < end` predicate has no equi-key, so Catalyst
+    * plans BroadcastNestedLoopJoin — O(|points|·|intervals|) compares,
+    * and a driver OOM the moment the interval side outgrows the
+    * broadcast threshold. Binning restores an equi-key: each interval
+    * explodes into the fixed-width time bins it overlaps, each point
+    * maps to its one bin, the join runs as a plain shuffle equi-join on
+    * the bin id, and the residual range predicate removes same-bin
+    * non-overlaps. Row blowup is `interval_span / binSeconds` per
+    * interval — size `binSeconds` near the typical interval length so
+    * the explode stays O(1) per interval.
+    *
+    * Bin ids are computed with integral `div` on epoch MICROSECONDS
+    * (double division would lose integer precision above 2^53 ≈ 104 days
+    * of microseconds). `div` truncates toward zero, so pre-1970
+    * timestamps are out of contract. */
+  def binnedIntervalJoin(points: DataFrame, pointTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be > 0, got $binSeconds")
+    val widthUs = binSeconds * 1000000L
+    val binnedIntervals = intervals
+      // An empty interval matches nothing — and would otherwise make
+      // `sequence` (which runs DESCENDING when start > stop) fabricate bins.
+      .where(col(startCol) < col(endCol))
+      .withColumn("_s_us", unix_micros(col(startCol)))
+      .withColumn("_e_us", unix_micros(col(endCol)))
+      .withColumn("_bin", explode(sequence(
+        expr(s"_s_us div ${widthUs}L"),
+        // end is exclusive: the last overlapped bin holds end - 1 µs.
+        expr(s"(_e_us - 1L) div ${widthUs}L"))))
+      .drop("_s_us", "_e_us")
+    points
+      .withColumn("_p_us", unix_micros(col(pointTs)))
+      .withColumn("_bin", expr(s"_p_us div ${widthUs}L"))
+      .join(binnedIntervals, Seq("_bin"))
+      .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("_bin", "_p_us")
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Joins
@@ -58,5 +59,90 @@ class JoinsSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  // ---------------------------------------------------------------- as-of
+
+  // Dense tie territory: 10 keys × timestamps drawn from only 50 values,
+  // so equal-timestamp matches (inclusive bound) and equal-timestamp
+  // right-side ties (struct tiebreak) both occur many times.
+  private def asofSides = {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val left = (0 until 300).map(i =>
+      (rng.nextInt(10).toLong, rng.nextInt(50).toLong, i.toLong))
+      .toDF("k", "lts", "lid")
+    val right = (0 until 300).map(i =>
+      (rng.nextInt(10).toLong, rng.nextInt(50).toLong, 1000L + i))
+      .toDF("k", "rts", "rid")
+    (left, right)
+  }
+
+  test("asofBackward equals the naive range-join + argmax (ties included)") {
+    val (left, right) = asofSides
+    val got = Joins.asofBackward(left, right, "k", "lts", "rts")
+      .select("k", "lts", "lid", "rts", "rid")
+    val w = Window.partitionBy("lid")
+      .orderBy(col("rts").desc_nulls_last, col("rid").desc_nulls_last)
+    val naive = left
+      .join(right.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && col("rts") <= col("lts"), "left")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("k", "lts", "lid", "rts", "rid")
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    // LEFT semantics: exactly one output row per left row, matched or not.
+    assert(got.count() == left.count())
+    assert(got.where(col("rts").isNull).count() > 0,
+      "test data must exercise the unmatched-left path")
+  }
+
+  test("asofBackward plans a window, not a join") {
+    val (left, right) = asofSides
+    val plan = Joins.asofBackward(left, right, "k", "lts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan any join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window exec:\n$plan")
+  }
+
+  // ------------------------------------------------------- interval join
+
+  test("binnedIntervalJoin equals the naive cross-filter, overlapping and empty intervals included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val points = (0 until 400).map(i =>
+      (i.toLong, rng.nextLong(1000000000L))).toDF("pid", "us")
+      .select(col("pid"), timestamp_micros(col("us")).as("ts"))
+    val intervals = (0 until 60).map { i =>
+      val s = rng.nextLong(1000000000L)
+      // ~1/6 empty ([s, s)); the rest up to ~50 s long (bins are 7 s wide,
+      // so intervals span multiple bins and never align to the grid).
+      val len = if (i % 6 == 0) 0L else rng.nextLong(50000000L)
+      (1000L + i, s, s + len)
+    }.toDF("iid", "s_us", "e_us")
+      .select(col("iid"), timestamp_micros(col("s_us")).as("w_start"),
+        timestamp_micros(col("e_us")).as("w_end"))
+    val got = Joins.binnedIntervalJoin(points, "ts", intervals,
+      "w_start", "w_end", binSeconds = 7).select("pid", "iid")
+    val naive = points.crossJoin(intervals)
+      .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "iid")
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    assert(naive.count() > 0, "test data must produce matches")
+  }
+
+  test("binnedIntervalJoin plans an equi-join, never a nested loop") {
+    import spark.implicits._
+    val points = Seq((1L, 1000000L)).toDF("pid", "us")
+      .select(col("pid"), timestamp_micros(col("us")).as("ts"))
+    val intervals = Seq((9L, 0L, 2000000L)).toDF("iid", "s_us", "e_us")
+      .select(col("iid"), timestamp_micros(col("s_us")).as("w_start"),
+        timestamp_micros(col("e_us")).as("w_end"))
+    val plan = Joins.binnedIntervalJoin(points, "ts", intervals,
+      "w_start", "w_end", binSeconds = 60)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"interval join must stay an equi-join:\n$plan")
   }
 }
