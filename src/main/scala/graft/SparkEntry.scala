@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Joins, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
-import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Jdbc
 import graft.streaming.EventStream
 
@@ -507,7 +507,26 @@ object SparkEntry {
             .as("n_errors"),
           Aggregates.sumExact(col("value")).as("value_sum"))
         .orderBy("w_start")
-    })
+    }),
+
+    // Gopher-style within-document repetition signals (dup n-gram
+    // fractions as one codegen projection; top-word share via
+    // explode + two-level agg).
+    "q54_repetition" -> ((s, dir) =>
+      CorpusStats.repetitionMetrics(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("doc_id")),
+
+    // Top TF-IDF term per document (inverted-index shape; rounded-score
+    // ordering so the winner is engine-independent).
+    "q55_tfidf" -> ((s, dir) =>
+      CorpusStats.tfidfTop1(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Order-preserving vocabulary prune: drop tokens present in > 75% of
+    // documents, reassemble the survivors in document order.
+    "q56_vocab_prune" -> ((s, dir) =>
+      CorpusStats.vocabPrune(Tables.documents(s, dir), "doc_id", "text",
+        maxDfFrac = 0.75).orderBy("doc_id"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -939,6 +958,14 @@ object SparkEntry {
          |  ${Aggregates.sumExactSql("e.value")} AS value_sum
          |FROM events e JOIN surge s
          |  ON e.ts >= s.w_start AND e.ts < s.w_end
-         |GROUP BY s.w_start ORDER BY s.w_start""".stripMargin
+         |GROUP BY s.w_start ORDER BY s.w_start""".stripMargin,
+
+    "q54_repetition" ->
+      (CorpusStats.repetitionMetricsSql() + "\nORDER BY doc_id"),
+
+    "q55_tfidf" -> (CorpusStats.tfidfTop1Sql() + "\nORDER BY doc_id"),
+
+    "q56_vocab_prune" ->
+      (CorpusStats.vocabPruneSql(0.75) + "\nORDER BY doc_id")
   )
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, TextKernels}
+
+/** Corpus-statistics operators for training-data curation: within-document
+  * repetition metrics (the Gopher-style quality signals), TF-IDF keyword
+  * extraction, and order-preserving vocabulary pruning.
+  *
+  * Scale shape: the per-document metrics are pure projections over native
+  * kernels ([[TextKernels]]) — one scan, full codegen, no shuffle. The
+  * corpus-level ops (document frequency, TF-IDF) explode to one row per
+  * token occurrence and aggregate back — two shuffles keyed on word /
+  * (doc, word), both with map-side partial aggregation, the standard
+  * inverted-index shape that holds at any corpus size.
+  */
+object CorpusStats {
+
+  private def tokensWithPos(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+
+  // -------------------------------------------------- repetition metrics
+
+  /** Within-document repetition signals (Rae et al., "Scaling Language
+    * Models" [Gopher], App. A quality filters): fraction of duplicated
+    * word 2-grams / 3-grams, and the frequency share of the most common
+    * token. High values mark boilerplate and degenerate repetition that
+    * a pretraining pipeline drops before training.
+    *
+    * The n-gram fractions are a single codegen projection (native
+    * shingle kernel + `array_distinct`); the top-word share needs true
+    * per-(doc, word) counts, so it explodes and re-aggregates, then
+    * joins back to the projection on the document key. */
+  def repetitionMetrics(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def dupFrac(n: Int): Column = {
+      val sh = TextKernels.shinglesCol(col(textCol), n)
+      round((size(sh) - size(array_distinct(sh))).cast("double") / size(sh), 6)
+    }
+    val gramSide = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
+    val topWord = tokensWithPos(docs, idCol, textCol)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(round(max("cnt").cast("double") / sum("cnt"), 6)
+        .as("top_word_frac"))
+    gramSide.join(topWord, idCol)
+  }
+
+  /** Oracle twin of [[repetitionMetrics]] (DuckDB dialect, `documents`
+    * table hard-wired). Mirrors the kernel's shingle construction: a
+    * document shorter than `n` tokens contributes its whole text as one
+    * shingle. */
+  def repetitionMetricsSql(): String = {
+    def grams(n: Int) = {
+      val toks = "string_split(text, ' ')"
+      s"""CASE WHEN len($toks) >= $n
+         |  THEN list_transform(range(1, len($toks) - ${n - 1} + 1),
+         |    i -> array_to_string($toks[i:i+${n - 1}], ' '))
+         |  ELSE [array_to_string($toks, ' ')] END""".stripMargin
+    }
+    def dupFrac(n: Int) =
+      s"round(CAST(len(g$n) - len(list_distinct(g$n)) AS DOUBLE) / len(g$n), 6)"
+    s"""WITH g AS (SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    ${grams(2)} AS g2, ${grams(3)} AS g3
+       |  FROM documents),
+       |gm AS (SELECT doc_id, n_tokens,
+       |    ${dupFrac(2)} AS dup_2gram_frac,
+       |    ${dupFrac(3)} AS dup_3gram_frac
+       |  FROM g),
+       |tw AS (SELECT doc_id,
+       |    round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_word_frac
+       |  FROM (SELECT doc_id, w, count(*) AS cnt
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) t
+       |    GROUP BY doc_id, w) c
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+       |  top_word_frac
+       |FROM gm JOIN tw USING (doc_id)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- TF-IDF
+
+  /** Top TF-IDF term per document: `score = tf · ln(N / df)`, ties (after
+    * rounding to 6 decimals) broken by term ascending. The rounding is in
+    * the ORDER BY on purpose — raw double scores can differ by an ulp
+    * between engines (libm vs StrictMath `log`), and the winner must not.
+    *
+    * Plan: explode → (doc, term) counts → term document frequencies →
+    * broadcast the (tiny relative to the corpus) df table back onto the
+    * tf table → per-doc top-1 window. */
+  def tfidfTop1(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = tokensWithPos(docs, idCol, textCol)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col(idCol), col("w").as("term"), col("score"))
+  }
+
+  /** Oracle twin of [[tfidfTop1]] (`documents` hard-wired). */
+  def tfidfTop1Sql(): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |n AS (SELECT count(*) AS _n FROM documents),
+       |scored AS (SELECT doc_id, w,
+       |    round(tf * ln(CAST(_n AS DOUBLE) / df), 6) AS score
+       |  FROM tf JOIN df USING (w), n),
+       |top AS (SELECT doc_id, w, score, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, w AS term, score FROM top WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------- vocab prune
+
+  /** Order-preserving vocabulary prune: drop every token whose corpus
+    * document frequency exceeds `maxDfFrac · N` (ubiquitous glue words
+    * carry no training signal), and reassemble each document from its
+    * surviving tokens in original order. Documents with no survivors
+    * drop out entirely.
+    *
+    * Order restoration without an interpreted lambda: each surviving
+    * token is prefixed with its zero-padded position, `sort_array` puts
+    * the collected list back in document order (fixed-width pad ⇒
+    * lexicographic = numeric), and one `regexp_replace` strips the
+    * prefixes after `concat_ws` — every step codegen'd or a plain
+    * aggregation buffer. Caps documents at 1M tokens (the pad width). */
+  def vocabPrune(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFrac: Double): DataFrame = {
+    val toks = tokensWithPos(docs, idCol, textCol)
+    val dfreq = toks.groupBy("w")
+      .agg(count_distinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    // The surviving vocabulary is tiny next to the token stream; AQE
+    // broadcasts it in practice — no hint, so a genuinely huge vocab
+    // can still shuffle.
+    val keep = dfreq.crossJoin(broadcast(n))
+      .where(col("df") <= col("_n") * maxDfFrac).select("w")
+    toks.join(keep, "w")
+      .groupBy(col(idCol))
+      .agg(regexp_replace(
+        concat_ws(" ",
+          sort_array(collect_list(format_string("%06d~%s", col("pos"), col("w"))))),
+        "(^| )[0-9]{6}~", "$1").as("text_pruned"))
+  }
+
+  /** Oracle twin of [[vocabPrune]] (`documents` hard-wired; DuckDB's
+    * ordered `string_agg` replaces the pad-sort-strip construction). */
+  def vocabPruneSql(maxDfFrac: Double): String =
+    s"""WITH t AS (SELECT doc_id, unnest(toks) AS w,
+       |    unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |    FROM documents) _),
+       |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w),
+       |n AS (SELECT count(*) AS _n FROM documents),
+       |keep AS (SELECT w FROM df, n WHERE df <= _n * $maxDfFrac)
+       |SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_pruned
+       |FROM t JOIN keep USING (w)
+       |GROUP BY doc_id""".stripMargin
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+/** Hand-computed fixtures for the corpus-statistics operators. */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetitionMetrics matches hand-computed fractions") {
+    // "a a a b": 2-grams [a a, a a, a b] → dup 1/3; 3-grams
+    // [a a a, a a b] → dup 0; top word a = 3/4.
+    val d = docs(1L -> "a a a b", 2L -> "x y")
+    val m = CorpusStats.repetitionMetrics(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getAs[Long]("n_tokens") == 4L)
+    assert(m(0).getAs[Double]("dup_2gram_frac") == 0.333333)
+    assert(m(0).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(m(0).getAs[Double]("top_word_frac") == 0.75)
+    // 2 tokens → one 2-gram, zero dups; 3-gram falls back to whole text.
+    assert(m(1).getAs[Long]("n_tokens") == 2L)
+    assert(m(1).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(m(1).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(m(1).getAs[Double]("top_word_frac") == 0.5)
+  }
+
+  test("tfidfTop1 picks the highest tf·idf term, term-ascending on ties") {
+    // "rare" appears twice in doc 1 only (tf=2, df=1); "common" is in
+    // every doc (idf = ln(1) = 0). Doc 3 is all-common → every term
+    // scores 0 and the tie falls to the alphabetically first.
+    val d = docs(
+      1L -> "common rare rare",
+      2L -> "common blue",
+      3L -> "common zed alpha")
+    val top = CorpusStats.tfidfTop1(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(top(0).getAs[String]("term") == "rare")
+    assert(top(0).getAs[Double]("score") == math.rint(2 * math.log(3.0) * 1e6) / 1e6)
+    assert(top(1).getAs[String]("term") == "blue")
+    assert(top(2).getAs[String]("term") == "alpha")
+  }
+
+  test("vocabPrune preserves token order and drops empty survivors") {
+    // "the" is in 3/3 docs → pruned at maxDfFrac=0.9; doc 3 is all-"the"
+    // so it vanishes. Doc 1 has >10 surviving tokens so numeric order
+    // vs string order of positions diverges unless the pad is applied.
+    val many = (0 until 12).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> s"the $many the",
+      2L -> "the quick fox",
+      3L -> "the the the")
+    val pruned = CorpusStats.vocabPrune(d, "doc_id", "text", 0.9)
+      .orderBy("doc_id").collect()
+    assert(pruned.length == 2, "the all-pruned doc must drop out")
+    assert(pruned(0).getAs[String]("text_pruned") == many)
+    assert(pruned(1).getAs[String]("text_pruned") == "quick fox")
+  }
+}
