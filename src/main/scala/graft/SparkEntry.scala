@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Joins, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
-import graft.operators.{CorpusStats, Curation, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, Multimodal, Privacy, Sampling, Similarity}
 import graft.sources.Jdbc
 import graft.streaming.EventStream
 
@@ -526,7 +526,29 @@ object SparkEntry {
     // documents, reassemble the survivors in document order.
     "q56_vocab_prune" -> ((s, dir) =>
       CorpusStats.vocabPrune(Tables.documents(s, dir), "doc_id", "text",
-        maxDfFrac = 0.75).orderBy("doc_id"))
+        maxDfFrac = 0.75).orderBy("doc_id")),
+
+    // k-anonymous pseudonymized customer extract (k=5 over the
+    // (acctbal band, segment) quasi-identifier).
+    "q57_anonymize" -> ((s, dir) =>
+      Privacy.anonymizeCustomers(Tables.customer(s, dir), k = 5)
+        .orderBy("pseudo_id")),
+
+    // Month-over-month delta + exact-decimal 3-month trailing mean.
+    "q58_mom_delta" -> ((s, dir) =>
+      Aggregates.momDelta(am(s, dir)).orderBy("airline_name", "month")),
+
+    // CUBE lattice over (airline, month), sentinel-coalesced.
+    "q59_cube" -> ((s, dir) =>
+      Aggregates.delayCube(wide(s, dir)).orderBy("airline_name", "month")),
+
+    // Exact interpolated per-airline delay percentiles.
+    "q60_percentiles" -> ((s, dir) =>
+      Aggregates.delayPercentiles(wide(s, dir)).orderBy("airline_name")),
+
+    // Heavy-tail trim: per-airline mean of delays at or under own p99.
+    "q61_outlier_trim" -> ((s, dir) =>
+      Aggregates.outlierTrim(wide(s, dir)).orderBy("airline_name"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -966,6 +988,22 @@ object SparkEntry {
     "q55_tfidf" -> (CorpusStats.tfidfTop1Sql() + "\nORDER BY doc_id"),
 
     "q56_vocab_prune" ->
-      (CorpusStats.vocabPruneSql(0.75) + "\nORDER BY doc_id")
+      (CorpusStats.vocabPruneSql(0.75) + "\nORDER BY doc_id"),
+
+    "q57_anonymize" ->
+      (Privacy.anonymizeCustomersSql(5) + "\nORDER BY pseudo_id"),
+
+    "q58_mom_delta" -> s"""$airlineMonthlyCte
+      |${Aggregates.momDeltaSql}
+      |ORDER BY airline_name, month""".stripMargin,
+
+    "q59_cube" -> (withWide(Aggregates.delayCubeSql) +
+      "\nORDER BY airline_name, month"),
+
+    "q60_percentiles" -> (withWide(Aggregates.delayPercentilesSql) +
+      "\nORDER BY airline_name"),
+
+    "q61_outlier_trim" -> (withWide(Aggregates.outlierTrimSql) +
+      "\nORDER BY airline_name")
   )
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -226,4 +227,107 @@ object Aggregates {
        |  CAST(SUM(dep_del15) AS BIGINT) AS delayed_sum,
        |  ${sumExactSql("delay_minutes")} AS delay_minutes_sum
        |FROM wide GROUP BY ROLLUP (airline_name, month)""".stripMargin
+
+  /** D-ext — CUBE over (airline, month): [[delayRollup]]'s lattice
+    * completed with the per-month slice, still one expand + one
+    * aggregation pass. Same sentinel-coalescing rationale. */
+  def delayCube(wide: DataFrame): DataFrame =
+    wide.cube(col("airline_name"), col("month"))
+      .agg(count(lit(1)).as("n_flights"),
+        sum("dep_del15").as("delayed_sum"),
+        sumExact(col("delay_minutes")).as("delay_minutes_sum"))
+      .select(
+        coalesce(col("airline_name"), lit("ALL")).as("airline_name"),
+        coalesce(col("month"), lit(-1)).as("month"),
+        col("n_flights"), col("delayed_sum"), col("delay_minutes_sum"))
+
+  /** Oracle twin of [[delayCube]] (FROM a `wide` CTE). */
+  val delayCubeSql: String =
+    delayRollupSql.replace("ROLLUP (", "CUBE (")
+
+  /** D-ext — month-over-month movement per airline: previous-month delta
+    * and a 3-month trailing mean of the mean delay. The trailing mean is
+    * spelled as `(x + lag1 + lag2) / n` with explicit left-to-right
+    * association rather than a windowed `avg`/decimal `sum`: a window
+    * aggregate leaves summation order to the engine, and a double→decimal
+    * quantization differs between engines at near-tie values (Spark
+    * rounds the exact binary expansion, DuckDB scales-and-rints) — two
+    * fixed-order IEEE adds are bit-identical everywhere. Nothing is
+    * rounded. One shuffle on airline; the lags share one sort. */
+  def momDelta(am: DataFrame): DataFrame = {
+    val w = Window.partitionBy("airline_name").orderBy("month")
+    val mean = col("delay_minutes_mean")
+    val l1 = lag(mean, 1).over(w)
+    val l2 = lag(mean, 2).over(w)
+    am.select(col("airline_name"), col("month"), mean,
+      (mean - l1).as("mom_delta"),
+      ((mean + coalesce(l1, lit(0.0)) + coalesce(l2, lit(0.0))) /
+        (lit(1) + l1.isNotNull.cast("int") + l2.isNotNull.cast("int")))
+        .as("ma3"))
+  }
+
+  /** Oracle twin of [[momDelta]] (FROM an `am` CTE). */
+  val momDeltaSql: String =
+    s"""SELECT airline_name, month, delay_minutes_mean,
+       |  delay_minutes_mean - lag(delay_minutes_mean, 1) OVER w
+       |    AS mom_delta,
+       |  ((delay_minutes_mean
+       |      + COALESCE(lag(delay_minutes_mean, 1) OVER w, 0.0))
+       |      + COALESCE(lag(delay_minutes_mean, 2) OVER w, 0.0))
+       |    / (1 + CAST(lag(delay_minutes_mean, 1) OVER w IS NOT NULL
+       |         AS INT)
+       |         + CAST(lag(delay_minutes_mean, 2) OVER w IS NOT NULL
+       |         AS INT)) AS ma3
+       |FROM am
+       |WINDOW w AS (PARTITION BY airline_name ORDER BY month)""".stripMargin
+
+  /** D-ext — exact interpolated delay percentiles per airline (p50/p90/
+    * p99). Spark's `percentile` is the exact linear-interpolation
+    * estimator (sorts each group's values; partial aggregation still
+    * applies because the buffer merges), matching DuckDB
+    * `quantile_cont`. For 100 TB dashboards swap in
+    * `approx_percentile` — same plan shape, bounded memory, no exact
+    * oracle. Rounded to 6 so the two engines' interpolation arithmetic
+    * cannot differ in the last ulp. */
+  def delayPercentiles(wide: DataFrame): DataFrame =
+    wide.groupBy("airline_name")
+      .agg(percentile(col("delay_minutes"), lit(0.5)).as("_p50"),
+        percentile(col("delay_minutes"), lit(0.9)).as("_p90"),
+        percentile(col("delay_minutes"), lit(0.99)).as("_p99"))
+      .select(col("airline_name"), round(col("_p50"), 6).as("p50"),
+        round(col("_p90"), 6).as("p90"), round(col("_p99"), 6).as("p99"))
+
+  /** Oracle twin of [[delayPercentiles]] (FROM a `wide` CTE). */
+  val delayPercentilesSql: String =
+    """SELECT airline_name,
+      |  round(quantile_cont(delay_minutes, 0.5), 6) AS p50,
+      |  round(quantile_cont(delay_minutes, 0.9), 6) AS p90,
+      |  round(quantile_cont(delay_minutes, 0.99), 6) AS p99
+      |FROM wide GROUP BY airline_name""".stripMargin
+
+  /** D-ext — percentile outlier trim: drop each airline's delays above
+    * its own p99, the standard heavy-tail trim before computing a mean
+    * that is supposed to describe typical behavior. The per-group p99
+    * table is airline-sized — broadcast back onto the fact scan, so the
+    * trim costs one extra agg, never a fact-side shuffle. */
+  def outlierTrim(wide: DataFrame): DataFrame = {
+    val cuts = wide.groupBy("airline_name")
+      .agg(percentile(col("delay_minutes"), lit(0.99)).as("_p99"))
+    wide.join(broadcast(cuts), "airline_name")
+      .where(col("delay_minutes") <= col("_p99"))
+      .groupBy("airline_name")
+      .agg(count(lit(1)).as("n_kept"),
+        avgExact(col("delay_minutes")).as("trimmed_mean"))
+  }
+
+  /** Oracle twin of [[outlierTrim]] (FROM a `wide` CTE; subquery rather
+    * than a second CTE so it composes under the `withWide` wrapper). */
+  val outlierTrimSql: String =
+    s"""SELECT airline_name, COUNT(*) AS n_kept,
+       |  ${avgExactSql("delay_minutes")} AS trimmed_mean
+       |FROM wide JOIN (SELECT airline_name,
+       |    quantile_cont(delay_minutes, 0.99) AS _p99
+       |  FROM wide GROUP BY airline_name) cuts USING (airline_name)
+       |WHERE delay_minutes <= _p99
+       |GROUP BY airline_name""".stripMargin
 }

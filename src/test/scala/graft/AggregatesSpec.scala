@@ -102,4 +102,40 @@ class AggregatesSpec extends SparkSpec {
       .select("cause").as[String].collect().toSet
     assert(causes == Set("carrier", "weather", "nas", "late_aircraft"))
   }
+
+  test("momDelta: first month has null delta, ma3 averages the open frame") {
+    val rows = Aggregates.momDelta(am)
+      .where(col("airline_name") === am.select(min("airline_name"))
+        .as[String].head())
+      .orderBy("month").collect()
+    val means = rows.map(_.getAs[Double]("delay_minutes_mean"))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("mom_delta")))
+    assert(rows(0).getAs[Double]("ma3") == means(0))
+    assert(rows(1).getAs[Double]("mom_delta") == means(1) - means(0))
+    assert(rows(1).getAs[Double]("ma3") == (means(1) + means(0)) / 2)
+    assert(rows(2).getAs[Double]("ma3") == (means(2) + means(1) + means(0)) / 3)
+  }
+
+  test("cube = rollup + the per-month slice") {
+    val rollup = Aggregates.delayRollup(wide)
+    val cube = Aggregates.delayCube(wide).cache()
+    assert(cube.exceptAll(rollup).count() ==
+      wide.select("month").distinct().count(),
+      "cube must add exactly one subtotal row per month")
+    assert(rollup.exceptAll(cube).count() == 0,
+      "every rollup row must appear in the cube")
+  }
+
+  test("outlier trim keeps at most the p99 mass and lowers the mean") {
+    val trimmed = Aggregates.outlierTrim(wide).cache()
+    val untrimmed = wide.groupBy("airline_name")
+      .agg(count(lit(1)).as("n_all"),
+        Aggregates.avgExact(col("delay_minutes")).as("mean_all"))
+    val j = trimmed.join(untrimmed, "airline_name").collect()
+    j.foreach { r =>
+      val kept = r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_all")
+      assert(kept >= 0.98 && kept <= 1.0, s"p99 trim kept $kept")
+      assert(r.getAs[Double]("trimmed_mean") <= r.getAs[Double]("mean_all"))
+    }
+  }
 }
