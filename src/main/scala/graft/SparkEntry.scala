@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Joins, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
-import graft.operators.{CorpusStats, Curation, Dedup, Multimodal, Privacy, Sampling, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, EventAnalytics, Merge, Multimodal, Privacy, Sampling, Similarity}
 import graft.sources.Jdbc
 import graft.streaming.EventStream
 
@@ -548,7 +548,70 @@ object SparkEntry {
 
     // Heavy-tail trim: per-airline mean of delays at or under own p99.
     "q61_outlier_trim" -> ((s, dir) =>
-      Aggregates.outlierTrim(wide(s, dir)).orderBy("airline_name"))
+      Aggregates.outlierTrim(wide(s, dir)).orderBy("airline_name")),
+
+    // I (ext) — multi-touch attribution: the stream-stream interval-join
+    // plan run in batch mode (EventStreamSpec drives the same plan from
+    // MemoryStreams and gets these exact rows).
+    "q62_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventStream.attributionJoin(
+        ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts")),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts")),
+        lookbackMinutes = 2880)
+        .orderBy("purchase_id", "view_id")
+    }),
+
+    // MERGE/upsert: refresh per-customer lifetime order totals with the
+    // month-12 change set (replace matched keys, insert new ones).
+    "q63_upsert" -> ((s, dir) => {
+      val ordersDf = Tables.orders(s, dir)
+      def totals(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            Aggregates.sumExact(col("o_totalprice")).as("total_spend"))
+      val target = totals(ordersDf.where(month(col("o_orderdate")) <= 11))
+      val changedKeys = ordersDf.where(month(col("o_orderdate")) === 12)
+        .select("o_custkey").distinct()
+      val source = totals(ordersDf.join(changedKeys, "o_custkey"))
+      Merge.upsert(target, source, "o_custkey").orderBy("o_custkey")
+    }),
+
+    // Ordered conversion funnel: view → click → purchase stage counts.
+    "q64_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir))),
+
+    // Day-7 retention per active day.
+    "q65_retention" -> ((s, dir) =>
+      EventAnalytics.retention(Tables.events(s, dir), days = 7)
+        .orderBy("day")),
+
+    // Fixed-width delay histogram (dashboard distribution panel).
+    "q66_histogram" -> ((s, dir) =>
+      wide(s, dir)
+        .select(floor(col("delay_minutes") / 50).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .select((col("bin") * 50).cast("double").as("bin_lo"), col("n"))
+        .orderBy("bin_lo")),
+
+    // Sketch tier: HLL distinct users and approx value quantiles next to
+    // their exact twins. No DuckDB oracle — HLL/GK sketches are not
+    // reproducible across engines; SketchSpec bounds the error instead,
+    // and the driver records the rows-only check (contract-sanctioned
+    // for non-SQL-expressible ops). At 100 TB the approx forms are the
+    // point: fixed-size state, no per-group sort or distinct shuffle.
+    "q67_sketches" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000))
+            .as("approx_p50"),
+          percentile(col("value"), lit(0.5)).as("exact_p50"))
+        .orderBy("event_type"))
   )
 
   private val filterMonths = Seq(1, 2, 3)
@@ -1004,6 +1067,33 @@ object SparkEntry {
       "\nORDER BY airline_name"),
 
     "q61_outlier_trim" -> (withWide(Aggregates.outlierTrimSql) +
-      "\nORDER BY airline_name")
+      "\nORDER BY airline_name"),
+
+    "q62_attribution" -> (EventStream.attributionJoinSql(2880) +
+      "\nORDER BY purchase_id, view_id"),
+
+    "q63_upsert" -> {
+      def totals(pred: String) =
+        s"""SELECT o_custkey, COUNT(*) AS n_orders,
+           |  ${Aggregates.sumExactSql("o_totalprice")} AS total_spend
+           |FROM orders WHERE $pred GROUP BY o_custkey""".stripMargin
+      Merge.upsertSql(
+        targetSql = totals("month(o_orderdate) <= 11"),
+        sourceSql = totals("o_custkey IN (SELECT DISTINCT o_custkey " +
+          "FROM orders WHERE month(o_orderdate) = 12)"),
+        key = "o_custkey", cols = "o_custkey, n_orders, total_spend") +
+        "\nORDER BY o_custkey"
+    },
+
+    "q64_funnel" -> EventAnalytics.funnelSql,
+
+    "q65_retention" -> (EventAnalytics.retentionSql(7) + "\nORDER BY day"),
+
+    "q66_histogram" -> withWide(
+      """SELECT CAST(bin * 50 AS DOUBLE) AS bin_lo, n FROM (
+        |  SELECT CAST(floor(delay_minutes / 50) AS BIGINT) AS bin,
+        |    COUNT(*) AS n
+        |  FROM wide GROUP BY 1) _
+        |ORDER BY bin_lo""".stripMargin)
   )
 }

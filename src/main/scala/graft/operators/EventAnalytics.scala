@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events table: ordered conversion
+  * funnels and day-N retention. Both are restated as aggregations and
+  * equi-joins on `user_id`/day — per-user state never leaves its
+  * reducer, no window over the whole stream, so the plans keep their
+  * parallelism as user count grows with the data.
+  */
+object EventAnalytics {
+
+  /** Ordered three-stage funnel: users with a `view`, users whose first
+    * view is followed (≥, same-instant counts) by a `click`, and users
+    * whose first such click is followed by a `purchase`. Emits one row
+    * of stage counts. Each stage is a groupBy on user over a filtered
+    * scan — the "first qualifying timestamp" chain makes the ordering
+    * requirement explicit and keeps every step an aggregation instead
+    * of a per-user sort. */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = events.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = events.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count("v_ts").as("n_view"),
+        count("c_ts").as("n_view_click"),
+        count("p_ts").as("n_view_click_purchase"))
+  }
+
+  /** Oracle twin of [[funnel]] (`events` hard-wired). */
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |    WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      |    JOIN v ON e.user_id = v.user_id
+      |    WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      |    GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      |    JOIN c ON e.user_id = c.user_id
+      |    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      |    GROUP BY e.user_id)
+      |SELECT count(v_ts) AS n_view, count(c_ts) AS n_view_click,
+      |  count(p_ts) AS n_view_click_purchase
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+      .stripMargin
+
+  /** Day-N retention: for every active day, how many of its distinct
+    * users are active again exactly `days` later. One distinct
+    * projection to (day, user), one self-equi-join on (user, day+N) —
+    * the day-offset join key is computed, so the join stays an
+    * equi-join. */
+  def retention(events: DataFrame, days: Int): DataFrame = {
+    val du = events.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val later = du.select(col("user_id"),
+      date_sub(col("day"), days).as("day"), lit(1).as("_ret"))
+    du.join(later, Seq("user_id", "day"), "left")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        count("_ret").as("n_retained"))
+  }
+
+  /** Oracle twin of [[retention]] (`events` hard-wired). */
+  def retentionSql(days: Int): String =
+    s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+       |    FROM events)
+       |SELECT a.day AS day, count(*) AS n_active,
+       |  count(b.user_id) AS n_retained
+       |FROM du a LEFT JOIN du b
+       |  ON a.user_id = b.user_id AND b.day = a.day + $days
+       |GROUP BY a.day""".stripMargin
+}

@@ -244,6 +244,52 @@ object EventStream {
         })
   }
 
+  // --------------------------------------------------- stream-stream join
+
+  /** Purchase→view attribution as a stream-stream INTERVAL join: every
+    * (purchase, view) pair of the same user with the view inside the
+    * `lookbackMinutes` window before the purchase (inclusive both ends).
+    * Unlike the batch as-of join (q52, latest view only) this keeps ALL
+    * attributing views — the multi-touch attribution shape.
+    *
+    * The same plan runs batch (watermarks are no-ops) — that is what the
+    * DuckDB oracle covers; under streaming sources the time-interval
+    * condition is what makes the join feasible forever: Spark derives a
+    * state-eviction bound from it (a buffered view can stop waiting once
+    * the purchase watermark passes `view_ts + lookback`; a purchase once
+    * the view watermark passes `purchase_ts`), so both state stores stay
+    * O(events inside watermark + lookback), not O(stream history).
+    * Both watermarks are required for that bound — without them a
+    * stream-stream inner join buffers everything.
+    *
+    * `views` must carry (user_id, view_id, view_ts), `purchases`
+    * (user_id, purchase_id, purchase_ts). */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      lookbackMinutes: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = views.withColumnRenamed("user_id", "v_user")
+      .withWatermark("view_ts", watermarkDelay)
+    val p = purchases.withWatermark("purchase_ts", watermarkDelay)
+    p.join(v,
+      col("v_user") === col("user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  /** SQL twin of [[attributionJoin]]'s batch plan (`events` hard-wired,
+    * same inclusive window). */
+  def attributionJoinSql(lookbackMinutes: Int): String =
+    s"""SELECT p.event_id AS purchase_id, p.user_id,
+       |  p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       |  ON p.user_id = v.user_id
+       |  AND v.ts <= p.ts
+       |  AND v.ts >= p.ts - INTERVAL $lookbackMinutes MINUTES""".stripMargin
+
   /** SQL twin of the batch-mode plan (DuckDB `time_bucket` = tumbling
     * window start). */
   def windowedKpisSql(delayThreshold: Double = 100.0): String =

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, ty, ts) => (u, ty, t(ts)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("funnel counts only in-order stage completions") {
+    val events = ev(
+      // user 1: full ordered funnel.
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: purchase BEFORE the view — only the view stage counts.
+      (2L, "purchase", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      // user 3: view then click, no purchase.
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "click", "2024-01-01 11:00:00"),
+      // user 4: click only — no view, enters no stage.
+      (4L, "click", "2024-01-01 10:00:00"))
+    val r = EventAnalytics.funnel(events).head()
+    assert(r.getAs[Long]("n_view") == 3L)
+    assert(r.getAs[Long]("n_view_click") == 2L)
+    assert(r.getAs[Long]("n_view_click_purchase") == 1L)
+  }
+
+  test("retention counts users active again exactly N days later") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-08 09:00:00"),   // retained (day 1 → day 8)
+      (2L, "view", "2024-01-01 11:00:00"),   // not retained
+      (2L, "view", "2024-01-05 11:00:00"),   // day 5, gone by day 12
+      (3L, "view", "2024-01-08 12:00:00"))   // only active day 8
+    val r = EventAnalytics.retention(events, days = 7)
+      .orderBy("day").collect()
+    val d1 = r.find(_.getAs[java.sql.Date]("day").toString == "2024-01-01").get
+    assert(d1.getAs[Long]("n_active") == 2L)
+    assert(d1.getAs[Long]("n_retained") == 1L)
+    val d8 = r.find(_.getAs[java.sql.Date]("day").toString == "2024-01-08").get
+    assert(d8.getAs[Long]("n_active") == 2L)
+    assert(d8.getAs[Long]("n_retained") == 0L)
+  }
+
+  test("sketches stay within tolerance of their exact twins (q67)") {
+    val out = Tables.events(spark, sf).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000))
+          .as("approx_p50"),
+        percentile(col("value"), lit(0.5)).as("exact_p50"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exactU = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(r.getAs[Long]("approx_users") - exactU) / exactU < 0.05,
+        s"HLL off by >5% on ${r.getString(0)}")
+      val exactP = r.getAs[Double]("exact_p50")
+      // GK sketch at accuracy 10000 on this data: near-exact rank, so
+      // the value error stays within a few percent of the median.
+      assert(math.abs(r.getAs[Double]("approx_p50") - exactP)
+        <= math.abs(exactP) * 0.05 + 1e-9,
+        s"approx p50 off on ${r.getString(0)}")
+    }
+  }
+}

@@ -208,4 +208,40 @@ class EventStreamSpec extends SparkSpec {
       assert(row.getAs[Long]("n_delayed") == 1L)
     } finally sink.stop()
   }
+
+  test("streaming: stream-stream attribution join emits the batch twin's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = Seq(
+      Vw(1L, 10L, t("2024-01-01 10:00:00")),
+      Vw(1L, 11L, t("2024-01-01 10:30:00")),
+      Vw(2L, 12L, t("2024-01-01 10:00:00")))
+    val purchases = Seq(
+      Pu(1L, 100L, t("2024-01-01 10:45:00")),
+      Pu(2L, 101L, t("2024-01-01 12:00:00")))
+    val vSrc = MemoryStream[Vw]
+    val pSrc = MemoryStream[Pu]
+    val sink = EventStream.attributionJoin(vSrc.toDF(), pSrc.toDF(),
+        lookbackMinutes = 60)
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vSrc.addData(views: _*)
+      pSrc.addData(purchases: _*)
+      sink.processAllAvailable()
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Purchase 100 attributes to both in-window views of user 1;
+      // purchase 101's only candidate view is 2 h old — outside the
+      // 60-minute lookback.
+      val got = pairs(spark.table("attr_sink"))
+      assert(got == Set((100L, 10L), (100L, 11L)))
+      assert(got == pairs(EventStream.attributionJoin(
+        views.toDF(), purchases.toDF(), lookbackMinutes = 60)))
+    } finally sink.stop()
+  }
 }
+
+case class Vw(user_id: Long, view_id: Long, view_ts: Timestamp)
+case class Pu(user_id: Long, purchase_id: Long, purchase_ts: Timestamp)
