@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Joins, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
-import graft.operators.{CorpusStats, Curation, Dedup, EventAnalytics, Merge, Multimodal, Privacy, Sampling, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, EventAnalytics, Merge, Multimodal, Privacy, QualityReport, Sampling, Similarity}
 import graft.sources.Jdbc
 import graft.streaming.EventStream
 
@@ -570,14 +570,10 @@ object SparkEntry {
     // month-12 change set (replace matched keys, insert new ones).
     "q63_upsert" -> ((s, dir) => {
       val ordersDf = Tables.orders(s, dir)
-      def totals(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy("o_custkey")
-          .agg(count(lit(1)).as("n_orders"),
-            Aggregates.sumExact(col("o_totalprice")).as("total_spend"))
-      val target = totals(ordersDf.where(month(col("o_orderdate")) <= 11))
+      val target = custTotals(ordersDf.where(month(col("o_orderdate")) <= 11))
       val changedKeys = ordersDf.where(month(col("o_orderdate")) === 12)
         .select("o_custkey").distinct()
-      val source = totals(ordersDf.join(changedKeys, "o_custkey"))
+      val source = custTotals(ordersDf.join(changedKeys, "o_custkey"))
       Merge.upsert(target, source, "o_custkey").orderBy("o_custkey")
     }),
 
@@ -600,10 +596,11 @@ object SparkEntry {
 
     // Sketch tier: HLL distinct users and approx value quantiles next to
     // their exact twins. No DuckDB oracle — HLL/GK sketches are not
-    // reproducible across engines; SketchSpec bounds the error instead,
-    // and the driver records the rows-only check (contract-sanctioned
-    // for non-SQL-expressible ops). At 100 TB the approx forms are the
-    // point: fixed-size state, no per-group sort or distinct shuffle.
+    // reproducible across engines; EventAnalyticsSpec bounds the error
+    // instead, and the driver records the rows-only check (contract-
+    // sanctioned for non-SQL-expressible ops). At 100 TB the approx
+    // forms are the point: fixed-size state, no per-group sort or
+    // distinct shuffle.
     "q67_sketches" -> ((s, dir) =>
       Tables.events(s, dir).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
@@ -611,8 +608,50 @@ object SparkEntry {
           percentile_approx(col("value"), lit(0.5), lit(10000))
             .as("approx_p50"),
           percentile(col("value"), lit(0.5)).as("exact_p50"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Single-pass declarative data-quality audit over orders.
+    "q68_quality_report" -> ((s, dir) =>
+      QualityReport.audit(Tables.orders(s, dir),
+        QualityReport.ordersChecks()).orderBy("check_name")),
+
+    // Schema-evolution scan: two parquet batches with different
+    // (widening) schemas read back as one logical table, missing
+    // columns null-filled per file.
+    "q69_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = s"${Sinks.scratch}/q69_evo"
+      Sinks.writeParquet(docs.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang"), s"$base/v1", "overwrite")
+      Sinks.writeParquet(docs.where(col("doc_id") % 2 === 1),
+        s"$base/v2", "overwrite")
+      Ingest.readParquetMerged(s, Seq(s"$base/v1", s"$base/v2"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // CDC snapshot diff between the month-11 and month-12 states of the
+    // per-customer totals (added + changed keys with old/new values).
+    "q70_snapshot_diff" -> ((s, dir) => {
+      val ordersDf = Tables.orders(s, dir)
+      Merge.snapshotDiff(
+        custTotals(ordersDf.where(month(col("o_orderdate")) <= 11)),
+        custTotals(ordersDf), "o_custkey")
+        .orderBy("o_custkey")
+    })
   )
+
+  /** Per-customer lifetime order totals (shared by q63/q70). */
+  private def custTotals(ordersDf: DataFrame): DataFrame =
+    ordersDf.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        Aggregates.sumExact(col("o_totalprice")).as("total_spend"))
+
+  /** SQL twin of [[custTotals]] under a WHERE predicate. */
+  private def custTotalsSql(pred: String): String =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders,
+       |  ${Aggregates.sumExactSql("o_totalprice")} AS total_spend
+       |FROM orders WHERE $pred GROUP BY o_custkey""".stripMargin
 
   private val filterMonths = Seq(1, 2, 3)
   private val filterAirlines = (1 to 5).map(i => f"Supplier#$i%09d")
@@ -1072,18 +1111,12 @@ object SparkEntry {
     "q62_attribution" -> (EventStream.attributionJoinSql(2880) +
       "\nORDER BY purchase_id, view_id"),
 
-    "q63_upsert" -> {
-      def totals(pred: String) =
-        s"""SELECT o_custkey, COUNT(*) AS n_orders,
-           |  ${Aggregates.sumExactSql("o_totalprice")} AS total_spend
-           |FROM orders WHERE $pred GROUP BY o_custkey""".stripMargin
-      Merge.upsertSql(
-        targetSql = totals("month(o_orderdate) <= 11"),
-        sourceSql = totals("o_custkey IN (SELECT DISTINCT o_custkey " +
-          "FROM orders WHERE month(o_orderdate) = 12)"),
-        key = "o_custkey", cols = "o_custkey, n_orders, total_spend") +
-        "\nORDER BY o_custkey"
-    },
+    "q63_upsert" -> (Merge.upsertSql(
+      targetSql = custTotalsSql("month(o_orderdate) <= 11"),
+      sourceSql = custTotalsSql("o_custkey IN (SELECT DISTINCT o_custkey " +
+        "FROM orders WHERE month(o_orderdate) = 12)"),
+      key = "o_custkey", cols = "o_custkey, n_orders, total_spend") +
+      "\nORDER BY o_custkey"),
 
     "q64_funnel" -> EventAnalytics.funnelSql,
 
@@ -1094,6 +1127,24 @@ object SparkEntry {
         |  SELECT CAST(floor(delay_minutes / 50) AS BIGINT) AS bin,
         |    COUNT(*) AS n
         |  FROM wide GROUP BY 1) _
-        |ORDER BY bin_lo""".stripMargin)
+        |ORDER BY bin_lo""".stripMargin),
+
+    "q68_quality_report" ->
+      (QualityReport.ordersAuditSql() + "\nORDER BY check_name"),
+
+    "q69_schema_evolution" ->
+      """SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source,
+        |  CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q70_snapshot_diff" -> (Merge.snapshotDiffSql(
+      beforeSql = custTotalsSql("month(o_orderdate) <= 11"),
+      afterSql = custTotalsSql("1 = 1"),
+      key = "o_custkey", cols = Seq("n_orders", "total_spend")) +
+      "\nORDER BY o_custkey")
   )
 }

@@ -47,6 +47,17 @@ object Ingest {
   def readOrc(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.orc(paths: _*)
 
+  /** Schema-evolution parquet scan: one logical table over batches
+    * written with DIFFERENT (widening) schemas — the lakehouse reality
+    * where a column was added mid-history. `mergeSchema` unions the
+    * footer schemas at plan time and older files surface the missing
+    * columns as nulls; Spark's default skips the footer union (it reads
+    * one footer for speed), silently pinning the oldest layout, so the
+    * option is explicit here. Column pruning and filter pushdown still
+    * apply per file. */
+  def readParquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Name of the quarantine column carried by [[readCsvPermissive]]. */
   val CorruptCol = "_corrupt_record"
 

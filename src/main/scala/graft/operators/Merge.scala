@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** MERGE/upsert over immutable columnar storage. Parquet has no ACID
   * MERGE INTO; the relational restatement is the standard one every
@@ -30,4 +31,51 @@ object Merge {
     s"""SELECT $cols FROM ($targetSql) t
        |WHERE $key NOT IN (SELECT $key FROM ($sourceSql) _)
        |UNION ALL SELECT $cols FROM ($sourceSql) s""".stripMargin
+
+  /** CDC-style snapshot diff: classify every key as `added` (only in
+    * `after`), `removed` (only in `before`) or `changed` (present in
+    * both with any non-key column differing); unchanged keys are
+    * omitted. Emits the key, the change type, and the full old/new
+    * column pairs (`old_*` / `new_*`, null on the missing side).
+    *
+    * One full-outer shuffle equi-join on the key; the row comparison is
+    * a struct equality — no per-column join conditions, no second
+    * pass. This is the diff a downstream incremental consumer replays
+    * ([[upsert]] of the added+changed rows plus deletes of the removed
+    * keys reconstructs `after` from `before` exactly). */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      key: String): DataFrame = {
+    val cols = before.columns.filterNot(_ == key).toSeq
+    require(after.columns.filterNot(_ == key).toSeq == cols,
+      "snapshotDiff requires identical schemas")
+    val b = before.select(col(key), struct(cols.map(col): _*).as("_b"))
+    val a = after.select(col(key), struct(cols.map(col): _*).as("_a"))
+    b.join(a, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("_b").isNull, "added")
+          .when(col("_a").isNull, "removed")
+          .when(col("_a") =!= col("_b"), "changed"))
+      .where(col("change_type").isNotNull)
+      .select(col(key) +: col("change_type") +:
+        (cols.map(c => col(s"_b.$c").as(s"old_$c")) ++
+          cols.map(c => col(s"_a.$c").as(s"new_$c"))): _*)
+  }
+
+  /** Oracle spelling of [[snapshotDiff]]. `cols` are the non-key
+    * columns. */
+  def snapshotDiffSql(beforeSql: String, afterSql: String, key: String,
+      cols: Seq[String]): String = {
+    val olds = cols.map(c => s"b.$c AS old_$c").mkString(", ")
+    val news = cols.map(c => s"a.$c AS new_$c").mkString(", ")
+    val anyDiff = cols.map(c => s"a.$c IS DISTINCT FROM b.$c")
+      .mkString(" OR ")
+    s"""SELECT COALESCE(b.$key, a.$key) AS $key,
+       |  CASE WHEN b.$key IS NULL THEN 'added'
+       |       WHEN a.$key IS NULL THEN 'removed'
+       |       WHEN $anyDiff THEN 'changed' END AS change_type,
+       |  $olds, $news
+       |FROM ($beforeSql) b FULL JOIN ($afterSql) a
+       |  ON b.$key = a.$key
+       |WHERE b.$key IS NULL OR a.$key IS NULL OR ($anyDiff)""".stripMargin
+  }
 }

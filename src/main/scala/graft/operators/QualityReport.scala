@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass declarative data-quality audit (the Deequ/Great-
+  * Expectations shape): each check compiles to one aggregate expression,
+  * ALL checks run in ONE aggregation over ONE scan — at 100 TB the audit
+  * costs exactly one pass regardless of how many constraints it carries
+  * — and the wide result unpivots to a long-form report via `stack`.
+  */
+object QualityReport {
+
+  /** One constraint: `name` plus the fraction-satisfied aggregate. */
+  final case class Check(name: String, frac: Column)
+
+  /** Fraction of rows with `c` present. */
+  def completeness(c: String): Check =
+    Check(s"completeness_$c",
+      count(col(c)).cast("double") / count(lit(1)))
+
+  /** Fraction of distinct values of `c` among all rows — 1.0 iff `c` is
+    * a key. (`count_distinct` keeps the single-pass property: it
+    * compiles into the same aggregation, at the cost of an expand.) */
+  def uniqueness(c: String): Check =
+    Check(s"uniqueness_$c",
+      count_distinct(col(c)).cast("double") / count(lit(1)))
+
+  /** Fraction of non-null values inside [lo, hi]. */
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"range_$c",
+      sum(when(col(c).between(lo, hi), 1L).otherwise(0L)).cast("double")
+        / count(col(c)))
+
+  /** Fraction of non-null values in the allowed set. */
+  def isIn(c: String, allowed: Seq[String]): Check =
+    Check(s"membership_$c",
+      sum(when(col(c).isInCollection(allowed), 1L).otherwise(0L))
+        .cast("double") / count(col(c)))
+
+  /** Run every check in one aggregation; long-form (check, frac) rows. */
+  def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    val wideRow = df.agg(checks.head.frac.as(checks.head.name),
+      checks.tail.map(c => c.frac.as(c.name)): _*)
+    val stackArgs = checks
+      .map(c => s"'${c.name}', ${c.name}").mkString(", ")
+    wideRow.selectExpr(
+      s"stack(${checks.length}, $stackArgs) AS (check_name, frac)")
+  }
+
+  /** Oracle twin: the same constraint set over the `orders` table as
+    * used by q68 (UNION ALL of scalar aggregates — the oracle does not
+    * need the single-pass property). */
+  def ordersAuditSql(): String =
+    """SELECT 'completeness_o_custkey' AS check_name,
+      |  CAST(count(o_custkey) AS DOUBLE) / count(*) AS frac FROM orders
+      |UNION ALL SELECT 'uniqueness_o_orderkey',
+      |  CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) FROM orders
+      |UNION ALL SELECT 'range_o_totalprice',
+      |  CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(o_totalprice) FROM orders
+      |UNION ALL SELECT 'membership_o_orderstatus',
+      |  CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(o_orderstatus)
+      |  FROM orders""".stripMargin
+
+  /** The q68 constraint set (kept next to its SQL twin). */
+  def ordersChecks(): Seq[Check] = Seq(
+    completeness("o_custkey"),
+    uniqueness("o_orderkey"),
+    inRange("o_totalprice", 0, 1000000),
+    isIn("o_orderstatus", Seq("F", "O", "P")))
+}
