@@ -122,4 +122,31 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) Project""".r.findFirstIn(p).nonEmpty,
       s"text projection fell out of whole-stage codegen:\n$p")
   }
+
+  test("quality audit runs every check in ONE pass over ONE scan") {
+    import graft.operators.QualityReport
+    val df = QualityReport.audit(Tables.orders(spark, sf),
+      QualityReport.ordersChecks())
+    // AQE prints Final and Initial sections; inspect only the final one.
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"audit must scan its input exactly once:\n$p")
+  }
+
+  test("funnel, upsert and snapshot diff stay equi-join shaped") {
+    import graft.operators.{EventAnalytics, Merge}
+    val ordersDf = Tables.orders(spark, sf)
+    val totals = ordersDf.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    val t2 = ordersDf.where(month(col("o_orderdate")) <= 6)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    for (df <- Seq(EventAnalytics.funnel(Tables.events(spark, sf)),
+        Merge.upsert(t2, totals, "o_custkey"),
+        Merge.snapshotDiff(t2, totals, "o_custkey"))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"nested-loop shape leaked into:\n$p")
+    }
+  }
 }
