@@ -638,7 +638,19 @@ object SparkEntry {
         custTotals(ordersDf.where(month(col("o_orderdate")) <= 11)),
         custTotals(ordersDf), "o_custkey")
         .orderBy("o_custkey")
-    })
+    }),
+
+    // Sequence packing: concat-then-chunk bin assignment via the
+    // two-pass distributed prefix sum (no global window).
+    "q71_packing" -> ((s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        binTokens = 2048).orderBy("doc_id")),
+
+    // Declarative sessionization via the built-in session_window
+    // (streaming-capable merge state managed by Spark).
+    "q72_session_window" -> ((s, dir) =>
+      EventStream.sessionsViaSessionWindow(Tables.events(s, dir))
+        .orderBy("user_id", "session_start"))
   )
 
   /** Per-customer lifetime order totals (shared by q63/q70). */
@@ -1145,6 +1157,12 @@ object SparkEntry {
       beforeSql = custTotalsSql("month(o_orderdate) <= 11"),
       afterSql = custTotalsSql("1 = 1"),
       key = "o_custkey", cols = Seq("n_orders", "total_spend")) +
-      "\nORDER BY o_custkey")
+      "\nORDER BY o_custkey"),
+
+    "q71_packing" ->
+      (Curation.packSequencesSql(2048) + "\nORDER BY doc_id"),
+
+    "q72_session_window" -> (EventStream.sessionsViaSessionWindowSql(30) +
+      "\nORDER BY user_id, session_start")
   )
 }

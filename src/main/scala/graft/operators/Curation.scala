@@ -134,4 +134,54 @@ object Curation {
        |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens <= $budget""".stripMargin
   }
+
+  /** Sequence packing (doc granularity): concatenate the corpus in
+    * `idCol` order and chunk it into training bins of `binTokens`
+    * tokens — each document's bin is `floor(tokens_before_it /
+    * binTokens)`, the standard concat-then-chunk assignment an LLM data
+    * loader performs before batching (a boundary-straddling document
+    * stays in the bin it starts in).
+    *
+    * Same two-pass distributed prefix sum as [[tokenBudgetSample]]
+    * (range partition → per-partition running sums → broadcast the
+    * P-row offset table back), so there is no global single-partition
+    * window anywhere in the plan. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be > 0, got $binTokens")
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val local = base
+      .repartitionByRange(p, col(idCol).asc)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_cum", sum("n_tokens").over(
+        Window.partitionBy("pid").orderBy(col(idCol).asc)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    local.count()
+    val totals = local.groupBy("pid").agg(max("local_cum").as("ptotal"))
+    val offsets = totals.withColumn("offset",
+      coalesce(sum("ptotal").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_tokens", col("local_cum") + col("offset"))
+      .withColumn("bin",
+        expr(s"(cum_tokens - n_tokens) div ${binTokens}L"))
+      .select(col(idCol), col("n_tokens"), col("bin"))
+  }
+
+  /** SQL twin of [[packSequences]] (global-window formulation). */
+  def packSequencesSql(binTokens: Long): String = {
+    import TextFunctions.{Sql => T}
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum FROM t)
+       |SELECT doc_id, n_tokens, (cum - n_tokens) // $binTokens AS bin
+       |FROM c""".stripMargin
+  }
 }

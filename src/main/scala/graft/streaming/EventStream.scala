@@ -155,6 +155,57 @@ object EventStream {
        |FROM s GROUP BY user_id, session_idx""".stripMargin
   }
 
+  /** Built-in session windows: the declarative alternative to the
+    * `flatMapGroupsWithState` sessionizer below — `session_window`
+    * merges a user's events whose gaps are strictly under the duration
+    * and Spark manages the (streaming-capable) merge state itself. Use
+    * this form when per-session output needs no custom logic; drop to
+    * the typed state operator only for bespoke semantics (running
+    * session counters, mid-session triggers).
+    *
+    * Gap semantics match [[sessionsBatch]]: Spark merges session
+    * windows that overlap OR touch, so an event landing EXACTLY `gap`
+    * after its predecessor still joins the session (inclusive `<=`,
+    * pinned by EventStreamSpec). The one shape difference is the
+    * emitted `session_end`: `last_ts + gap` (the window end), not
+    * `last_ts`. The SQL twin reproduces both. */
+  def sessionsViaSessionWindow(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.sumExact(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** SQL twin of [[sessionsViaSessionWindow]] (inclusive-gap merge,
+    * window end = last event + gap). */
+  def sessionsViaSessionWindowSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN prev IS NULL
+       |      OR epoch_us(ts) - epoch_us(prev) > $gapUs THEN 1 ELSE 0 END
+       |    AS new_s
+       |  FROM o),
+       |s AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM f)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Aggregates.sumExactSql("value")} AS total_value
+       |FROM s GROUP BY user_id, sid""".stripMargin
+  }
+
   /** One input event for the streaming sessionizer. */
   case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp,
       value: Double)

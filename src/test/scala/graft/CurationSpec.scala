@@ -26,6 +26,30 @@ class CurationSpec extends SparkSpec {
     assert(global.count() > 0)
   }
 
+  test("packing: two-pass bin assignment == global-window formulation") {
+    val binTokens = 512L
+    val twoPass = Curation.packSequences(docs, "doc_id", "text", binTokens)
+    val w = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${binTokens}L").as("bin"))
+    assert(twoPass.except(global).count() == 0)
+    assert(global.except(twoPass).count() == 0)
+    // With every doc shorter than a bin, bins are contiguous 0..max and
+    // each non-final bin holds at least binTokens - maxDoc tokens (a
+    // straddler from the previous bin can consume at most maxDoc of it).
+    val maxDoc = global.agg(max("n_tokens")).head().getLong(0)
+    assert(maxDoc < binTokens, "fixture assumption: docs shorter than bins")
+    val bins = twoPass.groupBy("bin").agg(sum("n_tokens").as("tok"))
+      .orderBy("bin").collect()
+    assert(bins.map(_.getLong(0)).toSeq == bins.indices.map(_.toLong))
+    bins.dropRight(1).foreach(r =>
+      assert(r.getLong(1) >= binTokens - maxDoc, s"underfull bin: $r"))
+  }
+
   test("corpus profile reconciles with the raw table and the quality gate") {
     val profile = Curation.corpusProfile(docs, "text", minQuality = 0.5).cache()
     // Partition of the corpus: language rows cover every document once.

@@ -209,6 +209,32 @@ class EventStreamSpec extends SparkSpec {
     } finally sink.stop()
   }
 
+  test("session_window sessions: inclusive-gap merge, end = last + gap") {
+    import spark.implicits._
+    val events = Seq(
+      // User 1: an event EXACTLY 30:00 after its predecessor still
+      // merges (adjacent windows touch and Spark merges them — the
+      // same inclusive boundary as the lag-based batch form); one a
+      // microsecond past the gap would split.
+      (1L, t("2024-01-01 10:00:00"), 1.0),
+      (1L, t("2024-01-01 10:29:59"), 2.0),
+      (1L, t("2024-01-01 10:59:59"), 4.0),
+      (1L, t("2024-01-01 11:29:59.000001"), 16.0),
+      (2L, t("2024-01-01 09:00:00"), 8.0))
+      .toDF("user_id", "ts", "value")
+    val got = EventStream.sessionsViaSessionWindow(events, gapMinutes = 30)
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Timestamp]("session_start") == t("2024-01-01 10:00:00"))
+    // Window end = last event + gap; the exact-gap event merged in.
+    assert(got(0).getAs[Timestamp]("session_end") == t("2024-01-01 11:29:59"))
+    assert(got(0).getAs[Long]("n_events") == 3L)
+    assert(got(0).getAs[Double]("total_value") == 7.0)
+    assert(got(1).getAs[Timestamp]("session_start") ==
+      t("2024-01-01 11:29:59.000001"))
+    assert(got(1).getAs[Long]("n_events") == 1L)
+  }
+
   test("streaming: stream-stream attribution join emits the batch twin's rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
