@@ -14,29 +14,32 @@ object QualityReport {
   /** One constraint: `name` plus the fraction-satisfied aggregate. */
   final case class Check(name: String, frac: Column)
 
+  /** Zero-denominator-safe fraction (ANSI mode throws on x/0): an audit
+    * over zero rows reports NULL, not an error. */
+  private def safeFrac(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den)
+
   /** Fraction of rows with `c` present. */
   def completeness(c: String): Check =
-    Check(s"completeness_$c",
-      count(col(c)).cast("double") / count(lit(1)))
+    Check(s"completeness_$c", safeFrac(count(col(c)), count(lit(1))))
 
   /** Fraction of distinct values of `c` among all rows — 1.0 iff `c` is
     * a key. (`count_distinct` keeps the single-pass property: it
     * compiles into the same aggregation, at the cost of an expand.) */
   def uniqueness(c: String): Check =
-    Check(s"uniqueness_$c",
-      count_distinct(col(c)).cast("double") / count(lit(1)))
+    Check(s"uniqueness_$c", safeFrac(count_distinct(col(c)), count(lit(1))))
 
   /** Fraction of non-null values inside [lo, hi]. */
   def inRange(c: String, lo: Double, hi: Double): Check =
     Check(s"range_$c",
-      sum(when(col(c).between(lo, hi), 1L).otherwise(0L)).cast("double")
-        / count(col(c)))
+      safeFrac(sum(when(col(c).between(lo, hi), 1L).otherwise(0L)),
+        count(col(c))))
 
   /** Fraction of non-null values in the allowed set. */
   def isIn(c: String, allowed: Seq[String]): Check =
     Check(s"membership_$c",
-      sum(when(col(c).isInCollection(allowed), 1L).otherwise(0L))
-        .cast("double") / count(col(c)))
+      safeFrac(sum(when(col(c).isInCollection(allowed), 1L).otherwise(0L)),
+        count(col(c))))
 
   /** Run every check in one aggregation; long-form (check, frac) rows. */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, EventAnalytics, QualityReport}
+
+/** Degenerate-input totality: zero-row inputs must yield sane reports,
+  * not ANSI division errors — an audit over an empty partition of a
+  * 100 TB table is a normal event. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality audit over zero rows reports NaN/0 fractions, not errors") {
+    val empty = Seq.empty[(Option[Long], String, Double)]
+      .toDF("k", "status", "price")
+    val rows = QualityReport.audit(empty, Seq(
+      QualityReport.completeness("k"),
+      QualityReport.uniqueness("k"),
+      QualityReport.inRange("price", 0, 100),
+      QualityReport.isIn("status", Seq("F")))).collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.isNullAt(1), s"expected NULL frac: $r"))
+  }
+
+  test("funnel and retention over zero events emit zero counts") {
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    val f = EventAnalytics.funnel(empty).head()
+    assert(f.getLong(0) == 0 && f.getLong(1) == 0 && f.getLong(2) == 0)
+    assert(EventAnalytics.retention(empty, 7).count() == 0)
+  }
+
+  test("repetition metrics and tfidf over zero documents are empty, not errors") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusStats.repetitionMetrics(empty, "doc_id", "text").count() == 0)
+    assert(CorpusStats.tfidfTop1(empty, "doc_id", "text").count() == 0)
+    assert(CorpusStats.vocabPrune(empty, "doc_id", "text", 0.5).count() == 0)
+  }
+}
