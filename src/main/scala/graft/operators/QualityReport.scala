@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Single-pass declarative data-quality audit (the Deequ/Great-
@@ -50,6 +50,23 @@ object QualityReport {
       .map(c => s"'${c.name}', ${c.name}").mkString(", ")
     wideRow.selectExpr(
       s"stack(${checks.length}, $stackArgs) AS (check_name, frac)")
+  }
+
+  /** In-flight audit: attach the checks to a flowing DataFrame as
+    * OBSERVED metrics — they are computed by the job that was running
+    * anyway (the write, the downstream agg), costing ZERO extra passes,
+    * and land in the returned [[Observation]] after the first action.
+    * The audit-then-write pattern scans twice; this is the 100 TB form.
+    *
+    * Caveat (Spark contract): observed metrics reject DISTINCT
+    * aggregates, so [[uniqueness]] checks cannot ride along — use
+    * [[audit]] for those. */
+  def auditInFlight(df: DataFrame,
+      checks: Seq[Check]): (DataFrame, Observation) = {
+    require(checks.nonEmpty, "auditInFlight needs at least one check")
+    val obs = Observation()
+    (df.observe(obs, checks.head.frac.as(checks.head.name),
+      checks.tail.map(c => c.frac.as(c.name)): _*), obs)
   }
 
   /** Oracle twin: the same constraint set over the `orders` table as

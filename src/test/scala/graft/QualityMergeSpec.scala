@@ -27,6 +27,24 @@ class QualityMergeSpec extends SparkSpec {
     assert(got("membership_status") == 4.0 / 5)
   }
 
+  test("in-flight audit observes the same fractions with zero extra passes") {
+    import graft.engine.Tables
+    val ordersDf = Tables.orders(spark, sf)
+    val checks = Seq(
+      QualityReport.completeness("o_custkey"),
+      QualityReport.inRange("o_totalprice", 0, 1000000),
+      QualityReport.isIn("o_orderstatus", Seq("F", "O", "P")))
+    val (flowing, obs) = QualityReport.auditInFlight(ordersDf, checks)
+    // The "real" job: an aggregation the pipeline was running anyway.
+    flowing.groupBy("o_orderpriority").count().collect()
+    val separate = QualityReport.audit(ordersDf, checks).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    checks.foreach { c =>
+      assert(obs.get(c.name) == separate(c.name),
+        s"observed ${c.name} diverged from the standalone audit")
+    }
+  }
+
   test("snapshot diff classifies added/removed/changed and skips unchanged") {
     val before = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val after = Seq((1L, 10L), (2L, 99L), (4L, 40L)).toDF("k", "v")
