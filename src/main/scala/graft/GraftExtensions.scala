@@ -5,14 +5,17 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{TextKernels, VectorExpressions}
+import graft.plans.BinnedIntervalJoinRule
 
-/** SQL surface for the library's native kernels.
+/** SQL surface for the library's native kernels + its optimizer rules.
   *
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on an existing
-  * deployment — registers the custom Catalyst expressions as plain SQL
-  * functions, so `spark.sql` users (and SQL views like q21's) get the
-  * same codegen'd kernels the DataFrame API uses:
+  * deployment — injects [[graft.plans.BinnedIntervalJoinRule]] (naive
+  * timestamp range joins re-planned as binned equi-joins instead of
+  * nested loops) and registers the custom Catalyst expressions as plain
+  * SQL functions, so `spark.sql` users (and SQL views like q21's) get
+  * the same codegen'd kernels the DataFrame API uses:
   *
   * {{{
   *   SELECT simhash64(text)                          -- 64-bit SimHash
@@ -56,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(args.length == n, s"$name expects $n argument(s), got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Timestamp range joins (no equi-key → BroadcastNestedLoopJoin)
+    // re-planned as binned equi-joins; see BinnedIntervalJoinRule.
+    ext.injectOptimizerRule(_ => BinnedIntervalJoinRule)
+
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", classOf[TextKernels.SimhashExpr]),
       (args: Seq[Expression]) => {

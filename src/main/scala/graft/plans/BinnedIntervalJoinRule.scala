@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: plan timestamp range joins as binned equi-joins.
+  *
+  * An inner join whose ONLY cross-side predicates are a range test
+  * (`p.ts >= i.start AND p.ts < i.end`) has no equi-key, so Spark can
+  * only execute it as BroadcastNestedLoopJoin — O(|points|·|intervals|)
+  * comparisons, and a hard broadcast-size wall on the interval side.
+  * Engines with native range joins (interval trees, IEJoin) handle this
+  * shape; Spark leaves it to the user. This rule closes that gap with
+  * the standard binning rewrite (the logical twin of
+  * [[graft.engine.Joins.binnedIntervalJoin]]):
+  *
+  *   - each interval explodes (`Generate`/`Sequence`) into the
+  *     fixed-width time bins it overlaps,
+  *   - each point computes its single bin,
+  *   - the join becomes a plain shuffle equi-join on the bin id, with
+  *     the original range predicate kept as the residual filter.
+  *
+  * Bin ids use integral `div` on epoch microseconds (double division
+  * corrupts integers past 2^53); `start < end` is filtered first so
+  * `Sequence` never sees an empty interval (it would run DESCENDING).
+  * Inner-join null semantics are preserved: a null timestamp yields a
+  * null bin (dropped by the equi-join), a null interval bound yields a
+  * null sequence (explodes to zero rows).
+  *
+  * Fires only on Inner joins where no conjunct is already a cross-side
+  * equality — after one application the new join HAS one, so the rule
+  * is a no-op on its own output (safe under the optimizer's fixedPoint).
+  * Bin width comes from `spark.graft.intervalJoin.binSeconds` (default
+  * 3600); size it near the typical interval length so the per-interval
+  * explode stays O(1). Registered by [[graft.GraftExtensions]].
+  */
+object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BinSecondsConf = "spark.graft.intervalJoin.binSeconds"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val binSeconds =
+      conf.getConfString(BinSecondsConf, "3600").toLong
+    require(binSeconds > 0, s"$BinSecondsConf must be > 0")
+    plan transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _)
+          if j.resolved && eligible(j, cond) =>
+        rewrite(j, cond, binSeconds)
+    }
+  }
+
+  /** The timestamp column + bounds of one matched range pair. */
+  private case class RangePair(pt: Expression, start: Expression,
+      end: Expression)
+
+  private def sidesOf(j: Join, e: Expression): (Boolean, Boolean) = {
+    val refs = e.references
+    (refs.subsetOf(j.left.outputSet) && refs.nonEmpty,
+      refs.subsetOf(j.right.outputSet) && refs.nonEmpty)
+  }
+
+  /** `a` from one side only, `b` wholly from the other. */
+  private def crossSide(j: Join, a: Expression, b: Expression): Boolean = {
+    val (al, ar) = sidesOf(j, a)
+    val (bl, br) = sidesOf(j, b)
+    (al && br) || (ar && bl)
+  }
+
+  private def isTs(e: Expression): Boolean = e.dataType == TimestampType
+
+  /** Normalize `pt >= start` / `start <= pt` to (pt, start). */
+  private def lowerBound(c: Expression): Option[(Expression, Expression)] =
+    c match {
+      case GreaterThanOrEqual(pt, s) => Some((pt, s))
+      case LessThanOrEqual(s, pt) => Some((pt, s))
+      case _ => None
+    }
+
+  /** Normalize `pt < end` / `end > pt` to (pt, end). */
+  private def upperBound(c: Expression): Option[(Expression, Expression)] =
+    c match {
+      case LessThan(pt, e) => Some((pt, e))
+      case GreaterThan(e, pt) => Some((pt, e))
+      case _ => None
+    }
+
+  private def findPair(j: Join, conjuncts: Seq[Expression]): Option[RangePair] = {
+    val lowers = conjuncts.flatMap(lowerBound(_)).filter { case (pt, s) =>
+      isTs(pt) && isTs(s) && crossSide(j, pt, s)
+    }
+    val uppers = conjuncts.flatMap(upperBound(_)).filter { case (pt, e) =>
+      isTs(pt) && isTs(e) && crossSide(j, pt, e)
+    }
+    (for {
+      (pt1, s) <- lowers
+      (pt2, e) <- uppers
+      if pt1.semanticEquals(pt2)
+      // Both bounds must live on the side opposite the point.
+      if sidesOf(j, s) == sidesOf(j, e)
+    } yield RangePair(pt1, s, e)).headOption
+  }
+
+  private def eligible(j: Join, cond: Expression): Boolean = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) => crossSide(j, a, b)
+      case EqualNullSafe(a, b) => crossSide(j, a, b)
+      case _ => false
+    }
+    !hasEqui && findPair(j, conjuncts).isDefined
+  }
+
+  private def rewrite(j: Join, cond: Expression, binSeconds: Long): LogicalPlan = {
+    val pair = findPair(j, splitConjunctivePredicates(cond)).get
+    val width = Literal(binSeconds * 1000000L, LongType)
+    def binOfUs(us: Expression) = IntegralDivide(us, width)
+    def binOf(ts: Expression) = binOfUs(UnixMicros(ts))
+
+    val (ptOnLeft, _) = sidesOf(j, pair.pt)
+    val (pointsChild, intervalsChild) =
+      if (ptOnLeft) (j.left, j.right) else (j.right, j.left)
+
+    val pbin = Alias(binOf(pair.pt), "_graft_pbin")()
+    val points = Project(pointsChild.output :+ pbin, pointsChild)
+
+    val ibin = AttributeReference("_graft_ibin", LongType, nullable = false)()
+    // Sequence is TimeZoneAware and stays UNRESOLVED until the zone is
+    // set (irrelevant for Long bounds, but required for `resolved`).
+    val seq = Sequence(
+      binOf(pair.start),
+      binOfUs(Subtract(UnixMicros(pair.end), Literal(1L, LongType))),
+      Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+    val intervals = Generate(Explode(seq), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(ibin),
+      child = Filter(LessThan(pair.start, pair.end), intervalsChild))
+
+    val (newLeft, newRight) =
+      if (ptOnLeft) (points, intervals) else (intervals, points)
+    val newCond = And(EqualTo(pbin.toAttribute, ibin), cond)
+    Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+  }
+}

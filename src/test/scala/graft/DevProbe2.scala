@@ -24,8 +24,10 @@ object DevProbe2 {
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
-    val names = Seq("q11_distinct_months", "q23_ngram_jaccard",
-      "q24_minhash_pairs", "q25_simhash_pairs", "q27_embedding_near_dup")
+    val names = sys.env.get("SPARK_GRAFT_PROBE")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("q11_distinct_months", "q23_ngram_jaccard",
+        "q24_minhash_pairs", "q25_simhash_pairs", "q27_embedding_near_dup"))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val g0 = gcMillis
