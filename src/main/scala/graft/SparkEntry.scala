@@ -650,7 +650,31 @@ object SparkEntry {
     // (streaming-capable merge state managed by Spark).
     "q72_session_window" -> ((s, dir) =>
       EventStream.sessionsViaSessionWindow(Tables.events(s, dir))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // The NAIVE range-join spelling — deliberately. The session's
+    // injected BinnedIntervalJoinRule re-plans it as a binned equi-join
+    // (its spec proves no nested loop and row-identical results); this
+    // query keeps the rule itself under the oracle gate. Same surge
+    // windows as q53, which writes the binning by hand.
+    "q73_auto_interval_join" -> ((s, dir) => {
+      s.conf.set(graft.plans.BinnedIntervalJoinRule.BinSecondsConf, "900")
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+        .agg(count(lit(1)).as("n"))
+      val thresh = hourly.agg((avg("n") * 1.3).as("_t"))
+      val surge = hourly.crossJoin(broadcast(thresh))
+        .where(col("n") >= col("_t"))
+        .select(col("w_start"),
+          (col("w_start") + expr("INTERVAL 90 MINUTE")).as("w_end"))
+      ev.join(surge,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("n_events"),
+          Aggregates.sumExact(col("value")).as("value_sum"))
+        .orderBy("w_start")
+    })
   )
 
   /** Per-customer lifetime order totals (shared by q63/q70). */
@@ -1163,6 +1187,17 @@ object SparkEntry {
       (Curation.packSequencesSql(2048) + "\nORDER BY doc_id"),
 
     "q72_session_window" -> (EventStream.sessionsViaSessionWindowSql(30) +
-      "\nORDER BY user_id, session_start")
+      "\nORDER BY user_id, session_start"),
+
+    "q73_auto_interval_join" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', ts) AS w_start,
+         |    count(*) AS n FROM events GROUP BY 1),
+         |surge AS (SELECT w_start, w_start + INTERVAL 90 MINUTE AS w_end
+         |  FROM hourly WHERE n >= 1.3 * (SELECT avg(n) FROM hourly))
+         |SELECT s.w_start, count(*) AS n_events,
+         |  ${Aggregates.sumExactSql("e.value")} AS value_sum
+         |FROM events e JOIN surge s
+         |  ON e.ts >= s.w_start AND e.ts < s.w_end
+         |GROUP BY s.w_start ORDER BY s.w_start""".stripMargin
   )
 }

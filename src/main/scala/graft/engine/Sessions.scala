@@ -25,6 +25,9 @@ object Sessions {
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // The library's own extensions ride every session: native-kernel
+      // SQL functions + the range-join→binned-equi-join optimizer rule.
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
