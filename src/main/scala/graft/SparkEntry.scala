@@ -674,7 +674,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           Aggregates.sumExact(col("value")).as("value_sum"))
         .orderBy("w_start")
-    })
+    }),
+
+    // Gaps-and-islands: per-user maximal consecutive-day streaks.
+    "q74_islands" -> ((s, dir) =>
+      EventAnalytics.activityIslands(Tables.events(s, dir))
+        .orderBy("user_id", "start_day")),
+
+    // Deterministic mode (most common origin city per airline).
+    "q75_mode" -> ((s, dir) =>
+      Aggregates.modeOriginCity(wide(s, dir)).orderBy("airline_name")),
+
+    // Decile ranking of airlines by mean delay.
+    "q76_deciles" -> ((s, dir) =>
+      Aggregates.delayDeciles(am(s, dir)).orderBy("airline_name")),
+
+    // Exact-decimal Pearson correlation (order-insensitive sums; the
+    // built-in corr's running co-moments are row-order-dependent).
+    "q77_corr" -> ((s, dir) =>
+      Aggregates.delayPriceCorr(wide(s, dir)).orderBy("airline_name")),
+
+    // Pareto concentration: cumulative share of total delay mass.
+    "q78_pareto" -> ((s, dir) =>
+      Aggregates.delayPareto(wide(s, dir))
+        .orderBy(col("cum_share").asc, col("airline_name").asc))
   )
 
   /** Per-customer lifetime order totals (shared by q63/q70). */
@@ -1198,6 +1221,22 @@ object SparkEntry {
          |  ${Aggregates.sumExactSql("e.value")} AS value_sum
          |FROM events e JOIN surge s
          |  ON e.ts >= s.w_start AND e.ts < s.w_end
-         |GROUP BY s.w_start ORDER BY s.w_start""".stripMargin
+         |GROUP BY s.w_start ORDER BY s.w_start""".stripMargin,
+
+    "q74_islands" -> (EventAnalytics.activityIslandsSql +
+      "\nORDER BY user_id, start_day"),
+
+    "q75_mode" -> (withWide(Aggregates.modeOriginCitySql) +
+      "\nORDER BY airline_name"),
+
+    "q76_deciles" -> s"""$airlineMonthlyCte
+      |${Aggregates.delayDecilesSql}
+      |ORDER BY airline_name""".stripMargin,
+
+    "q77_corr" -> (withWide(Aggregates.delayPriceCorrSql) +
+      "\nORDER BY airline_name"),
+
+    "q78_pareto" -> (withWide(Aggregates.delayParetoSql) +
+      "\nORDER BY cum_share ASC, airline_name ASC")
   )
 }

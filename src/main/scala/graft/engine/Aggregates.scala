@@ -320,6 +320,128 @@ object Aggregates {
         avgExact(col("delay_minutes")).as("trimmed_mean"))
   }
 
+  /** D-ext — deterministic mode: each airline's most common origin
+    * city, ties to the lexicographically smallest name. Spark's
+    * `mode()` (and DuckDB's) leave ties unspecified, so the spelling
+    * is a two-level agg + window rank with an explicit (count DESC,
+    * city ASC) order, which both engines reproduce bit-for-bit. Two
+    * partial-agg shuffles on low-cardinality keys. */
+  def modeOriginCity(wide: DataFrame): DataFrame = {
+    val counts = wide.groupBy("airline_name", "origin_city")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("airline_name")
+      .orderBy(col("n").desc, col("origin_city").asc)
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("airline_name"), col("origin_city").as("mode_city"),
+        col("n").as("n_flights"))
+  }
+
+  /** Oracle twin of [[modeOriginCity]] (FROM a `wide` CTE). */
+  val modeOriginCitySql: String =
+    """SELECT airline_name, origin_city AS mode_city, n AS n_flights
+      |FROM (SELECT airline_name, origin_city, count(*) AS n,
+      |    row_number() OVER (PARTITION BY airline_name
+      |      ORDER BY count(*) DESC, origin_city ASC) AS rn
+      |  FROM wide GROUP BY airline_name, origin_city) _
+      |WHERE rn = 1""".stripMargin
+
+  /** D-ext — decile assignment: airlines ranked into ntile(10) buckets
+    * by mean delay (exact-decimal mean, deterministic (value, name)
+    * ordering). The window is over the airline-cardinality aggregate —
+    * group-count rows, never the fact table. */
+  def delayDeciles(am: DataFrame): DataFrame = {
+    val perAirline = am.groupBy("airline_name")
+      .agg((sumExact(col("delay_minutes_mean"), 10) / count(lit(1)))
+        .as("avg_delay"))
+    val w = Window.orderBy(col("avg_delay").asc, col("airline_name").asc)
+    perAirline.withColumn("decile", ntile(10).over(w))
+  }
+
+  /** Oracle twin of [[delayDeciles]] (FROM an `am` CTE). */
+  val delayDecilesSql: String =
+    s"""SELECT airline_name,
+       |  ${sumExactSql("delay_minutes_mean", 10)} / COUNT(*) AS avg_delay,
+       |  CAST(ntile(10) OVER (ORDER BY
+       |    ${sumExactSql("delay_minutes_mean", 10)} / COUNT(*) ASC,
+       |    airline_name ASC) AS INT) AS decile
+       |FROM am GROUP BY airline_name""".stripMargin
+
+  /** D-ext — exact Pearson correlation between delay minutes and the
+    * line price per airline. Built-in `corr` accumulates running
+    * co-moments whose float rounding depends on row order — useless
+    * against a cross-engine oracle. This is the textbook expansion
+    * over exact decimal sums (every Σ order-insensitive), with the
+    * float arithmetic confined to one deterministic final expression:
+    * `(n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))`. */
+  def delayPriceCorr(wide: DataFrame): DataFrame = {
+    val x = col("delay_minutes")
+    val y = col("l_extendedprice")
+    val agg = wide.groupBy("airline_name").agg(
+      count(lit(1)).cast("double").as("n"),
+      sumExact(x, 6).as("sx"), sumExact(y, 6).as("sy"),
+      sumExact(x * x, 6).as("sxx"), sumExact(y * y, 6).as("syy"),
+      sumExact(x * y, 6).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    // Rounded: the Σx² decimal quantization can differ between engines
+    // by 1 ulp at near-tie inputs, perturbing corr in the 16th digit.
+    agg.select(col("airline_name"),
+      when(den === 0, lit(null))
+        .otherwise(round(num / den, 6)).as("corr_delay_price"))
+  }
+
+  /** Oracle twin of [[delayPriceCorr]] (FROM a `wide` CTE). */
+  val delayPriceCorrSql: String = {
+    def s6(e: String) = sumExactSql(e, 6)
+    s"""SELECT airline_name,
+       |  CASE WHEN (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) = 0
+       |    THEN NULL
+       |    ELSE round((n * sxy - sx * sy)
+       |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) END
+       |    AS corr_delay_price
+       |FROM (SELECT airline_name,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${s6("delay_minutes")} AS sx,
+       |    ${s6("l_extendedprice")} AS sy,
+       |    ${s6("delay_minutes * delay_minutes")} AS sxx,
+       |    ${s6("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${s6("delay_minutes * l_extendedprice")} AS sxy
+       |  FROM wide GROUP BY airline_name) _""".stripMargin
+  }
+
+  /** D-ext — Pareto concentration: airlines by delay mass, descending,
+    * with each one's cumulative share of the total ("the top k carriers
+    * cause X% of all delay"). Shares divide one exact decimal window
+    * sum by the exact grand total, so every value is deterministic;
+    * both windows run over the airline-cardinality aggregate. */
+  def delayPareto(wide: DataFrame): DataFrame = {
+    val perAirline = wide.groupBy("airline_name")
+      .agg(sum(col("delay_minutes").cast(DecimalType(28, 6)))
+        .as("delay_dec"))
+    val ord = Window.orderBy(col("delay_dec").desc, col("airline_name").asc)
+    val all = Window.orderBy(col("delay_dec").desc, col("airline_name").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perAirline
+      .withColumn("cum_share",
+        (sum("delay_dec").over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") /
+          sum("delay_dec").over(all).cast("double")))
+      .select(col("airline_name"), col("delay_dec").cast("double")
+        .as("delay_minutes_sum"), col("cum_share"))
+  }
+
+  /** Oracle twin of [[delayPareto]] (FROM a `wide` CTE). */
+  val delayParetoSql: String =
+    """SELECT airline_name,
+      |  CAST(delay_dec AS DOUBLE) AS delay_minutes_sum,
+      |  CAST(SUM(delay_dec) OVER (ORDER BY delay_dec DESC, airline_name ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(delay_dec) OVER () AS DOUBLE) AS cum_share
+      |FROM (SELECT airline_name,
+      |    SUM(CAST(delay_minutes AS DECIMAL(28,6))) AS delay_dec
+      |  FROM wide GROUP BY airline_name) _""".stripMargin
+
   /** Oracle twin of [[outlierTrim]] (FROM a `wide` CTE; subquery rather
     * than a second CTE so it composes under the `withWide` wrapper). */
   val outlierTrimSql: String =

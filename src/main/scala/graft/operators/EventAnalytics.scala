@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over the events table: ordered conversion
@@ -65,6 +66,36 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"),
         count("_ret").as("n_retained"))
   }
+
+  /** Activity islands (gaps-and-islands): each user's maximal runs of
+    * CONSECUTIVE active days, via the classic `day − row_number()`
+    * anchor — consecutive days share an anchor, any gap shifts it.
+    * One distinct projection, one per-user window (state never leaves
+    * the user's reducer), one aggregation. The day-grain streak
+    * complement to gap-based sessionization. */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val du = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    du.withColumn("anchor",
+        date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(min("day").as("start_day"), max("day").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "start_day", "end_day", "n_days")
+  }
+
+  /** Oracle twin of [[activityIslands]] (`events` hard-wired). */
+  val activityIslandsSql: String =
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |    FROM events),
+      |a AS (SELECT user_id, day,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS INT) AS anchor
+      |  FROM du)
+      |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+      |  count(*) AS n_days
+      |FROM a GROUP BY user_id, anchor""".stripMargin
 
   /** Oracle twin of [[retention]] (`events` hard-wired). */
   def retentionSql(days: Int): String =

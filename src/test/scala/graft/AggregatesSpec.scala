@@ -126,6 +126,39 @@ class AggregatesSpec extends SparkSpec {
       "every rollup row must appear in the cube")
   }
 
+  test("pareto shares are monotone and end exactly at 1.0") {
+    val rows = Aggregates.delayPareto(wide).orderBy("cum_share").collect()
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last == 1.0,
+      "exact decimal total must make the final share exactly 1.0")
+    assert(shares.head > 0.0 && rows.length ==
+      wide.select("airline_name").distinct().count())
+  }
+
+  test("mode city reconciles against a direct max count") {
+    val modes = Aggregates.modeOriginCity(wide).cache()
+    val direct = wide.groupBy("airline_name", "origin_city")
+      .agg(count(lit(1)).as("n")).groupBy("airline_name")
+      .agg(max("n").as("max_n"))
+    // The mode's count must BE the airline's max city count.
+    assert(modes.join(direct, "airline_name")
+      .where(col("n_flights") =!= col("max_n")).count() == 0)
+  }
+
+  test("exact corr is in [-1, 1] and matches built-in corr to float noise") {
+    val exact = Aggregates.delayPriceCorr(wide)
+    val builtin = wide.groupBy("airline_name")
+      .agg(corr(col("delay_minutes"), col("l_extendedprice")).as("c"))
+    val j = exact.join(builtin, "airline_name").collect()
+    j.foreach { r =>
+      val e = r.getAs[Double]("corr_delay_price")
+      assert(e >= -1.0 && e <= 1.0)
+      assert(math.abs(e - r.getAs[Double]("c")) < 1e-6,
+        s"exact-decimal corr diverged from built-in: $r")
+    }
+  }
+
   test("outlier trim keeps at most the p99 mass and lowers the mean") {
     val trimmed = Aggregates.outlierTrim(wide).cache()
     val untrimmed = wide.groupBy("airline_name")

@@ -53,6 +53,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(d8.getAs[Long]("n_retained") == 0L)
   }
 
+  test("islands merge consecutive days and split on gaps") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-02 09:00:00"),
+      (1L, "view", "2024-01-02 23:00:00"),   // same day, no new island
+      (1L, "view", "2024-01-03 01:00:00"),
+      (1L, "view", "2024-01-05 01:00:00"),   // gap → second island
+      (2L, "view", "2024-01-10 01:00:00"))
+    val got = EventAnalytics.activityIslands(events)
+      .orderBy("user_id", "start_day").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("start_day").toString,
+        r.getAs[java.sql.Date]("end_day").toString, r.getAs[Long]("n_days")))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-01-10", "2024-01-10", 1L)))
+  }
+
   test("sketches stay within tolerance of their exact twins (q67)") {
     val out = Tables.events(spark, sf).groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
