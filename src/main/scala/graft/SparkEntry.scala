@@ -697,7 +697,33 @@ object SparkEntry {
     // Pareto concentration: cumulative share of total delay mass.
     "q78_pareto" -> ((s, dir) =>
       Aggregates.delayPareto(wide(s, dir))
-        .orderBy(col("cum_share").asc, col("airline_name").asc))
+        .orderBy(col("cum_share").asc, col("airline_name").asc)),
+
+    // Semi-structured JSON column: typed extraction from events.props
+    // (schema-pinned from_json — no inference pass) + aggregation.
+    "q79_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count("k").as("n_k"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type")),
+
+    // Exact-quota stratified sample: 50 docs per language, selected by
+    // content-hash order (reproducible, leakage-proof class balancing).
+    "q80_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(Tables.documents(s, dir), "lang", "text",
+        quota = 50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // BPE merge-round statistic: top adjacent-token pairs.
+    "q81_pair_stats" -> ((s, dir) =>
+      CorpusStats.topPairs(Tables.documents(s, dir), "text", k = 20)
+        .orderBy(col("n").desc, col("pair").asc))
   )
 
   /** Per-customer lifetime order totals (shared by q63/q70). */
@@ -1237,6 +1263,23 @@ object SparkEntry {
       "\nORDER BY airline_name"),
 
     "q78_pareto" -> (withWide(Aggregates.delayParetoSql) +
-      "\nORDER BY cum_share ASC, airline_name ASC")
+      "\nORDER BY cum_share ASC, airline_name ASC"),
+
+    "q79_json_extract" ->
+      """SELECT event_type,
+        |  count(k) AS n_k, CAST(sum(k) AS BIGINT) AS k_sum,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events) _
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q80_quota_sample" ->
+      s"""SELECT doc_id, lang FROM (SELECT doc_id, lang,
+         |    ${Sampling.quotaRankSql("lang", "text")} AS rn
+         |  FROM documents) _
+         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+
+    "q81_pair_stats" -> CorpusStats.topPairsSql(20)
   )
 }

@@ -127,6 +127,33 @@ object CorpusStats {
        |  FROM scored)
        |SELECT doc_id, w AS term, score FROM top WHERE rn = 1""".stripMargin
 
+  // ----------------------------------------------------------- pair stats
+
+  /** Corpus-wide adjacent-token pair counts, top `k` — the statistic a
+    * BPE-style tokenizer trainer computes per merge round (most frequent
+    * adjacent pair wins). One codegen'd shingle projection + explode +
+    * partial/final count; deterministic (count DESC, pair ASC) order
+    * so the top-k cut is engine-independent. */
+  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(TextKernels.shinglesCol(col(textCol), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
+  /** Oracle twin of [[topPairs]] (`documents` hard-wired; mirrors the
+    * kernel's whole-text fallback for sub-`n` documents). */
+  def topPairsSql(k: Int): String = {
+    val toks = "string_split(text, ' ')"
+    s"""WITH g AS (SELECT unnest(
+       |    CASE WHEN len($toks) >= 2
+       |      THEN list_transform(range(1, len($toks) - 1 + 1),
+       |        i -> array_to_string($toks[i:i+1], ' '))
+       |      ELSE [array_to_string($toks, ' ')] END) AS pair
+       |  FROM documents)
+       |SELECT pair, count(*) AS n FROM g
+       |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT $k""".stripMargin
+  }
+
   // ---------------------------------------------------------- vocab prune
 
   /** Order-preserving vocabulary prune: drop every token whose corpus

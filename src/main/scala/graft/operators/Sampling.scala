@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and split assignment for training-data
@@ -76,4 +77,29 @@ object Sampling {
        |  CASE WHEN ${bucketSql(textCol, nBuckets)} < $trainBuckets THEN 'train'
        |       WHEN ${bucketSql(textCol, nBuckets)} < $valBuckets THEN 'val'
        |       ELSE 'test' END AS split""".stripMargin
+
+  /** Exact-quota stratified sample: keep (up to) `quota` rows per
+    * stratum — the class-balancing step of a corpus pipeline, where
+    * fractional sampling over-represents big strata. Selection order is
+    * the MD5 HEX STRING of the text (ties broken by the text itself):
+    * hex strings order identically everywhere, where the numeric hash
+    * would order signed in Spark (long) but unsigned in DuckDB
+    * (UBIGINT). Reproducible and leakage-proof like [[sampleByContent]],
+    * but with an exact per-stratum count; the rank window partitions by
+    * stratum — per-stratum sorts, never a global one. */
+  def quotaSample(df: DataFrame, stratumCol: String, textCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be > 0, got $quota")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(textCol).cast("binary")).asc, col(textCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= quota).drop("_rk")
+  }
+
+  /** SQL twin of [[quotaSample]]'s rank (DuckDB `md5` = the same
+    * lowercase hex). Wrap as an rn subquery with `rn <= quota`. */
+  def quotaRankSql(stratumCol: String, textCol: String): String =
+    s"""row_number() OVER (PARTITION BY $stratumCol
+       |    ORDER BY md5($textCol) ASC, $textCol ASC)"""
+      .stripMargin
 }

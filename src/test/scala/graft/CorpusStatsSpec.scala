@@ -45,6 +45,14 @@ class CorpusStatsSpec extends SparkSpec {
     assert(top(2).getAs[String]("term") == "alpha")
   }
 
+  test("topPairs counts adjacent-pair occurrences, count-desc pair-asc") {
+    val d = docs(1L -> "a b a b c", 2L -> "a b")
+    // Pairs: doc1 → [a b, b a, a b, b c]; doc2 → [a b]. "a b"×3 wins.
+    val got = CorpusStats.topPairs(d, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
   test("vocabPrune preserves token order and drops empty survivors") {
     // "the" is in 3/3 docs → pruned at maxDfFrac=0.9; doc 3 is all-"the"
     // so it vanishes. Doc 1 has >10 surviving tokens so numeric order

@@ -62,4 +62,21 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == wantCount)
     assert(kept.count() > 0)
   }
+
+  test("quota sample takes min(quota, stratum size) per stratum, reproducibly") {
+    val quota = 7
+    val sampled = Sampling.quotaSample(docs, "lang", "text", quota).cache()
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(got(lang) == math.min(quota.toLong, n),
+        s"stratum $lang: got ${got(lang)} of $n (quota $quota)")
+    }
+    // Content-keyed ⇒ the same rows every time.
+    val again = Sampling.quotaSample(docs, "lang", "text", quota)
+    assert(sampled.exceptAll(again).count() == 0)
+    assert(again.exceptAll(sampled).count() == 0)
+  }
 }
