@@ -723,7 +723,16 @@ object SparkEntry {
     // BPE merge-round statistic: top adjacent-token pairs.
     "q81_pair_stats" -> ((s, dir) =>
       CorpusStats.topPairs(Tables.documents(s, dir), "text", k = 20)
-        .orderBy(col("n").desc, col("pair").asc))
+        .orderBy(col("n").desc, col("pair").asc)),
+
+    // Token-granular document chunking (no shuffle — stays in the scan).
+    "q82_chunking" -> ((s, dir) =>
+      CorpusStats.chunk(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 16).orderBy("doc_id", "chunk_idx")),
+
+    // Robust (MAD / modified z-score) outlier counts per airline.
+    "q83_mad_outliers" -> ((s, dir) =>
+      Aggregates.madOutliers(wide(s, dir)).orderBy("airline_name"))
   )
 
   /** Per-customer lifetime order totals (shared by q63/q70). */
@@ -1280,6 +1289,12 @@ object SparkEntry {
          |  FROM documents) _
          |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
 
-    "q81_pair_stats" -> CorpusStats.topPairsSql(20)
+    "q81_pair_stats" -> CorpusStats.topPairsSql(20),
+
+    "q82_chunking" ->
+      (CorpusStats.chunkSql(16) + "\nORDER BY doc_id, chunk_idx"),
+
+    "q83_mad_outliers" -> (withWide(Aggregates.madOutliersSql) +
+      "\nORDER BY airline_name")
   )
 }

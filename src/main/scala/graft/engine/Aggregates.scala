@@ -442,6 +442,54 @@ object Aggregates {
       |    SUM(CAST(delay_minutes AS DECIMAL(28,6))) AS delay_dec
       |  FROM wide GROUP BY airline_name) _""".stripMargin
 
+  /** D-ext — robust outlier detection via MAD (median absolute
+    * deviation): per airline, flag delays with modified z-score
+    * `|x − median| > 3 · 1.4826 · MAD`. Unlike the p99 trim
+    * ([[outlierTrim]]) or a stddev rule, both location and scale are
+    * 50%-breakdown robust — the outliers cannot mask themselves.
+    * Two aggregation passes (median, then MAD over deviations), each
+    * producing an airline-cardinality table broadcast back onto the
+    * fact — the fact never shuffles. */
+  def madOutliers(wide: DataFrame): DataFrame = {
+    val med = wide.groupBy("airline_name")
+      .agg(percentile(col("delay_minutes"), lit(0.5)).as("_med"))
+    val dev = wide.join(broadcast(med), "airline_name")
+      .withColumn("_adev", abs(col("delay_minutes") - col("_med")))
+    val mad = dev.groupBy("airline_name")
+      .agg(percentile(col("_adev"), lit(0.5)).as("_mad"),
+        max("_med").as("_med2"))
+    dev.join(broadcast(mad.drop("_med2")), "airline_name")
+      .groupBy("airline_name")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_adev") > lit(3 * 1.4826) * col("_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max("_med"), 6).as("median_delay"),
+        round(max("_mad"), 6).as("mad"))
+  }
+
+  /** Oracle twin of [[madOutliers]] (FROM a `wide` CTE; subqueries so it
+    * composes under `withWide`). */
+  val madOutliersSql: String =
+    """SELECT airline_name, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN adev > 3 * 1.4826 * _mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  round(max(_med), 6) AS median_delay,
+      |  round(max(_mad), 6) AS mad
+      |FROM (
+      |  SELECT d.airline_name, d.adev, d._med, m._mad
+      |  FROM (SELECT w.airline_name,
+      |      abs(w.delay_minutes - c._med) AS adev, c._med
+      |    FROM wide w JOIN (SELECT airline_name,
+      |        quantile_cont(delay_minutes, 0.5) AS _med
+      |      FROM wide GROUP BY airline_name) c USING (airline_name)) d
+      |  JOIN (SELECT w.airline_name,
+      |      quantile_cont(abs(w.delay_minutes - c._med), 0.5) AS _mad
+      |    FROM wide w JOIN (SELECT airline_name,
+      |        quantile_cont(delay_minutes, 0.5) AS _med
+      |      FROM wide GROUP BY airline_name) c USING (airline_name)
+      |    GROUP BY w.airline_name) m USING (airline_name)) _
+      |GROUP BY airline_name""".stripMargin
+
   /** Oracle twin of [[outlierTrim]] (FROM a `wide` CTE; subquery rather
     * than a second CTE so it composes under the `withWide` wrapper). */
   val outlierTrimSql: String =

@@ -154,6 +154,46 @@ object CorpusStats {
        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT $k""".stripMargin
   }
 
+  // ------------------------------------------------------------- chunking
+
+  /** Document chunking: split each document into consecutive
+    * `chunkTokens`-token pieces (last piece ragged) — the transform an
+    * LLM pipeline runs on long documents before packing/training, at
+    * token granularity rather than q71's document granularity.
+    *
+    * Pure built-ins, one generate: the token array is computed once,
+    * `sequence` enumerates chunk starts, `posexplode` yields
+    * (chunk_idx, start), `slice`+`array_join` rebuild each chunk's
+    * text. No shuffle at all — chunking is embarrassingly parallel and
+    * stays inside the scan stage. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(1), size(col("_toks")), lit(chunkTokens)))
+          .as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("_toks"), col("_start"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("_toks")) - col("_start") + 1, lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Oracle twin of [[chunk]] (`documents` hard-wired). */
+  def chunkSql(chunkTokens: Int): String =
+    s"""SELECT doc_id,
+       |  CAST(i AS BIGINT) AS chunk_idx,
+       |  array_to_string(toks[s:s+${chunkTokens - 1}], ' ') AS chunk_text,
+       |  CAST(least(len(toks) - s + 1, $chunkTokens) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |    FROM documents) d,
+       |  LATERAL (SELECT unnest(range(1, len(toks) + 1, $chunkTokens))
+       |      AS s,
+       |    unnest(range(0, CAST(ceil(len(toks) / $chunkTokens.0) AS BIGINT)))
+       |      AS i) _""".stripMargin
+
   // ---------------------------------------------------------- vocab prune
 
   /** Order-preserving vocabulary prune: drop every token whose corpus

@@ -159,6 +159,18 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("MAD outliers: robust counts bounded, never the majority") {
+    val rows = Aggregates.madOutliers(wide).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val frac = r.getAs[Long]("n_outliers").toDouble / r.getAs[Long]("n")
+      // 50% breakdown: by construction at least half the points sit
+      // within one MAD of the median, so 3·1.4826·MAD flags a minority.
+      assert(frac < 0.5, s"MAD flagged a majority: $r")
+      assert(r.getAs[Double]("mad") >= 0.0)
+    }
+  }
+
   test("outlier trim keeps at most the p99 mass and lowers the mean") {
     val trimmed = Aggregates.outlierTrim(wide).cache()
     val untrimmed = wide.groupBy("airline_name")

@@ -53,6 +53,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("chunks reassemble to the original text; all but the last are full") {
+    import graft.engine.Tables
+    val d = Tables.documents(spark, sf)
+    val chunks = CorpusStats.chunk(d, "doc_id", "text", chunkTokens = 16)
+      .cache()
+    // Lossless: concatenating a doc's chunks in order gives the text
+    // back. collect_list does NOT preserve pre-aggregation sort order,
+    // so order explicitly via the collected struct key.
+    val reassembled = chunks
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        x => x.getField("chunk_text")), " ").as("re"))
+    val diff = reassembled.join(d, "doc_id")
+      .where(col("re") =!= col("text")).count()
+    assert(diff == 0, "chunking must be lossless")
+    // Every non-final chunk carries exactly chunkTokens tokens.
+    val maxIdx = chunks.groupBy("doc_id").agg(max("chunk_idx").as("mi"))
+    val shortMid = chunks.join(maxIdx, "doc_id")
+      .where(col("chunk_idx") < col("mi") && col("n_tokens") =!= 16).count()
+    assert(shortMid == 0, "only the final chunk may be ragged")
+  }
+
   test("vocabPrune preserves token order and drops empty survivors") {
     // "the" is in 3/3 docs → pruned at maxDfFrac=0.9; doc 3 is all-"the"
     // so it vanishes. Doc 1 has >10 surviving tokens so numeric order
