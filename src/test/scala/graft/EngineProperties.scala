@@ -78,4 +78,55 @@ object EngineProperties extends Properties("Engine") {
         u1.except(u2).count() == 0 && u2.except(u1).count() == 0 &&
           u1.count() == (a ++ b).distinct.size
     }
+
+  // Dense-tie generators: keys from a 4-value space, timestamps from a
+  // 12-value space, so inclusive bounds, equal-ts ties and multi-match
+  // groups all occur in nearly every case.
+  private val asofRow: Gen[(Long, Long, Long)] = for {
+    k <- Gen.choose(0L, 3L); ts <- Gen.choose(0L, 11L); id <- Gen.choose(0L, 999L)
+  } yield (k, ts, id)
+
+  property("asofBackward == naive range-join + argmax on arbitrary inputs") =
+    forAll(Gen.listOfN(25, asofRow), Gen.listOfN(25, asofRow)) { (ls, rs) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Distinct lid/rid so the naive row_number pick is well-defined.
+      val left = ls.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i.toLong) }
+        .toDF("k", "lts", "lid")
+      val right = rs.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, 1000L + i) }
+        .toDF("k", "rts", "rid")
+      val got = graft.engine.Joins.asofBackward(left, right, "k", "lts", "rts")
+        .select("k", "lts", "lid", "rts", "rid")
+      val w = Window.partitionBy("lid")
+        .orderBy(col("rts").desc_nulls_last, col("rid").desc_nulls_last)
+      val naive = left.join(right.withColumnRenamed("k", "rk"),
+          col("k") === col("rk") && col("rts") <= col("lts"), "left")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("k", "lts", "lid", "rts", "rid")
+      got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0
+    }
+
+  private val intervalRow: Gen[(Long, Long)] = for {
+    s <- Gen.choose(0L, 100000000L); len <- Gen.oneOf(Gen.const(0L),
+      Gen.choose(1L, 30000000L))
+  } yield (s, s + len)
+
+  property("binnedIntervalJoin == naive cross-filter for any bin width") =
+    forAll(Gen.listOfN(40, Gen.choose(0L, 100000000L)),
+      Gen.listOfN(15, intervalRow), Gen.choose(1L, 60L)) { (pts, ivs, binSec) =>
+      import spark.implicits._
+      val points = pts.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+        .toDF("pid", "us")
+        .select(col("pid"), timestamp_micros(col("us")).as("ts"))
+      val intervals = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("iid", "s_us", "e_us")
+        .select(col("iid"), timestamp_micros(col("s_us")).as("w_start"),
+          timestamp_micros(col("e_us")).as("w_end"))
+      val got = graft.engine.Joins.binnedIntervalJoin(points, "ts",
+        intervals, "w_start", "w_end", binSec).select("pid", "iid")
+      val naive = points.crossJoin(intervals)
+        .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .select("pid", "iid")
+      got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0
+    }
 }
