@@ -732,7 +732,17 @@ object SparkEntry {
 
     // Robust (MAD / modified z-score) outlier counts per airline.
     "q83_mad_outliers" -> ((s, dir) =>
-      Aggregates.madOutliers(wide(s, dir)).orderBy("airline_name"))
+      Aggregates.madOutliers(wide(s, dir)).orderBy("airline_name")),
+
+    // Nearest other airport by great-circle distance (dim self-join —
+    // the fact table is never touched).
+    "q84_nearest_airport" -> ((s, dir) =>
+      Aggregates.nearestAirport(Aggregates.coordsDf(s)).orderBy("city")),
+
+    // Trailing-window z-score anomaly flags on the monthly delay series.
+    "q85_anomalies" -> ((s, dir) =>
+      Aggregates.delayAnomalies(am(s, dir))
+        .orderBy("airline_name", "month"))
   )
 
   /** Per-customer lifetime order totals (shared by q63/q70). */
@@ -1295,6 +1305,13 @@ object SparkEntry {
       (CorpusStats.chunkSql(16) + "\nORDER BY doc_id, chunk_idx"),
 
     "q83_mad_outliers" -> (withWide(Aggregates.madOutliersSql) +
-      "\nORDER BY airline_name")
+      "\nORDER BY airline_name"),
+
+    "q84_nearest_airport" ->
+      (Aggregates.nearestAirportSql + "\nORDER BY city"),
+
+    "q85_anomalies" -> s"""$airlineMonthlyCte
+      |${Aggregates.delayAnomaliesSql}
+      |ORDER BY airline_name, month""".stripMargin
   )
 }

@@ -107,10 +107,14 @@ object Aggregates {
     cityCoords.toDF("origin_city", "lat", "lon")
   }
 
-  /** VALUES-list twin of [[cityCoords]] for the oracle. */
-  val coordsSql: String = cityCoords
+  /** Bare VALUES list of [[cityCoords]] (re-aliasable). */
+  val coordsValuesSql: String = cityCoords
     .map { case (c, la, lo) => s"('$c', $la, $lo)" }
-    .mkString("(VALUES ", ", ", ") AS coords(origin_city, lat, lon)")
+    .mkString("(VALUES ", ", ", ")")
+
+  /** VALUES-list twin of [[cityCoords]] for the oracle. */
+  val coordsSql: String =
+    s"$coordsValuesSql AS coords(origin_city, lat, lon)"
 
   /** C5 + B6 — attach coordinates; inner broadcast join reproduces the
     * lookup-then-dropna (`/root/reference/src/aggregate_flight_data.py:74-76`). */
@@ -441,6 +445,94 @@ object Aggregates {
       |FROM (SELECT airline_name,
       |    SUM(CAST(delay_minutes AS DECIMAL(28,6))) AS delay_dec
       |  FROM wide GROUP BY airline_name) _""".stripMargin
+
+  /** Great-circle (haversine) distance in km between two lat/lon pairs
+    * (degrees). Pure trig built-ins — codegen'd, no UDF; rounded where
+    * emitted because libm trig may differ from StrictMath in the last
+    * ulp. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column,
+      lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * 6371.0088) * asin(sqrt(a))
+  }
+
+  /** SQL twin of [[haversineKm]] — identical op order. */
+  def haversineKmSql(lat1: String, lon1: String, lat2: String,
+      lon2: String): String =
+    s"2 * 6371.0088 * asin(sqrt(pow(sin(radians($lat2 - $lat1) / 2), 2) " +
+      s"+ cos(radians($lat1)) * cos(radians($lat2)) " +
+      s"* pow(sin(radians($lon2 - $lon1) / 2), 2)))"
+
+  /** D-ext — nearest other airport per airport by great-circle
+    * distance: the coordinate dim self-joined (it is dimension-sized —
+    * both sides broadcastable; the fact table is never touched), ranked
+    * by (rounded distance, name) so the winner is engine-independent. */
+  def nearestAirport(coords: DataFrame): DataFrame = {
+    val a = coords.select(col("origin_city").as("city"),
+      col("lat").as("lat_a"), col("lon").as("lon_a"))
+    val b = coords.select(col("origin_city").as("other"),
+      col("lat").as("lat_b"), col("lon").as("lon_b"))
+    val w = Window.partitionBy("city")
+      .orderBy(col("dist_km").asc, col("other").asc)
+    a.crossJoin(broadcast(b)).where(col("city") =!= col("other"))
+      .withColumn("dist_km",
+        round(haversineKm(col("lat_a"), col("lon_a"),
+          col("lat_b"), col("lon_b")), 6))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("city", "other", "dist_km")
+  }
+
+  /** Oracle twin of [[nearestAirport]] (over the coords VALUES list). */
+  val nearestAirportSql: String =
+    s"""SELECT city, other, dist_km FROM (
+       |  SELECT a.origin_city AS city, b.origin_city AS other,
+       |    round(${haversineKmSql("a.lat", "a.lon", "b.lat", "b.lon")}, 6)
+       |      AS dist_km,
+       |    row_number() OVER (PARTITION BY a.origin_city ORDER BY
+       |      round(${haversineKmSql("a.lat", "a.lon", "b.lat", "b.lon")}, 6)
+       |        ASC, b.origin_city ASC) AS rn
+       |  FROM $coordsValuesSql AS a(origin_city, lat, lon),
+       |    $coordsValuesSql AS b(origin_city, lat, lon)
+       |  WHERE a.origin_city <> b.origin_city) _
+       |WHERE rn = 1""".stripMargin
+
+  /** D-ext — time-series anomaly flags: each airline-month's mean delay
+    * scored against the TRAILING three months (current excluded — an
+    * anomaly must not contaminate its own baseline): z = (x − m) / s
+    * over the lag-1..3 window, `|z| > 2` flags. Like [[momDelta]], the
+    * rolling mean/variance are spelled with fixed-order IEEE arithmetic
+    * over explicit lags — windowed `avg`/`stddev` leave summation order
+    * (and Welford internals) to the engine. First three months and
+    * zero-variance baselines yield a null score, never a flag. */
+  def delayAnomalies(am: DataFrame): DataFrame = {
+    val w = Window.partitionBy("airline_name").orderBy("month")
+    val x = col("delay_minutes_mean")
+    val (l1, l2, l3) = (lag(x, 1).over(w), lag(x, 2).over(w), lag(x, 3).over(w))
+    val m = (l1 + l2 + l3) / 3
+    val s = sqrt((pow(l1 - m, 2) + pow(l2 - m, 2) + pow(l3 - m, 2)) / 2)
+    val z = when(s > 0, round((x - m) / s, 6))
+    am.select(col("airline_name"), col("month"), x,
+      z.as("z_score"),
+      when(z.isNotNull && abs(z) > 2, 1L).otherwise(0L).as("is_anomaly"))
+  }
+
+  /** Oracle twin of [[delayAnomalies]] (FROM an `am` CTE). */
+  val delayAnomaliesSql: String = {
+    def lg(i: Int) = s"lag(delay_minutes_mean, $i) OVER w"
+    val m = s"((${lg(1)} + ${lg(2)} + ${lg(3)}) / 3)"
+    val s = s"sqrt((pow(${lg(1)} - $m, 2) + pow(${lg(2)} - $m, 2) " +
+      s"+ pow(${lg(3)} - $m, 2)) / 2)"
+    val z = s"CASE WHEN $s > 0 THEN round((delay_minutes_mean - $m) / $s, 6) END"
+    s"""SELECT airline_name, month, delay_minutes_mean,
+       |  $z AS z_score,
+       |  CAST(CASE WHEN $z IS NOT NULL AND abs($z) > 2
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+       |FROM am
+       |WINDOW w AS (PARTITION BY airline_name ORDER BY month)""".stripMargin
+  }
 
   /** D-ext — robust outlier detection via MAD (median absolute
     * deviation): per airline, flag delays with modified z-score

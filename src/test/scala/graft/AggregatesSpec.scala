@@ -159,6 +159,34 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("haversine: zero at identity, symmetric, London–Paris ≈ 344 km") {
+    val d = Seq((51.5074, -0.1278, 48.8566, 2.3522))
+      .toDF("la1", "lo1", "la2", "lo2")
+      .select(
+        Aggregates.haversineKm(col("la1"), col("lo1"), col("la2"), col("lo2"))
+          .as("ab"),
+        Aggregates.haversineKm(col("la2"), col("lo2"), col("la1"), col("lo1"))
+          .as("ba"),
+        Aggregates.haversineKm(col("la1"), col("lo1"), col("la1"), col("lo1"))
+          .as("self"))
+      .head()
+    assert(math.abs(d.getDouble(0) - 343.5) < 1.0)
+    assert(d.getDouble(0) == d.getDouble(1), "distance must be symmetric")
+    assert(d.getDouble(2) == 0.0)
+  }
+
+  test("anomaly z-scores: no baseline for the first three months, flags rare") {
+    val rows = Aggregates.delayAnomalies(am).cache()
+    assert(rows.where(col("month") <= 3 && col("z_score").isNotNull)
+      .count() == 0, "months 1-3 have no 3-month trailing baseline")
+    val n = rows.count()
+    val flagged = rows.where(col("is_anomaly") === 1).count()
+    assert(flagged < n / 4, s"anomalies must be rare: $flagged/$n")
+    // No flag without a score.
+    assert(rows.where(col("is_anomaly") === 1 && col("z_score").isNull)
+      .count() == 0)
+  }
+
   test("MAD outliers: robust counts bounded, never the majority") {
     val rows = Aggregates.madOutliers(wide).collect()
     assert(rows.nonEmpty)
