@@ -742,8 +742,34 @@ object SparkEntry {
     // Trailing-window z-score anomaly flags on the monthly delay series.
     "q85_anomalies" -> ((s, dir) =>
       Aggregates.delayAnomalies(am(s, dir))
-        .orderBy("airline_name", "month"))
+        .orderBy("airline_name", "month")),
+
+    // Incremental view maintenance: month-12 delta rollup combined into
+    // the historical rollup by group-wise ADDITION — O(delta), the
+    // history is never rescanned (contrast q63's replace-style upsert,
+    // which recomputes the changed groups from source). Measures stay
+    // DECIMAL through the combine so increment == full recompute
+    // bit-for-bit; cast to double only at the edge.
+    "q86_incremental_agg" -> ((s, dir) => {
+      val ordersDf = Tables.orders(s, dir)
+      Merge.combineAdditive(
+        custTotalsDec(ordersDf.where(month(col("o_orderdate")) <= 11)),
+        custTotalsDec(ordersDf.where(month(col("o_orderdate")) === 12)),
+        "o_custkey", Seq("n_orders", "spend_dec"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("spend_dec").cast("double").as("total_spend"))
+        .orderBy("o_custkey")
+    })
   )
+
+  /** [[custTotals]] with the money measure kept as exact DECIMAL (for
+    * the additive combine of q86). */
+  private def custTotalsDec(ordersDf: DataFrame): DataFrame =
+    ordersDf.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("spend_dec"))
 
   /** Per-customer lifetime order totals (shared by q63/q70). */
   private def custTotals(ordersDf: DataFrame): DataFrame =
@@ -1312,6 +1338,20 @@ object SparkEntry {
 
     "q85_anomalies" -> s"""$airlineMonthlyCte
       |${Aggregates.delayAnomaliesSql}
-      |ORDER BY airline_name, month""".stripMargin
+      |ORDER BY airline_name, month""".stripMargin,
+
+    "q86_incremental_agg" -> {
+      def totalsDec(pred: String) =
+        s"""SELECT o_custkey, COUNT(*) AS n_orders,
+           |  SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend_dec
+           |FROM orders WHERE $pred GROUP BY o_custkey""".stripMargin
+      s"""SELECT o_custkey, n_orders,
+         |  CAST(spend_dec AS DOUBLE) AS total_spend FROM (
+         |${Merge.combineAdditiveSql(
+          totalsDec("month(o_orderdate) <= 11"),
+          totalsDec("month(o_orderdate) = 12"),
+          "o_custkey", Seq("n_orders", "spend_dec"))}) _
+         |ORDER BY o_custkey""".stripMargin
+    }
   )
 }

@@ -61,6 +61,38 @@ object Merge {
           cols.map(c => col(s"_a.$c").as(s"new_$c"))): _*)
   }
 
+  /** Incremental view maintenance for distributive aggregates: combine
+    * an existing rollup with the rollup of JUST the new data, without
+    * touching the history. For sums/counts the group-wise combine is
+    * addition over a full-outer join with zero-coalesced sides — the
+    * algebra Spark itself uses between partial and final aggregation,
+    * lifted to table granularity. Refreshing a daily 100 TB rollup this
+    * way costs O(delta), not O(history); contrast [[upsert]], which
+    * REPLACES matched rows and therefore needs fully recomputed source
+    * rows. Only sound for distributive/algebraic aggregates (sum,
+    * count, min/max via greatest/least) — a mean must be carried as
+    * (sum, count) and divided at read time. */
+  def combineAdditive(base: DataFrame, delta: DataFrame, key: String,
+      measures: Seq[String]): DataFrame = {
+    require(measures.nonEmpty, "combineAdditive needs measure columns")
+    val b = base.select(col(key) +: measures.map(c => col(c).as(s"_b_$c")): _*)
+    val d = delta.select(col(key) +: measures.map(c => col(c).as(s"_d_$c")): _*)
+    b.join(d, Seq(key), "full_outer")
+      .select(col(key) +: measures.map(c =>
+        (coalesce(col(s"_b_$c"), lit(0L)) + coalesce(col(s"_d_$c"), lit(0L)))
+          .as(c)): _*)
+  }
+
+  /** Oracle spelling of [[combineAdditive]]. */
+  def combineAdditiveSql(baseSql: String, deltaSql: String, key: String,
+      measures: Seq[String]): String = {
+    val sums = measures.map(c =>
+      s"COALESCE(b.$c, 0) + COALESCE(d.$c, 0) AS $c").mkString(", ")
+    s"""SELECT COALESCE(b.$key, d.$key) AS $key, $sums
+       |FROM ($baseSql) b FULL JOIN ($deltaSql) d ON b.$key = d.$key"""
+      .stripMargin
+  }
+
   /** Oracle spelling of [[snapshotDiff]]. `cols` are the non-key
     * columns. */
   def snapshotDiffSql(beforeSql: String, afterSql: String, key: String,

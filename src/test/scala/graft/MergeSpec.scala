@@ -18,6 +18,26 @@ class MergeSpec extends SparkSpec {
       (9L, "new-9")))
   }
 
+  test("additive combine == full recompute, bit-for-bit (q86 semantics)") {
+    val orders = Tables.orders(spark, sf)
+    def totalsDec(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .as("spend_dec"))
+    val combined = Merge.combineAdditive(
+      totalsDec(orders.where(month(col("o_orderdate")) <= 11)),
+      totalsDec(orders.where(month(col("o_orderdate")) === 12)),
+      "o_custkey", Seq("n_orders", "spend_dec"))
+    val full = totalsDec(orders)
+    // DECIMAL addition is exact, so the O(delta) refresh must equal the
+    // O(history) recompute exactly — including keys present in only one
+    // side (zero-coalesced).
+    assert(combined.exceptAll(full).count() == 0)
+    assert(full.exceptAll(combined).count() == 0)
+  }
+
   test("incremental upsert equals the full recompute (q63 semantics)") {
     val orders = Tables.orders(spark, sf)
     def totals(df: org.apache.spark.sql.DataFrame) =
