@@ -133,6 +133,15 @@ class PlanSpec extends SparkSpec {
       s"audit must scan its input exactly once:\n$p")
   }
 
+  test("chunking plans zero exchanges — it never leaves the scan stage") {
+    import graft.operators.CorpusStats
+    val df = CorpusStats.chunk(Tables.documents(spark, sf),
+      "doc_id", "text", chunkTokens = 16)
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle:\n$p")
+  }
+
   test("funnel, upsert and snapshot diff stay equi-join shaped") {
     import graft.operators.{EventAnalytics, Merge}
     val ordersDf = Tables.orders(spark, sf)
