@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // re-planned as binned equi-joins; see BinnedIntervalJoinRule.
     ext.injectOptimizerRule(_ => BinnedIntervalJoinRule)
 
+    // Physical planning for the TopKPerKey logical node (bounded-heap
+    // partial/final ranking instead of a full shuffle + sort).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", classOf[TextKernels.SimhashExpr]),
       (args: Seq[Expression]) => {

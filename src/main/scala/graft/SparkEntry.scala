@@ -744,6 +744,19 @@ object SparkEntry {
       Aggregates.delayAnomalies(am(s, dir))
         .orderBy("airline_name", "month")),
 
+    // The custom PHYSICAL top-k operator (logical node + planner
+    // strategy + partial/final SparkPlan with bounded per-key heaps):
+    // q18's window semantics without shuffling or sorting the full
+    // input — the exchange carries at most k rows per key per input
+    // partition. TopKPerKeySpec proves row-equality with row_number
+    // and pins the partial→exchange→final plan shape.
+    "q87_topk_exec" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topK(ap(s, dir), 3, Seq("month"),
+        Seq("total_flights" -> false, "airline_name" -> true,
+          "origin_city" -> true))
+        .orderBy(col("month"), col("total_flights").desc,
+          col("airline_name"), col("origin_city"))),
+
     // Incremental view maintenance: month-12 delta rollup combined into
     // the historical rollup by group-wise ADDITION — O(delta), the
     // history is never rescanned (contrast q63's replace-style upsert,
@@ -1339,6 +1352,16 @@ object SparkEntry {
     "q85_anomalies" -> s"""$airlineMonthlyCte
       |${Aggregates.delayAnomaliesSql}
       |ORDER BY airline_name, month""".stripMargin,
+
+    "q87_topk_exec" -> s"""$airportPerfCte
+      |SELECT airline_name, month, origin_city, total_flights,
+      |  CAST(delayed_flights AS BIGINT) AS delayed_flights
+      |FROM (SELECT *, row_number() OVER (PARTITION BY month
+      |    ORDER BY total_flights DESC, airline_name, origin_city) AS rn
+      |  FROM ap) _
+      |WHERE rn <= 3
+      |ORDER BY month, total_flights DESC, airline_name, origin_city"""
+      .stripMargin,
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerKey
+
+/** The custom physical top-k operator must return exactly the window
+  * row_number ≤ k rows while never planning a Window or a full sort.
+  * Runs on an extended session (the planner strategy binds at session
+  * construction). */
+class TopKPerKeySpec extends AnyFunSuite {
+
+  private def withExtendedSession[A](body: SparkSession => A): A = {
+    val prev = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-topk-test")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try body(s)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  // Dense ties: 5 keys × values from 0..9, so heap evictions, equal
+  // values and sub-k groups all occur.
+  private def data(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    ((0 until 400).map(i =>
+      (rng.nextInt(5).toLong, rng.nextInt(10).toLong, i.toLong)) :+
+      ((99L, 1L, 9999L))) // a single-row key (group smaller than k)
+      .toDF("k", "v", "id")
+  }
+
+  test("custom exec == window row_number top-k, ties included") {
+    withExtendedSession { s =>
+      val df = data(s)
+      val got = TopKPerKey.topK(df, 3, Seq("k"),
+        Seq("v" -> false, "id" -> true)).select("k", "v", "id")
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).select("k", "v", "id")
+      assert(got.exceptAll(want).count() == 0)
+      assert(want.exceptAll(got).count() == 0)
+      assert(got.count() == want.count())
+    }
+  }
+
+  test("plans as partial + final heap, no Window, no global sort") {
+    withExtendedSession { s =>
+      val df = TopKPerKey.topK(data(s), 3, Seq("k"),
+        Seq("v" -> false, "id" -> true))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+        s"expected both phases:\n$p")
+      assert(!p.contains("Window"), s"window leaked into:\n$p")
+      assert(!p.contains("Sort"), s"sort leaked into:\n$p")
+      // The exchange must sit BETWEEN final and partial (map-side
+      // reduction happens before the shuffle, as with partial aggs).
+      val iFinal = p.indexOf("TopKPerKeyFinal")
+      val iEx = p.indexOf("Exchange")
+      val iPartial = p.indexOf("TopKPerKeyPartial")
+      assert(iFinal < iEx && iEx < iPartial,
+        s"phases not split around the exchange:\n$p")
+    }
+  }
+
+  test("downstream operations compose over the custom node") {
+    withExtendedSession { s =>
+      val agg = TopKPerKey.topK(data(s), 2, Seq("k"),
+        Seq("v" -> false, "id" -> true))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val rows = agg.orderBy("k").collect()
+      // Every multi-row key keeps exactly 2; the singleton keeps 1.
+      assert(rows.filter(_.getLong(0) != 99L).forall(_.getLong(1) == 2L))
+      assert(rows.find(_.getLong(0) == 99L).get.getLong(1) == 1L)
+    }
+  }
+}
