@@ -757,6 +757,23 @@ object SparkEntry {
         .orderBy(col("month"), col("total_flights").desc,
           col("airline_name"), col("origin_city"))),
 
+    // Bloom-pruned semi-join reduction: lineitem rows are filtered by a
+    // distributed-built Bloom filter over the urgent orders' keys BEFORE
+    // the join exchange — only (match rate + fpp) of the fact shuffles.
+    // Result must be bit-identical to the plain filtered join the oracle
+    // runs (no false negatives; the join removes false positives).
+    "q88_bloom_join" -> ((s, dir) =>
+      Joins.bloomPrunedInner(
+        Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "okey"),
+        Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .withColumnRenamed("o_orderkey", "okey"),
+        "okey", expectedItems = 100000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Aggregates.sumExact(col("l_quantity")).as("qty_sum"))
+        .orderBy("o_orderstatus")),
+
     // Incremental view maintenance: month-12 delta rollup combined into
     // the historical rollup by group-wise ADDITION — O(delta), the
     // history is never rescanned (contrast q63's replace-style upsert,
@@ -1362,6 +1379,15 @@ object SparkEntry {
       |WHERE rn <= 3
       |ORDER BY month, total_flights DESC, airline_name, origin_city"""
       .stripMargin,
+
+    // The plain filtered join — Bloom pruning must not change one bit.
+    "q88_bloom_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${Aggregates.sumExactSql("l_quantity")} AS qty_sum
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

@@ -1,6 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,6 +94,64 @@ object Joins {
       .where(col("_side") === 1)
       .select(lCols.map(c => col(s"_l.$c")) ++
         rPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** Inner equi-join with the probe side PRE-FILTERED by a Bloom filter
+    * built over the build side's keys — semi-join reduction, the classic
+    * 100 TB shuffle cut. When the build side is a SELECTIVE dim subset
+    * (too many keys to broadcast-hash-join cheaply, far fewer than the
+    * probe's), the plain shuffle join still exchanges EVERY probe row;
+    * here only rows whose key might match survive to the exchange, so
+    * shuffle volume drops to (match rate + fpp) of the probe.
+    *
+    * Exactness: a Bloom filter has no false negatives, and the join
+    * itself removes the false positives — the result is bit-identical to
+    * the plain join (asserted in JoinsSpec and by the q88 oracle). This
+    * is Spark's own runtime-filter rewrite
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`) made explicit and
+    * unconditional: the optimizer's version only fires on statistics
+    * heuristics with a shuffle-or-broadcast already on the build side;
+    * this one is a two-job operator the caller controls.
+    *
+    * Build is fully distributed (partial Bloom filters per partition,
+    * OR-merged), with only the final ~`1.2·numBits/8` bytes reaching the
+    * driver; the probe-side test is the codegen'd Catalyst
+    * `might_contain` over `xxhash64(key)`, evaluated in the SCAN stage
+    * before the exchange. `expectedItems` is an upper bound on the build
+    * side's distinct keys (overestimating only wastes bits: ~1.2 bytes
+    * per expected item at fpp 1%) — size it to the dim's real
+    * cardinality at scale. */
+  def bloomPrunedInner(probe: DataFrame, build: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    probe.where(bloomKeyFilter(build, key, expectedItems, fpp))
+      .join(build, Seq(key))
+
+  /** The probe-side predicate of [[bloomPrunedInner]], exposed so callers
+    * can push the same semi-join reduction into any downstream plan
+    * (e.g. prune a fact before a union or an aggregation that later joins
+    * the dim). Runs the distributed Bloom build (one small job) NOW and
+    * returns the codegen'd `might_contain` test over `xxhash64(key)`:
+    * true for every key present in `build` (no false negatives), true
+    * with probability ≤ `fpp` for absent keys. */
+  def bloomKeyFilter(build: DataFrame, key: String, expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.sql.Column = {
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // Optimal bit count for an n-item filter at false-positive rate p.
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftSql.expression(col(key)))),
+      Literal(expectedItems), Literal(numBits), 0, 0)
+    val bytes = build
+      .select(GraftSql.column(bloomAgg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // Zero build rows aggregate to a null filter; `might_contain(null, …)`
+    // would null-type the literal — an always-false predicate keeps the
+    // probe schema and lets Spark skip the scan entirely.
+    if (bytes == null) lit(false)
+    else GraftSql.column(BloomFilterMightContain(
+      Literal(bytes), new XxHash64(Seq(GraftSql.expression(col(key))))))
   }
 
   /** Inner join of timestamped points to (possibly overlapping)

@@ -145,4 +145,58 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"interval join must stay an equi-join:\n$plan")
   }
+
+  // ---- Bloom-pruned semi-join reduction ----
+
+  // Probe keys 0..999 ×3 rows; build covers only 0..49 (with duplicates,
+  // so many-to-many multiplicity is exercised).
+  private def wideProbe = {
+    import spark.implicits._
+    (for (k <- 0 until 1000; i <- 0 until 3) yield (k.toLong, i.toLong))
+      .toDF("okey", "payload")
+  }
+  private def smallBuild = {
+    import spark.implicits._
+    (0 until 50).flatMap(k => Seq((k.toLong, s"a$k"), (k.toLong, s"b$k")))
+      .toDF("okey", "attr")
+  }
+
+  test("bloomPrunedInner is multiset-equal to the plain inner join") {
+    val plain = wideProbe.join(smallBuild, Seq("okey"))
+      .select("okey", "payload", "attr")
+    val pruned = Joins.bloomPrunedInner(wideProbe, smallBuild, "okey",
+      expectedItems = 1000L)
+      .select("okey", "payload", "attr")
+    assert(pruned.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(pruned).count() == 0)
+    assert(plain.count() == 50L * 3L * 2L)
+  }
+
+  test("the bloom filter prunes the probe before the join and keeps every match") {
+    // LocalRelation probes get filters constant-folded at plan time
+    // (ConvertToLocalRelation) — a Range probe keeps the runtime Filter
+    // visible, as a parquet scan would.
+    val rangeProbe = spark.range(1000).withColumnRenamed("id", "okey")
+    val pruned = Joins.bloomPrunedInner(rangeProbe, smallBuild, "okey",
+      expectedItems = 1000L, fpp = 0.01)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"probe side must carry the bloom predicate:\n$plan")
+    // The predicate itself: every build key passes (no false negatives);
+    // absent keys pass at ≤ fpp — survivors ≈ 150 matches + ~1% of the
+    // 2850 non-matching rows, far under the unpruned 3000.
+    val survivors =
+      wideProbe.where(Joins.bloomKeyFilter(smallBuild, "okey", 1000L, 0.01))
+        .count()
+    assert(survivors >= 150L, "a bloom filter must never drop a match")
+    assert(survivors < 600L,
+      s"bloom pruning should cut the probe to near the match rate, got $survivors")
+  }
+
+  test("empty build side yields an empty result with the joined schema") {
+    val empty = Joins.bloomPrunedInner(wideProbe,
+      smallBuild.where(lit(false)), "okey", expectedItems = 10L)
+    assert(empty.columns.toSeq == Seq("okey", "payload", "attr"))
+    assert(empty.count() == 0)
+  }
 }
