@@ -774,6 +774,14 @@ object SparkEntry {
           Aggregates.sumExact(col("l_quantity")).as("qty_sum"))
         .orderBy("o_orderstatus")),
 
+    // Fuzzy record linkage: customer-name pairs within edit distance 1
+    // via the deletion-neighborhood inverted index (SymSpell shape) —
+    // candidates from an equi-join on deletion variants, never all-pairs;
+    // the oracle runs the exhaustive spelling.
+    "q89_fuzzy_join" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.customer(s, dir), "c_name")
+        .orderBy("name_a", "name_b")),
+
     // Incremental view maintenance: month-12 delta rollup combined into
     // the historical rollup by group-wise ADDITION — O(delta), the
     // history is never rescanned (contrast q63's replace-style upsert,
@@ -1388,6 +1396,10 @@ object SparkEntry {
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    "q89_fuzzy_join" ->
+      (Dedup.editDistancePairsSql("customer", "c_name") +
+        "\nORDER BY name_a, name_b"),
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

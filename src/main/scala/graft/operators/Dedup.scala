@@ -485,4 +485,46 @@ object Dedup {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
+
+  /** Fuzzy string self-join: distinct value pairs within Levenshtein
+    * distance 1, via the deletion-neighborhood inverted index (the
+    * SymSpell construction). `ed(a,b) <= 1` implies a and b share an
+    * element of `{x} ∪ single-deletions(x)` — substitution: delete the
+    * differing position from both; insert/delete: the shorter string IS
+    * a deletion of the longer — so candidate recall is total, and the
+    * `levenshtein` verify removes the false candidates the index admits
+    * (e.g. transpositions: "ab"/"ba" share deletion "a" but ed = 2).
+    *
+    * The scale shape mirrors the shingle index of [[ngramJaccardPairs]]:
+    * each string emits `length+1` variant keys, candidates come from an
+    * equi-join on the variant (never all-pairs), and the verify is the
+    * banded O(d·n) thresholded `levenshtein`. All variant generation is
+    * codegen'd arithmetic (explode + substring), no interpreted lambda.
+    * Posting-list skew (many strings sharing one variant) is the same
+    * Σdf² cost as any inverted index — for adversarial vocabularies cap
+    * df like q23's stop-shingle prune. */
+  def editDistancePairs(df: DataFrame, strCol: String): DataFrame = {
+    val variants = df.select(col(strCol).as("s")).distinct()
+      // pos = -1 is the identity variant; 0..len-1 delete that position.
+      .withColumn("pos", explode(sequence(lit(-1), length(col("s")) - 1)))
+      .withColumn("v", when(col("pos") === -1, col("s"))
+        .otherwise(expr("concat(substring(s, 1, pos), substring(s, pos + 2, length(s)))")))
+      .select("s", "v")
+    variants.select(col("s").as("name_a"), col("v"))
+      .join(variants.select(col("s").as("name_b"), col("v")), Seq("v"))
+      .where(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      // Thresholded levenshtein returns -1 above the bound (O(d·n), not
+      // O(n²) per pair); within-bound distances are >= 0.
+      .where(levenshtein(col("name_a"), col("name_b"), 1) >= 0)
+  }
+
+  /** SQL twin of [[editDistancePairs]]: the exhaustive spelling — every
+    * distinct pair, filtered by edit distance. Fine at oracle scale; the
+    * deletion-index join is the scale path. */
+  def editDistancePairsSql(from: String, strCol: String): String =
+    s"""WITH v AS (SELECT DISTINCT $strCol AS s FROM $from)
+       |SELECT a.s AS name_a, b.s AS name_b
+       |FROM v a JOIN v b ON a.s < b.s
+       |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin
 }

@@ -153,4 +153,27 @@ class DedupSpec extends SparkSpec {
     assert(brute.except(lsh).count() == 0)
     lsh.unpersist(); brute.unpersist()
   }
+
+  test("deletion-index fuzzy join equals the exhaustive edit-distance pairs") {
+    import spark.implicits._
+    // Substitution, insertion, deletion, transposition (ed=2, must be
+    // excluded), an ed=2 double-substitution, duplicates, empty string,
+    // and a 1-char string whose deletion IS the empty string (ed=1).
+    val vals = Seq("cat", "cot", "cart", "ca", "act", "dog", "cat", "", "c",
+      "cut", "bat").toDF("s")
+    val got = Dedup.editDistancePairs(vals, "s")
+      .select("name_a", "name_b")
+    val v = vals.select(col("s")).distinct()
+    val naive = v.as("a").join(v.as("b"), col("a.s") < col("b.s"))
+      .where(levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
+    assert(got.except(naive).count() == 0)
+    assert(naive.except(got).count() == 0)
+    val pairs = got.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("cat", "cot")), "substitution")
+    assert(pairs.contains(("cart", "cat")), "insertion")
+    assert(pairs.contains(("ca", "cat")), "deletion")
+    assert(pairs.contains(("", "c")), "empty vs 1-char")
+    assert(!pairs.contains(("act", "cat")), "transposition is ed 2 under Levenshtein")
+  }
 }
