@@ -782,6 +782,15 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.customer(s, dir), "c_name")
         .orderBy("name_a", "name_b")),
 
+    // Dense monthly resample with LOCF gap fill: per-customer spend
+    // series over the global month axis; the fact is aggregated once,
+    // the spine is dims-only, the fill is a per-key window.
+    "q90_gap_fill" -> ((s, dir) =>
+      Aggregates.monthlyLocf(Tables.orders(s, dir), "o_custkey",
+        "o_orderdate", Aggregates.sumExact(col("o_totalprice")),
+        "spend_locf")
+        .orderBy("o_custkey", "month")),
+
     // Incremental view maintenance: month-12 delta rollup combined into
     // the historical rollup by group-wise ADDITION — O(delta), the
     // history is never rescanned (contrast q63's replace-style upsert,
@@ -1400,6 +1409,11 @@ object SparkEntry {
     "q89_fuzzy_join" ->
       (Dedup.editDistancePairsSql("customer", "c_name") +
         "\nORDER BY name_a, name_b"),
+
+    "q90_gap_fill" ->
+      (Aggregates.monthlyLocfSql("orders", "o_custkey", "o_orderdate",
+        Aggregates.sumExactSql("o_totalprice"), "spend_locf") +
+        "\nORDER BY o_custkey, month"),
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

@@ -592,4 +592,49 @@ object Aggregates {
        |  FROM wide GROUP BY airline_name) cuts USING (airline_name)
        |WHERE delay_minutes <= _p99
        |GROUP BY airline_name""".stripMargin
+
+  /** Time-series resample: aggregate an event-grain input to a DENSE
+    * per-key monthly series over the global observed month range, gaps
+    * filled by last observation carried forward (LOCF). Months before a
+    * key's first observation stay NULL (there is nothing to carry).
+    *
+    * Scale shape: the fact is touched exactly once (the monthly partial/
+    * final aggregate); the spine is dims-only — distinct keys cross-joined
+    * with the broadcast month axis (|keys|·|months| rows, never
+    * fact-sized) — and the fill window sorts each key's |months| rows on
+    * its own reducer. `measure` must be deterministic ([[sumExact]]-style)
+    * for the filled series to be reproducible. */
+  def monthlyLocf(df: DataFrame, keyCol: String, tsCol: String,
+      measure: Column, outCol: String): DataFrame = {
+    val monthly = df
+      .groupBy(col(keyCol), date_trunc("month", col(tsCol)).as("_m"))
+      .agg(measure.as("_v"))
+    val months = monthly.agg(min("_m").as("lo"), max("_m").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("_m"))
+    val w = Window.partitionBy(keyCol).orderBy("_m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(months))
+      .join(monthly, Seq(keyCol, "_m"), "left")
+      .select(col(keyCol), date_format(col("_m"), "yyyy-MM").as("month"),
+        last("_v", ignoreNulls = true).over(w).as(outCol))
+  }
+
+  /** Oracle twin of [[monthlyLocf]] — identical spine + `IGNORE NULLS`
+    * running last over the left join. */
+  def monthlyLocfSql(from: String, key: String, ts: String,
+      measureSql: String, outCol: String): String =
+    s"""WITH monthly AS (
+       |  SELECT $key AS k, date_trunc('month', $ts) AS m, $measureSql AS v
+       |  FROM $from GROUP BY 1, 2),
+       |months AS (
+       |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+       |  FROM (SELECT min(m) AS lo, max(m) AS hi FROM monthly)),
+       |spine AS (
+       |  SELECT k, m FROM (SELECT DISTINCT $key AS k FROM $from), months)
+       |SELECT s.k AS $key, strftime(s.m, '%Y-%m') AS month,
+       |  last_value(mo.v IGNORE NULLS) OVER (PARTITION BY s.k ORDER BY s.m
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $outCol
+       |FROM spine s LEFT JOIN monthly mo ON s.k = mo.k AND s.m = mo.m""".stripMargin
 }

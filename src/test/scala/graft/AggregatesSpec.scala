@@ -211,4 +211,28 @@ class AggregatesSpec extends SparkSpec {
       assert(r.getAs[Double]("trimmed_mean") <= r.getAs[Double]("mean_all"))
     }
   }
+
+  test("monthly LOCF resample: dense spine, carried gaps, null leading months") {
+    // Key a: observed Jan + Mar (Feb carries Jan's value; two Jan events
+    // aggregate first). Key b: observed Feb only (Jan stays null — nothing
+    // to carry; Mar carries Feb).
+    val events = Seq(
+      ("a", "2024-01-05", 10.0), ("a", "2024-01-20", 5.0),
+      ("a", "2024-03-01", 7.0),
+      ("b", "2024-02-10", 3.0)
+    ).toDF("k", "d", "v").select(col("k"),
+      to_timestamp(col("d")).as("ts"), col("v"))
+    val got = Aggregates.monthlyLocf(events, "k", "ts",
+      Aggregates.sumExact(col("v")), "filled")
+      .orderBy("k", "month")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("a", "2024-01", Some(15.0)),
+      ("a", "2024-02", Some(15.0)),
+      ("a", "2024-03", Some(7.0)),
+      ("b", "2024-01", None),
+      ("b", "2024-02", Some(3.0)),
+      ("b", "2024-03", Some(3.0))))
+  }
 }
