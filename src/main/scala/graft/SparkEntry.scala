@@ -791,6 +791,17 @@ object SparkEntry {
         "spend_locf")
         .orderBy("o_custkey", "month")),
 
+    // Z-order (Morton) clustering key over (customer, order day) —
+    // integer shift/mask interleave, bit-identical across engines; the
+    // write-side layout op (Sinks.writeParquetZOrdered) is spec-gated on
+    // file-level locality.
+    "q91_zorder" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        Sinks.zValue(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+          .as("zval"))
+        .orderBy("zval", "o_orderkey")),
+
     // Incremental view maintenance: month-12 delta rollup combined into
     // the historical rollup by group-wise ADDITION — O(delta), the
     // history is never rescanned (contrast q63's replace-style upsert,
@@ -1414,6 +1425,13 @@ object SparkEntry {
       (Aggregates.monthlyLocfSql("orders", "o_custkey", "o_orderdate",
         Aggregates.sumExactSql("o_totalprice"), "spend_locf") +
         "\nORDER BY o_custkey, month"),
+
+    "q91_zorder" ->
+      s"""WITH d AS (SELECT o_orderkey, o_custkey AS x,
+         |  datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS y
+         |  FROM orders)
+         |SELECT o_orderkey, ${Sinks.zValueSql("x", "y")} AS zval
+         |FROM d ORDER BY zval, o_orderkey""".stripMargin,
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

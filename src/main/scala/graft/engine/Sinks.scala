@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The reference's write surface (SURVEY.md §2.A4/A5/A7), Spark-first.
   *
@@ -96,6 +96,48 @@ object Sinks {
       buckets: Int, bucketCol: String): Unit =
     ctasWith(spark, table, df)(
       _.bucketBy(buckets, bucketCol).sortBy(bucketCol))
+
+  /** Z-order (Morton) key: bitwise interleave of two non-negative integer
+    * dimensions — x in the even bit positions, y in the odd. Rows close
+    * in z are close in BOTH x and y, so range-partitioning files by z
+    * gives every file a compact (x, y) bounding box and parquet min/max
+    * stats prune on either dimension — the multi-dimensional layout move
+    * `partitionBy` (one dimension, directory-granular) cannot make.
+    * Pure integer shift/mask arithmetic, codegen'd, bit-identical across
+    * engines. Inputs must be in `[0, 2^bits)`; 21+21 bits fills a long's
+    * positive range. */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** SQL twin of [[zValue]] (identical shift/mask arithmetic). */
+  def zValueSql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
+  /** Z-ordered parquet write: range-partition into `numFiles` z-runs and
+    * sort within each, so files tile the (x, y) plane in compact boxes.
+    * A scan filtered on either (or both) dimensions then skips most files
+    * on footer stats alone — asserted file-count-touched in SinksZOrderSpec.
+    * The write costs one range exchange (with a sampling pass for the
+    * bounds), same as any global sort. */
+  def writeParquetZOrdered(df: DataFrame, path: String, xCol: String,
+      yCol: String, numFiles: Int, bits: Int = 21): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles >= 1)
+    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   private def ctasWith(spark: SparkSession, table: String, df: DataFrame)(
       f: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
