@@ -802,6 +802,12 @@ object SparkEntry {
           .as("zval"))
         .orderBy("zval", "o_orderkey")),
 
+    // Behavioral path mining: top event-type trigrams under the total
+    // per-user (ts, event_id) order — one user-keyed shuffle, trigram
+    // partial/final count, deterministic top-k cut.
+    "q92_path_trigrams" -> ((s, dir) =>
+      EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
+
     // Incremental view maintenance: month-12 delta rollup combined into
     // the historical rollup by group-wise ADDITION — O(delta), the
     // history is never rescanned (contrast q63's replace-style upsert,
@@ -1432,6 +1438,8 @@ object SparkEntry {
          |  FROM orders)
          |SELECT o_orderkey, ${Sinks.zValueSql("x", "y")} AS zval
          |FROM d ORDER BY zval, o_orderkey""".stripMargin,
+
+    "q92_path_trigrams" -> EventAnalytics.pathTrigramsSql(20),
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

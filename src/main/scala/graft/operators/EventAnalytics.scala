@@ -106,4 +106,40 @@ object EventAnalytics {
        |FROM du a LEFT JOIN du b
        |  ON a.user_id = b.user_id AND b.day = a.day + $days
        |GROUP BY a.day""".stripMargin
+
+  /** Top-k event-type trigrams (behavioral path mining): for every user,
+    * each consecutive (e1 → e2 → e3) step under the total per-user event
+    * order `(ts, event_id)`, counted corpus-wide. One shuffle on user_id
+    * (the window sorts each user's OWN events only — state never crosses
+    * users), then a partial/final count on the trigram key; the top-k cut
+    * is total-ordered (count desc, then the three names) so the LIMIT
+    * boundary is deterministic across engines and partitionings. The
+    * next-event windows stop at user boundaries — no cross-user phantom
+    * paths. */
+  def pathTrigrams(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
+  /** Oracle twin of [[pathTrigrams]] (`events` hard-wired). */
+  def pathTrigramsSql(k: Int): String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS e1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS e2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS e3
+       |  FROM events)
+       |SELECT e1, e2, e3, COUNT(*) AS n FROM seq
+       |WHERE e3 IS NOT NULL
+       |GROUP BY e1, e2, e3
+       |ORDER BY n DESC, e1, e2, e3 LIMIT $k""".stripMargin
 }

@@ -92,4 +92,21 @@ class EventAnalyticsSpec extends SparkSpec {
         s"approx p50 off on ${r.getString(0)}")
     }
   }
+
+  test("path trigrams count per-user consecutive steps, never crossing users") {
+    // User 1: a b a b a -> (a,b,a) x2, (b,a,b) x1. User 2: c d e ->
+    // (c,d,e) x1 — and NO (a,c,d)-style phantom across the user boundary.
+    def ev(id: Long, u: Long, t: Long, ty: String) =
+      (id, u, new Timestamp(t * 1000L), ty)
+    val events = (Seq(
+      ev(0, 1, 10, "a"), ev(1, 1, 20, "b"), ev(2, 1, 30, "a"),
+      ev(3, 1, 40, "b"), ev(4, 1, 50, "a"),
+      ev(5, 2, 12, "c"), ev(6, 2, 22, "d"), ev(7, 2, 32, "e")
+    )).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.pathTrigrams(events, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("a", "b", "a", 2L), ("b", "a", "b", 1L),
+      ("c", "d", "e", 1L)))
+  }
 }
