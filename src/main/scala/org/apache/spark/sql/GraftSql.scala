@@ -18,4 +18,13 @@ object GraftSql {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Canonicalize float/double bit patterns (-0.0 → 0.0, NaN → one NaN)
+    * so byte-wise grouping/partitioning matches SQL value equality. The
+    * optimizer applies this to built-in Aggregate/Window/Join keys
+    * (`NormalizeFloatingNumbers`); custom operators grouping by raw
+    * `UnsafeRow` bytes must apply it to their own keys. Non-float types
+    * pass through unchanged. `private[sql]`, hence exposed here. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -56,7 +56,7 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
-  test("plans as partial + final heap, no Window, no global sort") {
+  test("plans as partial + final heap, no Window, no full-data sort") {
     withExtendedSession { s =>
       val df = TopKPerKey.topK(data(s), 3, Seq("k"),
         Seq("v" -> false, "id" -> true))
@@ -66,7 +66,6 @@ class TopKPerKeySpec extends AnyFunSuite {
       assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
         s"expected both phases:\n$p")
       assert(!p.contains("Window"), s"window leaked into:\n$p")
-      assert(!p.contains("Sort"), s"sort leaked into:\n$p")
       // The exchange must sit BETWEEN final and partial (map-side
       // reduction happens before the shuffle, as with partial aggs).
       val iFinal = p.indexOf("TopKPerKeyFinal")
@@ -74,6 +73,66 @@ class TopKPerKeySpec extends AnyFunSuite {
       val iPartial = p.indexOf("TopKPerKeyPartial")
       assert(iFinal < iEx && iEx < iPartial,
         s"phases not split around the exchange:\n$p")
+      // The ONLY sort is the final phase's key sort of the k-bounded
+      // exchange output (what makes reduce-side state O(k)); nothing
+      // below the exchange — i.e. over the full input — may sort.
+      val sorts = "Sort ".r.findAllMatchIn(p).map(_.start).toList
+      assert(sorts.nonEmpty, s"expected the final phase's key sort:\n$p")
+      assert(sorts.forall(i => iFinal < i && i < iEx),
+        s"sort outside the final-over-exchange slot:\n$p")
+    }
+  }
+
+  test("partial-phase flush (tiny thresholds) still matches the window spelling") {
+    withExtendedSession { s =>
+      // 2-key budget against 5 live keys forces a flush roughly every
+      // other row; a flushed key re-emits for later rows, so >k rows per
+      // key cross the exchange and the final phase must re-reduce them.
+      s.conf.set(TopKPerKey.PartialMaxKeysConf, "2")
+      try {
+        val df = data(s)
+        val got = TopKPerKey.topK(df, 3, Seq("k"),
+          Seq("v" -> false, "id" -> true)).select("k", "v", "id")
+        val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+        val want = df.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3).select("k", "v", "id")
+        assert(got.exceptAll(want).count() == 0)
+        assert(want.exceptAll(got).count() == 0)
+      } finally s.conf.unset(TopKPerKey.PartialMaxKeysConf)
+    }
+  }
+
+  test("byte-budget flush path also matches") {
+    withExtendedSession { s =>
+      s.conf.set(TopKPerKey.PartialMaxBytesConf, "256")
+      try {
+        val df = data(s)
+        val got = TopKPerKey.topK(df, 2, Seq("k"), Seq("id" -> true))
+        val w = Window.partitionBy("k").orderBy(col("id").asc)
+        val want = df.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 2).drop("rn")
+        assert(got.exceptAll(want).count() == 0)
+        assert(want.exceptAll(got).count() == 0)
+      } finally s.conf.unset(TopKPerKey.PartialMaxBytesConf)
+    }
+  }
+
+  test("float keys group by SQL value equality (-0.0 == 0.0, one NaN)") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L),
+        (Double.NaN, 5L), (Double.NaN, 6L))
+        .toDF("k", "id")
+      val got = TopKPerKey.topK(df, 1, Seq("k"), Seq("id" -> true))
+      // One winner per VALUE-distinct key: {0.0, 1.5, NaN} → ids 1, 4, 5.
+      assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L))
+    }
+  }
+
+  test("column names resolve case-insensitively like the rest of the session") {
+    withExtendedSession { s =>
+      val got = TopKPerKey.topK(data(s), 2, Seq("K"), Seq("V" -> false, "ID" -> true))
+      assert(got.count() == 5 * 2 + 1) // 5 full keys × 2 + the singleton
     }
   }
 
