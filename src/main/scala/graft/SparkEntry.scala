@@ -658,7 +658,15 @@ object SparkEntry {
     // query keeps the rule itself under the oracle gate. Same surge
     // windows as q53, which writes the binning by hand.
     "q73_auto_interval_join" -> ((s, dir) => {
-      s.conf.set(graft.plans.BinnedIntervalJoinRule.BinSecondsConf, "900")
+      // The bin-width conf is query-scoped: set it, pin the optimized
+      // plan (the rule reads the conf during logical optimization, which
+      // `executedPlan` forces and QueryExecution caches), then restore —
+      // a leaked 900 s width would silently re-shape every later
+      // interval join on this session.
+      val binConf = graft.plans.BinnedIntervalJoinRule.BinSecondsConf
+      val prevBin = s.conf.getOption(binConf)
+      s.conf.set(binConf, "900")
+      try {
       val ev = Tables.events(s, dir)
       val hourly = ev
         .groupBy(date_trunc("hour", col("ts")).as("w_start"))
@@ -668,12 +676,18 @@ object SparkEntry {
         .where(col("n") >= col("_t"))
         .select(col("w_start"),
           (col("w_start") + expr("INTERVAL 90 MINUTE")).as("w_end"))
-      ev.join(surge,
+      val out = ev.join(surge,
         col("ts") >= col("w_start") && col("ts") < col("w_end"))
         .groupBy("w_start")
         .agg(count(lit(1)).as("n_events"),
           Aggregates.sumExact(col("value")).as("value_sum"))
         .orderBy("w_start")
+      out.queryExecution.executedPlan
+      out
+      } finally prevBin match {
+        case Some(v) => s.conf.set(binConf, v)
+        case None => s.conf.unset(binConf)
+      }
     }),
 
     // Gaps-and-islands: per-user maximal consecutive-day streaks.

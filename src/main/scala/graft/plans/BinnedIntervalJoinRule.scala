@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
 
 /** Optimizer rule: plan timestamp range joins as binned equi-joins.
   *
@@ -36,19 +36,40 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * Bin width comes from `spark.graft.intervalJoin.binSeconds` (default
   * 3600); size it near the typical interval length so the per-interval
   * explode stays O(1). Registered by [[graft.GraftExtensions]].
+  *
+  * Guardrails (the rule rewrites ARBITRARY user joins, so it must not
+  * silently make one worse):
+  *
+  *  - `spark.graft.intervalJoin.enabled` (default true) turns the
+  *    rewrite off wholesale.
+  *  - `spark.graft.intervalJoin.maxBinsPerInterval` (default 4096)
+  *    bounds the per-interval explode factor. Interval spans are data,
+  *    not plan properties, so a plan-time fallback is impossible — the
+  *    cap is enforced at RUNTIME by a guard expression on the bin
+  *    sequence that raises an actionable error (raise binSeconds, raise
+  *    the cap, or disable the rule) instead of fabricating span/width
+  *    rows per interval. A loud stop beats both silent intermediate
+  *    blowup and a silent nested-loop: at 100 TB an unplanned
+  *    1e6×-explode IS an outage, just an undiagnosable one.
   */
 object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinSecondsConf = "spark.graft.intervalJoin.binSeconds"
+  val EnabledConf = "spark.graft.intervalJoin.enabled"
+  val MaxBinsConf = "spark.graft.intervalJoin.maxBinsPerInterval"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledConf, "true").toBoolean) return plan
     val binSeconds =
       conf.getConfString(BinSecondsConf, "3600").toLong
+    val maxBins =
+      conf.getConfString(MaxBinsConf, "4096").toLong
     require(binSeconds > 0, s"$BinSecondsConf must be > 0")
+    require(maxBins > 0, s"$MaxBinsConf must be > 0")
     plan transformUp {
       case j @ Join(_, _, Inner, Some(cond), _)
           if j.resolved && eligible(j, cond) =>
-        rewrite(j, cond, binSeconds)
+        rewrite(j, cond, binSeconds, maxBins)
     }
   }
 
@@ -113,7 +134,8 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     !hasEqui && findPair(j, conjuncts).isDefined
   }
 
-  private def rewrite(j: Join, cond: Expression, binSeconds: Long): LogicalPlan = {
+  private def rewrite(j: Join, cond: Expression, binSeconds: Long,
+      maxBins: Long): LogicalPlan = {
     val pair = findPair(j, splitConjunctivePredicates(cond)).get
     val width = Literal(binSeconds * 1000000L, LongType)
     def binOfUs(us: Expression) = IntegralDivide(us, width)
@@ -127,11 +149,32 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val points = Project(pointsChild.output :+ pbin, pointsChild)
 
     val ibin = AttributeReference("_graft_ibin", LongType, nullable = false)()
+    val startBin = binOf(pair.start)
+    val endBin = binOfUs(Subtract(UnixMicros(pair.end), Literal(1L, LongType)))
+    // Runtime explode-factor guard (see object doc): an interval
+    // covering more than maxBins bins raises instead of silently
+    // fabricating that many rows. Null bounds pass through (they
+    // explode to zero rows, same as before). The guard is a no-op +0
+    // on the start bound when within budget, so it folds into the
+    // Sequence evaluation without changing results.
+    val nBins = Add(Subtract(endBin, startBin), Literal(1L, LongType))
+    val guardMsg = Concat(Seq(
+      Literal.create(
+        "graft binned interval join: an interval spans ", StringType),
+      Cast(nBins, StringType),
+      Literal.create(
+        s" bins of $binSeconds s (cap $maxBins). Raise $BinSecondsConf" +
+          s" toward the typical interval length, raise $MaxBinsConf, or" +
+          s" disable the rewrite with $EnabledConf=false.", StringType)))
+    val guarded = If(
+      Or(IsNull(nBins), LessThanOrEqual(nBins, Literal(maxBins, LongType))),
+      Literal(0L, LongType),
+      Cast(RaiseError(guardMsg), LongType))
     // Sequence is TimeZoneAware and stays UNRESOLVED until the zone is
     // set (irrelevant for Long bounds, but required for `resolved`).
     val seq = Sequence(
-      binOf(pair.start),
-      binOfUs(Subtract(UnixMicros(pair.end), Literal(1L, LongType))),
+      Add(startBin, guarded),
+      endBin,
       Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
     val intervals = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(ibin),

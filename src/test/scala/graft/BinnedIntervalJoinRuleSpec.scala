@@ -78,6 +78,51 @@ class BinnedIntervalJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("enabled=false leaves the naive plan alone") {
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.intervalJoin.enabled", "false")
+      try {
+        val df = rangeJoin(s)
+        assert(!df.queryExecution.optimizedPlan.toString.contains("_graft_pbin"),
+          "rewrite fired while disabled")
+      } finally s.conf.unset("spark.graft.intervalJoin.enabled")
+    }
+  }
+
+  test("an interval exploding past maxBinsPerInterval raises, loudly and actionably") {
+    withExtendedSession { s =>
+      // 13 s bins against up-to-40 s spans → up to ~4 bins per interval;
+      // a cap of 1 makes any multi-bin interval trip the guard.
+      s.conf.set("spark.graft.intervalJoin.binSeconds", "13")
+      s.conf.set("spark.graft.intervalJoin.maxBinsPerInterval", "1")
+      try {
+        val e = intercept[Exception] { rangeJoin(s).collect() }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ messages(x.getCause))
+        val msg = messages(e).mkString("\n")
+        assert(msg.contains("binSeconds") && msg.contains("maxBinsPerInterval"),
+          s"error not actionable:\n$msg")
+      } finally {
+        s.conf.unset("spark.graft.intervalJoin.binSeconds")
+        s.conf.unset("spark.graft.intervalJoin.maxBinsPerInterval")
+      }
+    }
+  }
+
+  test("intervals within the cap pass the guard unchanged") {
+    val expected = rangeJoin(TestSpark.spark).count()
+    withExtendedSession { s =>
+      s.conf.set("spark.graft.intervalJoin.binSeconds", "13")
+      s.conf.set("spark.graft.intervalJoin.maxBinsPerInterval", "4096")
+      try assert(rangeJoin(s).count() == expected)
+      finally {
+        s.conf.unset("spark.graft.intervalJoin.binSeconds")
+        s.conf.unset("spark.graft.intervalJoin.maxBinsPerInterval")
+      }
+    }
+  }
+
   test("equi-joins and non-range joins are left untouched") {
     withExtendedSession { s =>
       import s.implicits._
