@@ -37,6 +37,9 @@ object Bench {
       // an errors entry), never a plausible positive wall-time.
       val err = try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable => Some(t.toString) }
+      // Operator-registered caches first (precise), then the catalog
+      // cache (cold per-query timing).
+      graft.engine.Caches.release()
       spark.catalog.clearCache()
       val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
       System.err.println(f"[bench] $name%-24s $sec%8.2f s  ${vitals()}" +

@@ -83,6 +83,11 @@ object Ingest {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(paths: _*)
       .cache()
+      // Registered for deferred release like every operator-internal
+      // cache — the clean/quarantine consumers run on the caller's
+      // schedule, so the caller's post-action Caches.release() is the
+      // lifecycle hook.
+      .transform(Caches.track)
   }
 
   /** Rows that parsed cleanly, without the quarantine column. */

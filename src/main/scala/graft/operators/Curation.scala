@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.engine.Aggregates
 import graft.functions.TextFunctions
@@ -32,9 +31,8 @@ object Curation {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // The gate feeds two consumers (the near-dup pipeline and the survivor
     // anti-join); materialize it once so the scoring scan runs once.
-    val gated = qualityGate(docs, textCol, minQuality, lang)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    gated.count()
+    val gated = graft.engine.Caches.materialized(
+      qualityGate(docs, textCol, minQuality, lang))
     val clusters = Dedup.dedupClusters(
       Dedup.minhashNearDup(gated, idCol, textCol, n = n, threshold = threshold))
     Dedup.survivors(gated, idCol, clusters)
@@ -100,14 +98,12 @@ object Curation {
     val base = docs.select(col(idCol),
       TextFunctions.qualityScore(col(textCol)).as("quality"),
       TextFunctions.bpeTokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val local = base
+    val local = graft.engine.Caches.materialized(base
       .repartitionByRange(p, col("quality").desc, col(idCol).asc)
       .withColumn("pid", spark_partition_id())
       .withColumn("local_cum", sum("n_tokens").over(
         Window.partitionBy("pid")
-          .orderBy(col("quality").desc, col(idCol).asc)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    local.count()
+          .orderBy(col("quality").desc, col(idCol).asc))))
     val totals = local.groupBy("pid").agg(max("local_cum").as("ptotal"))
     // P rows — the offset window is over partition METADATA, not data.
     val offsets = totals.withColumn("offset",
@@ -152,13 +148,11 @@ object Curation {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.select(col(idCol),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val local = base
+    val local = graft.engine.Caches.materialized(base
       .repartitionByRange(p, col(idCol).asc)
       .withColumn("pid", spark_partition_id())
       .withColumn("local_cum", sum("n_tokens").over(
-        Window.partitionBy("pid").orderBy(col(idCol).asc)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    local.count()
+        Window.partitionBy("pid").orderBy(col(idCol).asc))))
     val totals = local.groupBy("pid").agg(max("local_cum").as("ptotal"))
     val offsets = totals.withColumn("offset",
       coalesce(sum("ptotal").over(

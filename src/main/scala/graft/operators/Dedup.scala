@@ -38,16 +38,10 @@ object Dedup {
     if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
-  /** Persist AND eagerly materialize a reused intermediate. Lazy persist
-    * lets AQE's concurrent stage materialization race several consumers
-    * into the uncomputed cache — duplicated work plus per-block lock
-    * contention (measured as multi-× wall blowups). A cheap count() is a
-    * deterministic barrier: every consumer then reads warm cache. */
-  private def materialized(df: DataFrame): DataFrame = {
-    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    cached
-  }
+  /** Persist + eager count barrier + deferred-release registration —
+    * see [[graft.engine.Caches.materialized]]. */
+  private def materialized(df: DataFrame): DataFrame =
+    graft.engine.Caches.materialized(df)
 
   // ---------------------------------------------------------------- exact
 
@@ -400,6 +394,15 @@ object Dedup {
       converged = s == prevSum
       prevSum = s
     }
+    // The edge caches' consumers all ran inside the loop, and the final
+    // labels cache is warm (materialized by the last convergence sum) —
+    // release the edges NOW rather than deferring; only the (small)
+    // labels frame stays cached for the caller's action, registered for
+    // deferred release. If its blocks are later evicted, recompute walks
+    // the full lineage — correct, just cold.
+    edges.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
+    graft.engine.Caches.track(labels)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType}
-import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -185,10 +184,9 @@ object Similarity {
       when(dot(e, typedlit(hk.toSeq).cast(fT)) > 0.0, lit(1L << k))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    val base = corpus.select(col("vec_id").as("id"), e.as("e"),
-      norm(col("embedding")).as("nrm"), sig.as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()
+    val base = graft.engine.Caches.materialized(
+      corpus.select(col("vec_id").as("id"), e.as("e"),
+        norm(col("embedding")).as("nrm"), sig.as("sig")))
     val r = nBits / bands
     val mask = (1L << r) - 1
     val bandArr = array((0 until bands).map(j =>
