@@ -29,6 +29,12 @@ object Bench {
       val cls = mf.getClassLoadingMXBean.getLoadedClassCount
       s"$code jit=${jit}ms gc=${gc}ms classes=$cls"
     }
+    // Durable per-query record, appended + flushed as each query lands:
+    // a truncated stdout capture (it has happened to the round artifact)
+    // can lose the one summary line, but not this file.
+    val partial = new java.io.PrintWriter(new java.io.FileWriter(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.jsonl"),
+      false), true)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -44,6 +50,7 @@ object Bench {
       val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
       System.err.println(f"[bench] $name%-24s $sec%8.2f s  ${vitals()}" +
         err.map(e => s"  ERR $e").getOrElse(""))
+      partial.println(s"""{"q":"$name","sec":$sec,"sf":"$sfDir"}""")
       name -> (sec, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -58,7 +65,14 @@ object Bench {
       jstr(k) + ":" + jstr(e.take(300)) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    // The one parseable stdout line, duplicated on stderr and in the
+    // partial file so no single truncated capture can lose the run.
+    println(line)
+    System.err.println(line)
+    partial.println(line)
+    partial.close()
     spark.stop()
   }
 }

@@ -252,8 +252,12 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"), col("l_shipdate").cast("date").as("ship_date"))
       val root = s"${Sinks.scratch}/q31_csv"
-      Sinks.writeCsv(base.filter(col("l_orderkey") % 2 === 0), s"$root/even")
-      Sinks.writeCsv(base.filter(col("l_orderkey") % 2 === 1), s"$root/odd")
+      // Multi-file per directory — the scan target is a directory pair,
+      // so the parallel sink applies, not the single-file fidelity twin.
+      Sinks.writeCsvParallel(base.filter(col("l_orderkey") % 2 === 0),
+        s"$root/even")
+      Sinks.writeCsvParallel(base.filter(col("l_orderkey") % 2 === 1),
+        s"$root/odd")
       val schema = StructType(Seq(
         StructField("l_orderkey", LongType),
         StructField("l_linenumber", IntegerType),
@@ -821,6 +825,24 @@ object SparkEntry {
     // partial/final count, deterministic top-k cut.
     "q92_path_trigrams" -> ((s, dir) =>
       EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
+
+    // A5 (scale path) — the PARALLEL CSV sink round-trip: same cache
+    // table as q33 but one file per writer, no single-task serial tail.
+    // The read-back proves the directory of part files is equivalent to
+    // q33's single file.
+    "q93_csv_parallel_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = s"${Sinks.scratch}/q93_csv"
+      Sinks.writeCsvParallel(ap(s, dir), path)
+      val schema = StructType(Seq(
+        StructField("airline_name", StringType),
+        StructField("month", IntegerType),
+        StructField("origin_city", StringType),
+        StructField("total_flights", LongType),
+        StructField("delayed_flights", LongType)))
+      Ingest.readCsv(s, Seq(path), schema)
+        .orderBy("airline_name", "month", "origin_city")
+    }),
 
     // Incremental view maintenance: month-12 delta rollup combined into
     // the historical rollup by group-wise ADDITION — O(delta), the
@@ -1454,6 +1476,11 @@ object SparkEntry {
          |FROM d ORDER BY zval, o_orderkey""".stripMargin,
 
     "q92_path_trigrams" -> EventAnalytics.pathTrigramsSql(20),
+
+    "q93_csv_parallel_sink" -> s"""$airportPerfCte
+      |SELECT airline_name, month, origin_city, total_flights,
+      |  CAST(delayed_flights AS BIGINT) AS delayed_flights
+      |FROM ap ORDER BY airline_name, month, origin_city""".stripMargin,
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

@@ -72,9 +72,22 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).orc(path)
 
-  /** A5 — headered CSV sink, single file like the reference's cache CSVs. */
+  /** A5 — headered CSV sink, single file like the reference's cache CSVs
+    * (`aggregate_flight_data.py:42` writes one `to_csv` file). The
+    * `coalesce(1)` single-writer is the FIDELITY twin only — it
+    * serializes the entire output through one task, so anything not
+    * required to be one file belongs on [[writeCsvParallel]]. */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.coalesce(1).write.mode(mode).option("header", "true").csv(path)
+
+  /** Parallel headered CSV sink — one file per partition, every writer
+    * busy, the default for any consumer that can read a directory (all
+    * of Spark/DuckDB/pandas can). At 100 TB a single-writer CSV is an
+    * hours-long serial tail; this is the same writer fan-out as the
+    * parquet sink. */
+  def writeCsvParallel(df: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
 
   /** A7 — CTAS: materialize a DataFrame as a catalog table (parquet under
     * the session warehouse dir). Re-runnable like the reference's
