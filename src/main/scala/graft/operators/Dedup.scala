@@ -352,57 +352,102 @@ object Dedup {
 
   // ------------------------------------------------- cluster + survivors
 
+  /** Diagnostic only: rounds the last [[dedupClusters]] call took to
+    * converge (read by the chain-graph spec; meaningless under
+    * concurrent callers). */
+  @volatile private[graft] var lastClusterRounds: Int = 0
+
   /** Connected components over near-dup pairs → (id, cluster_id = min id
-    * in component). Iterative min-label propagation: each round every
-    * node takes the minimum of its own and its neighbors' labels, until
-    * a fixpoint. Dedup graphs are small-diameter (near-dup chains are
-    * short), so this converges in a handful of rounds; each round is one
-    * shuffle-on-id join + aggregation, the same plan GraphX's
-    * connectedComponents lowers to, without the RDD detour. The driver
-    * only sees one convergence counter per round — no edge data. */
+    * in component). Iterative min-label propagation with pointer
+    * doubling: each round every node takes the minimum of its own, its
+    * neighbors', and its LABEL'S label — the shortcut step resolves a
+    * label chain two hops at a time, so chains collapse in O(log
+    * diameter) rounds instead of the O(diameter) of plain propagation
+    * (the difference between 6 and 64 shuffle rounds on a 64-link
+    * near-dup chain). Each round is two shuffle joins + an aggregation,
+    * the same plan family GraphX's connectedComponents lowers to,
+    * without the RDD detour. The driver only sees one convergence
+    * counter per round — no edge data.
+    *
+    * Soundness of the shortcut: labels are always ids inside the node's
+    * own component (propagation moves them along edges; the shortcut
+    * composes two such moves), and they only decrease, so the monotone
+    * fixpoint argument of plain min-propagation carries over unchanged —
+    * at fixpoint the propagation step alone is also stable, which forces
+    * label = component minimum. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.GraftSql
     // The pair source is typically a whole near-dup pipeline — persist it
     // BEFORE the symmetrize union, which would otherwise re-run that
     // pipeline once per union branch (and the loop re-reads sym every
     // round). Two caches, each written exactly once.
-    val edges = materialized(pairs.select(col("id_a"), col("id_b")))
-    val sym = materialized(
-      edges.union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    //
+    // Every loop frame is REBASED on its InMemoryRelation
+    // (GraftSql.rddPinned) after materializing: with two self-references
+    // per round (neighbor join + shortcut join) the raw logical lineage
+    // grows 4^rounds, and the driver stalls in analysis/cache-lookup long
+    // before task 1 — pinning makes every round's plan O(1). The *Cached
+    // handles keep the ORIGINAL plans, which is what unpersist matches.
+    val edgesCached = materialized(pairs.select(col("id_a"), col("id_b")))
+    val symCached = materialized(edgesCached.union(
+      edgesCached.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    val sym = GraftSql.rddPinned(symCached)
     // Convergence by monotone potential: per-node labels only decrease, so
     // Σlabels strictly decreases every non-converged round (exact decimal
-    // sum — no long overflow at any id scale). The sum is the ONLY action
-    // per round, doubling as the cache-materialization barrier.
+    // sum — no long overflow at any id scale).
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
-    var labels = sym.select(col("id_a").as("id"))
+    var labelsCached = sym.select(col("id_a").as("id"))
       .distinct().withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labelsCached)
+    var labels = GraftSql.rddPinned(labelsCached)
     var converged = prevSum == null // empty graph
+    lastClusterRounds = 0
     while (!converged) {
       val nbrMin = sym
         .join(labels.select(col("id").as("id_b"), col("label").as("nl")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min("nl").as("min_nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val propCached = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // Materialization barrier BEFORE the self-join: the shortcut reads
+      // prop twice, and a lazy persist would let AQE's concurrent stages
+      // race both consumers into the uncomputed cache.
+      propCached.count()
+      val prop = GraftSql.rddPinned(propCached)
+      // Pointer doubling: label ← min(label, label(label)). Every label
+      // is a node id present in `prop` (labels start as ids and only
+      // ever take other in-component ids), so the inner join hits; left
+      // join keeps the contract obvious under any future relaxation.
+      val next = prop.as("x")
+        .join(prop.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
+          col("x.label") === col("pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("plabel"), col("x.label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val s = labelSum(next)
-      labels.unpersist()
-      labels = next
+      labelsCached.unpersist()
+      propCached.unpersist()
+      labelsCached = next
+      labels = GraftSql.rddPinned(next)
       converged = s == prevSum
       prevSum = s
+      lastClusterRounds += 1
     }
     // The edge caches' consumers all ran inside the loop, and the final
     // labels cache is warm (materialized by the last convergence sum) —
     // release the edges NOW rather than deferring; only the (small)
     // labels frame stays cached for the caller's action, registered for
-    // deferred release. If its blocks are later evicted, recompute walks
-    // the full lineage — correct, just cold.
-    edges.unpersist(blocking = false)
-    sym.unpersist(blocking = false)
-    graft.engine.Caches.track(labels)
+    // deferred release. If its blocks are later evicted (or released and
+    // the result re-run), the pinned InMemoryRelation re-materializes
+    // from its retained child plan — correct, just cold.
+    edgesCached.unpersist(blocking = false)
+    symCached.unpersist(blocking = false)
+    graft.engine.Caches.track(labelsCached)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

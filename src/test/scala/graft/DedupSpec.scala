@@ -23,6 +23,30 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("connected components: 64-link chain collapses in O(log n) rounds") {
+    import spark.implicits._
+    // Worst case for plain min-label propagation: one path graph, the
+    // min label must travel the whole chain — 64 rounds without the
+    // pointer-doubling shortcut, ~log2(64)+slack with it.
+    val chain = (0L until 64L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(chain)
+    assert(out.filter(col("cluster_id") =!= 0L).count() == 0)
+    assert(out.count() == 64)
+    assert(Dedup.lastClusterRounds <= 10,
+      s"expected O(log n) rounds on a chain, got ${Dedup.lastClusterRounds}")
+    graft.engine.Caches.release()
+  }
+
+  test("connected components: two components + a singleton-free node set") {
+    import spark.implicits._
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    graft.engine.Caches.release()
+  }
+
   test("native shingle kernel == transform/slice/array_join composition") {
     import graft.functions.TextFunctions
     val toks = TextFunctions.tokens(col("text"))
