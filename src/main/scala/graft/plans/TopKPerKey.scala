@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descendi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Top-k rows per key as a FIRST-CLASS physical operator — the
   * partial-aggregation idea applied to ranking.
@@ -123,6 +124,18 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     if (partial) Seq(Nil)
     else Seq(keys.map(SortOrder(_, Ascending)))
 
+  // Standard custom-exec observability (SQL tab / df.queryExecution
+  // metrics): output rows everywhere; on the partial phase also how
+  // often the key→heap map hit a memory threshold and flushed — the
+  // counter that says "raise partialMaxKeys/Bytes or repartition" when
+  // it climbs.
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows")) ++
+      (if (partial)
+        Map("numFlushes" -> SQLMetrics.createMetric(sparkContext,
+          "partial map flushes (memory threshold)"))
+      else Map.empty)
+
   override protected def doExecute(): RDD[InternalRow] = {
     // Conf reads happen here on the driver; only the values ship.
     val maxKeys =
@@ -132,6 +145,8 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     require(maxKeys > 0 && maxBytes > 0,
       s"${TopKPerKey.PartialMaxKeysConf}/${TopKPerKey.PartialMaxBytesConf} must be > 0")
     val isPartial = partial
+    val outRows = longMetric("numOutputRows")
+    val flushes = if (partial) longMetric("numFlushes") else null
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, child.output)
       // Children normally emit UnsafeRow, but e.g. row-based scans and
@@ -146,8 +161,11 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
         case u: UnsafeRow => u
         case other => toUnsafe(other)
       }
-      if (isPartial) partialIter(rows, keyProj, ord, heapOrd, maxKeys, maxBytes)
-      else finalIter(rows, keyProj, ord, heapOrd)
+      val out =
+        if (isPartial) partialIter(rows, keyProj, ord, heapOrd, maxKeys,
+          maxBytes, flushes)
+        else finalIter(rows, keyProj, ord, heapOrd)
+      out.map { r => outRows += 1; r }
     }
   }
 
@@ -170,7 +188,7 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     * unbounded O(distinct keys × k) of an unflushable map. */
   private def partialIter(iter: Iterator[UnsafeRow], keyProj: UnsafeProjection,
       ord: Ordering[InternalRow], heapOrd: Ordering[UnsafeRow],
-      maxKeys: Int, maxBytes: Long): Iterator[InternalRow] =
+      maxKeys: Int, maxBytes: Long, flushes: SQLMetric): Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private val heaps =
         mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
@@ -196,7 +214,10 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
               bytes += push(h, row, ord) + kc.getSizeInBytes
               heaps.put(kc, h)
           }
-          if (heaps.size > maxKeys || bytes > maxBytes) out = drain()
+          if (heaps.size > maxKeys || bytes > maxBytes) {
+            flushes += 1
+            out = drain()
+          }
         }
         if (!out.hasNext && !iter.hasNext && heaps.nonEmpty) out = drain()
       }

@@ -91,13 +91,32 @@ class TopKPerKeySpec extends AnyFunSuite {
       s.conf.set(TopKPerKey.PartialMaxKeysConf, "2")
       try {
         val df = data(s)
-        val got = TopKPerKey.topK(df, 3, Seq("k"),
-          Seq("v" -> false, "id" -> true)).select("k", "v", "id")
+        val raw = TopKPerKey.topK(df, 3, Seq("k"),
+          Seq("v" -> false, "id" -> true))
+        val got = raw.select("k", "v", "id")
         val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
         val want = df.withColumn("rn", row_number().over(w))
           .where(col("rn") <= 3).select("k", "v", "id")
         assert(got.exceptAll(want).count() == 0)
         assert(want.exceptAll(got).count() == 0)
+        // The threshold must have actually forced flushes (the numFlushes
+        // SQL metric on the partial phase), or this test proves nothing.
+        raw.collect()
+        // Walk through the AQE wrappers: AdaptiveSparkPlanExec AND
+        // completed QueryStageExec nodes are leaves to collect(), so a
+        // plain traversal never reaches the executed partial node.
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+          case q: QueryStageExec => p +: allNodes(q.plan)
+          case _ => p +: p.children.flatMap(allNodes)
+        }
+        val flushed = allNodes(raw.queryExecution.executedPlan).collect {
+          case e: graft.plans.TopKPerKeyExec if e.partial =>
+            e.metrics("numFlushes").value
+        }.sum
+        assert(flushed > 0, "tiny key budget never flushed the partial map")
       } finally s.conf.unset(TopKPerKey.PartialMaxKeysConf)
     }
   }
