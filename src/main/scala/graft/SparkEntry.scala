@@ -826,6 +826,28 @@ object SparkEntry {
     "q92_path_trigrams" -> ((s, dir) =>
       EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
 
+    // PII scrub: emails/phones → placeholders + per-doc audit counts,
+    // all codegen'd regex projections (map-only at 100 TB). The corpus
+    // is deterministically augmented with synthetic PII derived from
+    // doc_id so the scrubber provably fires on every row; the oracle
+    // builds the identical augmentation.
+    "q94_pii_scrub" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.org call 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      Privacy.scrubPii(aug, "text").orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: drop training docs sharing any 8-gram
+    // with the (broadcast) eval set — here the deterministic pseudo-eval
+    // slice doc_id % 97 == 0.
+    "q95_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 8).select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // A5 (scale path) — the PARALLEL CSV sink round-trip: same cache
     // table as q33 but one file per writer, no single-task serial tail.
     // The read-back proves the directory of part files is equivalent to
@@ -1481,6 +1503,18 @@ object SparkEntry {
       |SELECT airline_name, month, origin_city, total_flights,
       |  CAST(delayed_flights AS BIGINT) AS delayed_flights
       |FROM ap ORDER BY airline_name, month, origin_city""".stripMargin,
+
+    "q94_pii_scrub" -> s"""WITH aug AS (SELECT doc_id,
+      |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+      |    '@ex.org call 555-123-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents)
+      |SELECT doc_id, ${Privacy.ScrubSql.scrubbed("text")} AS text,
+      |  ${Privacy.ScrubSql.emailCount("text")} AS n_emails,
+      |  ${Privacy.ScrubSql.phoneCount("text")} AS n_phones
+      |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q95_decontamination" -> Curation.decontaminateSql(n = 8, benchMod = 97),
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

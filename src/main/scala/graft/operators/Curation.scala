@@ -131,6 +131,43 @@ object Curation {
        |WHERE cum_tokens <= $budget""".stripMargin
   }
 
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word `n`-gram with the held-out benchmark/eval set — the
+    * standard train/test-overlap removal an LLM pipeline runs before
+    * training (documents shorter than n tokens match on their whole
+    * text, so verbatim eval docs are always caught).
+    *
+    * Scale shape: the benchmark side is an eval set — kilobytes to
+    * megabytes against a 100 TB corpus — so its distinct shingle set is
+    * BROADCAST and the contamination test is a map-side semi-join on
+    * the corpus shingle explode; the corpus never shuffles. The final
+    * keep-filter is a LEFT ANTI against the (small) contaminated-id
+    * set. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val corpusShingles = corpus.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("s"))
+    val benchShingles = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("s")).distinct()
+    val contaminated = corpusShingles
+      .join(broadcast(benchShingles), Seq("s"))
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Oracle twin of [[decontaminate]] (`documents` corpus, benchmark =
+    * `doc_id % benchMod = 0` rows). */
+  def decontaminateSql(n: Int = 8, benchMod: Int = 97): String = {
+    val sh = Dedup.shinglesSql(n)
+    s"""WITH csh AS (SELECT doc_id, unnest($sh) AS s FROM documents),
+       |bsh AS (SELECT DISTINCT unnest($sh) AS s FROM documents
+       |        WHERE doc_id % $benchMod = 0),
+       |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s))
+       |SELECT doc_id, text FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Sequence packing (doc granularity): concatenate the corpus in
     * `idCol` order and chunk it into training bins of `binTokens`
     * tokens — each document's bin is `floor(tokens_before_it /

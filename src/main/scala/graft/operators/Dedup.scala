@@ -111,14 +111,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SQL twin of [[ngramJaccardPairs]] for the DuckDB oracle (documents
-    * table, 3-gram shingles). */
-  def ngramJaccardPairsSql(n: Int, threshold: Double, maxDf: Int = 100): String = {
+  /** DuckDB twin of [[shingles]] over a `text` column — the same
+    * distinct word n-grams (whole text when shorter than n tokens). */
+  def shinglesSql(n: Int): String = {
     val toks = "string_split(text, ' ')"
     val grams = s"list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1), " +
       s"i -> array_to_string($toks[i:i+${n - 1}], ' '))"
-    val sh = s"list_distinct(CASE WHEN len($toks) >= $n THEN $grams " +
+    s"list_distinct(CASE WHEN len($toks) >= $n THEN $grams " +
       s"ELSE [array_to_string($toks, ' ')] END)"
+  }
+
+  /** SQL twin of [[ngramJaccardPairs]] for the DuckDB oracle (documents
+    * table, 3-gram shingles). */
+  def ngramJaccardPairsSql(n: Int, threshold: Double, maxDf: Int = 100): String = {
+    val sh = shinglesSql(n)
     s"""WITH sh AS (SELECT doc_id AS id, $sh AS sh FROM documents),
        |sizes AS (SELECT id, len(sh) AS n_sh FROM sh),
        |inv AS (SELECT id, unnest(sh) AS s FROM sh),

@@ -89,4 +89,24 @@ class CurationSpec extends SparkSpec {
     assert(out.count() <= gated)
     out.unpersist()
   }
+
+  test("decontamination drops exactly the 8-gram-overlapping docs") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (10L, s"intro words then $shared and a tail"), // shares the 8-gram
+      (11L, "completely unrelated text with plenty of distinct words here"),
+      (12L, shared),                                 // IS the bench text
+      (13L, "short doc"))                            // < 8 tokens, no overlap
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, shared)).toDF("doc_id", "text")
+    val kept = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+    // A verbatim short bench doc is caught via the whole-text fallback.
+    val shortBench = Seq((98L, "short doc")).toDF("doc_id", "text")
+    val kept2 = Curation.decontaminate(corpus, shortBench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(10L, 11L, 12L))
+  }
 }

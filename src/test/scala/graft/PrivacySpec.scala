@@ -41,4 +41,25 @@ class PrivacySpec extends SparkSpec {
     assert(out.select("pseudo_id").distinct().count() ==
       customers.select("c_name").distinct().count())
   }
+
+  test("PII scrub replaces emails and phones, counts them, leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org today"),
+      (2L, "call 555-123-4567 or 555-987-6543"),
+      (3L, "ceci n'est pas une pii 12345 @ home 555-12-3456"),
+      (4L, "mixed bob@ex.io and 555-000-1111 in one doc"))
+      .toDF("doc_id", "text")
+    val out = Privacy.scrubPii(df, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "write to [EMAIL] today")
+    assert(out(1L).getLong(2) == 1 && out(1L).getLong(3) == 0)
+    assert(out(2L).getString(1) == "call [PHONE] or [PHONE]")
+    assert(out(2L).getLong(3) == 2)
+    // Near-misses (malformed phone, lone @) must pass through untouched.
+    assert(out(3L).getString(1) == "ceci n'est pas une pii 12345 @ home 555-12-3456")
+    assert(out(3L).getLong(2) == 0 && out(3L).getLong(3) == 0)
+    assert(out(4L).getString(1) == "mixed [EMAIL] and [PHONE] in one doc")
+    assert(out(4L).getLong(2) == 1 && out(4L).getLong(3) == 1)
+  }
 }
