@@ -36,4 +36,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(CorpusStats.tfidfTop1(empty, "doc_id", "text").count() == 0)
     assert(CorpusStats.vocabPrune(empty, "doc_id", "text", 0.5).count() == 0)
   }
+
+  test("PII scrub and decontamination are total on empty inputs") {
+    import graft.operators.{Curation, Privacy}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "some perfectly ordinary text")).toDF("doc_id", "text")
+    assert(Privacy.scrubPii(empty, "text").count() == 0)
+    // Empty eval set: nothing is contaminated, the corpus passes whole.
+    assert(Curation.decontaminate(docs, empty, "doc_id", "text").count() == 1)
+    // Empty corpus stays empty.
+    assert(Curation.decontaminate(empty, docs, "doc_id", "text").count() == 0)
+  }
 }

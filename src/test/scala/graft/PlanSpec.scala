@@ -158,4 +158,23 @@ class PlanSpec extends SparkSpec {
         s"nested-loop shape leaked into:\n$p")
     }
   }
+
+  test("PII scrub is map-only: no exchange anywhere in the plan") {
+    import graft.operators.Privacy
+    val p = plan(Privacy.scrubPii(Tables.documents(spark, sf), "text"))
+    assert(!p.contains("Exchange"), s"scrub should never shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"),
+      s"scrub must stay on codegen'd builtins:\n$p")
+  }
+
+  test("decontamination broadcasts the eval side; corpus never nested-loops") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    val p = plan(Curation.decontaminate(docs,
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set should broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested loop allowed:\n$p")
+  }
 }
