@@ -826,6 +826,13 @@ object SparkEntry {
     "q92_path_trigrams" -> ((s, dir) =>
       EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
 
+    // Unigram-LM document scoring (perplexity proxy): per-doc mean token
+    // log-probability under the corpus's own unigram distribution,
+    // 1000-token vocab broadcast to the scoring join.
+    "q96_unigram_logprob" -> ((s, dir) =>
+      CorpusStats.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // PII scrub: emails/phones → placeholders + per-doc audit counts,
     // all codegen'd regex projections (map-only at 100 TB). The corpus
     // is deterministically augmented with synthetic PII derived from
@@ -1515,6 +1522,8 @@ object SparkEntry {
       |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q95_decontamination" -> Curation.decontaminateSql(n = 8, benchMod = 97),
+
+    "q96_unigram_logprob" -> CorpusStats.unigramLogProbSql(),
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

@@ -111,7 +111,9 @@ object TextFunctions {
     def markerHits(x: String, ws: Seq[String]): String =
       s"len(list_filter(string_split($x, ' '), t -> t IN (${inList(ws)})))"
 
-    def tokenCount(x: String) = s"len(string_split($x, ' '))"
+    def tokens(x: String) = s"string_split($x, ' ')"
+
+    def tokenCount(x: String) = s"len(${tokens(x)})"
 
     def bpeTokenCount(x: String) =
       s"len(regexp_extract_all($x, '\\w+|[^\\w\\s]'))"

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.Aggregates
 import graft.functions.{TextFunctions, TextKernels}
 
 /** Corpus-statistics operators for training-data curation: within-document
@@ -240,4 +241,59 @@ object CorpusStats {
        |SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_pruned
        |FROM t JOIN keep USING (w)
        |GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------- unigram LM scoring
+
+  /** Unigram language-model document scoring — the classic cheap
+    * perplexity proxy a pretraining pipeline uses to rank text quality
+    * (gibberish and boilerplate score far from the corpus average):
+    * per-document mean token log-probability under the corpus's own
+    * unigram distribution, with a `vocabSize`-capped vocabulary and a
+    * 1/total floor probability for out-of-vocabulary tokens.
+    *
+    * Scale shape: the vocabulary is ONE token-keyed partial/final count
+    * plus a top-k cut (`TakeOrdered`, never a full sort) and is bounded
+    * by `vocabSize`, so it BROADCASTS to the scoring join — the corpus
+    * token explode never shuffles for the lookup; the per-document mean
+    * is one doc-keyed aggregation. The corpus total rides along as a
+    * broadcast 1-row frame (no driver round-trip). Determinism: the
+    * vocabulary cut is total-ordered (count desc, token asc) and the
+    * mean uses the exact-decimal [[Aggregates.avgExact]], rounded where
+    * emitted (`ln` may differ from libm at the last ulp). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totalDf = counts.agg(sum("cnt").as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totalDf))
+      .withColumn("logp",
+        log(coalesce(col("cnt"), lit(1L)).cast("double") /
+          col("total").cast("double")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(Aggregates.avgExact(col("logp")), 6).as("logprob"))
+  }
+
+  /** Oracle twin of [[unigramLogProb]] (`documents` hard-wired). */
+  def unigramLogProbSql(vocabSize: Int = 1000): String = {
+    import TextFunctions.{Sql => T}
+    s"""WITH toks AS (SELECT doc_id, unnest(${T.tokens("text")}) AS tok
+       |  FROM documents),
+       |counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY tok),
+       |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+       |vocab AS (SELECT tok, cnt FROM counts
+       |  ORDER BY cnt DESC, tok LIMIT $vocabSize),
+       |scored AS (SELECT t.doc_id,
+       |    ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / CAST(total.total AS DOUBLE))
+       |      AS logp
+       |  FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN total)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  round(${Aggregates.avgExactSql("logp")}, 6) AS logprob
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -91,4 +91,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(pruned(0).getAs[String]("text_pruned") == many)
     assert(pruned(1).getAs[String]("text_pruned") == "quick fox")
   }
+
+  test("unigram LM scores match the hand-computed distribution") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // Tokens: a x5, b x1, z x1 -> total 7; vocabSize=1 keeps only 'a'.
+    val docs = Seq((1L, "a a a a"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.unigramLogProb(docs, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pA = math.log(5.0 / 7)   // in-vocab
+    val pOov = math.log(1.0 / 7) // floor for b and z
+    assert(out(1L)._1 == 4 && math.abs(out(1L)._2 - pA) < 2e-6)
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - (pA + pOov) / 2) < 2e-6)
+    assert(out(3L)._1 == 1 && math.abs(out(3L)._2 - pOov) < 2e-6)
+    // The quality-ranking property the pipeline relies on: pure
+    // common-token text scores above mixed, mixed above pure OOV.
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+  }
 }
