@@ -177,4 +177,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"no nested loop allowed:\n$p")
   }
+
+  test("unigram LM scoring broadcasts the vocab and total; top-k cut never full-sorts") {
+    import graft.operators.CorpusStats
+    val p = plan(CorpusStats.unigramLogProb(Tables.documents(spark, sf),
+      "doc_id", "text", vocabSize = 100))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"vocab lookup should be a broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut should plan as TakeOrdered, not Sort+Limit:\n$p")
+    // The 1-row total legitimately plans as a broadcast nested loop
+    // (cross with a broadcast scalar frame); a CartesianProduct — both
+    // sides shuffled — would be the actual scale bug.
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must ride a broadcast, not a cartesian:\n$p")
+  }
 }
