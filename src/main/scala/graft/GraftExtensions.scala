@@ -109,5 +109,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(args, 2, "vector_dot")
         VectorExpressions.DotProductExpr(args.head, args(1))
       }))
+
+    ext.injectFunction((FunctionIdentifier("vector_max_abs"),
+      info("vector_max_abs", classOf[VectorExpressions.MaxAbsExpr]),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "vector_max_abs")
+        VectorExpressions.MaxAbsExpr(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("vector_quantize"),
+      info("vector_quantize", classOf[VectorExpressions.QuantizeExpr]),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "vector_quantize")
+        VectorExpressions.QuantizeExpr(args.head, args(1))
+      }))
   }
 }

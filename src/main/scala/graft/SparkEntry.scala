@@ -826,6 +826,16 @@ object SparkEntry {
     "q92_path_trigrams" -> ((s, dir) =>
       EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
 
+    // Int8 embedding quantization (storage path): native max-abs +
+    // quantize kernels, map-only. The byte array serializes to a
+    // comma-joined string for the gate (the oracle compare cannot sort
+    // array cells); the operator API keeps the real array<byte>.
+    "q97_embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec"))
+        .orderBy("vec_id")),
+
     // Unigram-LM document scoring (perplexity proxy): per-doc mean token
     // log-probability under the corpus's own unigram distribution,
     // 1000-token vocab broadcast to the scoring join.
@@ -1524,6 +1534,8 @@ object SparkEntry {
     "q95_decontamination" -> Curation.decontaminateSql(n = 8, benchMod = 97),
 
     "q96_unigram_logprob" -> CorpusStats.unigramLogProbSql(),
+
+    "q97_embedding_quantize" -> Similarity.quantizeEmbeddingsSql,
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the vector hot paths.
   *
@@ -76,4 +76,129 @@ object VectorExpressions {
   /** Column-level dot product over `array<float>` vectors. */
   def vectorDot(a: Column, b: Column): Column =
     GraftSql.column(DotProductExpr(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Max absolute element of a float vector in double precision — the
+    * per-row scale of symmetric int8 quantization. NULL for an empty
+    * array (matching DuckDB's `list_max` of `[]`), so downstream
+    * quantization nulls out instead of dividing by a fabricated zero. */
+  case class MaxAbsExpr(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == ArrayType(FloatType) ||
+          child.dataType == ArrayType(FloatType, false))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vector_max_abs expects array<float>, got ${child.dataType.catalogString}")
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "vector_max_abs"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n == 0) null
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val v = math.abs(x.getFloat(i).toDouble)
+          if (v > acc) acc = v
+          i += 1
+        }
+        acc
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $v = java.lang.Math.abs((double) $a.getFloat($i));
+           |    if ($v > $acc) $acc = $v;
+           |  }
+           |  ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Symmetric int8 quantization of a float vector against a
+    * precomputed scale: `q_i = floor(x_i / scale * 127 + 0.5)` — the
+    * explicit half-up rounding spelled out so Spark and the DuckDB
+    * oracle agree on negative halves (`Math.round` and SQL `round`
+    * disagree there). The max-|x| element maps to ±127 exactly; a zero
+    * scale (all-zero vector) emits all zeros. 4× smaller storage for
+    * the embedding tier at a bounded `scale/254` absolute error. */
+  case class QuantizeExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if ((left.dataType == ArrayType(FloatType) ||
+          left.dataType == ArrayType(FloatType, false)) &&
+          right.dataType == DoubleType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vector_quantize expects (array<float>, double), got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def prettyName: String = "vector_quantize"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val s = b.asInstanceOf[Double]
+      val n = x.numElements()
+      val out = new Array[Byte](n)
+      if (s != 0.0) {
+        var i = 0
+        while (i < n) {
+          out(i) = math.floor(x.getFloat(i).toDouble / s * 127.0 + 0.5).toByte
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, s) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $a.numElements();
+           |byte[] $out = new byte[$n];
+           |if ($s != 0.0) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $out[$i] = (byte) java.lang.Math.floor(
+           |      ((double) $a.getFloat($i)) / $s * 127.0 + 0.5);
+           |  }
+           |}
+           |${ev.value} =
+           |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Per-row quantization scale (max |element|, double). */
+  def vectorMaxAbs(a: Column): Column =
+    GraftSql.column(MaxAbsExpr(GraftSql.expression(a)))
+
+  /** Symmetric int8 quantization against `scale` (see [[QuantizeExpr]]). */
+  def vectorQuantize(a: Column, scale: Column): Column =
+    GraftSql.column(QuantizeExpr(GraftSql.expression(a), GraftSql.expression(scale)))
 }

@@ -300,4 +300,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Symmetric int8 quantization of the embedding tier — the storage
+    * path: per-row scale = max |element| (double), elements mapped to
+    * `floor(x/scale·127 + 0.5)` bytes. 4× smaller at a bounded
+    * `scale/254` absolute error per element (round-trip bound spec'd in
+    * SimilaritySpec); both steps are native codegen'd kernels
+    * ([[graft.functions.VectorExpressions.MaxAbsExpr]] /
+    * [[graft.functions.VectorExpressions.QuantizeExpr]]) — interpreted
+    * `transform` lambdas on a 100 TB embedding scan are exactly the HOF
+    * trap the dot-product kernel exists for. Map-only: no shuffle, no
+    * UDF. */
+  def quantizeEmbeddings(corpus: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.{vectorMaxAbs, vectorQuantize}
+    corpus.select(col("vec_id"),
+      vectorMaxAbs(col("embedding")).as("scale"),
+      vectorQuantize(col("embedding"), vectorMaxAbs(col("embedding")))
+        .as("qvec"))
+  }
+
+  /** Oracle twin of [[quantizeEmbeddings]] (`embeddings` hard-wired;
+    * explicit half-up floor so negative halves agree with the kernel). */
+  def quantizeEmbeddingsSql: String =
+    s"""WITH s AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |      AS scale
+       |  FROM embeddings)
+       |SELECT vec_id, scale,
+       |  array_to_string(CASE WHEN scale = 0
+       |    THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+       |    ELSE list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS TINYINT))
+       |  END, ',') AS qvec
+       |FROM s ORDER BY vec_id""".stripMargin
 }

@@ -42,7 +42,9 @@ class ExtensionsSpec extends AnyFunSuite {
           |  poly_fingerprint('naïve café') AS fp,
           |  marker_hits('the cat and the hat', array('the', 'and')) AS mh,
           |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
-          |  vector_dot(array(float(1), float(2)), array(float(3), float(4))) AS dot
+          |  vector_dot(array(float(1), float(2)), array(float(3), float(4))) AS dot,
+          |  vector_max_abs(array(float(-3), float(2))) AS ma,
+          |  vector_quantize(array(float(-3), float(1.5)), double(3)) AS qv
           |""".stripMargin).head()
       assert(row.getAs[Long]("sh") ==
         TextKernels.simhash64(UTF8String.fromString("the quick brown fox")))
@@ -53,6 +55,10 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Int]("mh") == 3)
       assert(row.getAs[Int]("ic") == 2)
       assert(row.getAs[Double]("dot") == 11.0)
+      assert(row.getAs[Double]("ma") == 3.0)
+      assert(row.getSeq[Byte](row.fieldIndex("qv")).toList ==
+        List[Byte](-127, 64)) // floor(1.5/3*127+0.5) = 64
+
     }
   }
 

@@ -115,4 +115,46 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 <= r3 && r3 <= rFull, s"recall not monotone: $r1, $r3, $rFull")
     brute.unpersist()
   }
+
+  test("int8 quantization: round-trip error bound, HOF equivalence, edge cases") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{vectorMaxAbs, vectorQuantize}
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, -0.5f)),
+      (2L, Array(0.0f, 0.0f)),                  // zero vector -> all zeros
+      (3L, Array(1e-8f, -3.4e38f, 3.4e38f)),    // extreme dynamic range
+      (4L, Array.empty[Float]))                 // empty -> NULL scale
+      .toDF("vec_id", "embedding")
+    val q = vecs.select(col("vec_id"), col("embedding"),
+      vectorMaxAbs(col("embedding")).as("scale"),
+      vectorQuantize(col("embedding"), vectorMaxAbs(col("embedding"))).as("qvec"))
+
+    // Kernel == interpreted-HOF spelling (same half-up floor arithmetic).
+    val hofScale = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    // Null scale (empty vector) nulls the whole array in the kernel;
+    // bare transform would yield [] instead, so gate it explicitly.
+    val hofQ = when(col("scale").isNull, lit(null)).otherwise(
+      transform(col("embedding"), x =>
+        when(col("scale") === 0.0, lit(0).cast("byte")).otherwise(
+          floor(x.cast("double") / col("scale") * 127.0 + 0.5).cast("byte"))))
+    val cmp = q.withColumn("hof_scale", hofScale).withColumn("hof_q", hofQ)
+    assert(cmp.filter(!(col("scale") <=> col("hof_scale")) ||
+      !(col("qvec") <=> col("hof_q"))).count() == 0)
+
+    val rows = q.collect().map(r => r.getLong(0) -> r).toMap
+    // Round-trip bound: |x - q*scale/127| <= scale/254 (half a step).
+    val r1 = rows(1L)
+    val scale1 = r1.getDouble(2)
+    val q1 = r1.getSeq[Byte](3)
+    val x1 = r1.getSeq[Float](1)
+    x1.zip(q1).foreach { case (x, qv) =>
+      assert(math.abs(x.toDouble - qv * scale1 / 127.0) <= scale1 / 254 + 1e-12)
+    }
+    assert(q1.max == 127 && q1.min == -127) // extremes hit the rails exactly
+    assert(rows(2L).getDouble(2) == 0.0 &&
+      rows(2L).getSeq[Byte](3).forall(_ == 0))
+    assert(rows(3L).getSeq[Byte](3).toSeq == Seq[Byte](0, -127, 127))
+    assert(rows(4L).isNullAt(2) && rows(4L).isNullAt(3)) // null propagates
+  }
 }
