@@ -826,6 +826,19 @@ object SparkEntry {
     "q92_path_trigrams" -> ((s, dir) =>
       EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
 
+    // Incremental-ingestion dedup: the NEW slice (doc_id % 3 != 0)
+    // LSH-checked against the existing REF corpus (doc_id % 3 == 0) —
+    // cross-corpus band join, exact-Jaccard verify. Oracle = exhaustive
+    // cross-pair ground truth (recall argument at minhashNearDupAcross).
+    "q98_cross_corpus_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashNearDupAcross(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("new_id", "ref_id")
+    }),
+
     // Int8 embedding quantization (storage path): native max-abs +
     // quantize kernels, map-only. The byte array serializes to a
     // comma-joined string for the gate (the oracle compare cannot sort
@@ -1536,6 +1549,8 @@ object SparkEntry {
     "q96_unigram_logprob" -> CorpusStats.unigramLogProbSql(),
 
     "q97_embedding_quantize" -> Similarity.quantizeEmbeddingsSql,
+
+    "q98_cross_corpus_dedup" -> Dedup.trueJaccardAcrossSql(3, 0.5, refMod = 3),
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

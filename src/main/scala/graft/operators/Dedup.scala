@@ -356,6 +356,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus MinHash near-dup — the INCREMENTAL-INGESTION dedup: a
+    * new batch checked against an existing reference corpus, emitting
+    * `(new_id, ref_id, jaccard)` matches. Same LSH family/seed on both
+    * sides, band-bucket equi-join ACROSS corpora (never all-pairs, no
+    * id-order constraint — the sides are distinct), exact-Jaccard
+    * verify on candidates only. Recall is the same banding argument as
+    * [[minhashNearDup]] — the cross pairs are a subset of the self-join
+    * pair population at identical parameters.
+    *
+    * At 100 TB the reference side's shingles/bands are computed once per
+    * ingest here, but a production deployment would PERSIST them (they
+    * are pure functions of the text, q91-style layout applies) and
+    * amortize across every arriving batch — only the new side is ever
+    * freshly shingled. The verify joins fan candidates back to both
+    * shingle caches. */
+  def minhashNearDupAcross(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val (as, bs) = hashFamily(numHashes, seed)
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      // Shingles feed the band projection AND the verify join-back —
+      // cache them; each banded side feeds exactly one join, so it
+      // stays a plain projection over the cache.
+      val sh = materialized(parallelized(df)
+        .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+      val banded = sh.select(col("id"), explode(TextKernels.minhashBandsCol(
+        col("sh"), as, bs, bands, MinhashP)).as("band"))
+      (sh, banded)
+    }
+    val (shNew, bandedNew) = prep(newDf)
+    val (shRef, bandedRef) = prep(refDf)
+    val cands = bandedNew.as("a")
+      .join(bandedRef.as("b"), col("a.band") === col("b.band"))
+      .select(col("a.id").as("new_id"), col("b.id").as("ref_id"))
+      .distinct()
+    cands
+      .join(shNew.select(col("id").as("new_id"), col("sh").as("sh_a")),
+        Seq("new_id"))
+      .join(shRef.select(col("id").as("ref_id"), col("sh").as("sh_b")),
+        Seq("ref_id"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
+  /** True cross-corpus Jaccard oracle (DuckDB): exhaustive new×ref pairs
+    * over the `doc_id % refMod` split of `documents` — ground truth for
+    * [[minhashNearDupAcross]], viable at oracle scale only. */
+  def trueJaccardAcrossSql(n: Int, threshold: Double, refMod: Int): String = {
+    val sh = shinglesSql(n)
+    s"""WITH sh AS (SELECT doc_id AS id, doc_id % $refMod = 0 AS is_ref,
+       |    $sh AS sh FROM documents),
+       |pairs AS (SELECT a.id AS new_id, b.id AS ref_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM sh a JOIN sh b ON NOT a.is_ref AND b.is_ref)
+       |SELECT new_id, ref_id, jaccard FROM pairs
+       |WHERE jaccard >= $threshold
+       |ORDER BY new_id, ref_id""".stripMargin
+  }
+
   // ------------------------------------------------- cluster + survivors
 
   /** Diagnostic only: rounds the last [[dedupClusters]] call took to

@@ -178,6 +178,24 @@ class DedupSpec extends SparkSpec {
     lsh.unpersist(); brute.unpersist()
   }
 
+  test("cross-corpus LSH dedup equals the exhaustive cross-Jaccard pairs") {
+    val newSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val refSide = docs.filter(col("doc_id") % 3 === 0)
+    val lsh = Dedup.minhashNearDupAcross(newSide, refSide, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("new_id", "ref_id").cache()
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val brute = sh(newSide).as("a").join(sh(refSide).as("b"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")) >= 0.5)
+      .select(col("a.id").as("new_id"), col("b.id").as("ref_id")).cache()
+    assert(brute.count() > 0, "fixture must contain cross-corpus near-dups")
+    assert(lsh.except(brute).count() == 0)
+    assert(brute.except(lsh).count() == 0)
+    lsh.unpersist(); brute.unpersist()
+    graft.engine.Caches.release()
+  }
+
   test("deletion-index fuzzy join equals the exhaustive edit-distance pairs") {
     import spark.implicits._
     // Substitution, insertion, deletion, transposition (ed=2, must be
