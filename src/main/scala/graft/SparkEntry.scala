@@ -826,6 +826,13 @@ object SparkEntry {
     "q92_path_trigrams" -> ((s, dir) =>
       EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
 
+    // Temperature-scaled language-mixture sampling (sqrt mix): each
+    // language's token budget ∝ sqrt(its token total), best-quality
+    // docs fill it.
+    "q99_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMixSample(Tables.documents(s, dir), "doc_id",
+        "text", totalTokens = 20000L).orderBy("doc_id")),
+
     // Incremental-ingestion dedup: the NEW slice (doc_id % 3 != 0)
     // LSH-checked against the existing REF corpus (doc_id % 3 == 0) —
     // cross-corpus band join, exact-Jaccard verify. Oracle = exhaustive
@@ -1551,6 +1558,8 @@ object SparkEntry {
     "q97_embedding_quantize" -> Similarity.quantizeEmbeddingsSql,
 
     "q98_cross_corpus_dedup" -> Dedup.trueJaccardAcrossSql(3, 0.5, refMod = 3),
+
+    "q99_temperature_mix" -> Sampling.temperatureMixSampleSql(20000L),
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

@@ -102,4 +102,76 @@ object Sampling {
     s"""row_number() OVER (PARTITION BY $stratumCol
        |    ORDER BY md5($textCol) ASC, $textCol ASC)"""
       .stripMargin
+
+  /** Temperature-scaled language-mixture sampling — the Pile/LLaMA-style
+    * reweighting a pretraining pipeline applies before batching: each
+    * language's token budget is proportional to `T_lang^(1/temperature)`
+    * (temperature > 1 upsamples the tail languages relative to raw
+    * frequency; 1.0 reproduces it; the default 2.0 is the classic
+    * sqrt-mix), then the best-quality-first documents of each language
+    * fill its budget.
+    *
+    * Scale shape: the per-language totals and weights are a language-
+    * cardinality aggregate (broadcast back); the per-language quality
+    * cut is a window partitioned by language — each language's running
+    * sum stays on its own reducers.
+    *
+    * Determinism: temperature 2.0 uses `sqrt`, which IEEE 754 requires
+    * correctly rounded — bit-identical across engines; other
+    * temperatures go through `pow`, which libm does NOT guarantee (the
+    * oracle gate pins the sqrt mix; other temperatures are spec-tested
+    * in-engine only). The weight normalizer is an exact decimal sum of
+    * the (few) per-language weights, so summation order cannot perturb
+    * the budgets. */
+  def temperatureMixSample(docs: DataFrame, idCol: String, textCol: String,
+      totalTokens: Long, temperature: Double = 2.0): DataFrame = {
+    import graft.engine.Aggregates
+    import graft.functions.TextFunctions
+    require(totalTokens > 0, s"totalTokens must be > 0, got $totalTokens")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val base = docs.select(col(idCol),
+      TextFunctions.langId(col(textCol)).as("lang"),
+      TextFunctions.qualityScore(col(textCol)).as("quality"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val wRaw =
+      if (temperature == 2.0) sqrt(col("t_l").cast("double"))
+      else pow(col("t_l").cast("double"), lit(1.0 / temperature))
+    val weights = base.groupBy("lang")
+      .agg(sum("n_tokens").as("t_l"))
+      .withColumn("w_raw", wRaw)
+    val wSum = weights.agg(Aggregates.sumExact(col("w_raw")).as("w_sum"))
+    val budgets = weights.crossJoin(broadcast(wSum))
+      .select(col("lang"),
+        (col("w_raw") / col("w_sum") * totalTokens).as("budget"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col(idCol).asc)
+    base.withColumn("cum", sum("n_tokens").over(w))
+      .join(broadcast(budgets), Seq("lang"))
+      .filter(col("cum").cast("double") <= col("budget"))
+      .select(col(idCol), col("lang"), col("n_tokens"), col("cum"))
+  }
+
+  /** Oracle twin of [[temperatureMixSample]] at temperature 2.0
+    * (`documents` hard-wired; sqrt is IEEE-exact, see the operator). */
+  def temperatureMixSampleSql(totalTokens: Long): String = {
+    import graft.engine.Aggregates
+    import graft.functions.TextFunctions.{Sql => T}
+    s"""WITH base AS (SELECT doc_id, ${T.langId("text")} AS lang,
+       |    ${T.qualityScore("text")} AS quality,
+       |    CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |w AS (SELECT lang, sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS w_raw
+       |  FROM base GROUP BY lang),
+       |ws AS (SELECT ${Aggregates.sumExactSql("w_raw")} AS w_sum FROM w),
+       |b AS (SELECT lang, w_raw / w_sum * $totalTokens AS budget
+       |  FROM w CROSS JOIN ws),
+       |c AS (SELECT base.*, CAST(SUM(n_tokens) OVER (PARTITION BY lang
+       |    ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM base)
+       |SELECT c.doc_id, c.lang, c.n_tokens, c.cum
+       |FROM c JOIN b USING (lang)
+       |WHERE CAST(cum AS DOUBLE) <= budget
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -79,4 +79,39 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.exceptAll(again).count() == 0)
     assert(again.exceptAll(sampled).count() == 0)
   }
+
+  test("temperature mix upsamples tail languages and respects per-language budgets") {
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val base = docs.select(
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val raw = base.groupBy("lang").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(raw.size >= 2, "fixture needs >= 2 languages")
+    val picked = Sampling
+      .temperatureMixSample(docs, "doc_id", "text", totalTokens = 20000L)
+    val sel = picked.groupBy("lang").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawTotal = raw.values.sum.toDouble
+    val selTotal = sel.values.sum.toDouble
+    // sqrt-mix property: the smallest language's share of the SAMPLE
+    // strictly exceeds its share of the raw corpus.
+    val tail = raw.minBy(_._2)._1
+    assert(sel(tail) / selTotal > raw(tail) / rawTotal,
+      s"tail lang $tail not upsampled: sel=$sel raw=$raw")
+    // Budgets: per-language selected tokens stay within the sqrt budget.
+    val wRaw = raw.map { case (l, t) => l -> math.sqrt(t.toDouble) }
+    val wSum = wRaw.values.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    wRaw.foreach { case (l, w) =>
+      assert(sel.getOrElse(l, 0L).toDouble <= w / wSum * 20000L,
+        s"lang $l exceeded its budget")
+    }
+    // Deterministic: a second run selects exactly the same documents.
+    val again = Sampling
+      .temperatureMixSample(docs, "doc_id", "text", totalTokens = 20000L)
+    assert(picked.exceptAll(again).count() == 0)
+    assert(again.exceptAll(picked).count() == 0)
+  }
 }
