@@ -826,6 +826,13 @@ object SparkEntry {
     "q92_path_trigrams" -> ((s, dir) =>
       EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
 
+    // Packed-example materialization: the actual training sequences the
+    // loader feeds the trainer — bin assignment (q71) + order-canonical
+    // in-bin concat.
+    "q100_packed_examples" -> ((s, dir) =>
+      Curation.materializePackedSequences(Tables.documents(s, dir),
+        "doc_id", "text", binTokens = 2048).orderBy("bin")),
+
     // Temperature-scaled language-mixture sampling (sqrt mix): each
     // language's token budget ∝ sqrt(its token total), best-quality
     // docs fill it.
@@ -1560,6 +1567,8 @@ object SparkEntry {
     "q98_cross_corpus_dedup" -> Dedup.trueJaccardAcrossSql(3, 0.5, refMod = 3),
 
     "q99_temperature_mix" -> Sampling.temperatureMixSampleSql(20000L),
+
+    "q100_packed_examples" -> Curation.materializePackedSequencesSql(2048L),
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

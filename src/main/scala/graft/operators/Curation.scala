@@ -131,6 +131,41 @@ object Curation {
        |WHERE cum_tokens <= $budget""".stripMargin
   }
 
+  /** Materialize the packed training examples [[packSequences]] only
+    * ASSIGNS: one row per bin with the documents concatenated in id
+    * order — the actual example a data loader feeds the trainer.
+    *
+    * The aggregation-order trap: `collect_list` order is partition- and
+    * retry-dependent, so concatenating its raw output is
+    * non-deterministic. Canonicalize instead: collect `(id, text)`
+    * structs, `array_sort` (struct ordering = field order, id first),
+    * then project and join — deterministic under any partitioning, same
+    * trick as the vocabulary prune's pad-sort-strip. Bin sizes are
+    * bounded by `binTokens` (one straddling doc), so per-bin state in
+    * the collect is bounded — this is NOT an unbounded group concat. */
+  def materializePackedSequences(docs: DataFrame, idCol: String,
+      textCol: String, binTokens: Long): DataFrame = {
+    val binned = packSequences(docs, idCol, textCol, binTokens)
+    binned.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          " ").as("packed_text"))
+  }
+
+  /** Oracle twin of [[materializePackedSequences]] (`documents`
+    * hard-wired; `string_agg ORDER BY` is DuckDB's in-group order). */
+  def materializePackedSequencesSql(binTokens: Long): String =
+    s"""WITH b AS (${packSequencesSql(binTokens)})
+       |SELECT bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(b.n_tokens) AS BIGINT) AS bin_tokens,
+       |  string_agg(d.text, ' ' ORDER BY b.doc_id) AS packed_text
+       |FROM b JOIN documents d USING (doc_id)
+       |GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Benchmark decontamination: drop every corpus document sharing at
     * least one word `n`-gram with the held-out benchmark/eval set — the
     * standard train/test-overlap removal an LLM pipeline runs before

@@ -109,4 +109,23 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept2 == Seq(10L, 11L, 12L))
   }
+
+  test("packed examples are lossless and partition-invariant") {
+    val packed = Curation.materializePackedSequences(docs, "doc_id", "text",
+      binTokens = 2048)
+    // Lossless: bins concatenated in bin order reproduce the corpus
+    // concatenated in id order, exactly.
+    val fromBins = packed.orderBy("bin").collect()
+      .map(_.getAs[String]("packed_text")).mkString(" ")
+    val fromDocs = docs.orderBy("doc_id").collect()
+      .map(_.getAs[String]("text")).mkString(" ")
+    assert(fromBins == fromDocs)
+    // collect_list order is partitioning-dependent; the canonicalized
+    // concat must not be.
+    val shuffled = Curation.materializePackedSequences(
+      docs.repartition(7, col("doc_id")), "doc_id", "text", binTokens = 2048)
+    assert(packed.exceptAll(shuffled).count() == 0)
+    assert(shuffled.exceptAll(packed).count() == 0)
+    graft.engine.Caches.release()
+  }
 }
