@@ -192,4 +192,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"the 1-row total must ride a broadcast, not a cartesian:\n$p")
   }
+
+  test("temperature mix broadcasts budgets; packed examples keep one doc-keyed shuffle") {
+    import graft.operators.{Curation, Sampling}
+    val pMix = plan(Sampling.temperatureMixSample(Tables.documents(spark, sf),
+      "doc_id", "text", totalTokens = 20000L))
+    assert("BroadcastHashJoin".r.findAllIn(pMix).size >= 1,
+      s"per-language budgets should broadcast onto the fact:\n$pMix")
+    assert(!pMix.contains("CartesianProduct"))
+    val pPack = plan(Curation.materializePackedSequences(
+      Tables.documents(spark, sf), "doc_id", "text", binTokens = 2048))
+    assert(!pPack.contains("CartesianProduct") &&
+      !pPack.contains("BroadcastNestedLoopJoin"))
+  }
 }
