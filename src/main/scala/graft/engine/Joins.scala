@@ -145,7 +145,7 @@ object Joins {
       Literal(expectedItems), Literal(numBits), 0, 0)
     val bytes = build
       .select(GraftSql.column(bloomAgg.toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     // Zero build rows aggregate to a null filter; `might_contain(null, …)`
     // would null-type the literal — an always-false predicate keeps the
     // probe schema and lets Spark skip the scan entirely.
