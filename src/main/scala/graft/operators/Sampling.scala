@@ -112,9 +112,17 @@ object Sampling {
     * fill its budget.
     *
     * Scale shape: the per-language totals and weights are a language-
-    * cardinality aggregate (broadcast back); the per-language quality
-    * cut is a window partitioned by language — each language's running
-    * sum stays on its own reducers.
+    * cardinality aggregate (broadcast back). The per-language quality
+    * cut does NOT use a window partitioned by language — a real corpus
+    * is dominated by one language, so that window would sort most of
+    * the corpus on a single reducer. It is the same two-pass
+    * distributed prefix sum as the token-budget sampler, with the
+    * language prepended to the range key: range-partition on
+    * (lang, quality desc, id), per-(lang, partition) local running
+    * sums, then the (languages × partitions)-row offset table —
+    * metadata-scale — broadcast back. Bit-identical to the global
+    * per-language window because each (lang, partition) segment is a
+    * contiguous slice of its language's global order.
     *
     * Determinism: temperature 2.0 uses `sqrt`, which IEEE 754 requires
     * correctly rounded — bit-identical across engines; other
@@ -143,9 +151,22 @@ object Sampling {
     val budgets = weights.crossJoin(broadcast(wSum))
       .select(col("lang"),
         (col("w_raw") / col("w_sum") * totalTokens).as("budget"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("quality").desc, col(idCol).asc)
-    base.withColumn("cum", sum("n_tokens").over(w))
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val local = graft.engine.Caches.materialized(base
+      .repartitionByRange(p, col("lang"), col("quality").desc, col(idCol).asc)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_cum", sum("n_tokens").over(
+        Window.partitionBy("lang", "pid")
+          .orderBy(col("quality").desc, col(idCol).asc))))
+    val totals = local.groupBy("lang", "pid").agg(max("local_cum").as("ptotal"))
+    val offsets = totals.withColumn("offset",
+      coalesce(sum("ptotal").over(
+        Window.partitionBy("lang").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("lang", "pid", "offset")
+    local.join(broadcast(offsets), Seq("lang", "pid"))
+      .withColumn("cum", col("local_cum") + col("offset"))
       .join(broadcast(budgets), Seq("lang"))
       .filter(col("cum").cast("double") <= col("budget"))
       .select(col(idCol), col("lang"), col("n_tokens"), col("cum"))
