@@ -826,6 +826,23 @@ object SparkEntry {
     "q92_path_trigrams" -> ((s, dir) =>
       EventAnalytics.pathTrigrams(Tables.events(s, dir), 20)),
 
+    // JSONL round-trip through the permissive (quarantining) scan — the
+    // LLM corpus interchange format gets the same corrupt-tolerant
+    // ingest as CSV (A1 analog; planted-corruption behavior spec'd in
+    // IngestSpec).
+    "q101_jsonl_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = s"${Sinks.scratch}/q101_jsonl"
+      Sinks.writeJsonl(Tables.documents(s, dir)
+        .select("doc_id", "lang", "text").filter(col("doc_id") < 300), path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("text", StringType)))
+      Ingest.clean(Ingest.readJsonlPermissive(s, Seq(path), schema))
+        .orderBy("doc_id")
+    }),
+
     // Packed-example materialization: the actual training sequences the
     // loader feeds the trainer — bin assignment (q71) + order-canonical
     // in-bin concat.
@@ -1569,6 +1586,9 @@ object SparkEntry {
     "q99_temperature_mix" -> Sampling.temperatureMixSampleSql(20000L),
 
     "q100_packed_examples" -> Curation.materializePackedSequencesSql(2048L),
+
+    "q101_jsonl_roundtrip" -> """SELECT doc_id, lang, text FROM documents
+      |WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     "q86_incremental_agg" -> {
       def totalsDec(pred: String) =

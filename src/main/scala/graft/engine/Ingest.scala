@@ -42,6 +42,26 @@ object Ingest {
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(paths: _*)
 
+  /** Corrupt-tolerant JSONL scan — the [[readCsvPermissive]] quarantine
+    * pattern for the LLM corpus interchange format: PERMISSIVE parse,
+    * unparseable lines captured verbatim in [[CorruptCol]] (typed
+    * columns null for that row), split downstream with [[clean]] /
+    * [[quarantine]]. Web-scale JSONL always contains mangled lines;
+    * this keeps the pipeline running AND the evidence queryable.
+    * Cached + release-registered for the same two-consumer reasons as
+    * the CSV path. */
+  def readJsonlPermissive(spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame = {
+    val withCorrupt = schema.add(CorruptCol, StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(paths: _*)
+      .cache()
+      .transform(Caches.track)
+  }
+
   /** ORC scan — columnar like parquet (pruning + predicate pushdown via
     * stripe statistics), for interop with ORC-standardized warehouses. */
   def readOrc(spark: SparkSession, paths: Seq[String]): DataFrame =

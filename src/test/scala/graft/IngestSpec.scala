@@ -139,4 +139,26 @@ class IngestSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(_.getDouble(2)).toSeq ==
       Seq(0.1, 12345.6789))
   }
+
+  test("permissive JSONL quarantines mangled lines and keeps clean ones typed") {
+    import org.apache.spark.sql.types._
+    val dir = s"${graft.engine.Sinks.scratch}/jsonl_permissive_test"
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.PrintWriter(s"$dir/part.jsonl")
+    f.println("""{"doc_id": 1, "text": "good line"}""")
+    f.println("""{"doc_id": 2, "text": "also fine"}""")
+    f.println("""{"doc_id": 3, "text": "truncated""")   // mangled JSON
+    f.println("""not json at all""")
+    f.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = Ingest.readJsonlPermissive(spark, Seq(dir), schema)
+    assert(Ingest.clean(df).count() == 2)
+    val quarantined = Ingest.quarantine(df).collect().map(_.getString(0))
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("truncated")) &&
+      quarantined.contains("not json at all"),
+      s"quarantine must keep the raw evidence: ${quarantined.toSeq}")
+    graft.engine.Caches.release()
+  }
 }
