@@ -614,6 +614,31 @@ object SparkEntry {
           percentile(col("value"), lit(0.5)).as("exact_p50"))
         .orderBy("event_type")),
 
+    // Sketch tier #2 — count-min heavy hitters: one fixed-size CMS pass
+    // over the stream (partial/final merge, ~109 KB of state at
+    // eps=0.001 regardless of cardinality), probed for the exact top-20
+    // users. Oracle-exempt like q67 (CMS is not expressible in DuckDB);
+    // determinism from the fixed seed + total-ordered top-k; the
+    // one-sided error contract (est >= exact, est - exact <= eps*N) is
+    // spec'd in EventAnalyticsSpec. The ~109 KB sketch bytes are the
+    // only driver materialization — same bounded pattern as the q88
+    // bloom build.
+    "q102_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val ev = Tables.events(s, dir)
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(20)
+      val bytes = ev
+        .select(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      val rows = top.collect().map(r =>
+        (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+      import s.implicits._
+      rows.toSeq.toDF("user_id", "exact_cnt", "est_cnt")
+        .orderBy(col("exact_cnt").desc, col("user_id").asc)
+    }),
+
     // Single-pass declarative data-quality audit over orders.
     "q68_quality_report" -> ((s, dir) =>
       QualityReport.audit(Tables.orders(s, dir),

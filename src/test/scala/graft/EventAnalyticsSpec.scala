@@ -109,4 +109,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq(("a", "b", "a", 2L), ("b", "a", "b", 1L),
       ("c", "d", "e", 1L)))
   }
+
+  test("count-min heavy hitters: one-sided error within the eps*N contract") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = graft.engine.Tables.events(spark, TestSpark.sf)
+    val n = ev.count()
+    val bytes = ev
+      .select(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    exact.foreach { case (u, c) =>
+      val est = cms.estimateCount(u)
+      assert(est >= c, s"CMS must never underestimate: user $u est $est < $c")
+      assert(est - c <= math.max(1L, (0.001 * n).toLong),
+        s"user $u overestimate ${est - c} beyond eps*N")
+    }
+  }
 }
