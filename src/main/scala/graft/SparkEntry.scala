@@ -488,6 +488,26 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // Forward as-of: the next view AT OR AFTER each purchase — the
+    // mirror direction of q52 (same one-shuffle construction).
+    "q103_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      Joins.asofForward(purchases, views, "user_id",
+        leftTs = "purchase_ts", rightTs = "view_ts")
+        .where(col("view_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("view_id"), col("view_ts"),
+          (unix_micros(col("view_ts")) - unix_micros(col("purchase_ts")))
+            .as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Binned interval join: events against 90-minute "surge" windows
     // (hours ≥ 1.3× the mean hourly rate). The windows OVERLAP and do
     // not align to the 15-minute bin grid, so the residual range filter
@@ -1406,6 +1426,20 @@ object SparkEntry {
          |    AND v.view_ts <= p.purchase_ts)
          |SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
          |  CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q103_asof_forward" ->
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
+         |    ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+         |  FROM events WHERE event_type = 'view'),
+         |j AS (SELECT purchase_id, p.user_id, purchase_ts, view_id, view_ts,
+         |    row_number() OVER (PARTITION BY purchase_id
+         |      ORDER BY view_ts ASC, view_id DESC) AS rn
+         |  FROM p JOIN v ON p.user_id = v.user_id
+         |    AND v.view_ts >= p.purchase_ts)
+         |SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
+         |  CAST(epoch_us(view_ts) - epoch_us(purchase_ts) AS BIGINT) AS gap_us
          |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     // The naive inequality-join spelling of the interval join.

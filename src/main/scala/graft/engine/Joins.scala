@@ -96,6 +96,39 @@ object Joins {
         rPayload.map(c => col(s"_m.$c").as(c)): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row of
+    * the same key with `rightTs >= leftTs` — "next quote after the
+    * trade", "next maintenance after the failure". Exact mirror of
+    * [[asofBackward]]'s one-shuffle union + running-`last` construction
+    * with the window order reversed (ts desc; right rows sort before
+    * left at equal ts so at-or-after includes ties; among equal-ts right
+    * rows the maximum payload struct wins, matching the backward
+    * convention). Same scale shape: ONE shuffle on the key, no range
+    * join, no row blowup. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayload = rightTs +: right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    require(lCols.intersect(rPayload).isEmpty,
+      s"left/right column collision: ${lCols.intersect(rPayload).mkString(",")}")
+    val lStruct = struct(lCols.map(col): _*)
+    val rStruct = struct(rPayload.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val lTagged = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts").desc, col("_side").asc, col("_r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("_m", last("_r", ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(lCols.map(c => col(s"_l.$c")) ++
+        rPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
   /** Inner equi-join with the probe side PRE-FILTERED by a Bloom filter
     * built over the build side's keys — semi-join reduction, the classic
     * 100 TB shuffle cut. When the build side is a SELECTIVE dim subset

@@ -97,6 +97,26 @@ class JoinsSpec extends SparkSpec {
       "test data must exercise the unmatched-left path")
   }
 
+  test("asofForward equals the naive range-join + argmin (ties included)") {
+    val (left, right) = asofSides
+    val got = Joins.asofForward(left, right, "k", "lts", "rts")
+      .select("k", "lts", "lid", "rts", "rid")
+    // Earliest at-or-after; among equal-ts rights the max payload struct
+    // wins, mirroring the backward convention.
+    val w = Window.partitionBy("lid")
+      .orderBy(col("rts").asc_nulls_last, col("rid").desc_nulls_last)
+    val naive = left
+      .join(right.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && col("rts") >= col("lts"), "left")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("k", "lts", "lid", "rts", "rid")
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    assert(got.count() == left.count())
+    assert(got.where(col("rts").isNull).count() > 0,
+      "test data must exercise the unmatched-left path")
+  }
+
   test("asofBackward plans a window, not a join") {
     val (left, right) = asofSides
     val plan = Joins.asofBackward(left, right, "k", "lts", "rts")
