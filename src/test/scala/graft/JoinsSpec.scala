@@ -125,6 +125,14 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected a window exec:\n$plan")
   }
 
+  test("asofForward plans a window, not a join") {
+    val (left, right) = asofSides
+    val plan = Joins.asofForward(left, right, "k", "lts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan any join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window exec:\n$plan")
+  }
+
   // ------------------------------------------------------- interval join
 
   test("binnedIntervalJoin equals the naive cross-filter, overlapping and empty intervals included") {

@@ -159,10 +159,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("PII scrub is map-only: no exchange anywhere in the plan") {
+  test("PII scrub and embedding quantization are map-only: no exchange in the plan") {
     import graft.operators.Privacy
     val p = plan(Privacy.scrubPii(Tables.documents(spark, sf), "text"))
     assert(!p.contains("Exchange"), s"scrub should never shuffle:\n$p")
+    val pq = plan(Similarity.quantizeEmbeddings(Tables.embeddings(spark, sf)))
+    assert(!pq.contains("Exchange"), s"quantize should never shuffle:\n$pq")
+    assert(pq.contains("vector_quantize") && pq.contains("vector_max_abs"),
+      s"native kernels missing from:\n$pq")
     assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"),
       s"scrub must stay on codegen'd builtins:\n$p")
   }
