@@ -145,8 +145,11 @@ object Curation {
     * the collect is bounded — this is NOT an unbounded group concat. */
   def materializePackedSequences(docs: DataFrame, idCol: String,
       textCol: String, binTokens: Long): DataFrame = {
-    val binned = packSequences(docs, idCol, textCol, binTokens)
-    binned.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    // Text rides the assignment's prefix-sum shuffle (carryCols) — ONE
+    // corpus scan, no second scan + doc-keyed re-join.
+    val binned = packSequences(docs, idCol, textCol, binTokens,
+      carryCols = Seq(textCol))
+    binned
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
         array_join(
@@ -215,11 +218,15 @@ object Curation {
     * P-row offset table back), so there is no global single-partition
     * window anywhere in the plan. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      binTokens: Long): DataFrame = {
+      binTokens: Long, carryCols: Seq[String] = Nil): DataFrame = {
     require(binTokens > 0, s"binTokens must be > 0, got $binTokens")
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs.select(col(idCol),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // `carryCols` ride the prefix-sum shuffle instead of being re-joined
+    // by a second scan later — at 100 TB, carrying the text through the
+    // one range exchange beats scanning the corpus twice and shuffling
+    // the text through a doc-keyed join anyway.
+    val base = docs.select(col(idCol) +: carryCols.map(col) :+
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"): _*)
     val local = graft.engine.Caches.materialized(base
       .repartitionByRange(p, col(idCol).asc)
       .withColumn("pid", spark_partition_id())
@@ -235,7 +242,8 @@ object Curation {
       .withColumn("cum_tokens", col("local_cum") + col("offset"))
       .withColumn("bin",
         expr(s"(cum_tokens - n_tokens) div ${binTokens}L"))
-      .select(col(idCol), col("n_tokens"), col("bin"))
+      .select(col(idCol) +: carryCols.map(col) :+ col("n_tokens") :+
+        col("bin"): _*)
   }
 
   /** SQL twin of [[packSequences]] (global-window formulation). */

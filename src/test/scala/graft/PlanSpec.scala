@@ -204,9 +204,24 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(pMix).size >= 1,
       s"per-language budgets should broadcast onto the fact:\n$pMix")
     assert(!pMix.contains("CartesianProduct"))
-    val pPack = plan(Curation.materializePackedSequences(
-      Tables.documents(spark, sf), "doc_id", "text", binTokens = 2048))
+    // Build AFTER the cache clear: the operator materializes its
+    // prefix-sum intermediate during construction, and the final plan
+    // must read that cache — plan() would wipe it first.
+    spark.catalog.clearCache()
+    val dfPack = Curation.materializePackedSequences(
+      Tables.documents(spark, sf), "doc_id", "text", binTokens = 2048)
+    dfPack.collect()
+    val pPack = dfPack.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!pPack.contains("CartesianProduct") &&
       !pPack.contains("BroadcastNestedLoopJoin"))
+    // Text rides the assignment shuffle (carryCols): the final plan
+    // reads the cached prefix-sum frame — it must NOT re-scan the
+    // corpus and re-join the text by doc id.
+    assert("FileScan parquet".r.findAllIn(pPack).size <= 1,
+      s"packed-example build must not re-scan the corpus:\n$pPack")
+    assert(!pPack.contains("SortMergeJoin"),
+      s"no doc-keyed re-join allowed:\n$pPack")
+    graft.engine.Caches.release()
   }
 }
