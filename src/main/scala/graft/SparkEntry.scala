@@ -640,9 +640,10 @@ object SparkEntry {
     // users. Oracle-exempt like q67 (CMS is not expressible in DuckDB);
     // determinism from the fixed seed + total-ordered top-k; the
     // one-sided error contract (est >= exact, est - exact <= eps*N) is
-    // spec'd in EventAnalyticsSpec. The ~109 KB sketch bytes are the
-    // only driver materialization — same bounded pattern as the q88
-    // bloom build.
+    // spec'd in EventAnalyticsSpec. Driver materializations are the
+    // ~109 KB sketch bytes (the q88 bloom pattern) and the 20-row
+    // top-k list the sketch is probed with — both bounded by
+    // construction, independent of data scale.
     "q102_heavy_hitters" -> ((s, dir) => {
       import org.apache.spark.util.sketch.CountMinSketch
       val ev = Tables.events(s, dir)
