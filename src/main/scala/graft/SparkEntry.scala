@@ -708,15 +708,6 @@ object SparkEntry {
     // query keeps the rule itself under the oracle gate. Same surge
     // windows as q53, which writes the binning by hand.
     "q73_auto_interval_join" -> ((s, dir) => {
-      // The bin-width conf is query-scoped: set it, pin the optimized
-      // plan (the rule reads the conf during logical optimization, which
-      // `executedPlan` forces and QueryExecution caches), then restore —
-      // a leaked 900 s width would silently re-shape every later
-      // interval join on this session.
-      val binConf = graft.plans.BinnedIntervalJoinRule.BinSecondsConf
-      val prevBin = s.conf.getOption(binConf)
-      s.conf.set(binConf, "900")
-      try {
       val ev = Tables.events(s, dir)
       val hourly = ev
         .groupBy(date_trunc("hour", col("ts")).as("w_start"))
@@ -732,12 +723,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           Aggregates.sumExact(col("value")).as("value_sum"))
         .orderBy("w_start")
-      out.queryExecution.executedPlan
-      out
-      } finally prevBin match {
-        case Some(v) => s.conf.set(binConf, v)
-        case None => s.conf.unset(binConf)
+      // The 900 s bin width rides a tag on the analyzed Join node, not
+      // a session conf: every action on the returned Dataset (Bench's
+      // count, Verify's write) builds a fresh QueryExecution AFTER this
+      // function returns, so a conf set-and-restore here would never
+      // reach the optimizer run that matters — and a leaked conf would
+      // re-shape every later interval join on the session. The tag is
+      // copied across optimizer rewrites, so the width follows the plan.
+      out.queryExecution.analyzed.foreach {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.isDefined =>
+          j.setTagValue(
+            graft.plans.BinnedIntervalJoinRule.BinSecondsTag, 900L)
+        case _ =>
       }
+      out
     }),
 
     // Gaps-and-islands: per-user maximal consecutive-day streaks.
@@ -906,13 +906,19 @@ object SparkEntry {
     // Incremental-ingestion dedup: the NEW slice (doc_id % 3 != 0)
     // LSH-checked against the existing REF corpus (doc_id % 3 == 0) —
     // cross-corpus band join, exact-Jaccard verify. Oracle = exhaustive
-    // cross-pair ground truth (recall argument at minhashNearDupAcross).
+    // cross-pair ground truth, so the banding must make a miss at the
+    // emitted threshold structurally negligible, not data-lucky:
+    // 32 bands × 2 rows puts the miss probability for a pair AT
+    // j = 0.5 at (1 − 0.5²)³² ≈ 1e-4 (and ≈ 6e-7 by j = 0.6), where
+    // 16 × 4 left ~36 % — one borderline pair away from a spurious
+    // gate flip on a data regen. The flatter s-curve admits more
+    // low-j candidates; the exact-Jaccard verify discards them.
     "q98_cross_corpus_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.minhashNearDupAcross(
         docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 3 === 0),
-        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32, threshold = 0.5)
         .orderBy("new_id", "ref_id")
     }),
 

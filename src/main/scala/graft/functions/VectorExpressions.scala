@@ -24,20 +24,23 @@ object VectorExpressions {
 
   /** Strict left-to-right dot product of two float vectors in double
     * precision: `((0.0 + x₁y₁) + x₂y₂) + …` over the common prefix of the
-    * two arrays. Null if either side is null; null ELEMENTS are treated
-    * as 0 contribution is NOT supported — inputs are expected non-null
-    * dense vectors (the embeddings contract). */
+    * two arrays. Null if either side is null OR if any element in the
+    * common prefix is null — parquet reads `array<float>` back with
+    * nullable elements even when none exist, so silently reading a null
+    * slot as 0.0 (what a bare `getFloat` does) would diverge from SQL
+    * null propagation the first time a sparse row appeared. */
   case class DotProductExpr(left: Expression, right: Expression)
       extends BinaryExpression {
 
     override def checkInputDataTypes(): TypeCheckResult =
-      if (Seq(left, right).forall(_.dataType == ArrayType(FloatType)) ||
-          Seq(left, right).forall(_.dataType == ArrayType(FloatType, false)))
+      if (Seq(left, right).forall(e => e.dataType == ArrayType(FloatType) ||
+          e.dataType == ArrayType(FloatType, false)))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"vector_dot expects two array<float> inputs, got " +
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "vector_dot"
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -47,6 +50,7 @@ object VectorExpressions {
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -62,9 +66,12 @@ object VectorExpressions {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    ${ev.isNull} = true; break;
+           |  }
            |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
            |}
-           |${ev.value} = $acc;
+           |if (!${ev.isNull}) { ${ev.value} = $acc; }
          """.stripMargin
       })
 
@@ -79,8 +86,10 @@ object VectorExpressions {
 
   /** Max absolute element of a float vector in double precision — the
     * per-row scale of symmetric int8 quantization. NULL for an empty
-    * array (matching DuckDB's `list_max` of `[]`), so downstream
-    * quantization nulls out instead of dividing by a fabricated zero. */
+    * array (matching DuckDB's `list_max` of `[]`) and NULL if any
+    * element is null (SQL null propagation — a bare `getFloat` would
+    * silently read the null slot as 0.0), so downstream quantization
+    * nulls out instead of dividing by a fabricated zero. */
   case class MaxAbsExpr(child: Expression) extends UnaryExpression {
 
     override def checkInputDataTypes(): TypeCheckResult =
@@ -101,6 +110,7 @@ object VectorExpressions {
         var acc = 0.0
         var i = 0
         while (i < n) {
+          if (x.isNullAt(i)) return null
           val v = math.abs(x.getFloat(i).toDouble)
           if (v > acc) acc = v
           i += 1
@@ -122,10 +132,11 @@ object VectorExpressions {
            |} else {
            |  double $acc = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
            |    double $v = java.lang.Math.abs((double) $a.getFloat($i));
            |    if ($v > $acc) $acc = $v;
            |  }
-           |  ${ev.value} = $acc;
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
            |}
          """.stripMargin
       })
@@ -153,6 +164,7 @@ object VectorExpressions {
         s"vector_quantize expects (array<float>, double), got " +
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
     override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def nullable: Boolean = true
     override def prettyName: String = "vector_quantize"
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -163,6 +175,7 @@ object VectorExpressions {
       if (s != 0.0) {
         var i = 0
         while (i < n) {
+          if (x.isNullAt(i)) return null
           out(i) = math.floor(x.getFloat(i).toDouble / s * 127.0 + 0.5).toByte
           i += 1
         }
@@ -180,12 +193,15 @@ object VectorExpressions {
            |byte[] $out = new byte[$n];
            |if ($s != 0.0) {
            |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
            |    $out[$i] = (byte) java.lang.Math.floor(
            |      ((double) $a.getFloat($i)) / $s * 127.0 + 0.5);
            |  }
            |}
-           |${ev.value} =
-           |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |if (!${ev.isNull}) {
+           |  ${ev.value} =
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |}
          """.stripMargin
       })
 

@@ -320,14 +320,21 @@ object Similarity {
   }
 
   /** Oracle twin of [[quantizeEmbeddings]] (`embeddings` hard-wired;
-    * explicit half-up floor so negative halves agree with the kernel). */
+    * explicit half-up floor so negative halves agree with the kernel).
+    * The `scale IS NULL` arm keeps degenerate rows aligned: an empty
+    * (or null-element) vector gets a NULL scale on both engines, and
+    * the Spark side null-propagates it through quantize → NULL qvec —
+    * without the arm DuckDB's CASE would fall to the else branch and
+    * emit `''` for the same row. */
   def quantizeEmbeddingsSql: String =
     s"""WITH s AS (SELECT vec_id, embedding,
        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
        |      AS scale
        |  FROM embeddings)
        |SELECT vec_id, scale,
-       |  array_to_string(CASE WHEN scale = 0
+       |  array_to_string(CASE
+       |    WHEN scale IS NULL THEN NULL
+       |    WHEN scale = 0
        |    THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
        |    ELSE list_transform(embedding, x ->
        |      CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS TINYINT))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
 
 /** Optimizer rule: plan timestamp range joins as binned equi-joins.
@@ -58,6 +59,17 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledConf = "spark.graft.intervalJoin.enabled"
   val MaxBinsConf = "spark.graft.intervalJoin.maxBinsPerInterval"
 
+  /** Per-plan bin-width override. A session-conf width only reaches the
+    * optimizer runs that happen INSIDE the window where it's set; every
+    * action on a Dataset (`count`, a write, …) builds a fresh
+    * `QueryExecution` later, after a query-scoped conf has been
+    * restored. Tagging the analyzed Join node instead travels with the
+    * plan itself — the transform machinery copies tags whenever an
+    * optimizer rule replaces the node, so the width survives into every
+    * downstream re-optimization without leaking session-wide state. */
+  val BinSecondsTag: TreeNodeTag[Long] =
+    TreeNodeTag[Long]("graft.intervalJoin.binSeconds")
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledConf, "true").toBoolean) return plan
     val binSeconds =
@@ -69,7 +81,9 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     plan transformUp {
       case j @ Join(_, _, Inner, Some(cond), _)
           if j.resolved && eligible(j, cond) =>
-        rewrite(j, cond, binSeconds, maxBins)
+        val width = j.getTagValue(BinSecondsTag).getOrElse(binSeconds)
+        require(width > 0, s"$BinSecondsTag must be > 0")
+        rewrite(j, cond, width, maxBins)
     }
   }
 

@@ -123,6 +123,31 @@ class BinnedIntervalJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("a BinSecondsTag on the Join survives into a fresh QueryExecution") {
+    withExtendedSession { s =>
+      // No conf set → default 3600 s. The tag must win, and must still
+      // win for an action that builds a NEW QueryExecution on top of the
+      // tagged Dataset (what Bench's count() and Verify's write do) —
+      // the failure mode of a query-scoped conf window, whose width only
+      // reaches optimizer runs inside the window.
+      val df = rangeJoin(s)
+      df.queryExecution.analyzed.foreach {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.isDefined =>
+          j.setTagValue(graft.plans.BinnedIntervalJoinRule.BinSecondsTag, 17L)
+        case _ =>
+      }
+      val fresh = df.groupBy().count()
+      val optimized = fresh.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("17000000"),
+        s"tagged 17 s width missing from re-optimized plan:\n$optimized")
+      assert(!optimized.contains("3600000000"),
+        "default width used despite tag")
+      assert(fresh.collect().head.getLong(0) ==
+        rangeJoin(TestSpark.spark).count(), "tagged plan changed results")
+    }
+  }
+
   test("equi-joins and non-range joins are left untouched") {
     withExtendedSession { s =>
       import s.implicits._

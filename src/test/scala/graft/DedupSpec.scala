@@ -181,8 +181,12 @@ class DedupSpec extends SparkSpec {
   test("cross-corpus LSH dedup equals the exhaustive cross-Jaccard pairs") {
     val newSide = docs.filter(col("doc_id") % 3 =!= 0)
     val refSide = docs.filter(col("doc_id") % 3 === 0)
+    // 32 bands × 2 rows — the q98 production parameterization, chosen so
+    // a true pair AT the 0.5 threshold is missed with p ≈ (1−0.25)³² ≈
+    // 1e-4 rather than the ~36 % of 16 × 4 (this test compares against
+    // exhaustive ground truth, so recall must be structural, not lucky).
     val lsh = Dedup.minhashNearDupAcross(newSide, refSide, "doc_id", "text",
-      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
       .select("new_id", "ref_id").cache()
     def sh(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))

@@ -157,4 +157,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(3L).getSeq[Byte](3).toSeq == Seq[Byte](0, -127, 127))
     assert(rows(4L).isNullAt(2) && rows(4L).isNullAt(3)) // null propagates
   }
+
+  test("vector kernels null-propagate null ELEMENTS (parquet reads arrays nullable)") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{vectorDot, vectorMaxAbs, vectorQuantize}
+    // Parquet-read array<float> has containsNull=true even for dense
+    // data; a null slot must make the result NULL (SQL propagation,
+    // matching the DuckDB oracle), never be read as 0.0.
+    val vecs = Seq(
+      (1L, Seq[Option[Float]](Some(1.0f), None, Some(2.0f))),
+      (2L, Seq[Option[Float]](Some(3.0f), Some(-4.0f), Some(0.5f))))
+      .toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+      vectorMaxAbs(col("embedding")).as("scale"),
+      vectorQuantize(col("embedding"), lit(4.0)).as("qvec"),
+      vectorDot(col("embedding"), col("embedding")).as("dot"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1) && out(1L).isNullAt(2) && out(1L).isNullAt(3),
+      "null element must null the kernel outputs")
+    assert(out(2L).getDouble(1) == 4.0)
+    assert(!out(2L).isNullAt(2) && !out(2L).isNullAt(3))
+    assert(math.abs(out(2L).getDouble(3) - (9.0 + 16.0 + 0.25)) < 1e-12)
+  }
 }
