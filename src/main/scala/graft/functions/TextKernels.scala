@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -276,6 +276,103 @@ object TextKernels {
   def sortedIntersectCol(a: Column, b: Column): Column =
     GraftSql.column(SortedIntersectExpr(
       GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Lower bound (inclusive) of `key` in `b[lo, hi)` — first index whose
+    * element compares ≥ key. */
+  private def lowerBound(b: ArrayData, lo: Int, hi: Int, key: UTF8String): Int = {
+    var l = lo
+    var h = hi
+    while (l < h) {
+      val m = (l + h) >>> 1
+      if (b.getUTF8String(m).compareTo(key) < 0) l = m + 1 else h = m
+    }
+    l
+  }
+
+  /** Divide-and-conquer overlap upper bound on two sorted ranges — the
+    * suffix-filter subroutine of Xiao et al., "Efficient Similarity Joins
+    * for Near Duplicate Detection" (WWW 2008): probe `a`'s median in `b`
+    * (binary search), split both ranges there, recurse to `depth`; at the
+    * leaves the bound is `min(len_a, len_b)`. Sound because a common
+    * total order means elements below the pivot in one array can only
+    * match below it in the other. Cost O(2^depth · log n) vs the merge's
+    * O(n + m). */
+  private def overlapBound(a: ArrayData, aLo: Int, aHi: Int,
+      b: ArrayData, bLo: Int, bHi: Int, depth: Int): Int = {
+    val la = aHi - aLo
+    val lb = bHi - bLo
+    if (la <= 0 || lb <= 0) 0
+    else if (depth == 0 || la == 1) math.min(la, lb)
+    else {
+      val mid = (aLo + aHi) >>> 1
+      val pivot = a.getUTF8String(mid)
+      val pos = lowerBound(b, bLo, bHi, pivot)
+      val hit = pos < bHi && b.getUTF8String(pos).compareTo(pivot) == 0
+      overlapBound(a, aLo, mid, b, bLo, pos, depth - 1) +
+        (if (hit) 1 else 0) +
+        overlapBound(a, mid + 1, aHi, b, if (hit) pos + 1 else pos, bHi,
+          depth - 1)
+    }
+  }
+
+  /** [[sortedIntersectCount]] with a required-overlap floor: returns the
+    * EXACT intersection size when it is ≥ `minRequired`, −1 otherwise
+    * (possibly without ever scanning the arrays). Two exact prunes run
+    * before the merge: the WWW'08 suffix-filter bound ([[overlapBound]],
+    * depth 3 → ≤ 7 binary-search probes) and, inside the merge itself,
+    * early abandon — bail the moment `c + min(remaining_a, remaining_b)`
+    * can no longer reach the floor. For the Jaccard verify the floor is
+    * `⌈t/(1+t)·(|a|+|b|)⌉`, so near-miss candidate pairs — the bulk, by
+    * construction, after prefix filtering — cost O(log) not O(n). */
+  def boundedSortedIntersectCount(a: ArrayData, b: ArrayData,
+      minRequired: Int): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (math.min(na, nb) < minRequired) return -1
+    if (overlapBound(a, 0, na, b, 0, nb, 3) < minRequired) return -1
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      if (c + math.min(na - i, nb - j) < minRequired) return -1
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    if (c >= minRequired) c else -1
+  }
+
+  /** Bounded sorted-intersect expression:
+    * `(array<string>, array<string>, int) → int` (exact count, or −1 when
+    * provably under the floor), one codegen'd static call. */
+  case class BoundedSortedIntersectExpr(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bounded_sorted_intersect_count"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r, m) => TypeCheckResult.TypeCheckFailure(
+          s"bounded_sorted_intersect_count expects (array<string>, " +
+            s"array<string>, int), got ${l.catalogString}, " +
+            s"${r.catalogString}, ${m.catalogString}")
+      }
+    override protected def nullSafeEval(a: Any, b: Any, m: Any): Any =
+      boundedSortedIntersectCount(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], m.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, m) =>
+        s"graft.functions.TextKernels.boundedSortedIntersectCount($a, $b, $m)")
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  def boundedSortedIntersectCol(a: Column, b: Column, minRequired: Column): Column =
+    GraftSql.column(BoundedSortedIntersectExpr(GraftSql.expression(a),
+      GraftSql.expression(b), GraftSql.expression(minRequired)))
 
   /** MinHash-bands expression: `array<string> → array<string>` (hash
     * family fixed at plan time). */

@@ -175,21 +175,61 @@ object Dedup {
     * candidate (verified away), never drop a true pair.
     *
     * The verify step computes Jaccard as `c / (|a| + |b| − c)` with `c`
-    * from [[TextKernels.sortedIntersectCount]] over shingle arrays sorted
-    * ONCE per document in the cached projection — the
+    * from [[TextKernels.boundedSortedIntersectCount]] over shingle arrays
+    * sorted ONCE per document in the cached projection — the
     * `array_intersect`/`array_union` form builds two hash sets and a union
-    * array per candidate PAIR, measured at 2.3× the kernel's cost (same
-    * integers, same double). The PPJoin positional filter ahead of it
-    * prunes ~60% of candidates (sf0.1: 310k → 125k) with integer
-    * arithmetic before any array is touched. */
+    * array per candidate PAIR, measured at 2.3× the plain merge kernel's
+    * cost (same integers, same double). Ahead of it, the FULL PPJoin
+    * positional filter — exact common-prefix count `cp` plus the
+    * max-match-position tail bound — prunes candidates with integer
+    * arithmetic before any array is touched; inside the kernel, the
+    * WWW'08 suffix-filter bound and early-abandon merge kill near-miss
+    * pairs in O(log) without completing the O(n) scan. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = threshold
     require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
     val sh = materialized(parallelized(df)
       .select(col(idCol).as("id"),
         array_sort(shingles(col(textCol), n)).as("sh")))
+    val cands = prefixJaccardCandidates(sh, t, fullPositional = true)
+    // Verify floor: J ≥ t ⟺ c ≥ t/(1+t)·(|a|+|b|); the 1e-9 relaxation
+    // admits boundary pairs (kernel −1 is only ever a true sub-floor
+    // pair), and the final jaccard filter re-checks survivors exactly.
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("c", TextKernels.boundedSortedIntersectCol(
+        col("sh_a"), col("sh_b"),
+        ceil((size(col("sh_a")) + size(col("sh_b")))
+          * (t / (1.0 + t)) - 1e-9).cast("int")))
+      .filter(col("c") >= 0)
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Candidate stage of [[prefixJaccardPairs]]: rarity-ordered prefix
+    * index, size-ratio-filtered posting self-join, positional filter.
+    * `sh` must be `(id, sh)` with lexically sorted distinct shingles.
+    *
+    * `fullPositional = true` applies the PPJoin positional filter in its
+    * full strength: the groupBy that dedups candidate pairs also counts
+    * the EXACT number of shared prefix shingles `cp` and both sides' MAX
+    * matching positions, giving `overlap ≤ cp + min(|a|−rkmax_a,
+    * |b|−rkmax_b)`. Soundness: prefixes are ordered by one global total
+    * order, so the shared shingle at the max positions dominates every
+    * other shared prefix shingle on BOTH sides — any common shingle
+    * beyond it must sit past both max positions (the tail term), and any
+    * common shingle below it sits below `rkmax ≤ prefix_len` on both
+    * sides, i.e. inside both prefixes, where the join counted it in
+    * `cp` exactly. `false` keeps the weaker 1 + min-position bound
+    * (strictly implied by the full one since `rkmax ≥ rkmin + cp − 1`) —
+    * retained for the spec that asserts the strengthening prunes. */
+  private[graft] def prefixJaccardCandidates(sh: DataFrame, t: Double,
+      fullPositional: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val inv = sh.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -199,33 +239,32 @@ object Dedup {
       .filter(col("rk") <=
         col("n_sh") - ceil(col("n_sh") * t - 1e-9) + 1)
       .select("id", "n_sh", "s", "rk"))
-    // Positional filter (PPJoin): a match at sorted-by-rarity positions
-    // (i, j) bounds the overlap by 1 + min(|a|−i, |b|−j); J ≥ t needs
-    // overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉. Taking each side's MINIMUM matching
-    // position only weakens the bound (never unsound), and the candidate
-    // dedup becomes the same groupBy that computes it — most candidates
-    // die on this integer arithmetic without ever touching their shingle
-    // arrays, which is where the verify's CPU actually goes.
-    val cands = prefixes.as("a")
+    val joined = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("a.n_sh") >= col("b.n_sh") * t - 1e-9 &&
           col("b.n_sh") >= col("a.n_sh") * t - 1e-9)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
-        min(col("a.rk")).as("rk_a"), min(col("b.rk")).as("rk_b"))
-      .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")) >=
-        ceil((col("n_a") + col("n_b")) * (t / (1.0 + t)) - 1e-9))
-      .select("id_a", "id_b")
-    cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("c",
-        TextKernels.sortedIntersectCol(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("c").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
-      .filter(col("jaccard") >= t)
-      .select("id_a", "id_b", "jaccard")
+    val required =
+      ceil((col("n_a") + col("n_b")) * (t / (1.0 + t)) - 1e-9)
+    if (fullPositional)
+      joined
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          count(lit(1)).as("cp"),
+          max(col("a.rk")).as("rkmax_a"), max(col("b.rk")).as("rkmax_b"))
+        .filter(col("cp") +
+          least(col("n_a") - col("rkmax_a"), col("n_b") - col("rkmax_b")) >=
+          required)
+        .select("id_a", "id_b")
+    else
+      joined
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          min(col("a.rk")).as("rk_a"), min(col("b.rk")).as("rk_b"))
+        .filter(lit(1) +
+          least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")) >=
+          required)
+        .select("id_a", "id_b")
   }
 
   /** True-Jaccard pair oracle (DuckDB): exhaustive id_a < id_b cross join

@@ -145,6 +145,50 @@ class DedupSpec extends SparkSpec {
     prefix.unpersist(); brute.unpersist()
   }
 
+  test("full positional filter prunes strictly more candidates than the min-position bound") {
+    // The r7 strengthening: exact common-prefix count cp + max-position
+    // tail bound vs the old 1 + min-position bound. Same recall (both
+    // sound, proven at prefixJaccardCandidates), strictly fewer pairs
+    // reaching the array-verify stage on the real corpus.
+    val sh = docs.select(col("doc_id").as("id"),
+      array_sort(Dedup.shingles(col("text"), 3)).as("sh")).cache()
+    val strong = Dedup.prefixJaccardCandidates(sh, 0.5, fullPositional = true)
+      .cache()
+    val weak = Dedup.prefixJaccardCandidates(sh, 0.5, fullPositional = false)
+      .cache()
+    val (ns, nw) = (strong.count(), weak.count())
+    assert(ns < nw, s"full positional filter must prune ($ns vs $nw)")
+    // Strengthening only ever REMOVES candidates (bound is tighter).
+    assert(strong.except(weak).count() == 0)
+    strong.unpersist(); weak.unpersist(); sh.unpersist()
+    graft.engine.Caches.release()
+  }
+
+  test("bounded intersect kernel: exact above the floor, -1 below, bound is sound") {
+    import graft.functions.TextKernels
+    val sh = docs.select(col("doc_id"),
+      array_sort(Dedup.shingles(col("text"), 3)).as("sh"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .limit(2000)
+      .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .withColumn("exact", TextKernels.sortedIntersectCol(col("sh_a"), col("sh_b")))
+    // Sweep floors around each pair's exact count: the kernel must return
+    // the exact count iff exact >= floor, else -1 (never a wrong count,
+    // never -1 for a qualifying pair — that would be a recall bug).
+    val checked = pairs
+      .withColumn("floor_lo", greatest(col("exact") - 1, lit(0)))
+      .withColumn("floor_hi", col("exact") + 1)
+      .withColumn("at_exact", TextKernels.boundedSortedIntersectCol(
+        col("sh_a"), col("sh_b"), col("exact")))
+      .withColumn("at_lo", TextKernels.boundedSortedIntersectCol(
+        col("sh_a"), col("sh_b"), col("floor_lo")))
+      .withColumn("at_hi", TextKernels.boundedSortedIntersectCol(
+        col("sh_a"), col("sh_b"), col("floor_hi")))
+    assert(checked.filter(col("at_exact") =!= col("exact")).count() == 0)
+    assert(checked.filter(col("at_lo") =!= col("exact")).count() == 0)
+    assert(checked.filter(col("at_hi") =!= lit(-1)).count() == 0)
+  }
+
   test("prefix filter recall survives the maxDf-adversarial corpus (all shared shingles ubiquitous)") {
     import spark.implicits._
     // Worst case for q23's maxDf stop-shingle prune: 120 identical copies
