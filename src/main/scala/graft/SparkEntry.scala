@@ -233,12 +233,18 @@ object SparkEntry {
         TextFunctions.fingerprintPoly(col("text")).as("fp_poly"))
         .orderBy("doc_id")),
 
-    // Multimodal decode plumbing: binary payload column → partition-batched
-    // (stub) decoder → typed metadata.
+    // Multimodal decode: binary PNG payload column → partition-batched
+    // REAL javax.imageio decode → typed metadata; corrupt payloads
+    // quarantined per row (status='corrupt'), never fatal. n_bytes stays
+    // out of the gated projection (encoder output size isn't
+    // SQL-expressible; the fixture spec is).
     "q30_media_decode" -> ((s, dir) =>
-      Multimodal.decode(s,
-          Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
-        .toDF().orderBy("media_id")),
+      Multimodal.decodeImages(s,
+          Multimodal.pngMediaFromDocuments(s, Tables.documents(s, dir)))
+        .toDF()
+        .select("media_id", "media_type", "status", "width", "height",
+          "mean_r", "mean_g", "mean_b")
+        .orderBy("media_id")),
 
     // A1 — multi-file CSV ingest: write a two-file CSV fixture from
     // lineitem, re-read it with an explicit schema + column whitelist

@@ -3,70 +3,149 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video payloads as opaque
-  * `binary` columns with typed metadata, processed in partition-sized
-  * batches.
+/** Multimodal-column pipeline: image payloads as opaque `binary` columns
+  * with typed metadata, decoded in partition-sized batches by a REAL
+  * JDK-only codec (`javax.imageio` PNG).
   *
-  * The real decode (JPEG/PNG/audio codecs) is STUBBED — the container has
-  * no media libraries — with a deterministic arithmetic fake
-  * ([[MediaDecode.stubDecode]]). Everything around it is the real Spark
-  * plumbing a 100 TB media pipeline needs: binary columns survive
-  * parquet scans untouched (no decode on scan), metadata travels as plain
-  * columns for pushdown/pruning, and the decode runs via `mapPartitions`
-  * over a typed Dataset — one JVM-side batch per partition, the Scala
-  * analog of `mapInPandas`, which is where a JNI/FFI codec would slot in.
-  */
+  * Design for 100 TB: binary columns survive parquet scans untouched (no
+  * decode on scan — only the partitions a query actually touches are
+  * ever decoded), metadata travels as plain columns for pushdown and
+  * pruning, and the decode runs via `mapPartitions` over a typed
+  * Dataset — one JVM-side batch per partition, the Scala analog of
+  * `mapInPandas`, which is where a JNI/FFI codec (JPEG/video/audio)
+  * would slot in with zero plumbing change. Corrupt payloads are
+  * QUARANTINED per row (`status = 'corrupt'`, null metadata), never
+  * fatal — at corpus scale a poisoned row that kills its task kills the
+  * job, so decode errors must be data, not exceptions.
+  *
+  * Fixture strategy (this sandbox ships no image corpus): each document
+  * id deterministically defines a small two-tone PNG — top row one
+  * color, remaining rows another, both colors and the dimensions closed
+  * forms of the id — so the ENCODE side is a pure function the DuckDB
+  * oracle can replay analytically, while the DECODE side is the real
+  * codec path: `ImageIO.read` parses actual PNG bytes (signature,
+  * IHDR/IDAT chunks, zlib inflate, defiltering) and the channel means
+  * come from summing real decoded pixels. PNG is lossless, so decoded
+  * means match the analytic form bit-for-bit (same integer sums, one
+  * IEEE double division on each side). */
 object Multimodal {
 
   /** A media row: opaque payload + source metadata. */
   case class MediaRow(media_id: Long, content: Array[Byte], media_type: String)
 
-  /** Decoded metadata — what a real image decoder would yield. */
-  case class DecodedMedia(media_id: Long, media_type: String,
-      n_bytes: Int, width: Int, height: Int)
+  /** Decoded image metadata + quarantine status; nulls iff corrupt. */
+  case class DecodedImage(media_id: Long, media_type: String, n_bytes: Int,
+      status: String, width: Option[Int], height: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double])
 
-  object MediaDecode {
-    /** STUB decoder: deterministic fake dimensions from payload size and
-      * id. A real pipeline replaces ONLY this function with the codec
-      * call; the surrounding batching/partitioning is unchanged. */
-    def stubDecode(r: MediaRow): DecodedMedia = {
-      val n = r.content.length
-      DecodedMedia(
-        media_id = r.media_id,
-        media_type = r.media_type,
-        n_bytes = n,
-        width = ((n.toLong * 7919 + r.media_id * 31) % 640).toInt + 16,
-        height = ((n.toLong * 104729 + r.media_id * 17) % 480).toInt + 16)
+  /** Every 37th id ships a truncated payload (PNG signature, then EOF) —
+    * the corrupt-row quarantine path must be exercised by the fixture,
+    * not just claimed. */
+  private[graft] def isCorrupt(id: Long): Boolean = id % 37 == 0
+
+  /** Closed-form image spec of a fixture id:
+    * `(w, h, topR, topG, topB, bodyR, bodyG, bodyB)`. */
+  private[graft] def specOf(id: Long): (Int, Int, Int, Int, Int, Int, Int, Int) = {
+    def m(k: Long, mod: Long): Int = java.lang.Math.floorMod(id * k, mod).toInt
+    (16 + m(1, 32), 16 + m(3, 32),
+      m(5, 256), m(7, 256), m(11, 256),
+      m(13, 256), m(17, 256), m(19, 256))
+  }
+
+  /** Real PNG bytes for a fixture id (two-tone image per [[specOf]]). */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val (w, h, tr, tg, tb, br, bg, bb) = specOf(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val top = (tr << 16) | (tg << 8) | tb
+    val body = (br << 16) | (bg << 8) | bb
+    var y = 0
+    while (y < h) {
+      val rgb = if (y == 0) top else body
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Media table derived from `documents`: one PNG per doc_id, corrupt
+    * slots truncated after the 8-byte PNG signature. Runs distributed
+    * (`mapPartitions`) — at scale this stage IS the ingest scan. */
+  def pngMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val png = encodePng(id)
+      MediaRow(id, if (isCorrupt(id)) png.take(8) else png, "image/png")
+    })
+  }
+
+  /** Partition-batched REAL decode: `ImageIO.read` over the payload
+    * bytes; width/height from the decoded raster, channel means from
+    * summing every decoded pixel (exact integer sums, one double
+    * division). Undecodable payloads (null reader result or any
+    * non-fatal decode exception) quarantine as `status = 'corrupt'`
+    * with null metadata. */
+  def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // No tmp-file cache for ImageInputStreams: the payloads are
+      // in-memory byte arrays; spilling each to disk first would turn
+      // the decode scan into small-file IO.
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        def corrupt = DecodedImage(r.media_id, r.media_type,
+          r.content.length, "corrupt", None, None, None, None, None)
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          if (img == null) corrupt
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            DecodedImage(r.media_id, r.media_type, r.content.length, "ok",
+              Some(w), Some(h), Some(sr.toDouble / n), Some(sg.toDouble / n),
+              Some(sb.toDouble / n))
+          }
+        } catch { case scala.util.control.NonFatal(_) => corrupt }
+      }
     }
   }
 
-  /** Build a media table from `documents`: payload = UTF-8 bytes of the
-    * text (stand-in for image bytes), media_type derived from the source
-    * tag. Binary stays opaque to the optimizer — exactly how real image
-    * bytes should travel. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      col("text").cast("binary").as("content"),
-      concat(lit("image/src_"),
-        regexp_extract(col("source"), "\\d+", 0)).as("media_type"))
-
-  /** Partition-batched decode: the Scala analog of `mapInPandas` — each
-    * partition's rows stream through the (stubbed) decoder without
-    * per-row task overhead. */
-  def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(MediaDecode.stubDecode))
+  /** Oracle twin of encode+decode over `documents` — replays the fixture
+    * spec analytically: PNG is lossless, so the decoded pixel sums equal
+    * the closed forms exactly, and both engines perform the identical
+    * single IEEE division `CAST(intSum AS DOUBLE) / (w*h)`. n_bytes is
+    * deliberately NOT in the gated projection (PNG encoder output size
+    * is not SQL-expressible). */
+  val decodeSql: String = {
+    def mean(topK: Long, bodyK: Long): String =
+      s"CAST((16 + doc_id % 32) * (doc_id * $topK % 256) + " +
+        s"(16 + doc_id % 32) * ((16 + doc_id * 3 % 32) - 1) * (doc_id * $bodyK % 256) AS DOUBLE)" +
+        s" / ((16 + doc_id % 32) * (16 + doc_id * 3 % 32))"
+    s"""SELECT doc_id AS media_id, 'image/png' AS media_type,
+       |  CASE WHEN doc_id % 37 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+       |  CASE WHEN doc_id % 37 = 0 THEN NULL
+       |    ELSE CAST(16 + doc_id % 32 AS INTEGER) END AS width,
+       |  CASE WHEN doc_id % 37 = 0 THEN NULL
+       |    ELSE CAST(16 + doc_id * 3 % 32 AS INTEGER) END AS height,
+       |  CASE WHEN doc_id % 37 = 0 THEN NULL ELSE ${mean(5, 13)} END AS mean_r,
+       |  CASE WHEN doc_id % 37 = 0 THEN NULL ELSE ${mean(7, 17)} END AS mean_g,
+       |  CASE WHEN doc_id % 37 = 0 THEN NULL ELSE ${mean(11, 19)} END AS mean_b
+       |FROM documents""".stripMargin
   }
-
-  /** Oracle twin of build+decode over `documents` (the stub arithmetic is
-    * SQL-expressible by construction — that's what makes the plumbing
-    * testable end-to-end). */
-  val decodeSql: String =
-    """SELECT doc_id AS media_id,
-      |  'image/src_' || regexp_extract(source, '\d+', 0) AS media_type,
-      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-      |  CAST((octet_length(encode(text)) * 7919 + doc_id * 31) % 640 + 16 AS INTEGER) AS width,
-      |  CAST((octet_length(encode(text)) * 104729 + doc_id * 17) % 480 + 16 AS INTEGER) AS height
-      |FROM documents""".stripMargin
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.Multimodal
+
+/** The multimodal tier must run a REAL codec (javax.imageio PNG), not
+  * spec arithmetic: decoded metadata equals the analytic fixture spec on
+  * well-formed payloads, arbitrary hand-built PNGs decode to their true
+  * pixel statistics, and corrupt payloads quarantine per row instead of
+  * failing the task. */
+class MultimodalSpec extends SparkSpec {
+
+  test("decoded PNG metadata equals the analytic fixture spec; corrupt rows quarantined") {
+    val docs = Tables.documents(spark, sf)
+    val out = Multimodal.decodeImages(spark,
+      Multimodal.pngMediaFromDocuments(spark, docs)).collect()
+    assert(out.nonEmpty)
+    val corrupt = out.filter(_.status == "corrupt")
+    assert(corrupt.nonEmpty, "fixture must exercise the quarantine path")
+    corrupt.foreach { d =>
+      assert(Multimodal.isCorrupt(d.media_id))
+      assert(d.width.isEmpty && d.height.isEmpty &&
+        d.mean_r.isEmpty && d.mean_g.isEmpty && d.mean_b.isEmpty)
+    }
+    out.filter(_.status == "ok").foreach { d =>
+      val (w, h, tr, tg, tb, br, bg, bb) = Multimodal.specOf(d.media_id)
+      assert(d.width.contains(w) && d.height.contains(h))
+      val n = (w * h).toDouble
+      // PNG is lossless: decoded sums are the exact closed forms.
+      assert(d.mean_r.contains((w * tr + w * (h - 1) * br) / n))
+      assert(d.mean_g.contains((w * tg + w * (h - 1) * bg) / n))
+      assert(d.mean_b.contains((w * tb + w * (h - 1) * bb) / n))
+      assert(d.n_bytes > 8, "ok rows carry full PNG payloads")
+    }
+  }
+
+  test("the decoder is a real codec: arbitrary PNG bytes yield true pixel stats") {
+    import spark.implicits._
+    // An image the fixture spec can never produce (per-pixel colors):
+    // if decode were arithmetic over ids, these numbers would be wrong.
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq(
+      (0, 0, 0xff0000), (1, 0, 0x00ff00), (2, 0, 0x0000ff),
+      (0, 1, 0x102030), (1, 1, 0x405060), (2, 1, 0x708090))
+    px.foreach { case (x, y, rgb) => img.setRGB(x, y, rgb) }
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, bytes, "image/png"),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3), "image/png")).toDS()
+    val got = Multimodal.decodeImages(spark, media)
+      .collect().map(d => d.media_id -> d).toMap
+    val ok = got(1L)
+    assert(ok.status == "ok" && ok.width.contains(3) && ok.height.contains(2))
+    assert(ok.mean_r.contains((0xff + 0x10 + 0x40 + 0x70) / 6.0))
+    assert(ok.mean_g.contains((0xff + 0x20 + 0x50 + 0x80) / 6.0))
+    assert(ok.mean_b.contains((0xff + 0x30 + 0x60 + 0x90) / 6.0))
+    assert(got(2L).status == "corrupt", "garbage bytes must quarantine, not throw")
+  }
+}
