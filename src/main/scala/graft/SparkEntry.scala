@@ -494,6 +494,28 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // Skew-safe as-of: q52's semantics through the two-level sliced
+    // construction (window per (key, time-slice) + broadcast carry
+    // table) — a dominant key sorts on up to `slices` reducers instead
+    // of one. Same oracle as q52: bit-identical output is the contract.
+    "q104_asof_skewsafe" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      Joins.asofBackwardSkewSafe(purchases, views, "user_id",
+        leftTs = "purchase_ts", rightTs = "view_ts", slices = 16)
+        .where(col("view_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("view_id"), col("view_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1428,6 +1450,22 @@ object SparkEntry {
     // The naive range-join + argmax spelling of the as-of join (fine at
     // oracle scale; the Spark side must never plan this shape).
     "q52_asof_join" ->
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
+         |    ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+         |  FROM events WHERE event_type = 'view'),
+         |j AS (SELECT purchase_id, p.user_id, purchase_ts, view_id, view_ts,
+         |    row_number() OVER (PARTITION BY purchase_id
+         |      ORDER BY view_ts DESC, view_id DESC) AS rn
+         |  FROM p JOIN v ON p.user_id = v.user_id
+         |    AND v.view_ts <= p.purchase_ts)
+         |SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
+         |  CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // Identical to q52's oracle — the skew-safe construction must be
+    // bit-identical to the plain one.
+    "q104_asof_skewsafe" ->
       s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
          |    ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
          |v AS (SELECT user_id, ts AS view_ts, event_id AS view_id

@@ -129,6 +129,99 @@ object Joins {
         rPayload.map(c => col(s"_m.$c").as(c)): _*)
   }
 
+  /** Skew-safe backward as-of join — [[asofBackward]] with the ONE
+    * reducer-per-key ceiling removed. The plain construction's window
+    * partitions by `key`, so a dominant key (one hot symbol in the
+    * quotes-trades shape) sorts its entire history on a single reducer
+    * no matter how many executors exist. Here the timeline is cut into
+    * `slices` fixed-width time ranges (global min/max epoch — ONE
+    * bounded scalar aggregate, same driver-materialization class as the
+    * CC convergence counter) and the construction becomes two-level:
+    *
+    *  1. window over `(key, slice)` — the hot key's sort spreads over
+    *     up to `slices` reducers; within a slice the running
+    *     `last(_r, ignoreNulls)` is exactly the plain construction,
+    *  2. per `(key, slice)` the right side's TAIL value (the struct the
+    *     running last ends the slice on — `max_by` over the same
+    *     `(ts, struct)` order as the window tie-break),
+    *  3. a carry table: for every `(key, slice)` present, the latest
+    *     tail from any EARLIER slice (running last over slice index,
+    *     partitioned by key — but this frame has at most
+    *     |keys|·`slices` rows, metadata scale for the bounded key
+    *     domains this variant targets), broadcast back and
+    *     `coalesce(local match, carry)`.
+    *
+    * Bit-identical to [[asofBackward]] (asserted in JoinsSpec on a
+    * 90 %-single-key fixture): same-ts ties stay inside one slice
+    * (slice is a function of ts), so the window tie order is preserved,
+    * and a left row's match is either in its own slice (local window)
+    * or is the latest right row of an earlier slice (carry).
+    *
+    * Preconditions/contract: non-null timestamps (ordinary in the
+    * market-data shape; the plain variant remains for data with null
+    * ts), and a key domain bounded enough that |keys|·`slices` is
+    * metadata (symbols, users — not fact-scale surrogates; for an
+    * unbounded domain, split hot keys to this variant and the long tail
+    * to the plain one). Degenerate single-point timelines collapse to
+    * slice 0 and the plain semantics. */
+  def asofBackwardSkewSafe(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, slices: Int = 32): DataFrame = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    val lCols = left.columns.toSeq
+    val rPayload = rightTs +: right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    require(lCols.intersect(rPayload).isEmpty,
+      s"left/right column collision: ${lCols.intersect(rPayload).mkString(",")}")
+    val lStruct = struct(lCols.map(col): _*)
+    val rStruct = struct(rPayload.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val lTagged = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+    val u = lTagged.unionByName(rTagged)
+
+    // Slice key: epoch micros for timestamps, the raw value for numeric
+    // ts domains (the construction only needs a slice that is a
+    // monotone function of ts, so same-ts ties stay within one slice).
+    def tsLong(c: org.apache.spark.sql.Column) =
+      u.schema("_ts").dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val bounds = u.agg(
+      min(tsLong(col("_ts"))), max(tsLong(col("_ts")))).head()
+    // Empty input (or all-null ts, outside this variant's contract):
+    // the plain construction handles both, and there is no skew to cut.
+    if (bounds.isNullAt(0))
+      return asofBackward(left, right, key, leftTs, rightTs)
+    val minUs = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - minUs) / slices + 1)
+    val sliced = u.withColumn("_slice",
+      ((tsLong(col("_ts")) - minUs) / width).cast("int"))
+
+    val w = Window.partitionBy("_k", "_slice")
+      .orderBy(col("_ts").asc, col("_side").asc, col("_r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sliced.withColumn("_m", last("_r", ignoreNulls = true).over(w))
+
+    val tails = sliced.where(col("_side") === 0)
+      .groupBy("_k", "_slice")
+      .agg(max_by(col("_r"), struct(col("_ts"), col("_r"))).as("_tail"))
+    val wc = Window.partitionBy("_k").orderBy("_slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = sliced.select("_k", "_slice").distinct()
+      .join(tails, Seq("_k", "_slice"), "left")
+      .withColumn("_carry", last("_tail", ignoreNulls = true).over(wc))
+      .select("_k", "_slice", "_carry")
+
+    local.join(broadcast(carry), Seq("_k", "_slice"))
+      .withColumn("_m2", coalesce(col("_m"), col("_carry")))
+      .where(col("_side") === 1)
+      .select(lCols.map(c => col(s"_l.$c")) ++
+        rPayload.map(c => col(s"_m2.$c").as(c)): _*)
+  }
+
   /** Inner equi-join with the probe side PRE-FILTERED by a Bloom filter
     * built over the build side's keys — semi-join reduction, the classic
     * 100 TB shuffle cut. When the build side is a SELECTIVE dim subset

@@ -117,6 +117,59 @@ class JoinsSpec extends SparkSpec {
       "test data must exercise the unmatched-left path")
   }
 
+  test("asofBackwardSkewSafe == asofBackward on the dense-tie fixture") {
+    // Ties at slice boundaries are the dangerous case; slice is a
+    // function of ts, so equal-ts groups can never straddle two slices.
+    val (left, right) = asofSides
+    val got = Joins.asofBackwardSkewSafe(left, right, "k", "lts", "rts",
+      slices = 8).select("k", "lts", "lid", "rts", "rid")
+    val want = Joins.asofBackward(left, right, "k", "lts", "rts")
+      .select("k", "lts", "lid", "rts", "rid")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("asofBackwardSkewSafe spreads a 90%-single-key fixture over >1 window partition") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // The shape that serializes the plain construction: one dominant key
+    // owning 90% of both sides' history.
+    def side(n: Int, idBase: Long) = (0 until n).map { i =>
+      val k = if (rng.nextInt(10) < 9) 0L else 1L + rng.nextInt(5).toLong
+      (k, rng.nextInt(100000).toLong, idBase + i)
+    }
+    val left = side(2000, 0L).toDF("k", "lts", "lid")
+    val right = side(2000, 100000L).toDF("k", "rts", "rid")
+    val slices = 16
+    val got = Joins.asofBackwardSkewSafe(left, right, "k", "lts", "rts",
+      slices).select("k", "lts", "lid", "rts", "rid")
+    val want = Joins.asofBackward(left, right, "k", "lts", "rts")
+      .select("k", "lts", "lid", "rts", "rid")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    // The hot key must actually occupy >1 (key, slice) window partition:
+    // replicate the operator's slice assignment and count.
+    val b = left.select(col("lts").as("ts"))
+      .unionByName(right.select(col("rts").as("ts")))
+      .agg(min("ts"), max("ts")).head()
+    val width = math.max(1L, (b.getLong(1) - b.getLong(0)) / slices + 1)
+    val hotSlices = left.where(col("k") === 0L)
+      .select((((col("lts") - b.getLong(0)) / width).cast("int")).as("s"))
+      .distinct().count()
+    assert(hotSlices > 1, s"hot key collapsed to $hotSlices slice(s)")
+    // And the plan's windows must partition on (_k, _slice), i.e. the
+    // hot key's sort is split across reducers, not serialized.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("_slice"), s"no slice in window partitioning:\n$plan")
+  }
+
+  test("asofBackwardSkewSafe on empty input matches the plain left semantics") {
+    import spark.implicits._
+    val left = Seq.empty[(Long, Long, Long)].toDF("k", "lts", "lid")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "rts", "rid")
+    assert(Joins.asofBackwardSkewSafe(left, right, "k", "lts", "rts").count() == 0)
+  }
+
   test("asofBackward plans a window, not a join") {
     val (left, right) = asofSides
     val plan = Joins.asofBackward(left, right, "k", "lts", "rts")
