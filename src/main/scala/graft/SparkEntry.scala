@@ -212,9 +212,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // IVF-partitioned ANN — probes nProbe cells instead of the full corpus.
+    // IVF ANN over TRAINED centroids: two deterministic Lloyd's rounds
+    // (stride-53 init, exact-decimal means, float32 round boundaries) —
+    // the oracle replays the training itself in SQL, so the whole
+    // train→assign→probe→top-k pipeline sits under the hash gate.
     "q28_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        emb, "vec_id", "embedding", initStride = 53, iters = 2)
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") < 10), emb, k = 5,
+        cents, nProbe = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -1250,9 +1257,8 @@ object SparkEntry {
     // Deterministic centroids (every 53rd vec) let the oracle replay the
     // exact IVF cell assignment: nearest cell per corpus vector, top-3
     // cells per query, cell-local scoring, per-query top-5.
-    "q28_ivf_topk" -> s"""WITH cents AS (
-      |  SELECT vec_id AS cent_id, embedding AS cent_emb
-      |  FROM embeddings WHERE vec_id % 53 = 0),
+    "q28_ivf_topk" -> s"""WITH ${
+        graft.operators.Clustering.kmeansCentsSql(initStride = 53, iters = 2)},
       |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
       |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
       |       FROM embeddings WHERE vec_id < 10),

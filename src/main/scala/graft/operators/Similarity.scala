@@ -260,9 +260,18 @@ object Similarity {
     * runs map-side, so unlike a `row_number` window there is no sort
     * shuffle of the corpus×centroids cross product. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidStride: Int = 53, nProbe: Int = 3): DataFrame = {
-    val cents = corpus.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      centroidStride: Int = 53, nProbe: Int = 3): DataFrame =
+    ivfTopKWith(queries, corpus, k,
+      corpus.filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")),
+      nProbe)
+
+  /** [[ivfTopK]] against an explicit centroid table `(cent_id,
+    * cent_emb)` — the composition point for trained centroids
+    * ([[Clustering.kmeansCentroids]]), which balance cells better than
+    * strided samples and so tighten the probe-recall tradeoff. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: DataFrame, nProbe: Int): DataFrame = {
 
     // Nearest `keep` cells per vector: similarity desc, cent_id asc.
     // keep=1 is a pure max_by; keep>1 collects the (bounded, broadcast-
