@@ -523,6 +523,22 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // Lakehouse maintenance — small-file compaction, the z-order
+    // layout's maintenance twin: the airport cache table written as an
+    // over-parallel 32-file storm, FFD bin-packed to right-sized files
+    // (one shuffle, one write task per bin), read back compacted.
+    // Round-trip identity oracle like q32/q33.
+    "q105_compact_roundtrip" -> ((s, dir) => {
+      val in = s"${Sinks.scratch}/q105_small"
+      val out = s"${Sinks.scratch}/q105_compacted"
+      ap(s, dir).repartition(32).write.mode("overwrite").parquet(in)
+      Sinks.compactParquet(s, in, out, targetBytes = 256 * 1024)
+      s.read.parquet(out)
+        .select("airline_name", "month", "origin_city", "total_flights",
+          "delayed_flights")
+        .orderBy("airline_name", "month", "origin_city")
+    }),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1484,6 +1500,12 @@ object SparkEntry {
          |SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
          |  CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
          |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // Same cache-table twin as q33 — compaction must be content-neutral.
+    "q105_compact_roundtrip" -> s"""$airportPerfCte
+      |SELECT airline_name, month, origin_city, total_flights,
+      |  CAST(delayed_flights AS BIGINT) AS delayed_flights
+      |FROM ap ORDER BY airline_name, month, origin_city""".stripMargin,
 
     "q103_asof_forward" ->
       s"""WITH p AS (SELECT user_id, event_id AS purchase_id,

@@ -152,6 +152,96 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Outcome of [[compactParquet]]: the input/output file counts plus the
+    * planned per-bin input-byte totals (packing-bound evidence for specs
+    * and operational logs). */
+  case class CompactionStats(inputFiles: Int, outputFiles: Int,
+      inputBytes: Long, binInputBytes: Seq[Long])
+
+  /** Lakehouse small-file compaction — the maintenance twin of the
+    * z-order layout: rewrite a parquet directory whose many small files
+    * (streaming micro-batches, over-parallel writes, trickle appends)
+    * throttle every later scan, into `ceil(bytes / targetBytes)`-ish
+    * right-sized files.
+    *
+    * Plan: (1) list the directory's data files — namenode metadata, one
+    * status per file (~800k entries for 100 TB of 128 MB files: a
+    * driver-side planning set in the same bounded-metadata class as
+    * every table-maintenance planner); (2) first-fit-decreasing
+    * bin-pack the listing to `targetBytes` — no bin exceeds
+    * `max(targetBytes, largest file)`, and FFD uses at most ~1.22× the
+    * optimal bin count, so output sizes are tight without reading a
+    * row; (3) rewrite in ONE Spark job: every row is tagged with its
+    * source file's bin via a broadcast file→bin map on
+    * `_metadata.file_name`, and one shuffle lands each bin in exactly
+    * one write task.
+    *
+    * The one-task-per-bin placement stays in the DataFrame tier (no
+    * RDD hop, no per-bin driver job loop): bins are labeled not 0..B-1
+    * but with driver-searched int keys whose Murmur3 hash lands on
+    * distinct shuffle partitions, so the standard hash exchange IS the
+    * exact placement. Oversize files (> targetBytes) pass through as
+    * single-file bins — splitting them is a row-level recluster
+    * ([[writeParquetZOrdered]]'s job), not compaction's.
+    *
+    * Copy-based by design: the compacted directory is written to
+    * `outPath` and the input is left untouched — atomic swap of live
+    * table data is a commit-protocol/table-format concern, not a
+    * rewrite concern. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): CompactionStats = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(in).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(st => (st.getPath.getName, st.getLen))
+    require(files.nonEmpty, s"no data files under $inPath")
+
+    // First-fit-decreasing, deterministic (size desc, name asc).
+    val bins = collection.mutable.ArrayBuffer.empty[(Long, List[String])]
+    files.sortBy { case (name, len) => (-len, name) }
+      .foreach { case (name, len) =>
+        bins.indexWhere { case (used, _) => used + len <= targetBytes } match {
+          case -1 => bins += ((len, List(name)))
+          case i  => val (used, names) = bins(i)
+                     bins(i) = (used + len, name :: names)
+        }
+      }
+    val nBins = bins.size
+
+    // For each bin j, the smallest int key whose Murmur3(seed 42) hash —
+    // the exact function behind HashPartitioning — lands pmod-style on
+    // partition j of an nBins-way exchange. Expected O(B ln B) probes.
+    val keyOf = Array.fill(nBins)(-1)
+    var k = 0
+    var found = 0
+    while (found < nBins) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      val j = ((h % nBins) + nBins) % nBins
+      if (keyOf(j) == -1) { keyOf(j) = k; found += 1 }
+      k += 1
+    }
+    val fileKey = bins.zipWithIndex.flatMap { case ((_, names), j) =>
+      names.map(n => (n, keyOf(j)))
+    }.toSeq
+
+    val keyMap = spark.createDataFrame(fileKey).toDF("_fn", "_ck")
+    val data = spark.read.parquet(inPath)
+    data.select(col("*"), col("_metadata.file_name").as("_fn"))
+      .join(broadcast(keyMap), "_fn")
+      .repartition(nBins, col("_ck"))
+      .drop("_fn", "_ck")
+      .write.mode("overwrite").parquet(outPath)
+
+    CompactionStats(files.size, nBins, files.map(_._2).sum,
+      bins.map(_._1).toSeq)
+  }
+
   private def ctasWith(spark: SparkSession, table: String, df: DataFrame)(
       f: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
          org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {

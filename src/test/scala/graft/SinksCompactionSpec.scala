@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Sinks
+
+/** Small-file compaction: content identity, the FFD packing bound, and
+  * exact one-file-per-bin placement (the hash-aligned-key construction
+  * must land every planned bin in its own write task). */
+class SinksCompactionSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  test("compaction preserves content, honors the packing bound, and " +
+      "emits exactly one file per planned bin") {
+    import spark.implicits._
+    val in = tmp("compact-in")
+    val out = tmp("compact-out")
+    val df = (0 until 20000)
+      .map(i => (i.toLong, s"doc-$i", i % 97, i.toDouble / 7))
+      .toDF("id", "name", "bucket", "score")
+    // Over-parallel write: the small-file storm compaction exists for.
+    df.repartition(40).write.mode("overwrite").parquet(in)
+
+    def dataFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    val inFiles = dataFiles(in)
+    assert(inFiles.length == 40)
+    val total = inFiles.map(_.length).sum
+    val target = total / 4 // expect ~5 bins from 40 files
+
+    val stats = Sinks.compactParquet(spark, in, out, target)
+
+    assert(stats.inputFiles == 40)
+    assert(stats.inputBytes == total)
+    // Packing bound: every bin within max(target, largest input file).
+    val cap = math.max(target, inFiles.map(_.length).max)
+    assert(stats.binInputBytes.forall(_ <= cap),
+      s"bin over cap: ${stats.binInputBytes} vs $cap")
+    assert(stats.binInputBytes.sum == total, "every input byte binned once")
+    assert(stats.outputFiles < stats.inputFiles)
+    // The exchange must land each bin on its own task: file count on
+    // disk == planned bins (an empty partition would write no file, a
+    // collision would merge two bins into one).
+    assert(dataFiles(out).length == stats.outputFiles)
+
+    val back = spark.read.parquet(out)
+    assert(back.columns.sorted.toSeq == df.columns.sorted.toSeq)
+    assert(back.count() == 20000)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty,
+      "compacted content must be row-identical to the input")
+  }
+
+  test("oversize files pass through as single-file bins") {
+    import spark.implicits._
+    val in = tmp("compact-big-in")
+    val out = tmp("compact-big-out")
+    (0 until 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    // Target below every file size: nothing merges, each file = one bin.
+    val stats = Sinks.compactParquet(spark, in, out, targetBytes = 1)
+    assert(stats.outputFiles == stats.inputFiles)
+    assert(stats.binInputBytes.forall(_ > 1))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5000)
+    assert(back.except(spark.read.parquet(in)).isEmpty)
+  }
+
+  test("single merged bin collapses the directory to one file") {
+    import spark.implicits._
+    val in = tmp("compact-one-in")
+    val out = tmp("compact-one-out")
+    (0 until 5000).map(i => (i.toLong, i * 3)).toDF("id", "x")
+      .repartition(16).write.mode("overwrite").parquet(in)
+    val stats = Sinks.compactParquet(spark, in, out, targetBytes = Long.MaxValue)
+    assert(stats.outputFiles == 1 && stats.binInputBytes.size == 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5000)
+    assert(back.except(spark.read.parquet(in)).isEmpty)
+  }
+}
