@@ -539,6 +539,23 @@ object SparkEntry {
         .orderBy("airline_name", "month", "origin_city")
     }),
 
+    // Per-airline least-squares trend fit (slope/intercept of delay over
+    // flight date) — exact decimal moments, closed-form projection.
+    "q106_trend_fit" -> ((s, dir) =>
+      Aggregates.delayTrendFit(wide(s, dir)).orderBy("airline_name")),
+
+    // Dynamic partition pruning: month-partitioned fact + broadcast
+    // quarter dim; the scan's month list is a RUNTIME dynamicpruning
+    // filter (asserted in PlanSpec), not a static IN list.
+    "q107_dpp_quarter" -> ((s, dir) => {
+      val path = s"${Sinks.scratch}/q107_fact"
+      Sinks.writeParquet(
+        Tables.lineitem(s, dir)
+          .withColumn("ship_month", month(col("l_shipdate"))),
+        path, "overwrite", Seq("ship_month"))
+      Ingest.dppQuarterAgg(s, path, quarter = 1).orderBy("ship_month")
+    }),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1506,6 +1523,18 @@ object SparkEntry {
       |SELECT airline_name, month, origin_city, total_flights,
       |  CAST(delayed_flights AS BIGINT) AS delayed_flights
       |FROM ap ORDER BY airline_name, month, origin_city""".stripMargin,
+
+    "q106_trend_fit" -> (withWide(Aggregates.delayTrendFitSql) +
+      "\nORDER BY airline_name"),
+
+    // The oracle reads the SAME pre-join fact (months 1-3 of shipdate);
+    // the runtime-pruned scan must agree with the static spelling.
+    "q107_dpp_quarter" ->
+      s"""SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |  count(*) AS n,
+         |  ${Aggregates.sumExactSql("l_quantity")} AS qty_sum
+         |FROM lineitem WHERE month(l_shipdate) BETWEEN 1 AND 3
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
 
     "q103_asof_forward" ->
       s"""WITH p AS (SELECT user_id, event_id AS purchase_id,

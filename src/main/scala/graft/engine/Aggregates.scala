@@ -621,6 +621,59 @@ object Aggregates {
         last("_v", ignoreNulls = true).over(w).as(outCol))
   }
 
+  /** D-ext — per-group simple linear regression (the dashboard trend
+    * line, fitted rather than eyeballed): least-squares slope and
+    * intercept of `delay_minutes` over the flight date (days since
+    * epoch), per airline.
+    *
+    * Same determinism discipline as [[delayPriceCorr]]: one partial/final
+    * aggregate computes the five moment sums as exact decimals
+    * ([[sumExact]] — order-independent across any partitioning), the
+    * closed-form slope/intercept divide on the driver-free final
+    * projection, and the result rounds to 6 so both engines quantize
+    * identically. One fact scan, group-cardinality output; at 100 TB
+    * this is the same two-phase hash-agg shape as q02. */
+  def delayTrendFit(wide: DataFrame): DataFrame = {
+    val x = datediff(col("date_key"), lit("1970-01-01")).cast("double")
+    val y = col("delay_minutes")
+    val agg = wide.groupBy("airline_name").agg(
+      count(lit(1)).cast("double").as("n"),
+      sumExact(x, 6).as("sx"), sumExact(y, 6).as("sy"),
+      sumExact(x * x, 6).as("sxx"), sumExact(x * y, 6).as("sxy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+    agg.select(col("airline_name"),
+      col("n").cast("long").as("n"),
+      when(den === 0, lit(null)).otherwise(round(slope, 6)).as("slope"),
+      when(den === 0, lit(null))
+        .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
+        .as("intercept"))
+  }
+
+  /** Oracle twin of [[delayTrendFit]] (FROM a `wide` CTE) — the same
+    * decimal moment sums and closed form, NOT DuckDB's `regr_slope`
+    * (whose streaming co-moment order differs from the two-phase merge,
+    * perturbing low-order bits). */
+  val delayTrendFitSql: String = {
+    def s6(e: String) = sumExactSql(e, 6)
+    s"""SELECT airline_name, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+       |    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END
+       |    AS slope,
+       |  CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+       |    ELSE round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+       |      / n, 6) END AS intercept
+       |FROM (SELECT airline_name,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${s6("CAST(date_key - DATE '1970-01-01' AS DOUBLE)")} AS sx,
+       |    ${s6("delay_minutes")} AS sy,
+       |    ${s6("CAST(date_key - DATE '1970-01-01' AS DOUBLE) * " +
+             "CAST(date_key - DATE '1970-01-01' AS DOUBLE)")} AS sxx,
+       |    ${s6("CAST(date_key - DATE '1970-01-01' AS DOUBLE) * delay_minutes")}
+       |      AS sxy
+       |  FROM wide GROUP BY airline_name) _""".stripMargin
+  }
+
   /** Oracle twin of [[monthlyLocf]] — identical spine + `IGNORE NULLS`
     * running last over the left join. */
   def monthlyLocfSql(from: String, key: String, ts: String,

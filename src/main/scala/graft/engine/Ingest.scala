@@ -78,6 +78,40 @@ object Ingest {
   def readParquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
+  /** A9/scale — dynamic-partition-pruned fact scan: aggregate a
+    * month-partitioned fact directory for one quarter, where the months
+    * to read are decided AT RUNTIME from a dimension filter rather than
+    * spelled as a static `IN` list.
+    *
+    * The shape that matters at 100 TB: the fact is laid out
+    * `partitionBy(ship_month)` ([[Sinks.writeParquet]]), the quarter→
+    * months mapping lives only in the (broadcast) dim, and Spark's
+    * dynamic partition pruning turns the dim-side filter into a runtime
+    * `dynamicpruning` partition filter on the fact scan — the scan reads
+    * 3 of 12 directories without the query author enumerating months.
+    * This is the mechanism that makes "join fact to a filtered dim"
+    * cost dim-selectivity × fact instead of full-fact; asserted on the
+    * executed plan in PlanSpec (the scan's partition filters carry a
+    * `dynamicpruning` subquery and the post-run `numFiles` confirms the
+    * skipped directories were never opened).
+    *
+    * The dim here is derived (month→quarter arithmetic over a 12-row
+    * range) to keep the demo self-contained; any real dim table with a
+    * selective predicate plans identically. */
+  def dppQuarterAgg(spark: SparkSession, factPath: String,
+      quarter: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    require(quarter >= 1 && quarter <= 4, s"quarter must be 1..4, got $quarter")
+    val dim = spark.range(1, 13).select(
+      col("id").cast("int").as("ship_month"),
+      (((col("id") - 1) / 3) + 1).cast("int").as("quarter"))
+    spark.read.parquet(factPath)
+      .join(broadcast(dim.filter(col("quarter") === quarter)), "ship_month")
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n"),
+        Aggregates.sumExact(col("l_quantity")).as("qty_sum"))
+  }
+
   /** Name of the quarantine column carried by [[readCsvPermissive]]. */
   val CorruptCol = "_corrupt_record"
 
