@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.{StringType, StructType}
 
 /** A1 — multi-file CSV ingest with an explicit schema and a column
@@ -102,9 +102,11 @@ object Ingest {
       quarter: Int): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, count, lit}
     require(quarter >= 1 && quarter <= 4, s"quarter must be 1..4, got $quarter")
+    // Integer DIV, spelled as such: `/` on longs is double division in
+    // Spark and only lands on the right answer via cast-truncation.
     val dim = spark.range(1, 13).select(
       col("id").cast("int").as("ship_month"),
-      (((col("id") - 1) / 3) + 1).cast("int").as("quarter"))
+      expr("CAST((id - 1) DIV 3 + 1 AS INT)").as("quarter"))
     spark.read.parquet(factPath)
       .join(broadcast(dim.filter(col("quarter") === quarter)), "ship_month")
       .groupBy("ship_month")

@@ -224,4 +224,36 @@ class PlanSpec extends SparkSpec {
       s"no doc-keyed re-join allowed:\n$pPack")
     graft.engine.Caches.release()
   }
+
+  test("q107: dynamic partition pruning fires and reads only the quarter's months") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.engine.{Ingest, Sinks}
+    val path = s"${Sinks.scratch}/planspec_dpp_fact"
+    Sinks.writeParquet(
+      Tables.lineitem(spark, sf)
+        .withColumn("ship_month", month(col("l_shipdate"))),
+      path, "overwrite", Seq("ship_month"))
+    // AQE off for this one assertion: it wraps the scan in query stages
+    // that hide FileSourceScanExec from a plain plan traversal; DPP
+    // itself is independent of AQE.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Ingest.dppQuarterAgg(spark, path, quarter = 1)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("planspec_dpp_fact")) => f
+      }
+      assert(scans.nonEmpty, "fact scan not found in executed plan")
+      val scan = scans.head
+      assert(scan.partitionFilters.mkString(",").contains("dynamicpruning"),
+        s"no dynamicpruning partition filter on the fact scan: ${scan.partitionFilters}")
+      // Post-run driver metric: only the 3 quarter-1 month directories
+      // were opened (12 exist).
+      val partsRead = scan.metrics.get("numPartitions").map(_.value)
+      assert(partsRead.contains(3L),
+        s"expected 3 partitions read after pruning, got $partsRead")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
