@@ -51,15 +51,22 @@ object Clustering {
     import spark.implicits._
     require(initStride >= 1, s"initStride must be >= 1, got $initStride")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    var cents: Seq[(Long, Seq[Float])] = corpus
-      .filter(col(idCol) % initStride === 0)
-      .select(col(idCol).cast("long"), col(embCol))
+    // One corpus scan for the whole training loop: init + every Lloyd
+    // round re-reads the projected corpus, so at scale an unpersisted
+    // input is iters+1 full parquet scans. Trainer-local persist with an
+    // eager count barrier (lazy persist races AQE stage threads into
+    // duplicated computation), released before returning.
+    val proj = corpus.select(col(idCol).cast("long").as("_id"),
+      col(embCol).as("_e")).persist()
+    proj.count()
+    try {
+    var cents: Seq[(Long, Seq[Float])] = proj
+      .filter(col("_id") % initStride === 0)
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     require(cents.nonEmpty, "initStride selected no init centroids")
     for (_ <- 1 to iters) {
       val centsDf = cents.toDF("cent_id", "cent_emb")
-      val assigned = corpus
-        .select(col(idCol).as("_id"), col(embCol).as("_e"))
+      val assigned = proj
         .join(broadcast(centsDf), lit(true))
         .withColumn("_sim", Similarity.cosine(col("_e"), col("cent_emb")))
         .groupBy("_id").agg(first(col("_e")).as("_e"),
@@ -85,6 +92,7 @@ object Clustering {
       cents = next
     }
     cents.toDF("cent_id", "cent_emb")
+    } finally proj.unpersist(blocking = false)
   }
 
   /** DuckDB CTE chain replaying [[kmeansCentroids]] exactly: unrolled
