@@ -556,6 +556,71 @@ object SparkEntry {
       Ingest.dppQuarterAgg(s, path, quarter = 1).orderBy("ship_month")
     }),
 
+    // SCD Type-2 dimension build: per-customer order-status change log →
+    // effective-dated rows (half-open validity, deterministic tie-break).
+    "q108_scd2_build" -> ((s, dir) =>
+      graft.operators.Merge.scd2(Tables.orders(s, dir),
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderstatus"),
+          to_date(col("eff_from")).as("eff_from"),
+          to_date(col("eff_to")).as("eff_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "eff_from")),
+
+    // Multi-way OLAP rollup (TPC-H Q5 shape): 5-table join, broadcast
+    // dims, shuffled fact joins, exact-decimal revenue.
+    "q109_regional_revenue" -> ((s, dir) =>
+      StarSchema.regionalRevenue(s, dir, regionName = "ASIA", yr = 1997)
+        .orderBy(col("revenue").desc, col("n_name"))),
+
+    // IVF-celled embedding near-dup: within-cell pairs only — the
+    // sub-quadratic ANN path beside exact q27 (strided cells, so the
+    // oracle replays the assignment without a trainer chain).
+    "q110_ivf_near_dup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      Similarity.ivfNearDupPairs(emb, cents, threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Custom GROUPING SETS lattice (Spark 4 Dataset.groupingSets API) —
+    // the explicit-sets sibling of rollup (q51) / cube (q59): per-status
+    // and per-priority marginals plus the grand total in ONE expand+agg
+    // pass, no union of three jobs; sentinel-coalesced keys as in q51.
+    "q111_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Aggregates.sumExact(col("o_totalprice")).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy("status", "priority")),
+
+    // VariantType semi-structured access (Spark 4 parse_json/variant_get):
+    // the open-schema path beside schema-pinned from_json (q79) — no DDL,
+    // shredded binary encoding, typed extraction at use site.
+    "q112_variant_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"), expr("CAST(k DIV 10 AS INT)").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
+        .orderBy("event_type", "bucket")),
+
+    // UNPIVOT/melt (Dataset.unpivot): wide measures → long (metric, value)
+    // rows — the inverse of pivot (q50), one Expand projection, no join.
+    "q113_unpivot" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderstatus")
+        .agg(Aggregates.sumExact(col("o_totalprice")).as("revenue"),
+          count(lit(1)).cast("double").as("n_orders"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("revenue"), col("n_orders")), "metric", "value")
+        .orderBy("o_orderstatus", "metric")),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1535,6 +1600,59 @@ object SparkEntry {
          |  ${Aggregates.sumExactSql("l_quantity")} AS qty_sum
          |FROM lineitem WHERE month(l_shipdate) BETWEEN 1 AND 3
          |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+
+    "q108_scd2_build" ->
+      s"""WITH scd AS (${graft.operators.Merge.scd2Sql("orders",
+             "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")})
+         |SELECT o_custkey, o_orderstatus,
+         |  CAST(eff_from AS DATE) AS eff_from,
+         |  CAST(eff_to AS DATE) AS eff_to, is_current
+         |FROM scd ORDER BY o_custkey, eff_from""".stripMargin,
+
+    "q109_regional_revenue" ->
+      (StarSchema.regionalRevenueSql("ASIA", 1997) +
+        "\nORDER BY revenue DESC, n_name"),
+
+    "q111_grouping_sets" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n,
+         |  ${Aggregates.sumExactSql("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin,
+
+    "q112_variant_extract" ->
+      s"""SELECT event_type, CAST(k // 10 AS INTEGER) AS bucket,
+         |  COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum
+         |FROM (SELECT event_type,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) t
+         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q113_unpivot" ->
+      s"""WITH agg AS (SELECT o_orderstatus,
+         |    ${Aggregates.sumExactSql("o_totalprice")} AS revenue,
+         |    CAST(COUNT(*) AS DOUBLE) AS n_orders
+         |  FROM orders GROUP BY 1)
+         |SELECT o_orderstatus, metric, value FROM agg
+         |UNPIVOT (value FOR metric IN (revenue, n_orders))
+         |ORDER BY o_orderstatus, metric""".stripMargin,
+
+    "q110_ivf_near_dup" -> s"""WITH
+      |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+      |          FROM embeddings WHERE vec_id % 53 = 0),
+      |cc AS (
+      |  SELECT vec_id, embedding, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${Similarity.Sql.cosine("e.embedding", "c.cent_emb")} DESC,
+      |          c.cent_id) AS r
+      |    FROM embeddings e CROSS JOIN cents c) t WHERE r = 1)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ${Similarity.Sql.cosine("a.embedding", "b.embedding")} AS cosine
+      |FROM cc a JOIN cc b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      |WHERE ${Similarity.Sql.cosine("a.embedding", "b.embedding")} >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin,
 
     "q103_asof_forward" ->
       s"""WITH p AS (SELECT user_id, event_id AS purchase_id,

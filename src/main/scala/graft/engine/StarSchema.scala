@@ -135,4 +135,48 @@ object StarSchema {
         Cleaning.isWeekend(isoDow).as("is_weekend"))
       .orderBy("date_key")
   }
+
+  /** Multi-way OLAP join rollup (the TPC-H Q5 shape): revenue by nation
+    * for one region and one order-date year —
+    * `lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region`, five tables,
+    * three cardinality classes.
+    *
+    * Scale shape: declared as a flat join tree and left to Catalyst —
+    * the date filter pushes into the orders scan and the region filter
+    * prunes nation rows BEFORE any fact row moves; `nation`/`region`
+    * are explicit broadcasts (a dim lookup must never shuffle the
+    * fact); `lineitem ⋈ orders` and `⋈ customer` shuffle on their keys
+    * (sort-merge at scale, bucketable). Revenue is the per-row double
+    * product summed exactly ([[Aggregates.sumExact]]) so the rollup is
+    * partition-order-deterministic. */
+  def regionalRevenue(s: SparkSession, dir: String, regionName: String,
+      yr: Int): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir).filter(year(col("o_orderdate")) === yr),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        Aggregates.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Oracle spelling of [[regionalRevenue]]. */
+  def regionalRevenueSql(regionName: String, yr: Int): String =
+    s"""SELECT n_name,
+       |  ${Aggregates.sumExactSql("l_extendedprice * (1.0 - l_discount)")}
+       |    AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = '$regionName'
+       |  AND EXTRACT(year FROM o_orderdate) = $yr
+       |GROUP BY n_name""".stripMargin
 }

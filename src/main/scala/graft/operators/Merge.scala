@@ -110,4 +110,48 @@ object Merge {
        |  ON b.$key = a.$key
        |WHERE b.$key IS NULL OR a.$key IS NULL OR ($anyDiff)""".stripMargin
   }
+
+  /** SCD Type-2 dimension build from a change log: collapse the per-key
+    * event stream to its attribute CHANGE points and emit effective-dated
+    * rows — `(key, attr, eff_from, eff_to, is_current)` with half-open
+    * validity (`eff_to` = the next change's timestamp; NULL = current).
+    * Consecutive events carrying the same attribute value collapse into
+    * one row, so the dimension's cardinality is the number of transitions,
+    * not the number of events.
+    *
+    * Scale shape: everything is per-key windows over ONE hash shuffle on
+    * `key` — the change-point `lag`, the filter, and the `lead` for
+    * `eff_to` share the same (key, ts, tie) partitioning+ordering, so
+    * Catalyst plans a single Exchange+Sort and pipelines both windows
+    * (asserted in MergeSpec). `tie` makes same-timestamp events ordered
+    * deterministically (engine- and partitioning-independent), which an
+    * SCD build needs or re-runs disagree about who won the day. */
+  def scd2(changes: DataFrame, key: String, attr: String, ts: String,
+      tie: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tie))
+    changes.select(col(key), col(attr), col(ts), col(tie))
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+      .withColumn("eff_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(attr), col(ts).as("eff_from"), col("eff_to"),
+        col("eff_to").isNull.as("is_current"))
+  }
+
+  /** Oracle spelling of [[scd2]] (`eff_from`/`eff_to` emitted as-is;
+    * callers cast for output parity). */
+  def scd2Sql(from: String, key: String, attr: String, ts: String,
+      tie: String): String =
+    s"""WITH marked AS (
+       |  SELECT $key, $attr, $ts, $tie,
+       |    LAG($attr) OVER (PARTITION BY $key ORDER BY $ts, $tie) AS prev
+       |  FROM $from),
+       |chg AS (
+       |  SELECT $key, $attr, $ts, $tie FROM marked
+       |  WHERE prev IS NULL OR prev <> $attr)
+       |SELECT $key, $attr, $ts AS eff_from,
+       |  LEAD($ts) OVER (PARTITION BY $key ORDER BY $ts, $tie) AS eff_to,
+       |  LEAD($ts) OVER (PARTITION BY $key ORDER BY $ts, $tie) IS NULL
+       |    AS is_current
+       |FROM chg""".stripMargin
 }

@@ -270,28 +270,33 @@ object Similarity {
     * cent_emb)` — the composition point for trained centroids
     * ([[Clustering.kmeansCentroids]]), which balance cells better than
     * strided samples and so tighten the probe-recall tradeoff. */
+  /** Nearest `keep` cells per vector against a broadcast centroid table
+    * `(cent_id, cent_emb)`: similarity desc, cent_id asc. keep=1 is a
+    * pure max_by; keep>1 collects the (bounded, broadcast-small)
+    * centroid set per row and sort-slices it — still one map-side
+    * aggregation, no window sort over the cross product. Shared by the
+    * IVF probe ([[ivfTopKWith]]) and the IVF-celled near-dup join
+    * ([[ivfNearDupPairs]]). */
+  private def assignCells(cents: DataFrame)(df: DataFrame, idC: String,
+      embC: String, keep: Int): DataFrame = {
+    val crossed = df.join(broadcast(cents), lit(true))
+      .withColumn("sim", cosine(col(embC), col("cent_emb")))
+    if (keep == 1)
+      crossed.groupBy(idC).agg(
+        first(embC).as(embC),
+        max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"))
+    else
+      crossed.groupBy(idC).agg(
+        first(embC).as(embC),
+        slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+          col("cent_id")))), 1, keep).as("cells"))
+        .select(col(idC), col(embC),
+          explode(col("cells").getField("cent_id")).as("cent_id"))
+  }
+
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
       cents: DataFrame, nProbe: Int): DataFrame = {
-
-    // Nearest `keep` cells per vector: similarity desc, cent_id asc.
-    // keep=1 is a pure max_by; keep>1 collects the (bounded, broadcast-
-    // small) centroid set per row and sort-slices it — still one map-side
-    // aggregation, no window sort over the cross product.
-    def assign(df: DataFrame, idC: String, embC: String, keep: Int): DataFrame = {
-      val crossed = df.join(broadcast(cents), lit(true))
-        .withColumn("sim", cosine(col(embC), col("cent_emb")))
-      if (keep == 1)
-        crossed.groupBy(idC).agg(
-          first(embC).as(embC),
-          max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"))
-      else
-        crossed.groupBy(idC).agg(
-          first(embC).as(embC),
-          slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
-            col("cent_id")))), 1, keep).as("cells"))
-          .select(col(idC), col(embC),
-            explode(col("cells").getField("cent_id")).as("cent_id"))
-    }
+    val assign = assignCells(cents) _
 
     val corpusCells = assign(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
@@ -308,6 +313,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF-celled near-dup pairs — the ANN-accelerated membrane between
+    * exact [[nearDupPairs]] (all block-pairs, total recall, quadratic in
+    * the block grid) and per-query [[ivfTopK]]: assign every vector to
+    * its nearest cell once (map-side `max_by`, one corpus scan), then
+    * emit only within-cell pairs with cosine ≥ `threshold`.
+    *
+    * Scale shape: the pair join is a shuffle equi-join on `cent_id`, so
+    * pair work is Σ|cell|² instead of |corpus|²/2 — centroid count sets
+    * the knob (√n cells ⇒ ~n pairs per cell row); norms are computed
+    * once per row before the join, never per pair. Recall is by
+    * construction limited to co-celled pairs (the IVF trade); callers
+    * needing total recall in an inseparable threshold regime use
+    * [[nearDupPairs]]. */
+  def ivfNearDupPairs(corpus: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
+    val cells = assignCells(cents)(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")),
+      "id", "emb", 1)
+      .withColumn("nrm", norm(col("emb")))
+    cells.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a"), col("cent_id"))
+      .join(cells.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b"), col("cent_id")),
+        Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        cosineWithNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 
   /** Symmetric int8 quantization of the embedding tier — the storage

@@ -56,4 +56,41 @@ class MergeSpec extends SparkSpec {
     assert(merged.exceptAll(full).count() == 0)
     assert(full.exceptAll(merged).count() == 0)
   }
+
+  test("scd2: consecutive-same collapse, half-open ranges, one current row per key") {
+    // key 1: A(d1) A(d2) B(d3) A(d5) — the repeated A at d2 collapses;
+    // key 2: X only; tie-break: two same-ts events on key 3 order by tie.
+    val log = Seq(
+      (1L, "A", 1000L, 10L), (1L, "A", 2000L, 11L), (1L, "B", 3000L, 12L),
+      (1L, "A", 5000L, 13L),
+      (2L, "X", 1000L, 20L),
+      (3L, "P", 1000L, 31L), (3L, "Q", 1000L, 30L)
+    ).toDF("k", "v", "ts", "tie")
+    val got = Merge.scd2(log, "k", "v", "ts", "tie")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "A", 1000L, Some(3000L), false),
+      (1L, "B", 3000L, Some(5000L), false),
+      (1L, "A", 5000L, None, true),
+      (2L, "X", 1000L, None, true),
+      // same-ts events: tie column orders Q(tie=30) before P(tie=31)
+      (3L, "Q", 1000L, Some(1000L), false),
+      (3L, "P", 1000L, None, true)))
+    // exactly one current row per key
+    val curr = Merge.scd2(log, "k", "v", "ts", "tie")
+      .groupBy("k").agg(sum(when(col("is_current"), 1).otherwise(0)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(curr.values.forall(_ == 1L))
+  }
+
+  test("scd2 plans ONE exchange: both windows share the key partitioning") {
+    val df = Merge.scd2(Tables.orders(spark, sf),
+      "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    df.collect()
+    // Final AQE plan only — the "Initial Plan" section would double-count.
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"scd2 must shuffle once on the key, not per window:\n$p")
+  }
 }

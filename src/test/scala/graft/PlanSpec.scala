@@ -225,6 +225,30 @@ class PlanSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("grouping sets / unpivot: ONE Expand pass each, never a union of jobs") {
+    val gs = SparkEntry.queries("q111_grouping_sets")(spark, sf)
+    val pGs = plan(gs).split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(pGs).size == 1,
+      s"grouping sets must be one expand+agg pass:\n$pGs")
+    assert(!pGs.contains("Union"),
+      s"grouping sets must not union per-set jobs:\n$pGs")
+    val up = SparkEntry.queries("q113_unpivot")(spark, sf)
+    val pUp = plan(up).split("== Initial Plan ==").head
+    assert(pUp.contains("Expand"),
+      s"unpivot lowers to an Expand projection:\n$pUp")
+    assert(!pUp.contains("Union") && !pUp.contains("Join"),
+      s"unpivot must not plan a union/join:\n$pUp")
+  }
+
+  test("q109 regional revenue: dim joins broadcast, fact joins equi, no nested loop") {
+    val df = StarSchema.regionalRevenue(spark, sf, "ASIA", 1997)
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation and region must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic join leaked into the 5-table tree:\n$p")
+  }
+
   test("q107: dynamic partition pruning fires and reads only the quarter's months") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.engine.{Ingest, Sinks}

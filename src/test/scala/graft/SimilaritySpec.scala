@@ -179,4 +179,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!out(2L).isNullAt(2) && !out(2L).isNullAt(3))
     assert(math.abs(out(2L).getDouble(3) - (9.0 + 16.0 + 0.25)) < 1e-12)
   }
+
+  test("ivfNearDupPairs: exact precision (subset of all-pairs truth), total co-cell recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.35
+    val cents = emb.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val got = Similarity.ivfNearDupPairs(emb, cents, t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = Similarity.nearDupPairs(emb, t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Precision 1.0: every emitted pair is a true pair (the verify is exact).
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(5)}")
+    assert(got.nonEmpty)
+    // Recall within the construction's contract: every TRUE pair whose two
+    // vectors land in the same cell is emitted. Cell map computed through
+    // an independent window spelling of the argmax.
+    val cellOf = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cent_id")).as[(Long, Long)]
+      .collect().toMap
+    val coCelled = truth.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(got == coCelled,
+      s"missed co-celled pairs: ${coCelled.diff(got).take(5)}")
+  }
 }
