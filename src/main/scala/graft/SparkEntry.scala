@@ -621,6 +621,25 @@ object SparkEntry {
           Array(col("revenue"), col("n_orders")), "metric", "value")
         .orderBy("o_orderstatus", "metric")),
 
+    // Stream-static enrichment (batch twin): events left-joined to a
+    // static per-user LTV dim (broadcast, stateless — the streaming
+    // form is spec'd equal in EventStreamSpec), rolled up per band.
+    "q114_stream_static" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(Aggregates.sumExact(col("value")).as("ltv"))
+      graft.streaming.EventStream.enrichWithDim(ev, dim, "user_id")
+        .withColumn("ltv_band",
+          when(col("ltv").isNull, "none")
+            .when(col("ltv") >= 500.0, "high")
+            .when(col("ltv") >= 100.0, "mid")
+            .otherwise("low"))
+        .groupBy("event_type", "ltv_band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "ltv_band")
+    }),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1628,6 +1647,19 @@ object SparkEntry {
          |FROM (SELECT event_type,
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) t
          |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q114_stream_static" ->
+      s"""WITH dim AS (SELECT user_id,
+         |    ${Aggregates.sumExactSql("value")} AS ltv
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT event_type,
+         |  CASE WHEN ltv IS NULL THEN 'none'
+         |       WHEN ltv >= 500.0 THEN 'high'
+         |       WHEN ltv >= 100.0 THEN 'mid'
+         |       ELSE 'low' END AS ltv_band,
+         |  COUNT(*) AS n
+         |FROM events LEFT JOIN dim USING (user_id)
+         |GROUP BY 1, 2 ORDER BY event_type, ltv_band""".stripMargin,
 
     "q113_unpivot" ->
       s"""WITH agg AS (SELECT o_orderstatus,

@@ -341,6 +341,20 @@ object EventStream {
        |  AND v.ts <= p.ts
        |  AND v.ts >= p.ts - INTERVAL $lookbackMinutes MINUTES""".stripMargin
 
+  /** Stream-static enrichment join: each streaming event looks up its key
+    * in a STATIC (batch) dimension. The stateless member of the streaming
+    * join family — unlike the stream-stream join above there is NO state
+    * store and NO watermark requirement: Spark re-evaluates the static
+    * side per micro-batch (so a dim refresh lands by swapping the
+    * underlying table between batches) and the explicit broadcast keeps
+    * the lookup off the shuffle path — the standard shape for enriching
+    * an event stream against slowly-changing reference data at any
+    * stream rate. Left join: events with no dim row pass through with
+    * nulls (an enrichment must never drop events). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** SQL twin of the batch-mode plan (DuckDB `time_bucket` = tumbling
     * window start). */
   def windowedKpisSql(delayThreshold: Double = 100.0): String =

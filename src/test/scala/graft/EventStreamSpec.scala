@@ -267,7 +267,40 @@ class EventStreamSpec extends SparkSpec {
         views.toDF(), purchases.toDF(), lookbackMinutes = 60)))
     } finally sink.stop()
   }
+
+  test("streaming: stream-static enrichment is stateless, broadcast, == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, 600.0), (2L, 50.0)).toDF("user_id", "ltv")
+    val evs = Seq(
+      UserEv(1L, "click", 1.0), UserEv(2L, "view", 2.0),
+      UserEv(3L, "click", 3.0)) // user 3 has no dim row → null ltv
+    val src = MemoryStream[UserEv]
+    val sink = EventStream.enrichWithDim(src.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(evs: _*)
+      sink.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("ltv"), lit(-1.0)).as("ltv"))
+        .as[(Long, String, Double)].collect().toSet
+      val got = rows(spark.table("enrich_sink"))
+      assert(got == Set((1L, "click", 600.0), (2L, "view", 50.0),
+        (3L, "click", -1.0)))
+      assert(got == rows(EventStream.enrichWithDim(evs.toDF(), dim, "user_id")))
+      // Stateless: no state store operator; lookup rides a broadcast,
+      // not a shuffle.
+      val p = sink.asInstanceOf[org.apache.spark.sql.execution.streaming
+        .runtime.StreamingQueryWrapper].streamingQuery.lastExecution
+        .executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"dim lookup must broadcast:\n$p")
+      assert(!p.contains("StateStore"), s"stream-static join must hold no state:\n$p")
+    } finally sink.stop()
+  }
 }
 
 case class Vw(user_id: Long, view_id: Long, view_ts: Timestamp)
 case class Pu(user_id: Long, purchase_id: Long, purchase_ts: Timestamp)
+case class UserEv(user_id: Long, event_type: String, value: Double)
