@@ -28,7 +28,7 @@ object Bench {
     val num = name.drop(1).takeWhile(_.isDigit)
     val n = if (num.isEmpty) -1 else num.toInt
     if (n >= 1 && n <= 21) "core"
-    else if (Set(31, 32, 33, 34, 41, 48, 49, 69, 91, 93, 101, 105)(n)) "ingest_sink"
+    else if (Set(31, 32, 33, 34, 41, 48, 49, 69, 91, 93, 101, 105, 115, 116)(n)) "ingest_sink"
     else "extension"
   }
 

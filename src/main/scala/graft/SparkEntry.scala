@@ -640,6 +640,43 @@ object SparkEntry {
         .orderBy("event_type", "ltv_band")
     }),
 
+    // Dynamic-partition overwrite: seed the month-partitioned table with
+    // month 6 DELIBERATELY corrupted (doubled measures), then repair by
+    // overwriting ONLY month 6. The oracle is the plain correct
+    // aggregate — a static overwrite would wipe months 1-5,7-12 (rows
+    // vanish), an append would double month 6 (hash mismatch); only
+    // true per-partition replacement matches.
+    "q115_dynamic_overwrite" -> ((s, dir) => {
+      val path = s"${Sinks.scratch}/q115_monthly"
+      val monthly = ap(s, dir)
+        .groupBy("month", "airline_name")
+        .agg(Aggregates.sumExact(col("total_flights")).as("flights"),
+          Aggregates.sumExact(col("delayed_flights")).as("delayed"))
+      val corrupted = monthly.withColumn("flights",
+        when(col("month") === 6, col("flights") * 2).otherwise(col("flights")))
+      Sinks.writeParquet(corrupted, path, "overwrite", Seq("month"))
+      Sinks.overwritePartitions(monthly.filter(col("month") === 6), path,
+        Seq("month"))
+      s.read.parquet(path)
+        .select(col("month").cast("int").as("month"), col("airline_name"),
+          col("flights"), col("delayed"))
+        .orderBy("month", "airline_name")
+    }),
+
+    // Checkpointed incremental file ingestion (Structured Streaming file
+    // source, Trigger.AvailableNow): two runs over a growing directory,
+    // second run drains ONLY the new files — exactly-once proven by the
+    // oracle (re-processing would duplicate batch-1 rows).
+    "q116_incremental_ingest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val batch1 = ev.filter(col("event_id") % 2 === 0)
+      val batch2 = ev.filter(col("event_id") % 2 === 1)
+      graft.streaming.IncrementalIngest.twoRunIngest(s, batch1, batch2,
+        s"${Sinks.scratch}/q116")
+        .orderBy("event_id")
+    }),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1647,6 +1684,19 @@ object SparkEntry {
          |FROM (SELECT event_type,
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) t
          |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    // The oracle is the CORRECT aggregate: static overwrite loses months,
+    // append doubles month 6 — only per-partition replacement matches.
+    "q115_dynamic_overwrite" -> s"""$airportPerfCte
+      |SELECT CAST(month AS INTEGER) AS month, airline_name,
+      |  ${Aggregates.sumExactSql("total_flights")} AS flights,
+      |  ${Aggregates.sumExactSql("delayed_flights")} AS delayed
+      |FROM ap GROUP BY 1, 2 ORDER BY month, airline_name""".stripMargin,
+
+    // Exactly-once proof: a re-processed batch 1 would duplicate rows.
+    "q116_incremental_ingest" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q114_stream_static" ->
       s"""WITH dim AS (SELECT user_id,

@@ -61,6 +61,28 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Dynamic-partition overwrite: replace ONLY the partition directories
+    * present in `df`, leaving every other partition's files untouched.
+    * Spark's default (static) overwrite mode deletes the WHOLE table root
+    * before writing — on a 100 TB month-partitioned fact, refreshing one
+    * late-arriving month must rewrite one directory, not the table; this
+    * is the idempotent-backfill primitive every partitioned lakehouse
+    * pipeline is built on. The mode is set per-write via the DataFrameWriter
+    * option (not session-wide — a global flag silently changes the
+    * semantics of every other overwrite in the session). Same small-file
+    * discipline as [[writeParquet]]: repartition on the partition key
+    * first. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(partitionCols.nonEmpty, "dynamic overwrite needs partition columns")
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** JSONL sink (Spark's json writer is one object per line). Text fields
     * with newlines/unicode are JSON-escaped, so the line = record
     * invariant holds for any content. */
