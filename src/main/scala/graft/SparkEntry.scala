@@ -677,6 +677,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Product-quantization ANN (ADC scoring over per-subspace codebooks)
+    // — the memory-bound regime beside cell-probe IVF (q28): corpus
+    // stored as m codes/vector, query scoring = m table lookups.
+    "q117_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        m = 16, subDim = 4, initStride = 3, iters = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1697,6 +1707,9 @@ object SparkEntry {
     "q116_incremental_ingest" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q117_pq_topk" -> Similarity.pqTopKSql(k = 5, m = 16, subDim = 4,
+      initStride = 3, iters = 1),
 
     "q114_stream_static" ->
       s"""WITH dim AS (SELECT user_id,

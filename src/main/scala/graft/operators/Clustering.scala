@@ -95,6 +95,61 @@ object Clustering {
     } finally proj.unpersist(blocking = false)
   }
 
+  /** [[kmeansCentroids]] generalized to INDEPENDENT trainings per group
+    * in one distributed pass — the product-quantization shape (one
+    * k-means per subspace): looping the single-space trainer m times
+    * costs m× the jobs and m corpus scans per round; here every round is
+    * ONE broadcast of all groups' centroids (joined on the group key, so
+    * a row only meets its own group's centroids), one `max_by`
+    * assignment agg and one exact-decimal mean agg keyed by (group,
+    * centroid), regardless of how many groups train. Per-group math is
+    * identical to [[kmeansCentroids]] (same init rule, tie-break,
+    * decimal means, empty-cluster retention), so the per-group SQL
+    * replay chains stay valid. Driver state: groups × k × dim floats. */
+  def kmeansCentroidsGrouped(corpus: DataFrame, grpCol: String,
+      idCol: String, embCol: String, initStride: Long, iters: Int,
+      dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(initStride >= 1, s"initStride must be >= 1, got $initStride")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val proj = corpus.select(col(grpCol).cast("int").as("_g"),
+      col(idCol).cast("long").as("_id"), col(embCol).as("_e")).persist()
+    proj.count()
+    try {
+      var cents: Seq[(Int, Long, Seq[Float])] = proj
+        .filter(col("_id") % initStride === 0)
+        .as[(Int, Long, Seq[Float])].collect().toSeq
+        .sortBy(t => (t._1, t._2))
+      require(cents.nonEmpty, "initStride selected no init centroids")
+      for (_ <- 1 to iters) {
+        val centsDf = cents.toDF("_g", "cent_id", "cent_emb")
+        val assigned = proj
+          .join(broadcast(centsDf), Seq("_g"))
+          .withColumn("_sim", Similarity.cosine(col("_e"), col("cent_emb"), dim))
+          .groupBy("_g", "_id").agg(first(col("_e")).as("_e"),
+            max_by(col("cent_id"), struct(col("_sim"), -col("cent_id")))
+              .as("_cid"))
+        val means = assigned
+          .select(col("_g"), col("_cid"),
+            posexplode(col("_e")).as(Seq("_d", "_v")))
+          .groupBy("_g", "_cid", "_d")
+          .agg((sum(col("_v").cast("double").cast(DecimalType(28, 12)))
+            .cast("double") / count(lit(1))).as("_m"))
+          .groupBy("_g", "_cid")
+          .agg(array_sort(collect_list(struct(col("_d"), col("_m")))).as("_dm"))
+          .select(col("_g"), col("_cid"),
+            transform(col("_dm"), x => x.getField("_m").cast("float"))
+              .as("new_emb"))
+          .as[(Int, Long, Seq[Float])].collect()
+          .map(t => (t._1, t._2) -> t._3).toMap
+        cents = cents.map { case (g, cid, prev) =>
+          (g, cid, means.getOrElse((g, cid), prev)) }
+      }
+      cents.toDF(grpCol, "cent_id", "cent_emb")
+    } finally proj.unpersist(blocking = false)
+  }
+
   /** DuckDB CTE chain replaying [[kmeansCentroids]] exactly: unrolled
     * fixed rounds, each = argmax-cosine assignment (ties to lowest
     * cent_id), exact-decimal per-dim means re-listed in dimension order
@@ -103,35 +158,37 @@ object Clustering {
     * `WITH $kmeansCentsSql, <rest>`. */
   def kmeansCentsSql(initStride: Long, iters: Int,
       from: String = "embeddings", idCol: String = "vec_id",
-      embCol: String = "embedding"): String = {
+      embCol: String = "embedding", prefix: String = "",
+      dim: Int = Similarity.Dim): String = {
+    val p = prefix
     val init =
-      s"""cents0 AS (
+      s"""${p}cents0 AS (
          |  SELECT $idCol AS cent_id, $embCol AS cent_emb
          |  FROM $from WHERE $idCol % $initStride = 0)""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""asg$r AS (
+      s"""${p}asg$r AS (
          |  SELECT $idCol, $embCol, cent_id FROM (
          |    SELECT e.$idCol, e.$embCol, c.cent_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.$idCol
-         |        ORDER BY ${Similarity.Sql.cosine(s"e.$embCol", "c.cent_emb")} DESC,
+         |        ORDER BY ${Similarity.Sql.cosineDim(s"e.$embCol", "c.cent_emb", dim)} DESC,
          |          c.cent_id) AS rn
-         |    FROM $from e CROSS JOIN cents${r - 1} c) t WHERE rn = 1),
-         |dims$r AS (
+         |    FROM $from e CROSS JOIN ${p}cents${r - 1} c) t WHERE rn = 1),
+         |${p}dims$r AS (
          |  SELECT cent_id, UNNEST($embCol) AS v,
          |    UNNEST(range(1, len($embCol) + 1)) AS d
-         |  FROM asg$r),
-         |mean$r AS (
+         |  FROM ${p}asg$r),
+         |${p}mean$r AS (
          |  SELECT cent_id, list(CAST(m AS FLOAT) ORDER BY d) AS new_emb
          |  FROM (SELECT cent_id, d,
          |      CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
          |        / COUNT(*) AS m
-         |    FROM dims$r GROUP BY cent_id, d) s
+         |    FROM ${p}dims$r GROUP BY cent_id, d) s
          |  GROUP BY cent_id),
-         |cents$r AS (
+         |${p}cents$r AS (
          |  SELECT c.cent_id, COALESCE(m.new_emb, c.cent_emb) AS cent_emb
-         |  FROM cents${r - 1} c LEFT JOIN mean$r m USING (cent_id))""".stripMargin
+         |  FROM ${p}cents${r - 1} c LEFT JOIN ${p}mean$r m USING (cent_id))""".stripMargin
     }
-    val alias = s"cents AS (SELECT cent_id, cent_emb FROM cents$iters)"
+    val alias = s"${p}cents AS (SELECT cent_id, cent_emb FROM ${p}cents$iters)"
     (init +: rounds :+ alias).mkString(",\n")
   }
 }

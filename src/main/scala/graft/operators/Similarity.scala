@@ -68,14 +68,23 @@ object Similarity {
   /** SQL twin (DuckDB): identical association order —
     * `((0 + x1) + x2) + ...`, then `dot / (sqrt(na) * sqrt(nb))`. */
   object Sql {
-    def dot(a: String, b: String): String =
+    /** Dimension-parametric twin (subspace vectors are shorter than
+      * [[Dim]]; ranging past the array length would NULL-poison the
+      * reduce). */
+    def dotDim(a: String, b: String, dim: Int): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, ${Dim + 1}), k -> " +
+        s"list_transform(range(1, ${dim + 1}), k -> " +
         s"CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE))), (x, y) -> x + y)"
 
-    def cosine(a: String, b: String): String =
-      s"CASE WHEN sqrt(${dot(a, a)}) = 0.0 OR sqrt(${dot(b, b)}) = 0.0 " +
-        s"THEN 0.0 ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END"
+    def dot(a: String, b: String): String = dotDim(a, b, Dim)
+
+    def cosineDim(a: String, b: String, dim: Int): String =
+      s"CASE WHEN sqrt(${dotDim(a, a, dim)}) = 0.0 OR " +
+        s"sqrt(${dotDim(b, b, dim)}) = 0.0 " +
+        s"THEN 0.0 ELSE ${dotDim(a, b, dim)} / " +
+        s"(sqrt(${dotDim(a, a, dim)}) * sqrt(${dotDim(b, b, dim)})) END"
+
+    def cosine(a: String, b: String): String = cosineDim(a, b, Dim)
   }
 
   /** Exact cosine top-k: broadcast the (small) query set against the
@@ -344,6 +353,146 @@ object Similarity {
         cosineWithNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the MEMORY-bound ANN regime
+    * beside cell-probe IVF (q28): the corpus is stored as `m` small
+    * per-subspace codes (here m codebook ids per vector instead of
+    * `Dim` floats), and query scoring is Asymmetric Distance
+    * Computation — the query precomputes its dot product against every
+    * centroid of every subspace ONCE (an m×k lookup table), and a
+    * corpus vector's approximate dot is just the sum of m table
+    * lookups, never touching the original floats.
+    *
+    * Construction, all deterministic and SQL-replayable:
+    *  - codebooks: [[Clustering.kmeansCentroids]] per subspace slice
+    *    (stride init, fixed iters, exact-decimal means) — m·k·subDim
+    *    floats of driver state, broadcast;
+    *  - encode: argmax-cosine code per (vector, subspace) — one
+    *    map-side `max_by` agg over the broadcast codebook, the q28
+    *    assignment machinery per subspace;
+    *  - ADC: codes ⋈ query-dot-table on (subspace, code) — a shuffle
+    *    equi-join producing exactly m rows per (query, neighbor) —
+    *    summed with an exact DECIMAL(28,12) accumulator (a plain double
+    *    sum would vary with the m rows' arrival order), top-k per query.
+    *
+    * Scale shape: the corpus is scanned once for encoding and never
+    * again per query; stored ANN state is m codes/vector (16× smaller
+    * than float32 at m=4, Dim=64); ADC work is (queries × m × k) table
+    * rows joined against (corpus × m) code rows — no full-dimension
+    * arithmetic per pair. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
+      subDim: Int, initStride: Long, iters: Int): DataFrame = {
+
+    def subVectors(df: DataFrame, idOut: String): DataFrame =
+      (0 until m).map { j =>
+        df.select(col("vec_id").as(idOut), lit(j).as("sub_j"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("sub_emb"))
+      }.reduce(_ unionByName _)
+
+    // Per-subspace codebooks trained JOINTLY — one distributed pass per
+    // Lloyd round for all m subspaces ([[Clustering.kmeansCentroidsGrouped]]),
+    // not m driver loops. cent_id is the seed vector's id, unique only
+    // within a subspace — every downstream join keys on (sub_j, id).
+    val codebook = Clustering.kmeansCentroidsGrouped(
+      subVectors(corpus, "vec_id"), "sub_j", "vec_id", "sub_emb",
+      initStride, iters, subDim)
+
+    // Encode, carrying the assigned centroid's self-dot: the
+    // reconstructed vector's squared norm is the sum of its codes'
+    // `dot(c,c)` (subspaces are orthogonal coordinate blocks), so the
+    // metric can be approximate COSINE — ranking by raw approximate dot
+    // against a cosine ground truth collapses when corpus norms vary.
+    val codes = subVectors(corpus, "nid")
+      .join(broadcast(codebook), Seq("sub_j"))
+      .withColumn("sim", cosine(col("sub_emb"), col("cent_emb"), subDim))
+      .groupBy("nid", "sub_j")
+      .agg(
+        max_by(col("cent_id"), struct(col("sim"), -col("cent_id")))
+          .as("code"),
+        max_by(dot(col("cent_emb"), col("cent_emb"), subDim),
+          struct(col("sim"), -col("cent_id"))).as("dd"))
+
+    val dots = subVectors(queries, "query_id")
+      .join(broadcast(codebook), Seq("sub_j"))
+      .select(col("query_id"), col("sub_j"), col("cent_id").as("code"),
+        dot(col("sub_emb"), col("cent_emb"), subDim).as("d"))
+
+    val qnorms = queries.select(col("vec_id").as("query_id"),
+      norm(col("embedding")).as("qn"))
+
+    val scored = codes.join(dots, Seq("sub_j", "code"))
+      .filter(col("query_id") =!= col("nid"))
+      .groupBy("query_id", "nid")
+      .agg(graft.engine.Aggregates.sumExact(col("d"), 12).as("ad"),
+        graft.engine.Aggregates.sumExact(col("dd"), 12).as("rn2"))
+      .join(broadcast(qnorms), Seq("query_id"))
+      .withColumn("approx_cosine",
+        when(col("qn") === 0.0 || col("rn2") <= 0.0, 0.0)
+          .otherwise(col("ad") / (col("qn") * sqrt(col("rn2")))))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        col("approx_cosine"), col("rank"))
+  }
+
+  /** Oracle twin of [[pqTopK]] (`embeddings` hard-wired, queries =
+    * `vec_id < 10` — the q28 convention). */
+  def pqTopKSql(k: Int, m: Int, subDim: Int, initStride: Long,
+      iters: Int): String = {
+    def sub(j: Int) = s"embedding[${j * subDim + 1}:${(j + 1) * subDim}]"
+    val chains = (0 until m).map { j =>
+      Clustering.kmeansCentsSql(initStride, iters,
+        from = s"(SELECT vec_id, ${sub(j)} AS emb FROM embeddings)",
+        idCol = "vec_id", embCol = "emb", prefix = s"s${j}_", dim = subDim)
+    }.mkString(",\n")
+    val cbUnion = (0 until m).map(j =>
+      s"SELECT $j AS sub_j, cent_id, cent_emb FROM s${j}_cents")
+      .mkString(" UNION ALL ")
+    val subsUnion = (0 until m).map(j =>
+      s"SELECT vec_id, $j AS sub_j, ${sub(j)} AS sub_emb FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"""WITH
+       |$chains,
+       |codebook AS ($cbUnion),
+       |subs AS ($subsUnion),
+       |codes AS (
+       |  SELECT vec_id AS nid, sub_j, cent_id AS code, dd FROM (
+       |    SELECT s.vec_id, s.sub_j, c.cent_id,
+       |      ${Sql.dotDim("c.cent_emb", "c.cent_emb", subDim)} AS dd,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_j
+       |        ORDER BY ${Sql.cosineDim("s.sub_emb", "c.cent_emb", subDim)} DESC,
+       |          c.cent_id) AS r
+       |    FROM subs s JOIN codebook c USING (sub_j)) t WHERE r = 1),
+       |qsubs AS (SELECT vec_id AS query_id, sub_j, sub_emb FROM subs
+       |          WHERE vec_id < 10),
+       |dots AS (
+       |  SELECT query_id, q.sub_j, cent_id AS code,
+       |    ${Sql.dotDim("q.sub_emb", "c.cent_emb", subDim)} AS d
+       |  FROM qsubs q JOIN codebook c USING (sub_j)),
+       |qnorms AS (SELECT vec_id AS query_id,
+       |    sqrt(${Sql.dotDim("embedding", "embedding", m * subDim)}) AS qn
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, nid,
+       |    CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) AS ad,
+       |    CAST(SUM(CAST(dd AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+       |  FROM codes JOIN dots USING (sub_j, code)
+       |  WHERE query_id != nid GROUP BY 1, 2),
+       |cosed AS (
+       |  SELECT query_id, nid,
+       |    CASE WHEN qn = 0.0 OR rn2 <= 0.0 THEN 0.0
+       |         ELSE ad / (qn * sqrt(rn2)) END AS approx_cosine
+       |  FROM scored JOIN qnorms USING (query_id))
+       |SELECT query_id, nid AS neighbor_id, approx_cosine,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx_cosine DESC, nid) AS rank FROM cosed) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Symmetric int8 quantization of the embedding tier — the storage

@@ -207,4 +207,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got == coCelled,
       s"missed co-celled pairs: ${coCelled.diff(got).take(5)}")
   }
+
+  test("pqTopK: recall@5 >= 0.5 vs brute force, bit-deterministic across runs") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 10)
+    def run() = Similarity.pqTopK(queries, emb, k = 5, m = 16, subDim = 4,
+        initStride = 3, iters = 1)
+      .select("query_id", "neighbor_id", "approx_cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = run()
+    // Deterministic end to end: stride init + decimal means + exact-
+    // decimal ADC accumulators — a second run is bit-identical.
+    assert(got == run())
+    val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val mine = got.toSeq.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recall = truth.map { case (q, t) =>
+      mine.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.5, s"PQ recall@5 degraded: $mean (per-query $recall)")
+  }
 }
