@@ -253,6 +253,17 @@ object SparkEntry {
           "mean_r", "mean_g", "mean_b")
         .orderBy("media_id")),
 
+    // Audio modality: real javax.sound WAV parse (RIFF/fmt/data, PCM16)
+    // over synthesized square-wave payloads — same mapPartitions codec
+    // slot and corrupt-quarantine contract as the PNG path (q30).
+    "q118_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeAudio(s,
+          Multimodal.wavMediaFromDocuments(s, Tables.documents(s, dir)))
+        .toDF()
+        .select("media_id", "media_type", "status", "sample_rate",
+          "n_samples", "mean_abs", "peak")
+        .orderBy("media_id")),
+
     // A1 — multi-file CSV ingest: write a two-file CSV fixture from
     // lineitem, re-read it with an explicit schema + column whitelist
     // (the reference's usecols), and check the round-trip against the
@@ -1464,6 +1475,9 @@ object SparkEntry {
 
     "q30_media_decode" ->
       (Multimodal.decodeSql + "\nORDER BY media_id"),
+
+    "q118_audio_decode" ->
+      (Multimodal.decodeAudioSql + "\nORDER BY media_id"),
 
     // CSV round-trips are exact (Double.toString ↔ parseDouble, ISO
     // dates), so the oracle reads the parquet source directly.

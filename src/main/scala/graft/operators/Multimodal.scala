@@ -126,6 +126,105 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Decoded audio metadata + quarantine status; nulls iff corrupt. */
+  case class DecodedAudio(media_id: Long, media_type: String, n_bytes: Int,
+      status: String, sample_rate: Option[Int], n_samples: Option[Long],
+      mean_abs: Option[Double], peak: Option[Int])
+
+  private[graft] def isCorruptAudio(id: Long): Boolean = id % 41 == 0
+
+  /** Closed-form audio spec of a fixture id: `(nSamples, amplitude)` —
+    * a ±A square wave (period 4 samples) at 8 kHz mono PCM16, so the
+    * decoded mean |sample| is EXACTLY A and the peak is exactly A. */
+  private[graft] def audioSpecOf(id: Long): (Int, Int) =
+    ((800 + java.lang.Math.floorMod(id * 3, 1600)).toInt,
+      (1000 + java.lang.Math.floorMod(id * 7, 30000)).toInt)
+
+  /** Real WAV bytes (RIFF/fmt/data, PCM16 LE) for a fixture id, written
+    * by the JDK's own `javax.sound.sampled` encoder. */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (n, amp) = audioSpecOf(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if ((i / 4) % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Media table of WAV payloads from `documents`; corrupt slots keep
+    * only the first 8 header bytes. */
+  def wavMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val wav = encodeWav(id)
+      MediaRow(id, if (isCorruptAudio(id)) wav.take(8) else wav, "audio/wav")
+    })
+  }
+
+  /** Partition-batched REAL audio decode: `AudioSystem.getAudioInputStream`
+    * parses the RIFF/fmt/data chunks, the PCM16 LE frames are drained and
+    * summed (exact integer sums — mean |sample| is one double division).
+    * Same quarantine contract as [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        def corrupt = DecodedAudio(r.media_id, r.media_type,
+          r.content.length, "corrupt", None, None, None, None)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || n == 0)
+            corrupt
+          else {
+            var sumAbs = 0L; var peak = 0
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+              val a = math.abs(s)
+              sumAbs += a
+              if (a > peak) peak = a
+              i += 1
+            }
+            DecodedAudio(r.media_id, r.media_type, r.content.length, "ok",
+              Some(fmt.getSampleRate.toInt), Some(n.toLong),
+              Some(sumAbs.toDouble / n), Some(peak))
+          }
+        } catch { case scala.util.control.NonFatal(_) => corrupt }
+      }
+    }
+  }
+
+  /** Oracle twin of the WAV encode+decode — PCM16 is lossless, so the
+    * decoded mean |sample| and peak are exactly the fixture amplitude
+    * (n_bytes excluded: WAV container overhead is not SQL-expressible). */
+  val decodeAudioSql: String =
+    s"""SELECT doc_id AS media_id, 'audio/wav' AS media_type,
+       |  CASE WHEN doc_id % 41 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+       |  CASE WHEN doc_id % 41 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+       |  CASE WHEN doc_id % 41 = 0 THEN NULL
+       |    ELSE CAST(800 + doc_id * 3 % 1600 AS BIGINT) END AS n_samples,
+       |  CASE WHEN doc_id % 41 = 0 THEN NULL
+       |    ELSE CAST(1000 + doc_id * 7 % 30000 AS DOUBLE) END AS mean_abs,
+       |  CASE WHEN doc_id % 41 = 0 THEN NULL
+       |    ELSE CAST(1000 + doc_id * 7 % 30000 AS INTEGER) END AS peak
+       |FROM documents""".stripMargin
+
   /** Oracle twin of encode+decode over `documents` — replays the fixture
     * spec analytically: PNG is lossless, so the decoded pixel sums equal
     * the closed forms exactly, and both engines perform the identical

@@ -63,4 +63,42 @@ class MultimodalSpec extends SparkSpec {
     assert(ok.mean_b.contains((0xff + 0x30 + 0x60 + 0x90) / 6.0))
     assert(got(2L).status == "corrupt", "garbage bytes must quarantine, not throw")
   }
+
+  test("audio decode: real WAV parse matches the fixture spec; corrupt rows quarantined") {
+    import spark.implicits._
+    val docs = Seq(41L, 42L, 43L).toDF("doc_id") // 41 is the corrupt slot
+    val got = Multimodal.decodeAudio(spark,
+        Multimodal.wavMediaFromDocuments(spark, docs))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(got(41L).status == "corrupt" &&
+      got(41L).sample_rate.isEmpty && got(41L).mean_abs.isEmpty)
+    for (id <- Seq(42L, 43L)) {
+      val (n, amp) = Multimodal.audioSpecOf(id)
+      val d = got(id)
+      assert(d.status == "ok" && d.sample_rate.contains(8000))
+      assert(d.n_samples.contains(n.toLong))
+      // Square wave: every sample is ±amp — mean |s| and peak are exact.
+      assert(d.mean_abs.contains(amp.toDouble), s"id=$id got ${d.mean_abs}")
+      assert(d.peak.contains(amp))
+    }
+  }
+
+  test("the audio decoder is a real codec: hand-built WAV bytes yield true sample stats") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 4 samples: 100, -200, 300, -400 → mean_abs 250, peak 400.
+    val samples = Seq(100, -200, 300, -400)
+    val pcm = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm),
+      new AudioFormat(8000f, 16, 1, true, false), 4L),
+      AudioFileFormat.Type.WAVE, out)
+    val media = Seq(Multimodal.MediaRow(7L, out.toByteArray, "audio/wav"))
+      .toDS()
+    val d = Multimodal.decodeAudio(spark, media).collect().head
+    assert(d.status == "ok" && d.n_samples.contains(4L))
+    assert(d.mean_abs.contains(250.0) && d.peak.contains(400))
+  }
 }
