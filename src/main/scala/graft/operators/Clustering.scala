@@ -108,17 +108,23 @@ object Clustering {
     * replay chains stay valid. Driver state: groups × k × dim floats. */
   def kmeansCentroidsGrouped(corpus: DataFrame, grpCol: String,
       idCol: String, embCol: String, initStride: Long, iters: Int,
-      dim: Int): DataFrame = {
+      dim: Int, initCap: Long = Long.MaxValue): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(initStride >= 1, s"initStride must be >= 1, got $initStride")
-    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(iters >= 0, s"iters >= 0, got $iters")
+    require(initCap >= 1, s"initCap must be >= 1, got $initCap")
     val proj = corpus.select(col(grpCol).cast("int").as("_g"),
       col(idCol).cast("long").as("_id"), col(embCol).as("_e")).persist()
     proj.count()
     try {
+      // `initCap` bounds k independently of corpus size (seed ids below
+      // stride·cap): a stride-only init grows k linearly with the data,
+      // which turns every downstream vector×centroid pass quadratic.
       var cents: Seq[(Int, Long, Seq[Float])] = proj
-        .filter(col("_id") % initStride === 0)
+        .filter(col("_id") % initStride === 0 &&
+          (if (initCap == Long.MaxValue) lit(true)
+           else col("_id") < lit(initStride * initCap)))
         .as[(Int, Long, Seq[Float])].collect().toSeq
         .sortBy(t => (t._1, t._2))
       require(cents.nonEmpty, "initStride selected no init centroids")
@@ -159,12 +165,15 @@ object Clustering {
   def kmeansCentsSql(initStride: Long, iters: Int,
       from: String = "embeddings", idCol: String = "vec_id",
       embCol: String = "embedding", prefix: String = "",
-      dim: Int = Similarity.Dim): String = {
+      dim: Int = Similarity.Dim, initCap: Long = Long.MaxValue): String = {
     val p = prefix
+    val cap =
+      if (initCap == Long.MaxValue) ""
+      else s" AND $idCol < ${initStride * initCap}"
     val init =
       s"""${p}cents0 AS (
          |  SELECT $idCol AS cent_id, $embCol AS cent_emb
-         |  FROM $from WHERE $idCol % $initStride = 0)""".stripMargin
+         |  FROM $from WHERE $idCol % $initStride = 0$cap)""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""${p}asg$r AS (
          |  SELECT $idCol, $embCol, cent_id FROM (

@@ -383,7 +383,8 @@ object Similarity {
     * rows joined against (corpus × m) code rows — no full-dimension
     * arithmetic per pair. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
-      subDim: Int, initStride: Long, iters: Int): DataFrame = {
+      subDim: Int, initStride: Long, iters: Int,
+      maxCodebook: Long = 128): DataFrame = {
 
     def subVectors(df: DataFrame, idOut: String): DataFrame =
       (0 until m).map { j =>
@@ -395,9 +396,12 @@ object Similarity {
     // Lloyd round for all m subspaces ([[Clustering.kmeansCentroidsGrouped]]),
     // not m driver loops. cent_id is the seed vector's id, unique only
     // within a subspace — every downstream join keys on (sub_j, id).
+    // maxCodebook caps k per subspace: PQ's whole scale contract is a
+    // FIXED codebook (encode O(n·m·k)); uncapped stride init grows k
+    // with the corpus and the encode pass goes quadratic.
     val codebook = Clustering.kmeansCentroidsGrouped(
       subVectors(corpus, "vec_id"), "sub_j", "vec_id", "sub_emb",
-      initStride, iters, subDim)
+      initStride, iters, subDim, maxCodebook)
 
     // Encode, carrying the assigned centroid's self-dot: the
     // reconstructed vector's squared norm is the sum of its codes'
@@ -443,12 +447,13 @@ object Similarity {
   /** Oracle twin of [[pqTopK]] (`embeddings` hard-wired, queries =
     * `vec_id < 10` — the q28 convention). */
   def pqTopKSql(k: Int, m: Int, subDim: Int, initStride: Long,
-      iters: Int): String = {
+      iters: Int, maxCodebook: Long = 128): String = {
     def sub(j: Int) = s"embedding[${j * subDim + 1}:${(j + 1) * subDim}]"
     val chains = (0 until m).map { j =>
       Clustering.kmeansCentsSql(initStride, iters,
         from = s"(SELECT vec_id, ${sub(j)} AS emb FROM embeddings)",
-        idCol = "vec_id", embCol = "emb", prefix = s"s${j}_", dim = subDim)
+        idCol = "vec_id", embCol = "emb", prefix = s"s${j}_", dim = subDim,
+        initCap = maxCodebook)
     }.mkString(",\n")
     val cbUnion = (0 until m).map(j =>
       s"SELECT $j AS sub_j, cent_id, cent_emb FROM s${j}_cents")
