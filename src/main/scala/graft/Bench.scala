@@ -104,6 +104,11 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Locale-pinned 2-decimal render: the f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale (de_DE, fr_FR, …) would
+    // turn the one parseable stdout JSON line into garbage.
+    def n2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = results.values.map(_._1).filter(_ >= 0).sum
     def tiersJson(fmt: Double => String): String =
       results.toSeq.groupBy { case (k, _) => tierOf(k) }
@@ -132,7 +137,7 @@ object Bench {
     val fullErrJson =
       if (fullErrs.isEmpty) "" else fullErrs.mkString(""","errors":{""", ",", "}")
     val fullFlagged = flaggedFull.map { case (k, sec, m) =>
-      jstr(k) + ":" + f"""{"sec":$sec,"median":$m,"ratio":${sec / m}%.2f}"""
+      jstr(k) + ":" + s"""{"sec":$sec,"median":$m,"ratio":${n2(sec / m)}}"""
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullErrJson,""" +
@@ -151,18 +156,18 @@ object Bench {
     // stderr/file writes so nothing can push it out of the tail window.
     def short(name: String): String = name.takeWhile(_ != '_')
     val compactQs = results.map { case (k, (v, _)) =>
-      jstr(short(k)) + ":" + (if (v < 0) "-1" else f"$v%.2f") }
+      jstr(short(k)) + ":" + (if (v < 0) "-1" else n2(v)) }
       .mkString("{", ",", "}")
     val compactErrs = results.collect { case (k, (_, Some(e))) =>
       jstr(short(k)) + ":" + jstr(e.take(40)) }
     val compactErrJson =
       if (compactErrs.isEmpty) "" else compactErrs.mkString(""","errors":{""", ",", "}")
     val compactFlagged = flaggedFull.map { case (k, sec, m) =>
-      jstr(short(k)) + ":" + f"${sec / m}%.2f"
+      jstr(short(k)) + ":" + n2(sec / m)
     }.mkString("{", ",", "}")
     val compactLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$compactQs$compactErrJson,""" +
-        s""""tiers":${tiersJson(v => f"$v%.2f")},"flagged":$compactFlagged,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${n2(total)},"unit":"sec","queries":$compactQs$compactErrJson,""" +
+        s""""tiers":${tiersJson(n2)},"flagged":$compactFlagged,"sf":"$sfDir"}"""
     System.out.flush(); System.err.flush()
     println(compactLine)
     System.out.flush()

@@ -576,7 +576,9 @@ object SparkEntry {
           to_date(col("eff_from")).as("eff_from"),
           to_date(col("eff_to")).as("eff_to"),
           col("is_current"))
-        .orderBy("o_custkey", "eff_from")),
+        // status in the sort: same-day different-status orders make
+        // (custkey, eff_from) alone ambiguous (177 such groups at sf0.1).
+        .orderBy("o_custkey", "eff_from", "o_orderstatus")),
 
     // Multi-way OLAP rollup (TPC-H Q5 shape): 5-table join, broadcast
     // dims, shuffled fact joins, exact-decimal revenue.
@@ -618,9 +620,14 @@ object SparkEntry {
       Tables.events(s, dir)
         .select(col("event_type"),
           expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
-        .groupBy(col("event_type"), expr("CAST(k DIV 10 AS INT)").as("bucket"))
+        // FLOOR division, spelled as such on both engines: Spark's DIV
+        // truncates toward zero but DuckDB's // floors — they disagree
+        // on negative k, and "the payload never goes negative" is
+        // exactly the kind of testdata property a regen breaks.
+        .groupBy(col("event_type"),
+          expr("CAST(FLOOR(k / 10.0) AS INT)").as("bucket"))
         .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
-        .orderBy("event_type", "bucket")),
+        .orderBy(col("event_type"), col("bucket").asc_nulls_first)),
 
     // UNPIVOT/melt (Dataset.unpivot): wide measures → long (metric, value)
     // rows — the inverse of pivot (q50), one Expand projection, no join.
@@ -1687,7 +1694,7 @@ object SparkEntry {
          |SELECT o_custkey, o_orderstatus,
          |  CAST(eff_from AS DATE) AS eff_from,
          |  CAST(eff_to AS DATE) AS eff_to, is_current
-         |FROM scd ORDER BY o_custkey, eff_from""".stripMargin,
+         |FROM scd ORDER BY o_custkey, eff_from, o_orderstatus""".stripMargin,
 
     "q109_regional_revenue" ->
       (StarSchema.regionalRevenueSql("ASIA", 1997) +
@@ -1703,11 +1710,12 @@ object SparkEntry {
          |ORDER BY status, priority""".stripMargin,
 
     "q112_variant_extract" ->
-      s"""SELECT event_type, CAST(k // 10 AS INTEGER) AS bucket,
+      s"""SELECT event_type, CAST(FLOOR(k / 10.0) AS INTEGER) AS bucket,
          |  COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum
          |FROM (SELECT event_type,
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) t
-         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+         |GROUP BY 1, 2
+         |ORDER BY event_type, bucket NULLS FIRST""".stripMargin,
 
     // The oracle is the CORRECT aggregate: static overwrite loses months,
     // append doubles month 6 — only per-partition replacement matches.

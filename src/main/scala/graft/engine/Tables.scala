@@ -40,10 +40,16 @@ object Tables {
     * native read fails on NANOS, so it is not a session-wide side effect for
     * directories that don't need it. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Walk the cause chain: the illegal-Parquet-type error can arrive
+    // wrapped (driver-side analysis vs task-side read), and the outer
+    // message may not carry the type name.
+    def mentionsNanos(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(c => String.valueOf(c.getMessage).contains("NANOS"))
     val raw =
       try table(s, d, "events")
       catch {
-        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        case e: Exception if mentionsNanos(e) =>
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           table(s, d, "events")
       }

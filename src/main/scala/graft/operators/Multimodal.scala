@@ -189,7 +189,14 @@ object Multimodal {
           val fmt = ais.getFormat
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
-          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || n == 0)
+          // The manual frame loop below assumes signed little-endian
+          // PCM16 mono; anything else (big-endian AIFF, unsigned PCM)
+          // parses fine in AudioSystem but would decode to silently
+          // WRONG stats — quarantine it, per the contract: corrupt or
+          // correct, never plausible garbage.
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.isBigEndian || n == 0)
             corrupt
           else {
             var sumAbs = 0L; var peak = 0
