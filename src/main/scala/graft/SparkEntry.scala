@@ -705,6 +705,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Key-skew profile: the heaviest customer keys with share + skew
+    // factor — the diagnostic that decides salting/skew-join strategy.
+    "q119_key_skew" -> ((s, dir) =>
+      graft.operators.Profiling.keySkew(Tables.orders(s, dir),
+        "o_custkey", topN = 20)),
+
+    // Approximate monthly counts from the deterministic content sample
+    // (1/8 of the data, exact integer scale-up) — AQP you can
+    // regression-test, since the sample is a pure function of the key.
+    "q120_approx_count" -> ((s, dir) =>
+      Sampling.approxGroupCount(Tables.lineitem(s, dir),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        Seq(month(col("l_shipdate")).cast("int").as("month")),
+        keepBuckets = 128)
+        .orderBy("month")),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1729,6 +1745,18 @@ object SparkEntry {
     "q116_incremental_ingest" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q119_key_skew" ->
+      graft.operators.Profiling.keySkewSql("orders", "o_custkey", topN = 20),
+
+    "q120_approx_count" ->
+      s"""SELECT CAST(month(l_shipdate) AS INTEGER) AS month,
+         |  COUNT(*) AS n_sampled, CAST(COUNT(*) * 8 AS BIGINT) AS n_est
+         |FROM lineitem
+         |WHERE ${Sampling.bucketSql(
+               "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)",
+               1024)} < 128
+         |GROUP BY 1 ORDER BY month""".stripMargin,
 
     "q117_pq_topk" -> Similarity.pqTopKSql(k = 5, m = 16, subDim = 4,
       initStride = 3, iters = 1),

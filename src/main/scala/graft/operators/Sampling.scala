@@ -65,6 +65,27 @@ object Sampling {
       nBuckets: Int = 1024): DataFrame =
     df.filter(bucket(col(textCol), nBuckets) < keepBuckets)
 
+  /** Approximate group counts from the deterministic content sample —
+    * approximate query processing with EXACT replayability: the sample
+    * is a pure function of the key ([[bucket]] < keepBuckets), so the
+    * "approximate" answer is itself deterministic across runs, engines
+    * and cluster sizes — an estimate you can regression-test, unlike
+    * `TABLESAMPLE`. The scan reads keepBuckets/nBuckets of the data
+    * (with the bucket filter evaluated on the codegen'd hash, rows drop
+    * before the agg exchange) and the estimate is the exact integer
+    * scale-up `n_sampled · (nBuckets / keepBuckets)`. */
+  def approxGroupCount(df: DataFrame, sampleKey: Column,
+      groupCols: Seq[Column], keepBuckets: Int,
+      nBuckets: Int = 1024): DataFrame = {
+    require(keepBuckets > 0 && nBuckets % keepBuckets == 0,
+      s"nBuckets ($nBuckets) must be a multiple of keepBuckets ($keepBuckets)")
+    val scale = nBuckets / keepBuckets
+    df.filter(bucket(sampleKey, nBuckets) < keepBuckets)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_sampled"))
+      .withColumn("n_est", col("n_sampled") * lit(scale.toLong))
+  }
+
   /** SQL twin (DuckDB): `md5_number_upper` is bit-identical to
     * [[contentHash64]]; `& (nBuckets-1)` matches on the low bits
     * regardless of signedness. */

@@ -114,4 +114,52 @@ class SamplingSpec extends SparkSpec {
     assert(picked.exceptAll(again).count() == 0)
     assert(again.exceptAll(picked).count() == 0)
   }
+
+  test("approxGroupCount: estimates within 15% of exact, bit-deterministic") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+    def run() = Sampling.approxGroupCount(li, key,
+        Seq(month(col("l_shipdate")).cast("int").as("month")),
+        keepBuckets = 128)
+      .as[(Int, Long, Long)].collect()
+      .map { case (m, s, e) => m -> (s, e) }.toMap
+    val est = run()
+    assert(est == run(), "hash-keyed sample must be exactly reproducible")
+    val exact = li.groupBy(month(col("l_shipdate")).cast("int").as("month"))
+      .count().as[(Int, Long)].collect().toMap
+    // Error bounds sized to the fixture: ~470 rows/month at sf0.001, so a
+    // 1/8 sample holds ~60 rows → ~12% stderr per month (50% is >4σ);
+    // the TOTAL pools ~6k rows → ~3% stderr (10% is >3σ).
+    exact.foreach { case (m, n) =>
+      val e = est(m)._2.toDouble
+      assert(math.abs(e - n) / n <= 0.5,
+        s"month $m: estimate $e vs exact $n off by ${(e - n) / n}")
+    }
+    val totalExact = exact.values.sum.toDouble
+    val totalEst = est.values.map(_._2).sum.toDouble
+    assert(math.abs(totalEst - totalExact) / totalExact <= 0.10,
+      s"total estimate $totalEst vs exact $totalExact")
+    // n_est is the exact integer scale-up of the sampled count.
+    est.values.foreach { case (s, e) => assert(e == s * 8) }
+  }
+
+  test("keySkew: shares sum to <=1 over topN, skew factors exact") {
+    import spark.implicits._
+    val got = graft.operators.Profiling.keySkew(
+      Tables.orders(spark, sf), "o_custkey", topN = 10)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 10)
+    // Ordered by count desc; each skew factor is cnt·nKeys/total exactly.
+    assert(got.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+    val counts = Tables.orders(spark, sf).groupBy("o_custkey").count()
+      .as[(Long, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    val nKeys = counts.size.toLong
+    got.foreach { case (k, cnt, share, skew) =>
+      assert(cnt == counts(k))
+      assert(share == cnt / total)
+      assert(skew == (cnt * nKeys) / total)
+    }
+  }
 }
