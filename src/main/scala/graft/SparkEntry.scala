@@ -721,6 +721,17 @@ object SparkEntry {
         keepBuckets = 128)
         .orderBy("month")),
 
+    // IVF-PQ composite ANN: trained coarse cells pick candidates
+    // (nProbe probe), PQ codes score them (ADC) — the production
+    // billion-vector architecture, both trainings SQL-replayed.
+    "q121_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        cellStride = 53, cellIters = 1, nProbe = 3,
+        m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1760,6 +1771,10 @@ object SparkEntry {
 
     "q117_pq_topk" -> Similarity.pqTopKSql(k = 5, m = 16, subDim = 4,
       initStride = 3, iters = 1),
+
+    "q121_ivfpq_topk" -> Similarity.ivfPqTopKSql(k = 5,
+      cellStride = 53, cellIters = 1, nProbe = 3,
+      m = 16, subDim = 4, pqStride = 3, pqIters = 1),
 
     "q114_stream_static" ->
       s"""WITH dim AS (SELECT user_id,

@@ -385,6 +385,23 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
       subDim: Int, initStride: Long, iters: Int,
       maxCodebook: Long = 128): DataFrame = {
+    val (codes, dots, qnorms) =
+      pqParts(queries, corpus, m, subDim, initStride, iters, maxCodebook)
+    // All-pairs ADC: every (query, corpus) pair meets on its (subspace,
+    // code) table rows.
+    val pairs = codes.join(dots, Seq("sub_j", "code"))
+      .filter(col("query_id") =!= col("nid"))
+    rankAdc(pairs, qnorms, k)
+  }
+
+  /** The shared PQ machinery: trained codebooks → corpus codes (+ the
+    * assigned centroid self-dots), the query ADC dot table, and query
+    * norms. Returns `(codes(nid, sub_j, code, dd), dots(query_id, sub_j,
+    * code, d), qnorms(query_id, qn))` for [[pqTopK]] (all-pairs ADC) and
+    * [[ivfPqTopK]] (candidate-restricted ADC). */
+  private def pqParts(queries: DataFrame, corpus: DataFrame, m: Int,
+      subDim: Int, initStride: Long, iters: Int, maxCodebook: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
 
     def subVectors(df: DataFrame, idOut: String): DataFrame =
       (0 until m).map { j =>
@@ -399,8 +416,13 @@ object Similarity {
     // maxCodebook caps k per subspace: PQ's whole scale contract is a
     // FIXED codebook (encode O(n·m·k)); uncapped stride init grows k
     // with the corpus and the encode pass goes quadratic.
+    // The exploded (vector × subspace) frame feeds BOTH the trainer and
+    // the encode pass; materialized once so the m-way union of corpus
+    // scans happens one time, not once per consumer.
+    val corpusSubs = graft.engine.Caches.materialized(
+      subVectors(corpus, "vec_id"))
     val codebook = Clustering.kmeansCentroidsGrouped(
-      subVectors(corpus, "vec_id"), "sub_j", "vec_id", "sub_emb",
+      corpusSubs, "sub_j", "vec_id", "sub_emb",
       initStride, iters, subDim, maxCodebook)
 
     // Encode, carrying the assigned centroid's self-dot: the
@@ -408,7 +430,7 @@ object Similarity {
     // `dot(c,c)` (subspaces are orthogonal coordinate blocks), so the
     // metric can be approximate COSINE — ranking by raw approximate dot
     // against a cosine ground truth collapses when corpus norms vary.
-    val codes = subVectors(corpus, "nid")
+    val codes = corpusSubs.withColumnRenamed("vec_id", "nid")
       .join(broadcast(codebook), Seq("sub_j"))
       .withColumn("sim", cosine(col("sub_emb"), col("cent_emb"), subDim))
       .groupBy("nid", "sub_j")
@@ -426,8 +448,15 @@ object Similarity {
     val qnorms = queries.select(col("vec_id").as("query_id"),
       norm(col("embedding")).as("qn"))
 
-    val scored = codes.join(dots, Seq("sub_j", "code"))
-      .filter(col("query_id") =!= col("nid"))
+    (codes, dots, qnorms)
+  }
+
+  /** ADC scoring + top-k: exact-decimal per-pair sums of the m lookup
+    * rows, approximate cosine via the reconstructed norm, total-ordered
+    * window cut. `pairs` must carry (query_id, nid, d, dd). */
+  private def rankAdc(pairs: DataFrame, qnorms: DataFrame,
+      k: Int): DataFrame = {
+    val scored = pairs
       .groupBy("query_id", "nid")
       .agg(graft.engine.Aggregates.sumExact(col("d"), 12).as("ad"),
         graft.engine.Aggregates.sumExact(col("dd"), 12).as("rn2"))
@@ -435,7 +464,6 @@ object Similarity {
       .withColumn("approx_cosine",
         when(col("qn") === 0.0 || col("rn2") <= 0.0, 0.0)
           .otherwise(col("ad") / (col("qn") * sqrt(col("rn2")))))
-
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -444,10 +472,49 @@ object Similarity {
         col("approx_cosine"), col("rank"))
   }
 
+  /** IVF-PQ composite ANN — the production architecture (coarse cells
+    * for CANDIDATE SELECTION, PQ codes for SCORING): queries probe their
+    * `nProbe` nearest trained cells, and only the co-celled candidates
+    * are ADC-scored from the m-code representation. At scale this is
+    * the pairing that makes billion-vector search tractable — the cell
+    * probe cuts candidates to nProbe/k_cells of the corpus, and scoring
+    * each survivor costs m table lookups instead of a full-dimension
+    * dot product; the corpus's stored state is one cell id + m codes
+    * per vector. Both stages reuse their standalone machinery
+    * ([[ivfTopKWith]]'s assignment, [[pqTopK]]'s parts), and the whole
+    * pipeline — two trainings included — replays in SQL. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cellStride: Long, cellIters: Int, nProbe: Int,
+      m: Int, subDim: Int, pqStride: Long, pqIters: Int,
+      maxCodebook: Long = 128): DataFrame = {
+    val cents = Clustering.kmeansCentroids(corpus, "vec_id", "embedding",
+      cellStride, cellIters)
+    val assign = assignCells(cents) _
+    val corpusCells = assign(
+      corpus.select(col("vec_id").as("nid"), col("embedding").as("c_emb")),
+      "nid", "c_emb", 1).select("nid", "cent_id")
+    val queryCells = assign(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", nProbe).select("query_id", "cent_id")
+    // (query, nid) candidate pairs are structurally unique: each corpus
+    // vector lives in exactly one cell (keep=1).
+    val cands = corpusCells.join(queryCells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("nid"))
+      .select("query_id", "nid")
+    val (codes, dots, qnorms) =
+      pqParts(queries, corpus, m, subDim, pqStride, pqIters, maxCodebook)
+    val pairs = cands
+      .join(codes, Seq("nid"))
+      .join(dots, Seq("query_id", "sub_j", "code"))
+    rankAdc(pairs, qnorms, k)
+  }
+
   /** Oracle twin of [[pqTopK]] (`embeddings` hard-wired, queries =
     * `vec_id < 10` — the q28 convention). */
-  def pqTopKSql(k: Int, m: Int, subDim: Int, initStride: Long,
-      iters: Int, maxCodebook: Long = 128): String = {
+  /** The shared PQ CTE fragment (chains, codebook, subs, codes, qsubs,
+    * dots, qnorms) — spliced into [[pqTopKSql]] and [[ivfPqTopKSql]]. */
+  private def pqCtesSql(m: Int, subDim: Int, initStride: Long,
+      iters: Int, maxCodebook: Long): String = {
     def sub(j: Int) = s"embedding[${j * subDim + 1}:${(j + 1) * subDim}]"
     val chains = (0 until m).map { j =>
       Clustering.kmeansCentsSql(initStride, iters,
@@ -461,8 +528,7 @@ object Similarity {
     val subsUnion = (0 until m).map(j =>
       s"SELECT vec_id, $j AS sub_j, ${sub(j)} AS sub_emb FROM embeddings")
       .mkString(" UNION ALL ")
-    s"""WITH
-       |$chains,
+    s"""$chains,
        |codebook AS ($cbUnion),
        |subs AS ($subsUnion),
        |codes AS (
@@ -481,14 +547,13 @@ object Similarity {
        |  FROM qsubs q JOIN codebook c USING (sub_j)),
        |qnorms AS (SELECT vec_id AS query_id,
        |    sqrt(${Sql.dotDim("embedding", "embedding", m * subDim)}) AS qn
-       |  FROM embeddings WHERE vec_id < 10),
-       |scored AS (
-       |  SELECT query_id, nid,
-       |    CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) AS ad,
-       |    CAST(SUM(CAST(dd AS DECIMAL(28,12))) AS DOUBLE) AS rn2
-       |  FROM codes JOIN dots USING (sub_j, code)
-       |  WHERE query_id != nid GROUP BY 1, 2),
-       |cosed AS (
+       |  FROM embeddings WHERE vec_id < 10)""".stripMargin
+  }
+
+  /** The shared ADC-scoring tail over a `scored(query_id, nid, ad, rn2)`
+    * CTE already present in scope. */
+  private def rankAdcSql(k: Int): String =
+    s"""cosed AS (
        |  SELECT query_id, nid,
        |    CASE WHEN qn = 0.0 OR rn2 <= 0.0 THEN 0.0
        |         ELSE ad / (qn * sqrt(rn2)) END AS approx_cosine
@@ -498,7 +563,53 @@ object Similarity {
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY approx_cosine DESC, nid) AS rank FROM cosed) t
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
+
+  def pqTopKSql(k: Int, m: Int, subDim: Int, initStride: Long,
+      iters: Int, maxCodebook: Long = 128): String =
+    s"""WITH
+       |${pqCtesSql(m, subDim, initStride, iters, maxCodebook)},
+       |scored AS (
+       |  SELECT query_id, nid,
+       |    CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) AS ad,
+       |    CAST(SUM(CAST(dd AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+       |  FROM codes JOIN dots USING (sub_j, code)
+       |  WHERE query_id != nid GROUP BY 1, 2),
+       |${rankAdcSql(k)}""".stripMargin
+
+  /** Oracle twin of [[ivfPqTopK]] — the full-dimension cell chain
+    * (prefix `f_`) + probe CTEs on top of the shared PQ fragment. */
+  def ivfPqTopKSql(k: Int, cellStride: Long, cellIters: Int, nProbe: Int,
+      m: Int, subDim: Int, pqStride: Long, pqIters: Int,
+      maxCodebook: Long = 128): String =
+    s"""WITH
+       |${Clustering.kmeansCentsSql(cellStride, cellIters, prefix = "f_")},
+       |corpus_cells AS (
+       |  SELECT nid, cent_id FROM (
+       |    SELECT e.vec_id AS nid, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${Sql.cosine("e.embedding", "c.cent_emb")} DESC,
+       |          c.cent_id) AS r
+       |    FROM embeddings e CROSS JOIN f_cents c) t WHERE r = 1),
+       |query_cells AS (
+       |  SELECT query_id, cent_id FROM (
+       |    SELECT e.vec_id AS query_id, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${Sql.cosine("e.embedding", "c.cent_emb")} DESC,
+       |          c.cent_id) AS r
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e
+       |      CROSS JOIN f_cents c) t WHERE r <= $nProbe),
+       |cands AS (
+       |  SELECT query_id, nid FROM corpus_cells JOIN query_cells
+       |    USING (cent_id) WHERE query_id != nid),
+       |${pqCtesSql(m, subDim, pqStride, pqIters, maxCodebook)},
+       |scored AS (
+       |  SELECT query_id, nid,
+       |    CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) AS ad,
+       |    CAST(SUM(CAST(dd AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+       |  FROM cands JOIN codes USING (nid)
+       |    JOIN dots USING (query_id, sub_j, code)
+       |  GROUP BY 1, 2),
+       |${rankAdcSql(k)}""".stripMargin
 
   /** Symmetric int8 quantization of the embedding tier — the storage
     * path: per-row scale = max |element| (double), elements mapped to

@@ -230,4 +230,45 @@ class SimilaritySpec extends SparkSpec {
     val mean = recall.sum / recall.size
     assert(mean >= 0.5, s"PQ recall@5 degraded: $mean (per-query $recall)")
   }
+
+  test("ivfPqTopK: results are co-celled candidates only, recall floor holds, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < 10)
+    def run() = Similarity.ivfPqTopK(queries, emb, k = 5,
+        cellStride = 53, cellIters = 1, nProbe = 3,
+        m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+      .select("query_id", "neighbor_id", "approx_cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = run()
+    assert(got == run(), "two trainings + ADC must be bit-deterministic")
+    // Structural candidate contract: every emitted neighbor sits in one
+    // of its query's nProbe probed cells — checked through an
+    // independent window spelling of the trained-cell assignment.
+    val cents = graft.operators.Clustering.kmeansCentroids(
+      emb, "vec_id", "embedding", 53, 1)
+    val crossed = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))))
+    val cellOf = crossed.filter(col("r") === 1)
+      .select(col("vec_id"), col("cent_id")).as[(Long, Long)].collect().toMap
+    val probed = crossed.filter(col("vec_id") < 10 && col("r") <= 3)
+      .select(col("vec_id"), col("cent_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    got.foreach { case (q, n, _, _) =>
+      assert(probed(q).contains(cellOf(n)),
+        s"neighbor $n of query $q is not in a probed cell") }
+    // Approximate-recall floor vs brute force (cell pruning × PQ error;
+    // measured 0.38 on this fixture — 0.25 margins a testdata regen).
+    val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val mine = got.toSeq.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val mean = truth.map { case (q, t) =>
+      mine.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
+      .sum / truth.size
+    assert(mean >= 0.25, s"IVF-PQ recall@5 degraded: $mean")
+  }
 }
