@@ -732,6 +732,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Rolling 7-day distinct users: sliding DISTINCT via dedup-then-
+    // offset-explode (window functions can't express it; a per-day
+    // self-join would re-scan the fact N times).
+    "q122_rolling_dau" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rollingDistinctUsers(
+        Tables.events(s, dir), windowDays = 7)
+        .orderBy("day")),
+
     // Forward as-of: the next view AT OR AFTER each purchase — the
     // mirror direction of q52 (same one-shuffle construction).
     "q103_asof_forward" -> ((s, dir) => {
@@ -1775,6 +1783,10 @@ object SparkEntry {
     "q121_ivfpq_topk" -> Similarity.ivfPqTopKSql(k = 5,
       cellStride = 53, cellIters = 1, nProbe = 3,
       m = 16, subDim = 4, pqStride = 3, pqIters = 1),
+
+    "q122_rolling_dau" ->
+      (graft.operators.EventAnalytics.rollingDistinctUsersSql(7) +
+        "\nORDER BY day"),
 
     "q114_stream_static" ->
       s"""WITH dim AS (SELECT user_id,

@@ -142,4 +142,48 @@ object EventAnalytics {
        |WHERE e3 IS NOT NULL
        |GROUP BY e1, e2, e3
        |ORDER BY n DESC, e1, e2, e3 LIMIT $k""".stripMargin
+
+  /** Rolling N-day distinct users (DAU + trailing-window WAU): sliding
+    * DISTINCT is the aggregate window functions cannot express
+    * (`count(DISTINCT) OVER` is unsupported) and a per-day self-join
+    * over raw events re-scans the fact N times. The scale-safe shape:
+    * dedup to (day, user) pairs ONCE (the fact collapses to at most
+    * users × days rows), then explode each pair to the N window-end
+    * days it contributes to — a map-side ×N of the SMALL deduped frame
+    * — and count distinct per window end. At extreme scale the exact
+    * distinct swaps for per-day HLL sketches merged across the window
+    * (q67's machinery); the windowing construction is unchanged. */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    val pairs = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = pairs.select(col("day")).distinct()
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"), col("user_id"))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      // Only observed days — the explode also lands on the windowDays-1
+      // days past the last event.
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as(s"wau$windowDays"))
+    dau.join(wau, Seq("day"))
+  }
+
+  /** Oracle spelling of [[rollingDistinctUsers]] — deliberately a
+    * DIFFERENT construction (range join instead of offset explode), so
+    * the gate checks the semantics, not the plan. */
+  def rollingDistinctUsersSql(windowDays: Int): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |days AS (SELECT DISTINCT day FROM pairs),
+       |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+       |  FROM pairs GROUP BY 1),
+       |wau AS (SELECT d.day,
+       |    CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau$windowDays
+       |  FROM days d JOIN pairs p
+       |    ON p.day BETWEEN d.day - ${windowDays - 1} AND d.day
+       |  GROUP BY 1)
+       |SELECT day, dau, wau$windowDays
+       |FROM dau JOIN wau USING (day)""".stripMargin
 }

@@ -128,4 +128,27 @@ class EventAnalyticsSpec extends SparkSpec {
         s"user $u overestimate ${est - c} beyond eps*N")
     }
   }
+
+  test("rolling distinct users: window edges inclusive, distinct within window, only observed days") {
+    import spark.implicits._
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // User 1 active days 1 and 5 (one distinct in any window holding both);
+    // user 2 active day 1 only; user 3 active day 8 (outside day-5's
+    // 7-day window [day-6, day], inside day-8's).
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(5)), (2L, ts(1)), (3L, ts(8))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.rollingDistinctUsers(ev, windowDays = 7)
+      .select(col("day").cast("string"), col("dau"), col("wau7"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set("2024-01-01", "2024-01-05", "2024-01-08"),
+      s"only observed days may appear: ${got.keySet}")
+    assert(got("2024-01-01") == (2L, 2L)) // users 1,2
+    // Day 5 window [dec 30..jan 5]: users 1 (twice, once distinct) and 2.
+    assert(got("2024-01-05") == (1L, 2L))
+    // Day 8 window [jan 2..8]: user 1 (day 5) and user 3 (day 8);
+    // day-1 activity has aged out.
+    assert(got("2024-01-08") == (1L, 2L))
+  }
 }
