@@ -129,4 +129,53 @@ object EngineProperties extends Properties("Engine") {
         .select("pid", "iid")
       got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0
     }
+
+  // Random change logs: few keys/values/timestamps so collisions (the
+  // interesting case: consecutive-same runs, same-ts ties) are common.
+  private val changeLog: Gen[List[(Long, String, Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 4L)
+      v <- Gen.oneOf("A", "B", "C")
+      ts <- Gen.choose(0L, 20L)
+      tie <- Gen.choose(0L, 1000L)
+    } yield (k, v, ts, tie)).map(_.distinctBy(r => (r._1, r._3, r._4)))
+
+  property("scd2: rows reconstruct the per-key timeline (reference replay)") =
+    forAll(changeLog, Gen.choose(1, 8)) { (log, parts) =>
+      import spark.implicits._
+      val got = graft.operators.Merge.scd2(
+        log.toDF("k", "v", "ts", "tie").repartition(parts),
+        "k", "v", "ts", "tie")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+      // Driver-side reference: sort per key by (ts, tie), collapse
+      // consecutive-same values, half-open ranges, last row current.
+      val want = log.groupBy(_._1).flatMap { case (k, rows) =>
+        val ordered = rows.sortBy(r => (r._3, r._4))
+        val changes = ordered.foldLeft(List.empty[(String, Long)]) {
+          case (acc, (_, v, ts, _)) =>
+            if (acc.headOption.exists(_._1 == v)) acc else (v, ts) :: acc
+        }.reverse
+        changes.zipAll(changes.drop(1).map(c => Some(c._2)), null, None)
+          .collect { case ((v, ts), next) =>
+            (k, v, ts, next, next.isEmpty) }
+      }.toSet
+      got == want
+    }
+
+  property("scd2: validity ranges per key never overlap and cover in order") =
+    forAll(changeLog) { log =>
+      import spark.implicits._
+      val rows = graft.operators.Merge.scd2(
+        log.toDF("k", "v", "ts", "tie"), "k", "v", "ts", "tie")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect()
+      rows.groupBy(_._1).forall { case (_, rs) =>
+        val sorted = rs.sortBy(_._3)
+        val chained = sorted.sliding(2).forall {
+          case Array(a, b) => a._4.contains(b._3)
+          case _ => true
+        }
+        val oneCurrent = rs.count(_._5) == 1
+        chained && oneCurrent && sorted.last._4.isEmpty
+      }
+    }
 }
