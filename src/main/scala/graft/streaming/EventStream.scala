@@ -341,6 +341,55 @@ object EventStream {
        |  AND v.ts <= p.ts
        |  AND v.ts >= p.ts - INTERVAL $lookbackMinutes MINUTES""".stripMargin
 
+  /** Streaming MERGE sink: each micro-batch UPSERTs into a parquet
+    * target by key ([[graft.operators.Merge.upsert]] inside
+    * `foreachBatch`) — the CDC-apply pattern every lakehouse table
+    * format runs under its streaming writer: matched keys replaced by
+    * the batch's newest row, new keys inserted, untouched keys carried
+    * forward. Within a batch the newest row per key wins (`max_by` on
+    * the order column — a micro-batch can hold several changes for one
+    * key). The read-modify-write is the parquet-without-ACID
+    * restatement; a real deployment points the same foreachBatch at a
+    * Delta/Iceberg MERGE and keeps exactly-once — here restarts replay
+    * the last batch, and the upsert being idempotent per (key, batch)
+    * makes that safe. */
+  def startUpsertSink(changes: DataFrame, path: String,
+      checkpointDir: String, key: String, orderCol: String): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cols = batch.columns.filterNot(_ == key)
+          val newest = batch.groupBy(col(key))
+            .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("_r"))
+            .select(col(key) +: cols.map(c => col(s"_r.$c").as(c)): _*)
+          val target = s"$path/current"
+          val exists = {
+            val p = new org.apache.hadoop.fs.Path(target)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          }
+          val merged =
+            if (!exists) newest
+            else graft.operators.Merge.upsert(
+              spark.read.parquet(target), newest, key)
+          // Write to a versioned dir then swap the read path last — a
+          // plain overwrite of a table being read mid-write is the
+          // lost-update hazard this avoids on object stores.
+          val staged = s"$path/staged"
+          merged.write.mode("overwrite").parquet(staged)
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(target), true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(staged),
+            new org.apache.hadoop.fs.Path(target)),
+            s"rename $staged -> $target failed")
+        }
+      }
+      .start()
+
   /** Stream-static enrichment join: each streaming event looks up its key
     * in a STATIC (batch) dimension. The stateless member of the streaming
     * join family — unlike the stream-stream join above there is NO state

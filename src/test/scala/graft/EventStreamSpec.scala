@@ -299,7 +299,34 @@ class EventStreamSpec extends SparkSpec {
       assert(!p.contains("StateStore"), s"stream-static join must hold no state:\n$p")
     } finally sink.stop()
   }
+
+  test("streaming upsert sink: latest-per-key across batches, within-batch newest wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = s"${graft.engine.Sinks.scratch}/upsert-sink-spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, root)
+    val src = MemoryStream[Chg]
+    def drain(): Unit = {
+      val q = EventStream.startUpsertSink(src.toDF(), s"$root/t",
+        s"$root/cp", key = "k", orderCol = "ver")
+      q.awaitTermination()
+    }
+    // Batch 1: keys 1, 2 — key 1 twice in ONE batch, ver 2 must win.
+    src.addData(Chg(1L, "a-v1", 1L), Chg(1L, "a-v2", 2L), Chg(2L, "b-v1", 1L))
+    drain()
+    def state(): Map[Long, (String, Long)] =
+      spark.read.parquet(s"$root/t/current").as[Chg].collect()
+        .map(c => c.k -> (c.v, c.ver)).toMap
+    assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v1", 1L)))
+    // Batch 2: key 2 updated, key 3 inserted, key 1 untouched (carried).
+    src.addData(Chg(2L, "b-v2", 2L), Chg(3L, "c-v1", 1L))
+    drain()
+    assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v2", 2L),
+      3L -> ("c-v1", 1L)))
+  }
 }
+
+case class Chg(k: Long, v: String, ver: Long)
 
 case class Vw(user_id: Long, view_id: Long, view_ts: Timestamp)
 case class Pu(user_id: Long, purchase_id: Long, purchase_ts: Timestamp)
