@@ -577,8 +577,11 @@ object SparkEntry {
           to_date(col("eff_to")).as("eff_to"),
           col("is_current"))
         // status in the sort: same-day different-status orders make
-        // (custkey, eff_from) alone ambiguous (177 such groups at sf0.1).
-        .orderBy("o_custkey", "eff_from", "o_orderstatus")),
+        // (custkey, eff_from) alone ambiguous (177 such groups at sf0.1);
+        // eff_to makes the key total — a same-day A→B→A sandwich yields
+        // two rows identical up to status but with different eff_to.
+        .orderBy(col("o_custkey"), col("eff_from"), col("o_orderstatus"),
+          col("eff_to").asc_nulls_last)),
 
     // Multi-way OLAP rollup (TPC-H Q5 shape): 5-table join, broadcast
     // dims, shuffled fact joins, exact-decimal revenue.
@@ -1729,7 +1732,9 @@ object SparkEntry {
          |SELECT o_custkey, o_orderstatus,
          |  CAST(eff_from AS DATE) AS eff_from,
          |  CAST(eff_to AS DATE) AS eff_to, is_current
-         |FROM scd ORDER BY o_custkey, eff_from, o_orderstatus""".stripMargin,
+         |FROM scd
+         |ORDER BY o_custkey, eff_from, o_orderstatus, eff_to NULLS LAST"""
+        .stripMargin,
 
     "q109_regional_revenue" ->
       (StarSchema.regionalRevenueSql("ASIA", 1997) +

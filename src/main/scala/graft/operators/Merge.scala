@@ -125,14 +125,21 @@ object Merge {
     * Catalyst plans a single Exchange+Sort and pipelines both windows
     * (asserted in MergeSpec). `tie` makes same-timestamp events ordered
     * deterministically (engine- and partitioning-independent), which an
-    * SCD build needs or re-runs disagree about who won the day. */
+    * SCD build needs or re-runs disagree about who won the day.
+    *
+    * NULL attribute values are first-class: change detection is
+    * null-safe (`IS DISTINCT FROM`), and the first event per key is
+    * identified by row position, not by `lag` returning NULL — so a
+    * NULL→X transition emits the NULL period and an X→X-with-NULLs log
+    * collapses correctly. */
   def scd2(changes: DataFrame, key: String, attr: String, ts: String,
       tie: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(key).orderBy(col(ts), col(tie))
     changes.select(col(key), col(attr), col(ts), col(tie))
       .withColumn("_prev", lag(col(attr), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attr)))
       .withColumn("eff_to", lead(col(ts), 1).over(w))
       .select(col(key), col(attr), col(ts).as("eff_from"), col("eff_to"),
         col("eff_to").isNull.as("is_current"))
@@ -144,11 +151,12 @@ object Merge {
       tie: String): String =
     s"""WITH marked AS (
        |  SELECT $key, $attr, $ts, $tie,
-       |    LAG($attr) OVER (PARTITION BY $key ORDER BY $ts, $tie) AS prev
+       |    LAG($attr) OVER (PARTITION BY $key ORDER BY $ts, $tie) AS prev,
+       |    ROW_NUMBER() OVER (PARTITION BY $key ORDER BY $ts, $tie) AS rn
        |  FROM $from),
        |chg AS (
        |  SELECT $key, $attr, $ts, $tie FROM marked
-       |  WHERE prev IS NULL OR prev <> $attr)
+       |  WHERE rn = 1 OR prev IS DISTINCT FROM $attr)
        |SELECT $key, $attr, $ts AS eff_from,
        |  LEAD($ts) OVER (PARTITION BY $key ORDER BY $ts, $tie) AS eff_to,
        |  LEAD($ts) OVER (PARTITION BY $key ORDER BY $ts, $tie) IS NULL

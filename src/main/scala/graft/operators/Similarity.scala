@@ -385,6 +385,7 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
       subDim: Int, initStride: Long, iters: Int,
       maxCodebook: Long = 128): DataFrame = {
+    requireFullCoverage(m, subDim)
     val (codes, dots, qnorms) =
       pqParts(queries, corpus, m, subDim, initStride, iters, maxCodebook)
     // All-pairs ADC: every (query, corpus) pair meets on its (subspace,
@@ -393,6 +394,16 @@ object Similarity {
       .filter(col("query_id") =!= col("nid"))
     rankAdc(pairs, qnorms, k)
   }
+
+  /** The PQ subspaces must tile the WHOLE embedding: `qnorms` runs
+    * [[norm]] over the full vector (the native kernel ignores its dim
+    * argument) while the SQL twin's norm covers only the first
+    * `m*subDim` elements — with partial coverage the two silently
+    * diverge instead of erroring. Fail loudly at plan time. */
+  private def requireFullCoverage(m: Int, subDim: Int): Unit =
+    require(m * subDim == Dim,
+      s"PQ subspaces must cover the full embedding: m=$m × subDim=$subDim" +
+        s" != Dim=$Dim (partial coverage silently diverges from the oracle)")
 
   /** The shared PQ machinery: trained codebooks → corpus codes (+ the
     * assigned centroid self-dots), the query ADC dot table, and query
@@ -487,6 +498,7 @@ object Similarity {
       cellStride: Long, cellIters: Int, nProbe: Int,
       m: Int, subDim: Int, pqStride: Long, pqIters: Int,
       maxCodebook: Long = 128): DataFrame = {
+    requireFullCoverage(m, subDim)
     val cents = Clustering.kmeansCentroids(corpus, "vec_id", "embedding",
       cellStride, cellIters)
     val assign = assignCells(cents) _

@@ -352,7 +352,18 @@ object EventStream {
     * restatement; a real deployment points the same foreachBatch at a
     * Delta/Iceberg MERGE and keeps exactly-once — here restarts replay
     * the last batch, and the upsert being idempotent per (key, batch)
-    * makes that safe. */
+    * makes that safe PROVIDED the swap itself is crash-safe. The swap
+    * is delete(target)-then-rename(staged, target); a death inside that
+    * window leaves a fully-written staged dir and NO target, and a
+    * naive restart would treat the table as empty and silently drop
+    * every carried-forward key. Each batch therefore opens with
+    * recovery: a staged dir carrying its `_SUCCESS` commit marker while
+    * the target is absent is finished forward (renamed into place)
+    * before the merge reads the target. A staged dir WITHOUT `_SUCCESS`
+    * is an aborted mid-write; overwrite mode replaces it. Every other
+    * crash point replays cleanly: before delete both dirs exist and the
+    * target is the pre-batch state; after rename the replay re-merges
+    * identical rows. */
   def startUpsertSink(changes: DataFrame, path: String,
       checkpointDir: String, key: String, orderCol: String): StreamingQuery =
     changes.writeStream
@@ -362,29 +373,31 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          import org.apache.hadoop.fs.Path
+          val target = new Path(s"$path/current")
+          val staged = new Path(s"$path/staged")
+          val fs = new Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // Crash recovery (see scaladoc): finish a half-completed swap
+          // forward before reading the target.
+          if (!fs.exists(target) &&
+              fs.exists(new Path(staged, "_SUCCESS")))
+            require(fs.rename(staged, target),
+              s"recovery rename $staged -> $target failed")
           val cols = batch.columns.filterNot(_ == key)
           val newest = batch.groupBy(col(key))
             .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("_r"))
             .select(col(key) +: cols.map(c => col(s"_r.$c").as(c)): _*)
-          val target = s"$path/current"
-          val exists = {
-            val p = new org.apache.hadoop.fs.Path(target)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-          }
           val merged =
-            if (!exists) newest
+            if (!fs.exists(target)) newest
             else graft.operators.Merge.upsert(
-              spark.read.parquet(target), newest, key)
-          // Write to a versioned dir then swap the read path last — a
+              spark.read.parquet(target.toString), newest, key)
+          // Write to a staged dir then swap the read path last — a
           // plain overwrite of a table being read mid-write is the
           // lost-update hazard this avoids on object stores.
-          val staged = s"$path/staged"
-          merged.write.mode("overwrite").parquet(staged)
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(target), true)
-          require(fs.rename(new org.apache.hadoop.fs.Path(staged),
-            new org.apache.hadoop.fs.Path(target)),
+          merged.write.mode("overwrite").parquet(staged.toString)
+          fs.delete(target, true)
+          require(fs.rename(staged, target),
             s"rename $staged -> $target failed")
         }
       }

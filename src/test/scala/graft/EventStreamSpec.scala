@@ -323,6 +323,31 @@ class EventStreamSpec extends SparkSpec {
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v2", 2L),
       3L -> ("c-v1", 1L)))
+    // Crash window: a death between delete(target) and rename leaves a
+    // committed staged dir and NO target. Simulate it exactly (the
+    // pre-crash staged dir IS the post-merge state, i.e. the current
+    // target), then replay a batch: recovery must finish the swap
+    // forward first, so untouched keys 1 and 3 survive the replay
+    // instead of the table being rebuilt from the batch alone.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t/current"),
+      new org.apache.hadoop.fs.Path(s"$root/t/staged")))
+    src.addData(Chg(2L, "b-v3", 3L))
+    drain()
+    assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
+      3L -> ("c-v1", 1L)))
+    // An ABORTED staged write (no _SUCCESS) must NOT be recovered: with
+    // the target also absent this is a cold start; the batch rebuilds
+    // from its own rows only and the stale partial staged data is
+    // overwritten, never read.
+    graft.streaming.IncrementalIngest.deleteDir(spark, s"$root/t/current")
+    Seq(Chg(9L, "stale-partial", 9L)).toDF()
+      .write.mode("overwrite").parquet(s"$root/t/staged")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/t/staged/_SUCCESS"), false)
+    src.addData(Chg(7L, "g-v1", 1L))
+    drain()
+    assert(state() == Map(7L -> ("g-v1", 1L)))
   }
 }
 

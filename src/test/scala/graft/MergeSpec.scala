@@ -83,6 +83,29 @@ class MergeSpec extends SparkSpec {
     assert(curr.values.forall(_ == 1L))
   }
 
+  test("scd2: NULL attribute values are change points, not dropped rows") {
+    // key 1: NULL(d1) A(d2) NULL(d3) NULL(d4) A(d6) — the NULL periods
+    // must survive (null-safe change detection), the repeated NULL at d4
+    // must collapse, and a leading NULL row must not be confused with
+    // "no previous row".
+    // key 2: starts NULL and stays NULL — exactly one (current) row.
+    val log = Seq(
+      (1L, None, 1000L, 10L), (1L, Some("A"), 2000L, 11L),
+      (1L, None, 3000L, 12L), (1L, None, 4000L, 13L),
+      (1L, Some("A"), 6000L, 14L),
+      (2L, None, 1000L, 20L), (2L, None, 2000L, 21L)
+    ).toDF("k", "v", "ts", "tie")
+    val got = Merge.scd2(log, "k", "v", "ts", "tie")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, None, 1000L, Some(2000L), false),
+      (1L, Some("A"), 2000L, Some(3000L), false),
+      (1L, None, 3000L, Some(6000L), false),
+      (1L, Some("A"), 6000L, None, true),
+      (2L, None, 1000L, None, true)))
+  }
+
   test("scd2 plans ONE exchange: both windows share the key partitioning") {
     val df = Merge.scd2(Tables.orders(spark, sf),
       "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")

@@ -208,6 +208,24 @@ class SimilaritySpec extends SparkSpec {
       s"missed co-celled pairs: ${coCelled.diff(got).take(5)}")
   }
 
+  test("PQ rejects partial subspace coverage (m*subDim != Dim) loudly") {
+    // qnorms runs the native kernel over the FULL vector while the SQL
+    // twin covers only m*subDim elements — partial coverage must fail at
+    // plan time, not silently diverge from the oracle.
+    val queries = emb.filter(col("vec_id") < 10)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(queries, emb, k = 5, m = 8, subDim = 4,
+        initStride = 3, iters = 1)
+    }
+    assert(e1.getMessage.contains("cover the full embedding"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(queries, emb, k = 5,
+        cellStride = 53, cellIters = 1, nProbe = 3,
+        m = 8, subDim = 4, pqStride = 3, pqIters = 1)
+    }
+    assert(e2.getMessage.contains("cover the full embedding"))
+  }
+
   test("pqTopK: recall@5 >= 0.5 vs brute force, bit-deterministic across runs") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") < 10)
