@@ -16,8 +16,29 @@ package graft
   * A flagged entry means "compare against the ledger and BENCH_NOTES
   * before reading this as a plan change", not "regression". Per-tier
   * subtotals (`tiers`) track the BASELINE.md budgets so suite growth
-  * stops eroding a single global bar. */
+  * stops eroding a single global bar.
+  *
+  * Two mechanisms make the artifact self-adjudicating (rounds 7 and 8
+  * both shipped contention-dirty artifacts over a healthy engine): an
+  * untimed warmup execution before the timed loop (the first-in-JVM
+  * query otherwise absorbs the whole JIT/codegen ramp), and a same-JVM
+  * re-timing of every flagged query at suite end — `flagged` entries
+  * carry both `ratio` and `retime_ratio`, so "steal burst, recovered"
+  * vs "real plan change" is readable from the artifact alone. */
 object Bench {
+
+  /** The hand-kept ingest/sink tier membership, by query number. Public
+    * so BenchSpec can assert it never drifts from the registered suite
+    * (every member must name a real query). */
+  val ingestSinkNums: Set[Int] =
+    Set(31, 32, 33, 34, 41, 48, 49, 69, 91, 93, 101, 105, 115, 116)
+
+  /** Query-name → number (`q108_scd2_build` → 108); -1 when the name
+    * does not follow the `qNN_…` convention. */
+  def queryNum(name: String): Int = {
+    val num = name.drop(1).takeWhile(_.isDigit)
+    if (num.isEmpty) -1 else num.toInt
+  }
 
   /** Budget tier of a query (BASELINE.md "Per-tier bench budgets"):
     * reference-core = the dashboard's own workload (q01–q21),
@@ -25,10 +46,9 @@ object Bench {
     * (parquet/CSV/ORC/JSONL/Derby), extension = everything the engine
     * adds beyond the reference (dedup, ANN, curation, streaming, …). */
   def tierOf(name: String): String = {
-    val num = name.drop(1).takeWhile(_.isDigit)
-    val n = if (num.isEmpty) -1 else num.toInt
+    val n = queryNum(name)
     if (n >= 1 && n <= 21) "core"
-    else if (Set(31, 32, 33, 34, 41, 48, 49, 69, 91, 93, 101, 105, 115, 116)(n)) "ingest_sink"
+    else if (ingestSinkNums(n)) "ingest_sink"
     else "extension"
   }
 
@@ -77,8 +97,24 @@ object Bench {
     val partial = new java.io.PrintWriter(new java.io.FileWriter(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.jsonl"),
       false), true)
-    val results = SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // One untimed warmup execution before the timed loop: the first
+    // timed query otherwise absorbs the entire JVM ramp — codegen
+    // compiler spin-up, JIT of the shared scan/join/agg paths, parquet
+    // footer caches (measured: first-in-JVM query at 12.85x its own
+    // quiet-host median; warm re-run 1.2x). Runs the first selected
+    // query and discards the timing, so the loop starts on a warm JVM.
+    selected.headOption.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      graft.engine.Caches.release()
+      spark.catalog.clearCache()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[bench] warmup($name) $sec%.2f s (discarded)  ${vitals()}")
+    }
+    val results = selected
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query must be VISIBLY broken in the JSON (-1 seconds +
@@ -124,6 +160,23 @@ object Bench {
           baseline.get(k).exists(m => m > 0 && sec / m >= 2.0) =>
         (k, sec, baseline(k))
     }
+    // Self-adjudicating flags: each flagged query is re-timed ONCE at
+    // suite end, same JVM (warm, past whatever contention burst hit its
+    // first run). A retime back near its median says transient host
+    // steal / JIT ramp; a retime that stays >=2x says go look at the
+    // plan. Both numbers ship in the artifact, so a flag no longer
+    // needs a judge re-run to attribute.
+    val retimes: Map[String, Double] = flaggedFull.map { case (k, _, _) =>
+      val t0 = System.nanoTime()
+      val err = try { SparkEntry.queries(k)(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.toString) }
+      graft.engine.Caches.release()
+      spark.catalog.clearCache()
+      val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      System.err.println(f"[bench] retime $k%-24s $sec%8.2f s  ${vitals()}")
+      partial.println(s"""{"q":"$k","retime_sec":$sec,"sf":"$sfDir"}""")
+      k -> sec
+    }.toMap
     // Full-fidelity record: long names, full precision, complete error
     // strings. Written to a file (and stderr) — NOT the stdout summary
     // line: the round artifact keeps only the last ~2 KB of captured
@@ -137,7 +190,10 @@ object Bench {
     val fullErrJson =
       if (fullErrs.isEmpty) "" else fullErrs.mkString(""","errors":{""", ",", "}")
     val fullFlagged = flaggedFull.map { case (k, sec, m) =>
-      jstr(k) + ":" + s"""{"sec":$sec,"median":$m,"ratio":${n2(sec / m)}}"""
+      val rt = retimes.getOrElse(k, -1.0)
+      val rtRatio = if (rt > 0) n2(rt / m) else "-1"
+      jstr(k) + ":" + s"""{"sec":$sec,"median":$m,"ratio":${n2(sec / m)},""" +
+        s""""retime":$rt,"retime_ratio":$rtRatio}"""
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullErrJson,""" +
@@ -162,8 +218,12 @@ object Bench {
       jstr(short(k)) + ":" + jstr(e.take(40)) }
     val compactErrJson =
       if (compactErrs.isEmpty) "" else compactErrs.mkString(""","errors":{""", ",", "}")
+    // Compact flagged: `[first_ratio, retime_ratio]` — the pair is the
+    // whole adjudication (e.g. [13.68, 0.98] reads "steal, recovered").
     val compactFlagged = flaggedFull.map { case (k, sec, m) =>
-      jstr(short(k)) + ":" + n2(sec / m)
+      val rt = retimes.getOrElse(k, -1.0)
+      val rtRatio = if (rt > 0) n2(rt / m) else "-1"
+      jstr(short(k)) + ":" + s"[${n2(sec / m)},$rtRatio]"
     }.mkString("{", ",", "}")
     val compactLine =
       s"""{"metric":"total","value":${n2(total)},"unit":"sec","queries":$compactQs$compactErrJson,""" +
