@@ -75,19 +75,78 @@ object Dedup {
 
   // ---------------------------------------- exact n-gram Jaccard (inverted)
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode distinct shingles → self-join on shingle (skipping shingles
-    * with document frequency > `maxDf`, the standard stop-shingle prune) →
-    * shared counts per pair → Jaccard ≥ `threshold`.
+  /** Exact n-gram Jaccard near-dup pairs with the inverted-index
+    * ESTIMATOR semantics (rare-only intersection): the per-pair score is
+    * `|rare(a) ∩ rare(b)| / (|a| + |b| − |rare(a) ∩ rare(b)|)` where
+    * `rare` keeps shingles with document frequency ≤ `maxDf` (the
+    * stop-shingle prune; df ≥ 2 is implied — a shared shingle always has
+    * it). Since the score never exceeds true Jaccard, the output is the
+    * classic prune-tolerant subset: a true pair drops out only if enough
+    * of its shared shingles are ubiquitous.
     *
-    * The `maxDf` prune bounds the quadratic blowup on ubiquitous shingles;
-    * a pair is only missed if ALL its shared shingles are ubiquitous. */
+    * Construction: candidates come from the PPJoin prefix filter
+    * ([[prefixJaccardCandidates]] — total recall for true-J ≥ t pairs,
+    * hence for every scoring pair, since score ≤ true J), and the
+    * rare-only intersection is a sorted-merge kernel per candidate with
+    * the `c ≥ t/(1+t)·(|a|+|b|)` early-abandon floor. This replaces the
+    * former maxDf posting self-join — the suite's most expensive join —
+    * with the strictly smaller prefix-posting join; the spec asserts the
+    * two constructions emit identical pairs (and
+    * [[ngramJaccardPairsInverted]] keeps the naive build for that
+    * proof). One shared inverted index feeds both the prefix index and
+    * the rare arrays, so document frequencies are counted once. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
-    // Shingling is the expensive projection and feeds four consumers
-    // (sizes ×2 join sides, postings ×2 self-join sides) — persist so it
-    // runs once instead of being re-inlined into every consumer by
-    // projection collapse.
+    val t = threshold
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
+    val sh = materialized(parallelized(df)
+      .select(col(idCol).as("id"),
+        array_sort(shingles(col(textCol), n)).as("sh")))
+    val inv = sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val invDf = materialized(inv.join(dfreq, Seq("s")))
+    val cands = prefixJaccardCandidatesFrom(invDf, t, fullPositional = true)
+    // df >= 2: singleton shingles can never be shared, so dropping them
+    // leaves every pairwise intersection unchanged while shrinking the
+    // collected arrays to just the shareable shingles (on a mostly-
+    // unique corpus that is a small fraction of each document).
+    val rareArrs = invDf.filter(col("df") <= maxDf && col("df") >= 2)
+      .groupBy("id").agg(array_sort(collect_list(col("s"))).as("rsh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    cands
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .join(rareArrs.select(col("id").as("id_a"), col("rsh").as("rsh_a")),
+        Seq("id_a"), "left")
+      .join(rareArrs.select(col("id").as("id_b"), col("rsh").as("rsh_b")),
+        Seq("id_b"), "left")
+      // score ≥ t ⟺ c ≥ t/(1+t)·(n_a+n_b) (denominator uses FULL set
+      // sizes) — the same algebra as the exact verify, so the kernel's
+      // early-abandon floor applies; a doc with no rare shingles scores
+      // 0 and can never pass a positive threshold.
+      .withColumn("c",
+        when(col("rsh_a").isNull || col("rsh_b").isNull, lit(-1))
+          .otherwise(TextKernels.boundedSortedIntersectCol(
+            col("rsh_a"), col("rsh_b"),
+            ceil((col("n_a") + col("n_b")) * (t / (1.0 + t)) - 1e-9)
+              .cast("int"))))
+      .filter(col("c") >= 0)
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The naive inverted-index construction of [[ngramJaccardPairs]]
+    * (maxDf posting self-join → per-pair shared counts). Identical
+    * output by construction — kept non-public as the equality-spec twin
+    * and the pedagogical baseline; the public operator generates its
+    * candidates with the prefix filter instead, which is strictly
+    * cheaper (prefix postings ⊂ rare postings). */
+  private[graft] def ngramJaccardPairsInverted(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxDf: Int = 100): DataFrame = {
     val sh = materialized(parallelized(df)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
@@ -229,12 +288,21 @@ object Dedup {
     * retained for the spec that asserts the strengthening prunes. */
   private[graft] def prefixJaccardCandidates(sh: DataFrame, t: Double,
       fullPositional: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val inv = sh.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    prefixJaccardCandidatesFrom(inv.join(dfreq, Seq("s")), t, fullPositional)
+  }
+
+  /** [[prefixJaccardCandidates]] over a PRE-JOINED inverted index
+    * `(id, n_sh, s, df)` — lets a caller that also needs document
+    * frequencies for its own scoring (the inverted-estimator q23 path)
+    * count them once and share the frame. */
+  private[graft] def prefixJaccardCandidatesFrom(invDf: DataFrame,
+      t: Double, fullPositional: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byRarity = Window.partitionBy("id").orderBy(col("df"), col("s"))
-    val prefixes = materialized(inv.join(dfreq, Seq("s"))
+    val prefixes = materialized(invDf
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <=
         col("n_sh") - ceil(col("n_sh") * t - 1e-9) + 1)

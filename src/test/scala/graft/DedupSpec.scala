@@ -208,6 +208,33 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("jaccard") =!= 1.0).count() == 0)
   }
 
+  test("prefix-candidate q23 construction == naive inverted-index build (values included)") {
+    import spark.implicits._
+    // The public operator now draws candidates from the PPJoin prefix
+    // filter and merge-counts the rare-only intersection; the naive
+    // maxDf posting self-join is kept private as the proof twin. Same
+    // pair set AND bit-identical scores (same integers, same division),
+    // both at the default maxDf and at a tight maxDf where the
+    // rare-only estimator visibly under-scores true Jaccard.
+    for (maxDf <- Seq(100, 3)) {
+      val neu = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = maxDf).cache()
+      val old = Dedup.ngramJaccardPairsInverted(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = maxDf).cache()
+      assert(neu.except(old).count() == 0, s"maxDf=$maxDf: new ⊄ old")
+      assert(old.except(neu).count() == 0, s"maxDf=$maxDf: old ⊄ new")
+      assert(neu.count() > 0)
+      neu.unpersist(); old.unpersist()
+      graft.engine.Caches.release()
+    }
+    // Degenerate corpus sanity: both constructions emit nothing when
+    // every shared shingle is ubiquitous (the documented prune caveat).
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val copies = (0L until 120L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(copies, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = 100).count() == 0)
+  }
+
   test("minhash LSH pairs match exhaustive true-Jaccard pairs on the planted corpus") {
     val lsh = Dedup.minhashNearDup(docs, "doc_id", "text",
       n = 3, numHashes = 64, bands = 16, threshold = 0.5)
