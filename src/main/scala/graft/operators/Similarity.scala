@@ -384,15 +384,42 @@ object Similarity {
     * arithmetic per pair. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
       subDim: Int, initStride: Long, iters: Int,
-      maxCodebook: Long = 128): DataFrame = {
+      maxCodebook: Long = 128, rerank: Int = 4): DataFrame = {
     requireFullCoverage(m, subDim)
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val (codes, dots, qnorms) =
       pqParts(queries, corpus, m, subDim, initStride, iters, maxCodebook)
     // All-pairs ADC: every (query, corpus) pair meets on its (subspace,
     // code) table rows.
     val pairs = codes.join(dots, Seq("sub_j", "code"))
       .filter(col("query_id") =!= col("nid"))
-    rankAdc(pairs, qnorms, k)
+    rerankExact(rankAdc(pairs, qnorms, k * rerank), queries, corpus, k)
+  }
+
+  /** The standard IVFPQ re-rank: the quantized ADC scores SELECT the
+    * top `R = rerank·k` candidates, then exact full-dimension cosines
+    * from the ORIGINAL vectors order the final top-k — recovering most
+    * of the recall the codebook quantization loses, at the cost of R
+    * exact dots per query instead of |corpus| (the whole point of PQ).
+    * The emitted `approx_cosine` is therefore the exact cosine of each
+    * returned pair; "approx" refers to the index-level guarantee (a
+    * true neighbor absent from the ADC top-R stays lost). Scale shape:
+    * the candidate list is |queries|·R rows and broadcasts against the
+    * corpus scan — the corpus is touched once more, never shuffled. */
+  private def rerankExact(adcTop: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val cands = adcTop.select("query_id", "neighbor_id").join(qe, Seq("query_id"))
+    val exact = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .withColumn("approx_cosine", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "approx_cosine", "rank")
   }
 
   /** The PQ subspaces must tile the WHOLE embedding: `qnorms` runs
@@ -497,8 +524,9 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       cellStride: Long, cellIters: Int, nProbe: Int,
       m: Int, subDim: Int, pqStride: Long, pqIters: Int,
-      maxCodebook: Long = 128): DataFrame = {
+      maxCodebook: Long = 128, rerank: Int = 4): DataFrame = {
     requireFullCoverage(m, subDim)
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val cents = Clustering.kmeansCentroids(corpus, "vec_id", "embedding",
       cellStride, cellIters)
     val assign = assignCells(cents) _
@@ -518,7 +546,7 @@ object Similarity {
     val pairs = cands
       .join(codes, Seq("nid"))
       .join(dots, Seq("query_id", "sub_j", "code"))
-    rankAdc(pairs, qnorms, k)
+    rerankExact(rankAdc(pairs, qnorms, k * rerank), queries, corpus, k)
   }
 
   /** Oracle twin of [[pqTopK]] (`embeddings` hard-wired, queries =
@@ -562,22 +590,36 @@ object Similarity {
        |  FROM embeddings WHERE vec_id < 10)""".stripMargin
   }
 
-  /** The shared ADC-scoring tail over a `scored(query_id, nid, ad, rn2)`
-    * CTE already present in scope. */
-  private def rankAdcSql(k: Int): String =
+  /** The shared ADC-score + exact-re-rank tail over a
+    * `scored(query_id, nid, ad, rn2)` CTE already present in scope —
+    * the SQL replay of [[rankAdc]] feeding [[rerankExact]]: ADC picks
+    * the top `rerank·k`, exact full-dimension cosines from `embeddings`
+    * order the final k. */
+  private def rankAdcSql(k: Int, rerank: Int): String =
     s"""cosed AS (
        |  SELECT query_id, nid,
        |    CASE WHEN qn = 0.0 OR rn2 <= 0.0 THEN 0.0
-       |         ELSE ad / (qn * sqrt(rn2)) END AS approx_cosine
-       |  FROM scored JOIN qnorms USING (query_id))
+       |         ELSE ad / (qn * sqrt(rn2)) END AS adc_cosine
+       |  FROM scored JOIN qnorms USING (query_id)),
+       |adc_top AS (
+       |  SELECT query_id, nid
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_cosine DESC, nid) AS arank FROM cosed) t
+       |  WHERE arank <= ${k * rerank}),
+       |reranked AS (
+       |  SELECT a.query_id, a.nid,
+       |    ${Sql.cosine("qe.embedding", "ne.embedding")} AS approx_cosine
+       |  FROM adc_top a
+       |  JOIN embeddings qe ON qe.vec_id = a.query_id
+       |  JOIN embeddings ne ON ne.vec_id = a.nid)
        |SELECT query_id, nid AS neighbor_id, approx_cosine,
        |  CAST(rank AS INTEGER) AS rank
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY approx_cosine DESC, nid) AS rank FROM cosed) t
+       |    ORDER BY approx_cosine DESC, nid) AS rank FROM reranked) t
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   def pqTopKSql(k: Int, m: Int, subDim: Int, initStride: Long,
-      iters: Int, maxCodebook: Long = 128): String =
+      iters: Int, maxCodebook: Long = 128, rerank: Int = 4): String =
     s"""WITH
        |${pqCtesSql(m, subDim, initStride, iters, maxCodebook)},
        |scored AS (
@@ -586,13 +628,13 @@ object Similarity {
        |    CAST(SUM(CAST(dd AS DECIMAL(28,12))) AS DOUBLE) AS rn2
        |  FROM codes JOIN dots USING (sub_j, code)
        |  WHERE query_id != nid GROUP BY 1, 2),
-       |${rankAdcSql(k)}""".stripMargin
+       |${rankAdcSql(k, rerank)}""".stripMargin
 
   /** Oracle twin of [[ivfPqTopK]] — the full-dimension cell chain
     * (prefix `f_`) + probe CTEs on top of the shared PQ fragment. */
   def ivfPqTopKSql(k: Int, cellStride: Long, cellIters: Int, nProbe: Int,
       m: Int, subDim: Int, pqStride: Long, pqIters: Int,
-      maxCodebook: Long = 128): String =
+      maxCodebook: Long = 128, rerank: Int = 4): String =
     s"""WITH
        |${Clustering.kmeansCentsSql(cellStride, cellIters, prefix = "f_")},
        |corpus_cells AS (
@@ -621,7 +663,7 @@ object Similarity {
        |  FROM cands JOIN codes USING (nid)
        |    JOIN dots USING (query_id, sub_j, code)
        |  GROUP BY 1, 2),
-       |${rankAdcSql(k)}""".stripMargin
+       |${rankAdcSql(k, rerank)}""".stripMargin
 
   /** Symmetric int8 quantization of the embedding tier — the storage
     * path: per-row scale = max |element| (double), elements mapped to

@@ -226,7 +226,7 @@ class SimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("cover the full embedding"))
   }
 
-  test("pqTopK: recall@5 >= 0.5 vs brute force, bit-deterministic across runs") {
+  test("pqTopK: recall@5 >= 0.7 vs brute force (measured 0.94 re-ranked), bit-deterministic") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity.pqTopK(queries, emb, k = 5, m = 16, subDim = 4,
@@ -246,7 +246,11 @@ class SimilaritySpec extends SparkSpec {
     val recall = truth.map { case (q, t) =>
       mine.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
     val mean = recall.sum / recall.size
-    assert(mean >= 0.5, s"PQ recall@5 degraded: $mean (per-query $recall)")
+    info(s"PQ recall@5 with exact re-rank = $mean")
+    // Floor raised 0.5 → 0.7 with the exact re-rank stage (r9): ADC
+    // quantization error no longer orders the final k, only selects
+    // the 4k candidate pool.
+    assert(mean >= 0.7, s"PQ recall@5 degraded: $mean (per-query $recall)")
   }
 
   test("ivfPqTopK: results are co-celled candidates only, recall floor holds, deterministic") {
@@ -287,6 +291,10 @@ class SimilaritySpec extends SparkSpec {
     val mean = truth.map { case (q, t) =>
       mine.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
       .sum / truth.size
-    assert(mean >= 0.25, s"IVF-PQ recall@5 degraded: $mean")
+    info(s"IVF-PQ recall@5 with exact re-rank = $mean")
+    // Measured 0.48 re-ranked (was 0.38): the re-rank recovers the PQ
+    // quantization error but NOT cell pruning — a true neighbor outside
+    // the probed cells is gone before scoring. 0.35 margins a regen.
+    assert(mean >= 0.35, s"IVF-PQ recall@5 degraded: $mean")
   }
 }
