@@ -1,16 +1,39 @@
 package graft
 
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
-import graft.engine.Tables
-import graft.operators.Dedup
-
-/** Dev-only stage-by-stage timing probe (test sourceset, never shipped).
-  * Run: sbt "Test/runMain graft.DevProbe". */
+/** Dev-only parameterized timing/plan probe (test sourceset, never
+  * shipped). One main, four modes, each over any registered queries:
+  *
+  *   sbt 'Test/runMain graft.DevProbe wall q23_ngram_jaccard,q43_prefix_jaccard'
+  *     per-query wall + GC + JIT attribution (is a slow run compute or
+  *     JVM ramp?)
+  *   sbt 'Test/runMain graft.DevProbe stages q24_minhash_pairs'
+  *     top stages by duration with task counts and exec/cpu/gc time
+  *     (which exchange or scan carries the cost?)
+  *   sbt 'Test/runMain graft.DevProbe warm q28_ivf_topk'
+  *     three timed same-JVM runs (cold-vs-warm delta = JIT/codegen ramp,
+  *     not plan cost)
+  *   sbt 'Test/runMain graft.DevProbe plan q43_prefix_jaccard'
+  *     formatted executed plan after one run (AQE-final, not initial)
+  *
+  * Defaults to the historically flag-prone queries when none are given.
+  * Replaces the five per-investigation DevProbe mains from rounds 5–8;
+  * their findings live in BENCH_NOTES.md and the ledger. */
 object DevProbe {
+
+  private val defaultQueries = Seq("q11_distinct_months",
+    "q23_ngram_jaccard", "q24_minhash_pairs", "q25_simhash_pairs",
+    "q27_embedding_near_dup")
+
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("wall")
+    val names =
+      if (args.length > 1) args(1).split(",").toSeq else defaultQueries
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -21,51 +44,78 @@ object DevProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def t[A](label: String)(f: => A): A = {
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMillis: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      val r = f
-      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.engine.Caches.release()
+      spark.catalog.clearCache()
+      wall
     }
 
-    val docs = Tables.documents(spark, sfDir)
-    t("docs.count")(docs.count())
+    mode match {
+      case "wall" =>
+        names.foreach { name =>
+          val (g0, j0) = (gcMillis, jitMillis)
+          val wall = timed(name)
+          println(f"[probe] $name%-26s wall=$wall%7.2f s " +
+            f"gc=${(gcMillis - g0) / 1000.0}%6.2f s " +
+            f"jit=${(jitMillis - j0) / 1000.0}%6.2f s")
+        }
 
-    val sh = docs.select(col("doc_id").as("id"),
-      Dedup.shingles(col("text"), 3).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    t("shingles persist+count")(sh.count())
+      case "warm" =>
+        names.foreach { name =>
+          val runs = (1 to 3).map(_ => timed(name))
+          println(f"[probe] $name%-26s " +
+            runs.map(w => f"$w%7.2f").mkString(" s -> ") +
+            f" s  (cold/warm=${runs.head / runs.last}%.2fx)")
+        }
 
-    val sig = Dedup.minhashSignatures(sh, "id", "sh", 64, 42L)
-    t("signatures.count")(sig.count())
+      case "stages" =>
+        val stages =
+          mutable.ArrayBuffer[(Int, String, Long, Int, Long, Long, Long)]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val dur = (for {
+              s <- si.submissionTime; c <- si.completionTime
+            } yield c - s).getOrElse(-1L)
+            stages += ((si.stageId, si.name.split("\n").head.take(60),
+              dur, si.numTasks, si.taskMetrics.executorRunTime,
+              si.taskMetrics.executorCpuTime / 1000000,
+              si.taskMetrics.jvmGCTime))
+          }
+        })
+        names.foreach { name =>
+          val wall = timed(name)
+          Thread.sleep(500) // let the listener bus drain
+          println(f"[probe] ==== $name wall=$wall%7.2f s ====")
+          stages.sortBy(-_._3).take(8).foreach {
+            case (id, n2, dur, nt, run, cpu, gc) =>
+              println(f"[probe]   stage $id%4d dur=${dur / 1000.0}%8.2f s " +
+                f"tasks=$nt%3d execRun=${run / 1000.0}%8.2f s " +
+                f"cpu=${cpu / 1000.0}%8.2f s gc=${gc / 1000.0}%6.2f s  $n2")
+          }
+          stages.clear()
+        }
 
-    val r = 4
-    val bandArr = array((0 until 16).map(j =>
-      concat_ws(":", lit(j).cast("string"),
-        concat_ws("_", (j * r until (j + 1) * r).map(i =>
-          col(s"m$i").cast("string")): _*))): _*)
-    val banded = sig.select(col("id"), explode(bandArr).as("band"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    t("banded persist+count")(banded.count())
+      case "plan" =>
+        names.foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.count()
+          println(s"[probe] ==== $name executed plan ====")
+          println(df.queryExecution.executedPlan.toString)
+          graft.engine.Caches.release()
+          spark.catalog.clearCache()
+        }
 
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    t("candidates.count")(cands.count())
-
-    val verified = cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.5)
-    t("verify.count")(verified.count())
-
-    spark.catalog.clearCache()
-    t("q24 end-to-end")(
-      Dedup.minhashNearDup(docs, "doc_id", "text").count())
-
+      case other =>
+        sys.error(s"unknown probe mode '$other' (wall|warm|stages|plan)")
+    }
     spark.stop()
   }
 }
