@@ -698,6 +698,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Streaming MERGE sink, driver-visible twin (the foreachBatch
+    // CDC-apply sink of EventStream.startUpsertSink): two AvailableNow
+    // runs over a growing source dir — run 2 drains ONLY batch 2,
+    // replaces keys it re-sees, and carries batch-1-only keys forward
+    // across the staged-swap. Batches split at the event_id mid-range
+    // so "later batch wins" coincides with global newest-per-key,
+    // which is the oracle; a sink that dropped carried-forward state
+    // (or re-applied batch 1) could not match it.
+    "q123_upsert_sink" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val range = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val mid = range.getLong(0) + (range.getLong(1) - range.getLong(0)) / 2
+      EventStream.twoRunUpsert(s,
+        ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid),
+        s"${Sinks.scratch}/q123", "user_id", "event_id")
+        .orderBy("user_id")
+    }),
+
     // Product-quantization ANN (ADC scoring over per-subspace codebooks)
     // — the memory-bound regime beside cell-probe IVF (q28): corpus
     // stored as m codes/vector, query scoring = m table lookups.
@@ -1769,6 +1788,16 @@ object SparkEntry {
     "q116_incremental_ingest" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // MERGE-sink proof: the two-run fold must equal the global
+    // newest-per-user (event_id is unique, so the window is total).
+    "q123_upsert_sink" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events) _
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q119_key_skew" ->
       graft.operators.Profiling.keySkewSql("orders", "o_custkey", topN = 20),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -402,6 +402,34 @@ object EventStream {
         }
       }
       .start()
+
+  /** End-to-end batch-cadence driver for [[startUpsertSink]], returning
+    * the maintained table (`<root>/table/current`): batch 1 lands in the
+    * source dir and a first `AvailableNow` run folds it into the target;
+    * batch 2 lands and a second run (same checkpoint, so ONLY the new
+    * files) folds into the existing state. The read-back proves both
+    * halves of the MERGE contract at once — keys seen only in batch 1
+    * are carried forward across runs, keys re-seen in batch 2 show
+    * batch 2's newest row (within-batch newest by `orderCol`). When the
+    * caller splits so batch 2's `orderCol` values sit strictly above
+    * batch 1's, the fold equals the global newest-per-key — a plain SQL
+    * oracle (q123). */
+  def twoRunUpsert(spark: SparkSession, batch1: DataFrame, batch2: DataFrame,
+      scratchRoot: String, key: String, orderCol: String): DataFrame = {
+    val src = s"$scratchRoot/src"
+    val table = s"$scratchRoot/table"
+    val cp = s"$scratchRoot/checkpoint"
+    Seq(src, table, cp).foreach(IncrementalIngest.deleteDir(spark, _))
+    def run(): Unit = {
+      val changes = spark.readStream.schema(batch1.schema).parquet(src)
+      startUpsertSink(changes, table, cp, key, orderCol).awaitTermination()
+    }
+    batch1.write.mode("append").parquet(src)
+    run()
+    batch2.write.mode("append").parquet(src)
+    run()
+    spark.read.parquet(s"$table/current")
+  }
 
   /** Stream-static enrichment join: each streaming event looks up its key
     * in a STATIC (batch) dimension. The stateless member of the streaming

@@ -349,6 +349,21 @@ class EventStreamSpec extends SparkSpec {
     drain()
     assert(state() == Map(7L -> ("g-v1", 1L)))
   }
+
+  test("twoRunUpsert: file-source two-run fold equals global newest-per-key") {
+    import spark.implicits._
+    val root = s"${graft.engine.Sinks.scratch}/two-run-upsert-spec"
+    // ver strictly increases from batch 1 to batch 2 (q123's split
+    // contract), so the fold must equal argmax(ver) per key: key 1
+    // carried forward untouched, key 2 replaced, key 3 inserted.
+    val b1 = Seq(Chg(1L, "a-v1", 1L), Chg(1L, "a-v2", 2L), Chg(2L, "b-v1", 3L))
+    val b2 = Seq(Chg(2L, "b-v2", 4L), Chg(3L, "c-v1", 5L))
+    val got = EventStream.twoRunUpsert(spark, b1.toDF(), b2.toDF(), root,
+        key = "k", orderCol = "ver")
+      .as[Chg].collect().map(c => c.k -> (c.v, c.ver)).toMap
+    assert(got == Map(1L -> ("a-v2", 2L), 2L -> ("b-v2", 4L),
+      3L -> ("c-v1", 5L)))
+  }
 }
 
 case class Chg(k: Long, v: String, ver: Long)
