@@ -717,6 +717,30 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // A9 bucketed layout, driver-visible: CTAS both fact tables
+    // hash-bucketed (and sorted) on the order key, then run the
+    // fact⋈fact join co-located. The merge-join hint keeps the small
+    // side off the broadcast path so the bucketed mechanism is what
+    // executes: NO exchange on either join input (asserted in
+    // PlanSpec) — at 100 TB this is the zero-shuffle form of the one
+    // genuinely large join in the star schema. Layout never changes
+    // the answer, so the oracle is the plain join + rollup.
+    "q124_bucketed_join" -> ((s, dir) => {
+      Sinks.ctasBucketed(s, "graft_q124_li",
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        buckets = 8, bucketCol = "l_orderkey")
+      Sinks.ctasBucketed(s, "graft_q124_ord",
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
+        buckets = 8, bucketCol = "o_orderkey")
+      s.table("graft_q124_li").hint("merge")
+        .join(s.table("graft_q124_ord"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(Aggregates.sumExact(col("l_quantity")).as("total_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Product-quantization ANN (ADC scoring over per-subspace codebooks)
     // — the memory-bound regime beside cell-probe IVF (q28): corpus
     // stored as m codes/vector, query scoring = m table lookups.
@@ -1798,6 +1822,14 @@ object SparkEntry {
         |                       ORDER BY event_id DESC) AS rn
         |  FROM events) _
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Bucketed layout is answer-invariant: the oracle is the plain join.
+    "q124_bucketed_join" ->
+      s"""SELECT o_orderstatus,
+         |  ${Aggregates.sumExactSql("l_quantity")} AS total_qty,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q119_key_skew" ->
       graft.operators.Profiling.keySkewSql("orders", "o_custkey", topN = 20),

@@ -76,6 +76,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q124 bucketed fact join: neither join input exchanges (agg exchange only)") {
+    val df = SparkEntry.queries("q124_bucketed_join")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"merge hint not honored:\n$p")
+    // The bucketed layout must satisfy the join's distribution on both
+    // sides; the only hash exchange left is the group-by's own.
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join input still shuffles:\n$p")
+  }
+
   test("rollup aggregation is two-phase (map-side partial + final)") {
     val df = graft.engine.Aggregates.airlineMonthlyPerformance(
       StarSchema.wideView(spark, sf))
