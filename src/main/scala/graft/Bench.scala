@@ -198,10 +198,14 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullErrJson,""" +
         s""""tiers":${tiersJson(_.toString)},"flagged":$fullFlagged,"sf":"$sfDir"}"""
-    val fullOut = new java.io.PrintWriter(new java.io.FileWriter(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"), false), true)
-    fullOut.println(fullLine)
-    fullOut.close()
+    // Dev-filtered runs (BENCH_ONLY) must not clobber the official
+    // full-suite artifact with a partial one.
+    if (only.isEmpty) {
+      val fullOut = new java.io.PrintWriter(new java.io.FileWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"), false), true)
+      fullOut.println(fullLine)
+      fullOut.close()
+    }
     System.err.println(fullLine)
     partial.println(fullLine)
     partial.close()

@@ -264,6 +264,18 @@ object SparkEntry {
           "n_samples", "mean_abs", "peak")
         .orderBy("media_id")),
 
+    // Video modality: real ImageIO animated-GIF parse (LZW frames,
+    // GIF89a container) with stride-3 FRAME SAMPLING — only sampled
+    // frames are LZW-decoded, which at corpus scale is the point.
+    // Same mapPartitions codec slot and quarantine contract as q30/q118.
+    "q125_video_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(s,
+          Multimodal.gifMediaFromDocuments(s, Tables.documents(s, dir)))
+        .toDF()
+        .select("media_id", "media_type", "status", "n_frames",
+          "n_sampled", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("media_id")),
+
     // A1 — multi-file CSV ingest: write a two-file CSV fixture from
     // lineitem, re-read it with an explicit schema + column whitelist
     // (the reference's usecols), and check the round-trip against the
@@ -1566,6 +1578,9 @@ object SparkEntry {
 
     "q118_audio_decode" ->
       (Multimodal.decodeAudioSql + "\nORDER BY media_id"),
+
+    "q125_video_frames" ->
+      (Multimodal.sampleVideoSql + "\nORDER BY media_id"),
 
     // CSV round-trips are exact (Double.toString ↔ parseDouble, ISO
     // dates), so the oracle reads the parquet source directly.

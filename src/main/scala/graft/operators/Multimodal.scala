@@ -217,6 +217,177 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------- video
+
+  /** Decoded + frame-sampled video metadata; nulls iff corrupt. Means
+    * are over the SAMPLED frames only — the whole point of sampling. */
+  case class DecodedVideo(media_id: Long, media_type: String, n_bytes: Int,
+      status: String, n_frames: Option[Int], n_sampled: Option[Int],
+      width: Option[Int], height: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double])
+
+  private[graft] def isCorruptVideo(id: Long): Boolean = id % 43 == 0
+
+  /** Closed-form video spec of a fixture id: `(w, h, nFrames)`. Frame
+    * `f` is a solid color whose channels are
+    * `((id*5 + f*29) % 256, (id*7 + f*31) % 256, (id*11 + f*37) % 256)`. */
+  private[graft] def videoSpecOf(id: Long): (Int, Int, Int) = {
+    def m(k: Long, mod: Long): Int = java.lang.Math.floorMod(id * k, mod).toInt
+    (8 + m(1, 24), 8 + m(3, 24), 6 + m(5, 26))
+  }
+
+  private[graft] def frameColor(id: Long, f: Int): (Int, Int, Int) = {
+    def m(k: Long, kf: Long): Int =
+      java.lang.Math.floorMod(id * k + f * kf, 256).toInt
+    (m(5, 29), m(7, 31), m(11, 37))
+  }
+
+  /** Real animated-GIF bytes for a fixture id, written by the JDK's own
+    * ImageIO GIF sequence writer (LZW-compressed frames, GIF89a
+    * container). The palette is an explicit `IndexColorModel` holding
+    * exactly the per-frame colors, so the round-trip is lossless —
+    * GIF's 256-color limit never quantizes (nFrames ≤ 31). */
+  private[graft] def encodeGif(id: Long): Array[Byte] = {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val (w, h, n) = videoSpecOf(id)
+    val rs = new Array[Byte](n); val gs = new Array[Byte](n); val bs = new Array[Byte](n)
+    var f = 0
+    while (f < n) {
+      val (r, g, b) = frameColor(id, f)
+      rs(f) = r.toByte; gs(f) = g.toByte; bs(f) = b.toByte
+      f += 1
+    }
+    val icm = new IndexColorModel(8, n, rs, gs, bs)
+    val wr = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      // The JDK GIF writer defaults to INTERLACED row order, and its
+      // interlace passes drop rows at small heights (a frame of h=3
+      // round-trips with row 1 stale from the previous frame). Plain
+      // sequential rows are what a corpus codec wants anyway.
+      val param = wr.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      wr.prepareWriteSequence(null)
+      f = 0
+      while (f < n) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, f); x += 1 }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { ios.close(); wr.dispose() }
+    bos.toByteArray
+  }
+
+  /** Media table of animated-GIF payloads from `documents`; corrupt
+    * slots keep only the first 10 bytes (header + truncated LSD). */
+  def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val gif = encodeGif(id)
+      MediaRow(id, if (isCorruptVideo(id)) gif.take(10) else gif, "video/gif")
+    })
+  }
+
+  /** Partition-batched REAL video decode + frame sampling: the ImageIO
+    * GIF reader parses the container (`getNumImages(true)` walks every
+    * frame's headers), then ONLY the sampled frames `0, step, 2·step, …`
+    * are LZW-decoded — at corpus scale the saved decode work is the
+    * point of sampling. Channel means come from summing every decoded
+    * pixel of every sampled frame (exact integer sums, one double
+    * division by `nSampled·w·h`). Same quarantine contract as
+    * [[decodeImages]]: truncated/unreadable containers and zero-frame
+    * payloads become `status = 'corrupt'` rows, never task failures. */
+  def sampleVideoFrames(spark: SparkSession, media: Dataset[MediaRow],
+      step: Int = 3): Dataset[DecodedVideo] = {
+    require(step >= 1, s"frame-sample step must be >= 1, got $step")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        def corrupt = DecodedVideo(r.media_id, r.media_type, r.content.length,
+          "corrupt", None, None, None, None, None, None, None)
+        var rd: javax.imageio.ImageReader = null
+        try {
+          rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.content)))
+          val n = rd.getNumImages(true)
+          if (n <= 0) corrupt
+          else {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var sampled = 0
+            var w = 0; var h = 0
+            var f = 0
+            while (f < n) {
+              val img = rd.read(f)
+              w = img.getWidth; h = img.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              sampled += 1
+              f += step
+            }
+            val px = sampled.toLong * w * h
+            DecodedVideo(r.media_id, r.media_type, r.content.length, "ok",
+              Some(n), Some(sampled), Some(w), Some(h),
+              Some(sr.toDouble / px), Some(sg.toDouble / px), Some(sb.toDouble / px))
+          }
+        } catch { case scala.util.control.NonFatal(_) => corrupt }
+        finally { if (rd != null) rd.dispose() }
+      }
+    }
+  }
+
+  /** Oracle twin of the GIF encode+sample+decode — the explicit-palette
+    * GIF round-trip is lossless, so each sampled frame's pixel sum is
+    * exactly `color·w·h` and the mean over sampled frames reduces to
+    * `sum(color)/count` replayed per id via `generate_series` over the
+    * sampled frame indices (n_bytes excluded: GIF container overhead is
+    * not SQL-expressible). Both engines do the identical one IEEE
+    * division — Spark divides `sum·w·h` by `count·w·h`, algebraically
+    * and bit-identically `CAST(sum AS DOUBLE)/count` since the integer
+    * sums are exact. */
+  val sampleVideoSql: String =
+    s"""WITH frames AS (SELECT f FROM generate_series(0, 30, 3) AS t(f)),
+       |agg AS (
+       |  SELECT d.doc_id, COUNT(s.f) AS ns,
+       |    SUM((d.doc_id * 5 + s.f * 29) % 256) AS sr,
+       |    SUM((d.doc_id * 7 + s.f * 31) % 256) AS sg,
+       |    SUM((d.doc_id * 11 + s.f * 37) % 256) AS sb
+       |  FROM documents d JOIN frames s ON s.f < 6 + d.doc_id * 5 % 26
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id AS media_id, 'video/gif' AS media_type,
+       |  CASE WHEN doc_id % 43 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+       |  CASE WHEN doc_id % 43 = 0 THEN NULL
+       |    ELSE CAST(6 + doc_id * 5 % 26 AS INTEGER) END AS n_frames,
+       |  CASE WHEN doc_id % 43 = 0 THEN NULL
+       |    ELSE CAST(ns AS INTEGER) END AS n_sampled,
+       |  CASE WHEN doc_id % 43 = 0 THEN NULL
+       |    ELSE CAST(8 + doc_id % 24 AS INTEGER) END AS width,
+       |  CASE WHEN doc_id % 43 = 0 THEN NULL
+       |    ELSE CAST(8 + doc_id * 3 % 24 AS INTEGER) END AS height,
+       |  CASE WHEN doc_id % 43 = 0 THEN NULL ELSE CAST(sr AS DOUBLE) / ns END AS mean_r,
+       |  CASE WHEN doc_id % 43 = 0 THEN NULL ELSE CAST(sg AS DOUBLE) / ns END AS mean_g,
+       |  CASE WHEN doc_id % 43 = 0 THEN NULL ELSE CAST(sb AS DOUBLE) / ns END AS mean_b
+       |FROM agg""".stripMargin
+
   /** Oracle twin of the WAV encode+decode — PCM16 is lossless, so the
     * decoded mean |sample| and peak are exactly the fixture amplitude
     * (n_bytes excluded: WAV container overhead is not SQL-expressible). */

@@ -83,6 +83,73 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video frame-sampling: real GIF parse matches the fixture spec; corrupt rows quarantined") {
+    import spark.implicits._
+    val docs = Seq(43L, 44L, 45L).toDF("doc_id") // 43 is the corrupt slot
+    val got = Multimodal.sampleVideoFrames(spark,
+        Multimodal.gifMediaFromDocuments(spark, docs))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(got(43L).status == "corrupt" &&
+      got(43L).n_frames.isEmpty && got(43L).mean_r.isEmpty)
+    for (id <- Seq(44L, 45L)) {
+      val (w, h, n) = Multimodal.videoSpecOf(id)
+      val d = got(id)
+      assert(d.status == "ok" && d.width.contains(w) && d.height.contains(h))
+      assert(d.n_frames.contains(n))
+      val sampledFrames = 0 until n by 3
+      assert(d.n_sampled.contains(sampledFrames.size))
+      // Lossless explicit-palette GIF: each sampled frame's pixel sum is
+      // exactly color·w·h, so the mean reduces to sum(color)/count.
+      def mean(ch: ((Int, Int, Int)) => Int): Double = {
+        val s = sampledFrames.map(f => ch(Multimodal.frameColor(id, f))).sum
+        (s.toLong * w * h).toDouble / (sampledFrames.size.toLong * w * h)
+      }
+      assert(d.mean_r.contains(mean(_._1)), s"id=$id got ${d.mean_r}")
+      assert(d.mean_g.contains(mean(_._2)))
+      assert(d.mean_b.contains(mean(_._3)))
+    }
+  }
+
+  test("the video decoder is a real codec: hand-built GIF bytes yield true frame stats") {
+    import spark.implicits._
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    // 5 frames of per-frame colors the fixture spec can never produce;
+    // stride 2 samples frames 0, 2, 4.
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x102030, 0x405060)
+    val icm = new IndexColorModel(8, colors.size,
+      colors.map(c => ((c >> 16) & 0xff).toByte).toArray,
+      colors.map(c => ((c >> 8) & 0xff).toByte).toArray,
+      colors.map(c => (c & 0xff).toByte).toArray)
+    val wr = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    // Interlace off — the JDK writer's interlace passes drop rows at
+    // h=3 (see the encoder comment in Multimodal.encodeGif).
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    wr.prepareWriteSequence(null)
+    colors.indices.foreach { f =>
+      val img = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      (0 until 3).foreach(y => (0 until 4).foreach(x =>
+        img.getRaster.setSample(x, y, 0, f)))
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+    }
+    wr.endWriteSequence(); ios.close(); wr.dispose()
+    val media = Seq(
+      Multimodal.MediaRow(1L, bos.toByteArray, "video/gif"),
+      Multimodal.MediaRow(2L, Array[Byte](0x47, 0x49, 0x46), "video/gif")).toDS()
+    val got = Multimodal.sampleVideoFrames(spark, media, step = 2)
+      .collect().map(d => d.media_id -> d).toMap
+    val ok = got(1L)
+    assert(ok.status == "ok" && ok.n_frames.contains(5) && ok.n_sampled.contains(3))
+    assert(ok.width.contains(4) && ok.height.contains(3))
+    assert(ok.mean_r.contains((0xff + 0x00 + 0x40) / 3.0))
+    assert(ok.mean_g.contains((0x00 + 0x00 + 0x50) / 3.0))
+    assert(ok.mean_b.contains((0x00 + 0xff + 0x60) / 3.0))
+    assert(got(2L).status == "corrupt", "garbage bytes must quarantine, not throw")
+  }
+
   test("the audio decoder is a real codec: hand-built WAV bytes yield true sample stats") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
