@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Joins, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
-import graft.operators.{CorpusStats, Curation, Dedup, EventAnalytics, Merge, Multimodal, Privacy, QualityReport, Sampling, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, EventAnalytics, Merge, Multimodal, Privacy, QualityReport, Retrieval, Sampling, Similarity}
 import graft.sources.Jdbc
 import graft.streaming.EventStream
 
@@ -205,6 +205,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
         .orderBy("query_id", "rank")
     }),
+
+    // Hybrid retrieval: lexical TF-IDF ranking + vector cosine ranking
+    // fused with Reciprocal Rank Fusion (only ranks cross the fusion
+    // boundary — no score calibration, hash-gate deterministic).
+    "q126_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridRrfTopK(
+          Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
 
     // Embedding cosine near-dup pairs (exact, symmetric-half cross join).
     "q27_embedding_near_dup" -> ((s, dir) =>
@@ -1522,6 +1530,9 @@ object SparkEntry {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q126_hybrid_rrf" ->
+      (Retrieval.hybridRrfTopKSql() + "\nORDER BY query_id, rank"),
 
     "q27_embedding_near_dup" -> s"""SELECT id_a, id_b, cosine FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Aggregates
+
+/** Hybrid retrieval: an exact lexical ranking (TF-IDF query-by-example)
+  * and an exact vector ranking (cosine top-k) fused with Reciprocal
+  * Rank Fusion — `score(d) = Σ_lists 1/(c + rank_list(d))` (Cormack,
+  * Clarke & Buettcher, SIGIR 2009, the standard c = 60). RRF is the
+  * fusion every hybrid search stack ships because it needs no score
+  * calibration between lists: only RANKS cross the fusion boundary,
+  * which also makes the whole operator hash-gate deterministic — the
+  * only floats compared downstream are `1/(c+rank)` sums of two terms
+  * in a fixed order.
+  *
+  * Scale shape: the query set is tiny and BROADCAST to both legs. The
+  * lexical leg joins the corpus term-frequency table against the
+  * broadcast query vocabulary on the term — the corpus is never
+  * shuffled by term; only the (query, candidate) partial scores move.
+  * The vector leg is the one-scan broadcast cosine ranking
+  * ([[Similarity.bruteForceTopK]]; swap in the IVF/PQ path at larger
+  * query counts). Both legs cut to `listK` before the fusion join, so
+  * the full-outer fusion touches ≤ 2·nQueries·listK rows regardless of
+  * corpus size. */
+object Retrieval {
+
+  /** Per-(doc, term) frequencies of `docs(idCol, textCol)` — whitespace
+    * tokens, the corpus-wide statistic both lexical scoring and IDF
+    * derive from. */
+  private def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+
+  /** Hybrid RRF top-k: query docs are `idCol < nQueries` (their ids
+    * double as embedding ids). Emits one row per kept (query,
+    * candidate) with both leg ranks (null = absent from that leg's
+    * top-`listK`), the fused score, and the fused rank ≤ `k`. */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, nQueries: Int = 10,
+      listK: Int = 20, k: Int = 5, c: Int = 60): DataFrame = {
+    // --- vector leg: exact cosine top-listK, ranks only.
+    val vec = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < nQueries), emb, listK)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("v_rank"))
+
+    // --- lexical leg: score(q, d) = Σ_{w ∈ q} tf(w, d) · ln(N/df(w)),
+    // distinct query terms, self-match excluded like the vector leg.
+    // Exact decimal summation so the per-query ranking is reduce-order
+    // independent (and ulp-identical to the SQL twin).
+    val tf = termFreq(docs, "doc_id", "text")
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("w")).distinct()
+    val lex = tf
+      .join(broadcast(qterms), "w")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .groupBy("query_id", "doc_id")
+      .agg(Aggregates.sumExact(
+        col("tf") * log(col("_n").cast("double") / col("df"))).as("lex"))
+    val lw = Window.partitionBy("query_id")
+      .orderBy(col("lex").desc, col("doc_id").asc)
+    val lexTop = lex.withColumn("l_rank", row_number().over(lw))
+      .filter(col("l_rank") <= listK)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("l_rank"))
+
+    // --- fusion: full outer on (query, candidate); fixed add order.
+    val fused = vec.join(lexTop, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("v_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("l_rank")), lit(0.0)))
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "v_rank", "l_rank", "rrf", "rank")
+  }
+
+  /** SQL twin of [[hybridRrfTopK]] (`documents`/`embeddings`
+    * hard-wired; same decimal-exact lexical sum, same fixed-order RRF
+    * arithmetic, ranks cast to INTEGER to match Spark's row_number). */
+  def hybridRrfTopKSql(nQueries: Int = 10, listK: Int = 20, k: Int = 5,
+      c: Int = 60): String =
+    s"""WITH vq AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |    FROM embeddings WHERE vec_id < $nQueries),
+       |vscored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${Similarity.Sql.cosine("q_emb", "embedding")} AS cosine
+       |  FROM embeddings JOIN vq ON vec_id != query_id),
+       |vtop AS (SELECT query_id, neighbor_id, CAST(v_rank AS INTEGER) AS v_rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS v_rank FROM vscored) _
+       |  WHERE v_rank <= $listK),
+       |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS _n FROM documents),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM tf
+       |  WHERE doc_id < $nQueries),
+       |lex AS (SELECT qt.query_id, tf.doc_id,
+       |    ${Aggregates.sumExactSql(s"tf.tf * ln(CAST(_n AS DOUBLE) / df)")} AS lex
+       |  FROM tf JOIN qt USING (w) JOIN dfreq USING (w), n
+       |  WHERE tf.doc_id != qt.query_id
+       |  GROUP BY 1, 2),
+       |ltop AS (SELECT query_id, neighbor_id, CAST(l_rank AS INTEGER) AS l_rank
+       |  FROM (SELECT query_id, doc_id AS neighbor_id, ROW_NUMBER() OVER
+       |      (PARTITION BY query_id ORDER BY lex DESC, doc_id ASC) AS l_rank
+       |    FROM lex) _
+       |  WHERE l_rank <= $listK),
+       |fused AS (SELECT
+       |    COALESCE(v.query_id, l.query_id) AS query_id,
+       |    COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+       |    v.v_rank, l.l_rank,
+       |    COALESCE(1.0 / ($c + v.v_rank), 0.0) +
+       |      COALESCE(1.0 / ($c + l.l_rank), 0.0) AS rrf
+       |  FROM vtop v FULL JOIN ltop l
+       |    ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id)
+       |SELECT query_id, neighbor_id, v_rank, l_rank, rrf,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, neighbor_id ASC) AS rank FROM fused) _
+       |WHERE rank <= $k""".stripMargin
+}

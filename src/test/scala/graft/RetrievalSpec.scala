@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.Retrieval
+
+/** Hybrid RRF fusion: rank arithmetic on a hand-computable fixture,
+  * fusion-semantics invariants on the real tables, and plan hygiene
+  * (both small legs broadcast — the corpus side never builds a hash
+  * table of itself). */
+class RetrievalSpec extends SparkSpec {
+
+  test("RRF arithmetic on a hand-built corpus matches the closed form") {
+    import spark.implicits._
+    // Query doc 0: "a a b". Candidates built so lexical and vector
+    // orders DISAGREE — fusion must reconcile them.
+    //   doc 1 = "a a b c" (best lexical), doc 2 = "c c c d", doc 3 = "b d".
+    val docs = Seq(
+      (0L, "a a b"), (1L, "a a b c"), (2L, "c c c d"), (3L, "b d"))
+      .toDF("doc_id", "text")
+    // Vectors: doc 2 closest to the query, then 3, then 1.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.1f)), (3L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.hybridRrfTopK(docs, emb,
+        nQueries = 1, listK = 3, k = 4, c = 60)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(2)), Option(r.get(3)), r.getDouble(4), r.getInt(5)))
+      .toMap
+    // Vector ranks: cos(q,2)=.995 > cos(q,3)=.8 > cos(q,1)=0.
+    // Lexical (idf = ln(4/df); df: a=2, b=3, c=2, d=2):
+    //   doc 1: 2·ln2 + ln(4/3) ≈ 1.674 ; doc 3: ln(4/3) ≈ 0.288 ; doc 2: 0.
+    // (doc 2 scores 0 on shared terms — absent from the lexical leg's
+    // candidate set entirely, since only shared-term rows exist.)
+    assert(out(2L)._1.contains(1) && out(3L)._1.contains(2) && out(1L)._1.contains(3))
+    assert(out(1L)._2.contains(1) && out(3L)._2.contains(2) && out(2L)._2.isEmpty)
+    def rrf(ranks: Int*): Double = ranks.map(r => 1.0 / (60 + r)).sum
+    assert(out(1L)._3 == rrf(3) + rrf(1))
+    assert(out(3L)._3 == rrf(2) + rrf(2))
+    assert(out(2L)._3 == rrf(1))
+    // Fused order: doc1 (.0323) > doc3 (.0322) > doc2 (.0164).
+    assert(out(1L)._4 == 1 && out(3L)._4 == 2 && out(2L)._4 == 3)
+  }
+
+  test("fusion invariants on the real tables") {
+    val out = Retrieval.hybridRrfTopK(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf)).cache()
+    try {
+      // k rows per query, ranks 1..k, no self-matches.
+      val perQuery = out.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+        .collect()
+      assert(perQuery.length == 10)
+      perQuery.foreach { r =>
+        assert(r.getLong(1) == 5 && r.getInt(2) == 5 && r.getInt(3) == 1)
+      }
+      assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+      // Every kept row appears in at least one leg, and the fused score
+      // is exactly the fixed-order sum of its leg contributions.
+      assert(out.filter(col("v_rank").isNull && col("l_rank").isNull).count() == 0)
+      val bad = out.filter(col("rrf") =!=
+        (coalesce(lit(1.0) / (lit(60) + col("v_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("l_rank")), lit(0.0))))
+      assert(bad.count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("plan: both retrieval legs broadcast the query side") {
+    val plan = Retrieval.hybridRrfTopK(
+        Tables.documents(spark, sf), Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    // Two broadcast joins minimum: query vectors against the corpus
+    // scan, query vocabulary against the term-frequency table.
+    val broadcasts = "BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, plan:\n$plan")
+  }
+}
