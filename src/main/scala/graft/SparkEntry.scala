@@ -214,6 +214,18 @@ object SparkEntry {
           Tables.documents(s, dir), Tables.embeddings(s, dir))
         .orderBy("query_id", "rank")),
 
+    // DSIR data selection: unigram-LM importance weights vs the 'en'
+    // slice, deterministic top-100 cut (distributed TakeOrdered).
+    "q127_dsir_select" -> ((s, dir) =>
+      graft.operators.Selection.dsirSelect(
+        Tables.documents(s, dir), col("lang") === "en", topN = 100)),
+
+    // Hard-negative mining: most-similar vectors of a DIFFERENT label —
+    // the contrastive-training negatives a random sample never surfaces.
+    "q128_hard_negatives" -> ((s, dir) =>
+      Retrieval.hardNegatives(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
+
     // Embedding cosine near-dup pairs (exact, symmetric-half cross join).
     "q27_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
@@ -1533,6 +1545,12 @@ object SparkEntry {
 
     "q126_hybrid_rrf" ->
       (Retrieval.hybridRrfTopKSql() + "\nORDER BY query_id, rank"),
+
+    "q127_dsir_select" ->
+      graft.operators.Selection.dsirSelectSql(topN = 100),
+
+    "q128_hard_negatives" ->
+      (Retrieval.hardNegativesSql() + "\nORDER BY query_id, rank"),
 
     "q27_embedding_near_dup" -> s"""SELECT id_a, id_b, cosine FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -80,6 +80,46 @@ object Retrieval {
       .select("query_id", "neighbor_id", "v_rank", "l_rank", "rrf", "rank")
   }
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector, the `k` most-cosine-similar vectors whose LABEL differs
+    * from the query's — the near-miss impostors a contrastive trainer
+    * wants as negatives (easy random negatives teach nothing). Same
+    * broadcast one-corpus-scan shape as [[Similarity.bruteForceTopK]],
+    * with the label inequality folded into the join condition so
+    * same-label rows drop before scoring; swap the IVF/PQ candidate
+    * path in at larger query counts exactly as for plain ANN. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"),
+        Similarity.norm(col("embedding")).as("q_nrm"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), col("embedding").as("c_emb"),
+      Similarity.norm(col("embedding")).as("c_nrm"))
+    val scored = c.join(broadcast(q), col("n_label") =!= col("q_label"))
+      .withColumn("cosine", Similarity.cosineWithNorms(col("q_emb"),
+        col("c_emb"), col("q_nrm"), col("c_nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "q_label", "neighbor_id", "n_label", "cosine", "rank")
+  }
+
+  /** SQL twin of [[hardNegatives]] (`embeddings` hard-wired). */
+  def hardNegativesSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+       |    embedding AS q_emb FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (SELECT query_id, q_label, vec_id AS neighbor_id,
+       |    label AS n_label,
+       |    ${Similarity.Sql.cosine("q_emb", "embedding")} AS cosine
+       |  FROM embeddings JOIN q ON label != q_label)
+       |SELECT query_id, q_label, neighbor_id, n_label, cosine,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) _
+       |WHERE rank <= $k""".stripMargin
+
   /** SQL twin of [[hybridRrfTopK]] (`documents`/`embeddings`
     * hard-wired; same decimal-exact lexical sum, same fixed-order RRF
     * arithmetic, ranks cast to INTEGER to match Spark's row_number). */

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Aggregates
+
+/** Data selection via importance resampling (DSIR, Xie et al. 2023):
+  * score every document by how much more likely its tokens are under a
+  * TARGET corpus' unigram language model than under the general SOURCE
+  * model — `log w(d) = Σ_tokens ln p_t(w) − ln p_s(w)` — then keep the
+  * top-weighted documents. The cheap, embarrassingly-parallel data
+  * recipe for "make the pretraining mix look like the domain I care
+  * about" (the published method hashes n-grams into buckets; unigrams
+  * are the same estimator with bucket = word, which this corpus'
+  * closed vocabulary makes exact).
+  *
+  * Scale shape: two corpus token scans (one groupBy for the per-class
+  * counts, one join to score) — both partial-aggregated map-side. The
+  * vocabulary table (one row per distinct token with both smoothed
+  * log-probs) is corpus-VOCABULARY sized, orders of magnitude smaller
+  * than the corpus; the scoring join keys on the token so AQE
+  * broadcasts it in practice, and the per-document reduce is a plain
+  * shuffle on doc_id. Nothing driver-side, no all-pairs anything. */
+object Selection {
+
+  /** Per-document DSIR log-importance-weights against the documents
+    * matching `targetFilter` (add-one smoothing over the union
+    * vocabulary; both models share the same V, so the weights are
+    * scale-free). `log_weight` is a decimal-exact sum of per-term
+    * `tf · (ln p_t − ln p_s)` contributions — reduce-order
+    * independent, oracle-replayable. */
+  def dsirLogWeights(docs: DataFrame, targetFilter: Column): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), targetFilter.as("is_target"),
+        explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"), first(col("is_target")).as("is_target"))
+    // Per-token class counts + the two normalizers, all exact longs.
+    val classCounts = tf.groupBy("w").agg(
+      sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), col("tf")).otherwise(0L)).as("cs"))
+    val totals = classCounts.agg(
+      sum(col("ct")).as("nt"), sum(col("cs")).as("ns"),
+      count(lit(1)).as("v"))
+    // llr(w) = ln((ct+1)/(nt+V)) − ln((cs+1)/(ns+V)).
+    val vocab = classCounts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + col("v"))) -
+          log((col("cs") + 1).cast("double") / (col("ns") + col("v"))))
+          .as("llr"))
+    tf.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        Aggregates.sumExact(col("tf") * col("llr")).as("log_weight"))
+  }
+
+  /** Deterministic DSIR selection: the `topN` highest-weighted
+    * documents (weight DESC, doc_id ASC — the paper's Gumbel-noise
+    * resampling is one seeded jitter column away; ranking
+    * deterministically keeps the operator regression-testable).
+    * `orderBy().limit()` plans as a distributed TakeOrdered — each
+    * partition keeps its local top-N and only those reach the driver
+    * side of the exchange; no global single-partition sort, no global
+    * window. */
+  def dsirSelect(docs: DataFrame, targetFilter: Column, topN: Int): DataFrame =
+    dsirLogWeights(docs, targetFilter)
+      .orderBy(col("log_weight").desc, col("doc_id").asc)
+      .limit(topN)
+
+  /** SQL twin of [[dsirSelect]] with `lang = 'en'` as the target
+    * (`documents` hard-wired; same smoothing, same decimal-exact sum,
+    * same deterministic cut). */
+  def dsirSelectSql(topN: Int, targetLang: String = "en"): String =
+    s"""WITH toks AS (SELECT doc_id, lang = '$targetLang' AS is_target,
+       |    unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf, any_value(is_target) AS is_target
+       |  FROM toks GROUP BY 1, 2),
+       |cc AS (SELECT w,
+       |    SUM(CASE WHEN is_target THEN tf ELSE 0 END) AS ct,
+       |    SUM(CASE WHEN NOT is_target THEN tf ELSE 0 END) AS cs
+       |  FROM tf GROUP BY 1),
+       |tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns, COUNT(*) AS v FROM cc),
+       |vocab AS (SELECT w,
+       |    ln(CAST(ct + 1 AS DOUBLE) / (nt + v)) -
+       |      ln(CAST(cs + 1 AS DOUBLE) / (ns + v)) AS llr
+       |  FROM cc, tot),
+       |scored AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    ${Aggregates.sumExactSql("tf * llr")} AS log_weight
+       |  FROM tf JOIN vocab USING (w) GROUP BY 1)
+       |SELECT doc_id, n_tokens, log_weight FROM scored
+       |ORDER BY log_weight DESC, doc_id ASC LIMIT $topN""".stripMargin
+}

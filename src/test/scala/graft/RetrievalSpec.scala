@@ -67,6 +67,30 @@ class RetrievalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("hard negatives: nearest DIFFERENT-label vectors, same-label excluded") {
+    import spark.implicits._
+    // Query 0 (label 1): vec 1 shares its label and is the closest —
+    // it must be excluded; ranks go to the cross-label vecs 2 then 3.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.99f, 0.1f), 1),
+      (2L, Array(0.9f, 0.4f), 2), (3L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.hardNegatives(emb, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+    assert(got.forall(r => r.getInt(3) != r.getInt(1)))
+    assert(got.map(_.getInt(5)).toSeq == Seq(1, 2))
+  }
+
+  test("hard negatives on the real tables: k per query, no same-label rows") {
+    val out = Retrieval.hardNegatives(Tables.embeddings(spark, sf)).cache()
+    try {
+      assert(out.filter(col("q_label") === col("n_label")).count() == 0)
+      val per = out.groupBy("query_id").count().collect()
+      assert(per.length == 10 && per.forall(_.getLong(1) == 5))
+    } finally out.unpersist()
+  }
+
   test("plan: both retrieval legs broadcast the query side") {
     val plan = Retrieval.hybridRrfTopK(
         Tables.documents(spark, sf), Tables.embeddings(spark, sf))
