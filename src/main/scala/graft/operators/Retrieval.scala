@@ -48,8 +48,11 @@ object Retrieval {
     // --- lexical leg: score(q, d) = Σ_{w ∈ q} tf(w, d) · ln(N/df(w)),
     // distinct query terms, self-match excluded like the vector leg.
     // Exact decimal summation so the per-query ranking is reduce-order
-    // independent (and ulp-identical to the SQL twin).
-    val tf = termFreq(docs, "doc_id", "text")
+    // independent (and ulp-identical to the SQL twin). The tf table has
+    // three consumers (document frequencies, query vocabulary, scoring
+    // join) — materialized so the corpus tokenizes once.
+    val tf = graft.engine.Caches.materialized(
+      termFreq(docs, "doc_id", "text"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("_n"))
     val qterms = tf.filter(col("doc_id") < nQueries)
