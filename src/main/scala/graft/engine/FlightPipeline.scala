@@ -165,7 +165,13 @@ object FlightPipeline {
     * mean column), silently inflating the stat by the chunk count; this
     * computes the true mean. */
   def airlineMonthly(wide: DataFrame): DataFrame =
-    wide.groupBy("airline_name", "month")
+    // pandas groupby drops NaN-keyed groups (dropna=True default), so a
+    // carrier code missing from the airline-name map never reaches
+    // `airline_monthly_performance`; Spark keeps NULL groups — filter
+    // to match, or an unmapped code would add a null-airline row the
+    // reference pipeline never emits.
+    wide.filter(col("airline_name").isNotNull && col("month").isNotNull)
+      .groupBy("airline_name", "month")
       .agg(count(col("DepDel15")).as("DepDel15_count"),
         sum(col("DepDel15")).as("DepDel15_sum"),
         avg(col("DepDelayMinutes")).as("DepDelayMinutes_mean"),
@@ -202,7 +208,10 @@ object FlightPipeline {
     * `.map(coords.get)` + `dropna` (unmapped cities leave the table). */
   def airportPerformance(wide: DataFrame, coords: DataFrame): DataFrame =
     Aggregates.withCoords(
-      wide.groupBy("airline_name", "month", "origin_city")
+      // Same pandas dropna-group semantics as [[airlineMonthly]].
+      wide.filter(col("airline_name").isNotNull && col("month").isNotNull &&
+          col("origin_city").isNotNull)
+        .groupBy("airline_name", "month", "origin_city")
         .agg(count(lit(1)).as("total_flights"),
           sum(col("DepDel15")).as("delayed_flights")),
       coords)

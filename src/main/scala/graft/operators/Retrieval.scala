@@ -28,11 +28,18 @@ import graft.engine.Aggregates
 object Retrieval {
 
   /** Per-(doc, term) frequencies of `docs(idCol, textCol)` — whitespace
-    * tokens, the corpus-wide statistic both lexical scoring and IDF
-    * derive from. */
-  private def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    * tokens, the corpus-wide statistic lexical scoring, IDF, and the
+    * DSIR class counts all derive from (shared with
+    * [[Selection.dsirLogWeights]] so the tokenization can never
+    * diverge between the paths). `carryCols` ride along per doc
+    * (constant within a doc, carried by `first`). */
+  private[operators] def termFreq(docs: DataFrame, idCol: String,
+      textCol: String, carryCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol) +: carryCols.map(col) :+
+        explode(split(col(textCol), " ")).as("w"): _*)
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"),
+        carryCols.map(c => first(col(c)).as(c)): _*)
 
   /** Hybrid RRF top-k: query docs are `idCol < nQueries` (their ids
     * double as embedding ids). Emits one row per kept (query,

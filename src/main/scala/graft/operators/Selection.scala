@@ -31,16 +31,14 @@ object Selection {
     * `tf · (ln p_t − ln p_s)` contributions — reduce-order
     * independent, oracle-replayable. */
   def dsirLogWeights(docs: DataFrame, targetFilter: Column): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), targetFilter.as("is_target"),
-        explode(split(col("text"), " ")).as("w"))
-    // The term-frequency table feeds BOTH the class-count pass and the
+    // The term-frequency table (the tokenization kernel shared with
+    // Retrieval's lexical leg) feeds BOTH the class-count pass and the
     // scoring join; materialized so the corpus is tokenized once, not
     // once per branch (registered for post-action release per the
     // Caches contract).
     val tf = graft.engine.Caches.materialized(
-      toks.groupBy("doc_id", "w")
-        .agg(count(lit(1)).as("tf"), first(col("is_target")).as("is_target")))
+      Retrieval.termFreq(docs.withColumn("is_target", targetFilter),
+        "doc_id", "text", carryCols = Seq("is_target")))
     // Per-token class counts + the two normalizers, all exact longs.
     val classCounts = tf.groupBy("w").agg(
       sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"),

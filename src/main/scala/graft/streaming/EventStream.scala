@@ -353,17 +353,23 @@ object EventStream {
     * Delta/Iceberg MERGE and keeps exactly-once — here restarts replay
     * the last batch, and the upsert being idempotent per (key, batch)
     * makes that safe PROVIDED the swap itself is crash-safe. The swap
-    * is delete(target)-then-rename(staged, target); a death inside that
-    * window leaves a fully-written staged dir and NO target, and a
-    * naive restart would treat the table as empty and silently drop
-    * every carried-forward key. Each batch therefore opens with
-    * recovery: a staged dir carrying its `_SUCCESS` commit marker while
-    * the target is absent is finished forward (renamed into place)
-    * before the merge reads the target. A staged dir WITHOUT `_SUCCESS`
-    * is an aborted mid-write; overwrite mode replaces it. Every other
-    * crash point replays cleanly: before delete both dirs exist and the
-    * target is the pre-batch state; after rename the replay re-merges
-    * identical rows. */
+    * is rename(target, tombstone) → rename(staged, target) →
+    * delete(tombstone): every step is a directory RENAME (atomic on
+    * HDFS/local FS), never a recursive delete of live data — a
+    * recursive delete is file-at-a-time, and a death mid-delete would
+    * leave a PARTIAL target that a restart would read as valid state.
+    * Each batch opens with recovery, keyed on what survived: a
+    * tombstone beside a missing target means a death between the two
+    * renames — roll the fully-written staged dir forward (its
+    * `_SUCCESS` marker was committed before the swap began; as a
+    * defensive fallback a staged dir without one rolls the tombstone
+    * back instead); a tombstone beside a live target means a death
+    * before the tombstone delete — just re-delete it; a staged dir
+    * with `_SUCCESS` and neither tombstone nor target is the legacy
+    * half-swap shape, finished forward; a staged dir WITHOUT
+    * `_SUCCESS` is an aborted mid-write, replaced by overwrite mode.
+    * Every other crash point replays cleanly: the target is either the
+    * pre-batch state or the post-batch state, never partial. */
   def startUpsertSink(changes: DataFrame, path: String,
       checkpointDir: String, key: String, orderCol: String): StreamingQuery =
     changes.writeStream
@@ -376,10 +382,22 @@ object EventStream {
           import org.apache.hadoop.fs.Path
           val target = new Path(s"$path/current")
           val staged = new Path(s"$path/staged")
+          val tomb = new Path(s"$path/tombstone")
           val fs = new Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           // Crash recovery (see scaladoc): finish a half-completed swap
-          // forward before reading the target.
+          // forward (or defensively back) before reading the target.
+          if (fs.exists(tomb)) {
+            if (!fs.exists(target)) {
+              if (fs.exists(new Path(staged, "_SUCCESS")))
+                require(fs.rename(staged, target),
+                  s"recovery rename $staged -> $target failed")
+              else
+                require(fs.rename(tomb, target),
+                  s"recovery rollback $tomb -> $target failed")
+            }
+            fs.delete(tomb, true)
+          }
           if (!fs.exists(target) &&
               fs.exists(new Path(staged, "_SUCCESS")))
             require(fs.rename(staged, target),
@@ -394,11 +412,17 @@ object EventStream {
               spark.read.parquet(target.toString), newest, key)
           // Write to a staged dir then swap the read path last — a
           // plain overwrite of a table being read mid-write is the
-          // lost-update hazard this avoids on object stores.
+          // lost-update hazard this avoids on object stores. The swap
+          // itself is rename-only: the live target is never the object
+          // of a (non-atomic, file-at-a-time) recursive delete.
           merged.write.mode("overwrite").parquet(staged.toString)
-          fs.delete(target, true)
+          if (fs.exists(target))
+            require(fs.rename(target, tomb),
+              s"rename $target -> $tomb failed")
           require(fs.rename(staged, target),
             s"rename $staged -> $target failed")
+          fs.delete(tomb, true)
+          ()
         }
       }
       .start()

@@ -76,6 +76,10 @@ object DevProbe {
         }
 
       case "stages" =>
+        // Appended from the listener-bus thread, read from main:
+        // synchronized, and the bus is drained (waitUntilEmpty) before
+        // each read — a fixed sleep can miss the heaviest stage on a
+        // loaded host, exactly the case the probe exists to diagnose.
         val stages =
           mutable.ArrayBuffer[(Int, String, Long, Int, Long, Long, Long)]()
         spark.sparkContext.addSparkListener(new SparkListener {
@@ -84,23 +88,37 @@ object DevProbe {
             val dur = (for {
               s <- si.submissionTime; c <- si.completionTime
             } yield c - s).getOrElse(-1L)
-            stages += ((si.stageId, si.name.split("\n").head.take(60),
-              dur, si.numTasks, si.taskMetrics.executorRunTime,
-              si.taskMetrics.executorCpuTime / 1000000,
-              si.taskMetrics.jvmGCTime))
+            stages.synchronized {
+              stages += ((si.stageId, si.name.split("\n").head.take(60),
+                dur, si.numTasks, si.taskMetrics.executorRunTime,
+                si.taskMetrics.executorCpuTime / 1000000,
+                si.taskMetrics.jvmGCTime))
+            }
           }
         })
+        // The listener bus is private[spark]; drain by polling the
+        // buffer until it holds still for 500 ms (30 s cap).
+        def drained(): Unit = {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          var last = -1
+          var stable = 0
+          while (stable < 5 && System.nanoTime() < deadline) {
+            Thread.sleep(100)
+            val n = stages.synchronized(stages.size)
+            if (n == last) stable += 1 else { stable = 0; last = n }
+          }
+        }
         names.foreach { name =>
           val wall = timed(name)
-          Thread.sleep(500) // let the listener bus drain
+          drained()
           println(f"[probe] ==== $name wall=$wall%7.2f s ====")
-          stages.sortBy(-_._3).take(8).foreach {
+          stages.synchronized(stages.sortBy(-_._3).take(8)).foreach {
             case (id, n2, dur, nt, run, cpu, gc) =>
               println(f"[probe]   stage $id%4d dur=${dur / 1000.0}%8.2f s " +
                 f"tasks=$nt%3d execRun=${run / 1000.0}%8.2f s " +
                 f"cpu=${cpu / 1000.0}%8.2f s gc=${gc / 1000.0}%6.2f s  $n2")
           }
-          stages.clear()
+          stages.synchronized(stages.clear())
         }
 
       case "plan" =>

@@ -337,6 +337,30 @@ class EventStreamSpec extends SparkSpec {
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
       3L -> ("c-v1", 1L)))
+    // Crash window: a death BETWEEN the two swap renames leaves a
+    // tombstone (the pre-batch target), a committed staged dir, and NO
+    // target. Recovery must roll the staged state forward and drop the
+    // tombstone — not resurrect the stale pre-batch table.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t/current"),
+      new org.apache.hadoop.fs.Path(s"$root/t/staged")))
+    Seq(Chg(8L, "stale-pre-batch", 1L)).toDF()
+      .write.mode("overwrite").parquet(s"$root/t/tombstone")
+    src.addData(Chg(4L, "d-v1", 1L))
+    drain()
+    assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
+      3L -> ("c-v1", 1L), 4L -> ("d-v1", 1L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t/tombstone")))
+    // Crash window: a death AFTER rename(staged, target) but before the
+    // tombstone delete leaves both target and tombstone. The target is
+    // already the post-batch state; recovery must only drop the
+    // tombstone, and the replay re-merges idempotently.
+    Seq(Chg(8L, "stale-pre-batch", 1L)).toDF()
+      .write.mode("overwrite").parquet(s"$root/t/tombstone")
+    src.addData(Chg(4L, "d-v2", 2L))
+    drain()
+    assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
+      3L -> ("c-v1", 1L), 4L -> ("d-v2", 2L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t/tombstone")))
     // An ABORTED staged write (no _SUCCESS) must NOT be recovered: with
     // the target also absent this is a cold start; the batch rebuilds
     // from its own rows only and the stale partial staged data is
