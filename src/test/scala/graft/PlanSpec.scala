@@ -291,4 +291,24 @@ class PlanSpec extends SparkSpec {
         s"expected 3 partitions read after pruning, got $partsRead")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("DSIR selection cuts via TakeOrdered, never a global sort or window") {
+    val p = plan(graft.operators.Selection.dsirSelect(
+      Tables.documents(spark, sf), col("lang") === "en", topN = 100))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected a distributed TakeOrdered cut in:\n$p")
+    assert(!p.contains("Window"), s"unexpected window (global rank?) in:\n$p")
+    graft.engine.Caches.release()
+  }
+
+  test("video frame-sampling is map-only up to the final order") {
+    // The codec stage must add NO shuffle: documents scan -> encode ->
+    // decode are one fused map chain; the only exchange allowed is the
+    // orderBy's range partitioning (and AQE's reads of it).
+    val df = graft.SparkEntry.queries("q125_video_frames")(spark, sf)
+    val p = plan(df)
+    val exchanges = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).size
+    assert(exchanges == 0,
+      s"codec path should not hash/single-partition exchange, plan:\n$p")
+  }
 }
