@@ -214,6 +214,12 @@ object SparkEntry {
           Tables.documents(s, dir), Tables.embeddings(s, dir))
         .orderBy("query_id", "rank")),
 
+    // OHLC time-bucket downsample: open/close via lexicographic struct
+    // argmin/argmax — partial-aggregable, no per-bucket window sort.
+    "q129_ohlc_bars" -> ((s, dir) =>
+      EventAnalytics.ohlcBars(Tables.events(s, dir))
+        .orderBy("bucket", "event_type")),
+
     // DSIR data selection: unigram-LM importance weights vs the 'en'
     // slice, deterministic top-100 cut (distributed TakeOrdered).
     "q127_dsir_select" -> ((s, dir) =>
@@ -1548,6 +1554,9 @@ object SparkEntry {
 
     "q127_dsir_select" ->
       graft.operators.Selection.dsirSelectSql(topN = 100),
+
+    "q129_ohlc_bars" ->
+      (EventAnalytics.ohlcBarsSql() + "\nORDER BY bucket, event_type"),
 
     "q128_hard_negatives" ->
       (Retrieval.hardNegativesSql() + "\nORDER BY query_id, rank"),

@@ -153,6 +153,56 @@ object EventAnalytics {
     * — and count distinct per window end. At extreme scale the exact
     * distinct swaps for per-day HLL sketches merged across the window
     * (q67's machinery); the windowing construction is unchanged. */
+  /** Time-bucket OHLC downsampling: per (hour, event_type) the FIRST
+    * and LAST event's value (open/close), the extremes (high/low), the
+    * event count and the exact-decimal value sum — the order-sensitive
+    * aggregate family (`first_value`-by-time per bucket) that telemetry
+    * and market-data pipelines run as their standard resample.
+    *
+    * Scale shape: open/close are `min(struct(ts, event_id, value))` /
+    * `max(...)` — Spark orders structs lexicographically, so the
+    * argmin/argmax by the total (ts, event_id) order is a plain
+    * PARTIAL-AGGREGABLE aggregate: map-side combine reduces every
+    * partition to one candidate row per (bucket, type) before the
+    * exchange, and NO per-bucket window sort exists anywhere in the
+    * plan. A window formulation (`row_number` over ts) would shuffle
+    * and sort every event; this shuffles one row per group per
+    * partition. The tie-break is total (event_id is unique), so the
+    * result is deterministic and the oracle — which deliberately uses
+    * the window construction — must agree exactly. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val key = struct(col("ts"), col("event_id"), col("value"))
+    events
+      .select(date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"), col("ts"), col("event_id"), col("value"))
+      .groupBy("bucket", "event_type")
+      .agg(min(key).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(key).getField("value").as("close"),
+        count(lit(1)).as("n_events"),
+        graft.engine.Aggregates.sumExact(col("value")).as("volume"))
+  }
+
+  /** SQL twin of [[ohlcBars]] via the window construction (`events`
+    * hard-wired) — a deliberately different spelling of the same
+    * argmin/argmax semantics. */
+  def ohlcBarsSql(): String =
+    s"""WITH ranked AS (SELECT date_trunc('hour', ts) AS bucket,
+       |    event_type, value,
+       |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+       |      ORDER BY ts, event_id) AS rn_o,
+       |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+       |      ORDER BY ts DESC, event_id DESC) AS rn_c
+       |  FROM events)
+       |SELECT bucket, event_type,
+       |  MAX(CASE WHEN rn_o = 1 THEN value END) AS open,
+       |  MAX(value) AS high, MIN(value) AS low,
+       |  MAX(CASE WHEN rn_c = 1 THEN value END) AS close,
+       |  COUNT(*) AS n_events,
+       |  ${graft.engine.Aggregates.sumExactSql("value")} AS volume
+       |FROM ranked GROUP BY 1, 2""".stripMargin
+
   def rollingDistinctUsers(events: DataFrame, windowDays: Int): DataFrame = {
     val pairs = events
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()

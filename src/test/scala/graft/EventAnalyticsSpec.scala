@@ -129,6 +129,36 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("OHLC bars: open/close by (ts, event_id) total order, ties broken by id; no window in the plan") {
+    // Two buckets; bucket 10:00 has a same-timestamp TIE at the open
+    // (events 1 and 2 at 10:00:05) — event_id must break it — and the
+    // close is the latest ts regardless of id order.
+    val events = Seq(
+      (2L, t("2024-03-01 10:00:05"), "view", 7.0),
+      (1L, t("2024-03-01 10:00:05"), "view", 3.0),
+      (3L, t("2024-03-01 10:59:59"), "view", 1.0),
+      (4L, t("2024-03-01 10:30:00"), "view", 9.0),
+      (5L, t("2024-03-01 11:00:00"), "view", 4.0),
+      (6L, t("2024-03-01 10:15:00"), "click", 2.5))
+      .toDF("event_id", "ts", "event_type", "value")
+    val df = EventAnalytics.ohlcBars(events)
+    val got = df.collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6), r.getDouble(7))).toMap
+    assert(got((t("2024-03-01 10:00:00"), "view")) ==
+      ((3.0, 9.0, 1.0, 1.0, 4L, 20.0)))   // open = id 1's value, not id 2's
+    assert(got((t("2024-03-01 11:00:00"), "view")) ==
+      ((4.0, 4.0, 4.0, 4.0, 1L, 4.0)))
+    assert(got((t("2024-03-01 10:00:00"), "click")) ==
+      ((2.5, 2.5, 2.5, 2.5, 1L, 2.5)))
+    // The scale claim: argmin/argmax by struct order is a plain partial
+    // aggregate — no per-bucket window sort anywhere in the plan.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window sort in:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected partial aggregation in:\n$plan")
+  }
+
   test("rolling distinct users: window edges inclusive, distinct within window, only observed days") {
     import spark.implicits._
     def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
