@@ -214,6 +214,24 @@ object SparkEntry {
           Tables.documents(s, dir), Tables.embeddings(s, dir))
         .orderBy("query_id", "rank")),
 
+    // binaryFile media ingest: payloads round-trip through per-item
+    // FILES (the object-store corpus layout) via Spark's binaryFile
+    // source with a pushed path-glob, then the q125 codec+sampling
+    // path — ingest route differs, decoded truth must not.
+    "q130_binary_media_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val mediaDir = s"${Sinks.scratch}/q130_media"
+      graft.streaming.IncrementalIngest.deleteDir(s, mediaDir)
+      Multimodal.writeMediaFiles(
+        Multimodal.gifMediaFromDocuments(s, docs), mediaDir, "gif")
+      Multimodal.sampleVideoFrames(s,
+          Multimodal.readBinaryMedia(s, mediaDir, "gif", "video/gif"))
+        .toDF()
+        .select("media_id", "media_type", "status", "n_frames",
+          "n_sampled", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("media_id")
+    }),
+
     // OHLC time-bucket downsample: open/close via lexicographic struct
     // argmin/argmax — partial-aggregable, no per-bucket window sort.
     "q129_ohlc_bars" -> ((s, dir) =>
@@ -1557,6 +1575,13 @@ object SparkEntry {
 
     "q129_ohlc_bars" ->
       (EventAnalytics.ohlcBarsSql() + "\nORDER BY bucket, event_type"),
+
+    // Same closed-form replay as q125, restricted to the written ids.
+    "q130_binary_media_ingest" ->
+      (Multimodal.sampleVideoSql
+        .replace("FROM documents d JOIN",
+          "FROM (SELECT * FROM documents WHERE doc_id < 200) d JOIN") +
+        "\nORDER BY media_id"),
 
     "q128_hard_negatives" ->
       (Retrieval.hardNegativesSql() + "\nORDER BY query_id, rank"),

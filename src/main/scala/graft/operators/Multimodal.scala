@@ -355,6 +355,40 @@ object Multimodal {
     }
   }
 
+  /** Write each media payload as its own `<media_id>.<ext>` file under
+    * `dir` — executor-side (`foreachPartition`), one file per row, the
+    * layout a real media corpus has in object storage. */
+  def writeMediaFiles(media: Dataset[MediaRow], dir: String, ext: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    media.foreachPartition { (it: Iterator[MediaRow]) =>
+      it.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"${r.media_id}.$ext"), r.content)
+      }
+    }
+  }
+
+  /** The at-scale media ingest path: Spark's `binaryFile` source reads
+    * a directory of per-item files as (path, length, content) rows —
+    * each file one row, split across tasks by
+    * `spark.sql.files.maxPartitionBytes`, with pushed path-glob
+    * filtering — and the id is recovered from the file name. This is
+    * how a 100 TB image/audio/video corpus actually arrives (objects
+    * in a store, not rows in a table); downstream decode is the same
+    * [[sampleVideoFrames]] codec slot. */
+  def readBinaryMedia(spark: SparkSession, dir: String, ext: String,
+      mediaType: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), s"""(\\d+)\\.$ext$$""", 1)
+          .cast("long").as("media_id"),
+        col("content"), lit(mediaType).as("media_type"))
+      .as[MediaRow]
+  }
+
   /** Oracle twin of the GIF encode+sample+decode — the explicit-palette
     * GIF round-trip is lossless, so each sampled frame's pixel sum is
     * exactly `color·w·h` and the mean over sampled frames reduces to

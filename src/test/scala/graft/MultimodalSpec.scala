@@ -150,6 +150,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).status == "corrupt", "garbage bytes must quarantine, not throw")
   }
 
+  test("binaryFile ingest: per-item files round-trip to the in-memory media rows") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/multimodal-binary-spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, dir)
+    val docs = Seq(43L, 44L, 45L).toDF("doc_id") // incl. the corrupt slot
+    val mem = Multimodal.gifMediaFromDocuments(spark, docs)
+    Multimodal.writeMediaFiles(mem, dir, "gif")
+    val viaFiles = Multimodal.readBinaryMedia(spark, dir, "gif", "video/gif")
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    val inMem = mem.collect().map(r => r.media_id -> r.content.toSeq).toMap
+    assert(viaFiles == inMem, "file round-trip must be byte-identical")
+    // And the decode downstream of the file route matches the spec.
+    val decoded = Multimodal.sampleVideoFrames(spark,
+        Multimodal.readBinaryMedia(spark, dir, "gif", "video/gif"))
+      .collect().map(d => d.media_id -> d.status).toMap
+    assert(decoded == Map(43L -> "corrupt", 44L -> "ok", 45L -> "ok"))
+  }
+
   test("the audio decoder is a real codec: hand-built WAV bytes yield true sample stats") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
