@@ -44,6 +44,32 @@ object EventStream {
         col("event_type"), col("n_events"), col("n_delayed"),
         col("total_value"))
 
+  /** Streaming OHLC downsample — [[graft.operators.EventAnalytics
+    * .ohlcBars]]' order-sensitive open/close under watermarked tumbling
+    * windows. The lexicographic-struct argmin/argmax is a plain
+    * aggregate, so it runs STATEFUL-PARTIAL in streaming exactly like
+    * count/sum: per-window state is one candidate struct per bound
+    * (constant size), finalized and evicted by the watermark — an
+    * order-sensitive statistic with NO per-window buffering of events,
+    * which a row_number-window formulation could not stream at all
+    * (non-monotonic rank over an unbounded group). */
+  def streamingOhlc(events: DataFrame, windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val key = struct(col("ts"), col("event_id"), col("value"))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(min(key).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(key).getField("value").as("close"),
+        count(lit(1)).as("n_events"),
+        Aggregates.sumExact(col("value")).as("volume"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume"))
+  }
+
   /** Streaming parquet sink for the windowed KPIs: append-mode file sink —
     * only watermark-finalized windows are written, each exactly once
     * (checkpointed offsets + the sink's transaction log give end-to-end

@@ -374,6 +374,42 @@ class EventStreamSpec extends SparkSpec {
     assert(state() == Map(7L -> ("g-v1", 1L)))
   }
 
+  test("streaming OHLC == batch twin; open/close state is struct-argmin, watermark finalizes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[OhlcEv]
+    val sink = EventStream.streamingOhlc(source.toDF())
+      .writeStream.format("memory").queryName("ohlc_sink")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // Same-ts tie at the open (ids 2 then 1 — id order must win),
+      // out-of-order arrival (the 10:59 close arrives before 10:30).
+      val batch = Seq(
+        OhlcEv(2L, t("2024-01-01 10:00:05"), "view", 7.0),
+        OhlcEv(1L, t("2024-01-01 10:00:05"), "view", 3.0),
+        OhlcEv(3L, t("2024-01-01 10:59:59"), "view", 1.0),
+        OhlcEv(4L, t("2024-01-01 10:30:00"), "view", 9.0))
+      source.addData(batch: _*)
+      sink.processAllAvailable()
+      assert(spark.table("ohlc_sink").count() == 0) // not finalized yet
+      source.addData(OhlcEv(5L, t("2024-01-01 12:00:00"), "view", 4.0))
+      sink.processAllAvailable()
+      val got = spark.table("ohlc_sink")
+        .filter(col("bucket") === t("2024-01-01 10:00:00")).collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert((r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("volume")) ==
+        ((3.0, 9.0, 1.0, 1.0, 4L, 20.0)))
+      // Exactly the batch operator's row for the same events.
+      val b = graft.operators.EventAnalytics.ohlcBars(batch.toDF())
+        .filter(col("bucket") === t("2024-01-01 10:00:00")).collect().head
+      assert(b.getDouble(2) == 3.0 && b.getDouble(5) == 1.0 &&
+        b.getLong(6) == 4L && b.getDouble(7) == 20.0)
+    } finally sink.stop()
+  }
+
   test("twoRunUpsert: file-source two-run fold equals global newest-per-key") {
     import spark.implicits._
     val root = s"${graft.engine.Sinks.scratch}/two-run-upsert-spec"
@@ -391,6 +427,9 @@ class EventStreamSpec extends SparkSpec {
 }
 
 case class Chg(k: Long, v: String, ver: Long)
+
+case class OhlcEv(event_id: Long, ts: Timestamp, event_type: String,
+    value: Double)
 
 case class Vw(user_id: Long, view_id: Long, view_ts: Timestamp)
 case class Pu(user_id: Long, purchase_id: Long, purchase_ts: Timestamp)
