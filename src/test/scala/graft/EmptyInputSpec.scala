@@ -47,4 +47,31 @@ class EmptyInputSpec extends SparkSpec {
     // Empty corpus stays empty.
     assert(Curation.decontaminate(empty, docs, "doc_id", "text").count() == 0)
   }
+
+  test("round-9 operators are total on empty and one-sided inputs") {
+    import graft.operators.{EventAnalytics, Multimodal, Retrieval, Selection}
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val noEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("event_id", "ts", "event_type", "value")
+    assert(Selection.dsirSelect(noDocs, col("lang") === "en", 10).count() == 0)
+    // All-target and all-source corpora: the opposite class count is 0
+    // everywhere; add-one smoothing must keep every log finite.
+    val docs = Seq((0L, "x y", "en"), (1L, "y z", "en")).toDF("doc_id", "text", "lang")
+    assert(Selection.dsirSelect(docs, col("lang") === "en", 10).count() == 2)
+    assert(Selection.dsirSelect(docs, col("lang") === "fr", 10).count() == 2)
+    assert(Retrieval.hybridRrfTopK(noDocs, noEmb).count() == 0)
+    assert(Retrieval.hardNegatives(noEmb).count() == 0)
+    // Single-label corpus: every candidate shares the query's label —
+    // no negatives exist, and that must be an empty result, not an error.
+    val oneLabel = Seq((0L, Array(1f, 0f), 7), (1L, Array(0f, 1f), 7))
+      .toDF("vec_id", "embedding", "label")
+    assert(Retrieval.hardNegatives(oneLabel, nQueries = 1).count() == 0)
+    assert(EventAnalytics.ohlcBars(noEvents).count() == 0)
+    assert(Multimodal.sampleVideoFrames(spark,
+      Multimodal.gifMediaFromDocuments(spark,
+        Seq.empty[Long].toDF("doc_id"))).count() == 0)
+    graft.engine.Caches.release()
+  }
 }
