@@ -119,6 +119,23 @@ object Sinks {
   def ctas(spark: SparkSession, table: String, df: DataFrame): Unit =
     ctasWith(spark, table, df)(identity)
 
+  /** Collect table (and optionally column) statistics for the
+    * cost-based optimizer — the warehouse maintenance step that turns
+    * size-only planning into cardinality-aware planning. Without stats
+    * a parquet table exposes only file bytes; with `rowCount` and
+    * per-column NDV/min/max/null-count the optimizer estimates
+    * post-filter cardinalities (selective predicates shrink the
+    * estimated row count, not just the byte count), picks broadcast
+    * sides after filters, and (with `spark.sql.cbo.joinReorder`)
+    * reorders multi-way joins. At 100 TB this is not optional: a
+    * mis-ordered fact⋈fact⋈dim join is the difference between one
+    * broadcast and a petabyte shuffle. Asserted in SinksStatsSpec. */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit =
+    spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS" +
+      (if (columns.isEmpty) ""
+       else s" FOR COLUMNS ${columns.map(c => s"`$c`").mkString(", ")}"))
+
   /** A9 analog — bucketed CTAS: hash-bucket (and sort) the table on its
     * join key so future equi-joins on that key are co-located — both
     * exchanges of a sort-merge join disappear (asserted in PlanSpec).
