@@ -24,6 +24,43 @@ class JoinsSpec extends SparkSpec {
       .toDF("okey", "attr")
   }
 
+  test("AQE skew-join splits the hot partition (the documented salting alternative)") {
+    import spark.implicits._
+    // The q44 salting path handles skew manually; Joins.scala documents
+    // AQE's skew split as the runtime alternative — assert it actually
+    // fires. Thresholds tuned down so the 5000-row hot key qualifies.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // Fatter, INCOMPRESSIBLE payload (shuffle blocks are compressed;
+      // 5000 identical pads would deflate below any threshold).
+      val left = skewedProbe.withColumn("pad",
+        concat(md5(col("payload").cast("string")),
+          md5(concat(col("payload").cast("string"), lit("x"))),
+          md5(concat(col("payload").cast("string"), lit("y"))),
+          md5(concat(col("payload").cast("string"), lit("z")))))
+      val df = left.join(build, "okey")
+      // collect() on THIS frame so its AdaptiveSparkPlan finalizes
+      // (count() would execute a separate QueryExecution).
+      assert(df.collect().length == (5000 + 100 * 10) * 2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split (skew=true) in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted inner join is multiset-equal to the plain inner join") {
     val plain = skewedProbe.join(build, Seq("okey"))
       .select("okey", "payload", "attr")
