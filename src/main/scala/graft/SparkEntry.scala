@@ -232,6 +232,17 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // PSI distribution drift between two snapshots (event_id parity
+    // split): per-side map-side bin counts, tiny joined bin table,
+    // decimal-exact term sum — the ML-monitoring "did the data move".
+    "q131_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Drift.psi(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value", binWidth = 50.0)
+    }),
+
     // OHLC time-bucket downsample: open/close via lexicographic struct
     // argmin/argmax — partial-aggregable, no per-bucket window sort.
     "q129_ohlc_bars" -> ((s, dir) =>
@@ -1575,6 +1586,8 @@ object SparkEntry {
 
     "q129_ohlc_bars" ->
       (EventAnalytics.ohlcBarsSql() + "\nORDER BY bucket, event_type"),
+
+    "q131_psi_drift" -> graft.operators.Drift.psiSql(binWidth = 50.0),
 
     // Same closed-form replay as q125, restricted to the written ids.
     "q130_binary_media_ingest" ->

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Drift
+
+/** PSI drift: closed-form fixture, the identical-distribution zero
+  * property, and directional sanity (a shifted snapshot scores higher
+  * than a resampled one). */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PSI on a hand-built two-bin fixture matches the closed form") {
+    // ref: 8 values in bin 0, 2 in bin 1; cur: 5 and 5. Width 10.
+    val ref = (Seq.fill(8)(3.0) ++ Seq.fill(2)(13.0)).toDF("v")
+    val cur = (Seq.fill(5)(7.0) ++ Seq.fill(5)(17.0)).toDF("v")
+    val r = Drift.psi(ref, cur, "v", binWidth = 10.0).head()
+    val (p0, p1) = (9.0 / 12, 3.0 / 12)   // (8+1)/(10+2), (2+1)/(10+2)
+    val (q0, q1) = (6.0 / 12, 6.0 / 12)
+    def q12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = q12((p0 - q0) * math.log(p0 / q0)) +
+      q12((p1 - q1) * math.log(p1 / q1))
+    assert(math.abs(r.getDouble(0) - want) < 1e-12, s"psi=${r.getDouble(0)} want=$want")
+    assert(r.getLong(1) == 2 && r.getLong(2) == 10 && r.getLong(3) == 10)
+  }
+
+  test("PSI of a distribution against itself is ~0; a shift scores higher") {
+    val ev = graft.engine.Tables.events(spark, sf)
+    val even = ev.filter(col("event_id") % 2 === 0)
+    val odd = ev.filter(col("event_id") % 2 === 1)
+    val self = Drift.psi(even, even, "value", 50.0).head().getDouble(0)
+    assert(self == 0.0, s"identical snapshots must score exactly 0, got $self")
+    val parity = Drift.psi(even, odd, "value", 50.0).head().getDouble(0)
+    val shifted = Drift.psi(even,
+      odd.withColumn("value", col("value") * 1.5), "value", 50.0)
+      .head().getDouble(0)
+    assert(parity >= 0 && parity < 0.1,
+      s"random parity split should be stable (<0.1), got $parity")
+    assert(shifted > parity && shifted > 0.1,
+      s"a 1.5x scale shift must register as drift, got $shifted vs $parity")
+  }
+
+  test("one-sided bins stay finite via smoothing; empty inputs are total") {
+    val ref = Seq(5.0, 15.0).toDF("v")
+    val cur = Seq(5.0, 95.0).toDF("v")   // bin 1 empty in cur, bin 9 in ref
+    val bins = Drift.psiBins(ref, cur, "v", 10.0).collect()
+    assert(bins.length == 3)
+    assert(bins.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+    val empty = Seq.empty[Double].toDF("v")
+    assert(Drift.psi(empty, empty, "v", 10.0).head().getLong(1) == 0)
+  }
+}
