@@ -143,16 +143,6 @@ object EventAnalytics {
        |GROUP BY e1, e2, e3
        |ORDER BY n DESC, e1, e2, e3 LIMIT $k""".stripMargin
 
-  /** Rolling N-day distinct users (DAU + trailing-window WAU): sliding
-    * DISTINCT is the aggregate window functions cannot express
-    * (`count(DISTINCT) OVER` is unsupported) and a per-day self-join
-    * over raw events re-scans the fact N times. The scale-safe shape:
-    * dedup to (day, user) pairs ONCE (the fact collapses to at most
-    * users × days rows), then explode each pair to the N window-end
-    * days it contributes to — a map-side ×N of the SMALL deduped frame
-    * — and count distinct per window end. At extreme scale the exact
-    * distinct swaps for per-day HLL sketches merged across the window
-    * (q67's machinery); the windowing construction is unchanged. */
   /** Time-bucket OHLC downsampling: per (hour, event_type) the FIRST
     * and LAST event's value (open/close), the extremes (high/low), the
     * event count and the exact-decimal value sum — the order-sensitive
@@ -203,6 +193,16 @@ object EventAnalytics {
        |  ${graft.engine.Aggregates.sumExactSql("value")} AS volume
        |FROM ranked GROUP BY 1, 2""".stripMargin
 
+  /** Rolling N-day distinct users (DAU + trailing-window WAU): sliding
+    * DISTINCT is the aggregate window functions cannot express
+    * (`count(DISTINCT) OVER` is unsupported) and a per-day self-join
+    * over raw events re-scans the fact N times. The scale-safe shape:
+    * dedup to (day, user) pairs ONCE (the fact collapses to at most
+    * users × days rows), then explode each pair to the N window-end
+    * days it contributes to — a map-side ×N of the SMALL deduped frame
+    * — and count distinct per window end. At extreme scale the exact
+    * distinct swaps for per-day HLL sketches merged across the window
+    * (q67's machinery); the windowing construction is unchanged. */
   def rollingDistinctUsers(events: DataFrame, windowDays: Int): DataFrame = {
     val pairs = events
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()

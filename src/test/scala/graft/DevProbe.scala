@@ -77,9 +77,12 @@ object DevProbe {
 
       case "stages" =>
         // Appended from the listener-bus thread, read from main:
-        // synchronized, and the bus is drained (waitUntilEmpty) before
-        // each read — a fixed sleep can miss the heaviest stage on a
-        // loaded host, exactly the case the probe exists to diagnose.
+        // synchronized, and read only after the buffer holds still (a
+        // stability poll — waitUntilEmpty is private[spark]). A plain
+        // fixed sleep can miss the heaviest stage on a loaded host,
+        // exactly the case the probe exists to diagnose; the poll can
+        // too if the bus stalls >500 ms between events, but bounded by
+        // the 30 s cap it is the best public-API approximation.
         val stages =
           mutable.ArrayBuffer[(Int, String, Long, Int, Long, Long, Long)]()
         spark.sparkContext.addSparkListener(new SparkListener {
