@@ -232,6 +232,12 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // word2vec phrase detection: bigrams that co-occur far beyond
+    // their unigram frequencies — vocab-sized joins, TakeOrdered cut.
+    "q132_phrase_detect" -> ((s, dir) =>
+      CorpusStats.phraseScores(Tables.documents(s, dir), "text",
+        minCount = 5L, delta = 5.0, k = 30)),
+
     // PSI distribution drift between two snapshots (event_id parity
     // split): per-side map-side bin counts, tiny joined bin table,
     // decimal-exact term sum — the ML-monitoring "did the data move".
@@ -1588,6 +1594,9 @@ object SparkEntry {
       (EventAnalytics.ohlcBarsSql() + "\nORDER BY bucket, event_type"),
 
     "q131_psi_drift" -> graft.operators.Drift.psiSql(binWidth = 50.0),
+
+    "q132_phrase_detect" ->
+      CorpusStats.phraseScoresSql(minCount = 5L, delta = 5.0, k = 30),
 
     // Same closed-form replay as q125, restricted to the written ids.
     "q130_binary_media_ingest" ->

@@ -155,6 +155,70 @@ object CorpusStats {
        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT $k""".stripMargin
   }
 
+  /** Phrase detection (the word2vec bigram promotion — Mikolov et al.
+    * 2013, "Distributed Representations of Words and Phrases"): score
+    * every adjacent pair by `(count(ab) − δ) / (count(a) · count(b))`
+    * and promote the top scorers — pairs that co-occur far more than
+    * their unigram frequencies predict ("new york", not "of the"). The
+    * preprocessing step that decides which token sequences become
+    * single vocabulary items before embedding/tokenizer training.
+    *
+    * Scale shape: unigram and bigram counts are the only corpus-sized
+    * passes (both map-side partial-aggregated over the native shingle
+    * kernel); the scored join keys the VOCABULARY-sized count tables
+    * (AQE broadcasts them), the discount/division is one exact-integer
+    * expression (counts go through double before multiplying so the
+    * denominator cannot overflow long at 100 TB counts), and the cut
+    * is `orderBy().limit()` = distributed TakeOrdered. */
+  def phraseScores(docs: DataFrame, textCol: String, minCount: Long,
+      delta: Double, k: Int): DataFrame = {
+    val uni = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = docs
+      .select(explode(TextKernels.shinglesCol(col(textCol), 2)).as("pair"))
+      // True bigrams only: the kernel's whole-text fallback for
+      // single-token documents yields space-free "pairs" — not phrases.
+      .filter(col("pair").contains(" "))
+      .groupBy("pair").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bi
+      .withColumn("w1", split(col("pair"), " ")(0))
+      .withColumn("w2", split(col("pair"), " ")(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("n_b")), "w2")
+      .withColumn("score", (col("n_ab") - delta) /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+      .orderBy(col("score").desc, col("pair").asc)
+      .limit(k)
+      .select("pair", "n_ab", "n_a", "n_b", "score")
+  }
+
+  /** SQL twin of [[phraseScores]] (`documents` hard-wired; same
+    * bigram-only filter, same double-denominator division). */
+  def phraseScoresSql(minCount: Long, delta: Double, k: Int): String = {
+    val toks = "string_split(text, ' ')"
+    s"""WITH u AS (SELECT w, count(*) AS c FROM (
+       |    SELECT unnest($toks) AS w FROM documents) _ GROUP BY 1),
+       |g AS (SELECT unnest(
+       |    CASE WHEN len($toks) >= 2
+       |      THEN list_transform(range(1, len($toks) - 1 + 1),
+       |        i -> array_to_string($toks[i:i+1], ' '))
+       |      ELSE [array_to_string($toks, ' ')] END) AS pair
+       |  FROM documents),
+       |b AS (SELECT pair, count(*) AS n_ab FROM g
+       |  WHERE contains(pair, ' ')
+       |  GROUP BY 1 HAVING count(*) >= $minCount)
+       |SELECT pair, n_ab, n_a, n_b, score FROM (
+       |  SELECT pair, n_ab, ua.c AS n_a, ub.c AS n_b,
+       |    (n_ab - $delta) / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))
+       |      AS score
+       |  FROM b
+       |  JOIN u ua ON ua.w = split_part(pair, ' ', 1)
+       |  JOIN u ub ON ub.w = split_part(pair, ' ', 2)) _
+       |ORDER BY score DESC, pair ASC LIMIT $k""".stripMargin
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Document chunking: split each document into consecutive

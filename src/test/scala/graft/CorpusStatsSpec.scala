@@ -53,6 +53,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("phraseScores promotes true collocations over frequent-word pairs") {
+    // "x y" always co-occurs (4 of each, always adjacent); "a b" pairs
+    // frequent words that mostly appear apart. δ=1 keeps both; the
+    // collocation must win. Single-token doc exercises the bigram-only
+    // filter (its fallback "pair" has no space and must not score).
+    val d = docs(
+      1L -> "x y a c b", 2L -> "x y b a c", 3L -> "a x y c b",
+      4L -> "c a x y b", 5L -> "a b", 6L -> "z")
+    val got = CorpusStats.phraseScores(d, "text",
+        minCount = 1L, delta = 1.0, k = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // x: 4, y: 4, "x y": 4 → (4−1)/(4·4) = 0.1875.
+    assert(got("x y") == ((4L, 4L, 4L, 3.0 / 16)))
+    // a: 5, b: 5, "a b" adjacent once → (1−1)/(5·5) = 0.
+    assert(got("a b") == ((1L, 5L, 5L, 0.0)))
+    assert(!got.contains("z"), "single-token fallback must not be scored")
+    val ranked = CorpusStats.phraseScores(d, "text", 1L, 1.0, 1).collect()
+    assert(ranked.head.getString(0) == "x y")
+  }
+
   test("chunks reassemble to the original text; all but the last are full") {
     import graft.engine.Tables
     val d = Tables.documents(spark, sf)
