@@ -385,6 +385,19 @@ object SparkEntry {
         .orderBy("airline_name", "month")
     }),
 
+    // Target-size parquet write: partition count derived from the
+    // optimizer's byte estimate, not upstream task count — the
+    // proactive small-files answer (q105 compaction is the reactive
+    // twin). Round-trips through the sized layout.
+    "q133_sized_write" -> ((s, dir) => {
+      val src = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val path = s"${Sinks.scratch}/q133_sized"
+      Sinks.writeParquetSized(src, path, "overwrite",
+        targetBytes = 512L * 1024)
+      s.read.parquet(path).orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // A5 — CSV sink round-trip of the airport cache table, the reference's
     // `to_csv(..., index=False)` (`aggregate_flight_data.py:42,79`).
     "q33_csv_sink" -> ((s, dir) => {
@@ -1597,6 +1610,11 @@ object SparkEntry {
 
     "q132_phrase_detect" ->
       CorpusStats.phraseScoresSql(minCount = 5L, delta = 5.0, k = 30),
+
+    // Sized layout is answer-invariant: the oracle is the source.
+    "q133_sized_write" -> """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  l_extendedprice
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // Same closed-form replay as q125, restricted to the written ids.
     "q130_binary_media_ingest" ->

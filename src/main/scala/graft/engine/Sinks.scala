@@ -119,6 +119,28 @@ object Sinks {
   def ctas(spark: SparkSession, table: String, df: DataFrame): Unit =
     ctasWith(spark, table, df)(identity)
 
+  /** Write with a TARGET FILE SIZE instead of a file count — the
+    * proactive answer to the small-files problem that [[compact]]
+    * solves after the fact. The optimizer's size estimate for the
+    * frame (`optimizedPlan.stats.sizeInBytes` — file bytes for scans,
+    * propagated through the plan) picks the partition count as
+    * `ceil(bytes · ratio / targetBytes)`, so a 100 TB write lands as
+    * ~targetBytes files regardless of the upstream parallelism (a
+    * 32 000-task shuffle does not become 32 000 files), and a tiny
+    * dimension write collapses to ONE file instead of one-per-task.
+    * `parquetRatio` accounts for columnar encoding + compression
+    * shrinking in-memory bytes on disk (~4× is a conservative parquet
+    * default; tune per dataset). Returns the chosen file count. */
+  def writeParquetSized(df: DataFrame, path: String, mode: String,
+      targetBytes: Long, parquetRatio: Double = 4.0): Int = {
+    require(targetBytes > 0 && parquetRatio > 0)
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = (BigDecimal(planBytes) / parquetRatio).toBigInt
+    val n = ((est + targetBytes - 1) / targetBytes).max(1).min(100000).toInt
+    df.repartition(n).write.mode(mode).parquet(path)
+    n
+  }
+
   /** Collect table (and optionally column) statistics for the
     * cost-based optimizer — the warehouse maintenance step that turns
     * size-only planning into cardinality-aware planning. Without stats

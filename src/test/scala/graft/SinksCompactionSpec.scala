@@ -14,6 +14,33 @@ class SinksCompactionSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory(name).toString
 
+  test("sized write: tiny frame collapses to one file; bulk frame splits near target") {
+    import spark.implicits._
+    import graft.engine.Sinks
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    // A dimension-sized frame with huge targetBytes: ONE file, no
+    // matter how many tasks produced it.
+    val small = tmp("sized-small")
+    val nSmall = Sinks.writeParquetSized(
+      (0 until 100).toDF("k").repartition(16), small, "overwrite",
+      targetBytes = 1L << 30)
+    assert(nSmall == 1 && parquetFiles(small).length == 1,
+      s"expected 1 file, got $nSmall / ${parquetFiles(small).length}")
+    // A bulk frame read FROM DISK (so the optimizer has real byte
+    // stats) with a small target: file count tracks size/target, and
+    // the round-trip preserves content.
+    val src = tmp("sized-src"); val out = tmp("sized-out")
+    (0 until 200000).map(i => (i.toLong, s"pad-$i-${i * 2654435761L}"))
+      .toDF("k", "pad").repartition(4).write.mode("overwrite").parquet(src)
+    val onDisk = spark.read.parquet(src)
+    val n = Sinks.writeParquetSized(onDisk, out, "overwrite",
+      targetBytes = 256L * 1024)
+    assert(n > 1, s"expected a multi-file split, got $n")
+    assert(parquetFiles(out).length == n)
+    assert(spark.read.parquet(out).count() == 200000)
+  }
+
   test("compaction preserves content, honors the packing bound, and " +
       "emits exactly one file per planned bin") {
     import spark.implicits._
