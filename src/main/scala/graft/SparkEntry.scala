@@ -232,6 +232,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Vocabulary drift: categorical PSI over token frequencies between
+    // corpus snapshot halves — "did the corpus language shift".
+    "q134_vocab_drift" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select((col("doc_id") % 2).as("side"),
+          explode(split(col("text"), " ")).as("w"))
+      graft.operators.Drift.psiCategorical(
+        toks.filter(col("side") === 0), toks.filter(col("side") === 1), "w")
+    }),
+
     // word2vec phrase detection: bigrams that co-occur far beyond
     // their unigram frequencies — vocab-sized joins, TakeOrdered cut.
     "q132_phrase_detect" -> ((s, dir) =>
@@ -1610,6 +1620,8 @@ object SparkEntry {
 
     "q132_phrase_detect" ->
       CorpusStats.phraseScoresSql(minCount = 5L, delta = 5.0, k = 30),
+
+    "q134_vocab_drift" -> graft.operators.Drift.vocabDriftSql(),
 
     // Sized layout is answer-invariant: the oracle is the source.
     "q133_sized_write" -> """SELECT l_orderkey, l_linenumber, l_quantity,

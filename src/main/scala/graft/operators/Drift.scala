@@ -58,6 +58,60 @@ object Drift {
         sum(col("n_ref")).as("n_ref"),
         sum(col("n_cur")).as("n_cur"))
 
+  /** Categorical PSI: the same statistic over a KEY column instead of
+    * numeric bins — each distinct key is its own bin (union key set,
+    * add-one smoothing). The corpus-monitoring form: PSI over token
+    * frequencies between two snapshots is vocabulary drift ("did the
+    * corpus language shift"), over `source`/`lang` columns it is mix
+    * drift. Same scale shape as [[psi]]: per-side map-side counts, a
+    * key-set-sized join, exact term sum. */
+  def psiCategorical(ref: DataFrame, cur: DataFrame,
+      keyCol: String): DataFrame = {
+    def counted(df: DataFrame, n: String) =
+      df.groupBy(col(keyCol).as("bin")).agg(count(lit(1)).as(n))
+    val joined = counted(ref, "n_ref")
+      .join(counted(cur, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("n_bins"))
+    val p = (col("n_ref") + 1).cast("double") / (col("tot_ref") + col("n_bins"))
+    val q = (col("n_cur") + 1).cast("double") / (col("tot_cur") + col("n_bins"))
+    joined.crossJoin(broadcast(totals))
+      .select(((p - q) * log(p / q)).as("psi_term"),
+        col("n_ref"), col("n_cur"))
+      .agg(Aggregates.sumExact(col("psi_term"), scale = 12).as("psi"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n_ref")).as("n_ref"),
+        sum(col("n_cur")).as("n_cur"))
+  }
+
+  /** SQL twin of [[psiCategorical]] over token frequencies of
+    * `documents` split by doc_id parity — vocabulary drift. */
+  def vocabDriftSql(): String =
+    s"""WITH toks AS (SELECT doc_id % 2 AS side,
+       |    unnest(string_split(text, ' ')) AS bin FROM documents),
+       |r AS (SELECT bin, count(*) AS n_ref FROM toks WHERE side = 0 GROUP BY 1),
+       |c AS (SELECT bin, count(*) AS n_cur FROM toks WHERE side = 1 GROUP BY 1),
+       |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+       |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |  FROM r FULL JOIN c ON r.bin = c.bin),
+       |t AS (SELECT SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur,
+       |    COUNT(*) AS n_bins FROM j),
+       |terms AS (SELECT
+       |    (CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bins) -
+       |     CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bins)) *
+       |    ln((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bins)) /
+       |       (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bins))) AS psi_term,
+       |    n_ref, n_cur
+       |  FROM j, t)
+       |SELECT ${Aggregates.sumExactSql("psi_term", scale = 12)} AS psi,
+       |  COUNT(*) AS n_bins,
+       |  CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       |  CAST(SUM(n_cur) AS BIGINT) AS n_cur
+       |FROM terms""".stripMargin
+
   /** SQL twin of [[psi]] over `events` split by event_id parity
     * (reference = even ids, current = odd ids), `value` binned at
     * `binWidth`. */

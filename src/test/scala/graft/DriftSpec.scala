@@ -41,6 +41,24 @@ class DriftSpec extends SparkSpec {
       s"a 1.5x scale shift must register as drift, got $shifted vs $parity")
   }
 
+  test("categorical PSI: key bins, smoothing, and agreement with numeric-binned PSI") {
+    // Keys 'a','b','c' with the same counts as the numeric fixture's
+    // bins — categorical and numeric forms must produce the SAME psi.
+    val refN = (Seq.fill(8)(3.0) ++ Seq.fill(2)(13.0)).toDF("v")
+    val curN = (Seq.fill(5)(7.0) ++ Seq.fill(5)(17.0)).toDF("v")
+    val refC = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("k")
+    val curC = (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("k")
+    val num = Drift.psi(refN, curN, "v", 10.0).head().getDouble(0)
+    val cat = Drift.psiCategorical(refC, curC, "k").head().getDouble(0)
+    assert(cat == num, s"categorical $cat != numeric $num")
+    // A key present on one side only is a one-sided bin: finite.
+    val lop = Drift.psiCategorical(
+      Seq("a", "a", "z").toDF("k"), Seq("a", "y").toDF("k"), "k")
+      .head()
+    assert(!lop.getDouble(0).isNaN && !lop.getDouble(0).isInfinite)
+    assert(lop.getLong(1) == 3) // union bins: a, z, y
+  }
+
   test("one-sided bins stay finite via smoothing; empty inputs are total") {
     val ref = Seq(5.0, 15.0).toDF("v")
     val cur = Seq(5.0, 95.0).toDF("v")   // bin 1 empty in cur, bin 9 in ref
