@@ -122,23 +122,40 @@ object Sinks {
   /** Write with a TARGET FILE SIZE instead of a file count — the
     * proactive answer to the small-files problem that [[compact]]
     * solves after the fact. The optimizer's size estimate for the
-    * frame (`optimizedPlan.stats.sizeInBytes` — file bytes for scans,
-    * propagated through the plan) picks the partition count as
-    * `ceil(bytes · ratio / targetBytes)`, so a 100 TB write lands as
-    * ~targetBytes files regardless of the upstream parallelism (a
-    * 32 000-task shuffle does not become 32 000 files), and a tiny
-    * dimension write collapses to ONE file instead of one-per-task.
-    * `parquetRatio` accounts for columnar encoding + compression
-    * shrinking in-memory bytes on disk (~4× is a conservative parquet
-    * default; tune per dataset). Returns the chosen file count. */
+    * frame (`optimizedPlan.stats.sizeInBytes`) picks the partition
+    * count as `ceil(bytes / (ratio · targetBytes))`, so a 100 TB write
+    * lands as ~targetBytes files regardless of the upstream
+    * parallelism (a 32 000-task shuffle does not become 32 000 files),
+    * and a tiny dimension write collapses to ONE file instead of
+    * one-per-task.
+    *
+    * `outputRatio` converts ESTIMATE bytes to OUTPUT bytes. For
+    * file-scan lineage the estimate is already compressed on-disk
+    * bytes, so the parquet→parquet default of 1.0 is right; raise it
+    * when the input representation is fatter than the parquet output
+    * (e.g. ~4 for uncompressed in-memory rows or text inputs). Sources
+    * that report NO real size (JDBC relations, RDD-backed frames carry
+    * the `defaultSizeInBytes` = Long.MaxValue sentinel) would
+    * otherwise clamp to the max and write a 100 000-small-file storm —
+    * exactly what this helper exists to prevent — so they fall back to
+    * the frame's existing partitioning, unrepartitioned. Returns the
+    * chosen file count. */
   def writeParquetSized(df: DataFrame, path: String, mode: String,
-      targetBytes: Long, parquetRatio: Double = 4.0): Int = {
-    require(targetBytes > 0 && parquetRatio > 0)
+      targetBytes: Long, outputRatio: Double = 1.0): Int = {
+    require(targetBytes > 0 && outputRatio > 0)
     val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val est = (BigDecimal(planBytes) / parquetRatio).toBigInt
-    val n = ((est + targetBytes - 1) / targetBytes).max(1).min(100000).toInt
-    df.repartition(n).write.mode(mode).parquet(path)
-    n
+    // defaultSizeInBytes-poisoned estimates (any leaf without real
+    // stats saturates the sum) — no size signal to act on.
+    if (planBytes >= BigInt(Long.MaxValue) / 2) {
+      val n = df.rdd.getNumPartitions.max(1)
+      df.write.mode(mode).parquet(path)
+      n
+    } else {
+      val est = (BigDecimal(planBytes) / outputRatio).toBigInt
+      val n = ((est + targetBytes - 1) / targetBytes).max(1).min(100000).toInt
+      df.repartition(n).write.mode(mode).parquet(path)
+      n
+    }
   }
 
   /** Collect table (and optionally column) statistics for the

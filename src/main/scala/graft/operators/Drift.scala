@@ -22,6 +22,19 @@ import graft.engine.Aggregates
   * statistic is reduce-order independent and oracle-replayable. */
 object Drift {
 
+  /** NULL-SAFE full outer join of the two per-bin count tables: a null
+    * key (null feature value / null category) is ONE shared bin on
+    * both sides, not two unmatched bins — `Seq("bin")` join keys use
+    * null-unsafe equality and would split it, inflating n_bins and
+    * replacing the matched term with two spurious one-sided ones. */
+  private def outerBins(r: DataFrame, c: DataFrame): DataFrame = {
+    val cc = c.withColumnRenamed("bin", "bin_c")
+    r.join(cc, col("bin") <=> col("bin_c"), "full_outer")
+      .select(coalesce(col("bin"), col("bin_c")).as("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
   /** Per-bin PSI decomposition: bin_lo, both counts, both smoothed
     * shares, and the bin's PSI term. */
   def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
@@ -30,11 +43,7 @@ object Drift {
     def binned(df: DataFrame, n: String) = df
       .select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(n))
-    val joined = binned(ref, "n_ref")
-      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
-      .select(col("bin"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val joined = outerBins(binned(ref, "n_ref"), binned(cur, "n_cur"))
     val totals = joined.agg(sum(col("n_ref")).as("tot_ref"),
       sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("n_bins"))
     val p = (col("n_ref") + 1).cast("double") / (col("tot_ref") + col("n_bins"))
@@ -69,11 +78,7 @@ object Drift {
       keyCol: String): DataFrame = {
     def counted(df: DataFrame, n: String) =
       df.groupBy(col(keyCol).as("bin")).agg(count(lit(1)).as(n))
-    val joined = counted(ref, "n_ref")
-      .join(counted(cur, "n_cur"), Seq("bin"), "full_outer")
-      .select(col("bin"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val joined = outerBins(counted(ref, "n_ref"), counted(cur, "n_cur"))
     val totals = joined.agg(sum(col("n_ref")).as("tot_ref"),
       sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("n_bins"))
     val p = (col("n_ref") + 1).cast("double") / (col("tot_ref") + col("n_bins"))

@@ -57,6 +57,14 @@ class DriftSpec extends SparkSpec {
       .head()
     assert(!lop.getDouble(0).isNaN && !lop.getDouble(0).isInfinite)
     assert(lop.getLong(1) == 3) // union bins: a, z, y
+    // NULL keys are ONE shared bin, not two unmatched ones (the join
+    // is null-safe): bins = {a, null} on both sides.
+    val withNulls = Drift.psiCategorical(
+      Seq(Some("a"), None, None).toDF("k"),
+      Seq(Some("a"), None).toDF("k"), "k").head()
+    assert(withNulls.getLong(1) == 2,
+      s"null key must be one shared bin, got n_bins=${withNulls.getLong(1)}")
+    assert(!withNulls.getDouble(0).isNaN)
   }
 
   test("one-sided bins stay finite via smoothing; empty inputs are total") {

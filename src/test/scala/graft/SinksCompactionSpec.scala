@@ -34,11 +34,37 @@ class SinksCompactionSpec extends SparkSpec {
     (0 until 200000).map(i => (i.toLong, s"pad-$i-${i * 2654435761L}"))
       .toDF("k", "pad").repartition(4).write.mode("overwrite").parquet(src)
     val onDisk = spark.read.parquet(src)
-    val n = Sinks.writeParquetSized(onDisk, out, "overwrite",
-      targetBytes = 256L * 1024)
+    val target = 256L * 1024
+    val n = Sinks.writeParquetSized(onDisk, out, "overwrite", target)
     assert(n > 1, s"expected a multi-file split, got $n")
-    assert(parquetFiles(out).length == n)
+    val files = parquetFiles(out)
+    assert(files.length == n)
     assert(spark.read.parquet(out).count() == 200000)
+    // File-scan stats are on-disk bytes, so parquet→parquet at ratio
+    // 1.0 must land file sizes NEAR the target, not 4x off (loose
+    // bounds: re-encoding shifts compression somewhat).
+    val avg = files.map(_.length).sum.toDouble / files.length
+    assert(avg <= 2.0 * target && avg >= target / 8.0,
+      s"avg file size $avg not near target $target (n=$n)")
+  }
+
+  test("sized write: stats-less lineage falls back to existing partitioning, never a file storm") {
+    import graft.engine.Sinks
+    // An RDD-backed frame carries the defaultSizeInBytes sentinel —
+    // without the guard the helper would clamp to 100000 partitions.
+    val rdd = spark.sparkContext.parallelize(
+      (0 until 1000).map(i => org.apache.spark.sql.Row(i.toLong)), 3)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val df = spark.createDataFrame(rdd, schema)
+    val out = tmp("sized-sentinel")
+    val n = Sinks.writeParquetSized(df, out, "overwrite",
+      targetBytes = 128L * 1024 * 1024)
+    assert(n == 3, s"expected the frame's own 3 partitions, got $n")
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 3)
+    assert(spark.read.parquet(out).count() == 1000)
   }
 
   test("compaction preserves content, honors the packing bound, and " +
