@@ -1630,9 +1630,7 @@ object SparkEntry {
 
     // Same closed-form replay as q125, restricted to the written ids.
     "q130_binary_media_ingest" ->
-      (Multimodal.sampleVideoSql
-        .replace("FROM documents d JOIN",
-          "FROM (SELECT * FROM documents WHERE doc_id < 200) d JOIN") +
+      (Multimodal.sampleVideoSql(docPredicate = "doc_id < 200") +
         "\nORDER BY media_id"),
 
     "q128_hard_negatives" ->
@@ -1695,7 +1693,7 @@ object SparkEntry {
       (Multimodal.decodeAudioSql + "\nORDER BY media_id"),
 
     "q125_video_frames" ->
-      (Multimodal.sampleVideoSql + "\nORDER BY media_id"),
+      (Multimodal.sampleVideoSql() + "\nORDER BY media_id"),
 
     // CSV round-trips are exact (Double.toString ↔ parseDouble, ISO
     // dates), so the oracle reads the parquet source directly.

@@ -170,10 +170,15 @@ object Sinks {
     * mis-ordered fact⋈fact⋈dim join is the difference between one
     * broadcast and a petabyte shuffle. Asserted in SinksStatsSpec. */
   def analyze(spark: SparkSession, table: String,
-      columns: Seq[String] = Nil): Unit =
-    spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS" +
+      columns: Seq[String] = Nil): Unit = {
+    // Quote each name part separately — backticking the whole argument
+    // would turn a qualified `db.table` into a one-part name with a
+    // dot in it.
+    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+    spark.sql(s"ANALYZE TABLE $quoted COMPUTE STATISTICS" +
       (if (columns.isEmpty) ""
        else s" FOR COLUMNS ${columns.map(c => s"`$c`").mkString(", ")}"))
+  }
 
   /** A9 analog — bucketed CTAS: hash-bucket (and sort) the table on its
     * join key so future equi-joins on that key are co-located — both

@@ -35,6 +35,29 @@ object Drift {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
   }
 
+  /** Smoothed per-bin shares + PSI term over a joined bin-count table —
+    * THE one place the smoothing formula lives, so the numeric and
+    * categorical forms can never desynchronize (DriftSpec asserts
+    * their equality on matching counts). */
+  private def withTerms(joined: DataFrame): DataFrame = {
+    val totals = joined.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("n_bins"))
+    val p = (col("n_ref") + 1).cast("double") / (col("tot_ref") + col("n_bins"))
+    val q = (col("n_cur") + 1).cast("double") / (col("tot_cur") + col("n_bins"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("psi_term", (col("p") - col("q")) * log(col("p") / col("q")))
+  }
+
+  /** One-row PSI summary of a termed bin table. Scale 12: PSI terms
+    * sit at 1e-4..1e-6 — the default 6-decimal quantization would keep
+    * ~1 significant digit per term. */
+  private def summarize(terms: DataFrame): DataFrame =
+    terms.agg(Aggregates.sumExact(col("psi_term"), scale = 12).as("psi"),
+      count(lit(1)).as("n_bins"),
+      sum(col("n_ref")).as("n_ref"),
+      sum(col("n_cur")).as("n_cur"))
+
   /** Per-bin PSI decomposition: bin_lo, both counts, both smoothed
     * shares, and the bin's PSI term. */
   def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
@@ -43,29 +66,16 @@ object Drift {
     def binned(df: DataFrame, n: String) = df
       .select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(n))
-    val joined = outerBins(binned(ref, "n_ref"), binned(cur, "n_cur"))
-    val totals = joined.agg(sum(col("n_ref")).as("tot_ref"),
-      sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("n_bins"))
-    val p = (col("n_ref") + 1).cast("double") / (col("tot_ref") + col("n_bins"))
-    val q = (col("n_cur") + 1).cast("double") / (col("tot_cur") + col("n_bins"))
-    joined.crossJoin(broadcast(totals))
+    withTerms(outerBins(binned(ref, "n_ref"), binned(cur, "n_cur")))
       .select((col("bin") * binWidth).as("bin_lo"),
-        col("n_ref"), col("n_cur"),
-        p.as("p"), q.as("q"),
-        ((p - q) * log(p / q)).as("psi_term"))
+        col("n_ref"), col("n_cur"), col("p"), col("q"), col("psi_term"))
   }
 
   /** The scalar PSI summary: one row with the exact-decimal PSI, the
     * bin count, and both snapshot sizes. */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
       binWidth: Double): DataFrame =
-    psiBins(ref, cur, valueCol, binWidth)
-      // Scale 12: PSI terms sit at 1e-4..1e-6 — the default 6-decimal
-      // quantization would keep ~1 significant digit per term.
-      .agg(Aggregates.sumExact(col("psi_term"), scale = 12).as("psi"),
-        count(lit(1)).as("n_bins"),
-        sum(col("n_ref")).as("n_ref"),
-        sum(col("n_cur")).as("n_cur"))
+    summarize(psiBins(ref, cur, valueCol, binWidth))
 
   /** Categorical PSI: the same statistic over a KEY column instead of
     * numeric bins — each distinct key is its own bin (union key set,
@@ -78,31 +88,15 @@ object Drift {
       keyCol: String): DataFrame = {
     def counted(df: DataFrame, n: String) =
       df.groupBy(col(keyCol).as("bin")).agg(count(lit(1)).as(n))
-    val joined = outerBins(counted(ref, "n_ref"), counted(cur, "n_cur"))
-    val totals = joined.agg(sum(col("n_ref")).as("tot_ref"),
-      sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("n_bins"))
-    val p = (col("n_ref") + 1).cast("double") / (col("tot_ref") + col("n_bins"))
-    val q = (col("n_cur") + 1).cast("double") / (col("tot_cur") + col("n_bins"))
-    joined.crossJoin(broadcast(totals))
-      .select(((p - q) * log(p / q)).as("psi_term"),
-        col("n_ref"), col("n_cur"))
-      .agg(Aggregates.sumExact(col("psi_term"), scale = 12).as("psi"),
-        count(lit(1)).as("n_bins"),
-        sum(col("n_ref")).as("n_ref"),
-        sum(col("n_cur")).as("n_cur"))
+    summarize(withTerms(
+      outerBins(counted(ref, "n_ref"), counted(cur, "n_cur"))))
   }
 
-  /** SQL twin of [[psiCategorical]] over token frequencies of
-    * `documents` split by doc_id parity — vocabulary drift. */
-  def vocabDriftSql(): String =
-    s"""WITH toks AS (SELECT doc_id % 2 AS side,
-       |    unnest(string_split(text, ' ')) AS bin FROM documents),
-       |r AS (SELECT bin, count(*) AS n_ref FROM toks WHERE side = 0 GROUP BY 1),
-       |c AS (SELECT bin, count(*) AS n_cur FROM toks WHERE side = 1 GROUP BY 1),
-       |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
-       |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
-       |  FROM r FULL JOIN c ON r.bin = c.bin),
-       |t AS (SELECT SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur,
+  /** Shared SQL tail: the smoothing/term/summary CTEs over a `j(bin,
+    * n_ref, n_cur)` CTE the caller supplies. The bin join must be
+    * NULL-SAFE (`IS NOT DISTINCT FROM`) to replay [[outerBins]]. */
+  private def sqlTail: String =
+    s"""t AS (SELECT SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur,
        |    COUNT(*) AS n_bins FROM j),
        |terms AS (SELECT
        |    (CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bins) -
@@ -116,6 +110,18 @@ object Drift {
        |  CAST(SUM(n_ref) AS BIGINT) AS n_ref,
        |  CAST(SUM(n_cur) AS BIGINT) AS n_cur
        |FROM terms""".stripMargin
+
+  /** SQL twin of [[psiCategorical]] over token frequencies of
+    * `documents` split by doc_id parity — vocabulary drift. */
+  def vocabDriftSql(): String =
+    s"""WITH toks AS (SELECT doc_id % 2 AS side,
+       |    unnest(string_split(text, ' ')) AS bin FROM documents),
+       |r AS (SELECT bin, count(*) AS n_ref FROM toks WHERE side = 0 GROUP BY 1),
+       |c AS (SELECT bin, count(*) AS n_cur FROM toks WHERE side = 1 GROUP BY 1),
+       |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+       |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |  FROM r FULL JOIN c ON r.bin IS NOT DISTINCT FROM c.bin),
+       |$sqlTail""".stripMargin
 
   /** SQL twin of [[psi]] over `events` split by event_id parity
     * (reference = even ids, current = odd ids), `value` binned at
@@ -127,19 +133,6 @@ object Drift {
        |    count(*) AS n_cur FROM events WHERE event_id % 2 = 1 GROUP BY 1),
        |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
-       |  FROM r FULL JOIN c ON r.bin = c.bin),
-       |t AS (SELECT SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur,
-       |    COUNT(*) AS n_bins FROM j),
-       |terms AS (SELECT
-       |    (CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bins) -
-       |     CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bins)) *
-       |    ln((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bins)) /
-       |       (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bins))) AS psi_term,
-       |    n_ref, n_cur
-       |  FROM j, t)
-       |SELECT ${Aggregates.sumExactSql("psi_term", scale = 12)} AS psi,
-       |  COUNT(*) AS n_bins,
-       |  CAST(SUM(n_ref) AS BIGINT) AS n_ref,
-       |  CAST(SUM(n_cur) AS BIGINT) AS n_cur
-       |FROM terms""".stripMargin
+       |  FROM r FULL JOIN c ON r.bin IS NOT DISTINCT FROM c.bin),
+       |$sqlTail""".stripMargin
 }

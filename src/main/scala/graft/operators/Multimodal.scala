@@ -357,16 +357,23 @@ object Multimodal {
 
   /** Write each media payload as its own `<media_id>.<ext>` file under
     * `dir` — executor-side (`foreachPartition`), one file per row, the
-    * layout a real media corpus has in object storage. */
-  def writeMediaFiles(media: Dataset[MediaRow], dir: String, ext: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    * layout a real media corpus has in object storage.
+    *
+    * FIXTURE WRITER, local/shared-filesystem scope: the `java.nio`
+    * writes land on each executor's view of `dir` (created inside the
+    * partition, so multi-executor local-FS runs don't race the
+    * driver), which is only a single corpus if that path is shared
+    * (local mode, NFS). A production writer targets the object store
+    * through the Hadoop `FileSystem` API instead — the READ side
+    * ([[readBinaryMedia]]) is the production path either way. */
+  def writeMediaFiles(media: Dataset[MediaRow], dir: String, ext: String): Unit =
     media.foreachPartition { (it: Iterator[MediaRow]) =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       it.foreach { r =>
         java.nio.file.Files.write(
           java.nio.file.Paths.get(dir, s"${r.media_id}.$ext"), r.content)
       }
     }
-  }
 
   /** The at-scale media ingest path: Spark's `binaryFile` source reads
     * a directory of per-item files as (path, length, content) rows —
@@ -398,14 +405,15 @@ object Multimodal {
     * division — Spark divides `sum·w·h` by `count·w·h`, algebraically
     * and bit-identically `CAST(sum AS DOUBLE)/count` since the integer
     * sums are exact. */
-  val sampleVideoSql: String =
-    s"""WITH frames AS (SELECT f FROM generate_series(0, 30, 3) AS t(f)),
+  def sampleVideoSql(step: Int = 3, docPredicate: String = "TRUE"): String =
+    s"""WITH frames AS (SELECT f FROM generate_series(0, 30, $step) AS t(f)),
        |agg AS (
        |  SELECT d.doc_id, COUNT(s.f) AS ns,
        |    SUM((d.doc_id * 5 + s.f * 29) % 256) AS sr,
        |    SUM((d.doc_id * 7 + s.f * 31) % 256) AS sg,
        |    SUM((d.doc_id * 11 + s.f * 37) % 256) AS sb
-       |  FROM documents d JOIN frames s ON s.f < 6 + d.doc_id * 5 % 26
+       |  FROM (SELECT * FROM documents WHERE $docPredicate) d
+       |  JOIN frames s ON s.f < 6 + d.doc_id * 5 % 26
        |  GROUP BY d.doc_id)
        |SELECT doc_id AS media_id, 'video/gif' AS media_type,
        |  CASE WHEN doc_id % 43 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
