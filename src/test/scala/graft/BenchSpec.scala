@@ -38,4 +38,46 @@ class BenchSpec extends AnyFunSuite {
     val stale = SparkEntry.oracleSql.keySet.diff(names)
     assert(stale.isEmpty, s"oracleSql keys with no query: $stale")
   }
+
+  test("stdout summary stays under 1.5 KB with 300 queries all flagged and erroring") {
+    // The round artifact keeps only the last ~2 KB of captured stdout;
+    // BENCH_r09.json lost its summary ("parsed": null) when the compact
+    // line outgrew that window at 134 queries + 22 flags. The summary
+    // is now aggregates-only with hard caps — pin the worst case so
+    // suite growth can never regress it again.
+    val flags = (1 to 300).map { i =>
+      Bench.Flag(f"q$i%03d_very_long_operator_name_padding", 123.456789,
+        Bench.RunStats(9876.54, 31234.56, 987.65, None),
+        Bench.RunStats(8765.43, 29876.54, 876.54, None))
+    }
+    val errors = (1 to 300).map { i =>
+      f"q$i%03d_very_long_operator_name_padding" ->
+        ("java.lang.RuntimeException: " + "x" * 300)
+    }
+    val tiers = Seq("core" -> 99999.99, "extension" -> 99999.99,
+      "ingest_sink" -> 99999.99)
+    val line = Bench.compactSummary(299999.97, 300, tiers, flags, errors,
+      "/root/testdata/sf0.1", "BENCH_FULL.json")
+    assert(!line.contains("\n"), "summary must be a single line")
+    assert(line.length < 1500,
+      s"stdout summary is ${line.length} bytes — it no longer fits the " +
+        "~2 KB artifact tail window that truncated BENCH_r09")
+    // The aggregate contract the driver parses must survive the caps.
+    Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
+      "\"n_queries\":300", "\"tiers\":", "\"flagged\":", "\"flagged_more\":288",
+      "\"errors\":", "\"errors_more\":295", "\"queries_file\":", "\"sf\":")
+      .foreach(k => assert(line.contains(k), s"summary lost key fragment $k"))
+  }
+
+  test("flagged entries are worst-first and carry the six-number vitals vector") {
+    val mild = Bench.Flag("q01_mild", 10.0,
+      Bench.RunStats(21.0, 300.0, 2.0, None), Bench.RunStats(11.0, 299.0, 1.0, None))
+    val severe = Bench.Flag("q02_severe", 1.0,
+      Bench.RunStats(8.1, 15.2, 0.3, None), Bench.RunStats(10.85, 15.0, 0.2, None))
+    val line = Bench.compactSummary(29.1, 2, Seq("core" -> 29.1),
+      Seq(mild, severe), Nil, "sf", "BENCH_FULL.json")
+    // severe (8.1x) must outrank mild (2.1x) so a cap keeps the signal.
+    assert(line.indexOf("\"q02\"") < line.indexOf("\"q01\""))
+    assert(line.contains("\"q02\":[8.10,10.85,15.20,0.30,15.00,0.20]"))
+  }
 }
