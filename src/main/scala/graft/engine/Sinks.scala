@@ -137,16 +137,29 @@ object Sinks {
     * that report NO real size (JDBC relations, RDD-backed frames carry
     * the `defaultSizeInBytes` = Long.MaxValue sentinel) would
     * otherwise clamp to the max and write a 100 000-small-file storm —
-    * exactly what this helper exists to prevent — so they fall back to
-    * the frame's existing partitioning, unrepartitioned. Returns the
-    * chosen file count. */
+    * exactly what this helper exists to prevent — so any plan whose
+    * LEAVES include a sentinel-valued relation falls back to the
+    * frame's existing partitioning, unrepartitioned (leaf-level
+    * detection, so an honest-but-huge join-product estimate still
+    * takes the sizing path). Returns the chosen file count. */
   def writeParquetSized(df: DataFrame, path: String, mode: String,
       targetBytes: Long, outputRatio: Double = 1.0): Int = {
     require(targetBytes > 0 && outputRatio > 0)
-    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // defaultSizeInBytes-poisoned estimates (any leaf without real
-    // stats saturates the sum) — no size signal to act on.
-    if (planBytes >= BigInt(Long.MaxValue) / 2) {
+    val plan = df.queryExecution.optimizedPlan
+    val planBytes = plan.stats.sizeInBytes
+    // Stats-less detection happens at the LEAVES, not by plan-total
+    // magnitude: a source with no real size signal (JDBC relation,
+    // RDD-backed frame) reports `spark.sql.defaultSizeInBytes`
+    // (Long.MaxValue unless overridden) from its leaf and poisons the
+    // sum, while a legitimately huge ESTIMATE (a join product of real
+    // file stats) has honest leaves and must still get the sizing this
+    // helper promises — a magnitude threshold on the total
+    // misclassified that case as stats-less.
+    val defaultSize = BigInt(df.sparkSession.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    val statsLess =
+      plan.collectLeaves().exists(_.stats.sizeInBytes >= defaultSize)
+    if (statsLess) {
       val n = df.rdd.getNumPartitions.max(1)
       df.write.mode(mode).parquet(path)
       n

@@ -228,12 +228,26 @@ object Multimodal {
 
   private[graft] def isCorruptVideo(id: Long): Boolean = id % 43 == 0
 
+  /** Hard upper bound on the fixture frame count, shared by the encode
+    * side ([[videoSpecOf]] asserts it) and the SQL twin
+    * ([[sampleVideoSql]] ranges its `generate_series` over
+    * `[0, MaxVideoFrames)`). Also the GIF palette-size guarantee
+    * (≤ 256 colors, one per frame). If the frame-count formula ever
+    * grows past this bound, the encode fails loudly instead of the
+    * oracle silently truncating sampled frames. */
+  private[graft] val MaxVideoFrames = 31
+
   /** Closed-form video spec of a fixture id: `(w, h, nFrames)`. Frame
     * `f` is a solid color whose channels are
     * `((id*5 + f*29) % 256, (id*7 + f*31) % 256, (id*11 + f*37) % 256)`. */
   private[graft] def videoSpecOf(id: Long): (Int, Int, Int) = {
     def m(k: Long, mod: Long): Int = java.lang.Math.floorMod(id * k, mod).toInt
-    (8 + m(1, 24), 8 + m(3, 24), 6 + m(5, 26))
+    val n = 6 + m(5, 26)
+    require(n <= MaxVideoFrames,
+      s"fixture frame count $n exceeds MaxVideoFrames=$MaxVideoFrames — " +
+        "grow the constant WITH the formula (the SQL twin's series bound " +
+        "derives from it)")
+    (8 + m(1, 24), 8 + m(3, 24), n)
   }
 
   private[graft] def frameColor(id: Long, f: Int): (Int, Int, Int) = {
@@ -406,7 +420,7 @@ object Multimodal {
     * and bit-identically `CAST(sum AS DOUBLE)/count` since the integer
     * sums are exact. */
   def sampleVideoSql(step: Int = 3, docPredicate: String = "TRUE"): String =
-    s"""WITH frames AS (SELECT f FROM generate_series(0, 30, $step) AS t(f)),
+    s"""WITH frames AS (SELECT f FROM generate_series(0, ${MaxVideoFrames - 1}, $step) AS t(f)),
        |agg AS (
        |  SELECT d.doc_id, COUNT(s.f) AS ns,
        |    SUM((d.doc_id * 5 + s.f * 29) % 256) AS sr,

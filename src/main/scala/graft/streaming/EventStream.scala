@@ -395,7 +395,23 @@ object EventStream {
     * half-swap shape, finished forward; a staged dir WITHOUT
     * `_SUCCESS` is an aborted mid-write, replaced by overwrite mode.
     * Every other crash point replays cleanly: the target is either the
-    * pre-batch state or the post-batch state, never partial. */
+    * pre-batch state or the post-batch state, never partial.
+    *
+    * AVAILABILITY (distinct from crash safety): between
+    * rename(target→tombstone) and rename(staged→target) there is a
+    * reader-visible window — microseconds of metadata ops, but real —
+    * where `current` does not exist and a concurrent read fails with
+    * path-not-found. Durability is never at risk (both dirs exist
+    * throughout; recovery rolls forward), only read availability.
+    * Readers that cannot tolerate it should treat a missing `current`
+    * as "swap in flight" and retry once, or fall back to `tombstone`
+    * (the pre-batch state, complete by construction) / `staged` when
+    * its `_SUCCESS` exists — the same precedence recovery uses. The
+    * gapless alternative is a versioned-directory pointer (write
+    * `v<N+1>/`, atomically rewrite a manifest file naming the live
+    * version), i.e. exactly the metadata layer Delta/Iceberg provide;
+    * this parquet-only sink documents the gap instead of reinventing
+    * that. */
   def startUpsertSink(changes: DataFrame, path: String,
       checkpointDir: String, key: String, orderCol: String): StreamingQuery =
     changes.writeStream

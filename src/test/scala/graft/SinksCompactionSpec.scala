@@ -67,6 +67,46 @@ class SinksCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("sized write: a huge honest join-product estimate still takes the sizing path") {
+    import spark.implicits._
+    // Chained cross joins multiply the leaf byte stats: a few-hundred-
+    // byte parquet leaf crossed 6 times estimates >= Long.MaxValue/2 —
+    // the zone the old magnitude-threshold check misread as the
+    // stats-less sentinel and wrote with upstream partitioning,
+    // skipping the sizing the helper promises. The LEAVES carry real
+    // file stats, so the sized path must run.
+    val src = tmp("sized-big-src")
+    (0 until 2).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val leaf = spark.read.parquet(src)
+    def planSize(d: org.apache.spark.sql.DataFrame): BigInt =
+      d.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Cross until the estimate first crosses the zone boundary — the
+    // exact leaf byte count varies with parquet encoding, so the join
+    // depth is chosen at runtime (rows stay <= 2^depth, tiny).
+    var df = leaf.select(col("k").as("k0"), col("v").as("v0"))
+    var i = 1
+    while (planSize(df) < BigInt(Long.MaxValue) / 2 && i < 12) {
+      df = df.crossJoin(leaf.select(col("k").as(s"k$i"), col("v").as(s"v$i")))
+      i += 1
+    }
+    val rows = math.pow(2, i).toLong
+    val planBytes = planSize(df)
+    assert(planBytes >= BigInt(Long.MaxValue) / 2,
+      s"fixture must sit in the old misclassification zone, got $planBytes")
+    val out = tmp("sized-big-out")
+    val target = Long.MaxValue
+    val n = Sinks.writeParquetSized(df, out, "overwrite", target)
+    // Sized path: n = ceil(estimate / target), NOT the frame's own
+    // (join-output) partition count.
+    val want = ((planBytes + target - 1) / target).toInt
+    assert(n == want, s"expected the sized partition count $want, got $n")
+    // n files requested; empty partitions write no file, so <= n on disk.
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")) <= n)
+    assert(spark.read.parquet(out).count() == rows)
+  }
+
   test("compaction preserves content, honors the packing bound, and " +
       "emits exactly one file per planned bin") {
     import spark.implicits._
