@@ -30,6 +30,34 @@ object SparkEntry {
   private def wide(s: SparkSession, dir: String): DataFrame =
     StarSchema.wideView(s, dir)
 
+  /** Stored-bytes media fixture for the decode queries (q30/q118/q125):
+    * encoded once into scratch parquet keyed by the doc-id fingerprint,
+    * read back on every later call — the timed queries measure DECODE
+    * over stored bytes (what a real corpus scan pays), not fixture
+    * encode. [[warmFixtures]] forces the build outside the bench's
+    * timed window; q130 keeps its own per-file write because the write
+    * IS what that ingest query times. */
+  private def mediaFixture(s: SparkSession, dir: String, kind: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    val docs = Tables.documents(s, dir)
+    val root = s"${Sinks.scratch}/media_fixtures"
+    kind match {
+      case "png" => Multimodal.materializedMedia(s, docs, root, "png",
+        d => Multimodal.pngMediaFromDocuments(s, d))
+      case "wav" => Multimodal.materializedMedia(s, docs, root, "wav",
+        d => Multimodal.wavMediaFromDocuments(s, d))
+      case "gif" => Multimodal.materializedMedia(s, docs, root, "gif",
+        d => Multimodal.gifMediaFromDocuments(s, d))
+      case other => sys.error(s"unknown media fixture kind '$other'")
+    }
+  }
+
+  /** Untimed fixture warm for the bench main: materializes the three
+    * stored-bytes media tables so the timed decode queries read
+    * pre-written payloads (idempotent — a warm cache is a no-op scan). */
+  def warmFixtures(s: SparkSession, dir: String): Unit =
+    Seq("png", "wav", "gif").foreach(k => mediaFixture(s, dir, k).count())
+
   private def withWide(body: String): String =
     s"WITH wide AS (\n${StarSchema.wideViewSql}\n)\n$body"
 
@@ -317,8 +345,7 @@ object SparkEntry {
     // out of the gated projection (encoder output size isn't
     // SQL-expressible; the fixture spec is).
     "q30_media_decode" -> ((s, dir) =>
-      Multimodal.decodeImages(s,
-          Multimodal.pngMediaFromDocuments(s, Tables.documents(s, dir)))
+      Multimodal.decodeImages(s, mediaFixture(s, dir, "png"))
         .toDF()
         .select("media_id", "media_type", "status", "width", "height",
           "mean_r", "mean_g", "mean_b")
@@ -328,8 +355,7 @@ object SparkEntry {
     // over synthesized square-wave payloads — same mapPartitions codec
     // slot and corrupt-quarantine contract as the PNG path (q30).
     "q118_audio_decode" -> ((s, dir) =>
-      Multimodal.decodeAudio(s,
-          Multimodal.wavMediaFromDocuments(s, Tables.documents(s, dir)))
+      Multimodal.decodeAudio(s, mediaFixture(s, dir, "wav"))
         .toDF()
         .select("media_id", "media_type", "status", "sample_rate",
           "n_samples", "mean_abs", "peak")
@@ -340,8 +366,7 @@ object SparkEntry {
     // frames are LZW-decoded, which at corpus scale is the point.
     // Same mapPartitions codec slot and quarantine contract as q30/q118.
     "q125_video_frames" -> ((s, dir) =>
-      Multimodal.sampleVideoFrames(s,
-          Multimodal.gifMediaFromDocuments(s, Tables.documents(s, dir)))
+      Multimodal.sampleVideoFrames(s, mediaFixture(s, dir, "gif"))
         .toDF()
         .select("media_id", "media_type", "status", "n_frames",
           "n_sampled", "width", "height", "mean_r", "mean_g", "mean_b")

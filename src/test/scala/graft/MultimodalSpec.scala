@@ -150,6 +150,59 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).status == "corrupt", "garbage bytes must quarantine, not throw")
   }
 
+  test("frame sampling decodes ONLY the sampled frames (measured, full-frame streams)") {
+    import spark.implicits._
+    // The decode counter reports every raster decode the ImageIO reader
+    // ACTUALLY performs (IIOReadProgressListener.imageStarted — any
+    // internal compositing read would count too), so equality with
+    // sum(ceil(n/step)) over ok payloads MEASURES the sampled-only
+    // claim for this fixture's sequential full-frame streams, instead
+    // of assuming it. (Delta/disposal GIFs would legitimately exceed
+    // it — scoped in the sampleVideoFrames scaladoc.)
+    val ids = Seq(43L, 44L, 45L, 46L, 47L) // 43 is the corrupt slot
+    val docs = ids.toDF("doc_id")
+    val step = 3
+    val acc = spark.sparkContext.longAccumulator("gif-frame-decodes")
+    val out = Multimodal.sampleVideoFrames(spark,
+      Multimodal.gifMediaFromDocuments(spark, docs), step, Some(acc))
+      .collect()
+    val expected = ids.filterNot(Multimodal.isCorruptVideo).map { id =>
+      val n = Multimodal.videoSpecOf(id)._3
+      (n + step - 1) / step
+    }.sum
+    assert(out.count(_.status == "ok") == 4)
+    assert(acc.value == expected.toLong,
+      s"reader performed ${acc.value} raster decodes, sampled-only is $expected")
+    assert(expected < ids.filterNot(Multimodal.isCorruptVideo)
+      .map(Multimodal.videoSpecOf(_)._3).sum,
+      "fixture must make sampling actually skip frames")
+  }
+
+  test("materializedMedia caches byte-identical payloads and reuses the stored table") {
+    import spark.implicits._
+    val root = s"${graft.engine.Sinks.scratch}/multimodal-fixture-cache-spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, root)
+    val docs = Seq(41L, 44L, 45L).toDF("doc_id")
+    var builds = 0
+    def build(d: org.apache.spark.sql.DataFrame) = {
+      builds += 1
+      Multimodal.wavMediaFromDocuments(spark, d)
+    }
+    val first = Multimodal.materializedMedia(spark, docs, root, "wav", build)
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    val again = Multimodal.materializedMedia(spark, docs, root, "wav", build)
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    assert(builds == 1, "a warm cache must not re-encode")
+    assert(first == again, "stored bytes must round-trip identically")
+    val direct = Multimodal.wavMediaFromDocuments(spark, docs)
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    assert(first == direct, "cache must serve exactly the encoder's bytes")
+    // A DIFFERENT id set (same count, different max) misses the cache.
+    Multimodal.materializedMedia(spark,
+      Seq(41L, 44L, 46L).toDF("doc_id"), root, "wav", build)
+    assert(builds == 2, "a changed id fingerprint must rebuild, not serve stale bytes")
+  }
+
   test("binaryFile ingest: per-item files round-trip to the in-memory media rows") {
     import spark.implicits._
     val dir = s"${graft.engine.Sinks.scratch}/multimodal-binary-spec"
