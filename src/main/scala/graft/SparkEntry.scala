@@ -52,11 +52,43 @@ object SparkEntry {
     }
   }
 
+  /** Persisted ANN index dir for `dir`'s embeddings corpus, keyed by
+    * the vec_id fingerprint (the mediaFixture scheme: training is a
+    * pure function of the id'd corpus, so count+max fully key the
+    * artifact). Builds once — a completed index (marker present) is
+    * reused, which is the whole point: q135/q136 time the QUERY path
+    * over stored state, the way a production deployment amortizes one
+    * training over every query. Build parameters mirror the q117/q121
+    * inline twins so results are bit-equal. */
+  private def storedAnnIndex(s: SparkSession, dir: String,
+      kind: String): String = {
+    val emb = Tables.embeddings(s, dir)
+    val key = emb.agg(count(col("vec_id")),
+      coalesce(max(col("vec_id")), lit(-1L))).head()
+    val idx = s"${Sinks.scratch}/ann_index/" +
+      s"${kind}_n${key.getLong(0)}_m${key.getLong(1)}"
+    if (!Similarity.indexExists(s, idx)) kind match {
+      case "pq" => Similarity.buildPqIndex(emb, idx,
+        m = 16, subDim = 4, initStride = 3, iters = 1)
+      case "ivfpq" => Similarity.buildIvfPqIndex(emb, idx,
+        cellStride = 53, cellIters = 1,
+        m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+      case other => sys.error(s"unknown ANN index kind '$other'")
+    }
+    idx
+  }
+
   /** Untimed fixture warm for the bench main: materializes the three
-    * stored-bytes media tables so the timed decode queries read
-    * pre-written payloads (idempotent — a warm cache is a no-op scan). */
-  def warmFixtures(s: SparkSession, dir: String): Unit =
+    * stored-bytes media tables and the two persisted ANN indexes so
+    * the timed queries measure decode / index-query work over stored
+    * state (idempotent — a warm cache is a no-op scan / marker check). */
+  def warmFixtures(s: SparkSession, dir: String): Unit = {
     Seq("png", "wav", "gif").foreach(k => mediaFixture(s, dir, k).count())
+    Seq("pq", "ivfpq").foreach { k =>
+      storedAnnIndex(s, dir, k)
+      graft.engine.Caches.release()
+    }
+  }
 
   private def withWide(body: String): String =
     s"WITH wide AS (\n${StarSchema.wideViewSql}\n)\n$body"
@@ -896,6 +928,29 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
         cellStride = 53, cellIters = 1, nProbe = 3,
         m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Persisted-index ANN (PQ): the index — codebook + codes parquet
+    // tables — is trained/written ONCE per corpus fingerprint and
+    // every query reads the stored state; q117 is the train-inline
+    // twin (bit-equal results, same oracle). This is the production
+    // 100 TB shape: training amortizes over every query instead of
+    // re-running per call.
+    "q135_pq_stored_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 10), emb,
+        storedAnnIndex(s, dir, "pq"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Persisted-index ANN (IVF-PQ): stored quadruple cents + cells +
+    // codebook + codes — per vector one cell id and m codes, the
+    // billion-vector layout; q121 is the train-inline twin.
+    "q136_ivfpq_stored_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 10), emb,
+        storedAnnIndex(s, dir, "ivfpq"), k = 5, nProbe = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -2000,6 +2055,19 @@ object SparkEntry {
       initStride = 3, iters = 1),
 
     "q121_ivfpq_topk" -> Similarity.ivfPqTopKSql(k = 5,
+      cellStride = 53, cellIters = 1, nProbe = 3,
+      m = 16, subDim = 4, pqStride = 3, pqIters = 1),
+
+    // The stored-index queries replay the TRAINING chain in SQL with
+    // the exact build parameters: the persisted codebook/codes/cells
+    // are bit-equal to what the inline twins train (float32 parquet
+    // round-trips exactly; SimilaritySpec asserts frame equality), so
+    // the inline replay IS the stored index's oracle — a hash match
+    // here proves the persisted index reproduces the training.
+    "q135_pq_stored_index" -> Similarity.pqTopKSql(k = 5, m = 16,
+      subDim = 4, initStride = 3, iters = 1),
+
+    "q136_ivfpq_stored_index" -> Similarity.ivfPqTopKSql(k = 5,
       cellStride = 53, cellIters = 1, nProbe = 3,
       m = 16, subDim = 4, pqStride = 3, pqIters = 1),
 

@@ -432,6 +432,49 @@ object Similarity {
       s"PQ subspaces must cover the full embedding: m=$m × subDim=$subDim" +
         s" != Dim=$Dim (partial coverage silently diverges from the oracle)")
 
+  /** The per-subspace slice explosion shared by training, encoding and
+    * query ADC: one row per (vector, subspace) with the subDim-wide
+    * slice. */
+  private def subVectors(df: DataFrame, idOut: String, m: Int,
+      subDim: Int): DataFrame =
+    (0 until m).map { j =>
+      df.select(col("vec_id").as(idOut), lit(j).as("sub_j"),
+        slice(col("embedding"), j * subDim + 1, subDim).as("sub_emb"))
+    }.reduce(_ unionByName _)
+
+  /** Encode the corpus against a codebook, carrying the assigned
+    * centroid's self-dot: the reconstructed vector's squared norm is
+    * the sum of its codes' `dot(c,c)` (subspaces are orthogonal
+    * coordinate blocks), so the metric can be approximate COSINE —
+    * ranking by raw approximate dot against a cosine ground truth
+    * collapses when corpus norms vary. One map-side `max_by` agg over
+    * the broadcast codebook per subspace. */
+  private def encodePqCodes(corpusSubs: DataFrame, codebook: DataFrame,
+      subDim: Int): DataFrame =
+    corpusSubs.withColumnRenamed("vec_id", "nid")
+      .join(broadcast(codebook), Seq("sub_j"))
+      .withColumn("sim", cosine(col("sub_emb"), col("cent_emb"), subDim))
+      .groupBy("nid", "sub_j")
+      .agg(
+        max_by(col("cent_id"), struct(col("sim"), -col("cent_id")))
+          .as("code"),
+        max_by(dot(col("cent_emb"), col("cent_emb"), subDim),
+          struct(col("sim"), -col("cent_id"))).as("dd"))
+
+  /** The query-side ADC lookup table: every (query, subspace, centroid)
+    * dot product — |queries|·m·k rows, the table ADC scoring joins
+    * against. */
+  private def queryPqDots(queries: DataFrame, codebook: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    subVectors(queries, "query_id", m, subDim)
+      .join(broadcast(codebook), Seq("sub_j"))
+      .select(col("query_id"), col("sub_j"), col("cent_id").as("code"),
+        dot(col("sub_emb"), col("cent_emb"), subDim).as("d"))
+
+  private def queryNorms(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("query_id"),
+      norm(col("embedding")).as("qn"))
+
   /** The shared PQ machinery: trained codebooks → corpus codes (+ the
     * assigned centroid self-dots), the query ADC dot table, and query
     * norms. Returns `(codes(nid, sub_j, code, dd), dots(query_id, sub_j,
@@ -440,13 +483,6 @@ object Similarity {
   private def pqParts(queries: DataFrame, corpus: DataFrame, m: Int,
       subDim: Int, initStride: Long, iters: Int, maxCodebook: Long)
       : (DataFrame, DataFrame, DataFrame) = {
-
-    def subVectors(df: DataFrame, idOut: String): DataFrame =
-      (0 until m).map { j =>
-        df.select(col("vec_id").as(idOut), lit(j).as("sub_j"),
-          slice(col("embedding"), j * subDim + 1, subDim).as("sub_emb"))
-      }.reduce(_ unionByName _)
-
     // Per-subspace codebooks trained JOINTLY — one distributed pass per
     // Lloyd round for all m subspaces ([[Clustering.kmeansCentroidsGrouped]]),
     // not m driver loops. cent_id is the seed vector's id, unique only
@@ -458,35 +494,158 @@ object Similarity {
     // the encode pass; materialized once so the m-way union of corpus
     // scans happens one time, not once per consumer.
     val corpusSubs = graft.engine.Caches.materialized(
-      subVectors(corpus, "vec_id"))
+      subVectors(corpus, "vec_id", m, subDim))
     val codebook = Clustering.kmeansCentroidsGrouped(
       corpusSubs, "sub_j", "vec_id", "sub_emb",
       initStride, iters, subDim, maxCodebook)
+    (encodePqCodes(corpusSubs, codebook, subDim),
+      queryPqDots(queries, codebook, m, subDim),
+      queryNorms(queries))
+  }
 
-    // Encode, carrying the assigned centroid's self-dot: the
-    // reconstructed vector's squared norm is the sum of its codes'
-    // `dot(c,c)` (subspaces are orthogonal coordinate blocks), so the
-    // metric can be approximate COSINE — ranking by raw approximate dot
-    // against a cosine ground truth collapses when corpus norms vary.
-    val codes = corpusSubs.withColumnRenamed("vec_id", "nid")
-      .join(broadcast(codebook), Seq("sub_j"))
-      .withColumn("sim", cosine(col("sub_emb"), col("cent_emb"), subDim))
-      .groupBy("nid", "sub_j")
-      .agg(
-        max_by(col("cent_id"), struct(col("sim"), -col("cent_id")))
-          .as("code"),
-        max_by(dot(col("cent_emb"), col("cent_emb"), subDim),
-          struct(col("sim"), -col("cent_id"))).as("dd"))
+  // --------------------------------------------------- persisted index
 
-    val dots = subVectors(queries, "query_id")
-      .join(broadcast(codebook), Seq("sub_j"))
-      .select(col("query_id"), col("sub_j"), col("cent_id").as("code"),
-        dot(col("sub_emb"), col("cent_emb"), subDim).as("d"))
+  /** Completion marker for a persisted ANN index build: parquet's own
+    * per-table `_SUCCESS` can exist for an EARLIER table while a later
+    * one is mid-write, so build-once gating needs a marker committed
+    * strictly after every table landed. */
+  private def indexMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_INDEX_SUCCESS")
 
-    val qnorms = queries.select(col("vec_id").as("query_id"),
-      norm(col("embedding")).as("qn"))
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    (codes, dots, qnorms)
+  /** True iff `dir` holds a COMPLETED index build. */
+  def indexExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = fsOf(spark, dir).exists(indexMarker(dir))
+
+  /** Build-once PQ index persistence — the production 100 TB shape:
+    * training runs ONCE and every query amortizes it, instead of
+    * re-training per call the way the self-contained [[pqTopK]] does.
+    * Writes two parquet tables under `dir`:
+    *
+    *   - `codebook` — (sub_j, cent_id, cent_emb): m·k·subDim floats,
+    *     the broadcast side of every encode/ADC join;
+    *   - `codes`    — (nid, sub_j, code, dd): m small codes per corpus
+    *     vector (the 16×-compressed stored representation ADC scores
+    *     from) plus the assigned centroid self-dot.
+    *
+    * The codes are encoded from the WRITTEN codebook (read back), so
+    * the stored index is self-consistent by construction, and float32
+    * parquet round-trips are exact — [[pqTopKFromIndex]] over this
+    * index is bit-equal to the train-inline [[pqTopK]] with the same
+    * parameters (asserted in SimilaritySpec; the oracle replay of the
+    * inline twin is therefore also this index's oracle). A completion
+    * marker commits last; [[indexExists]] gates build-once reuse. */
+  def buildPqIndex(corpus: DataFrame, dir: String, m: Int, subDim: Int,
+      initStride: Long, iters: Int, maxCodebook: Long = 128): Unit = {
+    requireFullCoverage(m, subDim)
+    val spark = corpus.sparkSession
+    val fs = fsOf(spark, dir)
+    fs.delete(indexMarker(dir), false)
+    val corpusSubs = graft.engine.Caches.materialized(
+      subVectors(corpus, "vec_id", m, subDim))
+    Clustering.kmeansCentroidsGrouped(
+        corpusSubs, "sub_j", "vec_id", "sub_emb",
+        initStride, iters, subDim, maxCodebook)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val storedCodebook = spark.read.parquet(s"$dir/codebook")
+    encodePqCodes(corpusSubs, storedCodebook, subDim)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    fs.create(indexMarker(dir), true).close()
+  }
+
+  /** [[buildPqIndex]] plus the IVF layer: the coarse cell centroids and
+    * the corpus→cell assignment are ALSO part of the stored state —
+    *
+    *   - `cents` — (cent_id, cent_emb): trained coarse centroids;
+    *   - `cells` — (nid, cent_id): each corpus vector's one cell.
+    *
+    * At scale this quadruple (cents, cells, codebook, codes) IS the
+    * billion-vector index: per stored vector one cell id + m codes;
+    * the original floats are only touched by the exact re-rank tail. */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String, cellStride: Long,
+      cellIters: Int, m: Int, subDim: Int, pqStride: Long, pqIters: Int,
+      maxCodebook: Long = 128): Unit = {
+    requireFullCoverage(m, subDim)
+    val spark = corpus.sparkSession
+    val fs = fsOf(spark, dir)
+    fs.delete(indexMarker(dir), false)
+    Clustering.kmeansCentroids(corpus, "vec_id", "embedding",
+        cellStride, cellIters)
+      .write.mode("overwrite").parquet(s"$dir/cents")
+    val storedCents = spark.read.parquet(s"$dir/cents")
+    assignCells(storedCents)(
+        corpus.select(col("vec_id").as("nid"), col("embedding").as("c_emb")),
+        "nid", "c_emb", 1)
+      .select("nid", "cent_id")
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    buildPqIndex(corpus, dir, m, subDim, pqStride, pqIters, maxCodebook)
+  }
+
+  /** (m, subDim) of a stored codebook — derived from the index itself
+    * (max sub_j + 1, slice width), two ints of driver state, so query
+    * callers cannot drift from what was actually built. */
+  private def pqShapeOf(codebook: DataFrame): (Int, Int) = {
+    val r = codebook.agg(max(col("sub_j")), max(size(col("cent_emb")))).head()
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  /** Query a persisted PQ index: reads `codebook` + `codes` from `dir`
+    * (built once by [[buildPqIndex]]), computes the query ADC table
+    * against the stored codebook, scores the stored codes, exact
+    * re-ranks from `corpus`. NO training happens here — the per-call
+    * cost is |queries|·m·k lookup rows joined against |corpus|·m code
+    * rows plus the re-rank tail; the corpus floats are scanned once by
+    * the re-rank and never shuffled. Bit-equal to [[pqTopK]] with the
+    * index's build parameters. */
+  def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame, dir: String,
+      k: Int, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val spark = queries.sparkSession
+    require(indexExists(spark, dir),
+      s"no completed PQ index at $dir — run buildPqIndex first")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val (m, subDim) = pqShapeOf(codebook)
+    requireFullCoverage(m, subDim)
+    val pairs = codes
+      .join(queryPqDots(queries, codebook, m, subDim), Seq("sub_j", "code"))
+      .filter(col("query_id") =!= col("nid"))
+    rerankExact(rankAdc(pairs, queryNorms(queries), k * rerank),
+      queries, corpus, k)
+  }
+
+  /** Query a persisted IVF-PQ index ([[buildIvfPqIndex]]): queries
+    * probe their `nProbe` nearest STORED cells, only co-celled
+    * candidates are ADC-scored from the stored codes, exact re-rank
+    * from `corpus`. Bit-equal to [[ivfPqTopK]] with the index's build
+    * parameters. */
+  def ivfPqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+      dir: String, k: Int, nProbe: Int, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val spark = queries.sparkSession
+    require(indexExists(spark, dir),
+      s"no completed IVF-PQ index at $dir — run buildIvfPqIndex first")
+    val cents = spark.read.parquet(s"$dir/cents")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val queryCells = assignCells(cents)(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", nProbe).select("query_id", "cent_id")
+    val cands = cells.join(queryCells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("nid"))
+      .select("query_id", "nid")
+    val (m, subDim) = pqShapeOf(codebook)
+    requireFullCoverage(m, subDim)
+    val pairs = cands
+      .join(codes, Seq("nid"))
+      .join(queryPqDots(queries, codebook, m, subDim),
+        Seq("query_id", "sub_j", "code"))
+    rerankExact(rankAdc(pairs, queryNorms(queries), k * rerank),
+      queries, corpus, k)
   }
 
   /** ADC scoring + top-k: exact-decimal per-pair sums of the m lookup

@@ -226,6 +226,46 @@ class SimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("cover the full embedding"))
   }
 
+  test("persisted PQ / IVF-PQ index: build-once round-trip is bit-equal to the inline twins") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 10)
+    val root = s"${graft.engine.Sinks.scratch}/similarity-index-spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "approx_cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // Querying before a completed build must fail loudly, not train.
+    val pqDir = s"$root/pq"
+    assert(!Similarity.indexExists(spark, pqDir))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromIndex(queries, emb, pqDir, k = 5)
+    }
+    assert(e.getMessage.contains("no completed PQ index"))
+    // Build once; the stored-index query path (no training) must be
+    // BIT-equal to the train-inline twin — float32 codebook parquet
+    // round-trips exactly and ADC sums are exact-decimal, so set
+    // equality over raw doubles is the right assertion.
+    Similarity.buildPqIndex(emb, pqDir,
+      m = 16, subDim = 4, initStride = 3, iters = 1)
+    assert(Similarity.indexExists(spark, pqDir))
+    val storedPq = rows(Similarity.pqTopKFromIndex(queries, emb, pqDir, k = 5))
+    val inlinePq = rows(Similarity.pqTopK(queries, emb, k = 5,
+      m = 16, subDim = 4, initStride = 3, iters = 1))
+    assert(storedPq == inlinePq,
+      "stored-index PQ must reproduce the inline training bit-for-bit")
+    val ivfDir = s"$root/ivfpq"
+    Similarity.buildIvfPqIndex(emb, ivfDir, cellStride = 53, cellIters = 1,
+      m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+    val storedIvf = rows(Similarity.ivfPqTopKFromIndex(queries, emb, ivfDir,
+      k = 5, nProbe = 3))
+    val inlineIvf = rows(Similarity.ivfPqTopK(queries, emb, k = 5,
+      cellStride = 53, cellIters = 1, nProbe = 3,
+      m = 16, subDim = 4, pqStride = 3, pqIters = 1))
+    assert(storedIvf == inlineIvf,
+      "stored-index IVF-PQ must reproduce the inline training bit-for-bit")
+    graft.engine.Caches.release()
+  }
+
   test("pqTopK: recall@5 >= 0.7 vs brute force (measured 0.94 re-ranked), bit-deterministic") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") < 10)
