@@ -67,12 +67,28 @@ object SparkEntry {
       coalesce(max(col("vec_id")), lit(-1L))).head()
     val idx = s"${Sinks.scratch}/ann_index/" +
       s"${kind}_n${key.getLong(0)}_m${key.getLong(1)}"
+    // The *_grown kinds exercise index MAINTENANCE: train/build on the
+    // even half only, then append the odd half encoded against the
+    // frozen codebook/centroids — the daily-ingest shape. The marker is
+    // only present after the append completes (append drops and
+    // re-commits it), so a crash mid-sequence rebuilds.
+    lazy val evens = emb.filter(col("vec_id") % 2 === 0)
+    lazy val odds = emb.filter(col("vec_id") % 2 === 1)
     if (!Similarity.indexExists(s, idx)) kind match {
       case "pq" => Similarity.buildPqIndex(emb, idx,
         m = 16, subDim = 4, initStride = 3, iters = 1)
       case "ivfpq" => Similarity.buildIvfPqIndex(emb, idx,
         cellStride = 53, cellIters = 1,
         m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+      case "pq_grown" =>
+        Similarity.buildPqIndex(evens, idx,
+          m = 16, subDim = 4, initStride = 3, iters = 1)
+        Similarity.appendToPqIndex(odds, idx)
+      case "ivfpq_grown" =>
+        Similarity.buildIvfPqIndex(evens, idx,
+          cellStride = 53, cellIters = 1,
+          m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+        Similarity.appendToIvfPqIndex(odds, idx)
       case other => sys.error(s"unknown ANN index kind '$other'")
     }
     idx
@@ -84,7 +100,7 @@ object SparkEntry {
     * state (idempotent — a warm cache is a no-op scan / marker check). */
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     Seq("png", "wav", "gif").foreach(k => mediaFixture(s, dir, k).count())
-    Seq("pq", "ivfpq").foreach { k =>
+    Seq("pq", "ivfpq", "pq_grown", "ivfpq_grown").foreach { k =>
       storedAnnIndex(s, dir, k)
       graft.engine.Caches.release()
     }
@@ -951,6 +967,28 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 10), emb,
         storedAnnIndex(s, dir, "ivfpq"), k = 5, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Index maintenance (PQ): the index is TRAINED on the even half
+    // only, then the odd half is encoded against the frozen codebook
+    // and appended — new data searchable without retraining, the
+    // daily-ingest shape. The oracle replays train-on-evens +
+    // encode-everyone, so the hash gate proves the appended codes are
+    // exactly what the frozen codebook assigns.
+    "q137_pq_index_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 10), emb,
+        storedAnnIndex(s, dir, "pq_grown"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Index maintenance (IVF-PQ): appended vectors also get a cell
+    // assignment against the frozen coarse centroids.
+    "q138_ivfpq_index_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 10), emb,
+        storedAnnIndex(s, dir, "ivfpq_grown"), k = 5, nProbe = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -2070,6 +2108,18 @@ object SparkEntry {
     "q136_ivfpq_stored_index" -> Similarity.ivfPqTopKSql(k = 5,
       cellStride = 53, cellIters = 1, nProbe = 3,
       m = 16, subDim = 4, pqStride = 3, pqIters = 1),
+
+    // The append twins: training restricted to the even half (the
+    // frozen-codebook replay), encode/query over everyone — what the
+    // build-on-evens + append-odds index must equal bit-for-bit.
+    "q137_pq_index_append" -> Similarity.pqTopKSql(k = 5, m = 16,
+      subDim = 4, initStride = 3, iters = 1,
+      trainPred = "vec_id % 2 = 0"),
+
+    "q138_ivfpq_index_append" -> Similarity.ivfPqTopKSql(k = 5,
+      cellStride = 53, cellIters = 1, nProbe = 3,
+      m = 16, subDim = 4, pqStride = 3, pqIters = 1,
+      trainPred = "vec_id % 2 = 0"),
 
     "q122_rolling_dau" ->
       (graft.operators.EventAnalytics.rollingDistinctUsersSql(7) +

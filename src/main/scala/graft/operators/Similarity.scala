@@ -584,6 +584,65 @@ object Similarity {
     buildPqIndex(corpus, dir, m, subDim, pqStride, pqIters, maxCodebook)
   }
 
+  /** Index MAINTENANCE: encode `newVectors` against the FROZEN stored
+    * codebook and append their codes — new data becomes searchable
+    * without retraining, the other half of the train-once contract
+    * (real corpora grow daily; retraining per ingest batch is exactly
+    * the cost [[buildPqIndex]] exists to amortize). The codebook is
+    * read back from the index, so appended codes are definitionally
+    * consistent with the stored ones; encode cost is O(|new|·m·k),
+    * independent of the existing index size — the codes table is never
+    * read, only appended to.
+    *
+    * Contract: `newVectors` ids must be disjoint from the indexed ids
+    * (an id appearing twice would be scored twice — this helper never
+    * scans the existing codes to check, by design). The completion
+    * marker is dropped for the duration and re-committed after the
+    * append, so a crash mid-append leaves a visibly-incomplete index
+    * (rebuild), never a silently partial one; the parquet append itself
+    * is not atomic — a table format (Delta/Iceberg) supplies that at
+    * production, same adjudication as the streaming upsert sink. */
+  def appendToPqIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    require(indexExists(spark, dir),
+      s"no completed PQ index at $dir — append needs a finished build")
+    val fs = fsOf(spark, dir)
+    fs.delete(indexMarker(dir), false)
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val (m, subDim) = pqShapeOf(codebook)
+    encodePqCodes(subVectors(newVectors, "vec_id", m, subDim),
+        codebook, subDim)
+      .write.mode("append").parquet(s"$dir/codes")
+    fs.create(indexMarker(dir), true).close()
+  }
+
+  /** [[appendToPqIndex]] for an IVF-PQ index: new vectors additionally
+    * get a cell assignment against the FROZEN stored centroids,
+    * appended to `cells`. Same disjoint-ids contract and marker
+    * lifecycle. */
+  def appendToIvfPqIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    require(indexExists(spark, dir),
+      s"no completed IVF-PQ index at $dir — append needs a finished build")
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cents")),
+      s"$dir holds no IVF layer (cents) — use appendToPqIndex")
+    fs.delete(indexMarker(dir), false)
+    val cents = spark.read.parquet(s"$dir/cents")
+    assignCells(cents)(
+        newVectors.select(col("vec_id").as("nid"),
+          col("embedding").as("c_emb")),
+        "nid", "c_emb", 1)
+      .select("nid", "cent_id")
+      .write.mode("append").parquet(s"$dir/cells")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val (m, subDim) = pqShapeOf(codebook)
+    encodePqCodes(subVectors(newVectors, "vec_id", m, subDim),
+        codebook, subDim)
+      .write.mode("append").parquet(s"$dir/codes")
+    fs.create(indexMarker(dir), true).close()
+  }
+
   /** (m, subDim) of a stored codebook — derived from the index itself
     * (max sub_j + 1, slice width), two ints of driver state, so query
     * callers cannot drift from what was actually built. */
@@ -711,13 +770,17 @@ object Similarity {
   /** Oracle twin of [[pqTopK]] (`embeddings` hard-wired, queries =
     * `vec_id < 10` — the q28 convention). */
   /** The shared PQ CTE fragment (chains, codebook, subs, codes, qsubs,
-    * dots, qnorms) — spliced into [[pqTopKSql]] and [[ivfPqTopKSql]]. */
+    * dots, qnorms) — spliced into [[pqTopKSql]] and [[ivfPqTopKSql]].
+    * `trainPred` restricts the TRAINING corpus only (the frozen-codebook
+    * append replay: codebooks from the base slice, codes for everyone);
+    * encode/query CTEs always cover the full table. */
   private def pqCtesSql(m: Int, subDim: Int, initStride: Long,
-      iters: Int, maxCodebook: Long): String = {
+      iters: Int, maxCodebook: Long, trainPred: String = "TRUE"): String = {
     def sub(j: Int) = s"embedding[${j * subDim + 1}:${(j + 1) * subDim}]"
     val chains = (0 until m).map { j =>
       Clustering.kmeansCentsSql(initStride, iters,
-        from = s"(SELECT vec_id, ${sub(j)} AS emb FROM embeddings)",
+        from = s"(SELECT vec_id, ${sub(j)} AS emb FROM embeddings" +
+          s" WHERE $trainPred)",
         idCol = "vec_id", embCol = "emb", prefix = s"s${j}_", dim = subDim,
         initCap = maxCodebook)
     }.mkString(",\n")
@@ -778,9 +841,10 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   def pqTopKSql(k: Int, m: Int, subDim: Int, initStride: Long,
-      iters: Int, maxCodebook: Long = 128, rerank: Int = 4): String =
+      iters: Int, maxCodebook: Long = 128, rerank: Int = 4,
+      trainPred: String = "TRUE"): String =
     s"""WITH
-       |${pqCtesSql(m, subDim, initStride, iters, maxCodebook)},
+       |${pqCtesSql(m, subDim, initStride, iters, maxCodebook, trainPred)},
        |scored AS (
        |  SELECT query_id, nid,
        |    CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) AS ad,
@@ -793,9 +857,12 @@ object Similarity {
     * (prefix `f_`) + probe CTEs on top of the shared PQ fragment. */
   def ivfPqTopKSql(k: Int, cellStride: Long, cellIters: Int, nProbe: Int,
       m: Int, subDim: Int, pqStride: Long, pqIters: Int,
-      maxCodebook: Long = 128, rerank: Int = 4): String =
+      maxCodebook: Long = 128, rerank: Int = 4,
+      trainPred: String = "TRUE"): String =
     s"""WITH
-       |${Clustering.kmeansCentsSql(cellStride, cellIters, prefix = "f_")},
+       |${Clustering.kmeansCentsSql(cellStride, cellIters,
+          from = s"(SELECT * FROM embeddings WHERE $trainPred)",
+          prefix = "f_")},
        |corpus_cells AS (
        |  SELECT nid, cent_id FROM (
        |    SELECT e.vec_id AS nid, c.cent_id,
@@ -814,7 +881,7 @@ object Similarity {
        |cands AS (
        |  SELECT query_id, nid FROM corpus_cells JOIN query_cells
        |    USING (cent_id) WHERE query_id != nid),
-       |${pqCtesSql(m, subDim, pqStride, pqIters, maxCodebook)},
+       |${pqCtesSql(m, subDim, pqStride, pqIters, maxCodebook, trainPred)},
        |scored AS (
        |  SELECT query_id, nid,
        |    CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) AS ad,

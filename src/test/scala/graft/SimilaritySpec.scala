@@ -266,6 +266,56 @@ class SimilaritySpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("index append: frozen-codebook encode makes new vectors searchable, bit-deterministic") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 10)
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val root = s"${graft.engine.Sinks.scratch}/similarity-append-spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "approx_cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // Appending into nothing must fail loudly, never auto-train.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(odds, s"$root/nowhere")
+    }
+    assert(e.getMessage.contains("append needs a finished build"))
+    def grow(dir: String): Set[(Long, Long, Double, Int)] = {
+      Similarity.buildPqIndex(evens, dir,
+        m = 16, subDim = 4, initStride = 3, iters = 1)
+      val before = rows(Similarity.pqTopKFromIndex(queries, emb, dir, k = 5))
+      assert(before.forall(_._2 % 2 == 0),
+        "pre-append the index must only know even ids")
+      Similarity.appendToPqIndex(odds, dir)
+      assert(Similarity.indexExists(spark, dir),
+        "append must re-commit the completion marker")
+      // Structural: every vector now carries exactly m codes.
+      val n = emb.count()
+      assert(spark.read.parquet(s"$dir/codes").count() == n * 16,
+        "appended index must hold m codes for EVERY vector")
+      rows(Similarity.pqTopKFromIndex(queries, emb, dir, k = 5))
+    }
+    val after = grow(s"$root/a")
+    assert(after.exists(_._2 % 2 == 1),
+      "appended odd vectors must become searchable")
+    // Build+append replayed in a fresh dir is bit-identical — the
+    // frozen-codebook encode has no order/run dependence.
+    assert(grow(s"$root/b") == after)
+    // IVF-PQ variant: cells + codes both grow; appended ids searchable.
+    val ivfDir = s"$root/ivf"
+    Similarity.buildIvfPqIndex(evens, ivfDir, cellStride = 53, cellIters = 1,
+      m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+    Similarity.appendToIvfPqIndex(odds, ivfDir)
+    val got = rows(Similarity.ivfPqTopKFromIndex(queries, emb, ivfDir,
+      k = 5, nProbe = 3))
+    assert(got.exists(_._2 % 2 == 1),
+      "IVF-PQ append must make odd vectors searchable")
+    assert(spark.read.parquet(s"$ivfDir/cells").count() == emb.count(),
+      "every vector must hold exactly one cell after append")
+    graft.engine.Caches.release()
+  }
+
   test("pqTopK: recall@5 >= 0.7 vs brute force (measured 0.94 re-ranked), bit-deterministic") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") < 10)
