@@ -213,11 +213,14 @@ object Bench {
       System.err.println(
         f"[bench] warmup($name) ${w.sec}%.2f s (discarded)  ${vitals()}")
     }
-    // Untimed fixture materialization: the media decode queries read
-    // stored payload bytes from scratch parquet; encoding them is
-    // sandbox plumbing a real corpus never pays, so it happens here,
-    // outside every timed window (idempotent when the cache is warm).
-    locally {
+    // Untimed fixture materialization: the fixture-backed queries read
+    // stored payload bytes / a persisted ANN index from scratch;
+    // building those is plumbing a real corpus never pays per query, so
+    // it happens here, outside every timed window (idempotent when the
+    // cache is warm). Skipped when a BENCH_ONLY filter selects none of
+    // them — a dev loop timing one unrelated query must not pay three
+    // media encodes and four index trainings first.
+    if (selected.keys.exists(SparkEntry.fixtureQueries)) {
       val t0 = System.nanoTime()
       try SparkEntry.warmFixtures(spark, sfDir)
       catch { case t: Throwable =>
@@ -284,12 +287,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullErrJson,""" +
         s""""tiers":$fullTiers,"flagged":$fullFlagged,"sf":"$sfDir"}"""
     // Dev-filtered runs (BENCH_ONLY) must not clobber the official
-    // full-suite artifact with a partial one.
-    val queriesFile =
+    // full-suite artifact with a partial one — and their summary must
+    // then point at the per-query record that WAS written this run
+    // (the partial log), not at a stale full-suite file.
+    val fullFile =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    val queriesFile = if (only.isEmpty) fullFile
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.jsonl")
     if (only.isEmpty) {
       val fullOut = new java.io.PrintWriter(
-        new java.io.FileWriter(queriesFile, false), true)
+        new java.io.FileWriter(fullFile, false), true)
       fullOut.println(fullLine)
       fullOut.close()
     }

@@ -41,13 +41,16 @@ object SparkEntry {
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     val docs = Tables.documents(s, dir)
     val root = s"${Sinks.scratch}/media_fixtures"
+    // memoKey = the source data dir: repeat calls in one JVM skip the
+    // fingerprint aggregate entirely, keeping fixture plumbing out of
+    // the benchmark-timed window.
     kind match {
       case "png" => Multimodal.materializedMedia(s, docs, root, "png",
-        d => Multimodal.pngMediaFromDocuments(s, d))
+        d => Multimodal.pngMediaFromDocuments(s, d), Some(dir))
       case "wav" => Multimodal.materializedMedia(s, docs, root, "wav",
-        d => Multimodal.wavMediaFromDocuments(s, d))
+        d => Multimodal.wavMediaFromDocuments(s, d), Some(dir))
       case "gif" => Multimodal.materializedMedia(s, docs, root, "gif",
-        d => Multimodal.gifMediaFromDocuments(s, d))
+        d => Multimodal.gifMediaFromDocuments(s, d), Some(dir))
       case other => sys.error(s"unknown media fixture kind '$other'")
     }
   }
@@ -63,36 +66,46 @@ object SparkEntry {
   private def storedAnnIndex(s: SparkSession, dir: String,
       kind: String): String = {
     val emb = Tables.embeddings(s, dir)
-    val key = emb.agg(count(col("vec_id")),
-      coalesce(max(col("vec_id")), lit(-1L))).head()
-    val idx = s"${Sinks.scratch}/ann_index/" +
-      s"${kind}_n${key.getLong(0)}_m${key.getLong(1)}"
     // The *_grown kinds exercise index MAINTENANCE: train/build on the
     // even half only, then append the odd half encoded against the
-    // frozen codebook/centroids — the daily-ingest shape. The marker is
-    // only present after the append completes (append drops and
-    // re-commits it), so a crash mid-sequence rebuilds.
+    // frozen codebook/centroids — the daily-ingest shape. Gating is
+    // Fixtures.ensure's OWN completion marker, committed only after the
+    // whole build(+append) sequence returns: Similarity's per-index
+    // marker is true between build and append (review finding — a crash
+    // in that window must rebuild, not serve an evens-only index as
+    // complete), so it cannot be the fixture gate.
     lazy val evens = emb.filter(col("vec_id") % 2 === 0)
     lazy val odds = emb.filter(col("vec_id") % 2 === 1)
-    if (!Similarity.indexExists(s, idx)) kind match {
-      case "pq" => Similarity.buildPqIndex(emb, idx,
-        m = 16, subDim = 4, initStride = 3, iters = 1)
-      case "ivfpq" => Similarity.buildIvfPqIndex(emb, idx,
-        cellStride = 53, cellIters = 1,
-        m = 16, subDim = 4, pqStride = 3, pqIters = 1)
-      case "pq_grown" =>
-        Similarity.buildPqIndex(evens, idx,
+    graft.engine.Fixtures.ensure(s, emb, "vec_id",
+      s"${Sinks.scratch}/ann_index", kind, Some(dir)) { idx =>
+      kind match {
+        case "pq" => Similarity.buildPqIndex(emb, idx,
           m = 16, subDim = 4, initStride = 3, iters = 1)
-        Similarity.appendToPqIndex(odds, idx)
-      case "ivfpq_grown" =>
-        Similarity.buildIvfPqIndex(evens, idx,
+        case "ivfpq" => Similarity.buildIvfPqIndex(emb, idx,
           cellStride = 53, cellIters = 1,
           m = 16, subDim = 4, pqStride = 3, pqIters = 1)
-        Similarity.appendToIvfPqIndex(odds, idx)
-      case other => sys.error(s"unknown ANN index kind '$other'")
+        case "pq_grown" =>
+          Similarity.buildPqIndex(evens, idx,
+            m = 16, subDim = 4, initStride = 3, iters = 1)
+          Similarity.appendToPqIndex(odds, idx)
+        case "ivfpq_grown" =>
+          Similarity.buildIvfPqIndex(evens, idx,
+            cellStride = 53, cellIters = 1,
+            m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+          Similarity.appendToIvfPqIndex(odds, idx)
+        case other => sys.error(s"unknown ANN index kind '$other'")
+      }
     }
-    idx
   }
+
+  /** Queries whose timed body reads a pre-built fixture (stored media
+    * payloads or a persisted ANN index) — the set [[warmFixtures]]
+    * materializes for. Bench warms only when one of these is selected;
+    * BenchSpec asserts the set never drifts from the registry. */
+  val fixtureQueries: Set[String] = Set(
+    "q30_media_decode", "q118_audio_decode", "q125_video_frames",
+    "q135_pq_stored_index", "q136_ivfpq_stored_index",
+    "q137_pq_index_append", "q138_ivfpq_index_append")
 
   /** Untimed fixture warm for the bench main: materializes the three
     * stored-bytes media tables and the two persisted ANN indexes so

@@ -141,7 +141,10 @@ object Sinks {
     * LEAVES include a sentinel-valued relation falls back to the
     * frame's existing partitioning, unrepartitioned (leaf-level
     * detection, so an honest-but-huge join-product estimate still
-    * takes the sizing path). Returns the chosen file count. */
+    * takes the sizing path — with the sizing basis clamped to 1024×
+    * the leaf bytes, since size-only join estimates multiply child
+    * byte counts and can exceed writable reality by orders of
+    * magnitude). Returns the chosen file count. */
   def writeParquetSized(df: DataFrame, path: String, mode: String,
       targetBytes: Long, outputRatio: Double = 1.0): Int = {
     require(targetBytes > 0 && outputRatio > 0)
@@ -157,14 +160,28 @@ object Sinks {
     // misclassified that case as stats-less.
     val defaultSize = BigInt(df.sparkSession.conf
       .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
-    val statsLess =
-      plan.collectLeaves().exists(_.stats.sizeInBytes >= defaultSize)
+    val leaves = plan.collectLeaves()
+    // EQUALITY with the sentinel, not a magnitude test: stats-less
+    // relations (JDBC, RDD-backed) report exactly defaultSizeInBytes,
+    // while a deployment that tunes that conf DOWN (a known knob to
+    // let JDBC tables broadcast) must not get its honest large parquet
+    // leaves misread as stats-less.
+    val statsLess = leaves.exists(_.stats.sizeInBytes == defaultSize)
     if (statsLess) {
       val n = df.rdd.getNumPartitions.max(1)
       df.write.mode(mode).parquet(path)
       n
     } else {
-      val est = (BigDecimal(planBytes) / outputRatio).toBigInt
+      // Size-only join estimates MULTIPLY child byte counts (the
+      // visitor's output is dimensionally bytes^k, not bytes), so a
+      // deep join chain's estimate can exceed any writable reality by
+      // orders of magnitude. Clamp the sizing basis to 1024x the leaf
+      // bytes — generous for real fan-out joins — so a degenerate
+      // estimate degrades to a few oversized files, never a
+      // 100000-task repartition of kilobytes.
+      val leafSum = leaves.map(_.stats.sizeInBytes).sum.max(1)
+      val basis = planBytes.min(leafSum * 1024)
+      val est = (BigDecimal(basis) / outputRatio).toBigInt
       val n = ((est + targetBytes - 1) / targetBytes).max(1).min(100000).toInt
       df.repartition(n).write.mode(mode).parquet(path)
       n

@@ -412,26 +412,20 @@ object Multimodal {
     * bytes on every later call — so decode-path queries time DECODE,
     * not fixture encode (a real corpus arrives as stored bytes; the
     * encoder is sandbox plumbing a production scan never pays).
-    *
-    * The cache key is `(kind, count(doc_id), max(doc_id))`: every
-    * fixture payload is a pure function of its doc_id, so the id-set
-    * fingerprint fully determines the bytes — distinct scale factors
-    * land in distinct directories, and a regenerated testdata set with
-    * different ids misses the cache instead of serving stale bytes.
-    * Reuse is gated on parquet's own `_SUCCESS` marker (a torn write
-    * rebuilds). Single-writer scope, like the rest of the scratch
-    * layout. */
+    * Keying, completion gate, and per-JVM memoization are
+    * [[graft.engine.Fixtures.ensure]] (every payload is a pure
+    * function of its doc_id, so the id fingerprint fully determines
+    * the bytes); pass `memoKey` (the source data dir) from callers on
+    * a timed path. */
   def materializedMedia(spark: SparkSession, docs: DataFrame,
       cacheRoot: String, kind: String,
-      build: DataFrame => Dataset[MediaRow]): Dataset[MediaRow] = {
+      build: DataFrame => Dataset[MediaRow],
+      memoKey: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    val key = docs.agg(count(col("doc_id")),
-      coalesce(max(col("doc_id")), lit(-1L))).head()
-    val dir = s"$cacheRoot/${kind}_n${key.getLong(0)}_m${key.getLong(1)}"
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
-      build(docs).write.mode("overwrite").parquet(dir)
+    val dir = graft.engine.Fixtures.ensure(spark, docs, "doc_id",
+      cacheRoot, kind, memoKey) { d =>
+      build(docs).write.mode("overwrite").parquet(d)
+    }
     spark.read.parquet(dir).as[MediaRow]
   }
 

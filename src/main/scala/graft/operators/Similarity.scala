@@ -607,6 +607,14 @@ object Similarity {
     require(indexExists(spark, dir),
       s"no completed PQ index at $dir — append needs a finished build")
     val fs = fsOf(spark, dir)
+    // Appending codes-only into an IVF-PQ index would leave the new
+    // vectors cell-less: the marker re-commits, the index LOOKS
+    // complete, and the candidate join silently never surfaces them —
+    // the exact "silently partial" failure the marker exists to
+    // prevent. Fail loudly on the layer mismatch instead.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cents")),
+      s"$dir holds an IVF layer (cents) — use appendToIvfPqIndex, or " +
+        "appended vectors get codes but no cell and stay unsearchable")
     fs.delete(indexMarker(dir), false)
     val codebook = spark.read.parquet(s"$dir/codebook")
     val (m, subDim) = pqShapeOf(codebook)

@@ -39,6 +39,13 @@ class BenchSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"oracleSql keys with no query: $stale")
   }
 
+  test("every fixture-backed query names a registered query") {
+    // Bench gates its untimed warm step on this set; a stale member
+    // would silently stop warming (timed queries would pay the build).
+    val stale = SparkEntry.fixtureQueries.diff(names)
+    assert(stale.isEmpty, s"fixtureQueries with no query: $stale")
+  }
+
   test("stdout summary stays under 1.5 KB with 300 queries all flagged and erroring") {
     // The round artifact keeps only the last ~2 KB of captured stdout;
     // BENCH_r09.json lost its summary ("parsed": null) when the compact

@@ -313,6 +313,12 @@ class SimilaritySpec extends SparkSpec {
       "IVF-PQ append must make odd vectors searchable")
     assert(spark.read.parquet(s"$ivfDir/cells").count() == emb.count(),
       "every vector must hold exactly one cell after append")
+    // Layer-mismatch guard: a codes-only append into an IVF-PQ index
+    // would leave the new vectors cell-less and silently unsearchable.
+    val mm = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(odds, ivfDir)
+    }
+    assert(mm.getMessage.contains("use appendToIvfPqIndex"))
     graft.engine.Caches.release()
   }
 

@@ -94,16 +94,23 @@ class SinksCompactionSpec extends SparkSpec {
     val planBytes = planSize(df)
     assert(planBytes >= BigInt(Long.MaxValue) / 2,
       s"fixture must sit in the old misclassification zone, got $planBytes")
+    // The sizing basis is clamped to 1024x the LEAF bytes (size-only
+    // join estimates multiply child byte counts — dimensionally
+    // garbage at this depth), so a degenerate estimate yields a few
+    // files, never a 100000-task repartition of kilobytes.
+    val leafSum = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum.max(1)
+    val basis = planBytes.min(leafSum * 1024)
+    assert(basis < planBytes, "fixture must exercise the estimate clamp")
+    // Target chosen so the sized path asks for a HANDFUL of files —
+    // distinguishable from both extremes (1 file, or the join output's
+    // own partitioning).
+    val target = (basis / 8).toLong.max(1)
     val out = tmp("sized-big-out")
-    val target = Long.MaxValue
     val n = Sinks.writeParquetSized(df, out, "overwrite", target)
-    // Sized path: n = ceil(estimate / target), NOT the frame's own
-    // (join-output) partition count.
-    val want = ((planBytes + target - 1) / target).toInt
-    assert(n == want, s"expected the sized partition count $want, got $n")
-    // n files requested; empty partitions write no file, so <= n on disk.
-    assert(new java.io.File(out).listFiles()
-      .count(_.getName.endsWith(".parquet")) <= n)
+    val want = ((basis + target - 1) / target).toInt
+    assert(n == want && n > 1,
+      s"expected the sized partition count $want (>1), got $n")
     assert(spark.read.parquet(out).count() == rows)
   }
 
