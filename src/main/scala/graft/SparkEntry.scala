@@ -1005,6 +1005,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup: semantic dedup in embedding space — cell-partitioned
+    // within-cell cosine pairs, connected components, keep the member
+    // LEAST similar to its cell centroid per component (Abbas et al.
+    // 2023). The paraphrase-level dedup no lexical fingerprint sees.
+    "q139_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      Similarity.semDeDup(emb, cents, threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // Rolling 7-day distinct users: sliding DISTINCT via dedup-then-
     // offset-explode (window functions can't express it; a per-day
     // self-join would re-scan the fact N times).
@@ -2133,6 +2145,9 @@ object SparkEntry {
       cellStride = 53, cellIters = 1, nProbe = 3,
       m = 16, subDim = 4, pqStride = 3, pqIters = 1,
       trainPred = "vec_id % 2 = 0"),
+
+    "q139_semdedup" -> Similarity.semDeDupSql(threshold = 0.35,
+      centStride = 53),
 
     "q122_rolling_dau" ->
       (graft.operators.EventAnalytics.rollingDistinctUsersSql(7) +

@@ -355,6 +355,106 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540) —
+    * semantic deduplication in EMBEDDING space: the dedup tier's answer
+    * to paraphrase-level duplicates no lexical fingerprint (MinHash
+    * q24, SimHash q25, prefix-Jaccard q43) can see, because the
+    * rewritten text shares no shingles with its source.
+    *
+    *  1. assign every vector to its nearest centroid (one map-side
+    *     `max_by` scan — the q28/q110 cell machinery), keeping the
+    *     cosine-to-centroid;
+    *  2. within-cell pairs with cosine ≥ `threshold` (pair work is
+    *     Σ|cell|², never |corpus|²/2 — the paper's whole scaling
+    *     argument: duplicates are near-parallel, so co-celled);
+    *  3. connected components over those pairs (pointer-doubling,
+    *     [[Dedup.dedupClusters]] — O(log diameter) rounds);
+    *  4. per component keep exactly ONE representative — the member
+    *     LEAST similar to its cell centroid (the paper's keep rule:
+    *     the low-centroid-similarity member is the informative one),
+    *     ties by lowest id.
+    *
+    * Returns the SURVIVING corpus `(vec_id, cent_id)`: vectors in no
+    * dup component pass through; each component contributes its one
+    * representative. Fully SQL-replayable (cell assignment, exact
+    * cosines, recursive-CTE components, window argmin). Scale shape:
+    * one corpus scan for assignment (materialized, feeds pairs AND the
+    * centroid-similarity projection), a cell-keyed equi-join for
+    * pairs, CC over dup members only (bounded by the dup rate), and
+    * anti/semi joins to emit — the corpus never all-pairs joins and
+    * never sorts globally. */
+  def semDeDup(corpus: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = graft.engine.Caches.materialized(
+      assignCells(cents)(
+          corpus.select(col("vec_id").as("id"), col("embedding").as("emb")),
+          "id", "emb", 1)
+        .withColumn("nrm", norm(col("emb"))))
+    val pairs = assigned.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a"), col("cent_id"))
+      .join(assigned.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b"), col("cent_id")), Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineWithNorms(col("emb_a"), col("emb_b"),
+        col("nrm_a"), col("nrm_b")) >= threshold)
+      .select("id_a", "id_b")
+    val clusters = Dedup.dedupClusters(pairs)
+    // cosine-to-centroid per vector: assigned already carries the cell,
+    // one broadcast of the tiny centroid table re-attaches its floats.
+    val simTo = assigned.join(broadcast(cents), Seq("cent_id"))
+      .select(col("id"), col("cent_id"),
+        cosine(col("emb"), col("cent_emb")).as("cent_sim"))
+    val reps = clusters.join(simTo, Seq("id"))
+      .groupBy("cluster_id")
+      .agg(min_by(col("id"), struct(col("cent_sim"), col("id"))).as("id"))
+      .select("id")
+    simTo
+      .join(clusters.select("id"), Seq("id"), "left_anti")
+      .select("id", "cent_id")
+      .unionByName(
+        simTo.join(reps, Seq("id"), "left_semi").select("id", "cent_id"))
+      .select(col("id").as("vec_id"), col("cent_id"))
+  }
+
+  /** Oracle twin of [[semDeDup]] over `embeddings` with strided
+    * centroids (`vec_id % centStride = 0`) — cell assignment, exact
+    * within-cell pairs, recursive-CTE connected components (the q37
+    * pattern), window argmin representative. */
+  def semDeDupSql(threshold: Double, centStride: Long): String =
+    s"""WITH RECURSIVE
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |          FROM embeddings WHERE vec_id % $centStride = 0),
+       |cc AS (
+       |  SELECT vec_id, embedding, cent_id, sim FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      ${Sql.cosine("e.embedding", "c.cent_emb")} AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${Sql.cosine("e.embedding", "c.cent_emb")} DESC,
+       |          c.cent_id) AS r
+       |    FROM embeddings e CROSS JOIN cents c) t WHERE r = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cc a JOIN cc b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${Sql.cosine("a.embedding", "b.embedding")} >= $threshold),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+       |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |reps AS (
+       |  SELECT id FROM (
+       |    SELECT c.id, ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |        ORDER BY cc.sim ASC, c.id ASC) AS rr
+       |    FROM clusters c JOIN cc ON cc.vec_id = c.id) t WHERE rr = 1)
+       |SELECT vec_id, cent_id FROM cc
+       |WHERE vec_id NOT IN (SELECT id FROM clusters)
+       |   OR vec_id IN (SELECT id FROM reps)
+       |ORDER BY vec_id""".stripMargin
+
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011) — the MEMORY-bound ANN regime
     * beside cell-probe IVF (q28): the corpus is stored as `m` small

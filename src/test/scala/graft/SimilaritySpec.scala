@@ -322,6 +322,60 @@ class SimilaritySpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("semDeDup: one survivor per component (the least-centroid-similar member), others pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val threshold = 0.35
+    val got = Similarity.semDeDup(emb, cents, threshold)
+      .as[(Long, Long)].collect().toMap // vec_id -> cent_id
+    // Independent replay via different spellings: window cell
+    // assignment, naive within-cell pairs, CC by label propagation over
+    // a driver-side union-find.
+    val crossed = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("r") === 1)
+    val cellOf = crossed.select(col("vec_id"), col("cent_id"), col("sim"))
+      .as[(Long, Long, Double)].collect()
+    val cellMap = cellOf.map(t => t._1 -> t._2).toMap
+    val simMap = cellOf.map(t => t._1 -> t._3).toMap
+    val pairs = crossed.select(col("vec_id"), col("cent_id"), col("embedding"))
+      .as("a").join(crossed.select(col("vec_id").as("vb"),
+        col("cent_id").as("cb"), col("embedding").as("eb")).as("b"),
+        col("cent_id") === col("cb") && col("vec_id") < col("vb"))
+      .filter(Similarity.cosine(col("embedding"), col("eb")) >= threshold)
+      .select(col("vec_id"), col("vb")).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must produce dup components")
+    // Union-find over the pairs.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val comps = members.groupBy(find)
+    val expectedSurvivors =
+      cellMap.keySet.diff(members) ++
+        comps.values.map(_.minBy(id => (simMap(id), id)))
+    assert(got.keySet == expectedSurvivors,
+      s"survivor sets differ: extra=${got.keySet.diff(expectedSurvivors).take(5)} " +
+        s"missing=${expectedSurvivors.diff(got.keySet).take(5)}")
+    got.foreach { case (id, cent) => assert(cellMap(id) == cent) }
+    // Degenerate threshold: nothing co-celled is that similar -> whole
+    // corpus survives.
+    val all = Similarity.semDeDup(emb, cents, threshold = 1.1)
+      .as[(Long, Long)].collect()
+    assert(all.length == cellMap.size, "no pairs => everyone survives")
+    graft.engine.Caches.release()
+  }
+
   test("pqTopK: recall@5 >= 0.7 vs brute force (measured 0.94 re-ranked), bit-deterministic") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") < 10)
