@@ -161,12 +161,18 @@ object Sinks {
     val defaultSize = BigInt(df.sparkSession.conf
       .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
     val leaves = plan.collectLeaves()
-    // EQUALITY with the sentinel, not a magnitude test: stats-less
-    // relations (JDBC, RDD-backed) report exactly defaultSizeInBytes,
-    // while a deployment that tunes that conf DOWN (a known knob to
-    // let JDBC tables broadcast) must not get its honest large parquet
-    // leaves misread as stats-less.
-    val statsLess = leaves.exists(_.stats.sizeInBytes == defaultSize)
+    // A leaf has no usable size signal when it reports EXACTLY the
+    // defaultSizeInBytes sentinel (JDBC, RDD-backed — equality, not
+    // magnitude, so a deployment that tunes that conf DOWN to let
+    // JDBC tables broadcast doesn't get honest large parquet leaves
+    // misread), OR when it carries a physically impossible estimate
+    // (an unmaterialized InMemoryRelation over join-product lineage
+    // reports its child plan's multiplied stats — no real single leaf
+    // holds an exbibyte, so >= 2^60 is garbage regardless of conf).
+    val statsLess = leaves.exists { l =>
+      val s = l.stats.sizeInBytes
+      s == defaultSize || s >= BigInt(1L << 60)
+    }
     if (statsLess) {
       val n = df.rdd.getNumPartitions.max(1)
       df.write.mode(mode).parquet(path)

@@ -290,10 +290,15 @@ object Similarity {
       embC: String, keep: Int): DataFrame = {
     val crossed = df.join(broadcast(cents), lit(true))
       .withColumn("sim", cosine(col(embC), col("cent_emb")))
+    // keep=1 also emits the CHOSEN cell's cosine (`cent_sim` = max sim,
+    // which IS the argmax centroid's sim): SemDeDup's keep-rule needs
+    // it, and computing it here costs nothing — re-deriving it later
+    // would re-broadcast the centroids against the whole corpus.
     if (keep == 1)
       crossed.groupBy(idC).agg(
         first(embC).as(embC),
-        max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"))
+        max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cent_id"),
+        max(col("sim")).as("cent_sim"))
     else
       crossed.groupBy(idC).agg(
         first(embC).as(embC),
@@ -400,20 +405,18 @@ object Similarity {
         col("nrm_a"), col("nrm_b")) >= threshold)
       .select("id_a", "id_b")
     val clusters = Dedup.dedupClusters(pairs)
-    // cosine-to-centroid per vector: assigned already carries the cell,
-    // one broadcast of the tiny centroid table re-attaches its floats.
-    val simTo = assigned.join(broadcast(cents), Seq("cent_id"))
-      .select(col("id"), col("cent_id"),
-        cosine(col("emb"), col("cent_emb")).as("cent_sim"))
-    val reps = clusters.join(simTo, Seq("id"))
+    // The assignment scan already carries each vector's chosen-cell
+    // cosine (`cent_sim`) — no re-join against the centroids needed.
+    val base = assigned.select("id", "cent_id", "cent_sim")
+    val reps = clusters.join(base, Seq("id"))
       .groupBy("cluster_id")
       .agg(min_by(col("id"), struct(col("cent_sim"), col("id"))).as("id"))
       .select("id")
-    simTo
+    base
       .join(clusters.select("id"), Seq("id"), "left_anti")
       .select("id", "cent_id")
       .unionByName(
-        simTo.join(reps, Seq("id"), "left_semi").select("id", "cent_id"))
+        base.join(reps, Seq("id"), "left_semi").select("id", "cent_id"))
       .select(col("id").as("vec_id"), col("cent_id"))
   }
 
