@@ -1017,6 +1017,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Iterative BPE tokenizer trainer: 10 merge rounds over the
+    // word-frequency table (one corpus scan; each round is vocab-sized).
+    // q81 is one round's pair statistic; this is the loop that actually
+    // produces the merge list = the trained tokenizer.
+    "q140_bpe_train" -> ((s, dir) =>
+      graft.operators.CorpusStats.bpeTrain(Tables.documents(s, dir),
+        "text", rounds = 10).orderBy("round")),
+
+    // Perceptual image near-dup (fixed-point pHash + banded Hamming):
+    // the media modality of the dedup family. Planted brightness-shifted
+    // and patch-edited twins over documents-derived textured PNGs.
+    "q141_phash_neardup" -> ((s, dir) =>
+      graft.operators.ImageDedup.phashNearDup(s,
+        Tables.documents(s, dir), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     // Rolling 7-day distinct users: sliding DISTINCT via dedup-then-
     // offset-explode (window functions can't express it; a per-day
     // self-join would re-scan the fact N times).
@@ -2148,6 +2164,12 @@ object SparkEntry {
 
     "q139_semdedup" -> Similarity.semDeDupSql(threshold = 0.35,
       centStride = 53),
+
+    "q140_bpe_train" -> graft.operators.CorpusStats.bpeTrainSql(rounds = 10),
+
+    "q141_phash_neardup" ->
+      (graft.operators.ImageDedup.phashNearDupSql(maxHamming = 3) +
+        "\nORDER BY id_a, id_b"),
 
     "q122_rolling_dau" ->
       (graft.operators.EventAnalytics.rollingDistinctUsersSql(7) +

@@ -360,4 +360,146 @@ object CorpusStats {
        |  round(${Aggregates.avgExactSql("logp")}, 6) AS logprob
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------- BPE tokenizer trainer
+
+  /** Iterative BPE tokenizer trainer (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"): `rounds`
+    * merge rounds over the word-frequency table, returning the learned
+    * merge list `(round, lhs, rhs, n)` — which IS the trained tokenizer.
+    * [[topPairs]] is one round's pair statistic; this runs the loop.
+    *
+    * Algorithm per round: (1) count adjacent symbol pairs weighted by
+    * word frequency; (2) take the argmax with the deterministic
+    * tie-break (count DESC, lhs ASC, rhs ASC); (3) rewrite every word's
+    * symbol sequence, merging (lhs,rhs) occurrences greedily
+    * left-to-right non-overlapping (a run of k overlapping candidates —
+    * only possible when lhs = rhs — merges positions 1,3,5,… of the
+    * run). Words are pre-tokenized on spaces, restricted to `[A-Za-z]+`
+    * (a fixed alphabet, the standard BPE precondition), and carry the
+    * Sennrich end-of-word marker `</w>`.
+    *
+    * Scale shape: the corpus is scanned ONCE (the word-frequency agg
+    * with map-side partial aggregation); every merge round then runs on
+    * the DISTINCT-WORD table — vocabulary-sized, orders of magnitude
+    * smaller than the corpus, cached per round with the eager-persist /
+    * release pattern of [[Clustering.kmeansCentroids]]. Per round: one
+    * pair-count agg (map-side combined) + one argmax `limit(1)` to the
+    * driver (1 row — bounded driver state, like the k-means centroid
+    * pull) + one codegen-free but native `aggregate` HOF rewrite (no
+    * UDF). The greedy rewrite is a left fold: merge when the
+    * accumulator's last symbol is `lhs` and the current is `rhs` —
+    * exactly the non-overlapping scan, and the merged token `lhs+rhs`
+    * can never equal `lhs`, so a merge never cascades within a round. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words0 = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(array_remove(split(col("word"), ""), ""),
+          array(lit("</w>"))).as("syms"))
+    var cur = words0.persist()
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val best = cur
+          .select(col("freq"), explode(
+            transform(sequence(lit(0), size(col("syms")) - lit(2)),
+              i => struct(element_at(col("syms"), i + 1).as("lhs"),
+                element_at(col("syms"), i + 2).as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1)
+          .as[(String, String, Long)].collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, n) = best.head
+          merges += ((r, a, b, n))
+          val next = cur
+            .withColumn("syms", aggregate(col("syms"),
+              array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, size(acc)) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))))
+            .persist()
+          next.count()
+          cur.unpersist(blocking = false)
+          cur = next
+          r += 1
+        }
+      }
+    } finally cur.unpersist(blocking = false)
+    merges.toSeq.toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** Oracle twin of [[bpeTrain]] (`documents` hard-wired): the full
+    * merge sequence unrolled as one CTE chain, `rounds` blocks of the
+    * same five CTEs. The greedy non-overlapping rewrite is expressed
+    * with window functions instead of a fold: mark every (lhs,rhs)
+    * adjacency, group consecutive marks into runs (gaps-and-islands —
+    * runs longer than 1 only exist when lhs = rhs), keep the odd
+    * positions of each run, then rebuild each word's symbol list
+    * dropping the consumed right-hand symbols. `AS MATERIALIZED` on the
+    * per-round tables is load-bearing: each round references its
+    * predecessor twice, so inlined CTEs would re-derive `w0` 2^rounds
+    * times. An exhausted corpus (some round finds no pairs) yields an
+    * empty `b{r}` whose scalar subqueries go NULL → no marks, `w{r}` =
+    * `w{r-1}`, and the round emits no output row — matching the Spark
+    * side's loop break. */
+  def bpeTrainSql(rounds: Int): String = {
+    def roundSql(r: Int): String = {
+      val p = r - 1
+      s"""pc$r AS (
+         |  SELECT p.l AS lhs, p.r AS rhs, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+         |    FROM w$p) GROUP BY p.l, p.r),
+         |b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM pc$r
+         |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+         |e$r AS MATERIALIZED (
+         |  SELECT word, freq, i, syms[i] AS s,
+         |    COALESCE(syms[i] = (SELECT lhs FROM b$r)
+         |         AND syms[i+1] = (SELECT rhs FROM b$r), FALSE) AS m
+         |  FROM (SELECT word, freq, syms,
+         |        unnest(range(1, len(syms)+1)) AS i FROM w$p)),
+         |sel$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i,
+         |      ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS k
+         |    FROM (SELECT word, i,
+         |          i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+         |          FROM e$r WHERE m)) WHERE k % 2 = 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT word, freq, list(tok ORDER BY i) AS syms FROM (
+         |    SELECT e.word, e.freq, e.i,
+         |      CASE WHEN sel.i IS NOT NULL
+         |        THEN e.s || (SELECT rhs FROM b$r) ELSE e.s END AS tok,
+         |      prev.i IS NOT NULL AS consumed
+         |    FROM e$r e
+         |    LEFT JOIN sel$r sel ON sel.word = e.word AND sel.i = e.i
+         |    LEFT JOIN sel$r prev ON prev.word = e.word AND prev.i = e.i - 1)
+         |  WHERE NOT consumed GROUP BY word, freq)""".stripMargin
+    }
+    val header =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    list_transform(range(1, len(word)+1), i -> word[i:i])
+        |      || ['</w>'] AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[A-Za-z]+$') GROUP BY word)""".stripMargin
+    val unioned = (1 to rounds)
+      .map(r => s"SELECT $r AS round, lhs, rhs, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    header + ",\n" + (1 to rounds).map(roundSql).mkString(",\n") +
+      s"\nSELECT * FROM (\n$unioned) ORDER BY round"
+  }
 }

@@ -1,0 +1,355 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal.MediaRow
+
+/** Perceptual image near-duplicate detection: pHash over decoded
+  * pixels, then the 4×16-bit banded-Hamming pigeonhole of
+  * [[Dedup.simhashNearDup]] for candidate generation — the media
+  * modality the dedup family was missing (lexical text: q24/q25/q43;
+  * semantic embeddings: q139; pixels: here). A training-data pipeline
+  * uses this to drop re-encoded / brightness-shifted / lightly-edited
+  * copies of the same image that byte-level exact dedup cannot see.
+  *
+  * The hash is a FIXED-POINT pHash variant so the entire arithmetic is
+  * exactly replayable in integer SQL (the DuckDB oracle) with zero
+  * float divergence — the same reason codecs ship integer DCT
+  * approximations (JPEG/AVC practice):
+  *
+  *   1. nearest-neighbor downsample to 32×32 (`src = dst*srcDim/32`,
+  *      integer division — exact, engine-independent),
+  *   2. integer luma `gray = (77R + 150G + 29B) >> 8` (77+150+29=256),
+  *   3. separable 2-D DCT-II restricted to the 8×8 low-frequency
+  *      block, with the cosine basis pre-scaled to integers
+  *      (`round(cos(π(2x+1)u/64)·2^14)`) — the table is computed ONCE
+  *      here ([[dctTable]]) and embedded as literals in both the Scala
+  *      kernel and the generated oracle SQL, so both engines multiply
+  *      the same integers (magnitudes bounded by 32·255·2^14 after the
+  *      row pass and 32·that·2^14 ≈ 7·10^13 after the column pass —
+  *      long-safe),
+  *   4. drop the DC coefficient, threshold the remaining 63 against
+  *      their lower median (sorted index 31, 0-based), pack the
+  *      `coef > median` bits into a 63-bit long.
+  *
+  * A uniform brightness shift adds a constant to every gray value,
+  * which lands (near-)entirely in the discarded DC coefficient — the
+  * classic pHash invariance, exercised end-to-end by the planted
+  * twins of [[texturedMedia]].
+  *
+  * Scale shape: encode/decode/hash run in the media codec
+  * `mapPartitions` slot (no Catalyst expression decodes PNG; the hash
+  * is fused into the same pass so 1 KB of pixels never crosses an
+  * exchange — one long per image does). Candidate generation is the
+  * q25 banded equi-join (never all-pairs): Hamming ≤ 3 ⇒ at least one
+  * of four 16-bit bands identical, so candidates come from a shuffle
+  * join on (band_idx, band_val) and the exact `bit_count(xor)` verify
+  * touches only band-colliding pairs.
+  */
+object ImageDedup {
+
+  /** One hashed image; `phash` is None iff the payload failed to
+    * decode (`status = 'corrupt'`). */
+  case class ImageHash(img_id: Long, status: String, phash: Option[Long])
+
+  /** Fixed-point scale of the cosine basis (2^14). */
+  val DctScale = 16384
+
+  /** Integer DCT-II basis, `T(u·32 + x) = round(cos(π(2x+1)u/64)·2^14)`
+    * for u ∈ [0,8), x ∈ [0,32). `Math.round` = floor(v + 0.5); the
+    * oracle SQL embeds THESE values as literals, so rounding mode can
+    * never diverge between engines. */
+  lazy val dctTable: Array[Long] = {
+    val t = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        t(u * 32 + x) =
+          Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 64.0) * DctScale)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Twin-id offsets: planted near-dups keep their base id recoverable
+    * by subtraction, and the spaces cannot collide for any corpus with
+    * ids below 10^6. */
+  val BrightTwinOffset = 1000000L
+  val PatchTwinOffset = 2000000L
+
+  /** Brightness delta of the planted bright twin. The texture palette
+    * is mod-250 (channels ≤ 249), so +6 never clamps at 255 — the
+    * shift is exactly uniform and the AC coefficients are exactly
+    * invariant (planted bright pairs sit at Hamming 0 by construction,
+    * not by luck). */
+  val BrightShift = 6
+
+  /** Closed-form texture spec of a base id: `(w, h, offR, offG, offB)`.
+    * Dims 20..43 (exercises the resize on both sides of 32); channel
+    * offsets phase-shift the sawtooth so unrelated ids hash far apart.
+    * The two-tone [[Multimodal.specOf]] images are useless here — their
+    * columns are uniform, so 55 of 63 AC coefficients are zero and
+    * every image's hash would collide; this family is full-entropy. */
+  private[graft] def texturedSpec(base: Long): (Int, Int, Int, Int, Int) = {
+    def m(k: Long, mod: Long): Int = java.lang.Math.floorMod(base * k, mod).toInt
+    (20 + m(23, 24), 20 + m(29, 24), m(5, 250), m(7, 250), m(11, 250))
+  }
+
+  /** Source-pixel channels at `(sx, sy)`: a three-phase integer
+    * sawtooth over a mod-250 palette, optionally brightness-shifted
+    * (never clamps — see [[BrightShift]]) and optionally overwritten
+    * with a flat gray 3×3-source-pixel patch (the "lightly edited"
+    * twin whose Hamming distance is small but nonzero). */
+  private[graft] def texturedRgb(base: Long, sx: Int, sy: Int, shift: Int,
+      patch: Boolean): (Int, Int, Int) = {
+    if (patch && sx < 3 && sy < 3) (128, 128, 128)
+    else {
+      val (_, _, ar, ag, ab) = texturedSpec(base)
+      ((ar + 3 * sx + 7 * sy) % 250 + shift,
+        (ag + 5 * sx + 2 * sy) % 250 + shift,
+        (ab + sx + 6 * sy) % 250 + shift)
+    }
+  }
+
+  /** Real PNG bytes for a textured image. */
+  private[graft] def encodeTexturedPng(base: Long, shift: Int,
+      patch: Boolean): Array[Byte] = {
+    val (w, h, _, _, _) = texturedSpec(base)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = texturedRgb(base, x, y, shift, patch)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Textured media derived from `documents`: one PNG per doc_id, plus
+    * planted near-dup twins — a brightness-shifted copy for ids ≡ 1
+    * (mod 5) and a patch-edited copy for ids ≡ 3 (mod 7). Every 37th
+    * base id ships truncated (the quarantine path, as in
+    * [[Multimodal.pngMediaFromDocuments]]); corrupt bases get no
+    * twins. Encode is distributed (`mapPartitions` codec slot). */
+  def texturedMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      if (id % 37 == 0)
+        Iterator.single(MediaRow(id, encodeTexturedPng(id, 0, false).take(8),
+          "image/png"))
+      else {
+        val orig = MediaRow(id, encodeTexturedPng(id, 0, false), "image/png")
+        val bright =
+          if (id % 5 == 1)
+            Some(MediaRow(id + BrightTwinOffset,
+              encodeTexturedPng(id, BrightShift, false), "image/png"))
+          else None
+        val patched =
+          if (id % 7 == 3)
+            Some(MediaRow(id + PatchTwinOffset,
+              encodeTexturedPng(id, 0, true), "image/png"))
+          else None
+        Iterator.single(orig) ++ bright.iterator ++ patched.iterator
+      }
+    })
+  }
+
+  /** The fixed-point pHash of a decoded image — the exact-twin scalar
+    * kernel (plain loops over ints/longs). Public so the spec can pin
+    * the distributed path bit-for-bit against direct invocations. */
+  private[graft] def phashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = new Array[Int](32 * 32)
+    var y = 0
+    while (y < 32) {
+      val sy = y * h / 32
+      var x = 0
+      while (x < 32) {
+        val sx = x * w / 32
+        val p = img.getRGB(sx, sy)
+        gray(y * 32 + x) =
+          (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    val t = dctTable
+    // Row pass: C(u, y) = Σ_x gray(y, x)·T(u, x), u ∈ [0,8).
+    val rowc = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var yy = 0
+      while (yy < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += gray(yy * 32 + x) * t(u * 32 + x); x += 1 }
+        rowc(u * 32 + yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    // Column pass: D(u, v) = Σ_y C(u, y)·T(v, y), then drop DC.
+    val ac = new Array[Long](63)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0L
+          var yy = 0
+          while (yy < 32) { s += rowc(u * 32 + yy) * t(v * 32 + yy); yy += 1 }
+          ac(u * 8 + v - 1) = s
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    var i = 0
+    while (i < 63) {
+      if (ac(i) > med) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Partition-batched decode + hash: `ImageIO.read` over the payload,
+    * then [[phashOfImage]] — fused so pixel buffers never leave the
+    * codec stage. Undecodable payloads quarantine as
+    * `status = 'corrupt'` with a null hash. */
+  def phashImages(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          if (img == null) ImageHash(r.media_id, "corrupt", None)
+          else ImageHash(r.media_id, "ok", Some(phashOfImage(img)))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageHash(r.media_id, "corrupt", None)
+        }
+      }
+    }
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ `maxHamming` (must be ≤ 3:
+    * the 4-band pigeonhole guarantees recall only there — same refusal
+    * contract as [[Dedup.simhashNearDup]]). Corrupt rows carry no hash
+    * and drop out before banding. */
+  def nearDupPairs(hashes: Dataset[ImageHash],
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val hs = hashes.toDF()
+      .filter(col("phash").isNotNull)
+      .select(col("img_id"), col("phash"))
+    val bandArr = array((0 until 4).map(j =>
+      shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    // The hash side is one decode scan; materialize the banded frame so
+    // the self-join reads warm cache instead of decoding every PNG twice.
+    val bands = graft.engine.Caches.materialized(
+      hs.select(col("img_id"), col("phash"), posexplode(bandArr))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_val"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("id_a"), col("b.img_id").as("id_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** End-to-end near-dup query over `documents`-derived textured media:
+    * encode → decode → hash → banded pairs. */
+  def phashNearDup(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    nearDupPairs(phashImages(spark, texturedMedia(spark, docs)), maxHamming)
+
+  /** Oracle twin of [[phashNearDup]] (`documents` hard-wired): replays
+    * the GENERATIVE spec — image derivation rules, sawtooth pixels,
+    * integer luma, nearest-neighbor sample, fixed-point DCT with the
+    * same embedded basis table, median threshold, bit packing — in pure
+    * integer SQL, then takes exhaustive `bit_count(xor) ≤ d` pairs
+    * (all-pairs is fine at oracle scale; the banded join is the scale
+    * path). A decode or hash bug on the Spark side breaks the match:
+    * the oracle never sees the PNG bytes, only the arithmetic that
+    * produced them. `AS MATERIALIZED` keeps DuckDB from inlining the
+    * per-image hash chain into the self-join's two sides. */
+  def phashNearDupSql(maxHamming: Int = 3): String = {
+    val tl = dctTable.mkString("[", ",", "]")
+    s"""WITH tt AS (SELECT $tl AS t),
+       |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 37 <> 0),
+       |imgs AS (
+       |  SELECT id AS img_id, id AS base, 0 AS sh, FALSE AS pt FROM ids
+       |  UNION ALL
+       |  SELECT id + $BrightTwinOffset, id, $BrightShift, FALSE FROM ids
+       |  WHERE id % 5 = 1
+       |  UNION ALL
+       |  SELECT id + $PatchTwinOffset, id, 0, TRUE FROM ids
+       |  WHERE id % 7 = 3),
+       |spec AS (SELECT img_id,
+       |    20 + (base*23) % 24 AS w, 20 + (base*29) % 24 AS h,
+       |    (base*5) % 250 AS ar, (base*7) % 250 AS ag,
+       |    (base*11) % 250 AS ab_, sh, pt FROM imgs),
+       |g AS MATERIALIZED (SELECT img_id, list_transform(range(0, 1024), p ->
+       |    CASE WHEN pt AND ((p % 32)*w)//32 < 3 AND ((p//32)*h)//32 < 3
+       |      THEN 128
+       |      ELSE ( 77*((ar + 3*(((p % 32)*w)//32) + 7*(((p//32)*h)//32)) % 250 + sh)
+       |           + 150*((ag + 5*(((p % 32)*w)//32) + 2*(((p//32)*h)//32)) % 250 + sh)
+       |           +  29*((ab_ +  (((p % 32)*w)//32) + 6*(((p//32)*h)//32)) % 250 + sh)) // 256
+       |    END) AS gr
+       |  FROM spec),
+       |rc AS MATERIALIZED (SELECT img_id, list_transform(range(0, 256), q ->
+       |    list_sum(list_transform(range(0, 32), x ->
+       |      gr[(q % 32)*32 + x + 1] * t[(q//32)*32 + x + 1]))) AS rowc
+       |  FROM g, tt),
+       |cf AS MATERIALIZED (SELECT img_id, list_transform(range(0, 64), c ->
+       |    list_sum(list_transform(range(0, 32), y ->
+       |      rowc[(c//8)*32 + y + 1] * t[(c % 8)*32 + y + 1]))) AS coef
+       |  FROM rc, tt),
+       |hs AS (SELECT img_id, coef[2:64] AS ac,
+       |    list_sort(coef[2:64])[32] AS med FROM cf),
+       |ph AS MATERIALIZED (SELECT img_id,
+       |    CAST(list_sum(list_transform(range(1, 64), i ->
+       |      CASE WHEN ac[i] > med THEN CAST(1 AS BIGINT) << (i-1)
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+       |  FROM hs)
+       |SELECT a.img_id AS id_a, b.img_id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM ph a JOIN ph b ON a.img_id < b.img_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming""".stripMargin
+  }
+}
+
+/** NOTE: the patch-twin gray CASE above patches the 32×32 SAMPLED gray
+  * directly (`sampled sx < 3 AND sy < 3`), which is exactly what the
+  * Spark side sees after nearest-neighbor sampling of a source-patched
+  * image: a destination pixel lands in the patch iff its source pixel
+  * does, and within the patch all channels are 128 ⇒ gray
+  * (77+150+29)·128 >> 8 = 128. The two formulations are pixel-identical
+  * by construction. */
