@@ -410,6 +410,10 @@ object CorpusStats {
       var exhausted = false
       while (r <= rounds && !exhausted) {
         val best = cur
+          // Fully-merged single-symbol words have no pairs; without the
+          // filter, sequence(0, -1) DESCENDS and element_at(syms, 0)
+          // throws under ANSI. (The oracle's range(1, 1) is empty.)
+          .filter(size(col("syms")) >= 2)
           .select(col("freq"), explode(
             transform(sequence(lit(0), size(col("syms")) - lit(2)),
               i => struct(element_at(col("syms"), i + 1).as("lhs"),

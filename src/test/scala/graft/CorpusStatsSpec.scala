@@ -130,4 +130,53 @@ class CorpusStatsSpec extends SparkSpec {
     // common-token text scores above mixed, mixed above pure OOV.
     assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
   }
+
+  private def bpeMerges(d: org.apache.spark.sql.DataFrame, rounds: Int) =
+    CorpusStats.bpeTrain(d, "text", rounds).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("bpeTrain: hand-computed merge sequence with frequency weighting") {
+    // Words: abab x3, ab x2 (with </w>).
+    // R1 pairs: (a,b)=3*2+2=8, (b,a)=3, (b,</w>)=5 → merge (a,b).
+    // R2: abab→[ab,ab,</w>], ab→[ab,</w>]: (ab,ab)=3, (ab,</w>)=5
+    //   → merge (ab,</w>).
+    // R3: [ab,ab</w>] x3: (ab,ab</w>)=3.
+    val d = docs(1L -> "abab abab ab", 2L -> "abab ab")
+    assert(bpeMerges(d, 3) == Seq(
+      (1, "a", "b", 8L), (2, "ab", "</w>", 5L), (3, "ab", "ab</w>", 3L)))
+  }
+
+  test("bpeTrain: greedy left-to-right non-overlapping rewrite (merge order matters)") {
+    // "aaaaa" → [a,a,a,a,a,</w>]: R1 (a,a)=4. The GREEDY rewrite gives
+    // [aa,aa,a,</w>]; R2 pairs {(aa,aa),(aa,a),(a,</w>)} all =1, and
+    // the tie-break (lhs asc: '<' sorts before 'a') picks (a,</w>).
+    // A wrong rewrite, e.g. [aa,a,aa,</w>], has no (a,</w>) pair at
+    // all and would merge (a,aa) instead — the fixture detects it.
+    val d = docs(1L -> "aaaaa")
+    assert(bpeMerges(d, 2) == Seq((1, "a", "a", 4L), (2, "a", "</w>", 1L)))
+  }
+
+  test("bpeTrain: deterministic tie-break, count desc then pair asc") {
+    // "aaa" x2 → R1 (a,a)=4 beats (a,</w>)=2. Rewrite → [aa,a,</w>];
+    // R2 (aa,a)=2 TIES (a,</w>)=2 → lhs asc picks (a,</w>).
+    val d = docs(1L -> "aaa aaa")
+    assert(bpeMerges(d, 3) == Seq(
+      (1, "a", "a", 4L), (2, "a", "</w>", 2L), (3, "aa", "a</w>", 2L)))
+  }
+
+  test("bpeTrain: pre-tokenization keeps [A-Za-z]+ words only") {
+    // "x9" and "!!" are not alphabetic words; only "ab" (freq 2) counts.
+    // (a,b) ties (b,</w>) at 2 → lhs asc picks (a,b).
+    val d = docs(1L -> "ab x9 ab !!")
+    assert(bpeMerges(d, 1) == Seq((1, "a", "b", 2L)))
+  }
+
+  test("bpeTrain: stops early when the corpus is fully merged") {
+    // After (a,</w>) and (b,</w>) every word is a single symbol: round
+    // 3 finds no pairs and the loop breaks — 2 rows despite rounds=5.
+    val d = docs(1L -> "a b")
+    assert(bpeMerges(d, 5) == Seq(
+      (1, "a", "</w>", 1L), (2, "b", "</w>", 1L)))
+  }
 }

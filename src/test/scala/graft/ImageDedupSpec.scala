@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ImageDedup
+import graft.operators.ImageDedup.ImageHash
+
+/** Perceptual-hash near-dup: exact-twin hash arithmetic, pigeonhole
+  * recall at the Hamming boundary, planted-twin end-to-end recall,
+  * quarantine. */
+class ImageDedupSpec extends SparkSpec {
+
+  private def docs(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("doc_id")
+  }
+
+  /** Independent reference pHash: DIRECT (non-separable) 2-D DCT over
+    * BigInt — `D(u,v) = Σ_y Σ_x g(x,y)·T(u,x)·T(v,y)` — versus the
+    * production kernel's separable row/column passes over longs.
+    * Mathematically identical; computing it the other way (and without
+    * fixed-width arithmetic) is what makes equality evidence that the
+    * separable ordering and the long accumulators are exact. */
+  private def referencePhash(img: java.awt.image.BufferedImage): Long = {
+    val t = ImageDedup.dctTable
+    val g = Array.tabulate(32, 32) { (y, x) =>
+      val p = img.getRGB(x * img.getWidth / 32, y * img.getHeight / 32)
+      (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8
+    }
+    val ac = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) yield {
+      (for (y <- 0 until 32; x <- 0 until 32)
+        yield BigInt(g(y)(x)) * t(u * 32 + x) * t(v * 32 + y)).sum
+    }).toArray
+    assert(ac.forall(_.isValidLong), "coefficients must fit a long")
+    val med = ac.sorted.apply(31)
+    (0 until 63).foldLeft(0L)((h, i) => if (ac(i) > med) h | (1L << i) else h)
+  }
+
+  private def decode(bytes: Array[Byte]) =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  test("separable fixed-point kernel equals the direct BigInt DCT, bit for bit") {
+    for (base <- Seq(1L, 2L, 45L, 123L, 499L); patch <- Seq(false, true)) {
+      val img = decode(ImageDedup.encodeTexturedPng(base, 0, patch))
+      assert(ImageDedup.phashOfImage(img) == referencePhash(img),
+        s"base=$base patch=$patch")
+    }
+  }
+
+  test("uniform brightness shift lands in the discarded DC: hash exactly invariant") {
+    for (base <- Seq(1L, 6L, 11L, 101L, 456L)) {
+      val orig = ImageDedup.phashOfImage(
+        decode(ImageDedup.encodeTexturedPng(base, 0, false)))
+      val shifted = ImageDedup.phashOfImage(
+        decode(ImageDedup.encodeTexturedPng(base, ImageDedup.BrightShift, false)))
+      assert(orig == shifted, s"base=$base")
+    }
+  }
+
+  test("banding finds Hamming <= 3 exactly and refuses larger radii") {
+    import spark.implicits._
+    val h0 = 0x123456789abcdL
+    // Distances from h0: 1 (one bit), 3 (bits spread across three
+    // bands), 4 (one bit in EVERY band — the adversarial spread the
+    // pigeonhole bound is about).
+    val hs = Seq(
+      ImageHash(1, "ok", Some(h0)),
+      ImageHash(2, "ok", Some(h0 ^ (1L << 5))),
+      ImageHash(3, "ok", Some(h0 ^ (1L << 2) ^ (1L << 17) ^ (1L << 33))),
+      ImageHash(4, "ok", Some(h0 ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48))),
+      ImageHash(5, "corrupt", None)).toDS()
+    val got = ImageDedup.nearDupPairs(hs, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,4) and (2,3) are at Hamming 4, (2,4)/(3,4) at 5/7 → excluded;
+    // corrupt id 5 never appears.
+    assert(got.toSeq == Seq((1L, 2L, 1), (1L, 3L, 3)))
+    assertThrows[IllegalArgumentException] {
+      ImageDedup.nearDupPairs(hs, maxHamming = 4)
+    }
+  }
+
+  test("end-to-end: banded pairs equal brute force; planted twins recalled; corrupt quarantined") {
+    import spark.implicits._
+    // 37 is corrupt; 41/46/51/56 get bright twins; 38/45/52/59 get
+    // patch twins (45 and 52 sit at Hamming 2 — the nonzero-but-near
+    // case; others may exceed the radius and must be dropped).
+    val d = docs(37L to 59L: _*)
+    val hashes = ImageDedup.phashImages(spark,
+      ImageDedup.texturedMedia(spark, d)).cache()
+    val rows = hashes.collect()
+    assert(rows.filter(_.status == "corrupt").map(_.img_id).toSeq == Seq(37L))
+    val ok = rows.filter(_.status == "ok").map(r => r.img_id -> r.phash.get)
+    val brute = (for {
+      (ia, ha) <- ok; (ib, hb) <- ok if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
+    val got = ImageDedup.nearDupPairs(hashes, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == brute.toSeq)
+    // Every bright twin at Hamming 0; the known patch twins at 2.
+    for (b <- Seq(41L, 46L, 51L, 56L))
+      assert(got.contains((b, b + ImageDedup.BrightTwinOffset, 0)), s"bright $b")
+    for (p <- Seq(45L, 52L))
+      assert(got.contains((p, p + ImageDedup.PatchTwinOffset, 2)), s"patch $p")
+    hashes.unpersist()
+  }
+}
