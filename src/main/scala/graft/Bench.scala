@@ -32,11 +32,16 @@ package graft
   * warmup execution before the timed loop (the first-in-JVM query
   * otherwise absorbs the whole JIT/codegen ramp); a same-JVM re-timing
   * of every flagged query at suite end; and per-run PROCESS CPU + GC
-  * seconds captured for every query — a flagged entry ships
-  * `[ratio, retime_ratio, cpu_s, gc_s, retime_cpu_s, retime_gc_s]`, so
-  * "steal burst" (wall inflated, cpu_s unchanged between the two runs)
-  * vs "real plan change" (cpu_s inflated too) is readable with no
-  * re-run at all. The read rule lives in BENCH_NOTES.md. */
+  * seconds, JIT-compilation seconds, code-cache occupancy delta and
+  * HOST busy% captured for every query — a flagged entry ships
+  * `[ratio, retime_ratio, cpu_s, gc_s, retime_cpu_s, retime_gc_s,
+  * jit_s, retime_jit_s, cc_mb, retime_cc_mb, busy_pct,
+  * retime_busy_pct]`, so "steal burst" (wall inflated, cpu_s
+  * unchanged, busy% pegged), "positional JIT tax" (cpu_s inflated
+  * WITH wall but jit_s/cc_mb inflated too — the r10 q121 mode that
+  * previously needed a judge re-run) and "real plan change" (cpu_s
+  * inflated, jit/cc/busy flat) are all readable with no re-run at
+  * all. The read rules live in BENCH_NOTES.md. */
 object Bench {
 
   /** The hand-kept ingest/sink tier membership, by query number. Public
@@ -78,12 +83,26 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: java.io.FileNotFoundException => Map.empty }
 
-  /** One timed run's vitals: wall/cpu/gc seconds. `cpu` is PROCESS cpu
-    * time (all 32 executor threads), so on a quiet host a CPU-bound
-    * query has cpu ≫ wall; a steal burst inflates wall while cpu stays
-    * at the quiet-run value — the in-artifact steal signature. */
+  /** One timed run's vitals: wall/cpu/gc seconds, plus the three
+    * counters that explain the two known false-regression modes.
+    * `cpu` is PROCESS cpu time (all 32 executor threads), so on a
+    * quiet host a CPU-bound query has cpu ≫ wall; a steal burst
+    * inflates wall while cpu stays at the quiet-run value — the
+    * in-artifact steal signature. `jitS` (cumulative JIT compilation
+    * seconds spent DURING the run) and `ccMb` (code-cache occupancy
+    * delta, MB, negative on a flush) explain the positional mode where
+    * cpu inflates WITH wall because the JVM is burning cycles
+    * compiling/deoptimizing, not executing the plan (round-10 q121:
+    * in-suite retime 3.78×/259 cpu-s vs judge-isolated 1.08×/49 —
+    * unreadable without these). `busyPct` is HOST-level busy CPU
+    * (100·Δbusy/Δtotal from `/proc/stat`, −1 if unreadable) across
+    * every tenant of the box: ~100 with our own cpu_s ≪ wall·cores
+    * identifies a contention storm from the artifact alone. (This
+    * host's "steal" is co-tenant containers, which /proc/stat shows
+    * as user/system busy, not the hypervisor `steal` field — busy%
+    * includes both.) */
   final case class RunStats(sec: Double, cpuS: Double, gcS: Double,
-      err: Option[String])
+      jitS: Double, ccMb: Double, busyPct: Double, err: Option[String])
 
   /** A flagged query: first run + same-JVM retime, both with vitals. */
   final case class Flag(name: String, median: Double, first: RunStats,
@@ -110,27 +129,35 @@ object Bench {
     * ratio) + an overflow count; errors keep the first `MaxErrors`
     * (40-char messages) + an overflow count. Sized so that even 300
     * queries, all flagged AND all erroring, stay under ~1.5 KB
-    * (BenchSpec pins this). */
-  val MaxFlagged = 12
+    * (BenchSpec pins this; the cap dropped 12 → 10 when the flagged
+    * vector grew 6 → 12 numbers in round 11). */
+  val MaxFlagged = 10
   val MaxErrors = 5
 
   /** The one parseable stdout JSON line — PURE (BenchSpec feeds it a
     * 300-query worst case) and bounded: aggregates only, never a
     * per-query map; that lives in `queries_file`. Flagged entries
     * render as `"qNN":[ratio, retime_ratio, cpu_s, gc_s, retime_cpu_s,
-    * retime_gc_s]` (see BENCH_NOTES.md for the steal read-rule). */
+    * retime_gc_s, jit_s, retime_jit_s, cc_mb, retime_cc_mb, busy_pct,
+    * retime_busy_pct]` (see BENCH_NOTES.md for the read rules: the
+    * wall-vs-cpu split settles steal, the jit/cc columns settle the
+    * cpu-inflated positional-JIT mode, busy% settles host storms). */
   def compactSummary(total: Double, nQueries: Int,
       tiers: Seq[(String, Double)], flagged: Seq[Flag],
       errors: Seq[(String, String)], sf: String,
       queriesFile: String): String = {
     def short(name: String): String = name.takeWhile(_ != '_')
+    def n0(v: Double): String = String.format(java.util.Locale.ROOT, "%.0f",
+      Double.box(v))
     val tiersJson = tiers.sortBy(_._1)
       .map { case (t, s) => jstr(t) + ":" + n2(s) }.mkString("{", ",", "}")
     val worst = flagged.sortBy(-_.ratio)
     val flaggedJson = worst.take(MaxFlagged).map { f =>
       jstr(short(f.name)) + ":" +
         s"[${n2(f.ratio)},${n2(f.retimeRatio)},${n2(f.first.cpuS)}," +
-        s"${n2(f.first.gcS)},${n2(f.retime.cpuS)},${n2(f.retime.gcS)}]"
+        s"${n2(f.first.gcS)},${n2(f.retime.cpuS)},${n2(f.retime.gcS)}," +
+        s"${n2(f.first.jitS)},${n2(f.retime.jitS)},${n0(f.first.ccMb)}," +
+        s"${n0(f.retime.ccMb)},${n0(f.first.busyPct)},${n0(f.retime.busyPct)}]"
     }.mkString("{", ",", "}")
     val flaggedMore =
       if (worst.size > MaxFlagged) s""","flagged_more":${worst.size - MaxFlagged}"""
@@ -181,18 +208,44 @@ object Bench {
       val cls = mf.getClassLoadingMXBean.getLoadedClassCount
       s"$code jit=${jit}ms gc=${gcMillis}ms classes=$cls"
     }
-    // One timed execution with wall/cpu/gc attribution; caches cleared
-    // after so the next timing is cold. A failed query must be VISIBLY
-    // broken (-1 seconds + an errors entry), never a plausible wall.
+    // Cumulative JIT-compilation ms and code-cache occupancy (MB) —
+    // the counters that explain the positional mode where a late-suite
+    // query burns CPU compiling instead of executing (r10 q121).
+    def jitMillis: Long = mf.getCompilationMXBean.getTotalCompilationTime
+    def codeCacheMb: Double = mf.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed.toDouble / 1024 / 1024).sum
+    // HOST-level (busy, total) jiffies from /proc/stat line 1 — every
+    // tenant of the box, not just this process. busy = total − idle −
+    // iowait (includes the hypervisor steal/guest fields AND co-tenant
+    // user/system time, which is what "steal" actually is on this
+    // oversubscribed host). (−1, −1) when unreadable (non-Linux).
+    def hostCpu(): (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val line = try src.getLines().next() finally src.close()
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        (f.sum - idle, f.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
+    // One timed execution with wall/cpu/gc/jit/code-cache/host-busy
+    // attribution; caches cleared after so the next timing is cold. A
+    // failed query must be VISIBLY broken (-1 seconds + an errors
+    // entry), never a plausible wall.
     def timedRun(name: String): RunStats = {
       val t0 = System.nanoTime(); val c0 = cpuNanos; val g0 = gcMillis
+      val j0 = jitMillis; val cc0 = codeCacheMb; val h0 = hostCpu()
       val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
         catch { case t: Throwable => Some(t.toString) }
       graft.engine.Caches.release()
       spark.catalog.clearCache()
+      val h1 = hostCpu()
       val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
       val cpu = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
-      RunStats(sec, cpu, (gcMillis - g0) / 1e3, err)
+      val busy = if (h0._2 < 0 || h1._2 <= h0._2) -1.0
+        else 100.0 * (h1._1 - h0._1) / (h1._2 - h0._2)
+      RunStats(sec, cpu, (gcMillis - g0) / 1e3, (jitMillis - j0) / 1e3,
+        codeCacheMb - cc0, busy, err)
     }
     // Durable per-query record, appended + flushed as each query lands:
     // a truncated stdout capture (it has happened to the round artifact)
@@ -222,7 +275,10 @@ object Bench {
     // media encodes and four index trainings first.
     if (selected.keys.exists(SparkEntry.fixtureQueries)) {
       val t0 = System.nanoTime()
-      try SparkEntry.warmFixtures(spark, sfDir)
+      // Warm only the fixtures the SELECTED queries read — a dev loop
+      // timing q30 alone must not pay four index trainings first.
+      try SparkEntry.warmFixtures(spark, sfDir,
+        selected.keySet.filter(SparkEntry.fixtureQueries))
       catch { case t: Throwable =>
         System.err.println(s"[bench] warmFixtures FAILED: $t") }
       graft.engine.Caches.release()
@@ -237,10 +293,12 @@ object Bench {
         .map(m => f"  x_med=${r.sec / m}%.2f").getOrElse("")
       System.err.println(
         f"[bench] $name%-24s ${r.sec}%8.2f s cpu=${r.cpuS}%7.2f s " +
-          f"qgc=${r.gcS}%5.2f s$delta  ${vitals()}" +
+          f"qgc=${r.gcS}%5.2f s qjit=${r.jitS}%5.2f s " +
+          f"busy=${r.busyPct}%3.0f%%$delta  ${vitals()}" +
           r.err.map(e => s"  ERR $e").getOrElse(""))
       partial.println(s"""{"q":"$name","sec":${r.sec},"cpu_s":${n2(r.cpuS)},""" +
-        s""""gc_s":${n2(r.gcS)},"sf":"$sfDir"}""")
+        s""""gc_s":${n2(r.gcS)},"jit_s":${n2(r.jitS)},""" +
+        s""""busy_pct":${n2(r.busyPct)},"sf":"$sfDir"}""")
       name -> r
     }
     val total = results.values.map(_.sec).filter(_ >= 0).sum
@@ -251,15 +309,32 @@ object Bench {
     // (warm, past whatever contention burst hit its first run); both
     // runs' wall/cpu/gc ship in the artifact — see the scaladoc header
     // for the adjudication rule.
+    def retimeOf(k: String): RunStats = {
+      val rt = timedRun(k)
+      System.err.println(
+        f"[bench] retime $k%-24s ${rt.sec}%8.2f s cpu=${rt.cpuS}%7.2f s " +
+          f"qjit=${rt.jitS}%5.2f s busy=${rt.busyPct}%3.0f%%  ${vitals()}")
+      partial.println(
+        s"""{"q":"$k","retime_sec":${rt.sec},"retime_cpu_s":${n2(rt.cpuS)},""" +
+        s""""retime_jit_s":${n2(rt.jitS)},"retime_busy_pct":${n2(rt.busyPct)},""" +
+        s""""sf":"$sfDir"}""")
+      rt
+    }
     val flagged = results.toSeq.collect {
       case (k, r) if r.err.isEmpty && r.sec >= 1.0 &&
           baseline.get(k).exists(m => m > 0 && r.sec / m >= 2.0) =>
-        val rt = timedRun(k)
-        System.err.println(
-          f"[bench] retime $k%-24s ${rt.sec}%8.2f s cpu=${rt.cpuS}%7.2f s  ${vitals()}")
-        partial.println(
-          s"""{"q":"$k","retime_sec":${rt.sec},"retime_cpu_s":${n2(rt.cpuS)},"sf":"$sfDir"}""")
-        Flag(k, baseline(k), r, rt)
+        Flag(k, baseline(k), r, retimeOf(k))
+    }
+    // Dev instrument (NOT part of the artifact contract): force
+    // suite-end retimes of named queries even when unflagged —
+    // `SPARK_GRAFT_BENCH_RETIME=q121_ivfpq_topk` reproduces the
+    // positional-JIT question ("what does query X cost at the END of a
+    // full suite?") without waiting for an organic flag. Results go to
+    // stderr + the partial log only.
+    sys.env.get("SPARK_GRAFT_BENCH_RETIME").foreach { spec =>
+      spec.split(",").filter(results.contains)
+        .filterNot(k => flagged.exists(_.name == k))
+        .foreach(retimeOf)
     }
     val errors = results.toSeq.collect { case (k, r) if r.err.isDefined =>
       k -> r.err.get }
@@ -269,7 +344,9 @@ object Bench {
     // ~2 KB of captured output, and a full per-query map cannot fit
     // that window. The judge reads this file from the repo instead.
     val fullQs = results.map { case (k, r) =>
-      jstr(k) + ":" + s"""{"sec":${r.sec},"cpu_s":${n2(r.cpuS)},"gc_s":${n2(r.gcS)}}"""
+      jstr(k) + ":" + s"""{"sec":${r.sec},"cpu_s":${n2(r.cpuS)},""" +
+        s""""gc_s":${n2(r.gcS)},"jit_s":${n2(r.jitS)},""" +
+        s""""busy_pct":${n2(r.busyPct)}}"""
     }.mkString("{", ",", "}")
     val fullErrs = errors.map { case (k, e) => jstr(k) + ":" + jstr(e.take(300)) }
     val fullErrJson =
@@ -278,8 +355,12 @@ object Bench {
       jstr(f.name) + ":" +
         s"""{"sec":${f.first.sec},"median":${f.median},"ratio":${n2(f.ratio)},""" +
         s""""cpu_s":${n2(f.first.cpuS)},"gc_s":${n2(f.first.gcS)},""" +
+        s""""jit_s":${n2(f.first.jitS)},"cc_mb":${n2(f.first.ccMb)},""" +
+        s""""busy_pct":${n2(f.first.busyPct)},""" +
         s""""retime":${f.retime.sec},"retime_ratio":${n2(f.retimeRatio)},""" +
-        s""""retime_cpu_s":${n2(f.retime.cpuS)},"retime_gc_s":${n2(f.retime.gcS)}}"""
+        s""""retime_cpu_s":${n2(f.retime.cpuS)},"retime_gc_s":${n2(f.retime.gcS)},""" +
+        s""""retime_jit_s":${n2(f.retime.jitS)},"retime_cc_mb":${n2(f.retime.ccMb)},""" +
+        s""""retime_busy_pct":${n2(f.retime.busyPct)}}"""
     }.mkString("{", ",", "}")
     val fullTiers = tierSums.sortBy(_._1)
       .map { case (t, s) => jstr(t) + ":" + s }.mkString("{", ",", "}")

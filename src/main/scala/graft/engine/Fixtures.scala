@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fingerprint-keyed build-once artifact directories — the one shared
@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * round 10's first cut; review finding).
   *
   * Key scheme: artifacts that are a PURE FUNCTION of an id'd input
-  * (media payloads derived from doc_id, ANN indexes trained on the
-  * vec_id'd corpus) are fully determined by the id-set fingerprint
-  * `(count, max)` — distinct scale factors land in distinct
-  * directories, and a regenerated testdata set with different ids
-  * misses the cache instead of serving stale bytes.
+  * (media payloads derived from doc_id) are fully determined by the
+  * id-set fingerprint `(count, max)` — distinct scale factors land in
+  * distinct directories, and a regenerated testdata set with different
+  * ids misses the cache instead of serving stale bytes. Artifacts that
+  * additionally depend on column CONTENT (ANN indexes on embedding
+  * values) fold an exact content checksum into the key via
+  * `contentSig` — see [[ensure]].
   *
   * Completion gate: a `_FIXTURE_COMPLETE` marker committed strictly
   * AFTER the caller's whole build sequence returns. Per-table parquet
@@ -39,22 +41,46 @@ object Fixtures {
     new org.apache.hadoop.fs.Path(dir, "_FIXTURE_COMPLETE")
 
   /** Resolve (building at most once) the artifact dir for `kind` over
-    * the id'd frame: `<root>/<kind>_n<count>_m<maxId>`. `build`
-    * receives the target dir and must leave every table fully written
-    * when it returns. */
+    * the id'd frame: `<root>/<kind>_n<count>_m<maxId>[_c<sig>]`.
+    * `build` receives the target dir and must leave every table fully
+    * written when it returns.
+    *
+    * `contentSig`: artifacts that depend on column CONTENT beyond the
+    * id set (an ANN index depends on the embedding values; regenerated
+    * testdata with the same vec_ids but different vectors must MISS)
+    * pass a cheap deterministic column — it is summed exactly (decimal,
+    * order-independent) and folded into the directory name, so changed
+    * content lands in a fresh dir instead of serving a stale artifact
+    * against fresh-data oracles. Artifacts that are a pure function of
+    * the ids (the synthetic media payloads) pass None. */
   def ensure(spark: SparkSession, keyed: DataFrame, idCol: String,
-      root: String, kind: String, memoKey: Option[String])
+      root: String, kind: String, memoKey: Option[String],
+      contentSig: Option[Column] = None)
       (build: String => Unit): String = {
+    val fsOf = (d: String) => new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cacheKey = memoKey.map(k => s"$k|$root|$kind").orNull
     if (cacheKey != null) {
       val hit = memo.get(cacheKey)
-      if (hit != null) return hit
+      // Re-probe the completion marker on a memo hit (one metadata
+      // call): a fixture deleted mid-JVM (external scratch cleanup)
+      // must trigger a rebuild, not a raw path-not-found downstream.
+      if (hit != null) {
+        if (fsOf(hit).exists(marker(hit))) return hit
+        memo.remove(cacheKey)
+      }
     }
-    val key = keyed.agg(count(col(idCol)),
-      coalesce(max(col(idCol)), lit(-1L))).head()
-    val dir = s"$root/${kind}_n${key.getLong(0)}_m${key.getLong(1)}"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aggs = Seq(count(col(idCol)), coalesce(max(col(idCol)), lit(-1L))) ++
+      contentSig.map(c => coalesce(
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 6))),
+        lit(java.math.BigDecimal.ZERO)).cast("string"))
+    val key = keyed.agg(aggs.head, aggs.tail: _*).head()
+    // String.hashCode is specified (31-polynomial) — stable across
+    // JVMs, so the signature token survives process restarts.
+    val sig = if (contentSig.isEmpty) ""
+      else "_c" + java.lang.Integer.toHexString(key.getString(2).hashCode)
+    val dir = s"$root/${kind}_n${key.getLong(0)}_m${key.getLong(1)}$sig"
+    val fs = fsOf(dir)
     if (!fs.exists(marker(dir))) {
       build(dir)
       fs.create(marker(dir), true).close()

@@ -762,14 +762,36 @@ object Similarity {
     (r.getInt(0) + 1, r.getInt(1))
   }
 
+  /** CONTRACT: `corpus` must contain every vector the stored index
+    * codes (same id space — normally the very table the index was
+    * built/appended from). The exact re-rank inner-joins candidates
+    * against `corpus`, so an id indexed but absent from the passed
+    * corpus would silently VANISH from results instead of erroring.
+    * Guarded cheaply here: corpus row count must be ≥ indexed-vector
+    * count (codes rows / m) — catches the realistic mistake (a
+    * filtered/truncated corpus) with two metadata-served counts; a
+    * same-size corpus with DIFFERENT ids is still on the caller (an
+    * exact id-set anti-join per query call would cost more than the
+    * query). */
+  private def requireCorpusCoversIndex(corpus: DataFrame, codes: DataFrame,
+      m: Int, dir: String): Unit = {
+    val nIndexed = codes.count() / m
+    val nCorpus = corpus.count()
+    require(nCorpus >= nIndexed,
+      s"corpus has $nCorpus rows but the index at $dir codes $nIndexed " +
+        "vectors — indexed ids missing from the corpus would be silently " +
+        "dropped by the exact re-rank; pass the table the index was built from")
+  }
+
   /** Query a persisted PQ index: reads `codebook` + `codes` from `dir`
     * (built once by [[buildPqIndex]]), computes the query ADC table
     * against the stored codebook, scores the stored codes, exact
-    * re-ranks from `corpus`. NO training happens here — the per-call
-    * cost is |queries|·m·k lookup rows joined against |corpus|·m code
-    * rows plus the re-rank tail; the corpus floats are scanned once by
-    * the re-rank and never shuffled. Bit-equal to [[pqTopK]] with the
-    * index's build parameters. */
+    * re-ranks from `corpus` (which must cover the index —
+    * [[requireCorpusCoversIndex]]). NO training happens here — the
+    * per-call cost is |queries|·m·k lookup rows joined against
+    * |corpus|·m code rows plus the re-rank tail; the corpus floats are
+    * scanned once by the re-rank and never shuffled. Bit-equal to
+    * [[pqTopK]] with the index's build parameters. */
   def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame, dir: String,
       k: Int, rerank: Int = 4): DataFrame = {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
@@ -780,6 +802,7 @@ object Similarity {
     val codes = spark.read.parquet(s"$dir/codes")
     val (m, subDim) = pqShapeOf(codebook)
     requireFullCoverage(m, subDim)
+    requireCorpusCoversIndex(corpus, codes, m, dir)
     val pairs = codes
       .join(queryPqDots(queries, codebook, m, subDim), Seq("sub_j", "code"))
       .filter(col("query_id") =!= col("nid"))
@@ -790,8 +813,9 @@ object Similarity {
   /** Query a persisted IVF-PQ index ([[buildIvfPqIndex]]): queries
     * probe their `nProbe` nearest STORED cells, only co-celled
     * candidates are ADC-scored from the stored codes, exact re-rank
-    * from `corpus`. Bit-equal to [[ivfPqTopK]] with the index's build
-    * parameters. */
+    * from `corpus` (which must cover the index —
+    * [[requireCorpusCoversIndex]]). Bit-equal to [[ivfPqTopK]] with
+    * the index's build parameters. */
   def ivfPqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
       dir: String, k: Int, nProbe: Int, rerank: Int = 4): DataFrame = {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
@@ -810,6 +834,7 @@ object Similarity {
       .select("query_id", "nid")
     val (m, subDim) = pqShapeOf(codebook)
     requireFullCoverage(m, subDim)
+    requireCorpusCoversIndex(corpus, codes, m, dir)
     val pairs = cands
       .join(codes, Seq("nid"))
       .join(queryPqDots(queries, codebook, m, subDim),

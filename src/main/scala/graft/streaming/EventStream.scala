@@ -469,6 +469,43 @@ object EventStream {
       }
       .start()
 
+  /** Availability-aware reader for a [[startUpsertSink]] table — the
+    * documented reader-gap recipe as code. `current` missing is treated
+    * as "swap in flight": re-probe once after a short pause (the gap is
+    * two metadata renames wide), then fall back in RECOVERY precedence —
+    * `staged` bearing `_SUCCESS` (the fully-written post-batch state the
+    * writer is about to rename in) before `tombstone` (the pre-batch
+    * state, complete by construction) — and fail loudly only when no
+    * complete state exists at all.
+    *
+    * Scope, honestly: this closes the common read-during-swap window; it
+    * is NOT snapshot isolation. A fallback dir can itself be renamed or
+    * deleted between this resolution and the last task of the consuming
+    * action (the reader then sees path-not-found and simply calls this
+    * again), and a reader that must never observe that — or that needs
+    * cross-action consistency — needs the versioned-manifest metadata
+    * layer (Delta/Iceberg), per the sink's own adjudication. */
+  def readUpsertTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = new Path(s"$path/current")
+    val staged = new Path(s"$path/staged")
+    val tomb = new Path(s"$path/tombstone")
+    def resolve(): Option[Path] =
+      if (fs.exists(current)) Some(current) else None
+    val chosen = resolve()
+      .orElse { Thread.sleep(50); resolve() }
+      .orElse(if (fs.exists(new Path(staged, "_SUCCESS"))) Some(staged)
+              else None)
+      .orElse(if (fs.exists(tomb)) Some(tomb) else None)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"$path holds no complete upsert-table state (no current, no " +
+          "staged/_SUCCESS, no tombstone) — not an initialized sink, or " +
+          "an aborted first batch"))
+    spark.read.parquet(chosen.toString)
+  }
+
   /** End-to-end batch-cadence driver for [[startUpsertSink]], returning
     * the maintained table (`<root>/table/current`): batch 1 lands in the
     * source dir and a first `AvailableNow` run folds it into the target;

@@ -54,8 +54,8 @@ class BenchSpec extends AnyFunSuite {
     // suite growth can never regress it again.
     val flags = (1 to 300).map { i =>
       Bench.Flag(f"q$i%03d_very_long_operator_name_padding", 123.456789,
-        Bench.RunStats(9876.54, 31234.56, 987.65, None),
-        Bench.RunStats(8765.43, 29876.54, 876.54, None))
+        Bench.RunStats(9876.54, 31234.56, 987.65, 765.43, -432.1, 100.0, None),
+        Bench.RunStats(8765.43, 29876.54, 876.54, 654.32, 321.0, 99.0, None))
     }
     val errors = (1 to 300).map { i =>
       f"q$i%03d_very_long_operator_name_padding" ->
@@ -71,20 +71,26 @@ class BenchSpec extends AnyFunSuite {
         "~2 KB artifact tail window that truncated BENCH_r09")
     // The aggregate contract the driver parses must survive the caps.
     Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
-      "\"n_queries\":300", "\"tiers\":", "\"flagged\":", "\"flagged_more\":288",
+      "\"n_queries\":300", "\"tiers\":", "\"flagged\":", "\"flagged_more\":290",
       "\"errors\":", "\"errors_more\":295", "\"queries_file\":", "\"sf\":")
       .foreach(k => assert(line.contains(k), s"summary lost key fragment $k"))
   }
 
-  test("flagged entries are worst-first and carry the six-number vitals vector") {
+  test("flagged entries are worst-first and carry the twelve-number vitals vector") {
     val mild = Bench.Flag("q01_mild", 10.0,
-      Bench.RunStats(21.0, 300.0, 2.0, None), Bench.RunStats(11.0, 299.0, 1.0, None))
+      Bench.RunStats(21.0, 300.0, 2.0, 1.0, 10.0, 50.0, None),
+      Bench.RunStats(11.0, 299.0, 1.0, 0.5, 2.0, 40.0, None))
     val severe = Bench.Flag("q02_severe", 1.0,
-      Bench.RunStats(8.1, 15.2, 0.3, None), Bench.RunStats(10.85, 15.0, 0.2, None))
+      Bench.RunStats(8.1, 15.2, 0.3, 70.1, 33.4, 98.6, None),
+      Bench.RunStats(10.85, 15.0, 0.2, 1.2, -30.0, 97.4, None))
     val line = Bench.compactSummary(29.1, 2, Seq("core" -> 29.1),
       Seq(mild, severe), Nil, "sf", "BENCH_FULL.json")
     // severe (8.1x) must outrank mild (2.1x) so a cap keeps the signal.
     assert(line.indexOf("\"q02\"") < line.indexOf("\"q01\""))
-    assert(line.contains("\"q02\":[8.10,10.85,15.20,0.30,15.00,0.20]"))
+    // [ratio, retime_ratio, cpu, gc, re_cpu, re_gc, jit, re_jit,
+    //  cc_mb, re_cc_mb, busy%, re_busy%] — jit/cc settle the
+    // cpu-inflated positional-JIT mode; busy% settles host storms.
+    assert(line.contains(
+      "\"q02\":[8.10,10.85,15.20,0.30,15.00,0.20,70.10,1.20,33,-30,99,97]"))
   }
 }

@@ -253,6 +253,14 @@ class SimilaritySpec extends SparkSpec {
       m = 16, subDim = 4, initStride = 3, iters = 1))
     assert(storedPq == inlinePq,
       "stored-index PQ must reproduce the inline training bit-for-bit")
+    // A corpus that cannot cover the index (fewer rows than indexed
+    // vectors) must fail loudly, not silently drop indexed ids in the
+    // exact re-rank (review finding).
+    val tc = intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromIndex(queries, emb.filter(col("vec_id") < 100),
+        pqDir, k = 5)
+    }
+    assert(tc.getMessage.contains("silently"))
     val ivfDir = s"$root/ivfpq"
     Similarity.buildIvfPqIndex(emb, ivfDir, cellStride = 53, cellIters = 1,
       m = 16, subDim = 4, pqStride = 3, pqIters = 1)
