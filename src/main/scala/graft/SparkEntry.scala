@@ -1056,6 +1056,21 @@ object SparkEntry {
         Tables.documents(s, dir), maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    // The learned BPE vocabulary applied to its own corpus: final
+    // per-word subword segmentation after the 10 trained merges —
+    // the train→apply completion of q140.
+    "q142_bpe_vocab" -> ((s, dir) =>
+      graft.operators.CorpusStats.bpeVocab(Tables.documents(s, dir),
+        "text", rounds = 10).orderBy("word")),
+
+    // Image dedup survivors: pHash pairs → connected components →
+    // canonical representative per component — the q37/q38 curation
+    // lifecycle over pixels.
+    "q143_phash_survivors" -> ((s, dir) =>
+      graft.operators.ImageDedup.phashSurvivors(s,
+        Tables.documents(s, dir), maxHamming = 3)
+        .orderBy("img_id")),
+
     // Rolling 7-day distinct users: sliding DISTINCT via dedup-then-
     // offset-explode (window functions can't express it; a per-day
     // self-join would re-scan the fact N times).
@@ -2193,6 +2208,12 @@ object SparkEntry {
     "q141_phash_neardup" ->
       (graft.operators.ImageDedup.phashNearDupSql(maxHamming = 3) +
         "\nORDER BY id_a, id_b"),
+
+    "q142_bpe_vocab" ->
+      graft.operators.CorpusStats.bpeVocabSql(rounds = 10),
+
+    "q143_phash_survivors" ->
+      graft.operators.ImageDedup.phashSurvivorsSql(maxHamming = 3),
 
     "q122_rolling_dau" ->
       (graft.operators.EventAnalytics.rollingDistinctUsersSql(7) +

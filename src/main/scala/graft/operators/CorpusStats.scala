@@ -394,6 +394,34 @@ object CorpusStats {
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, last) = bpeMergeLoop(docs, textCol, rounds)
+    last.unpersist(blocking = false)
+    merges.toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** The corpus vocabulary AFTER `rounds` BPE merges — [[bpeTrain]]'s
+    * merge loop applied to its own word table, i.e. the train→apply
+    * completion: `(word, freq, tokens)` with `tokens` the space-joined
+    * final symbol sequence. This is what a tokenizer APPLIES to new
+    * text (longest-merge segmentation by replaying the merge list); at
+    * corpus scale it doubles as the subword frequency table the
+    * sampling/packing tiers consume. Same scale shape as the trainer
+    * (the loop IS the trainer's). */
+  def bpeVocab(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val (_, last) = bpeMergeLoop(docs, textCol, rounds)
+    graft.engine.Caches.track(last)
+    last.select(col("word"), col("freq"),
+      array_join(col("syms"), " ").as("tokens"))
+  }
+
+  /** Shared merge loop: returns the collected merge list and the FINAL
+    * per-word symbol table (still persisted — [[bpeTrain]] releases it,
+    * [[bpeVocab]] hands it to the cache registry for deferred release
+    * since the returned lazy frame reads it). */
+  private def bpeMergeLoop(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val words0 = docs
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -441,8 +469,10 @@ object CorpusStats {
           r += 1
         }
       }
-    } finally cur.unpersist(blocking = false)
-    merges.toSeq.toDF("round", "lhs", "rhs", "n")
+    } catch {
+      case t: Throwable => cur.unpersist(blocking = false); throw t
+    }
+    (merges.toSeq, cur)
   }
 
   /** Oracle twin of [[bpeTrain]] (`documents` hard-wired): the full
@@ -460,6 +490,21 @@ object CorpusStats {
     * `w{r-1}`, and the round emits no output row — matching the Spark
     * side's loop break. */
   def bpeTrainSql(rounds: Int): String = {
+    val unioned = (1 to rounds)
+      .map(r => s"SELECT $r AS round, lhs, rhs, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    bpeChainSql(rounds) +
+      s"\nSELECT * FROM (\n$unioned) ORDER BY round"
+  }
+
+  /** Oracle twin of [[bpeVocab]]: the same unrolled chain, final select
+    * = the last round's word table. */
+  def bpeVocabSql(rounds: Int): String =
+    bpeChainSql(rounds) +
+      s"\nSELECT word, freq, array_to_string(syms, ' ') AS tokens " +
+      s"FROM w$rounds ORDER BY word"
+
+  private def bpeChainSql(rounds: Int): String = {
     def roundSql(r: Int): String = {
       val p = r - 1
       s"""pc$r AS (
@@ -500,10 +545,6 @@ object CorpusStats {
         |      || ['</w>'] AS syms
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE regexp_matches(word, '^[A-Za-z]+$') GROUP BY word)""".stripMargin
-    val unioned = (1 to rounds)
-      .map(r => s"SELECT $r AS round, lhs, rhs, n FROM b$r")
-      .mkString("\nUNION ALL ")
-    header + ",\n" + (1 to rounds).map(roundSql).mkString(",\n") +
-      s"\nSELECT * FROM (\n$unioned) ORDER BY round"
+    header + ",\n" + (1 to rounds).map(roundSql).mkString(",\n")
   }
 }

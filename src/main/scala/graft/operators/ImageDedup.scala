@@ -256,12 +256,19 @@ object ImageDedup {
     * contract as [[Dedup.simhashNearDup]]). Corrupt rows carry no hash
     * and drop out before banding. */
   def nearDupPairs(hashes: Dataset[ImageHash],
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
-    val hs = hashes.toDF()
+      maxHamming: Int = 3): DataFrame =
+    bandedPairs(okHashes(hashes), maxHamming)
+
+  /** Decoded-ok `(img_id, phash)` rows, shared by the pair and
+    * survivor pipelines. */
+  private def okHashes(hashes: Dataset[ImageHash]): DataFrame =
+    hashes.toDF()
       .filter(col("phash").isNotNull)
       .select(col("img_id"), col("phash"))
+
+  private def bandedPairs(hs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
     val bandArr = array((0 until 4).map(j =>
       shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
     // The hash side is one decode scan; materialize the banded frame so
@@ -290,6 +297,23 @@ object ImageDedup {
       maxHamming: Int = 3): DataFrame =
     nearDupPairs(phashImages(spark, texturedMedia(spark, docs)), maxHamming)
 
+  /** The media-curation completion: near-dup pairs → connected
+    * components ([[Dedup.dedupClusters]]'s pointer-doubling, O(log
+    * diameter) rounds) → keep one canonical image per component (the
+    * min img_id) plus every unpaired image — the "drop the duplicate
+    * images" step a multimodal pipeline runs before training, exactly
+    * the q37/q38 lifecycle the text tier has, over pixels. Corrupt
+    * payloads carry no hash, so they are quarantined out before
+    * pairing and never survive. */
+  def phashSurvivors(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val ok = graft.engine.Caches.materialized(
+      okHashes(phashImages(spark, texturedMedia(spark, docs))))
+    val clusters = Dedup.dedupClusters(
+      bandedPairs(ok, maxHamming).select(col("id_a"), col("id_b")))
+    Dedup.survivors(ok, "img_id", clusters)
+  }
+
   /** Oracle twin of [[phashNearDup]] (`documents` hard-wired): replays
     * the GENERATIVE spec — image derivation rules, sawtooth pixels,
     * integer luma, nearest-neighbor sample, fixed-point DCT with the
@@ -300,9 +324,43 @@ object ImageDedup {
     * the oracle never sees the PNG bytes, only the arithmetic that
     * produced them. `AS MATERIALIZED` keeps DuckDB from inlining the
     * per-image hash chain into the self-join's two sides. */
-  def phashNearDupSql(maxHamming: Int = 3): String = {
+  def phashNearDupSql(maxHamming: Int = 3): String =
+    phashChainSql +
+      s"""
+       |SELECT a.img_id AS id_a, b.img_id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM ph a JOIN ph b ON a.img_id < b.img_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming""".stripMargin
+
+  /** Oracle twin of [[phashSurvivors]]: the same hash chain, exhaustive
+    * pairs, recursive-CTE connected components (the q37/q139 replay
+    * shape), survivors = not-a-victim (victim = clustered with a
+    * smaller id in its component). */
+  def phashSurvivorsSql(maxHamming: Int = 3): String =
+    phashChainSql +
+      s""",
+       |pr AS (
+       |  SELECT a.img_id AS id_a, b.img_id AS id_b
+       |  FROM ph a JOIN ph b ON a.img_id < b.img_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+       |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT img_id, phash FROM ph
+       |WHERE img_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+       |ORDER BY img_id""".stripMargin
+
+  /** The shared per-image hash chain of both oracles (`WITH RECURSIVE`
+    * so [[phashSurvivorsSql]] can append its components CTE; harmless
+    * for the non-recursive pair twin). */
+  private def phashChainSql: String = {
     val tl = dctTable.mkString("[", ",", "]")
-    s"""WITH tt AS (SELECT $tl AS t),
+    s"""WITH RECURSIVE tt AS (SELECT $tl AS t),
        |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 37 <> 0),
        |imgs AS (
        |  SELECT id AS img_id, id AS base, 0 AS sh, FALSE AS pt FROM ids
@@ -338,11 +396,7 @@ object ImageDedup {
        |    CAST(list_sum(list_transform(range(1, 64), i ->
        |      CASE WHEN ac[i] > med THEN CAST(1 AS BIGINT) << (i-1)
        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-       |  FROM hs)
-       |SELECT a.img_id AS id_a, b.img_id AS id_b,
-       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-       |FROM ph a JOIN ph b ON a.img_id < b.img_id
-       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming""".stripMargin
+       |  FROM hs)""".stripMargin
   }
 }
 

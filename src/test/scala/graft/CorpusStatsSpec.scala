@@ -172,6 +172,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(bpeMerges(d, 1) == Seq((1, "a", "b", 2L)))
   }
 
+  test("bpeVocab: final segmentation equals the merge sequence applied in order") {
+    // Same corpus as the hand-computed trainer fixture. Applying the
+    // merges in order: (a,b) → abab=[ab,ab,</w>], ab=[ab,</w>];
+    // (ab,</w>) → abab=[ab,ab</w>], ab=[ab</w>]; (ab,ab</w>) →
+    // abab=[abab</w>]. Two rounds leave abab mid-merge — both states
+    // pinned so a rewrite that skips or reorders merges fails one.
+    val d = docs(1L -> "abab abab ab", 2L -> "abab ab")
+    def vocab(rounds: Int) = CorpusStats.bpeVocab(d, "text", rounds)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(vocab(2) == Seq(("ab", 2L, "ab</w>"), ("abab", 3L, "ab ab</w>")))
+    assert(vocab(3) == Seq(("ab", 2L, "ab</w>"), ("abab", 3L, "abab</w>")))
+  }
+
   test("bpeTrain: stops early when the corpus is fully merged") {
     // After (a,</w>) and (b,</w>) every word is a single symbol: round
     // 3 finds no pairs and the loop breaks — 2 rows despite rounds=5.

@@ -104,6 +104,22 @@ class ImageDedupSpec extends SparkSpec {
       assert(got.contains((b, b + ImageDedup.BrightTwinOffset, 0)), s"bright $b")
     for (p <- Seq(45L, 52L))
       assert(got.contains((p, p + ImageDedup.PatchTwinOffset, 2)), s"patch $p")
+    // Survivors = union-find over the brute-force pairs, min id per
+    // component + every unpaired image; corrupt images never survive
+    // (no hash, quarantined before pairing).
+    val parent = scala.collection.mutable.Map(ok.map(_._1 -> -1L).toSeq: _*)
+      .map { case (k, _) => k -> k }
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    brute.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ok.map(_._1).filter(id => find(id) == id).sorted.toSeq
+    val survivors = ImageDedup.phashSurvivors(spark, d, maxHamming = 3)
+      .orderBy("img_id").collect().map(_.getLong(0)).toSeq
+    assert(survivors == expected)
+    assert(!survivors.contains(37L))
     hashes.unpersist()
   }
 }
