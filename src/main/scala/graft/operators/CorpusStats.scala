@@ -414,6 +414,24 @@ object CorpusStats {
       array_join(col("syms"), " ").as("tokens"))
   }
 
+  /** One round's adjacent-pair counts `(lhs, rhs, n)` over a word
+    * table `(word, freq, syms)` — the per-round aggregation of the
+    * merge loop, exposed so PlanSpec can assert its two-phase shape
+    * (only (pair, partial-count) rows may cross the exchange at
+    * corpus-vocabulary scale). */
+  private[graft] def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      // Fully-merged single-symbol words have no pairs; without the
+      // filter, sequence(0, -1) DESCENDS and element_at(syms, 0)
+      // throws under ANSI. (The oracle's range(1, 1) is empty.)
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(0), size(col("syms")) - lit(2)),
+          i => struct(element_at(col("syms"), i + 1).as("lhs"),
+            element_at(col("syms"), i + 2).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("freq").as("n"))
+
   /** Shared merge loop: returns the collected merge list and the FINAL
     * per-word symbol table (still persisted — [[bpeTrain]] releases it,
     * [[bpeVocab]] hands it to the cache registry for deferred release
@@ -437,17 +455,7 @@ object CorpusStats {
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
-        val best = cur
-          // Fully-merged single-symbol words have no pairs; without the
-          // filter, sequence(0, -1) DESCENDS and element_at(syms, 0)
-          // throws under ANSI. (The oracle's range(1, 1) is empty.)
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(
-            transform(sequence(lit(0), size(col("syms")) - lit(2)),
-              i => struct(element_at(col("syms"), i + 1).as("lhs"),
-                element_at(col("syms"), i + 2).as("rhs")))).as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum("freq").as("n"))
+        val best = bpePairCounts(cur)
           .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
           .limit(1)
           .as[(String, String, Long)].collect()

@@ -311,4 +311,38 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 0,
       s"codec path should not hash/single-partition exchange, plan:\n$p")
   }
+
+  test("pHash near-dup: banded candidates via equi-join, never all-pairs") {
+    // The self-join must key on (band_idx, band_val) — a partitioned
+    // equi-join whose candidate count is bounded by band collisions;
+    // a nested-loop/cartesian shape here is the all-pairs quadratic
+    // the banding exists to avoid.
+    val df = graft.SparkEntry.queries("q141_phash_neardup")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic join shape leaked into the pHash plan:\n$p")
+    assert(p.contains("band_idx") && p.contains("band_val"),
+      s"expected the band-keyed join in:\n$p")
+    graft.engine.Caches.release()
+  }
+
+  test("BPE pair counting is two-phase (map-side partial + final)") {
+    // One merge round's REAL pair-count stage must partial-aggregate
+    // before its exchange — at corpus scale the explode emits
+    // symbols-1 rows per word and only (pair, partial-count) rows may
+    // cross the wire.
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        concat(array_remove(split(col("word"), ""), ""),
+          array(lit("</w>"))))
+    val p = plan(graft.operators.CorpusStats.bpePairCounts(words))
+    // Two aggregations in the chain (word-freq, pair-count), each
+    // partial+final => 4 HashAggregates; the pair count's partial pair
+    // must appear after the explode (the last two in the plan string).
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregation for both stages in:\n$p")
+  }
 }
