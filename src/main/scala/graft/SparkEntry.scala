@@ -1071,6 +1071,14 @@ object SparkEntry {
         Tables.documents(s, dir), maxHamming = 3)
         .orderBy("img_id")),
 
+    // Incremental media dedup: today's images banded against the
+    // already-deduped reference only (the q98 construction over
+    // pixels) — daily cost |new|·collisions, never |corpus|².
+    "q144_phash_cross" -> ((s, dir) =>
+      graft.operators.ImageDedup.phashIncrementalDedup(s,
+        Tables.documents(s, dir), maxHamming = 3)
+        .orderBy("new_id", "ref_id")),
+
     // Rolling 7-day distinct users: sliding DISTINCT via dedup-then-
     // offset-explode (window functions can't express it; a per-day
     // self-join would re-scan the fact N times).
@@ -2214,6 +2222,9 @@ object SparkEntry {
 
     "q143_phash_survivors" ->
       graft.operators.ImageDedup.phashSurvivorsSql(maxHamming = 3),
+
+    "q144_phash_cross" ->
+      graft.operators.ImageDedup.phashAcrossSql(maxHamming = 3),
 
     "q122_rolling_dau" ->
       (graft.operators.EventAnalytics.rollingDistinctUsersSql(7) +

@@ -13,10 +13,12 @@ import graft.operators.Multimodal.MediaRow
   * uses this to drop re-encoded / brightness-shifted / lightly-edited
   * copies of the same image that byte-level exact dedup cannot see.
   *
-  * The hash is a FIXED-POINT pHash variant so the entire arithmetic is
-  * exactly replayable in integer SQL (the DuckDB oracle) with zero
-  * float divergence — the same reason codecs ship integer DCT
-  * approximations (JPEG/AVC practice):
+  * The hash is the DCT perceptual hash of Zauner ("Implementation and
+  * Benchmarking of Perceptual Image Hash Functions", 2010) in a
+  * FIXED-POINT variant, so the entire arithmetic is exactly replayable
+  * in integer SQL (the DuckDB oracle) with zero float divergence — the
+  * same reason codecs ship integer DCT approximations (JPEG/AVC
+  * practice):
   *
   *   1. nearest-neighbor downsample to 32×32 (`src = dst*srcDim/32`,
   *      integer division — exact, engine-independent),
@@ -296,6 +298,60 @@ object ImageDedup {
   def phashNearDup(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3): DataFrame =
     nearDupPairs(phashImages(spark, texturedMedia(spark, docs)), maxHamming)
+
+  /** Incremental (cross-corpus) media dedup — the daily-ingest shape,
+    * the q98 text construction over pixels: NEW images band-join
+    * against the already-deduped REFERENCE corpus only; ref×ref pairs
+    * are never recomputed, so daily cost is |new|·collisions, not
+    * |corpus|². Same 4×16 pigeonhole guarantee per side. */
+  def phashNearDupAcross(newHs: DataFrame, refHs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
+    def banded(hs: DataFrame): DataFrame = {
+      val bandArr = array((0 until 4).map(j =>
+        shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      hs.select(col("img_id"), col("phash"), posexplode(bandArr))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_val")
+    }
+    banded(newHs).as("a")
+      .join(banded(refHs).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(col("a.img_id").as("new_id"), col("b.img_id").as("ref_id"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "ref_id", "hamming")
+  }
+
+  /** End-to-end incremental dedup over the textured corpus: the twin
+    * images (today's ingest, ids ≥ [[BrightTwinOffset]]) against the
+    * base images (the deduped reference). One decode scan feeds both
+    * sides. */
+  def phashIncrementalDedup(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = graft.engine.Caches.materialized(
+      okHashes(phashImages(spark, texturedMedia(spark, docs))))
+    phashNearDupAcross(
+      hashes.filter(col("img_id") >= BrightTwinOffset),
+      hashes.filter(col("img_id") < BrightTwinOffset), maxHamming)
+  }
+
+  /** Oracle twin of [[phashIncrementalDedup]]: the shared hash chain,
+    * exhaustive new×ref pairs only. */
+  def phashAcrossSql(maxHamming: Int = 3): String =
+    phashChainSql +
+      s"""
+       |SELECT n.img_id AS new_id, r.img_id AS ref_id,
+       |  CAST(bit_count(xor(n.phash, r.phash)) AS INT) AS hamming
+       |FROM ph n JOIN ph r
+       |  ON n.img_id >= $BrightTwinOffset AND r.img_id < $BrightTwinOffset
+       |WHERE bit_count(xor(n.phash, r.phash)) <= $maxHamming
+       |ORDER BY new_id, ref_id""".stripMargin
 
   /** The media-curation completion: near-dup pairs → connected
     * components ([[Dedup.dedupClusters]]'s pointer-doubling, O(log

@@ -120,6 +120,22 @@ class ImageDedupSpec extends SparkSpec {
       .orderBy("img_id").collect().map(_.getLong(0)).toSeq
     assert(survivors == expected)
     assert(!survivors.contains(37L))
+    // Incremental dedup: twins (the "new" ingest) against the base
+    // images (the reference) — new×ref brute force exactly, and no
+    // ref×ref or new×new pair may appear.
+    val cross = ImageDedup.phashIncrementalDedup(spark, d, maxHamming = 3)
+      .orderBy("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val bruteCross = (for {
+      (ia, ha) <- ok if ia >= ImageDedup.BrightTwinOffset
+      (ib, hb) <- ok if ib < ImageDedup.BrightTwinOffset
+      dd = java.lang.Long.bitCount(ha ^ hb) if dd <= 3
+    } yield (ia, ib, dd)).sortBy(p => (p._1, p._2))
+    assert(cross.toSeq == bruteCross.toSeq)
+    assert(cross.forall { case (n, r, _) =>
+      n >= ImageDedup.BrightTwinOffset && r < ImageDedup.BrightTwinOffset })
+    for (b <- Seq(41L, 46L, 51L, 56L))
+      assert(cross.contains((b + ImageDedup.BrightTwinOffset, b, 0)))
     hashes.unpersist()
   }
 }

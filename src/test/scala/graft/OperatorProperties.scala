@@ -50,4 +50,51 @@ object OperatorProperties extends Properties("Operators") {
         .head().getDouble(0)
       run(p1) == run(p2) && self == 0.0
     }
+
+  property("pHash banding == brute force at Hamming <= 3 for ARBITRARY hash sets") =
+    forAll(
+      Gen.choose(2, 24).flatMap(n => Gen.listOfN(n, Gen.zip(
+        // Base hashes plus a biased perturbation generator so near
+        // pairs (0-4 flipped bits) actually occur instead of the
+        // ~uniform 31-32-bit distances of independent 63-bit draws.
+        Gen.choose(0L, (1L << 63) - 1), Gen.choose(0, 4),
+        Gen.listOfN(4, Gen.choose(0, 62))))),
+      Gen.choose(1, 7)) { (specs, parts) =>
+      import spark.implicits._
+      val hashes = specs.zipWithIndex.flatMap { case ((h, nFlip, bits), i) =>
+        val base = h & ((1L << 63) - 1)
+        val twin = bits.take(nFlip).foldLeft(base)((acc, b) => acc ^ (1L << b))
+        Seq(graft.operators.ImageDedup.ImageHash(i * 2L, "ok", Some(base)),
+          graft.operators.ImageDedup.ImageHash(i * 2L + 1, "ok", Some(twin)))
+      }
+      val ds = hashes.toDS().repartition(parts)
+        .as[graft.operators.ImageDedup.ImageHash]
+      val got = graft.operators.ImageDedup.nearDupPairs(ds, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val flat = hashes.map(h => h.img_id -> h.phash.get)
+      val brute = (for {
+        (ia, ha) <- flat; (ib, hb) <- flat if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (ia, ib, d)).sortBy(t => (t._1, t._2)).toSeq
+      graft.engine.Caches.release()
+      got == brute
+    }
+
+  property("BPE merge sequence invariant under document partitioning") =
+    forAll(
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+        Gen.choose(1, 5).flatMap(w => Gen.listOfN(w,
+          Gen.oneOf("ab", "aab", "abb", "ba", "a", "b", "x9!")))))
+        .map(_.map(_.mkString(" "))),
+      Gen.choose(1, 6), Gen.choose(1, 6)) { (texts, p1, p2) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def run(p: Int) = graft.operators.CorpusStats
+        .bpeTrain(df.repartition(p), "text", rounds = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      run(p1) == run(p2)
+    }
 }
