@@ -74,4 +74,27 @@ class EmptyInputSpec extends SparkSpec {
         Seq.empty[Long].toDF("doc_id"))).count() == 0)
     graft.engine.Caches.release()
   }
+
+  test("round-11 operators are total on empty and degenerate corpora") {
+    import graft.operators.{CorpusStats, ImageDedup}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // BPE over zero documents (and over a corpus with no alphabetic
+    // words): zero merges, empty vocab — never an error or a hang.
+    assert(CorpusStats.bpeTrain(noDocs, "text", rounds = 3).count() == 0)
+    assert(CorpusStats.bpeVocab(noDocs, "text", rounds = 3).count() == 0)
+    val symbolic = Seq((0L, "123 !? 9x9")).toDF("doc_id", "text")
+    assert(CorpusStats.bpeTrain(symbolic, "text", rounds = 3).count() == 0)
+    // pHash family over zero documents: no media, no pairs, no
+    // survivors, no cross matches.
+    val noIds = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(ImageDedup.phashNearDup(spark, noIds).count() == 0)
+    assert(ImageDedup.phashSurvivors(spark, noIds).count() == 0)
+    assert(ImageDedup.phashIncrementalDedup(spark, noIds).count() == 0)
+    // An all-corrupt corpus (every id % 37 == 0) quarantines everything:
+    // empty pair set, empty survivor set — not a decode error.
+    val corrupt = Seq((0L, "x"), (37L, "y")).toDF("doc_id", "text")
+    assert(ImageDedup.phashNearDup(spark, corrupt).count() == 0)
+    assert(ImageDedup.phashSurvivors(spark, corrupt).count() == 0)
+    graft.engine.Caches.release()
+  }
 }
