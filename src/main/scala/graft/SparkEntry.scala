@@ -1079,6 +1079,26 @@ object SparkEntry {
         Tables.documents(s, dir), maxHamming = 3)
         .orderBy("new_id", "ref_id")),
 
+    // Cross-modality curation compose: keep documents whose text
+    // clears the quality floor AND whose original image survived pHash
+    // dedup (a corrupt image quarantines its document; a duplicate
+    // image drops all but the canonical holder). Text-side q39 and
+    // media-side q143, joined on the document key.
+    "q145_multimodal_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val surv = graft.operators.ImageDedup
+        .phashSurvivors(s, docs, maxHamming = 3)
+        .filter(col("img_id") <
+          graft.operators.ImageDedup.BrightTwinOffset)
+        .select(col("img_id").as("doc_id"))
+      docs.join(surv, Seq("doc_id"))
+        .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling 7-day distinct users: sliding DISTINCT via dedup-then-
     // offset-explode (window functions can't express it; a per-day
     // self-join would re-scan the fact N times).
@@ -2225,6 +2245,12 @@ object SparkEntry {
 
     "q144_phash_cross" ->
       graft.operators.ImageDedup.phashAcrossSql(maxHamming = 3),
+
+    "q145_multimodal_curation" ->
+      graft.operators.ImageDedup.curatedDocsSql(maxHamming = 3,
+        minQuality = 0.5,
+        qualityExpr =
+          s"(${graft.functions.TextFunctions.Sql.qualityScore("d.text")})"),
 
     "q122_rolling_dau" ->
       (graft.operators.EventAnalytics.rollingDistinctUsersSql(7) +

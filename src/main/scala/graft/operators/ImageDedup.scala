@@ -393,6 +393,34 @@ object ImageDedup {
     * shape), survivors = not-a-victim (victim = clustered with a
     * smaller id in its component). */
   def phashSurvivorsSql(maxHamming: Int = 3): String =
+    phashClustersSql(maxHamming) +
+      s"""
+       |SELECT img_id, phash FROM ph
+       |WHERE img_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+       |ORDER BY img_id""".stripMargin
+
+  /** Oracle twin of the q145 multimodal-curation compose: documents
+    * whose ORIGINAL image survived pHash dedup (corrupt images carry no
+    * hash, so their documents quarantine out) and whose text clears the
+    * quality floor. `qualityExpr` is the engine's quality-score SQL
+    * twin over `d.text` — passed in so the one definition in
+    * TextFunctions stays the single source. */
+  def curatedDocsSql(maxHamming: Int, minQuality: Double,
+      qualityExpr: String): String =
+    phashClustersSql(maxHamming) +
+      s""",
+       |surv AS (
+       |  SELECT img_id FROM ph
+       |  WHERE img_id < $BrightTwinOffset
+       |    AND img_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id))
+       |SELECT d.doc_id, d.lang, $qualityExpr AS quality
+       |FROM documents d JOIN surv s ON s.img_id = d.doc_id
+       |WHERE $qualityExpr >= $minQuality
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared pair + connected-components CTE block (chain → `pr` →
+    * `edges` → `reach` → `clusters`). */
+  private def phashClustersSql(maxHamming: Int): String =
     phashChainSql +
       s""",
        |pr AS (
@@ -406,14 +434,11 @@ object ImageDedup {
        |  SELECT DISTINCT src AS id, src AS r FROM edges
        |  UNION
        |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
-       |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-       |SELECT img_id, phash FROM ph
-       |WHERE img_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
-       |ORDER BY img_id""".stripMargin
+       |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
-  /** The shared per-image hash chain of both oracles (`WITH RECURSIVE`
-    * so [[phashSurvivorsSql]] can append its components CTE; harmless
-    * for the non-recursive pair twin). */
+  /** The shared per-image hash chain of every oracle (`WITH RECURSIVE`
+    * so the components-based twins can append their CTEs; harmless for
+    * the non-recursive pair twins). */
   private def phashChainSql: String = {
     val tl = dctTable.mkString("[", ",", "]")
     s"""WITH RECURSIVE tt AS (SELECT $tl AS t),

@@ -138,4 +138,16 @@ class ImageDedupSpec extends SparkSpec {
       assert(cross.contains((b + ImageDedup.BrightTwinOffset, b, 0)))
     hashes.unpersist()
   }
+
+  test("multimodal curation: corrupt images quarantine their documents; quality floor holds") {
+    val out = SparkEntry.queries("q145_multimodal_curation")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    // Every doc whose image is corrupt (id % 37 == 0) must be dropped —
+    // an undecodable image quarantines the training example.
+    assert((0L until 500L).filter(_ % 37 == 0).forall(i => !ids.contains(i)))
+    assert(out.forall(_.getDouble(2) >= 0.5))
+    graft.engine.Caches.release()
+  }
 }
