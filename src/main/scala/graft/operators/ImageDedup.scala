@@ -48,6 +48,16 @@ import graft.operators.Multimodal.MediaRow
   * of four 16-bit bands identical, so candidates come from a shuffle
   * join on (band_idx, band_val) and the exact `bit_count(xor)` verify
   * touches only band-colliding pairs.
+  *
+  * Skew hazard (the banded family's known property, same as SimHash
+  * q25): a corpus dominated by ONE visual template (solid-color
+  * thumbnails, a watermark frame) collapses into one band bucket and
+  * the candidate join goes quadratic in that bucket. The q119 key-skew
+  * profiler over `band_val` is the diagnostic; the mitigation is
+  * pre-bucketing by an exact content fingerprint (exact dups collapse
+  * to one representative before banding — [[Dedup.exact]] on the
+  * payload bytes), which removes the degenerate mass without touching
+  * near-dup recall.
   */
 object ImageDedup {
 
