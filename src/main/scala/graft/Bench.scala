@@ -217,14 +217,17 @@ object Bench {
       .map(_.getUsage.getUsed.toDouble / 1024 / 1024).sum
     // HOST-level (busy, total) jiffies from /proc/stat line 1 — every
     // tenant of the box, not just this process. busy = total − idle −
-    // iowait (includes the hypervisor steal/guest fields AND co-tenant
+    // iowait (includes the hypervisor steal field AND co-tenant
     // user/system time, which is what "steal" actually is on this
-    // oversubscribed host). (−1, −1) when unreadable (non-Linux).
+    // oversubscribed host). Only the first 8 fields count: the kernel
+    // already folds guest/guest_nice into user/nice, so summing fields
+    // 9–10 would double-count guest CPU and inflate busy%. (−1, −1)
+    // when unreadable (non-Linux).
     def hostCpu(): (Long, Long) =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
         val line = try src.getLines().next() finally src.close()
-        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
         val idle = f(3) + (if (f.length > 4) f(4) else 0L)
         (f.sum - idle, f.sum)
       } catch { case _: Throwable => (-1L, -1L) }

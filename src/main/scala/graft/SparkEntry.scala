@@ -135,10 +135,9 @@ object SparkEntry {
     }.toSet
     kinds.foreach {
       case ("media", k) => mediaFixture(s, dir, k).count()
-      case ("ann", k) =>
+      case (_, k) =>
         storedAnnIndex(s, dir, k)
         graft.engine.Caches.release()
-      case other => sys.error(s"unknown fixture family '$other'")
     }
   }
 

@@ -471,7 +471,11 @@ object CorpusStats {
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                 .otherwise(concat(acc, array(x)))))
             .persist()
-          next.count()
+          // A failed barrier must release ITS cache too — the outer
+          // catch only sees `cur`.
+          try next.count()
+          catch { case t: Throwable =>
+            next.unpersist(blocking = false); throw t }
           cur.unpersist(blocking = false)
           cur = next
           r += 1

@@ -157,6 +157,13 @@ object ImageDedup {
   def texturedMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      // The twin-id scheme requires the base id space below the first
+      // offset — a corpus with doc_id >= 10^6 would silently collide
+      // twin img_ids with real bases. Per-row check: zero extra jobs,
+      // fails loudly instead.
+      require(id >= 0 && id < BrightTwinOffset,
+        s"doc_id $id outside [0, $BrightTwinOffset) — the twin-id " +
+          "offsets would collide; widen the offsets for this corpus")
       if (id % 37 == 0)
         Iterator.single(MediaRow(id, encodeTexturedPng(id, 0, false).take(8),
           "image/png"))
@@ -278,17 +285,26 @@ object ImageDedup {
       .filter(col("phash").isNotNull)
       .select(col("img_id"), col("phash"))
 
-  private def bandedPairs(hs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3,
-      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
+  /** The ONE band-explode both the self-join and cross-join paths use
+    * (the pigeonhole guarantee lives or dies on every path banding the
+    * same way): one row per (image, 16-bit band). */
+  private def bandExplode(hs: DataFrame): DataFrame = {
     val bandArr = array((0 until 4).map(j =>
       shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    hs.select(col("img_id"), col("phash"), posexplode(bandArr))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+  }
+
+  private def requirePigeonhole(maxHamming: Int): Unit =
+    require(maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
+
+  private def bandedPairs(hs: DataFrame, maxHamming: Int): DataFrame = {
+    requirePigeonhole(maxHamming)
     // The hash side is one decode scan; materialize the banded frame so
     // the self-join reads warm cache instead of decoding every PNG twice.
-    val bands = graft.engine.Caches.materialized(
-      hs.select(col("img_id"), col("phash"), posexplode(bandArr))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_val"))
+    val bands = graft.engine.Caches.materialized(bandExplode(hs))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -316,17 +332,9 @@ object ImageDedup {
     * |corpus|². Same 4×16 pigeonhole guarantee per side. */
   def phashNearDupAcross(newHs: DataFrame, refHs: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
-    def banded(hs: DataFrame): DataFrame = {
-      val bandArr = array((0 until 4).map(j =>
-        shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
-      hs.select(col("img_id"), col("phash"), posexplode(bandArr))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_val")
-    }
-    banded(newHs).as("a")
-      .join(banded(refHs).as("b"),
+    requirePigeonhole(maxHamming)
+    bandExplode(newHs).as("a")
+      .join(bandExplode(refHs).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val"))
       .select(col("a.img_id").as("new_id"), col("b.img_id").as("ref_id"),

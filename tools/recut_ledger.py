@@ -18,11 +18,15 @@ import sys
 
 def main(paths, note):
     runs = [json.load(open(p)) for p in paths]
+    sfs = {r["sf"] for r in runs}
+    if len(sfs) != 1:
+        sys.exit(f"refusing to blend scale factors: {sfs}")
     names = set()
     for r in runs:
         names.update(r["queries"].keys())
     out = {}
     replaced = []
+    partial = []
     for q in sorted(names):
         samples = []
         for i, r in enumerate(runs):
@@ -35,8 +39,16 @@ def main(paths, note):
                 replaced.append(f"{q}@run{i+1}")
             else:
                 samples.append(entry["sec"])
+        # A 2-sample "median" is a midpoint the host never measured;
+        # still recorded (better than no entry) but flagged loudly so
+        # the _meta note / operator can call it out.
+        if 0 < len(samples) < len(runs):
+            partial.append(f"{q}({len(samples)}/{len(runs)})")
         if samples:
             out[q] = round(statistics.median(samples), 3)
+    if partial:
+        print(f"WARNING: entries from fewer than {len(runs)} samples "
+              f"(errored/missing runs): {', '.join(partial)}", file=sys.stderr)
     totals = [round(r["value"], 1) for r in runs]
     meta = {
         "sf": runs[0]["sf"],
