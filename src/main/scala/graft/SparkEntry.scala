@@ -1062,6 +1062,14 @@ object SparkEntry {
       graft.operators.CorpusStats.bpeVocab(Tables.documents(s, dir),
         "text", rounds = 10).orderBy("word")),
 
+    // Corpus tokenization with the trained BPE: per-document word and
+    // subword counts under the learned segmentation — the REAL
+    // token-pricing pass for the budget/packing tiers (q40/q71 use
+    // the regex estimate).
+    "q146_bpe_tokenize" -> ((s, dir) =>
+      graft.operators.CorpusStats.bpeTokenize(Tables.documents(s, dir),
+        "doc_id", "text", rounds = 10).orderBy("doc_id")),
+
     // Image dedup survivors: pHash pairs → connected components →
     // canonical representative per component — the q37/q38 curation
     // lifecycle over pixels.
@@ -2238,6 +2246,9 @@ object SparkEntry {
 
     "q142_bpe_vocab" ->
       graft.operators.CorpusStats.bpeVocabSql(rounds = 10),
+
+    "q146_bpe_tokenize" ->
+      graft.operators.CorpusStats.bpeTokenizeSql(rounds = 10),
 
     "q143_phash_survivors" ->
       graft.operators.ImageDedup.phashSurvivorsSql(maxHamming = 3),

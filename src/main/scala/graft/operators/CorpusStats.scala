@@ -414,6 +414,42 @@ object CorpusStats {
       array_join(col("syms"), " ").as("tokens"))
   }
 
+  /** Tokenize the corpus with the TRAINED vocabulary: per-document
+    * word and subword counts under the `rounds`-merge segmentation —
+    * the pass that prices every example for the token-budget /
+    * packing tiers (q40/q71) with the real tokenizer instead of the
+    * `bpeTokenCount` regex estimate. Scale shape: the trainer's loop
+    * once, then ONE corpus scan joined against the BROADCAST
+    * vocabulary (vocab-sized by construction) and a map-side-combined
+    * per-document reduce — no corpus shuffle beyond the doc-keyed
+    * aggregation. Documents with no `[A-Za-z]+` word have nothing to
+    * tokenize and emit no row. */
+  def bpeTokenize(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (_, last) = bpeMergeLoop(docs, textCol, rounds)
+    graft.engine.Caches.track(last)
+    val vocab = last.select(col("word"), size(col("syms")).as("n_sub"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+  }
+
+  /** Oracle twin of [[bpeTokenize]]: the same unrolled chain, corpus
+    * re-tokenized against the final word table (the inner join implies
+    * the alphabetic filter — the vocabulary only holds filtered
+    * words). */
+  def bpeTokenizeSql(rounds: Int): String =
+    bpeChainSql(rounds) +
+      s"""
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents) t
+       |JOIN w$rounds w USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** One round's adjacent-pair counts `(lhs, rhs, n)` over a word
     * table `(word, freq, syms)` — the per-round aggregation of the
     * merge loop, exposed so PlanSpec can assert its two-phase shape

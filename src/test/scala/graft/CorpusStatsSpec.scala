@@ -186,6 +186,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(vocab(3) == Seq(("ab", 2L, "ab</w>"), ("abab", 3L, "abab</w>")))
   }
 
+  test("bpeTokenize: per-doc subword counts follow the trained segmentation") {
+    // rounds=1 → abab=[ab,ab,</w>] (3 syms), ab=[ab,</w>] (2);
+    // rounds=3 → abab=[abab</w>] (1), ab=[ab</w>] (1). "x9" never
+    // tokenizes (not alphabetic, not in the vocabulary).
+    val d = docs(1L -> "abab abab ab x9", 2L -> "abab ab")
+    def counts(rounds: Int) =
+      CorpusStats.bpeTokenize(d, "doc_id", "text", rounds)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(counts(1) == Seq((1L, 3L, 8L), (2L, 2L, 5L)))
+    assert(counts(3) == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+  }
+
   test("bpeTrain: stops early when the corpus is fully merged") {
     // After (a,</w>) and (b,</w>) every word is a single symbol: round
     // 3 finds no pairs and the loop breaks — 2 rows despite rounds=5.
