@@ -326,6 +326,19 @@ class PlanSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("BPE tokenization broadcasts the trained vocabulary; corpus never shuffles by word") {
+    // The corpus-sized token stream must meet the vocab via a
+    // broadcast hash join — a shuffle keyed on `word` would move the
+    // whole corpus for a vocabulary-sized lookup table.
+    val p = plan(graft.operators.CorpusStats.bpeTokenize(
+      Tables.documents(spark, sf), "doc_id", "text", rounds = 2))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the vocab broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled by word for a vocab lookup:\n$p")
+    graft.engine.Caches.release()
+  }
+
   test("BPE pair counting is two-phase (map-side partial + final)") {
     // One merge round's REAL pair-count stage must partial-aggregate
     // before its exchange — at corpus scale the explode emits
