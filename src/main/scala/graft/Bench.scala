@@ -49,7 +49,7 @@ object Bench {
     * (every member must name a real query). */
   val ingestSinkNums: Set[Int] =
     Set(31, 32, 33, 34, 41, 48, 49, 69, 91, 93, 101, 105, 115, 116, 123, 124,
-      130, 133)
+      130, 133, 147)
 
   /** Query-name → number (`q108_scd2_build` → 108); -1 when the name
     * does not follow the `qNN_…` convention. */

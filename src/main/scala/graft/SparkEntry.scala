@@ -684,6 +684,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // XML sink/source round-trip (Spark 4 built-in source): the
+    // row-oriented interchange format beside JSONL/CSV; markup in
+    // values escapes and round-trips.
+    "q147_xml_roundtrip" -> ((s, dir) => {
+      val path = s"${Sinks.scratch}/q147_xml"
+      Sinks.writeXml(Tables.documents(s, dir), path, rowTag = "doc")
+      Ingest.readXml(s, Seq(path),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"),
+        rowTag = "doc")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Pivot: airline × month on-time matrix (explicit value list).
     "q50_pivot" -> ((s, dir) =>
       Aggregates.onTimePivot(am(s, dir)).orderBy("airline_name")),
@@ -2070,6 +2084,9 @@ object SparkEntry {
     "q48_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q49_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "q147_xml_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
 
     "q50_pivot" -> s"""$airlineMonthlyCte

@@ -67,6 +67,15 @@ object Ingest {
   def readOrc(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.orc(paths: _*)
 
+  /** XML scan (Spark 4's built-in source, `rowTag` elements as rows).
+    * Schema is EXPLICIT, never inferred: inference costs an extra full
+    * pass at scale and can mis-type text that happens to look numeric —
+    * the same contract as [[readJsonl]]. */
+  def readXml(spark: SparkSession, paths: Seq[String], schema: StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema).format("xml").option("rowTag", rowTag)
+      .load(paths: _*)
+
   /** Schema-evolution parquet scan: one logical table over batches
     * written with DIFFERENT (widening) schemas — the lakehouse reality
     * where a column was added mid-history. `mergeSchema` unions the

@@ -94,6 +94,14 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).orc(path)
 
+  /** XML sink (Spark 4's built-in XML source): one `rowTag` element per
+    * record, one file per partition (every writer busy — row-oriented
+    * like JSONL, for feed/interchange consumers that speak XML). The
+    * writer escapes markup in values, so arbitrary text round-trips. */
+  def writeXml(df: DataFrame, path: String, mode: String = "overwrite",
+      rowTag: String = "row"): Unit =
+    df.write.mode(mode).format("xml").option("rowTag", rowTag).save(path)
+
   /** A5 — headered CSV sink, single file like the reference's cache CSVs
     * (`aggregate_flight_data.py:42` writes one `to_csv` file). The
     * `coalesce(1)` single-writer is the FIDELITY twin only — it

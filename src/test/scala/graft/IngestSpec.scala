@@ -161,4 +161,26 @@ class IngestSpec extends SparkSpec {
       s"quarantine must keep the raw evidence: ${quarantined.toSeq}")
     graft.engine.Caches.release()
   }
+
+  test("XML round-trips markup-hostile strings and nulls exactly") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/xml_roundtrip_test"
+    // Values the XML writer must escape to survive: tags, ampersands,
+    // quotes, newlines; plus a null (round-trips as an absent element)
+    // and a zero (must not be confused with null by the reader).
+    val rows = Seq(
+      (1L, "<b>bold</b> & \"quoted\" 'txt'", Some(10L)),
+      (2L, "line1\nline2", None),
+      (3L, "plain", Some(0L)))
+    val df = rows.toDF("id", "text", "n")
+      .select(col("id"), col("text"), col("n").cast("long"))
+    graft.engine.Sinks.writeXml(df, dir, rowTag = "r")
+    val back = Ingest.readXml(spark, Seq(dir),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id LONG, text STRING, n LONG"), rowTag = "r")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+    assert(back == rows.map(t => (t._1, t._2, t._3)))
+  }
 }
