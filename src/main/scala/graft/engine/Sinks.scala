@@ -97,7 +97,12 @@ object Sinks {
   /** XML sink (Spark 4's built-in XML source): one `rowTag` element per
     * record, one file per partition (every writer busy — row-oriented
     * like JSONL, for feed/interchange consumers that speak XML). The
-    * writer escapes markup in values, so arbitrary text round-trips. */
+    * writer escapes markup in values, so arbitrary TEXT round-trips —
+    * but XML 1.0 cannot represent control characters below 0x20 (other
+    * than tab/newline/CR), and the write FAILS LOUDLY on them
+    * (`WstxIOException`, probed + pinned in IngestSpec) rather than
+    * silently corrupting; scrub such bytes upstream (the PII/quality
+    * tier) before routing a corpus through an XML interchange. */
   def writeXml(df: DataFrame, path: String, mode: String = "overwrite",
       rowTag: String = "row"): Unit =
     df.write.mode(mode).format("xml").option("rowTag", rowTag).save(path)

@@ -182,5 +182,13 @@ class IngestSpec extends SparkSpec {
         r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
       .sortBy(_._1).toSeq
     assert(back == rows.map(t => (t._1, t._2, t._3)))
+    // XML 1.0 cannot represent control chars below 0x20 (except
+    // tab/newline/CR): the write must FAIL LOUDLY (probed: the Woodstox
+    // writer throws), never silently corrupt or strip — the documented
+    // scrub-upstream contract.
+    val ctrl = Seq((9L, "bad" + 1.toChar + "byte")).toDF("id", "text")
+    assertThrows[org.apache.spark.SparkException] {
+      graft.engine.Sinks.writeXml(ctrl, s"$dir-ctrl", rowTag = "r")
+    }
   }
 }
