@@ -149,6 +149,15 @@ object Bench {
     def short(name: String): String = name.takeWhile(_ != '_')
     def n0(v: Double): String = String.format(java.util.Locale.ROOT, "%.0f",
       Double.box(v))
+    // Adjudicated totals (round-11 verdict ask): each flagged query's
+    // first run replaced by its same-JVM retime, so a tier-budget
+    // pass/fail is computable from the artifact alone — this round's
+    // raw 304 s ✗ vs adjudicated ≈215 s ✓ required human arithmetic.
+    // Fixed-size addition (one number + one 3-key map), so the 1.5 KB
+    // stdout bound still holds at the 300-query worst case.
+    val (adjTotal, adjTiers) = adjusted(total, tiers, flagged)
+    val adjJson = adjTiers.sortBy(_._1)
+      .map { case (t, s) => jstr(t) + ":" + n2(s) }.mkString("{", ",", "}")
     val tiersJson = tiers.sortBy(_._1)
       .map { case (t, s) => jstr(t) + ":" + n2(s) }.mkString("{", ",", "}")
     val worst = flagged.sortBy(-_.ratio)
@@ -171,8 +180,27 @@ object Bench {
          else "")
     s"""{"metric":"total","value":${n2(total)},"unit":"sec",""" +
       s""""n_queries":$nQueries,"tiers":$tiersJson,""" +
+      s""""adjusted_total":${n2(adjTotal)},"adjusted_tiers":$adjJson,""" +
       s""""flagged":$flaggedJson$flaggedMore$errJson,""" +
       s""""queries_file":${jstr(queriesFile)},"sf":${jstr(sf)}}"""
+  }
+
+  /** Adjudicated (total, per-tier) sums: every flagged query's first-run
+    * wall replaced by its same-JVM retime (when the retime succeeded).
+    * PURE — BenchSpec pins the substitution math. Equals the raw sums
+    * exactly when nothing is flagged. */
+  def adjusted(total: Double, tiers: Seq[(String, Double)],
+      flagged: Seq[Flag]): (Double, Seq[(String, Double)]) = {
+    // Per-flag wall delta (retime − first); negative on the usual
+    // contended-first-run shape. Applied to the flag's tier and total.
+    val deltas = flagged.collect {
+      case f if f.first.sec >= 0 && f.retime.sec >= 0 =>
+        tierOf(f.name) -> (f.retime.sec - f.first.sec)
+    }
+    val byTier = deltas.groupBy(_._1).map { case (t, ds) =>
+      t -> ds.map(_._2).sum }
+    (total + deltas.map(_._2).sum,
+      tiers.map { case (t, s) => t -> (s + byTier.getOrElse(t, 0.0)) })
   }
 
   def main(args: Array[String]): Unit = {
@@ -367,15 +395,40 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullTiers = tierSums.sortBy(_._1)
       .map { case (t, s) => jstr(t) + ":" + s }.mkString("{", ",", "}")
+    val (adjTotalF, adjTiersF) = adjusted(total, tierSums, flagged)
+    val fullAdjTiers = adjTiersF.sortBy(_._1)
+      .map { case (t, s) => jstr(t) + ":" + n2(s) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullErrJson,""" +
-        s""""tiers":$fullTiers,"flagged":$fullFlagged,"sf":"$sfDir"}"""
+        s""""tiers":$fullTiers,"adjusted_total":${n2(adjTotalF)},""" +
+        s""""adjusted_tiers":$fullAdjTiers,"flagged":$fullFlagged,"sf":"$sfDir"}"""
     // Dev-filtered runs (BENCH_ONLY) must not clobber the official
     // full-suite artifact with a partial one — and their summary must
     // then point at the per-query record that WAS written this run
     // (the partial log), not at a stale full-suite file.
-    val fullFile =
+    val fullFileDefault =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // A FLAGGED run must not clobber a committed zero-flag close
+    // (round-11 residual: the driver's contended snapshot overwrote the
+    // clean 222 s close with a 304 s storm run). Divert flagged runs to
+    // a sibling artifact; the stdout line's queries_file points there,
+    // so nothing is hidden — the clean close just survives.
+    val fullFile =
+      if (flagged.isEmpty) fullFileDefault
+      else {
+        val existingCleanClose = try {
+          val src = scala.io.Source.fromFile(fullFileDefault)
+          val txt = try src.mkString finally src.close()
+          txt.contains("\"flagged\":{}")
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (!existingCleanClose) fullFileDefault
+        else {
+          val alt = fullFileDefault.stripSuffix(".json") + "_FLAGGED.json"
+          System.err.println(s"[bench] ${flagged.size} flags and " +
+            s"$fullFileDefault holds a zero-flag close — writing to $alt")
+          alt
+        }
+      }
     val queriesFile = if (only.isEmpty) fullFile
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.jsonl")
     if (only.isEmpty) {

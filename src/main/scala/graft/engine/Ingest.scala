@@ -70,10 +70,21 @@ object Ingest {
   /** XML scan (Spark 4's built-in source, `rowTag` elements as rows).
     * Schema is EXPLICIT, never inferred: inference costs an extra full
     * pass at scale and can mis-type text that happens to look numeric —
-    * the same contract as [[readJsonl]]. */
+    * the same contract as [[readJsonl]].
+    *
+    * `ignoreSurroundingSpaces` is force-disabled: Spark 4 defaults it
+    * to true, which silently TRIMS leading/trailing whitespace in
+    * string values on read — breaking the "arbitrary TEXT round-trips"
+    * contract of [[Sinks.writeXml]] for whitespace-padded corpora
+    * (' padded ' would read back as 'padded' and diverge from any
+    * byte-exact oracle). Null-vs-empty semantics are pinned by
+    * IngestSpec: an absent element reads as SQL NULL, a present-but-
+    * empty element (`<t/>` / `<t></t>`) reads as the empty string —
+    * the writer emits nulls as absent elements, so both round-trip. */
   def readXml(spark: SparkSession, paths: Seq[String], schema: StructType,
       rowTag: String = "row"): DataFrame =
     spark.read.schema(schema).format("xml").option("rowTag", rowTag)
+      .option("ignoreSurroundingSpaces", "false")
       .load(paths: _*)
 
   /** Schema-evolution parquet scan: one logical table over batches

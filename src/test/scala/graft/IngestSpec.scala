@@ -191,4 +191,29 @@ class IngestSpec extends SparkSpec {
       graft.engine.Sinks.writeXml(ctrl, s"$dir-ctrl", rowTag = "r")
     }
   }
+
+  test("XML round-trips whitespace padding and distinguishes empty from null") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/xml_ws_roundtrip_test"
+    // Spark 4's XML reader defaults ignoreSurroundingSpaces=true, which
+    // silently trims ' padded ' to 'padded' — readXml force-disables it
+    // (review finding). Pinned semantics: null writes as an ABSENT
+    // element and reads back as NULL; the empty string writes as an
+    // empty element and reads back as '' (not null).
+    val rows = Seq(
+      (1L, Some("  padded  ")),
+      (2L, Some("\ttab-led and trailing ")),
+      (3L, Some("")),
+      (4L, None: Option[String]))
+    val df = rows.toDF("id", "text")
+    graft.engine.Sinks.writeXml(df, dir, rowTag = "r")
+    val back = Ingest.readXml(spark, Seq(dir),
+      org.apache.spark.sql.types.StructType.fromDDL("id LONG, text STRING"),
+      rowTag = "r")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1))))
+      .sortBy(_._1).toSeq
+    assert(back == rows,
+      s"whitespace/empty/null must round-trip byte-exactly: $back")
+  }
 }

@@ -67,4 +67,10 @@ def main(paths, note):
 
 
 if __name__ == "__main__":
+    # Hard argv contract (review finding): exactly three run files plus
+    # a note. A missing note previously died with a raw IndexError, and
+    # two run files silently produced a two-sample "median" baseline.
+    if len(sys.argv) != 5:
+        sys.exit("usage: recut_ledger.py <full1.json> <full2.json> "
+                 "<full3.json> <note>  (exactly three full-suite runs)")
     main(sys.argv[1:4], sys.argv[4])
