@@ -171,6 +171,12 @@ object Bench {
     val flaggedMore =
       if (worst.size > MaxFlagged) s""","flagged_more":${worst.size - MaxFlagged}"""
       else ""
+    // The flag vectors are position-keyed; a reader of the raw artifact
+    // had no in-band legend (round-12 verdict ask #8). One constant-size
+    // pointer, present only when there is a vector to decode.
+    val flagSchema =
+      if (worst.isEmpty) ""
+      else ""","flag_schema":"BENCH_NOTES.md#flag-vector""""
     val errJson =
       if (errors.isEmpty) ""
       else errors.take(MaxErrors).map { case (k, e) =>
@@ -181,14 +187,19 @@ object Bench {
     s"""{"metric":"total","value":${n2(total)},"unit":"sec",""" +
       s""""n_queries":$nQueries,"tiers":$tiersJson,""" +
       s""""adjusted_total":${n2(adjTotal)},"adjusted_tiers":$adjJson,""" +
-      s""""flagged":$flaggedJson$flaggedMore$errJson,""" +
+      s""""flagged":$flaggedJson$flaggedMore$flagSchema$errJson,""" +
       s""""queries_file":${jstr(queriesFile)},"sf":${jstr(sf)}}"""
   }
 
   /** Adjudicated (total, per-tier) sums: every flagged query's first-run
-    * wall replaced by its same-JVM retime (when the retime succeeded).
+    * wall replaced by its same-JVM retime (when the retime succeeded —
+    * a failed retime, `retime.sec < 0`, keeps the first-run wall).
     * PURE — BenchSpec pins the substitution math. Equals the raw sums
-    * exactly when nothing is flagged. */
+    * exactly when nothing is flagged. A flagged query whose tier is
+    * absent from `tiers` gets that tier APPENDED (raw sum treated as 0)
+    * so `adjusted total = Σ adjusted tiers` holds for every input, not
+    * just the main()-shaped one where tierSums covers all flags
+    * (review finding). */
   def adjusted(total: Double, tiers: Seq[(String, Double)],
       flagged: Seq[Flag]): (Double, Seq[(String, Double)]) = {
     // Per-flag wall delta (retime − first); negative on the usual
@@ -199,8 +210,12 @@ object Bench {
     }
     val byTier = deltas.groupBy(_._1).map { case (t, ds) =>
       t -> ds.map(_._2).sum }
+    val covered = tiers.map(_._1).toSet
+    val appended = byTier.collect {
+      case (t, d) if !covered.contains(t) => t -> d }.toSeq.sortBy(_._1)
     (total + deltas.map(_._2).sum,
-      tiers.map { case (t, s) => t -> (s + byTier.getOrElse(t, 0.0)) })
+      tiers.map { case (t, s) => t -> (s + byTier.getOrElse(t, 0.0)) } ++
+        appended)
   }
 
   def main(args: Array[String]): Unit = {
@@ -412,15 +427,21 @@ object Bench {
     // (round-11 residual: the driver's contended snapshot overwrote the
     // clean 222 s close with a 304 s storm run). Divert flagged runs to
     // a sibling artifact; the stdout line's queries_file points there,
-    // so nothing is hidden — the clean close just survives.
+    // so nothing is hidden — the clean close just survives. The probe
+    // runs ONLY for full-suite runs (BENCH_ONLY runs never write the
+    // full artifact, so probing/announcing a diversion there was a
+    // misleading no-op — review finding), and any probe failure beyond
+    // file-not-found (path is a directory, bad UTF-8, permissions) must
+    // fall back to the default target, not throw away the whole suite's
+    // summary after ~300 s of timing (review finding).
     val fullFile =
-      if (flagged.isEmpty) fullFileDefault
+      if (only.nonEmpty || flagged.isEmpty) fullFileDefault
       else {
         val existingCleanClose = try {
           val src = scala.io.Source.fromFile(fullFileDefault)
           val txt = try src.mkString finally src.close()
           txt.contains("\"flagged\":{}")
-        } catch { case _: java.io.FileNotFoundException => false }
+        } catch { case scala.util.control.NonFatal(_) => false }
         if (!existingCleanClose) fullFileDefault
         else {
           val alt = fullFileDefault.stripSuffix(".json") + "_FLAGGED.json"

@@ -1,0 +1,73 @@
+package graft
+
+/** Scale-probe main: measure the suite's most expensive queries at ×k
+  * the benchmark corpus (default ×10 of sf0.1) against their same-JVM
+  * 1× walls — the measured point behind the "plans hold at 100×"
+  * claims, which until round 13 rested on plan-shape assertions alone.
+  *
+  * Protocol: synthesize the ×k corpus once ([[graft.engine.ScaleData]],
+  * marker-gated), run each probe query once at 1× (doubling as the JVM
+  * warm-up for its plan family), then once at ×k, and print ONE JSON
+  * line `{"metric":"scale_probe","k":K,"queries":{"qNN":{"base":s,
+  * "scaled":s,"ratio":r}},...}`. A ratio near k is linear scaling; a
+  * ratio far above k on a non-IO query is a scale bug (quadratic
+  * candidate growth, a flipped join) — see BENCH_NOTES.md "Scale
+  * probe". Single runs on an oversubscribed host: read ratios as
+  * coarse structure (linear vs quadratic), not ±10% performance.
+  *
+  * Query selection defaults to the top-10 by quiet-host median, i.e.
+  * where the suite actually spends its time; override with
+  * SPARK_GRAFT_SCALE_ONLY. */
+object ScaleProbe {
+
+  /** Top-10 by BENCH_BASELINE.json median as of round 13. */
+  val DefaultQueries: Seq[String] = Seq(
+    "q121_ivfpq_topk", "q23_ngram_jaccard", "q117_pq_topk",
+    "q139_semdedup", "q41_jdbc_roundtrip", "q89_fuzzy_join",
+    "q32_sink_roundtrip", "q146_bpe_tokenize", "q145_multimodal_curation",
+    "q105_compact_roundtrip")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"${graft.engine.Sinks.scratch}/scale_x$k")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+      .filter(SparkEntry.queries.contains)
+    val spark = graft.engine.Sessions.local(cpus)
+
+    val t0 = System.nanoTime()
+    graft.engine.ScaleData.synthesize(spark, baseDir, outDir, k)
+    System.err.println(
+      f"[scale] corpus ×$k at $outDir (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+
+    def n2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def timed(name: String, dir: String): Double = {
+      val s0 = System.nanoTime()
+      val res = try { SparkEntry.queries(name)(spark, dir).count(); None }
+        catch { case t: Throwable => Some(t.toString) }
+      graft.engine.Caches.release()
+      spark.catalog.clearCache()
+      val sec = (System.nanoTime() - s0) / 1e9
+      System.err.println(f"[scale] $name%-26s $dir%-40s $sec%8.2f s" +
+        res.map(e => s"  ERR $e").getOrElse(""))
+      if (res.isDefined) -1.0 else sec
+    }
+
+    val rows = names.map { name =>
+      val base = timed(name, baseDir)
+      val scaled = timed(name, outDir)
+      val ratio = if (base > 0 && scaled >= 0) scaled / base else -1.0
+      name -> ((base, scaled, ratio))
+    }
+    val qJson = rows.map { case (name, (b, s, r)) =>
+      s""""$name":{"base":${n2(b)},"scaled":${n2(s)},"ratio":${n2(r)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","k":$k,"base_dir":"$baseDir",""" +
+      s""""scaled_dir":"$outDir","queries":$qJson}""")
+    spark.stop()
+  }
+}

@@ -30,8 +30,18 @@ import org.apache.spark.sql.functions._
   * repeat calls in the same JVM, keeping fixture plumbing out of
   * benchmark-timed windows; callers that cannot name a stable source
   * identity pass None and pay the (cheap, metadata-served) aggregate
-  * each call. Single-writer scope, like the rest of the scratch
-  * layout. */
+  * each call. The memo applies ONLY to pure-function-of-ids artifacts
+  * (`contentSig = None`): a memo hit skips the fingerprint, so it
+  * assumes the id set at `memoKey` is immutable for the JVM lifetime —
+  * safe there because the artifact is fully determined by the ids, and
+  * ids regenerated AT THE SAME PATH mid-JVM are outside the scratch
+  * layout's single-writer contract (documented, not defended).
+  * Content-keyed artifacts (`contentSig` defined) NEVER consult the
+  * memo: their whole point is that same-ids/different-values data must
+  * miss, and a memo hit would serve the stale artifact the signature
+  * exists to prevent (review finding) — they pay the cheap aggregate
+  * on every call instead. Single-writer scope, like the rest of the
+  * scratch layout. */
 object Fixtures {
 
   private val memo =
@@ -59,7 +69,10 @@ object Fixtures {
       (build: String => Unit): String = {
     val fsOf = (d: String) => new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cacheKey = memoKey.map(k => s"$k|$root|$kind").orNull
+    // Content-keyed artifacts never memoize — see the object scaladoc.
+    val cacheKey =
+      if (contentSig.isDefined) null
+      else memoKey.map(k => s"$k|$root|$kind").orNull
     if (cacheKey != null) {
       val hit = memo.get(cacheKey)
       // Re-probe the completion marker on a memo hit (one metadata

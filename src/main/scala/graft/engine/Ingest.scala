@@ -72,19 +72,24 @@ object Ingest {
     * pass at scale and can mis-type text that happens to look numeric —
     * the same contract as [[readJsonl]].
     *
-    * `ignoreSurroundingSpaces` is force-disabled: Spark 4 defaults it
-    * to true, which silently TRIMS leading/trailing whitespace in
-    * string values on read — breaking the "arbitrary TEXT round-trips"
-    * contract of [[Sinks.writeXml]] for whitespace-padded corpora
-    * (' padded ' would read back as 'padded' and diverge from any
-    * byte-exact oracle). Null-vs-empty semantics are pinned by
-    * IngestSpec: an absent element reads as SQL NULL, a present-but-
-    * empty element (`<t/>` / `<t></t>`) reads as the empty string —
-    * the writer emits nulls as absent elements, so both round-trip. */
+    * `ignoreSurroundingSpaces` DEFAULTS to disabled here: Spark 4
+    * defaults it to true, which silently TRIMS leading/trailing
+    * whitespace in string values on read — breaking the "arbitrary
+    * TEXT round-trips" contract of [[Sinks.writeXml]] for
+    * whitespace-padded corpora (' padded ' would read back as 'padded'
+    * and diverge from any byte-exact oracle). Third-party
+    * pretty-printed XML (values indented on their own lines) is the
+    * case the default is wrong for — such feeds pass
+    * `trimSurroundingSpaces = true` to opt back into Spark's trimming
+    * (review finding: the round-trip-safe value was hardcoded).
+    * Null-vs-empty semantics are pinned by IngestSpec: an absent
+    * element reads as SQL NULL, a present-but-empty element (`<t/>` /
+    * `<t></t>`) reads as the empty string — the writer emits nulls as
+    * absent elements, so both round-trip. */
   def readXml(spark: SparkSession, paths: Seq[String], schema: StructType,
-      rowTag: String = "row"): DataFrame =
+      rowTag: String = "row", trimSurroundingSpaces: Boolean = false): DataFrame =
     spark.read.schema(schema).format("xml").option("rowTag", rowTag)
-      .option("ignoreSurroundingSpaces", "false")
+      .option("ignoreSurroundingSpaces", trimSurroundingSpaces.toString)
       .load(paths: _*)
 
   /** Schema-evolution parquet scan: one logical table over batches

@@ -375,9 +375,20 @@ object CorpusStats {
     * symbol sequence, merging (lhs,rhs) occurrences greedily
     * left-to-right non-overlapping (a run of k overlapping candidates —
     * only possible when lhs = rhs — merges positions 1,3,5,… of the
-    * run). Words are pre-tokenized on spaces, restricted to `[A-Za-z]+`
-    * (a fixed alphabet, the standard BPE precondition), and carry the
-    * Sennrich end-of-word marker `</w>`.
+    * run). Words are pre-tokenized on spaces, restricted to `\p{L}+`
+    * (Unicode letters — a multilingual corpus trains a multilingual
+    * vocabulary; the round-12 `[A-Za-z]+` filter silently dropped every
+    * non-ASCII word from training AND from q146's token pricing), and
+    * carry the Sennrich end-of-word marker `</w>`.
+    *
+    * Unicode contract (both engines replay it identically): the word
+    * filter is CODEPOINT-level `^\p{L}+$` — Java and RE2 agree on the
+    * letter category, including supplementary-plane letters — and the
+    * initial symbol split is per codepoint (Java's `split("")` never
+    * splits a surrogate pair; DuckDB's `word[i:i]` slices codepoints).
+    * Combining marks are `\p{M}`, not `\p{L}`, so DECOMPOSED accents
+    * fail the filter in both engines alike — the corpus is expected in
+    * NFC, the same normalization assumption real tokenizers document.
     *
     * Scale shape: the corpus is scanned ONCE (the word-frequency agg
     * with map-side partial aggregation); every merge round then runs on
@@ -397,6 +408,105 @@ object CorpusStats {
     val (merges, last) = bpeMergeLoop(docs, textCol, rounds)
     last.unpersist(blocking = false)
     merges.toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** Driver-local BPE trainer — the HIGH-ROUND variant of [[bpeTrain]].
+    *
+    * The distributed loop is the right shape for the oracle replay and
+    * for corpora whose distinct-word table exceeds driver memory, but it
+    * costs one Spark job + one driver round-trip PER MERGE ROUND — a
+    * production 30k-merge vocabulary would schedule 30k sequential jobs
+    * where each round's actual work is vocabulary-sized, i.e. dominated
+    * by scheduling, not compute. The word-frequency table is
+    * vocab-sized BY CONSTRUCTION (it is what every round iterates
+    * over), so this variant runs the one corpus-scale aggregation
+    * distributed, collects the word table ONCE, and executes all merge
+    * rounds in driver memory: zero jobs per round, identical output.
+    *
+    * Equality with [[bpeTrain]] is by construction and pinned in
+    * CorpusStatsSpec: same `\p{L}+` codepoint pre-tokenization (Java's
+    * `split("")` never splits a surrogate pair), the same greedy
+    * left-fold rewrite, and the same argmax tie-break — with string
+    * order compared on UTF-8 BYTES, because Spark's `orderBy` on
+    * strings is binary UTF-8 while Java's `compareTo` is UTF-16
+    * code-unit order, and the two disagree exactly on supplementary-
+    * plane symbols vs U+E000..U+FFFF (a multilingual corpus can hit
+    * this; an ASCII one cannot).
+    *
+    * Crossover: use [[bpeTrain]] when rounds are few (≤ ~100, every
+    * intermediate state oracle-replayable, word table never leaves the
+    * cluster) or when the distinct-word table is too large to collect;
+    * use this when rounds dominate (real tokenizer training: 30k rounds
+    * × vocab-sized work ≈ seconds locally vs hours of job scheduling).
+    * Driver memory bound = the distinct-word table (words × average
+    * word length) — the same order as the broadcast vocabulary
+    * [[bpeTokenize]] already ships to every executor. */
+  def bpeTrainLocal(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^\\p{L}+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    // Per-word symbol sequences: codepoint split + the </w> marker —
+    // the exact local twin of the distributed split(word, "") chain.
+    var cur: Array[(Array[String], Long)] = words.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty) :+ "</w>", f)
+    }
+    // Binary UTF-8 comparison = Spark's string ordering.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      cur.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax with the trainer's tie-break: n DESC, lhs ASC, rhs ASC
+        // (both ASC in UTF-8 byte order).
+        val ((a, b), n) = counts.reduce { (p, q) =>
+          val ((pa, pb), pn) = p; val ((qa, qb), qn) = q
+          if (pn != qn) { if (pn > qn) p else q }
+          else if (pa != qa) { if (utf8Lt(pa, qa)) p else q }
+          else if (utf8Lt(pb, qb)) p else q
+        }
+        merges += ((r, a, b, n))
+        // Greedy left-fold rewrite — merged token a+b never equals a
+        // (b is nonempty), so a merge never cascades within a round.
+        cur = cur.map { case (s, f) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.foreach { x =>
+            if (buf.nonEmpty && buf.last == a && x == b)
+              buf(buf.length - 1) = a + b
+            else buf += x
+          }
+          (buf.toArray, f)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "n")
   }
 
   /** The corpus vocabulary AFTER `rounds` BPE merges — [[bpeTrain]]'s
@@ -422,7 +532,7 @@ object CorpusStats {
     * once, then ONE corpus scan joined against the BROADCAST
     * vocabulary (vocab-sized by construction) and a map-side-combined
     * per-document reduce — no corpus shuffle beyond the doc-keyed
-    * aggregation. Documents with no `[A-Za-z]+` word have nothing to
+    * aggregation. Documents with no `\p{L}+` word have nothing to
     * tokenize and emit no row. */
   def bpeTokenize(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
@@ -430,7 +540,7 @@ object CorpusStats {
     graft.engine.Caches.track(last)
     val vocab = last.select(col("word"), size(col("syms")).as("n_sub"))
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .filter(col("word").rlike("^\\p{L}+$"))
       .join(broadcast(vocab), Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
@@ -479,7 +589,7 @@ object CorpusStats {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val words0 = docs
       .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .filter(col("word").rlike("^\\p{L}+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         concat(array_remove(split(col("word"), ""), ""),
@@ -592,7 +702,7 @@ object CorpusStats {
         |    list_transform(range(1, len(word)+1), i -> word[i:i])
         |      || ['</w>'] AS syms
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE regexp_matches(word, '^[A-Za-z]+$') GROUP BY word)""".stripMargin
+        |  WHERE regexp_matches(word, '^\p{L}+$') GROUP BY word)""".stripMargin
     header + ",\n" + (1 to rounds).map(roundSql).mkString(",\n")
   }
 }

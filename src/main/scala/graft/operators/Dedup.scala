@@ -508,6 +508,133 @@ object Dedup {
       .select("new_id", "ref_id", "jaccard")
   }
 
+  // --------------------------------------------- persisted MinHash index
+
+  private def indexMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_INDEX_SUCCESS")
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True iff `dir` holds a COMPLETED MinHash index build. */
+  def minhashIndexExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = fsOf(spark, dir).exists(indexMarker(dir))
+
+  /** Build-once persistence of the REFERENCE side of incremental dedup —
+    * the production 100 TB shape [[minhashNearDupAcross]]'s scaladoc
+    * promised: shingles and band keys are pure functions of the text,
+    * so a daily ingest amortizes ONE reference-corpus pass over every
+    * arriving batch instead of re-shingling the whole corpus per run
+    * (the same train-once argument as [[Similarity.buildPqIndex]]).
+    * Writes three parquet tables under `dir`:
+    *
+    *   - `params`  — (n, num_hashes, bands, seed): one row; query and
+    *     append calls derive the LSH family from the stored index, so
+    *     callers cannot drift from what was built;
+    *   - `sh`      — (id, sh): each reference document's distinct
+    *     shingle array (the exact-Jaccard verify side);
+    *   - `bands`   — (id, band): the exploded LSH band keys (the
+    *     candidate equi-join side).
+    *
+    * Same completion-marker lifecycle as the ANN indexes: the marker
+    * commits strictly after every table landed, so a crash mid-build
+    * leaves a visibly-incomplete directory, never a silently partial
+    * index. [[minhashNearDupFromIndex]] over this index is bit-equal
+    * to the recompute-everything [[minhashNearDupAcross]] with the
+    * same parameters (asserted in DedupSpec; the inline twin's oracle
+    * is therefore also this index's oracle). */
+  def buildMinhashIndex(ref: DataFrame, dir: String, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): Unit = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    fs.delete(indexMarker(dir), false)
+    Seq((n, numHashes, bands, seed))
+      .toDF("n", "num_hashes", "bands", "seed")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val sh = materialized(parallelized(ref)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    sh.write.mode("overwrite").parquet(s"$dir/sh")
+    val (as, bs) = hashFamily(numHashes, seed)
+    sh.select(col("id"), explode(TextKernels.minhashBandsCol(
+        col("sh"), as, bs, bands, MinhashP)).as("band"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    fs.create(indexMarker(dir), true).close()
+  }
+
+  /** Stored LSH params of a completed index. */
+  private def minhashParamsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int, Long) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+  }
+
+  /** Index MAINTENANCE: shingle + band `newRef` with the FROZEN stored
+    * parameters and append — yesterday's deduped ingest becomes part of
+    * tomorrow's reference corpus without re-shingling anything already
+    * indexed; append cost is O(|newRef|), independent of index size
+    * (the existing tables are never read, only appended to). Contract:
+    * `newRef` ids must be disjoint from the indexed ids (this helper
+    * never scans the index to check, by design — a dup id would emit
+    * its matches twice). Marker dropped for the duration and
+    * re-committed after, same crash semantics as the ANN appends. */
+  def appendToMinhashIndex(newRef: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = newRef.sparkSession
+    require(minhashIndexExists(spark, dir),
+      s"no completed MinHash index at $dir — append needs a finished build")
+    val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, dir)
+    val fs = fsOf(spark, dir)
+    fs.delete(indexMarker(dir), false)
+    val sh = materialized(parallelized(newRef)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    sh.write.mode("append").parquet(s"$dir/sh")
+    val (as, bs) = hashFamily(numHashes, seed)
+    sh.select(col("id"), explode(TextKernels.minhashBandsCol(
+        col("sh"), as, bs, bandsN, MinhashP)).as("band"))
+      .write.mode("append").parquet(s"$dir/bands")
+    fs.create(indexMarker(dir), true).close()
+  }
+
+  /** [[minhashNearDupAcross]] against a PERSISTED reference index: only
+    * the NEW batch is shingled and banded (with the index's stored
+    * parameters); the reference side's bands and shingles stream from
+    * parquet. The band equi-join and exact-Jaccard verify are the same
+    * plan as the inline twin — candidates equi-join on band keys, the
+    * verify joins fan back to the new-side cache and the stored shingle
+    * table — so per-batch cost is |new|·prep + collisions, with zero
+    * reference-side recompute. Bit-equal to the inline twin at the
+    * index's parameters. */
+  def minhashNearDupFromIndex(newDf: DataFrame, dir: String, idCol: String,
+      textCol: String, threshold: Double = 0.5): DataFrame = {
+    val spark = newDf.sparkSession
+    require(minhashIndexExists(spark, dir),
+      s"no completed MinHash index at $dir — run buildMinhashIndex first")
+    val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, dir)
+    val (as, bs) = hashFamily(numHashes, seed)
+    val shNew = materialized(parallelized(newDf)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    val bandedNew = shNew.select(col("id"),
+      explode(TextKernels.minhashBandsCol(
+        col("sh"), as, bs, bandsN, MinhashP)).as("band"))
+    val cands = bandedNew.as("a")
+      .join(spark.read.parquet(s"$dir/bands").as("b"),
+        col("a.band") === col("b.band"))
+      .select(col("a.id").as("new_id"), col("b.id").as("ref_id"))
+      .distinct()
+    cands
+      .join(shNew.select(col("id").as("new_id"), col("sh").as("sh_a")),
+        Seq("new_id"))
+      .join(spark.read.parquet(s"$dir/sh")
+          .select(col("id").as("ref_id"), col("sh").as("sh_b")),
+        Seq("ref_id"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
   /** True cross-corpus Jaccard oracle (DuckDB): exhaustive new×ref pairs
     * over the `doc_id % refMod` split of `documents` — ground truth for
     * [[minhashNearDupAcross]], viable at oracle scale only. */

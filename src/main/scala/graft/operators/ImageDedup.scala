@@ -154,7 +154,25 @@ object ImageDedup {
     * base id ships truncated (the quarantine path, as in
     * [[Multimodal.pngMediaFromDocuments]]); corrupt bases get no
     * twins. Encode is distributed (`mapPartitions` codec slot). */
-  def texturedMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+  def texturedMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] =
+    texturedSubset(spark, docs, emitBases = true, emitTwins = true)
+
+  /** Only the planted twins (today's arriving batch in the incremental
+    * scenarios) — so a stored-index query pays encode/hash for the NEW
+    * side alone, which is the entire point of persisting the reference
+    * side ([[buildPhashIndex]]). Twin population identical to the twins
+    * [[texturedMedia]] emits. */
+  def texturedTwins(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] =
+    texturedSubset(spark, docs, emitBases = false, emitTwins = true)
+
+  /** Only the base images (the already-deduped reference corpus of the
+    * incremental scenarios), including the corrupt every-37th payload
+    * (quarantine drops it before indexing, as in the inline path). */
+  def texturedBases(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] =
+    texturedSubset(spark, docs, emitBases = true, emitTwins = false)
+
+  private def texturedSubset(spark: SparkSession, docs: DataFrame,
+      emitBases: Boolean, emitTwins: Boolean): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
       // The twin-id scheme requires the base id space below the first
@@ -165,21 +183,26 @@ object ImageDedup {
         s"doc_id $id outside [0, $BrightTwinOffset) — the twin-id " +
           "offsets would collide; widen the offsets for this corpus")
       if (id % 37 == 0)
-        Iterator.single(MediaRow(id, encodeTexturedPng(id, 0, false).take(8),
-          "image/png"))
+        (if (emitBases)
+          Iterator.single(MediaRow(id, encodeTexturedPng(id, 0, false).take(8),
+            "image/png"))
+         else Iterator.empty)
       else {
-        val orig = MediaRow(id, encodeTexturedPng(id, 0, false), "image/png")
+        val orig =
+          if (emitBases)
+            Some(MediaRow(id, encodeTexturedPng(id, 0, false), "image/png"))
+          else None
         val bright =
-          if (id % 5 == 1)
+          if (emitTwins && id % 5 == 1)
             Some(MediaRow(id + BrightTwinOffset,
               encodeTexturedPng(id, BrightShift, false), "image/png"))
           else None
         val patched =
-          if (id % 7 == 3)
+          if (emitTwins && id % 7 == 3)
             Some(MediaRow(id + PatchTwinOffset,
               encodeTexturedPng(id, 0, true), "image/png"))
           else None
-        Iterator.single(orig) ++ bright.iterator ++ patched.iterator
+        orig.iterator ++ bright.iterator ++ patched.iterator
       }
     })
   }
@@ -300,10 +323,69 @@ object ImageDedup {
     require(maxHamming <= 3,
       s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
 
-  private def bandedPairs(hs: DataFrame, maxHamming: Int): DataFrame = {
+  /** Distinct-hash classes `(phash, rep = min img_id)` — the
+    * exact-fingerprint pre-collapse unit. */
+  private def hashClasses(hs: DataFrame): DataFrame =
+    hs.groupBy("phash").agg(min("img_id").as("img_id"))
+
+  /** Near-dup pairs between DISTINCT hash classes: band join over one
+    * representative per class, exact Hamming verify. Exposed to the
+    * spec so "bounded candidates under a degenerate template" is an
+    * assertable count, not a prose claim. Emits (ph_a, ph_b, hamming)
+    * with ph_a ≠ ph_b (each unordered class pair once). */
+  private[graft] def classPairs(classes: DataFrame,
+      maxHamming: Int): DataFrame =
+    bandExplode(classes).as("a")
+      .join(bandExplode(classes).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+
+  /** The banded self-join with the EXACT-FINGERPRINT PRE-COLLAPSE the
+    * skew note always promised (round-12 verdict #3): images with
+    * identical hashes form one class, only one REPRESENTATIVE per class
+    * enters the band join, and members are restored after pair
+    * generation. A corpus dominated by a single visual template (solid
+    * thumbnails, a watermark frame) — whose members previously all
+    * landed in the same four band buckets and sent the candidate join
+    * quadratic — now contributes ONE row per band; the quadratic term
+    * moves from the shuffle-join's skewed bucket to the final member
+    * expansion, which is output-sized by definition (those pairs ARE
+    * near-dups and must be emitted). Output identical to the naive
+    * all-member band join: within-class pairs sit at Hamming 0 and are
+    * emitted directly; a cross-class pair's Hamming depends only on the
+    * two hashes, so the class-pair verdict is every member pair's
+    * verdict (ImageDedupSpec pins equality against the naive twin). */
+  private[graft] def bandedPairs(hs: DataFrame, maxHamming: Int): DataFrame = {
     requirePigeonhole(maxHamming)
-    // The hash side is one decode scan; materialize the banded frame so
-    // the self-join reads warm cache instead of decoding every PNG twice.
+    // One decode scan feeds classes, members and the expansion joins.
+    val members = graft.engine.Caches.materialized(
+      hs.select(col("img_id"), col("phash")))
+    val classes = graft.engine.Caches.materialized(hashClasses(members))
+    val cross = classPairs(classes, maxHamming)
+      .join(members.select(col("phash").as("ph_a"), col("img_id").as("id_x")),
+        Seq("ph_a"))
+      .join(members.select(col("phash").as("ph_b"), col("img_id").as("id_y")),
+        Seq("ph_b"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("hamming"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.phash") === col("b.phash") && col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("id_a"), col("b.img_id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    within.union(cross).select("id_a", "id_b", "hamming")
+  }
+
+  /** The round-12 construction (every member bands; no pre-collapse) —
+    * kept non-public as the equality-spec twin of [[bandedPairs]]. */
+  private[graft] def bandedPairsNaive(hs: DataFrame, maxHamming: Int): DataFrame = {
+    requirePigeonhole(maxHamming)
     val bands = graft.engine.Caches.materialized(bandExplode(hs))
     bands.as("a")
       .join(bands.as("b"),
@@ -333,16 +415,30 @@ object ImageDedup {
   def phashNearDupAcross(newHs: DataFrame, refHs: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     requirePigeonhole(maxHamming)
-    bandExplode(newHs).as("a")
-      .join(bandExplode(refHs).as("b"),
+    // The same exact-fingerprint pre-collapse as [[bandedPairs]], per
+    // side: distinct hashes band, members expand after the verify. A
+    // template-dominated ingest (the realistic case — one watermark
+    // frame re-uploaded all day) collapses to one banded row per side.
+    // Unlike the self-join there is no within/cross split: every
+    // (new class, ref class) combination is a cross pair, including
+    // equal hashes (Hamming 0), which collide in all four bands.
+    val newM = graft.engine.Caches.materialized(
+      newHs.select(col("img_id"), col("phash")))
+    val refM = graft.engine.Caches.materialized(
+      refHs.select(col("img_id"), col("phash")))
+    bandExplode(hashClasses(newM)).as("a")
+      .join(bandExplode(hashClasses(refM)).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val"))
-      .select(col("a.img_id").as("new_id"), col("b.img_id").as("ref_id"),
-        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .select(col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .join(newM.select(col("phash").as("ph_a"), col("img_id").as("new_id")),
+        Seq("ph_a"))
+      .join(refM.select(col("phash").as("ph_b"), col("img_id").as("ref_id")),
+        Seq("ph_b"))
       .select("new_id", "ref_id", "hamming")
   }
 
@@ -357,6 +453,68 @@ object ImageDedup {
     phashNearDupAcross(
       hashes.filter(col("img_id") >= BrightTwinOffset),
       hashes.filter(col("img_id") < BrightTwinOffset), maxHamming)
+  }
+
+  // ---------------------------------------------- persisted pHash index
+
+  private def indexMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_INDEX_SUCCESS")
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True iff `dir` holds a COMPLETED pHash index build. */
+  def phashIndexExists(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(indexMarker(dir))
+
+  /** Persist the REFERENCE side of incremental media dedup — the
+    * production shape [[phashNearDupAcross]]'s scaladoc promised: the
+    * reference corpus's hashes are a pure function of its pixels, so a
+    * daily image ingest decodes and hashes each reference image ONCE,
+    * ever, instead of re-decoding the whole corpus per batch. One
+    * parquet table `hashes` (img_id, phash) — 9 bytes of stored state
+    * per indexed image; quarantined (corrupt) rows carry no hash and
+    * must be filtered out by the caller (they are not reference
+    * content). Same completion-marker lifecycle as the ANN and MinHash
+    * indexes. [[phashNearDupAcrossFromIndex]] over this index is
+    * bit-equal to the recompute-everything inline twin (ImageDedupSpec). */
+  def buildPhashIndex(refHs: DataFrame, dir: String): Unit = {
+    val spark = refHs.sparkSession
+    val fs = fsOf(spark, dir)
+    fs.delete(indexMarker(dir), false)
+    refHs.select(col("img_id"), col("phash"))
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    fs.create(indexMarker(dir), true).close()
+  }
+
+  /** Index MAINTENANCE: append newly-deduped images' hashes so
+    * tomorrow's batches dedup against them too. Append cost is
+    * O(|new|), independent of index size; ids must be disjoint from
+    * the indexed ones (never scanned to check, by design). Marker
+    * dropped for the duration, re-committed after — a crash mid-append
+    * leaves a visibly-incomplete index, never a silently partial one. */
+  def appendToPhashIndex(newHs: DataFrame, dir: String): Unit = {
+    val spark = newHs.sparkSession
+    require(phashIndexExists(spark, dir),
+      s"no completed pHash index at $dir — append needs a finished build")
+    val fs = fsOf(spark, dir)
+    fs.delete(indexMarker(dir), false)
+    newHs.select(col("img_id"), col("phash"))
+      .write.mode("append").parquet(s"$dir/hashes")
+    fs.create(indexMarker(dir), true).close()
+  }
+
+  /** [[phashNearDupAcross]] against a PERSISTED reference index: only
+    * the new batch is decoded and hashed; the reference hashes stream
+    * from parquet into the same pre-collapsed band join. Bit-equal to
+    * the inline twin over the indexed hashes. */
+  def phashNearDupAcrossFromIndex(newHs: DataFrame, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = newHs.sparkSession
+    require(phashIndexExists(spark, dir),
+      s"no completed pHash index at $dir — run buildPhashIndex first")
+    phashNearDupAcross(newHs, spark.read.parquet(s"$dir/hashes"), maxHamming)
   }
 
   /** Oracle twin of [[phashIncrementalDedup]]: the shared hash chain,

@@ -76,6 +76,45 @@ class BenchSpec extends AnyFunSuite {
       .foreach(k => assert(line.contains(k), s"summary lost key fragment $k"))
   }
 
+  test("adjusted() substitutes retime walls, skips failed retimes, appends missing tiers") {
+    def flag(name: String, first: Double, retime: Double) =
+      Bench.Flag(name, 1.0,
+        Bench.RunStats(first, 0, 0, 0, 0, 0, None),
+        Bench.RunStats(retime, 0, 0, 0, 0, 0, None))
+    // Zero flags: identity.
+    val tiers = Seq("core" -> 10.0, "extension" -> 20.0)
+    assert(Bench.adjusted(30.0, tiers, Nil) == ((30.0, tiers)))
+    // q05 is core (first 6 → retime 2: delta −4), q23 is extension
+    // (first 8 → retime 3: delta −5); totals and tiers move together.
+    val (t1, ts1) = Bench.adjusted(30.0, tiers,
+      Seq(flag("q05_x", 6.0, 2.0), flag("q23_y", 8.0, 3.0)))
+    assert(math.abs(t1 - 21.0) < 1e-9)
+    val m1 = ts1.toMap
+    assert(m1("core") == 6.0 && m1("extension") == 15.0)
+    // A failed retime (sec = -1) must keep the first-run wall.
+    val (t2, ts2) = Bench.adjusted(30.0, tiers, Seq(flag("q05_x", 6.0, -1.0)))
+    assert(t2 == 30.0 && ts2 == tiers)
+    // A flag whose tier is absent from the input appends it (raw 0),
+    // preserving adjusted_total == sum(adjusted_tiers).
+    val (t3, ts3) = Bench.adjusted(30.0, Seq("core" -> 10.0),
+      Seq(flag("q23_y", 8.0, 3.0)))
+    assert(math.abs(t3 - 25.0) < 1e-9)
+    assert(ts3.toMap.get("extension").contains(-5.0))
+    assert(math.abs(ts3.map(_._2).sum - (10.0 - 5.0)) < 1e-9)
+  }
+
+  test("summary carries the flag_schema pointer exactly when flags exist") {
+    val f = Bench.Flag("q05_x", 1.0,
+      Bench.RunStats(6.0, 0, 0, 0, 0, 0, None),
+      Bench.RunStats(2.0, 0, 0, 0, 0, 0, None))
+    val flagged = Bench.compactSummary(30.0, 1, Seq("core" -> 30.0),
+      Seq(f), Nil, "sf", "BENCH_FULL.json")
+    assert(flagged.contains("\"flag_schema\":\"BENCH_NOTES.md#flag-vector\""))
+    val clean = Bench.compactSummary(30.0, 1, Seq("core" -> 30.0),
+      Nil, Nil, "sf", "BENCH_FULL.json")
+    assert(!clean.contains("flag_schema"))
+  }
+
   test("flagged entries are worst-first and carry the twelve-number vitals vector") {
     val mild = Bench.Flag("q01_mild", 10.0,
       Bench.RunStats(21.0, 300.0, 2.0, 1.0, 10.0, 50.0, None),

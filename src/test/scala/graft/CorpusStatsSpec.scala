@@ -165,11 +165,53 @@ class CorpusStatsSpec extends SparkSpec {
       (1, "a", "a", 4L), (2, "a", "</w>", 2L), (3, "aa", "a</w>", 2L)))
   }
 
-  test("bpeTrain: pre-tokenization keeps [A-Za-z]+ words only") {
-    // "x9" and "!!" are not alphabetic words; only "ab" (freq 2) counts.
+  test("bpeTrain: pre-tokenization keeps \\p{L}+ words only") {
+    // "x9" and "!!" are not letter-only words; only "ab" (freq 2) counts.
     // (a,b) ties (b,</w>) at 2 → lhs asc picks (a,b).
     val d = docs(1L -> "ab x9 ab !!")
     assert(bpeMerges(d, 1) == Seq((1, "a", "b", 2L)))
+  }
+
+  test("bpeTrain/bpeVocab: non-ASCII words train and enter the vocabulary") {
+    // Round-12 verdict #2: the [A-Za-z]+ filter trained an English-only
+    // tokenizer on multilingual corpora. Cyrillic, accented Latin, and
+    // CJK words must all pre-tokenize (per codepoint) and merge; "мама"
+    // at freq 3 dominates: (м,а)=6·? — per word [м,а,м,а,</w>] has
+    // (м,а)=2, so n = 6 beats every Latin pair.
+    val d = docs(1L -> "мама мама мама café", 2L -> "日本 café")
+    assert(bpeMerges(d, 1) == Seq((1, "м", "а", 6L)))
+    val vocab = CorpusStats.bpeVocab(d, "text", 1).orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(vocab == Seq(
+      ("café", 2L, "c a f é </w>"),
+      ("мама", 3L, "ма ма </w>"),
+      ("日本", 1L, "日 本 </w>")))
+    // And q146's token pricing counts them instead of dropping them.
+    val counts = CorpusStats.bpeTokenize(d, "doc_id", "text", 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(counts == Seq((1L, 4L, 14L), (2L, 2L, 8L)))
+  }
+
+  test("bpeTrainLocal equals bpeTrain on every trainer fixture") {
+    // The driver-local high-round variant must be output-identical:
+    // same pre-tokenization, same greedy rewrite, same tie-break (in
+    // UTF-8 byte order — exercised by the multilingual fixture).
+    val fixtures = Seq(
+      docs(1L -> "abab abab ab", 2L -> "abab ab") -> 3,
+      docs(1L -> "aaaaa") -> 2,
+      docs(1L -> "aaa aaa") -> 3,
+      docs(1L -> "ab x9 ab !!") -> 1,
+      docs(1L -> "мама мама мама café", 2L -> "日本 café") -> 4,
+      docs(1L -> "a b") -> 5) // early exhaustion: local loop stops too
+    fixtures.foreach { case (d, rounds) =>
+      val dist = bpeMerges(d, rounds)
+      val local = CorpusStats.bpeTrainLocal(d, "text", rounds)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(local == dist, s"local/distributed divergence on rounds=$rounds")
+    }
   }
 
   test("bpeVocab: final segmentation equals the merge sequence applied in order") {

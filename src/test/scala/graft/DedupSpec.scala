@@ -271,6 +271,41 @@ class DedupSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("persisted minhash index (build + append) is bit-equal to the inline cross dedup") {
+    val newSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val refSide = docs.filter(col("doc_id") % 3 === 0)
+    val dir = s"${graft.engine.Sinks.scratch}/dedup_spec_minhash"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    // Query before any build must refuse loudly.
+    assertThrows[IllegalArgumentException] {
+      Dedup.minhashNearDupFromIndex(newSide, dir, "doc_id", "text")
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(refSide, dir, "doc_id", "text")
+    }
+    // Build on the even half, append the odd half — the maintenance
+    // path; stored params (not caller args) drive the append + query.
+    Dedup.buildMinhashIndex(refSide.filter(col("doc_id") % 2 === 0), dir,
+      "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+    Dedup.appendToMinhashIndex(refSide.filter(col("doc_id") % 2 === 1), dir,
+      "doc_id", "text")
+    assert(Dedup.minhashIndexExists(spark, dir))
+    val fromIndex = Dedup.minhashNearDupFromIndex(newSide, dir,
+      "doc_id", "text", threshold = 0.5)
+      .orderBy("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = Dedup.minhashNearDupAcross(newSide, refSide, "doc_id",
+      "text", n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .orderBy("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inline.nonEmpty, "fixture must contain cross-corpus near-dups")
+    assert(fromIndex == inline,
+      "stored shingles/bands must be bit-invisible vs inline recompute")
+    graft.engine.Caches.release()
+  }
+
   test("deletion-index fuzzy join equals the exhaustive edit-distance pairs") {
     import spark.implicits._
     // Substitution, insertion, deletion, transposition (ed=2, must be

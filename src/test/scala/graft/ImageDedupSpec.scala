@@ -139,6 +139,116 @@ class ImageDedupSpec extends SparkSpec {
     hashes.unpersist()
   }
 
+  test("exact-fingerprint pre-collapse: bounded candidates under a degenerate template, recall unchanged") {
+    import spark.implicits._
+    // A corpus dominated by ONE visual template: 200 images share a
+    // single hash (the solid-thumbnail scenario the skew note names),
+    // plus a near-dup of the template (Hamming 1), a far hash, and a
+    // second small class of 3. Without the pre-collapse the candidate
+    // join is quadratic in the dominant bucket (200² band rows); with
+    // it, only one representative per DISTINCT hash bands.
+    val h0 = 0x0f1e2d3c4b5a697L
+    val rows =
+      (1L to 200L).map(i => ImageHash(i, "ok", Some(h0))) ++
+        Seq(ImageHash(300L, "ok", Some(h0 ^ (1L << 7))),
+          ImageHash(301L, "ok", Some(0x7777777777777L))) ++
+        (400L to 402L).map(i => ImageHash(i, "ok", Some(0x123L)))
+    val hs = rows.toDS().toDF().select(col("img_id"), col("phash"))
+    // Candidate stage: 4 distinct hashes → at most C(4,2)=6 verified
+    // class pairs, of which exactly one is within Hamming 3.
+    val classes = hs.groupBy("phash").agg(min("img_id").as("img_id"))
+    val reps = ImageDedup.classPairs(classes, maxHamming = 3).collect()
+    assert(reps.length == 1,
+      s"pre-collapse must verify class pairs, not member pairs: $reps")
+    // Full output equals the naive all-member construction: 200·199/2
+    // within-class pairs at Hamming 0 for the template, 3 for the 400s,
+    // plus 200 cross pairs template×near-dup at Hamming 1.
+    val got = ImageDedup.bandedPairs(hs, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val naive = ImageDedup.bandedPairsNaive(hs, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == naive)
+    assert(got.length == 200 * 199 / 2 + 3 + 200)
+    assert(got.count(_._3 == 1) == 200)
+    graft.engine.Caches.release()
+  }
+
+  test("pre-collapsed cross dedup equals the naive cross band join") {
+    import spark.implicits._
+    val h0 = 0x0f1e2d3c4b5a697L
+    val newHs = Seq(ImageHash(1L, "ok", Some(h0)),
+        ImageHash(2L, "ok", Some(h0)),
+        ImageHash(3L, "ok", Some(h0 ^ (1L << 40))),
+        ImageHash(4L, "ok", Some(0x5555L))).toDS().toDF()
+      .select(col("img_id"), col("phash"))
+    val refHs = Seq(ImageHash(10L, "ok", Some(h0)),
+        ImageHash(11L, "ok", Some(h0 ^ (1L << 2) ^ (1L << 20))),
+        ImageHash(12L, "ok", Some(0x7777777777777L))).toDS().toDF()
+      .select(col("img_id"), col("phash"))
+    val got = ImageDedup.phashNearDupAcross(newHs, refHs, maxHamming = 3)
+      .orderBy("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // Brute force over the 4×3 cross pairs.
+    val newV = Seq(1L -> h0, 2L -> h0, 3L -> (h0 ^ (1L << 40)), 4L -> 0x5555L)
+    val refV = Seq(10L -> h0, 11L -> (h0 ^ (1L << 2) ^ (1L << 20)),
+      12L -> 0x7777777777777L)
+    val brute = (for {
+      (n, hn) <- newV; (r, hr) <- refV
+      d = java.lang.Long.bitCount(hn ^ hr) if d <= 3
+    } yield (n, r, d)).sortBy(p => (p._1, p._2))
+    assert(got == brute)
+    graft.engine.Caches.release()
+  }
+
+  test("persisted phash index (build + append) is bit-equal to the inline cross dedup") {
+    import spark.implicits._
+    val d = docs(37L to 59L: _*)
+    val refHs = ImageDedup.phashImages(spark,
+        ImageDedup.texturedBases(spark, d)).toDF()
+      .filter(col("phash").isNotNull)
+      .select(col("img_id"), col("phash")).cache()
+    val newHs = ImageDedup.phashImages(spark,
+        ImageDedup.texturedTwins(spark, d)).toDF()
+      .filter(col("phash").isNotNull)
+      .select(col("img_id"), col("phash")).cache()
+    // The subset generators must reproduce exactly texturedMedia's split.
+    val all = ImageDedup.phashImages(spark,
+      ImageDedup.texturedMedia(spark, d)).toDF()
+      .filter(col("phash").isNotNull)
+      .select(col("img_id"), col("phash"))
+    assert(all.filter(col("img_id") < ImageDedup.BrightTwinOffset)
+      .except(refHs).isEmpty && refHs.except(
+        all.filter(col("img_id") < ImageDedup.BrightTwinOffset)).isEmpty)
+    assert(all.filter(col("img_id") >= ImageDedup.BrightTwinOffset)
+      .except(newHs).isEmpty && newHs.except(
+        all.filter(col("img_id") >= ImageDedup.BrightTwinOffset)).isEmpty)
+    val dir = s"${graft.engine.Sinks.scratch}/dedup_spec_phash"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    assertThrows[IllegalArgumentException] {
+      ImageDedup.phashNearDupAcrossFromIndex(newHs, dir)
+    }
+    assertThrows[IllegalArgumentException] {
+      ImageDedup.appendToPhashIndex(refHs, dir)
+    }
+    ImageDedup.buildPhashIndex(refHs.filter(col("img_id") % 2 === 0), dir)
+    ImageDedup.appendToPhashIndex(refHs.filter(col("img_id") % 2 === 1), dir)
+    assert(ImageDedup.phashIndexExists(spark, dir))
+    val fromIndex = ImageDedup.phashNearDupAcrossFromIndex(newHs, dir,
+      maxHamming = 3).orderBy("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val inline = ImageDedup.phashNearDupAcross(newHs, refHs, maxHamming = 3)
+      .orderBy("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inline.nonEmpty, "fixture must contain cross near-dups")
+    assert(fromIndex == inline)
+    refHs.unpersist(); newHs.unpersist()
+    graft.engine.Caches.release()
+  }
+
   test("multimodal curation: corrupt images quarantine their documents; quality floor holds") {
     val out = SparkEntry.queries("q145_multimodal_curation")(spark, sf)
       .collect()
