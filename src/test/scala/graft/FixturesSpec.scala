@@ -20,8 +20,17 @@ class FixturesSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  /** Scratch roots survive across JVMs (that is the point of the
+    * fixture gate) — each test wipes its own root so the build-count
+    * assertions hold on re-runs too. */
+  private def cleanRoot(root: String): Unit =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+
   test("changed non-first embedding component misses the fixture cache") {
     val root = s"${graft.engine.Sinks.scratch}/fixtures_spec_content"
+    cleanRoot(root)
     var builds = 0
     def ensure(df: org.apache.spark.sql.DataFrame): String =
       Fixtures.ensure(spark, df, "vec_id", root, "idx",
@@ -43,6 +52,7 @@ class FixturesSpec extends SparkSpec {
 
   test("pure-id artifacts memoize; the completion marker still gates deletions") {
     val root = s"${graft.engine.Sinks.scratch}/fixtures_spec_ids"
+    cleanRoot(root)
     var builds = 0
     def ensure(): String =
       Fixtures.ensure(spark, frame(2.0f), "vec_id", root, "media",
