@@ -163,6 +163,20 @@ object SparkEntry {
     }
   }
 
+  /** Persisted BPE tokenizer model for `dir`'s corpus: trained ONCE on
+    * the reference slice (doc_id % 3 == 0 — the q148 split, so the
+    * apply slice is genuinely unseen text) via the driver-local
+    * trainer, stored as the merges table. Content-keyed like the
+    * MinHash index: the model is a function of the TEXT. */
+  private def storedBpeModel(s: SparkSession, dir: String): String = {
+    val ref = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+    graft.engine.Fixtures.ensure(s, ref, "doc_id",
+      s"${Sinks.scratch}/bpe_model", "m10", Some(dir),
+      contentSig = Some(pmod(xxhash64(col("text")), lit(1000000007L)))) { idx =>
+      CorpusStats.saveBpeModel(ref, "text", rounds = 10, idx)
+    }
+  }
+
   /** Fixture-backed query → (family, kind): which single fixture each
     * timed body reads, so [[warmFixtures]] can materialize exactly the
     * subset a filtered bench run needs. */
@@ -175,7 +189,8 @@ object SparkEntry {
     "q137_pq_index_append" -> ("ann", "pq_grown"),
     "q138_ivfpq_index_append" -> ("ann", "ivfpq_grown"),
     "q148_minhash_stored_dedup" -> ("dedup", "minhash"),
-    "q149_phash_stored_dedup" -> ("dedup", "phash"))
+    "q149_phash_stored_dedup" -> ("dedup", "phash"),
+    "q150_bpe_apply_stored" -> ("bpemodel", "m10"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -198,6 +213,9 @@ object SparkEntry {
       case ("media", k) => mediaFixture(s, dir, k).count()
       case ("dedup", k) =>
         storedDedupIndex(s, dir, k)
+        graft.engine.Caches.release()
+      case ("bpemodel", _) =>
+        storedBpeModel(s, dir)
         graft.engine.Caches.release()
       case (_, k) =>
         storedAnnIndex(s, dir, k)
@@ -1731,7 +1749,21 @@ object SparkEntry {
       graft.operators.ImageDedup.phashNearDupAcrossFromIndex(
         newHs, storedDedupIndex(s, dir, "phash"), maxHamming = 3)
         .orderBy("new_id", "ref_id")
-    })
+    }),
+
+    // Tokenize an UNSEEN corpus with a STORED BPE model: the tokenizer
+    // lifecycle's last leg (train q140 → vocab q142 → price own corpus
+    // q146 → persist + apply to new text here). Trained once on the
+    // reference slice (driver-local trainer, spec-equal to the
+    // distributed loop), stored as the merges table; the apply slice's
+    // own vocabulary is segmented by replaying the frozen merges —
+    // unseen words segment too (characters where no merge applies)
+    // instead of silently dropping like a vocabulary join would.
+    "q150_bpe_apply_stored" -> ((s, dir) =>
+      CorpusStats.bpeTokenizeFromModel(
+        Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", storedBpeModel(s, dir))
+        .orderBy("doc_id"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2659,6 +2691,9 @@ object SparkEntry {
       Dedup.trueJaccardAcrossSql(3, 0.5, refMod = 3),
 
     "q149_phash_stored_dedup" ->
-      graft.operators.ImageDedup.phashAcrossSql(maxHamming = 3)
+      graft.operators.ImageDedup.phashAcrossSql(maxHamming = 3),
+
+    "q150_bpe_apply_stored" -> CorpusStats.bpeApplyFromModelSql(
+      rounds = 10, trainPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0")
   )
 }

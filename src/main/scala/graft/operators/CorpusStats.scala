@@ -610,12 +610,7 @@ object CorpusStats {
           val (a, b, n) = best.head
           merges += ((r, a, b, n))
           val next = cur
-            .withColumn("syms", aggregate(col("syms"),
-              array().cast("array<string>"),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, size(acc)) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                .otherwise(concat(acc, array(x)))))
+            .withColumn("syms", mergeFold(col("syms"), a, b))
             .persist()
           // A failed barrier must release ITS cache too — the outer
           // catch only sees `cur`.
@@ -631,6 +626,98 @@ object CorpusStats {
       case t: Throwable => cur.unpersist(blocking = false); throw t
     }
     (merges.toSeq, cur)
+  }
+
+  /** The greedy left-to-right non-overlapping (lhs, rhs) merge as a
+    * single fold over a symbol array — the ONE rewrite every BPE path
+    * uses (training rounds, and model replay in
+    * [[bpeTokenizeFromModel]]): merge when the accumulator's last
+    * symbol is `lhs` and the current is `rhs`; the merged token
+    * `lhs+rhs` can never equal `lhs` (rhs nonempty), so a merge never
+    * cascades within one application. */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, size(acc)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  // --------------------------------------------- persisted BPE model
+
+  private def modelMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_MODEL_SUCCESS")
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True iff `dir` holds a COMPLETED BPE model. */
+  def bpeModelExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = fsOf(spark, dir).exists(modelMarker(dir))
+
+  /** Train a BPE tokenizer and PERSIST the model — one parquet table
+    * `merges` (round, lhs, rhs, n), which IS the tokenizer (the merge
+    * list replayed in order segments any text). Completes the stored-
+    * state story for the tokenizer family the way q135-q138/q148/q149
+    * complete it for ANN and dedup: training runs once, every corpus
+    * tokenization afterwards reads the stored merges. Trains with
+    * [[bpeTrainLocal]] — the production-shape variant this persistence
+    * exists for (30k-round vocabularies collect the word table once
+    * and merge locally; output spec-pinned identical to [[bpeTrain]]).
+    * Same completion-marker lifecycle as every stored index. */
+  def saveBpeModel(docs: DataFrame, textCol: String, rounds: Int,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, dir)
+    fs.delete(modelMarker(dir), false)
+    bpeTrainLocal(docs, textCol, rounds)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    fs.create(modelMarker(dir), true).close()
+  }
+
+  /** Tokenize an ARBITRARY corpus with a STORED model: replay the
+    * trained merges in order over the corpus's own distinct words —
+    * per-document word and subword counts under the trained
+    * segmentation. The train→apply completion [[bpeTokenize]] only
+    * half-delivers: it joins against the TRAINING corpus's vocabulary,
+    * so unseen words silently drop; here every `\p{L}+` word
+    * segments — seen words exactly as the trained vocabulary does,
+    * UNSEEN words by the same merge replay (falling back to characters
+    * where no merge applies), which is what a real tokenizer does with
+    * new text.
+    *
+    * Scale shape: merges are a ≤rounds-row driver list (bounded by the
+    * model, not the data); the corpus is scanned once for its
+    * vocab-sized distinct-word table, each stored merge is one
+    * [[mergeFold]] column rewrite over that table (lazy — ONE job for
+    * the whole replay, no per-round materialization since there is no
+    * per-round argmax to collect), and the segmented vocabulary
+    * broadcasts to the per-document counting join, exactly
+    * [[bpeTokenize]]'s plan. */
+  def bpeTokenizeFromModel(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(bpeModelExists(spark, dir),
+      s"no completed BPE model at $dir — run saveBpeModel first")
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words0 = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^\\p{L}+$"))
+      .distinct()
+      .select(col("word"),
+        concat(array_remove(split(col("word"), ""), ""),
+          array(lit("</w>"))).as("syms"))
+    val segmented = merges.foldLeft(words0) { case (df, (a, b)) =>
+      df.withColumn("syms", mergeFold(col("syms"), a, b))
+    }
+    val vocab = segmented.select(col("word"), size(col("syms")).as("n_sub"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^\\p{L}+$"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
   }
 
   /** Oracle twin of [[bpeTrain]] (`documents` hard-wired): the full
@@ -662,7 +749,50 @@ object CorpusStats {
       s"\nSELECT word, freq, array_to_string(syms, ' ') AS tokens " +
       s"FROM w$rounds ORDER BY word"
 
-  private def bpeChainSql(rounds: Int): String = {
+  /** The gaps-and-islands greedy-rewrite CTE block: rewrite the word
+    * table `src` by the single pair held in `b`, emitting the tables
+    * `$e`/`$sel`/`$out` — shared verbatim by the TRAINING chain (b =
+    * that round's argmax) and the model-APPLY chain (b = the trained
+    * round's pair), so the two oracles cannot drift. An empty `b`
+    * (exhausted round) marks nothing and `$out` = `src`. */
+  private def rewriteSql(e: String, sel: String, out: String,
+      src: String, b: String): String =
+    s"""$e AS MATERIALIZED (
+       |  SELECT word, freq, i, syms[i] AS s,
+       |    COALESCE(syms[i] = (SELECT lhs FROM $b)
+       |         AND syms[i+1] = (SELECT rhs FROM $b), FALSE) AS m
+       |  FROM (SELECT word, freq, syms,
+       |        unnest(range(1, len(syms)+1)) AS i FROM $src)),
+       |$sel AS (
+       |  SELECT word, i FROM (
+       |    SELECT word, i,
+       |      ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS k
+       |    FROM (SELECT word, i,
+       |          i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+       |          FROM $e WHERE m)) WHERE k % 2 = 1),
+       |$out AS MATERIALIZED (
+       |  SELECT word, freq, list(tok ORDER BY i) AS syms FROM (
+       |    SELECT e.word, e.freq, e.i,
+       |      CASE WHEN sel.i IS NOT NULL
+       |        THEN e.s || (SELECT rhs FROM $b) ELSE e.s END AS tok,
+       |      prev.i IS NOT NULL AS consumed
+       |    FROM $e e
+       |    LEFT JOIN $sel sel ON sel.word = e.word AND sel.i = e.i
+       |    LEFT JOIN $sel prev ON prev.word = e.word AND prev.i = e.i - 1)
+       |  WHERE NOT consumed GROUP BY word, freq)""".stripMargin
+
+  /** Word-table header: `$name` = distinct `\p{L}+` words of
+    * `documents` (under `pred`) with counts and codepoint symbols. */
+  private def wordTableSql(name: String, pred: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, len(word)+1), i -> word[i:i])
+       |      || ['</w>'] AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents WHERE $pred)
+       |  WHERE regexp_matches(word, '^\\p{L}+$$') GROUP BY word)""".stripMargin
+
+  private def bpeChainSql(rounds: Int, pred: String = "TRUE"): String = {
     def roundSql(r: Int): String = {
       val p = r - 1
       s"""pc$r AS (
@@ -672,37 +802,33 @@ object CorpusStats {
          |    FROM w$p) GROUP BY p.l, p.r),
          |b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM pc$r
          |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
-         |e$r AS MATERIALIZED (
-         |  SELECT word, freq, i, syms[i] AS s,
-         |    COALESCE(syms[i] = (SELECT lhs FROM b$r)
-         |         AND syms[i+1] = (SELECT rhs FROM b$r), FALSE) AS m
-         |  FROM (SELECT word, freq, syms,
-         |        unnest(range(1, len(syms)+1)) AS i FROM w$p)),
-         |sel$r AS (
-         |  SELECT word, i FROM (
-         |    SELECT word, i,
-         |      ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS k
-         |    FROM (SELECT word, i,
-         |          i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
-         |          FROM e$r WHERE m)) WHERE k % 2 = 1),
-         |w$r AS MATERIALIZED (
-         |  SELECT word, freq, list(tok ORDER BY i) AS syms FROM (
-         |    SELECT e.word, e.freq, e.i,
-         |      CASE WHEN sel.i IS NOT NULL
-         |        THEN e.s || (SELECT rhs FROM b$r) ELSE e.s END AS tok,
-         |      prev.i IS NOT NULL AS consumed
-         |    FROM e$r e
-         |    LEFT JOIN sel$r sel ON sel.word = e.word AND sel.i = e.i
-         |    LEFT JOIN sel$r prev ON prev.word = e.word AND prev.i = e.i - 1)
-         |  WHERE NOT consumed GROUP BY word, freq)""".stripMargin
+         |${rewriteSql(s"e$r", s"sel$r", s"w$r", s"w$p", s"b$r")}""".stripMargin
     }
-    val header =
-      """WITH w0 AS MATERIALIZED (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-        |    list_transform(range(1, len(word)+1), i -> word[i:i])
-        |      || ['</w>'] AS syms
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE regexp_matches(word, '^\p{L}+$') GROUP BY word)""".stripMargin
-    header + ",\n" + (1 to rounds).map(roundSql).mkString(",\n")
+    "WITH " + wordTableSql("w0", pred) + ",\n" +
+      (1 to rounds).map(roundSql).mkString(",\n")
+  }
+
+  /** Oracle twin of [[saveBpeModel]] + [[bpeTokenizeFromModel]] over a
+    * `documents` split: the training chain unrolled on the `trainPred`
+    * slice (its `b$r` tables ARE the stored model), then the APPLY
+    * chain — the `applyPred` slice's own word table rewritten by the
+    * same `b$r` pairs in order (no pair counting, no argmax: the model
+    * is frozen), then per-document counts over the fully-segmented
+    * apply vocabulary. Unseen words flow through rounds whose pair
+    * never occurs in them — exactly the Spark side's merge replay. */
+  def bpeApplyFromModelSql(rounds: Int, trainPred: String,
+      applyPred: String): String = {
+    val applyBlocks = (1 to rounds).map(r =>
+      rewriteSql(s"ae$r", s"asel$r", s"a$r", s"a${r - 1}", s"b$r"))
+    bpeChainSql(rounds, trainPred) + ",\n" +
+      wordTableSql("a0", applyPred) + ",\n" +
+      applyBlocks.mkString(",\n") +
+      s"""
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents WHERE $applyPred) t
+       |JOIN a$rounds w USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 }

@@ -241,6 +241,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(counts(3) == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
   }
 
+  test("bpeTokenizeFromModel: stored merges segment seen AND unseen words") {
+    val dir = s"${graft.engine.Sinks.scratch}/bpe_model_spec"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val applyCorpus = docs(5L -> "abab abba zz ab x9")
+    assertThrows[IllegalArgumentException] {
+      CorpusStats.bpeTokenizeFromModel(applyCorpus, "doc_id", "text", dir)
+    }
+    // Trained merges (the hand-computed fixture): (a,b), (ab,</w>),
+    // (ab,ab</w>).
+    CorpusStats.saveBpeModel(
+      docs(1L -> "abab abab ab", 2L -> "abab ab"), "text", rounds = 3, dir)
+    assert(CorpusStats.bpeModelExists(spark, dir))
+    // Replay over the UNSEEN corpus: abab→[abab</w>] (1); abba→
+    // [ab,b,a,</w>] (4 — only the first merge fires); zz→[z,z,</w>]
+    // (3 — no merge applies, characters survive); ab→[ab</w>] (1);
+    // x9 is not a letter word and never tokenizes. A vocabulary JOIN
+    // (bpeTokenize's contract) would drop abba and zz entirely.
+    val out = CorpusStats.bpeTokenizeFromModel(applyCorpus,
+      "doc_id", "text", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((5L, 4L, 9L)))
+  }
+
   test("bpeTrain: stops early when the corpus is fully merged") {
     // After (a,</w>) and (b,</w>) every word is a single symbol: round
     // 3 finds no pairs and the loop breaks — 2 rows despite rounds=5.
