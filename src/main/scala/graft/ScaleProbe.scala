@@ -35,7 +35,11 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
-      .filter(SparkEntry.queries.contains)
+    // A typo'd SCALE_ONLY name silently shrinking the probe would read
+    // as "covered" — fail loudly instead (review finding).
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SCALE_ONLY names unregistered queries: ${unknown.mkString(",")}")
     val spark = graft.engine.Sessions.local(cpus)
 
     val t0 = System.nanoTime()
@@ -45,6 +49,14 @@ object ScaleProbe {
 
     def n2(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // The one parseable stdout line must survive hostile env paths —
+    // same jstr contract as Bench's summary (review finding).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def timed(name: String, dir: String): Double = {
       val s0 = System.nanoTime()
       val res = try { SparkEntry.queries(name)(spark, dir).count(); None }
@@ -57,6 +69,16 @@ object ScaleProbe {
       if (res.isDefined) -1.0 else sec
     }
 
+    // Untimed warm-up: the first timed query otherwise absorbs the
+    // whole first-in-JVM ramp into its 1× BASE wall (measured 12.85×
+    // in Bench), deflating its ratio — a quadratic regression in the
+    // suite's most expensive query could still print "linear"
+    // (review finding). On a marker-warm corpus this is the JVM's
+    // first Spark action, so the warm-up matters most exactly then.
+    names.headOption.foreach { name =>
+      val w = timed(name, baseDir)
+      System.err.println(f"[scale] warmup($name) $w%.2f s (discarded)")
+    }
     val rows = names.map { name =>
       val base = timed(name, baseDir)
       val scaled = timed(name, outDir)
@@ -64,10 +86,10 @@ object ScaleProbe {
       name -> ((base, scaled, ratio))
     }
     val qJson = rows.map { case (name, (b, s, r)) =>
-      s""""$name":{"base":${n2(b)},"scaled":${n2(s)},"ratio":${n2(r)}}"""
+      s"""${jstr(name)}:{"base":${n2(b)},"scaled":${n2(s)},"ratio":${n2(r)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","k":$k,"base_dir":"$baseDir",""" +
-      s""""scaled_dir":"$outDir","queries":$qJson}""")
+    println(s"""{"metric":"scale_probe","k":$k,"base_dir":${jstr(baseDir)},""" +
+      s""""scaled_dir":${jstr(outDir)},"queries":$qJson}""")
     spark.stop()
   }
 }

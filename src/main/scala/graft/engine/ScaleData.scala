@@ -22,44 +22,85 @@ import org.apache.spark.sql.functions._
   *    must stay broadcast.
   *  - DOCUMENT TEXT gets a per-copy LETTER tag appended to every word
   *    (letters only — the `\p{L}+` BPE filter must keep accepting
-  *    them). Within-copy lexical structure (shingle relations, Jaccard
-  *    pairs, BPE statistics) is exactly the base corpus's; cross-copy
-  *    shingle spaces are disjoint, so near-dup pair counts scale k×,
-  *    not k²× (a plain union would make every document 10-way
-  *    identical and the dedup suite quadratic in k — a different
-  *    workload, not a bigger one).
-  *  - CUSTOMER NAMES get a TWO-letter copy tag: any two tags differ in
-  *    both positions, so cross-copy Levenshtein distance is ≥ 2 and
-  *    the fuzzy-join pair population scales k× (a one-char tag would
-  *    put every name at distance 1 from its 9 siblings).
+  *    them). EVERY copy is tagged (copy 0 included), which makes
+  *    cross-copy disjointness STRUCTURAL, not data-dependent: a copy-i
+  *    word always ends in `tag(i)`, so words (and hence shingles) from
+  *    different copies can never be equal whatever the base corpus
+  *    contains (an untagged copy 0 could collide with copy 1 on a base
+  *    corpus holding both `w` and `w+tag(1)` — review finding).
+  *    Appending one common letter to every word of a copy is a
+  *    bijection on its shingle space, so within-copy lexical structure
+  *    (Jaccard relations, BPE statistics) is exactly the base
+  *    corpus's; near-dup pair populations therefore scale k×, not k²×
+  *    (a plain union would make every document k-way identical and
+  *    the dedup suite quadratic in k — a different workload, not a
+  *    bigger one).
+  *  - CUSTOMER NAMES get a TWO-letter copy tag on every copy: a string
+  *    ending `aa` is at Levenshtein ≥ 2 from any string ending `bb`
+  *    (a single edit cannot change both trailing characters), so
+  *    cross-copy fuzzy-join pairs are structurally impossible at the
+  *    ≤1 threshold, while a common suffix preserves every within-copy
+  *    distance — the pair population scales exactly k×.
   *  - EMBEDDINGS are circularly ROTATED by copy index: norm-preserving
   *    and within-copy geometry identical (all 1× cosine structure
   *    survives per copy), cross-copy decorrelated — ANN candidate
   *    populations scale k×, not k²× in collapsed duplicate cells.
   *
-  * A `_SCALE_COMPLETE` marker commits after all tables landed (the
-  * fixture-gate convention), so repeat probe runs reuse the corpus. */
+  * A `_SCALE_COMPLETE` marker commits after all tables landed; its
+  * CONTENT is a fingerprint of (base dir, k, base row counts/max ids),
+  * so a scaled corpus synthesized from a different base — a different
+  * SF dir reusing the default scratch path, or regenerated testdata —
+  * is rebuilt instead of silently reused against the wrong 1× walls
+  * (review finding). */
 object ScaleData {
 
-  /** Per-copy letter tag (copy 0 keeps pristine content). */
+  /** Per-copy letter tag. */
   private def tag(i: Int): String = ('a' + (i % 26)).toChar.toString
 
-  private def marker(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_SCALE_COMPLETE")
+  private val Marker = "_SCALE_COMPLETE"
 
-  def exists(spark: SparkSession, dir: String): Boolean =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(marker(dir))
+  /** Identity of a synthesized corpus: where it came from, at what k,
+    * and the base's cheap row fingerprints (metadata-served counts +
+    * key maxima of the two corpora whose content the probe stresses). */
+  private def fingerprint(spark: SparkSession, baseDir: String,
+      k: Int): String = {
+    def fp(t: String, idCol: String): String = {
+      val r = spark.read.parquet(s"$baseDir/$t.parquet")
+        .agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L))).head()
+      s"$t=${r.getLong(0)}/${r.getLong(1)}"
+    }
+    s"$baseDir|k=$k|${fp("documents", "doc_id")}|${fp("lineitem", "l_orderkey")}"
+  }
 
-  /** Synthesize the ×k corpus under `outDir` (skipped when the
-    * completion marker is present). */
+  /** True iff `outDir` holds a completed corpus matching `baseDir`/k. */
+  def matches(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int): Boolean = {
+    val f = Markers.fs(spark, outDir)
+    val p = Markers.path(outDir, Marker)
+    f.exists(p) && {
+      val in = f.open(p)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      stored == fingerprint(spark, baseDir, k)
+    }
+  }
+
+  /** Synthesize the ×k corpus under `outDir` (skipped when a completed
+    * corpus with a MATCHING source fingerprint is present; a stale one
+    * is deleted and rebuilt). */
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
       k: Int): Unit = {
     require(k >= 1 && k <= 26, s"k must be in [1, 26], got $k")
-    if (exists(spark, outDir)) return
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = fingerprint(spark, baseDir, k)
+    val fs = Markers.fs(spark, outDir)
+    val markerPath = Markers.path(outDir, Marker)
+    if (fs.exists(markerPath)) {
+      val in = fs.open(markerPath)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (stored == fp) return
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    }
 
     def base(t: String): DataFrame =
       spark.read.parquet(s"$baseDir/$t.parquet")
@@ -71,61 +112,62 @@ object ScaleData {
     // 1× dims, copied as-is.
     Seq("region", "nation", "supplier", "part").foreach(t => write(base(t), t))
 
-    // Scaled copies: one unioned plan per table (k branches over the
-    // same scan — Spark reuses the exchange; output is k× the input).
-    def scaled(df: DataFrame, copy: Int => DataFrame): DataFrame =
-      (0 until k).map(copy).reduce(_ unionAll _)
+    // Scaled copies: k union branches over ONE cached scan — without
+    // the cache each branch re-reads the base parquet (scan+project
+    // branches share no exchange for reuse), k× the necessary input
+    // IO (review finding).
+    def scaled(src: DataFrame, copy: (DataFrame, Int) => DataFrame)
+        (t: String): Unit = {
+      val cached = src.persist()
+      try {
+        cached.count()
+        write((0 until k).map(i => copy(cached, i)).reduce(_ unionAll _), t)
+      } finally cached.unpersist(blocking = false)
+    }
 
     val cust = base("customer")
     val custStride = strideOf(cust, "c_custkey")
-    write(scaled(cust, i => cust.select(
+    scaled(cust, (c, i) => c.select(
       (col("c_custkey") + i * custStride).as("c_custkey"),
-      (if (i == 0) col("c_name")
-       else concat(col("c_name"), lit(tag(i) + tag(i)))).as("c_name"),
-      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))),
-      "customer")
+      concat(col("c_name"), lit(tag(i) + tag(i))).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))("customer")
 
     val orders = base("orders")
     val orderStride = strideOf(orders, "o_orderkey")
-    write(scaled(orders, i => orders
+    scaled(orders, (o, i) => o
       .withColumn("o_orderkey", col("o_orderkey") + i * orderStride)
-      .withColumn("o_custkey", col("o_custkey") + i * custStride)),
-      "orders")
+      .withColumn("o_custkey", col("o_custkey") + i * custStride))("orders")
 
-    val li = base("lineitem")
-    write(scaled(li, i => li
-      .withColumn("l_orderkey", col("l_orderkey") + i * orderStride)),
-      "lineitem")
+    scaled(base("lineitem"), (li, i) => li
+      .withColumn("l_orderkey", col("l_orderkey") + i * orderStride))("lineitem")
 
     val ev = base("events")
     val evStride = strideOf(ev, "event_id")
     val userStride = strideOf(ev, "user_id")
-    write(scaled(ev, i => ev
+    scaled(ev, (e, i) => e
       .withColumn("event_id", col("event_id") + i * evStride)
-      .withColumn("user_id", col("user_id") + i * userStride)),
-      "events")
+      .withColumn("user_id", col("user_id") + i * userStride))("events")
 
     val docs = base("documents")
     val docStride = strideOf(docs, "doc_id")
-    write(scaled(docs, i => docs.select(
+    scaled(docs, (d, i) => d.select(
       (col("doc_id") + i * docStride).as("doc_id"),
-      (if (i == 0) col("text")
-       else array_join(transform(split(col("text"), " "),
-         w => concat(w, lit(tag(i)))), " ")).as("text"),
-      col("lang"), col("source"), col("n_chars"))),
-      "documents")
+      array_join(transform(split(col("text"), " "),
+        w => concat(w, lit(tag(i)))), " ").as("text"),
+      col("lang"), col("source"), col("n_chars")))("documents")
 
     val emb = base("embeddings")
     val vecStride = strideOf(emb, "vec_id")
-    write(scaled(emb, i => emb.select(
+    scaled(emb, (e, i) => e.select(
       (col("vec_id") + i * vecStride).as("vec_id"),
       (if (i == 0) col("embedding")
        else concat(
          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
          slice(col("embedding"), lit(1), lit(i)))).as("embedding"),
-      col("label"))),
-      "embeddings")
+      col("label")))("embeddings")
 
-    fs.create(marker(outDir), true).close()
+    val out = fs.create(markerPath, true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

@@ -644,16 +644,12 @@ object CorpusStats {
 
   // --------------------------------------------- persisted BPE model
 
-  private def modelMarker(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_MODEL_SUCCESS")
-
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val ModelMarker = "_MODEL_SUCCESS"
 
   /** True iff `dir` holds a COMPLETED BPE model. */
   def bpeModelExists(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Boolean = fsOf(spark, dir).exists(modelMarker(dir))
+      dir: String): Boolean =
+    graft.engine.Markers.exists(spark, dir, ModelMarker)
 
   /** Train a BPE tokenizer and PERSIST the model — one parquet table
     * `merges` (round, lhs, rhs, n), which IS the tokenizer (the merge
@@ -666,14 +662,11 @@ object CorpusStats {
     * and merge locally; output spec-pinned identical to [[bpeTrain]]).
     * Same completion-marker lifecycle as every stored index. */
   def saveBpeModel(docs: DataFrame, textCol: String, rounds: Int,
-      dir: String): Unit = {
-    val spark = docs.sparkSession
-    val fs = fsOf(spark, dir)
-    fs.delete(modelMarker(dir), false)
-    bpeTrainLocal(docs, textCol, rounds)
-      .write.mode("overwrite").parquet(s"$dir/merges")
-    fs.create(modelMarker(dir), true).close()
-  }
+      dir: String): Unit =
+    graft.engine.Markers.gated(docs.sparkSession, dir, ModelMarker) {
+      bpeTrainLocal(docs, textCol, rounds)
+        .write.mode("overwrite").parquet(s"$dir/merges")
+    }
 
   /** Tokenize an ARBITRARY corpus with a STORED model: replay the
     * trained merges in order over the corpus's own distinct words —
@@ -686,33 +679,57 @@ object CorpusStats {
     * where no merge applies), which is what a real tokenizer does with
     * new text.
     *
-    * Scale shape: merges are a ≤rounds-row driver list (bounded by the
-    * model, not the data); the corpus is scanned once for its
-    * vocab-sized distinct-word table, each stored merge is one
-    * [[mergeFold]] column rewrite over that table (lazy — ONE job for
-    * the whole replay, no per-round materialization since there is no
-    * per-round argmax to collect), and the segmented vocabulary
-    * broadcasts to the per-document counting join, exactly
-    * [[bpeTokenize]]'s plan. */
+    * Scale shape, sized for the PRODUCTION model this persistence
+    * exists for (30k merges): merges collect as a ≤rounds-row driver
+    * list (bounded by the model, not the data); the corpus is scanned
+    * once for its vocab-sized distinct-word list, which is collected
+    * and segmented DRIVER-LOCALLY — the [[bpeTrainLocal]] argument in
+    * reverse: the replay is per-word string work over a vocab-sized
+    * table, and a plan-side spelling (one nested [[mergeFold]] per
+    * merge) would build a 30k-deep Catalyst lambda tree that dies in
+    * analysis long before any job runs (round-13 review finding). The
+    * segmented vocabulary (word → subword count) then parallelizes
+    * back and BROADCASTS to the per-document counting join, exactly
+    * [[bpeTokenize]]'s plan — the corpus itself never collects and
+    * never shuffles beyond the doc-keyed count. Driver memory bound =
+    * the distinct-word list, the same order as the broadcast the join
+    * ships anyway. */
   def bpeTokenizeFromModel(docs: DataFrame, idCol: String, textCol: String,
       dir: String): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     require(bpeModelExists(spark, dir),
       s"no completed BPE model at $dir — run saveBpeModel first")
     val merges = spark.read.parquet(s"$dir/merges")
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val words0 = docs
+    val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^\\p{L}+$"))
       .distinct()
-      .select(col("word"),
-        concat(array_remove(split(col("word"), ""), ""),
-          array(lit("</w>"))).as("syms"))
-    val segmented = merges.foldLeft(words0) { case (df, (a, b)) =>
-      df.withColumn("syms", mergeFold(col("syms"), a, b))
-    }
-    val vocab = segmented.select(col("word"), size(col("syms")).as("n_sub"))
+      .as[String].collect()
+    // Local replay: same greedy left-fold as [[mergeFold]]/the local
+    // trainer, applied merge-by-merge in training order. For the
+    // production-scale replay an (a, b) -> a+b lookup keyed by the
+    // pair makes each word's pass O(|syms|) per APPLICABLE merge;
+    // here the straightforward ordered replay keeps the semantics
+    // transparently identical to the training rewrite.
+    val vocabRows = words.map { w =>
+      var syms: Array[String] = w.split("").filter(_.nonEmpty) :+ "</w>"
+      merges.foreach { case (a, b) =>
+        if (syms.length >= 2) {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (buf.nonEmpty && buf.last == a && x == b)
+              buf(buf.length - 1) = a + b
+            else buf += x
+          }
+          syms = buf.toArray
+        }
+      }
+      (w, syms.length.toLong)
+    }.toSeq
+    val vocab = vocabRows.toDF("word", "n_sub")
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^\\p{L}+$"))
       .join(broadcast(vocab), Seq("word"))

@@ -510,16 +510,12 @@ object Dedup {
 
   // --------------------------------------------- persisted MinHash index
 
-  private def indexMarker(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_INDEX_SUCCESS")
-
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val IndexMarker = "_INDEX_SUCCESS"
 
   /** True iff `dir` holds a COMPLETED MinHash index build. */
   def minhashIndexExists(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Boolean = fsOf(spark, dir).exists(indexMarker(dir))
+      dir: String): Boolean =
+    graft.engine.Markers.exists(spark, dir, IndexMarker)
 
   /** Build-once persistence of the REFERENCE side of incremental dedup —
     * the production 100 TB shape [[minhashNearDupAcross]]'s scaladoc
@@ -549,19 +545,18 @@ object Dedup {
       seed: Long = 42L): Unit = {
     val spark = ref.sparkSession
     import spark.implicits._
-    val fs = fsOf(spark, dir)
-    fs.delete(indexMarker(dir), false)
-    Seq((n, numHashes, bands, seed))
-      .toDF("n", "num_hashes", "bands", "seed")
-      .write.mode("overwrite").parquet(s"$dir/params")
-    val sh = materialized(parallelized(ref)
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-    sh.write.mode("overwrite").parquet(s"$dir/sh")
-    val (as, bs) = hashFamily(numHashes, seed)
-    sh.select(col("id"), explode(TextKernels.minhashBandsCol(
-        col("sh"), as, bs, bands, MinhashP)).as("band"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    fs.create(indexMarker(dir), true).close()
+    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+      Seq((n, numHashes, bands, seed))
+        .toDF("n", "num_hashes", "bands", "seed")
+        .write.mode("overwrite").parquet(s"$dir/params")
+      val sh = materialized(parallelized(ref)
+        .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+      sh.write.mode("overwrite").parquet(s"$dir/sh")
+      val (as, bs) = hashFamily(numHashes, seed)
+      sh.select(col("id"), explode(TextKernels.minhashBandsCol(
+          col("sh"), as, bs, bands, MinhashP)).as("band"))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+    }
   }
 
   /** Stored LSH params of a completed index. */
@@ -586,16 +581,15 @@ object Dedup {
     require(minhashIndexExists(spark, dir),
       s"no completed MinHash index at $dir — append needs a finished build")
     val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, dir)
-    val fs = fsOf(spark, dir)
-    fs.delete(indexMarker(dir), false)
-    val sh = materialized(parallelized(newRef)
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-    sh.write.mode("append").parquet(s"$dir/sh")
-    val (as, bs) = hashFamily(numHashes, seed)
-    sh.select(col("id"), explode(TextKernels.minhashBandsCol(
-        col("sh"), as, bs, bandsN, MinhashP)).as("band"))
-      .write.mode("append").parquet(s"$dir/bands")
-    fs.create(indexMarker(dir), true).close()
+    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+      val sh = materialized(parallelized(newRef)
+        .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+      sh.write.mode("append").parquet(s"$dir/sh")
+      val (as, bs) = hashFamily(numHashes, seed)
+      sh.select(col("id"), explode(TextKernels.minhashBandsCol(
+          col("sh"), as, bs, bandsN, MinhashP)).as("band"))
+        .write.mode("append").parquet(s"$dir/bands")
+    }
   }
 
   /** [[minhashNearDupAcross]] against a PERSISTED reference index: only

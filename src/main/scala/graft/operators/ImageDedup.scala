@@ -364,8 +364,13 @@ object ImageDedup {
   private[graft] def bandedPairs(hs: DataFrame, maxHamming: Int): DataFrame = {
     requirePigeonhole(maxHamming)
     // One decode scan feeds classes, members and the expansion joins.
+    // The member distinct replaces the round-12 pair-level distinct:
+    // the expansion joins would multiply duplicate (img_id, phash)
+    // input rows into duplicate output pairs (review finding — e.g. a
+    // batch appended twice by a crash-retry), where the old all-member
+    // construction absorbed them.
     val members = graft.engine.Caches.materialized(
-      hs.select(col("img_id"), col("phash")))
+      hs.select(col("img_id"), col("phash")).distinct())
     val classes = graft.engine.Caches.materialized(hashClasses(members))
     val cross = classPairs(classes, maxHamming)
       .join(members.select(col("phash").as("ph_a"), col("img_id").as("id_x")),
@@ -422,10 +427,13 @@ object ImageDedup {
     // Unlike the self-join there is no within/cross split: every
     // (new class, ref class) combination is a cross pair, including
     // equal hashes (Hamming 0), which collide in all four bands.
+    // Member distinct for the same duplicate-input-row reason as
+    // [[bandedPairs]] — the expansion joins must not multiply rows a
+    // crash-retried append duplicated.
     val newM = graft.engine.Caches.materialized(
-      newHs.select(col("img_id"), col("phash")))
+      newHs.select(col("img_id"), col("phash")).distinct())
     val refM = graft.engine.Caches.materialized(
-      refHs.select(col("img_id"), col("phash")))
+      refHs.select(col("img_id"), col("phash")).distinct())
     bandExplode(hashClasses(newM)).as("a")
       .join(bandExplode(hashClasses(refM)).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -457,16 +465,11 @@ object ImageDedup {
 
   // ---------------------------------------------- persisted pHash index
 
-  private def indexMarker(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_INDEX_SUCCESS")
-
-  private def fsOf(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val IndexMarker = "_INDEX_SUCCESS"
 
   /** True iff `dir` holds a COMPLETED pHash index build. */
   def phashIndexExists(spark: SparkSession, dir: String): Boolean =
-    fsOf(spark, dir).exists(indexMarker(dir))
+    graft.engine.Markers.exists(spark, dir, IndexMarker)
 
   /** Persist the REFERENCE side of incremental media dedup — the
     * production shape [[phashNearDupAcross]]'s scaladoc promised: the
@@ -479,14 +482,11 @@ object ImageDedup {
     * content). Same completion-marker lifecycle as the ANN and MinHash
     * indexes. [[phashNearDupAcrossFromIndex]] over this index is
     * bit-equal to the recompute-everything inline twin (ImageDedupSpec). */
-  def buildPhashIndex(refHs: DataFrame, dir: String): Unit = {
-    val spark = refHs.sparkSession
-    val fs = fsOf(spark, dir)
-    fs.delete(indexMarker(dir), false)
-    refHs.select(col("img_id"), col("phash"))
-      .write.mode("overwrite").parquet(s"$dir/hashes")
-    fs.create(indexMarker(dir), true).close()
-  }
+  def buildPhashIndex(refHs: DataFrame, dir: String): Unit =
+    graft.engine.Markers.gated(refHs.sparkSession, dir, IndexMarker) {
+      refHs.select(col("img_id"), col("phash"))
+        .write.mode("overwrite").parquet(s"$dir/hashes")
+    }
 
   /** Index MAINTENANCE: append newly-deduped images' hashes so
     * tomorrow's batches dedup against them too. Append cost is
@@ -498,11 +498,10 @@ object ImageDedup {
     val spark = newHs.sparkSession
     require(phashIndexExists(spark, dir),
       s"no completed pHash index at $dir — append needs a finished build")
-    val fs = fsOf(spark, dir)
-    fs.delete(indexMarker(dir), false)
-    newHs.select(col("img_id"), col("phash"))
-      .write.mode("append").parquet(s"$dir/hashes")
-    fs.create(indexMarker(dir), true).close()
+    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+      newHs.select(col("img_id"), col("phash"))
+        .write.mode("append").parquet(s"$dir/hashes")
+    }
   }
 
   /** [[phashNearDupAcross]] against a PERSISTED reference index: only

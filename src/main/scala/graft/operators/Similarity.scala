@@ -611,17 +611,20 @@ object Similarity {
   /** Completion marker for a persisted ANN index build: parquet's own
     * per-table `_SUCCESS` can exist for an EARLIER table while a later
     * one is mid-write, so build-once gating needs a marker committed
-    * strictly after every table landed. */
+    * strictly after every table landed ([[graft.engine.Markers]] — the
+    * one shared lifecycle all persisted-state artifacts use). */
+  private val IndexMarker = "_INDEX_SUCCESS"
+
   private def indexMarker(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_INDEX_SUCCESS")
+    graft.engine.Markers.path(dir, IndexMarker)
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Markers.fs(spark, dir)
 
   /** True iff `dir` holds a COMPLETED index build. */
   def indexExists(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Boolean = fsOf(spark, dir).exists(indexMarker(dir))
+      dir: String): Boolean =
+    graft.engine.Markers.exists(spark, dir, IndexMarker)
 
   /** Build-once PQ index persistence — the production 100 TB shape:
     * training runs ONCE and every query amortizes it, instead of
