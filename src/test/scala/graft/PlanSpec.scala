@@ -358,4 +358,50 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"expected partial+final aggregation for both stages in:\n$p")
   }
+
+  test("stored MinHash index query: pruned parquet reads, no cartesian, no BNLJ") {
+    // The q148 path reads two stored tables; the band-join side must
+    // scan (id, band) only and the verify join-back (id, sh) only —
+    // over-reading the shingle arrays into the band join would ship
+    // every reference document's shingles through the candidate
+    // shuffle.
+    val dir = s"${graft.engine.Sinks.scratch}/planspec_minhash_idx"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val docs = Tables.documents(spark, sf)
+    graft.operators.Dedup.buildMinhashIndex(
+      docs.filter(col("doc_id") % 3 === 0), dir, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32)
+    val df = graft.operators.Dedup.minhashNearDupFromIndex(
+      docs.filter(col("doc_id") % 3 =!= 0), dir, "doc_id", "text", 0.5)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.toString
+    assert(!scans.contains("CartesianProduct") &&
+      !scans.contains("BroadcastNestedLoopJoin"), s"non-equi join in:\n$scans")
+    // Column pruning must reach both stored-table scans.
+    val bandScan = "ReadSchema: [^\\n]*band".r.findFirstIn(scans)
+    assert(bandScan.exists(s => !s.contains("sh")),
+      s"band-join scan reads more than (id, band): $bandScan")
+    graft.engine.Caches.release()
+  }
+
+  test("stored-model tokenization: vocabulary broadcasts, corpus never shuffles by word") {
+    // q150's counting join must broadcast the segmented vocabulary —
+    // a sort-merge join would shuffle the whole corpus by word for a
+    // vocab-sized lookup (the q146 contract, over stored state).
+    val dir = s"${graft.engine.Sinks.scratch}/planspec_bpe_model"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val docs = Tables.documents(spark, sf)
+    graft.operators.CorpusStats.saveBpeModel(
+      docs.filter(col("doc_id") % 3 === 0), "text", rounds = 3, dir)
+    val p = plan(graft.operators.CorpusStats.bpeTokenizeFromModel(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast vocab join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled by word for a vocab lookup:\n$p")
+  }
 }
