@@ -1763,7 +1763,18 @@ object SparkEntry {
       CorpusStats.bpeTokenizeFromModel(
         Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0),
         "doc_id", "text", storedBpeModel(s, dir))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Exact-substring near-dup via winnowing (MOSS): documents sharing
+    // a verbatim character run of >= w + k - 1 = 33 chars — the
+    // copy-paste/boilerplate detector no bag-of-shingles tier can
+    // express (q23/q24 match reordered word sets; this matches RUNS).
+    // Fingerprint density ~2/(w+1) per gram; candidates equi-join on
+    // the selected gram strings, exact by construction.
+    "q151_winnowing_spans" -> ((s, dir) =>
+      Dedup.winnowedSpanPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 24, w = 10)
+        .orderBy("id_a", "id_b"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2694,6 +2705,10 @@ object SparkEntry {
       graft.operators.ImageDedup.phashAcrossSql(maxHamming = 3),
 
     "q150_bpe_apply_stored" -> CorpusStats.bpeApplyFromModelSql(
-      rounds = 10, trainPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0")
+      rounds = 10, trainPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0"),
+
+    "q151_winnowing_spans" ->
+      (Dedup.winnowedSpanPairsSql(k = 24, w = 10) +
+        "\nORDER BY id_a, id_b")
   )
 }

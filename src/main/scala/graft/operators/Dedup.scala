@@ -829,6 +829,113 @@ object Dedup {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
 
+  // ----------------------------------------- winnowing (exact substring)
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every character `k`-gram,
+    * slide a window of `w` consecutive gram hashes, keep each window's
+    * minimum — the GUARANTEE is that two documents sharing any exact
+    * substring of length ≥ `w + k − 1` select at least one common
+    * fingerprint, because the shared span contains a full window of
+    * identical hashes whose minimum both sides must pick. This is the
+    * character-level EXACT-SUBSTRING member of the dedup family the
+    * word-level tiers cannot express: q23/q24 see bags of word
+    * shingles (reordered boilerplate still matches), while winnowing
+    * finds verbatim runs — license headers, templated disclaimers,
+    * copy-pasted passages — at ~1/w the fingerprint density of
+    * emitting every gram.
+    *
+    * Determinism/engine parity: the gram hash is the md5 HEX STRING
+    * (identical text → identical lowercase hex in Spark and DuckDB),
+    * window minima compare `(hash, pos, gram)` structs
+    * (lexicographic, both engines), and only FULL windows (start pos ≤
+    * grams − w) select — a document shorter than `w + k − 1`
+    * characters selects nothing, the standard winnowing contract
+    * (callers wanting short-doc dedup have [[exact]]).
+    *
+    * Emits distinct selected `(id, pos, gram)` rows. Scale shape: one
+    * projection + one per-document window (partitions are
+    * document-sized) + distinct; fingerprint density ≈ 2/(w+1) per
+    * gram, the paper's bound. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val grams = parallelized(docs)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= k)
+      .select(col("id"), (length(col("text")) - (k - 1)).as("n_g"),
+        explode(sequence(lit(0), length(col("text")) - k)).as("pos"),
+        col("text"))
+      .select(col("id"), col("n_g"), col("pos"),
+        substring(col("text"), col("pos") + 1, lit(k)).as("gram"))
+      .withColumn("h", md5(col("gram").cast("binary")))
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("m", min(struct(col("h"), col("pos"), col("gram"))).over(win))
+      .filter(col("pos") <= col("n_g") - w)
+      .select(col("id"), col("m.pos").as("pos"), col("m.gram").as("gram"))
+      .distinct()
+  }
+
+  /** Exact-substring near-dup pairs via winnowing: documents sharing
+    * ≥ `minShared` selected fingerprints, i.e. (by the winnowing
+    * guarantee, at recall 1 for `minShared = 1`) documents sharing an
+    * exact character run of length ≥ `w + k − 1`. Candidate generation
+    * is the same inverted-index equi-join as every dedup tier — on the
+    * GRAM STRING itself, so matches are exact by construction (no hash
+    * collision caveat). `maxDf` prunes ubiquitous grams (the q23
+    * stop-shingle policy: a fingerprint in more than `maxDf` documents
+    * is corpus boilerplate and would make the posting join quadratic
+    * in its list; df ≥ 2 is implied — a shared gram always has it). */
+  def winnowedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long = 1L, maxDf: Int = 100): DataFrame = {
+    val sel = materialized(
+      winnowingFingerprints(docs, idCol, textCol, k, w)
+        .select(col("id"), col("gram")).distinct())
+    val dfreq = sel.groupBy("gram").agg(count(lit(1)).as("df"))
+    val postings = materialized(
+      sel.join(dfreq.filter(col("df") <= maxDf).select("gram"), Seq("gram")))
+    postings.as("a")
+      .join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB twin of [[winnowedSpanPairs]] over `documents`: the same
+    * gram/window/min/full-window construction with window functions,
+    * the same df prune, exhaustive at oracle scale. */
+  def winnowedSpanPairsSql(k: Int, w: Int, minShared: Long = 1L,
+      maxDf: Int = 100): String =
+    s"""WITH g AS (
+       |  SELECT doc_id AS id, len(text) - ${k - 1} AS n_g, p.pos,
+       |    substr(text, p.pos + 1, $k) AS gram,
+       |    md5(substr(text, p.pos + 1, $k)) AS h
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(range(0, greatest(len(text) - ${k - 1}, 0)))
+       |             AS pos) p
+       |  WHERE len(text) >= $k),
+       |sel AS (
+       |  SELECT DISTINCT id, m.gram AS gram FROM (
+       |    SELECT id, n_g, pos,
+       |      MIN({'h': h, 'pos': pos, 'gram': gram}) OVER (
+       |        PARTITION BY id ORDER BY pos
+       |        ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+       |    FROM g) _
+       |  WHERE pos <= n_g - $w),
+       |keep AS (SELECT gram FROM sel GROUP BY gram
+       |         HAVING COUNT(*) <= $maxDf),
+       |p AS (SELECT sel.id, sel.gram FROM sel JOIN keep USING (gram))
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM p a JOIN p b ON a.gram = b.gram AND a.id < b.id
+       |GROUP BY a.id, b.id
+       |HAVING COUNT(*) >= $minShared""".stripMargin
+
   /** Fuzzy string self-join: distinct value pairs within Levenshtein
     * distance 1, via the deletion-neighborhood inverted index (the
     * SymSpell construction). `ed(a,b) <= 1` implies a and b share an

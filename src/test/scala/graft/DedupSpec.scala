@@ -306,6 +306,47 @@ class DedupSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("winnowing: shared spans >= w+k-1 are ALWAYS caught; short docs select nothing") {
+    import spark.implicits._
+    val k = 8
+    val w = 4
+    // t = w + k - 1 = 11. Docs 1/2 share an exact 14-char run embedded
+    // at DIFFERENT offsets in otherwise-different text (alignment
+    // independence is the point of winnowing); doc 3 is disjoint text;
+    // doc 4 is shorter than t (no full window -> no fingerprints,
+    // can never pair); doc 5 duplicates doc 1 exactly.
+    val sharedRun = "COPYPASTERUN88"
+    val d = Seq(
+      1L -> s"left padding $sharedRun and some trailing words here",
+      2L -> s"completely other prefix text ${sharedRun} different tail",
+      3L -> "nothing in common with anybody else at all in this one",
+      4L -> "tiny bit",
+      5L -> s"left padding $sharedRun and some trailing words here")
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowedSpanPairs(d, "doc_id", "text", k, w)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)), "the winnowing guarantee: span >= t caught")
+    assert(pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)),
+      "exact duplicate pairs with everything its twin pairs with")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint text")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "sub-t doc")
+    assert(Dedup.winnowingFingerprints(
+      d.filter(col("doc_id") === 4L), "doc_id", "text", k, w).count() == 0)
+    // Alignment independence, the stronger claim: the two sides
+    // selected a COMMON gram from inside the shared run even though
+    // their positions differ.
+    val f1 = Dedup.winnowingFingerprints(
+      d.filter(col("doc_id") === 1L), "doc_id", "text", k, w)
+      .select("gram").collect().map(_.getString(0)).toSet
+    val f2 = Dedup.winnowingFingerprints(
+      d.filter(col("doc_id") === 2L), "doc_id", "text", k, w)
+      .select("gram").collect().map(_.getString(0)).toSet
+    assert(f1.intersect(f2).exists(g => sharedRun.contains(g)),
+      s"no common in-run gram; f1∩f2 = ${f1.intersect(f2)}")
+    graft.engine.Caches.release()
+  }
+
   test("deletion-index fuzzy join equals the exhaustive edit-distance pairs") {
     import spark.implicits._
     // Substitution, insertion, deletion, transposition (ed=2, must be
