@@ -97,4 +97,43 @@ object OperatorProperties extends Properties("Operators") {
           r.getLong(3))).toSeq
       run(p1) == run(p2)
     }
+
+  property("winnowing: planted shared spans >= w+k-1 always pair; every pair shares >= k chars") =
+    forAll(
+      // Random low-entropy host texts + a planted shared run of
+      // exactly t = w + k - 1 = 11 chars spliced into docs 0 and 1 at
+      // arbitrary offsets; remaining docs are unrelated noise.
+      Gen.listOfN(4, Gen.choose(12, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))),
+      Gen.listOfN(11, Gen.oneOf('X', 'Y', 'Z')).map(_.mkString),
+      Gen.choose(0, 10), Gen.choose(0, 10)) { (hosts, run, o1, o2) =>
+      import spark.implicits._
+      val k = 8
+      val w = 4
+      def splice(host: String, at: Int): String = {
+        val i = at % (host.length + 1)
+        host.substring(0, i) + run + host.substring(i)
+      }
+      val texts = Seq(
+        0L -> splice(hosts(0), o1),
+        1L -> splice(hosts(1), o2),
+        2L -> hosts(2),
+        3L -> hosts(3))
+      val df = texts.toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup
+        .winnowedSpanPairs(df, "doc_id", "text", k, w, maxDf = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.engine.Caches.release()
+      // RECALL (the winnowing theorem): the planted t-char run always
+      // pairs docs 0 and 1, at any splice offsets. PRECISION (by the
+      // gram-string join): any reported pair shares at least one exact
+      // k-char substring — XYZ-alphabet runs never occur in abc-space
+      // noise, so noise docs may pair only among themselves via a
+      // genuinely shared abc substring.
+      val byText = texts.toMap
+      pairs.contains((0L, 1L)) && pairs.forall { case (a, b) =>
+        val (ta, tb) = (byText(a), byText(b))
+        (0 to ta.length - k).exists(i => tb.contains(ta.substring(i, i + k)))
+      }
+    }
 }
