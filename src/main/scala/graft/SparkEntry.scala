@@ -1774,7 +1774,17 @@ object SparkEntry {
     "q151_winnowing_spans" -> ((s, dir) =>
       Dedup.winnowedSpanPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 24, w = 10)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Boilerplate EXCISION (Lee et al. 2022 repeated-substring
+    // removal): every char position covered by a 24-gram present in
+    // >= 3 distinct docs is cut from every document — the "cure"
+    // companion to q151's detection. Untouched docs pass through, so
+    // the oracle also gates the not-boilerplate complement.
+    "q152_boilerplate_excision" -> ((s, dir) =>
+      Dedup.exciseBoilerplate(Tables.documents(s, dir), "doc_id", "text",
+        k = 24, minDf = 3)
+        .orderBy("doc_id"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2709,6 +2719,9 @@ object SparkEntry {
 
     "q151_winnowing_spans" ->
       (Dedup.winnowedSpanPairsSql(k = 24, w = 10) +
-        "\nORDER BY id_a, id_b")
+        "\nORDER BY id_a, id_b"),
+
+    "q152_boilerplate_excision" ->
+      Dedup.exciseBoilerplateSql(k = 24, minDf = 3)
   )
 }

@@ -936,6 +936,127 @@ object Dedup {
        |GROUP BY a.id, b.id
        |HAVING COUNT(*) >= $minShared""".stripMargin
 
+  /** Cross-document boilerplate EXCISION — the "cure" companion to the
+    * detection tiers (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022: repeated-substring removal):
+    * every character position covered by a `k`-gram occurring in ≥
+    * `minDf` distinct documents is cut out of EVERY document — license
+    * headers, templated disclaimers, navigation chrome — and the
+    * surviving segments re-concatenate in order. Returns
+    * `(id, clean_text, n_removed)` for every input document
+    * (untouched docs pass through with `n_removed = 0`).
+    *
+    * Exactness: a verbatim run of length L ≥ k repeated across ≥
+    * `minDf` docs has EVERY interior k-gram at df ≥ minDf, so the
+    * merged mark intervals cover the entire run — no sampling gap
+    * (this is why excision marks ALL gram positions, not the winnowed
+    * subset: winnowing's 1/w density is right for detection
+    * fingerprints, wrong for cutting, where uncovered slivers would
+    * survive).
+    *
+    * Scale shape: one gram projection (len(text) rows per doc — the
+    * same volume [[winnowingFingerprints]] scans), a distinct +
+    * gram-keyed df count (map-side combined), the mark join, then
+    * per-DOCUMENT windows only (gaps-and-islands interval merge, kept
+    * segments via `lag`) — partitions are document-sized, never
+    * corpus-global — and one doc-keyed reassembly aggregation. The
+    * final concat is order-canonical (sorted offset structs), so the
+    * output is partition-invariant. */
+  def exciseBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minDf >= 2, s"need k >= 1, minDf >= 2; got k=$k minDf=$minDf")
+    val base = materialized(parallelized(docs)
+      .select(col(idCol).as("id"), col(textCol).as("text")))
+    val grams = base.filter(length(col("text")) >= k)
+      .select(col("id"),
+        explode(sequence(lit(0), length(col("text")) - k)).as("pos"),
+        col("text"))
+      .select(col("id"), col("pos"),
+        substring(col("text"), col("pos") + 1, lit(k)).as("gram"))
+    val boiler = grams.select("id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("gram")
+    val marks = grams.join(boiler, Seq("gram")).select("id", "pos")
+    // Gaps-and-islands merge of the [pos, pos+k) mark intervals
+    // (adjacent intervals merge too — one contiguous removal region).
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val intervals = marks
+      .withColumn("ni",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("ni")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min("pos").as("s"), (max(col("pos")) + k).as("e"))
+    // Kept segments = the complement: before each interval (from the
+    // previous interval's end, or 0) plus the per-doc tail.
+    val byStart = Window.partitionBy("id").orderBy("s")
+    val headSegs = intervals
+      .withColumn("gs", coalesce(lag(col("e"), 1).over(byStart), lit(0L)))
+      .select(col("id"), col("gs"), col("s").as("ge"))
+    val tailSegs = intervals.groupBy("id").agg(max("e").as("gs"))
+      .join(base, Seq("id"))
+      .select(col("id"), col("gs"), length(col("text")).cast("long").as("ge"))
+    val rebuilt = headSegs.union(tailSegs)
+      .join(base, Seq("id"))
+      .select(col("id"), struct(col("gs"),
+        substring(col("text"), (col("gs") + 1).cast("int"),
+          (col("ge") - col("gs")).cast("int")).as("seg")).as("p"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("p"))), x => x.getField("seg")),
+        "").as("clean"))
+    base.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean"), col("text")).as("clean_text"),
+        (length(col("text")) - length(coalesce(col("clean"), col("text"))))
+          .cast("long").as("n_removed"))
+  }
+
+  /** DuckDB twin of [[exciseBoilerplate]] over `documents`. */
+  def exciseBoilerplateSql(k: Int, minDf: Int): String =
+    s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+       |g AS (
+       |  SELECT id, p.pos, substr(text, p.pos + 1, $k) AS gram
+       |  FROM base,
+       |    LATERAL (SELECT unnest(range(0, greatest(len(text) - ${k - 1}, 0)))
+       |             AS pos) p
+       |  WHERE len(text) >= $k),
+       |boiler AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY gram) _
+       |  WHERE df >= $minDf),
+       |m AS (SELECT id, pos FROM g JOIN boiler USING (gram)),
+       |isl AS (
+       |  SELECT id, pos, SUM(ni) OVER (PARTITION BY id ORDER BY pos) AS island
+       |  FROM (SELECT id, pos,
+       |      CASE WHEN pos > COALESCE(MAX(pos + $k) OVER (
+       |          PARTITION BY id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |        THEN 1 ELSE 0 END AS ni
+       |    FROM m) _),
+       |iv AS (SELECT id, island, MIN(pos) AS s, MAX(pos) + $k AS e
+       |  FROM isl GROUP BY id, island),
+       |segs AS (
+       |  SELECT id, COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 0) AS gs,
+       |    s AS ge
+       |  FROM iv
+       |  UNION ALL
+       |  SELECT iv.id, MAX(iv.e), len(b.text)
+       |  FROM iv JOIN base b USING (id) GROUP BY iv.id, len(b.text)),
+       |rebuilt AS (
+       |  SELECT s.id,
+       |    string_agg(substr(b.text, CAST(s.gs + 1 AS INT),
+       |      CAST(s.ge - s.gs AS INT)), '' ORDER BY s.gs) AS clean
+       |  FROM segs s JOIN base b USING (id) GROUP BY s.id)
+       |SELECT b.id AS doc_id, COALESCE(r.clean, b.text) AS clean_text,
+       |  CAST(len(b.text) - len(COALESCE(r.clean, b.text)) AS BIGINT)
+       |    AS n_removed
+       |FROM base b LEFT JOIN rebuilt r USING (id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Fuzzy string self-join: distinct value pairs within Levenshtein
     * distance 1, via the deletion-neighborhood inverted index (the
     * SymSpell construction). `ed(a,b) <= 1` implies a and b share an

@@ -347,6 +347,38 @@ class DedupSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("boilerplate excision: full repeated runs cut, overlaps merged, clean docs untouched") {
+    import spark.implicits._
+    val k = 6
+    // "HEADERHEADER" (12 chars) appears in docs 1-3 (df of its interior
+    // 6-grams >= 3); "tailXY" appears in only 2 docs (df 2 < minDf=3,
+    // must survive); doc 4 shares nothing. Overlapping mark intervals
+    // within the run must merge into ONE excision covering all 12
+    // chars — a non-merged cut would leave slivers.
+    val d = Seq(
+      1L -> "aaa HEADERHEADER bbb tailXY",
+      2L -> "cc HEADERHEADER dd",
+      3L -> "HEADERHEADER ee tailXY",
+      4L -> "nothing shared here at all",
+      5L -> "tiny").toDF("doc_id", "text")
+    val out = Dedup.exciseBoilerplate(d, "doc_id", "text", k, minDf = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // The run is cut WHEREVER it sits (start/middle), along with any
+    // adjacent positions whose k-grams straddle into it and also reach
+    // df >= 3: here the run is followed by a space in ALL THREE docs,
+    // so the straddling gram "EADER " has df = 3 and the excision
+    // correctly extends one char past the run (13 = 12 + 1). The
+    // PRECEDING chars differ per doc, so the cut never extends left.
+    assert(out == Seq(
+      (1L, "aaa bbb tailXY", 13L),
+      (2L, "cc dd", 13L),
+      (3L, "ee tailXY", 13L),
+      (4L, "nothing shared here at all", 0L),
+      (5L, "tiny", 0L)))
+    graft.engine.Caches.release()
+  }
+
   test("deletion-index fuzzy join equals the exhaustive edit-distance pairs") {
     import spark.implicits._
     // Substitution, insertion, deletion, transposition (ed=2, must be
