@@ -1784,7 +1784,36 @@ object SparkEntry {
     "q152_boilerplate_excision" -> ((s, dir) =>
       Dedup.exciseBoilerplate(Tables.documents(s, dir), "doc_id", "text",
         k = 24, minDf = 3)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Decontamination EXCISION: span-level benchmark-leak removal —
+    // every 24-gram of a training doc (the q148/q150 non-reference
+    // slice) that occurs anywhere in the held-out slice (doc_id % 3
+    // = 0, standing in for an eval/benchmark corpus) is cut, the rest
+    // of the document survives. The span-level upgrade of q95's
+    // doc-level decontamination drop.
+    "q153_decontam_excision" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exciseContaminated(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", k = 24)
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style quality scoring: per-doc mean log-probability under
+    // a Laplace-smoothed BIGRAM LM trained on the held-out reference
+    // slice (doc_id % 3 = 0, standing in for a trusted corpus) — the
+    // order-1 cross-corpus upgrade of q96's self-corpus unigram score.
+    // Downstream, docs are kept/bucketed by this score.
+    "q154_bigram_logprob" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      CorpusStats.bigramLogProb(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2722,6 +2751,13 @@ object SparkEntry {
         "\nORDER BY id_a, id_b"),
 
     "q152_boilerplate_excision" ->
-      Dedup.exciseBoilerplateSql(k = 24, minDf = 3)
+      Dedup.exciseBoilerplateSql(k = 24, minDf = 3),
+
+    "q153_decontam_excision" ->
+      Dedup.exciseContaminatedSql(k = 24,
+        trainPred = "doc_id % 3 != 0", evalPred = "doc_id % 3 = 0"),
+
+    "q154_bigram_logprob" -> CorpusStats.bigramLogProbSql(
+      refPred = "doc_id % 3 = 0", scorePred = "doc_id % 3 != 0")
   )
 }

@@ -361,6 +361,85 @@ object CorpusStats {
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document mean log-probability under a Laplace-smoothed BIGRAM
+    * language model trained on a separate reference corpus — the CCNet
+    * quality filter (Wenzek et al., LREC 2020: docs are kept or
+    * bucketed by their perplexity under an LM trained on a trusted
+    * corpus; [[unigramLogProb]] is the order-0 self-corpus form, this
+    * is the order-1 cross-corpus form a production pipeline runs
+    * against a curated reference).
+    *
+    * Model: `p(w | prev) = (c2(prev, w) + 1) / (c1(prev) + V)` with
+    * `c2`/`c1` the reference pair/context counts, sentence-start
+    * `prev = "<s>"` for each document's first token, and
+    * `V = |reference vocabulary| + 1` (the +1 is the open-vocabulary
+    * slot: a token or context never seen in the reference has counts
+    * 0 and scores `ln(1/V)`-ish — no unk rewrite is needed, because an
+    * unseen context's lookup already coalesces to the same 0 an
+    * explicit `<unk>` mapping would produce).
+    *
+    * Scale shape: the reference pairs are aggregated ONCE (map-side
+    * combined, bigram-vocabulary-sized — orders of magnitude below the
+    * corpus) and reused for both count tables (persisted); scoring is
+    * two equi-joins keyed on (prev, cur) / prev — AQE broadcasts them
+    * when the reference is small, and they stay shuffle-bounded by the
+    * bigram vocabulary when it is not. V rides along as a broadcast
+    * 1-row frame (no driver round-trip). Determinism: integer counts
+    * feed ONE double division and `ln` per pair, and the per-document
+    * mean is the exact-decimal [[Aggregates.avgExact]], rounded where
+    * emitted — the q96 contract. */
+  def bigramLogProb(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pairs(d: DataFrame): DataFrame =
+      tokensWithPos(d, idCol, textCol)
+        .withColumn("prev", lag(col("w"), 1, "<s>")
+          .over(Window.partitionBy(idCol).orderBy("pos")))
+    val refPairs = graft.engine.Caches.materialized(
+      pairs(ref).groupBy("prev", "w").agg(count(lit(1)).as("c2")))
+    val c1 = refPairs.groupBy("prev").agg(sum("c2").as("c1"))
+    // Every reference token occurs as a `w` (each occurrence is one
+    // pair's cur side), so distinct w IS the reference vocabulary.
+    val vDf = refPairs.agg((countDistinct(col("w")) + 1).as("v"))
+    pairs(docs)
+      .join(refPairs, Seq("prev", "w"), "left")
+      .join(c1, Seq("prev"), "left")
+      .crossJoin(broadcast(vDf))
+      .withColumn("logp", log(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(Aggregates.avgExact(col("logp")), 6).as("bigram_logprob"))
+  }
+
+  /** Oracle twin of [[bigramLogProb]] over `documents`, reference =
+    * rows matching `refPred`, scored = rows matching `scorePred`. */
+  def bigramLogProbSql(refPred: String, scorePred: String): String = {
+    import TextFunctions.{Sql => T}
+    def pairs(pred: String) =
+      s"""SELECT doc_id,
+         |    LAG(w, 1, '<s>') OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS prev, w
+         |  FROM (SELECT doc_id, unnest(${T.tokens("text")}) AS w,
+         |      generate_subscripts(${T.tokens("text")}, 1) AS pos
+         |    FROM documents WHERE $pred) _""".stripMargin
+    s"""WITH rp AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c2
+       |  FROM (${pairs(refPred)}) GROUP BY prev, w),
+       |c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1
+       |  FROM rp GROUP BY prev),
+       |v AS (SELECT CAST(COUNT(DISTINCT w) + 1 AS BIGINT) AS v FROM rp),
+       |scored AS (SELECT t.doc_id,
+       |    ln(CAST(COALESCE(rp.c2, 0) + 1 AS DOUBLE) /
+       |       CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) AS logp
+       |  FROM (${pairs(scorePred)}) t
+       |  LEFT JOIN rp USING (prev, w) LEFT JOIN c1 USING (prev)
+       |  CROSS JOIN v)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  round(${Aggregates.avgExactSql("logp")}, 6) AS bigram_logprob
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- BPE tokenizer trainer
 
   /** Iterative BPE tokenizer trainer (Sennrich et al. 2016, "Neural

@@ -964,20 +964,67 @@ object Dedup {
     * output is partition-invariant. */
   def exciseBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minDf >= 2, s"need k >= 1, minDf >= 2; got k=$k minDf=$minDf")
     val base = materialized(parallelized(docs)
       .select(col(idCol).as("id"), col(textCol).as("text")))
-    val grams = base.filter(length(col("text")) >= k)
+    val grams = charGrams(base, k)
+    val boiler = grams.select("id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("gram")
+    val marks = grams.join(boiler, Seq("gram")).select("id", "pos")
+    exciseMarked(base, marks, k, idCol)
+  }
+
+  /** Decontamination EXCISION — the cross-corpus form of
+    * [[exciseBoilerplate]] and the span-level upgrade of the doc-level
+    * drop in [[Curation]]'s decontamination: every char position in a
+    * TRAINING document covered by a `k`-gram that occurs ANYWHERE in
+    * the eval/benchmark corpus is cut, so verbatim benchmark leakage is
+    * surgically removed while the rest of the document survives
+    * (dropping whole docs for one leaked sentence wastes data; keeping
+    * them leaks the benchmark). Same exactness argument as
+    * [[exciseBoilerplate]]: a shared verbatim run of length ≥ k has
+    * every interior k-gram in the eval gram set, so the merged
+    * intervals cover the entire run.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT gram set
+    * once (benchmark corpora are small next to 100 TB of training
+    * text — AQE broadcasts the build side when it fits, and the join
+    * stays a gram-keyed equi-join either way); the training side is
+    * the same one-scan gram projection as the self-corpus form, and
+    * everything after the mark join is per-document windows. */
+  def exciseContaminated(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1; got k=$k")
+    val base = materialized(parallelized(docs)
+      .select(col(idCol).as("id"), col(textCol).as("text")))
+    val evalGrams = charGrams(parallelized(evalDocs)
+        .select(col(idCol).as("id"), col(textCol).as("text")), k)
+      .select("gram").distinct()
+    // One gram per (id, pos) and a distinct eval side, so the join
+    // emits each marked position at most once — no post-distinct.
+    val marks = charGrams(base, k).join(evalGrams, Seq("gram"))
+      .select("id", "pos")
+    exciseMarked(base, marks, k, idCol)
+  }
+
+  /** Char `k`-gram projection of `base` (id, text): one row per gram
+    * start position — the shared scan of the excision operators. */
+  private def charGrams(base: DataFrame, k: Int): DataFrame =
+    base.filter(length(col("text")) >= k)
       .select(col("id"),
         explode(sequence(lit(0), length(col("text")) - k)).as("pos"),
         col("text"))
       .select(col("id"), col("pos"),
         substring(col("text"), col("pos") + 1, lit(k)).as("gram"))
-    val boiler = grams.select("id", "gram").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select("gram")
-    val marks = grams.join(boiler, Seq("gram")).select("id", "pos")
+
+  /** Shared excision tail: merge the `[pos, pos+k)` intervals of
+    * `marks` (id, pos), cut them from `base` (id, text), and
+    * re-concatenate the surviving segments in offset order. Untouched
+    * docs pass through with `n_removed = 0`. */
+  private def exciseMarked(base: DataFrame, marks: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Gaps-and-islands merge of the [pos, pos+k) mark intervals
     // (adjacent intervals merge too — one contiguous removal region).
     val byPos = Window.partitionBy("id").orderBy("pos")
@@ -1018,18 +1065,42 @@ object Dedup {
   /** DuckDB twin of [[exciseBoilerplate]] over `documents`. */
   def exciseBoilerplateSql(k: Int, minDf: Int): String =
     s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
-       |g AS (
-       |  SELECT id, p.pos, substr(text, p.pos + 1, $k) AS gram
-       |  FROM base,
-       |    LATERAL (SELECT unnest(range(0, greatest(len(text) - ${k - 1}, 0)))
-       |             AS pos) p
-       |  WHERE len(text) >= $k),
+       |g AS (${charGramsSql("base", k)}),
        |boiler AS (
        |  SELECT gram FROM (
        |    SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY gram) _
        |  WHERE df >= $minDf),
        |m AS (SELECT id, pos FROM g JOIN boiler USING (gram)),
-       |isl AS (
+       |${exciseTailSql(k)}""".stripMargin
+
+  /** DuckDB twin of [[exciseContaminated]] over `documents` split by
+    * `trainPred` / `evalPred` on the raw table's columns. */
+  def exciseContaminatedSql(k: Int, trainPred: String,
+      evalPred: String): String =
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE $trainPred),
+       |ebase AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE $evalPred),
+       |eg AS (SELECT DISTINCT gram FROM (${charGramsSql("ebase", k)}) _),
+       |g AS (${charGramsSql("base", k)}),
+       |m AS (SELECT id, pos FROM g JOIN eg USING (gram)),
+       |${exciseTailSql(k)}""".stripMargin
+
+  /** Twin of [[charGrams]]: one row per char `k`-gram start of `rel`
+    * (id, text). */
+  private def charGramsSql(rel: String, k: Int): String =
+    s"""
+       |  SELECT id, p.pos, substr(text, p.pos + 1, $k) AS gram
+       |  FROM $rel,
+       |    LATERAL (SELECT unnest(range(0, greatest(len(text) - ${k - 1}, 0)))
+       |             AS pos) p
+       |  WHERE len(text) >= $k""".stripMargin
+
+  /** Twin of [[exciseMarked]]: the shared interval-merge / complement /
+    * reassembly CTE chain, consuming `base` (id, text) and `m`
+    * (id, pos). */
+  private def exciseTailSql(k: Int): String =
+    s"""isl AS (
        |  SELECT id, pos, SUM(ni) OVER (PARTITION BY id ORDER BY pos) AS island
        |  FROM (SELECT id, pos,
        |      CASE WHEN pos > COALESCE(MAX(pos + $k) OVER (

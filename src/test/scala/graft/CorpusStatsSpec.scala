@@ -131,6 +131,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("bigram LM scores match the hand-computed Laplace model") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // Reference pairs: r1 "a b a" -> (<s>,a),(a,b),(b,a);
+    // r2 "a b" -> (<s>,a),(a,b). c2: (<s>,a)=2,(a,b)=2,(b,a)=1;
+    // c1: <s>=2,a=2,b=1; vocab {a,b} -> V=3.
+    val ref = Seq((100L, "a b a"), (101L, "a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "c"), (3L, "b a b"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramLogProb(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    graft.engine.Caches.release()
+    // d1: (<s>,a)=ln(3/5), (a,b)=ln(3/5).
+    assert(out(1L)._1 == 2 && math.abs(out(1L)._2 - math.log(0.6)) < 2e-6)
+    // d2: unseen token after <s>: (0+1)/(2+3) — the open-vocab floor.
+    assert(out(2L)._1 == 1 && math.abs(out(2L)._2 - math.log(0.2)) < 2e-6)
+    // d3: (<s>,b)=ln(1/5) unseen pair, (b,a)=ln(2/4), (a,b)=ln(3/5).
+    val d3 = (math.log(0.2) + math.log(0.5) + math.log(0.6)) / 3
+    assert(out(3L)._1 == 3 && math.abs(out(3L)._2 - d3) < 2e-6)
+    // The CCNet ranking property: reference-like text scores above
+    // partially-novel text above fully-novel text.
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+  }
+
   private def bpeMerges(d: org.apache.spark.sql.DataFrame, rounds: Int) =
     CorpusStats.bpeTrain(d, "text", rounds).orderBy("round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))

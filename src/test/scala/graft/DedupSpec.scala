@@ -379,6 +379,34 @@ class DedupSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("decontamination excision: eval-shared spans cut, train-only repeats survive") {
+    import spark.implicits._
+    val evalDocs = Seq(100L -> "SECRET BENCHMARK ANSWER").toDF("doc_id", "text")
+    val train = Seq(
+      1L -> "x SECRET BENCHMARK y",      // leaked span mid-document
+      2L -> "dup dup dup shared shared", // repeats WITHIN training only:
+      3L -> "shared shared too",         //   absent from eval -> survive
+      4L -> "SECRET",                    // exactly one leaked k-gram
+      5L -> "tiny").toDF("doc_id", "text")
+    val out = Dedup.exciseContaminated(train, evalDocs, "doc_id", "text", k = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // Doc 1: marks run from "SECRET" through the straddling "HMARK "
+    // (eval has the same trailing space) -> cut [2, 19) = 17 chars;
+    // the left edge never extends (" SECRE" is not an eval gram).
+    // Docs 2/3 prove the contrast with boilerplate excision: high-df
+    // training-internal repeats are NOT benchmark leaks. Doc 4 shows a
+    // fully-contaminated doc collapses to empty, not null. Eval docs
+    // themselves never appear in the output.
+    assert(out == Seq(
+      (1L, "x y", 17L),
+      (2L, "dup dup dup shared shared", 0L),
+      (3L, "shared shared too", 0L),
+      (4L, "", 6L),
+      (5L, "tiny", 0L)))
+    graft.engine.Caches.release()
+  }
+
   test("deletion-index fuzzy join equals the exhaustive edit-distance pairs") {
     import spark.implicits._
     // Substitution, insertion, deletion, transposition (ed=2, must be
