@@ -1813,6 +1813,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // ANN recall evaluation: per-query recall@5 of the q28 IVF ranking
+    // against the q26 exact ranking — the acceptance metric every ANN
+    // deployment tracks, here under the oracle gate (both rankings AND
+    // the intersection arithmetic replay in SQL).
+    "q155_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        emb, "vec_id", "embedding", initStride = 53, iters = 2)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(qs, emb, k = 5),
+        Similarity.ivfTopKWith(qs, emb, k = 5, cents, nProbe = 3),
+        k = 5)
+        .orderBy("query_id")
     })
   )
 
@@ -2758,6 +2774,48 @@ object SparkEntry {
         trainPred = "doc_id % 3 != 0", evalPred = "doc_id % 3 = 0"),
 
     "q154_bigram_logprob" -> CorpusStats.bigramLogProbSql(
-      refPred = "doc_id % 3 = 0", scorePred = "doc_id % 3 != 0")
+      refPred = "doc_id % 3 = 0", scorePred = "doc_id % 3 != 0"),
+
+    // The q26 brute chain and the q28 IVF chain side by side, joined on
+    // (query_id, neighbor_id) for the per-query hit count.
+    "q155_ann_recall" -> s"""WITH ${
+        graft.operators.Clustering.kmeansCentsSql(initStride = 53, iters = 2)},
+      |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+      |       FROM embeddings WHERE vec_id < 10),
+      |bt AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+      |    FROM corpus JOIN qs ON query_id != neighbor_id) t
+      |  WHERE rank <= 5),
+      |corpus_cells AS (
+      |  SELECT neighbor_id, c_emb, cent_id FROM (
+      |    SELECT neighbor_id, c_emb, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY neighbor_id
+      |        ORDER BY ${Similarity.Sql.cosine("c_emb", "cent_emb")} DESC, cent_id) AS r
+      |    FROM corpus CROSS JOIN cents) t WHERE r = 1),
+      |query_cells AS (
+      |  SELECT query_id, q_emb, cent_id FROM (
+      |    SELECT query_id, q_emb, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY ${Similarity.Sql.cosine("q_emb", "cent_emb")} DESC, cent_id) AS r
+      |    FROM qs CROSS JOIN cents) t WHERE r <= 3),
+      |iv AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+      |    FROM corpus_cells JOIN query_cells USING (cent_id)
+      |    WHERE query_id != neighbor_id) t
+      |  WHERE rank <= 5)
+      |SELECT iv.query_id,
+      |  CAST(SUM(CASE WHEN bt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hits,
+      |  CAST(SUM(CASE WHEN bt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / 5 AS recall
+      |FROM iv LEFT JOIN bt USING (query_id, neighbor_id)
+      |GROUP BY iv.query_id ORDER BY query_id""".stripMargin
   )
 }

@@ -105,6 +105,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** ANN quality evaluation: per-query recall@k of an approximate
+    * ranking against the exact one — the acceptance metric every ANN
+    * deployment tracks before trading exactness for speed (and the
+    * regression gate after every index rebuild or nProbe/codebook
+    * retune). Inputs are two rankings with `(query_id, neighbor_id)`
+    * columns (extra columns ignored); output is one row per query in
+    * `approx`: `(query_id, n_hits, recall)` with
+    * `recall = |approx ∩ truth| / k`.
+    *
+    * Scale shape: both rankings are k-rows-per-query by construction,
+    * so the hit join on (query_id, neighbor_id) and the per-query
+    * count are k·|queries|-sized no matter how large the corpus that
+    * produced them — the evaluation costs nothing next to the
+    * rankings themselves. The division is exact (integer / integer
+    * constant in double), so the gate needs no rounding. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    approx.select("query_id", "neighbor_id")
+      .join(truth.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup), exact.
     *
     * Distributed all-pairs without a nested-loop join: vectors are hashed

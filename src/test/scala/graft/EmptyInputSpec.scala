@@ -97,4 +97,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(ImageDedup.phashSurvivors(spark, corrupt).count() == 0)
     graft.engine.Caches.release()
   }
+
+  test("excision and bigram-LM operators are total on empty/degenerate corpora") {
+    import graft.operators.Dedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq(1L -> "some perfectly ordinary text", 2L -> "")
+      .toDF("doc_id", "text")
+    // Empty corpus: all three emit zero rows, no errors.
+    assert(Dedup.exciseBoilerplate(empty, "doc_id", "text", 6, 2).count() == 0)
+    assert(Dedup.exciseContaminated(empty, docs, "doc_id", "text", 6).count() == 0)
+    assert(CorpusStats.bigramLogProb(empty, docs, "doc_id", "text").count() == 0)
+    // Empty eval / reference side: nothing is marked (docs pass through
+    // byte-identical), and scoring degrades to the open-vocab floor
+    // (V = 1, every pair ln(1/1) = 0) instead of dividing by zero.
+    val un = Dedup.exciseContaminated(docs, empty, "doc_id", "text", 6)
+      .orderBy("doc_id").collect()
+    assert(un.map(_.getString(1)).toSeq ==
+      Seq("some perfectly ordinary text", "") &&
+      un.forall(_.getLong(2) == 0))
+    val floor = CorpusStats.bigramLogProb(docs, empty, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(floor(1L) == 0.0 && floor(2L) == 0.0)
+    // Sub-k texts everywhere: no grams, everything survives.
+    val tiny = Seq(1L -> "ab", 2L -> "cd").toDF("doc_id", "text")
+    assert(Dedup.exciseBoilerplate(tiny, "doc_id", "text", 6, 2)
+      .filter(col("n_removed") =!= 0).count() == 0)
+    graft.engine.Caches.release()
+  }
 }

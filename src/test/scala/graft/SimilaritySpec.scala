@@ -455,4 +455,21 @@ class SimilaritySpec extends SparkSpec {
     // the probed cells is gone before scoring. 0.35 margins a regen.
     assert(mean >= 0.35, s"IVF-PQ recall@5 degraded: $mean")
   }
+
+  test("recallAtK: per-query intersection over k, misses score zero") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    // q1 recovers 2 of 3; q2 recovers nothing (the truth rows for q2
+    // must not leak in via the left join); q3 exists only in approx
+    // (an all-novel ranking still gets a row).
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 30L), (3L, 40L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(truth, approx, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((2L, 2.0 / 3)))
+    assert(out(2L) == ((0L, 0.0)))
+    assert(out(3L) == ((0L, 0.0)))
+  }
 }
