@@ -404,4 +404,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled by word for a vocab lookup:\n$p")
   }
+
+  test("decontam excision: eval gram set broadcasts, everything else equi/window") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val p = plan(Dedup.exciseContaminated(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 24))
+    assert(p.contains("BroadcastHashJoin"),
+      s"small eval gram set should broadcast onto the train grams:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested loop allowed:\n$p")
+    graft.engine.Caches.release()
+  }
+
+  test("bigram LM: count tables broadcast for a small reference; V rides a broadcast") {
+    import graft.operators.CorpusStats
+    val docs = Tables.documents(spark, sf)
+    val p = plan(CorpusStats.bigramLogProb(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"c2/c1 lookups should broadcast for a small reference:\n$p")
+    // Same contract as the unigram test: the 1-row V frame may plan as
+    // a broadcast nested loop; a CartesianProduct would be the bug.
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row V must ride a broadcast, not a cartesian:\n$p")
+    graft.engine.Caches.release()
+  }
+
+  test("ANN recall evaluation joins rankings equi-shaped, never nested-loop on ids") {
+    import graft.operators.{Clustering, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 10)
+    val cents = Clustering.kmeansCentroids(
+      emb, "vec_id", "embedding", initStride = 53, iters = 2)
+    val df = Similarity.recallAtK(
+      Similarity.bruteForceTopK(qs, emb, k = 5),
+      Similarity.ivfTopKWith(qs, emb, k = 5, cents, nProbe = 3), k = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The hit join on (query_id, neighbor_id) must be an equi join;
+    // the rankings' own broadcast nested loops (tiny query side vs
+    // corpus) are their documented shape, so only CartesianProduct —
+    // both sides shuffled — is banned outright here.
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    graft.engine.Caches.release()
+  }
 }
