@@ -1829,6 +1829,20 @@ object SparkEntry {
         Similarity.ivfTopKWith(qs, emb, k = 5, cents, nProbe = 3),
         k = 5)
         .orderBy("query_id")
+    }),
+
+    // Cluster-aware leakage-safe splits: every near-dup cluster member
+    // takes its representative's content-hash split, so near-twins
+    // never straddle train/test (q46 pins only IDENTICAL text to one
+    // side). Same planted corpus as q37, so the LSH clusters equal the
+    // oracle's exhaustive-Jaccard clusters.
+    "q156_cluster_safe_splits" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dedupClusters(
+        Dedup.minhashNearDup(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5))
+      Sampling.clusterSafeSplits(docs, "doc_id", "text", clusters)
+        .orderBy("doc_id")
     })
   )
 
@@ -2816,6 +2830,29 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN bt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
       |    AS DOUBLE) / 5 AS recall
       |FROM iv LEFT JOIN bt USING (query_id, neighbor_id)
-      |GROUP BY iv.query_id ORDER BY query_id""".stripMargin
+      |GROUP BY iv.query_id ORDER BY query_id""".stripMargin,
+
+    // The q37 component chain, then every doc joined to its
+    // representative's q46 split columns.
+    "q156_cluster_safe_splits" -> s"""WITH RECURSIVE pairs AS (
+      |${Dedup.trueJaccardPairsSql(3, 0.5)}
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+      |), clusters AS (
+      |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |), withrep AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+      |), repsplit AS (
+      |  SELECT doc_id AS cluster_id, ${Sampling.assignSplitsSql("text")}
+      |  FROM documents)
+      |SELECT w.doc_id, w.cluster_id, r.bucket, r.split
+      |FROM withrep w JOIN repsplit r USING (cluster_id)
+      |ORDER BY w.doc_id""".stripMargin
   )
 }

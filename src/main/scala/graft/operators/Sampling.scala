@@ -57,6 +57,39 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Cluster-aware leakage-safe split assignment: every member of a
+    * near-dup cluster is assigned the split of its cluster
+    * REPRESENTATIVE (the min-id label from [[Dedup.dedupClusters]]),
+    * so near-duplicates can never straddle train/test — the failure
+    * mode [[assignSplits]] alone cannot prevent (content hashing pins
+    * only IDENTICAL text to one side; a near-dup with one word changed
+    * hashes anywhere, and a test document whose near-twin sits in
+    * train is leaked evaluation). Singletons (absent from `clusters`)
+    * are their own representative, so the output covers every input
+    * document and degrades to exactly [[assignSplits]] semantics on a
+    * dedup-clean corpus.
+    *
+    * Scale shape: representative splits are a map-only projection over
+    * one corpus scan (same hash as [[assignSplits]]); the member
+    * attach is two equi-joins on id / cluster_id (the clusters frame
+    * holds only near-dup members — tiny next to the corpus — and AQE
+    * broadcasts it when it fits). Determinism is inherited: the split
+    * is a pure function of the representative's text. */
+  def clusterSafeSplits(docs: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame, trainBuckets: Int = 819, valBuckets: Int = 922,
+      nBuckets: Int = 1024): DataFrame = {
+    val withRep = docs.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val repSplits = assignSplits(
+        docs.select(col(idCol).as("cluster_id"), col(textCol).as("rep_text")),
+        "rep_text", trainBuckets, valBuckets, nBuckets)
+      .select(col("cluster_id"), col("bucket"), col("split"))
+    withRep.join(repSplits, Seq("cluster_id"))
+      .select(idCol, "cluster_id", "bucket", "split")
+  }
+
   /** Deterministic ≈`keepBuckets/nBuckets` sample: keeps exactly the rows
     * whose content bucket falls below the cut — the reproducible
     * downsampling step of a corpus pipeline (same text kept or dropped

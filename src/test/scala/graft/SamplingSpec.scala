@@ -162,4 +162,41 @@ class SamplingSpec extends SparkSpec {
       assert(skew == (cnt * nKeys) / total)
     }
   }
+
+  test("cluster-safe splits: members take the representative's split, singletons their own") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Sampling}
+    // Docs 1/2 are near-dups (one word changed), 3/4 are singletons.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replace("lazy", "sleepy"),
+      3L -> "a completely unrelated first document",
+      4L -> "and another unrelated one").toDF("doc_id", "text")
+    val clusters = Dedup.dedupClusters(
+      Dedup.minhashNearDup(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5))
+    val out = Sampling.clusterSafeSplits(docs, "doc_id", "text", clusters)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val naive = Sampling.assignSplits(docs, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+    // Every input doc is covered; the near-dup pair shares cluster 1
+    // and doc 1's OWN bucket/split (the representative's), regardless
+    // of where doc 2's text would hash on its own.
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((1L, naive(1L)._1, naive(1L)._2)))
+    assert(out(2L) == ((1L, naive(1L)._1, naive(1L)._2)))
+    // The guarantee is vacuous if the twins' own hashes agree anyway —
+    // this fixture's do not (checked here so a testdata-era hash change
+    // that collapses them fails loudly instead of weakening the test).
+    assert(naive(2L)._1 != naive(1L)._1,
+      "fixture twins hash to the same bucket; pick a different mutation")
+    // Singletons are their own representative: identical to assignSplits.
+    assert(out(3L) == ((3L, naive(3L)._1, naive(3L)._2)))
+    assert(out(4L) == ((4L, naive(4L)._1, naive(4L)._2)))
+    graft.engine.Caches.release()
+  }
 }
