@@ -136,4 +136,73 @@ object OperatorProperties extends Properties("Operators") {
         (0 to ta.length - k).exists(i => tb.contains(ta.substring(i, i + k)))
       }
     }
+
+  /** In-driver reference of [[graft.operators.Dedup.exciseBoilerplate]]:
+    * mark every position covered by a gram at df >= minDf, drop marked
+    * chars. The distributed interval-merge must equal this on ANY input. */
+  private def naiveExcise(docs: Seq[(Long, String)], k: Int,
+      minDf: Int): Seq[(Long, String, Long)] = {
+    val gramsOf = (t: String) =>
+      if (t.length >= k) (0 to t.length - k).map(p => t.substring(p, p + k))
+      else Seq.empty[String]
+    val df = docs.flatMap { case (id, t) => gramsOf(t).distinct.map(_ -> id) }
+      .distinct.groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val boiler = df.collect { case (g, n) if n >= minDf => g }.toSet
+    docs.map { case (id, t) =>
+      val marked = Array.fill(t.length)(false)
+      for (p <- 0 to t.length - k if t.length >= k && boiler(t.substring(p, p + k));
+           i <- p until p + k) marked(i) = true
+      val clean = t.zipWithIndex.collect { case (c, i) if !marked(i) => c }
+        .mkString
+      (id, clean, (t.length - clean.length).toLong)
+    }
+  }
+
+  property("boilerplate excision == position-marking reference on arbitrary corpora") =
+    forAll(
+      // Tiny alphabet so cross-document repeats actually occur; doc
+      // count and lengths cover empty, sub-k, and long cases.
+      Gen.choose(2, 6).flatMap(n => Gen.listOfN(n,
+        Gen.choose(0, 40).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf('a', 'b', ' ')).map(_.mkString))))) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Dedup
+        .exciseBoilerplate(docs.toDF("doc_id", "text"), "doc_id", "text",
+          k = 4, minDf = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      graft.engine.Caches.release()
+      got == naiveExcise(docs, k = 4, minDf = 2).sortBy(_._1)
+    }
+
+  property("cluster-safe splits: one split per cluster, inherited from the representative") =
+    forAll(
+      Gen.choose(3, 8).flatMap(n => Gen.listOfN(n,
+        Gen.choose(5, 25).flatMap(len =>
+          Gen.listOfN(len, Gen.alphaLowerChar).map(_.mkString)))),
+      Gen.listOf(Gen.zip(Gen.choose(0, 7), Gen.choose(0, 7)))) { (texts, edges) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val ids = docs.map(_._1).toSet
+      val pairDf = edges.map { case (a, b) => (a.toLong, b.toLong) }
+        .filter { case (a, b) => a < b && ids(a) && ids(b) }
+        .toDF("id_a", "id_b")
+      val clusters = graft.operators.Dedup.dedupClusters(pairDf)
+      val out = graft.operators.Sampling
+        .clusterSafeSplits(docs.toDF("doc_id", "text"), "doc_id", "text",
+          clusters)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      graft.engine.Caches.release()
+      val naive = graft.operators.Sampling
+        .assignSplits(docs.toDF("doc_id", "text"), "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+      // Coverage; one (bucket, split) per cluster; and the inherited
+      // value is exactly the representative's own content split.
+      out.map(_._1).toSet == ids &&
+        out.groupBy(_._2).values.forall(g => g.map(x => (x._3, x._4)).toSet.size == 1) &&
+        out.forall { case (_, rep, b, s) => naive(rep) == ((b, s)) }
+    }
 }
