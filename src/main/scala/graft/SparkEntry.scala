@@ -1843,7 +1843,18 @@ object SparkEntry {
           n = 3, numHashes = 64, bands = 16, threshold = 0.5))
       Sampling.clusterSafeSplits(docs, "doc_id", "text", clusters)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Content-defined chunk dedup (the rsync/LBFS rolling-hash cut):
+    // chunk boundaries are a pure local function of the text, so
+    // insertions re-key only their own chunk and verbatim overlap
+    // between shifted documents still dedups chunk-for-chunk. Per-doc
+    // shared-chunk redundancy stats, chunks crossing the exchange as
+    // md5 keys only.
+    "q157_cdc_chunk_dedup" -> ((s, dir) =>
+      Dedup.cdcSharedChunkStats(Tables.documents(s, dir), "doc_id", "text",
+        k = 16)
+        .orderBy("doc_id"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2853,6 +2864,8 @@ object SparkEntry {
       |  FROM documents)
       |SELECT w.doc_id, w.cluster_id, r.bucket, r.split
       |FROM withrep w JOIN repsplit r USING (cluster_id)
-      |ORDER BY w.doc_id""".stripMargin
+      |ORDER BY w.doc_id""".stripMargin,
+
+    "q157_cdc_chunk_dedup" -> Dedup.cdcSharedChunkStatsSql(k = 16)
   )
 }

@@ -1128,6 +1128,99 @@ object Dedup {
        |FROM base b LEFT JOIN rebuilt r USING (id)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- content-defined chunking (CDC)
+
+  /** Content-defined chunks: cut each document BEFORE every position
+    * whose char `k`-gram satisfies the boundary test (first hex digit
+    * of its md5 = '0', i.e. expected chunk length ~16 + k), emitting
+    * `(id, start, chunk)`. Because cut points are a pure LOCAL
+    * function of the text, an insertion moves only the boundaries
+    * inside its own chunk — every other chunk's bytes are unchanged,
+    * which is what makes chunk-level dedup robust to shifted content
+    * where fixed-offset chunking ([[graft.operators.CorpusStats.chunk]])
+    * re-keys everything downstream of one inserted word (the rolling-
+    * hash cut of LBFS/rsync; Muthitacharoen et al., SOSP 2001).
+    *
+    * Scale shape: one gram projection (the [[charGrams]] scan the
+    * excision family shares), a narrow filter to ~1/16 of positions,
+    * then per-document windows (`lag`) and one substring projection —
+    * no corpus-global state at all. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1; got k=$k")
+    val base = materialized(parallelized(docs)
+      .select(col(idCol).as("id"), col(textCol).as("text")))
+    val cuts = charGrams(base, k)
+      .filter(col("pos") >= 1 && substring(md5(col("gram")), 1, 1) === "0")
+      .select("id", "pos")
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val headSegs = cuts
+      .withColumn("gs", coalesce(lag(col("pos"), 1).over(byPos), lit(0L)))
+      .select(col("id"), col("gs"), col("pos").as("ge"))
+    // Tail segment per CUT doc, plus the whole text for cut-less docs
+    // (incl. sub-k and empty texts) — every doc gets >= 1 chunk.
+    val tailSegs = cuts.groupBy("id").agg(max("pos").as("gs"))
+      .join(base, Seq("id"), "right")
+      .select(col("id"), coalesce(col("gs"), lit(0L)).as("gs"),
+        length(col("text")).cast("long").as("ge"))
+    headSegs.union(tailSegs)
+      .join(base, Seq("id"))
+      .select(col("id").as(idCol), col("gs").as("start"),
+        substring(col("text"), (col("gs") + 1).cast("int"),
+          (col("ge") - col("gs")).cast("int")).as("chunk"))
+  }
+
+  /** Chunk-level dedup statistics over [[cdcChunks]]: per document,
+    * how many of its content-defined chunks also occur (verbatim) in
+    * at least one OTHER document — the storage-dedup view of corpus
+    * redundancy, robust to insertions by the CDC cut construction.
+    * Returns `(id, n_chunks, n_shared_chunks, shared_frac)`.
+    *
+    * Chunks cross the exchange as 32-char md5 keys, never as text;
+    * the df count is map-side combined on the hash. */
+  def cdcSharedChunkStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val keyed = materialized(cdcChunks(docs, idCol, textCol, k)
+      .select(col(idCol), md5(col("chunk")).as("h")))
+    val dfreq = keyed.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    keyed.join(dfreq, Seq("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .withColumn("shared_frac",
+        col("n_shared_chunks").cast("double") / col("n_chunks"))
+  }
+
+  /** DuckDB twin of [[cdcSharedChunkStats]] over `documents`. */
+  def cdcSharedChunkStatsSql(k: Int): String =
+    s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+       |g AS (${charGramsSql("base", k)}),
+       |cuts AS (SELECT id, pos FROM g
+       |  WHERE pos >= 1 AND substr(md5(gram), 1, 1) = '0'),
+       |segs AS (
+       |  SELECT id, COALESCE(LAG(pos) OVER (PARTITION BY id ORDER BY pos), 0)
+       |      AS gs, pos AS ge
+       |  FROM cuts
+       |  UNION ALL
+       |  SELECT b.id, COALESCE(t.gs, 0), len(b.text)
+       |  FROM base b LEFT JOIN
+       |    (SELECT id, MAX(pos) AS gs FROM cuts GROUP BY id) t USING (id)),
+       |ch AS (
+       |  SELECT s.id, md5(substr(b.text, CAST(s.gs + 1 AS INT),
+       |      CAST(s.ge - s.gs AS INT))) AS h
+       |  FROM segs s JOIN base b USING (id)),
+       |dfreq AS (SELECT h, count(DISTINCT id) AS df FROM ch GROUP BY h)
+       |SELECT ch.id AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared_chunks,
+       |  CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    COUNT(*) AS shared_frac
+       |FROM ch JOIN dfreq USING (h)
+       |GROUP BY ch.id ORDER BY doc_id""".stripMargin
+
   /** Fuzzy string self-join: distinct value pairs within Levenshtein
     * distance 1, via the deletion-neighborhood inverted index (the
     * SymSpell construction). `ed(a,b) <= 1` implies a and b share an

@@ -407,6 +407,38 @@ class DedupSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("CDC chunks: lossless reassembly; insertion re-keys only its own chunk") {
+    import spark.implicits._
+    val k = 8
+    // Deterministic pseudo-random base text (mixed-case + digits so
+    // boundary grams actually vary) and a one-char head insertion.
+    val a = (0 until 300).map(i =>
+      ('a' + (i * 31 + i * i % 17) % 26).toChar).mkString
+    val b = "Z" + a
+    val c = (0 until 120).map(i => ('A' + (i * 7) % 26).toChar).mkString
+    val docs = Seq(1L -> a, 2L -> b, 3L -> c, 4L -> "").toDF("doc_id", "text")
+    // Lossless: chunks concatenated in start order == original text.
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val rebuilt = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).mkString }
+    assert(rebuilt == Map(1L -> a, 2L -> b, 3L -> c, 4L -> ""))
+    graft.engine.Caches.release()
+    val stats = Dedup.cdcSharedChunkStats(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // The insertion-robustness claim: b = "Z" + a differs only before
+    // the first boundary, so all but b's first chunk (and a's first)
+    // dedup verbatim — where fixed-offset chunking would share nothing.
+    assert(stats(1L)._3 > 0.5 && stats(2L)._3 > 0.5,
+      s"shifted twins should share most chunks: $stats")
+    assert(stats(1L)._2 >= stats(1L)._1 - 1 && stats(2L)._2 >= stats(2L)._1 - 1)
+    // Unrelated and empty docs share nothing (the empty doc's single
+    // "" chunk occurs in no other document here).
+    assert(stats(3L)._2 == 0 && stats(4L) == ((1L, 0L, 0.0)))
+    graft.engine.Caches.release()
+  }
+
   test("deletion-index fuzzy join equals the exhaustive edit-distance pairs") {
     import spark.implicits._
     // Substitution, insertion, deletion, transposition (ed=2, must be
