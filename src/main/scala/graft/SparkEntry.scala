@@ -190,7 +190,8 @@ object SparkEntry {
     "q138_ivfpq_index_append" -> ("ann", "ivfpq_grown"),
     "q148_minhash_stored_dedup" -> ("dedup", "minhash"),
     "q149_phash_stored_dedup" -> ("dedup", "phash"),
-    "q150_bpe_apply_stored" -> ("bpemodel", "m10"))
+    "q150_bpe_apply_stored" -> ("bpemodel", "m10"),
+    "q158_bpe_fertility" -> ("bpemodel", "m10"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -1854,7 +1855,17 @@ object SparkEntry {
     "q157_cdc_chunk_dedup" -> ((s, dir) =>
       Dedup.cdcSharedChunkStats(Tables.documents(s, dir), "doc_id", "text",
         k = 16)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Tokenizer fertility audit: per-language subwords-per-word and
+    // codepoints-per-subword under the q150 stored model — the
+    // standard "how fairly does the tokenizer price each language"
+    // report of multilingual-tokenizer papers.
+    "q158_bpe_fertility" -> ((s, dir) =>
+      CorpusStats.bpeFertilityByLang(
+        Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0),
+        "lang", "text", storedBpeModel(s, dir))
+        .orderBy("lang"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2866,6 +2877,9 @@ object SparkEntry {
       |FROM withrep w JOIN repsplit r USING (cluster_id)
       |ORDER BY w.doc_id""".stripMargin,
 
-    "q157_cdc_chunk_dedup" -> Dedup.cdcSharedChunkStatsSql(k = 16)
+    "q157_cdc_chunk_dedup" -> Dedup.cdcSharedChunkStatsSql(k = 16),
+
+    "q158_bpe_fertility" -> CorpusStats.bpeFertilityByLangSql(
+      rounds = 10, trainPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0")
   )
 }

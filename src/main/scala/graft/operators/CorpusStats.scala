@@ -775,6 +775,28 @@ object CorpusStats {
     * ships anyway. */
   def bpeTokenizeFromModel(docs: DataFrame, idCol: String, textCol: String,
       dir: String): DataFrame = {
+    val vocab = storedModelVocab(docs, textCol, dir)
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^\\p{L}+$"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+  }
+
+  /** The apply slice's distinct-word vocabulary segmented by a STORED
+    * model: `(word, n_sub)`, broadcastable. Shared by
+    * [[bpeTokenizeFromModel]] and [[bpeFertilityByLang]].
+    *
+    * Local replay: same greedy left-fold as [[mergeFold]]/the local
+    * trainer, applied merge-by-merge in training order. For the
+    * production-scale replay an (a, b) -> a+b lookup keyed by the
+    * pair makes each word's pass O(|syms|) per APPLICABLE merge;
+    * here the straightforward ordered replay keeps the semantics
+    * transparently identical to the training rewrite. The driver
+    * materialization is vocab-sized (distinct words), the same bound
+    * as the trainer's word table. */
+  private def storedModelVocab(docs: DataFrame, textCol: String,
+      dir: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(bpeModelExists(spark, dir),
@@ -787,12 +809,6 @@ object CorpusStats {
       .filter(col("word").rlike("^\\p{L}+$"))
       .distinct()
       .as[String].collect()
-    // Local replay: same greedy left-fold as [[mergeFold]]/the local
-    // trainer, applied merge-by-merge in training order. For the
-    // production-scale replay an (a, b) -> a+b lookup keyed by the
-    // pair makes each word's pass O(|syms|) per APPLICABLE merge;
-    // here the straightforward ordered replay keeps the semantics
-    // transparently identical to the training rewrite.
     val vocabRows = words.map { w =>
       var syms: Array[String] = w.split("").filter(_.nonEmpty) :+ "</w>"
       merges.foreach { case (a, b) =>
@@ -808,12 +824,59 @@ object CorpusStats {
       }
       (w, syms.length.toLong)
     }.toSeq
-    val vocab = vocabRows.toDF("word", "n_sub")
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    vocabRows.toDF("word", "n_sub")
+  }
+
+  /** Tokenizer FERTILITY by language under a stored BPE model: per
+    * `langCol` value, subwords-per-word (fertility) and
+    * codepoints-per-subword — the standard audit of how fairly a
+    * tokenizer prices each language (a tokenizer trained on skewed
+    * data fragments under-represented languages into more, shorter
+    * subwords, inflating their effective cost per word; fertility is
+    * the number multilingual-tokenizer papers report per language).
+    * Same vocabulary replay and broadcast counting join as
+    * [[bpeTokenizeFromModel]], aggregated by language instead of
+    * document; the ratios divide exact BIGINT sums, so no rounding is
+    * needed for the cross-engine gate. */
+  def bpeFertilityByLang(docs: DataFrame, langCol: String, textCol: String,
+      dir: String): DataFrame = {
+    val vocab = storedModelVocab(docs, textCol, dir)
+    docs.select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^\\p{L}+$"))
       .join(broadcast(vocab), Seq("word"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"),
+        sum(length(col("word"))).as("n_chars"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words"))
+      .withColumn("chars_per_subword",
+        col("n_chars").cast("double") / col("n_subwords"))
+  }
+
+  /** Oracle twin of [[bpeFertilityByLang]] over `documents`: the
+    * training chain unrolled on `trainPred` (the stored model's
+    * content), the apply-side rewrite on `applyPred`, grouped by
+    * `lang`. */
+  def bpeFertilityByLangSql(rounds: Int, trainPred: String,
+      applyPred: String): String = {
+    val applyBlocks = (1 to rounds).map(r =>
+      rewriteSql(s"ae$r", s"asel$r", s"a$r", s"a${r - 1}", s"b$r"))
+    bpeChainSql(rounds, trainPred) + ",\n" +
+      wordTableSql("a0", applyPred) + ",\n" +
+      applyBlocks.mkString(",\n") +
+      s"""
+       |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords,
+       |  CAST(sum(len(t.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(w.syms)) AS DOUBLE) / count(*) AS fertility,
+       |  CAST(sum(len(t.word)) AS DOUBLE) / sum(len(w.syms))
+       |    AS chars_per_subword
+       |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |      FROM documents WHERE $applyPred) t
+       |JOIN a$rounds w USING (word)
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
   }
 
   /** Oracle twin of [[bpeTrain]] (`documents` hard-wired): the full

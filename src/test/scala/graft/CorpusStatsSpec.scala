@@ -155,6 +155,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
   }
 
+  test("fertility by language matches the hand-replayed stored model") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val dir = s"${graft.engine.Sinks.scratch}/corpusstats_fert_model"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    // Training "aaaa aaaa": R1 merges (a,a) -> [aa,aa,</w>]; R2 ties
+    // (aa,aa)=2 vs (aa,</w>)=2, '<' sorts below 'a' in UTF-8 so
+    // (aa,</w>) wins -> [aa, aa</w>].
+    CorpusStats.saveBpeModel(
+      Seq(100L -> "aaaa aaaa").toDF("doc_id", "text"), "text",
+      rounds = 2, dir)
+    // en: "aaaa" -> [aa, aa</w>] (2), "aa" -> [aa</w>] (1);
+    // de: "bb" -> [b, b, </w>] (3, no merge applies).
+    val docs = Seq((1L, "en", "aaaa aa"), (2L, "de", "bb"))
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusStats.bpeFertilityByLang(docs, "lang", "text", dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out("en") == ((2L, 3L, 6L, 1.5, 2.0)))
+    assert(out("de") == ((1L, 3L, 2L, 3.0, 2.0 / 3)))
+    // The audit's point: the under-represented language fragments more.
+    assert(out("de")._4 > out("en")._4)
+  }
+
   private def bpeMerges(d: org.apache.spark.sql.DataFrame, rounds: Int) =
     CorpusStats.bpeTrain(d, "text", rounds).orderBy("round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
