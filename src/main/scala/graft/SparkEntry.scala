@@ -1866,6 +1866,18 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0),
         "lang", "text", storedBpeModel(s, dir))
         .orderBy("lang"))
+    ,
+
+    // Embedding-space drift: PSI over SRP sign-bucket histograms
+    // between vector snapshot halves — "did the embedding distribution
+    // move", which scalar/token PSI can't answer for a vector column.
+    // Constant-size state (2^8 bins) regardless of corpus scale.
+    "q159_embedding_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Drift.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), nBits = 6)
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2880,6 +2892,8 @@ object SparkEntry {
     "q157_cdc_chunk_dedup" -> Dedup.cdcSharedChunkStatsSql(k = 16),
 
     "q158_bpe_fertility" -> CorpusStats.bpeFertilityByLangSql(
-      rounds = 10, trainPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0")
+      rounds = 10, trainPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0"),
+
+    "q159_embedding_drift" -> graft.operators.Drift.embeddingDriftSql(nBits = 6)
   )
 }

@@ -123,6 +123,46 @@ object Drift {
        |  FROM r FULL JOIN c ON r.bin IS NOT DISTINCT FROM c.bin),
        |$sqlTail""".stripMargin
 
+  /** EMBEDDING-space drift between two vector snapshots: PSI over SRP
+    * sign-bucket histograms — "did the embedding distribution move",
+    * the monitoring question a scalar PSI ([[psi]]) and a token PSI
+    * ([[psiCategorical]] via vocab) cannot answer for a vector column.
+    * Each vector maps to a `2^nBits`-way bucket by the signs of
+    * `nBits` fixed random hyperplane projections
+    * ([[Similarity.srpSignature]] — the Charikar construction, so
+    * bucket mass is a locality-sensitive summary of direction), and
+    * the bucket histograms feed the same smoothed PSI as every other
+    * drift tier. A rotation/shift of the embedding cloud moves mass
+    * between sign buckets and registers; identical snapshots score
+    * exactly 0 by the [[psiCategorical]] self-PSI property.
+    *
+    * Scale shape: the signature is one codegen'd projection per side
+    * (no shuffle), the histogram one `2^nBits`-bounded aggregation
+    * with map-side combine, the join `2^nBits` rows — constant-size
+    * state regardless of corpus scale. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, nBits: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    require(nBits >= 1 && nBits <= 16,
+      s"need 1 <= nBits <= 16 (2^nBits histogram bins), got $nBits")
+    def buckets(df: DataFrame) =
+      df.select(Similarity.srpSignature(nBits, seed).as("bucket"))
+    psiCategorical(buckets(ref), buckets(cur), "bucket")
+  }
+
+  /** SQL twin of [[embeddingDrift]] over `embeddings` split by vec_id
+    * parity (reference = even ids, current = odd ids). */
+  def embeddingDriftSql(nBits: Int = 8, seed: Long = 7L): String = {
+    val sig = Similarity.srpSignatureSql(nBits, seed)
+    s"""WITH sigs AS (SELECT vec_id % 2 AS side, $sig AS bin
+       |  FROM embeddings),
+       |r AS (SELECT bin, count(*) AS n_ref FROM sigs WHERE side = 0 GROUP BY 1),
+       |c AS (SELECT bin, count(*) AS n_cur FROM sigs WHERE side = 1 GROUP BY 1),
+       |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+       |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |  FROM r FULL JOIN c ON r.bin IS NOT DISTINCT FROM c.bin),
+       |$sqlTail""".stripMargin
+  }
+
   /** SQL twin of [[psi]] over `events` split by event_id parity
     * (reference = even ids, current = odd ids), `value` binned at
     * `binWidth`. */

@@ -187,6 +187,35 @@ object Similarity {
     Array.fill(nBits, Dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
   }
 
+  /** SRP signature over the `embedding` column:
+    * `sig = Σ_k (h_k·v > 0) << k` for the [[hyperplanes]] matrix —
+    * one codegen'd projection, no shuffle. Shared by [[srpNearDup]]
+    * and [[graft.operators.Drift.embeddingDrift]]. */
+  def srpSignature(nBits: Int, seed: Long): Column = {
+    val fT = ArrayType(FloatType, containsNull = true)
+    val e = col("embedding").cast(fT)
+    hyperplanes(nBits, seed).zipWithIndex.map { case (hk, k) =>
+      when(dot(e, typedlit(hk.toSeq).cast(fT)) > 0.0, lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[srpSignature]] (same plan-time ±1 signs embedded
+    * as per-bit signed dot products over an `embedding` column). */
+  def srpSignatureSql(nBits: Int, seed: Long): String = {
+    val h = hyperplanes(nBits, seed)
+    def signedDot(hk: Array[Float]): String = {
+      val pos = hk.zipWithIndex.collect { case (v, i) if v > 0 => i + 1 }
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, ${Dim + 1}), i -> " +
+        s"CASE WHEN i IN (${pos.mkString(",")}) THEN CAST(embedding[i] AS DOUBLE) " +
+        s"ELSE -CAST(embedding[i] AS DOUBLE) END)), (x, y) -> x + y)"
+    }
+    h.zipWithIndex.map { case (hk, k) =>
+      s"(CASE WHEN ${signedDot(hk)} > 0.0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** Signed-random-projection LSH near-dup pairs — the sub-quadratic
     * scale path for vector near-dup when the similarity regime is
     * separable (the vector analog of [[Dedup.simhashNearDup]]; the exact
@@ -210,17 +239,12 @@ object Similarity {
       bands: Int = 4, seed: Long = 7L): DataFrame = {
     require(nBits % bands == 0 && nBits <= 62,
       s"need nBits % bands == 0 and nBits <= 62, got nBits=$nBits bands=$bands")
-    val h = hyperplanes(nBits, seed)
     val fT = ArrayType(FloatType, containsNull = true)
     val e = col("embedding").cast(fT)
-    // sig = Σ_k (h_k·v > 0) << k, all inside one codegen'd projection.
-    val sig = h.zipWithIndex.map { case (hk, k) =>
-      when(dot(e, typedlit(hk.toSeq).cast(fT)) > 0.0, lit(1L << k))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
     val base = graft.engine.Caches.materialized(
       corpus.select(col("vec_id").as("id"), e.as("e"),
-        norm(col("embedding")).as("nrm"), sig.as("sig")))
+        norm(col("embedding")).as("nrm"),
+        srpSignature(nBits, seed).as("sig")))
     val r = nBits / bands
     val mask = (1L << r) - 1
     val bandArr = array((0 until bands).map(j =>
@@ -252,17 +276,7 @@ object Similarity {
     * the construction itself (the q23/q28 pattern). */
   def srpNearDupSql(threshold: Double, nBits: Int = 32, bands: Int = 4,
       seed: Long = 7L, from: String = "embeddings"): String = {
-    val h = hyperplanes(nBits, seed)
-    def signedDot(hk: Array[Float]): String = {
-      val pos = hk.zipWithIndex.collect { case (v, i) if v > 0 => i + 1 }
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, ${Dim + 1}), i -> " +
-        s"CASE WHEN i IN (${pos.mkString(",")}) THEN CAST(embedding[i] AS DOUBLE) " +
-        s"ELSE -CAST(embedding[i] AS DOUBLE) END)), (x, y) -> x + y)"
-    }
-    val sigExpr = h.zipWithIndex.map { case (hk, k) =>
-      s"(CASE WHEN ${signedDot(hk)} > 0.0 THEN ${1L << k} ELSE 0 END)"
-    }.mkString(" + ")
+    val sigExpr = srpSignatureSql(nBits, seed)
     val r = nBits / bands
     val mask = (1L << r) - 1
     s"""WITH base AS (

@@ -76,4 +76,29 @@ class DriftSpec extends SparkSpec {
     val empty = Seq.empty[Double].toDF("v")
     assert(Drift.psi(empty, empty, "v", 10.0).head().getLong(1) == 0)
   }
+
+  test("embedding drift: self is exactly 0; a flipped cloud scores far higher") {
+    import spark.implicits._
+    // Deterministic DIRECTIONALLY-BIASED vectors (the +1.5 offset puts
+    // the cloud in a half-space; a negation-symmetric cloud would have
+    // a complement-invariant sign histogram and flipping it would be
+    // invisible — the correct behavior, but not what this test plants).
+    // 3-bit buckets (8 bins) keep per-bin counts well above the
+    // add-one smoothing floor at this fixture size — 256 bins would
+    // smooth a 256-vector histogram toward uniform and mute the PSI.
+    val vecs = (0 until 256).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (math.sin(i * 31 + d * 7) + 1.5).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val self = Drift.embeddingDrift(emb, emb, nBits = 3).head()
+    assert(self.getDouble(0) == 0.0, s"self-drift must be 0: $self")
+    // Negating every vector flips every SRP sign bit: all mass moves
+    // to complementary buckets — maximal directional drift.
+    val flipped = emb.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val moved = Drift.embeddingDrift(emb, flipped, nBits = 3)
+      .head().getDouble(0)
+    assert(moved > 1.0, s"flipped cloud should register heavy drift: $moved")
+  }
 }
