@@ -1877,6 +1877,17 @@ object SparkEntry {
       graft.operators.Drift.embeddingDrift(
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1), nBits = 6)
+    }),
+
+    // Cross-source copy matrix: q24's near-dup pairs rolled up by
+    // unordered source pair — the provenance audit showing which feeds
+    // copy from which before sources are weighted.
+    "q160_source_copy_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.copyMatrix(docs, "doc_id", "source",
+        Dedup.minhashNearDup(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5))
+        .orderBy("source_a", "source_b")
     })
   )
 
@@ -2894,6 +2905,8 @@ object SparkEntry {
     "q158_bpe_fertility" -> CorpusStats.bpeFertilityByLangSql(
       rounds = 10, trainPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0"),
 
-    "q159_embedding_drift" -> graft.operators.Drift.embeddingDriftSql(nBits = 6)
+    "q159_embedding_drift" -> graft.operators.Drift.embeddingDriftSql(nBits = 6),
+
+    "q160_source_copy_matrix" -> Dedup.copyMatrixSql(n = 3, threshold = 0.5)
   )
 }

@@ -1128,6 +1128,49 @@ object Dedup {
        |FROM base b LEFT JOIN rebuilt r USING (id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-source COPY MATRIX: near-dup pairs rolled up by the
+    * (unordered) source pair — which feeds/crawls/providers copy from
+    * which, the provenance audit a multi-source corpus runs before
+    * weighting sources (a source whose content is largely near-dup of
+    * another adds volume, not information). Input is any pair frame
+    * with `(id_a, id_b, jaccard)` — the composition point for every
+    * dedup tier; output `(source_a <= source_b, n_pairs, avg_jaccard)`.
+    *
+    * Scale shape: the pair frame is output-sized by the generating
+    * tier's banding; the two source lookups are id-keyed equi-joins
+    * onto a 2-column projection of the corpus (AQE broadcasts the pair
+    * side when it fits), and the rollup is source²-bounded with
+    * map-side combine. */
+  def copyMatrix(docs: DataFrame, idCol: String, srcCol: String,
+      pairs: DataFrame): DataFrame = {
+    val s = docs.select(col(idCol), col(srcCol))
+    pairs
+      .join(s.select(col(idCol).as("id_a"), col(srcCol).as("sa")), Seq("id_a"))
+      .join(s.select(col(idCol).as("id_b"), col(srcCol).as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(graft.engine.Aggregates.avgExact(col("jaccard")), 6)
+          .as("avg_jaccard"))
+  }
+
+  /** DuckDB twin of [[copyMatrix]] over `documents` with the
+    * exhaustive-Jaccard pair oracle. */
+  def copyMatrixSql(n: Int, threshold: Double): String =
+    s"""WITH pairs AS (
+       |${trueJaccardPairsSql(n, threshold)}
+       |), s AS (SELECT doc_id AS id, source FROM documents)
+       |SELECT least(a.source, b.source) AS source_a,
+       |  greatest(a.source, b.source) AS source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(${graft.engine.Aggregates.avgExactSql("jaccard")}, 6)
+       |    AS avg_jaccard
+       |FROM pairs JOIN s a ON a.id = pairs.id_a
+       |JOIN s b ON b.id = pairs.id_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------- content-defined chunking (CDC)
 
   /** Content-defined chunks: cut each document BEFORE every position

@@ -439,6 +439,24 @@ class DedupSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("copy matrix rolls pairs up by unordered source pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcB", "x"), (2L, "srcA", "x"),  // cross-source pair
+      (3L, "srcA", "y"), (4L, "srcA", "y"),  // within-source pair
+      (5L, "srcC", "z")).toDF("doc_id", "source", "text")
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 0.5))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.copyMatrix(docs, "doc_id", "source", pairs)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // (srcB, srcA) canonicalizes to (srcA, srcB); srcC never appears.
+    assert(out == Seq(
+      ("srcA", "srcA", 1L, 0.5),
+      ("srcA", "srcB", 1L, 1.0)))
+  }
+
   test("deletion-index fuzzy join equals the exhaustive edit-distance pairs") {
     import spark.implicits._
     // Substitution, insertion, deletion, transposition (ed=2, must be
