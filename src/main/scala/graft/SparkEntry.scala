@@ -1888,7 +1888,16 @@ object SparkEntry {
         Dedup.minhashNearDup(docs, "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.5))
         .orderBy("source_a", "source_b")
-    })
+    }),
+
+    // Audio near-dup — the audio member of the multimodal dedup family
+    // (pHash is the image member): re-rendered tones with shifted
+    // amplitude are near in SIGNAL space, not byte space; double-
+    // shifted amplitude quantization gives total recall without an
+    // all-pairs join, exact |delta| verify on candidates only.
+    "q161_audio_neardup" -> ((s, dir) =>
+      Multimodal.audioNearDup(s, Tables.documents(s, dir))
+        .orderBy("id_a", "id_b"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2907,6 +2916,8 @@ object SparkEntry {
 
     "q159_embedding_drift" -> graft.operators.Drift.embeddingDriftSql(nBits = 6),
 
-    "q160_source_copy_matrix" -> Dedup.copyMatrixSql(n = 3, threshold = 0.5)
+    "q160_source_copy_matrix" -> Dedup.copyMatrixSql(n = 3, threshold = 0.5),
+
+    "q161_audio_neardup" -> Multimodal.audioNearDupSql()
   )
 }

@@ -145,8 +145,14 @@ object Multimodal {
   /** Real WAV bytes (RIFF/fmt/data, PCM16 LE) for a fixture id, written
     * by the JDK's own `javax.sound.sampled` encoder. */
   private[graft] def encodeWav(id: Long): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val (n, amp) = audioSpecOf(id)
+    encodeWavRaw(n, amp)
+  }
+
+  /** Real WAV bytes for an explicit `(nSamples, amplitude)` square-wave
+    * spec — the twin generator's entry point. */
+  private[graft] def encodeWavRaw(n: Int, amp: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
@@ -216,6 +222,100 @@ object Multimodal {
       }
     }
   }
+
+  // ----------------------------------------------- audio near-duplicate
+
+  /** Twin img-id offset (same contract as ImageDedup's twin scheme:
+    * base ids must stay below it — checked per row). */
+  private[graft] val AudioTwinOffset = 1000000L
+  /** Twin amplitude shift: well inside [[audioNearDup]]'s default
+    * `maxDelta`, so every planted twin is guaranteed found. */
+  private[graft] val AudioTwinAmpShift = 8
+
+  /** Audio corpus with PLANTED near-twins: every base WAV (incl. the
+    * truncated corrupt every-41st payload), plus — for each id % 5 == 1
+    * non-corrupt base — a re-rendering of the same tone with its
+    * amplitude shifted by [[AudioTwinAmpShift]] (re-encoded, not
+    * byte-copied: the twins are near in SIGNAL space, not byte space,
+    * so exact/chunk dedup cannot find them and only the audio
+    * fingerprint can). */
+  def toneMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      require(id >= 0 && id < AudioTwinOffset,
+        s"doc_id $id outside [0, $AudioTwinOffset) — twin ids would collide")
+      val wav = encodeWav(id)
+      val base = MediaRow(id,
+        if (isCorruptAudio(id)) wav.take(8) else wav, "audio/wav")
+      val twin =
+        if (id % 5 == 1 && !isCorruptAudio(id)) {
+          val (n, amp) = audioSpecOf(id)
+          Iterator.single(MediaRow(id + AudioTwinOffset,
+            encodeWavRaw(n, amp + AudioTwinAmpShift), "audio/wav"))
+        } else Iterator.empty
+      Iterator.single(base) ++ twin
+    })
+  }
+
+  /** Audio near-duplicate pairs over [[toneMedia]]: same length, mean
+    * amplitude within `maxDelta` — the audio member of the multimodal
+    * dedup family (pHash is the image member). Candidates come from a
+    * DOUBLE-SHIFTED amplitude quantization (two grids of width
+    * `2·maxDelta`, the second offset by `maxDelta`): two amplitudes
+    * within `maxDelta` cross at most one grid boundary total, so they
+    * share at least one band — total recall with no all-pairs join,
+    * the scalar analog of LSH banding. Candidates then verify the
+    * exact `|Δ| <= maxDelta`.
+    *
+    * Scale shape: decode is map-only (mapPartitions codec slot, same
+    * quarantine contract as every media path); the band self-join is
+    * keyed on (grid, bucket, n_samples) — near-dup candidates are
+    * precisely the colliders; verification touches candidates only. */
+  def audioNearDup(spark: SparkSession, docs: DataFrame,
+      maxDelta: Int = 32): DataFrame = {
+    require(maxDelta >= 1, s"maxDelta must be >= 1, got $maxDelta")
+    val w = maxDelta * 2
+    val dec = graft.engine.Caches.materialized(
+      decodeAudio(spark, toneMedia(spark, docs)).toDF()
+        .filter(col("status") === "ok")
+        .select(col("media_id").as("id"), col("n_samples"),
+          col("mean_abs")))
+    val banded = dec.select(col("id"), col("n_samples"), col("mean_abs"),
+      explode(array(
+        struct(lit(0).as("g"), floor(col("mean_abs") / w).as("b")),
+        struct(lit(1).as("g"),
+          floor((col("mean_abs") + maxDelta) / w).as("b")))).as("band"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.n_samples") === col("b.n_samples") &&
+          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_samples").as("n_samples"),
+        abs(col("a.mean_abs") - col("b.mean_abs")).as("amp_delta"))
+      .distinct()
+      .filter(col("amp_delta") <= maxDelta)
+  }
+
+  /** Oracle twin of [[audioNearDup]]: the EXHAUSTIVE ground truth —
+    * base+twin specs replayed closed-form from `documents` (PCM16 is
+    * lossless, so decoded mean|sample| equals the spec amplitude
+    * exactly), then an exhaustive same-length |Δamp| <= maxDelta join.
+    * The banding construction must reproduce it pair-for-pair. */
+  def audioNearDupSql(maxDelta: Int = 32): String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS id, CAST(800 + doc_id * 3 % 1600 AS BIGINT) AS n,
+       |    CAST(1000 + doc_id * 7 % 30000 AS DOUBLE) AS amp
+       |  FROM documents WHERE doc_id % 41 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $AudioTwinOffset,
+       |    CAST(800 + doc_id * 3 % 1600 AS BIGINT),
+       |    CAST(1000 + doc_id * 7 % 30000 + $AudioTwinAmpShift AS DOUBLE)
+       |  FROM documents WHERE doc_id % 5 = 1 AND doc_id % 41 <> 0)
+       |SELECT x.id AS id_a, y.id AS id_b, x.n AS n_samples,
+       |  abs(x.amp - y.amp) AS amp_delta
+       |FROM a x JOIN a y
+       |  ON x.n = y.n AND x.id < y.id AND abs(x.amp - y.amp) <= $maxDelta
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------- video
 

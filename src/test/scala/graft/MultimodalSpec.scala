@@ -239,4 +239,25 @@ class MultimodalSpec extends SparkSpec {
     assert(d.status == "ok" && d.n_samples.contains(4L))
     assert(d.mean_abs.contains(250.0) && d.peak.contains(400))
   }
+
+  test("audio near-dup: exactly the planted twins, through the REAL codec") {
+    import spark.implicits._
+    // ids 0..49: twins planted at id % 5 == 1 (1,6,...,46), EXCEPT the
+    // corrupt id 41 (truncated payload -> quarantined before banding,
+    // so its twin is never emitted and must not pair).
+    val docs = (0L until 50L).map(id => (id, s"d$id")).toDF("doc_id", "text")
+    val got = Multimodal.audioNearDup(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    graft.engine.Caches.release()
+    val expected = (0L until 50L)
+      .filter(id => id % 5 == 1 && id % 41 != 0)
+      .map(id => (id, id + Multimodal.AudioTwinOffset, 8.0)).toSet
+    assert(got == expected, s"got $got")
+    // The twins are re-RENDERED, not byte-copied: their payloads differ,
+    // so exact dedup could never find these pairs.
+    val bytes = Multimodal.toneMedia(spark, docs).collect()
+      .map(r => r.media_id -> r.content.toSeq).toMap
+    assert(bytes(1L) != bytes(1L + Multimodal.AudioTwinOffset))
+  }
 }
