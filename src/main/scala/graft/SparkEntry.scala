@@ -159,6 +159,17 @@ object SparkEntry {
           graft.operators.ImageDedup.appendToPhashIndex(
             refHs.filter(col("img_id") % 2 === 1), idx)
         }
+      case "evalgrams" =>
+        val ref = docs.filter(col("doc_id") % 3 === 0)
+        graft.engine.Fixtures.ensure(s, ref, "doc_id",
+          s"${Sinks.scratch}/dedup_index", kind, Some(dir),
+          contentSig = Some(pmod(xxhash64(col("text")),
+            lit(1000000007L)))) { idx =>
+          Dedup.buildGramIndex(ref.filter(col("doc_id") % 2 === 0),
+            idx, "doc_id", "text", k = 24)
+          Dedup.appendToGramIndex(ref.filter(col("doc_id") % 2 === 1),
+            idx, "doc_id", "text")
+        }
       case other => sys.error(s"unknown dedup index kind '$other'")
     }
   }
@@ -191,7 +202,8 @@ object SparkEntry {
     "q148_minhash_stored_dedup" -> ("dedup", "minhash"),
     "q149_phash_stored_dedup" -> ("dedup", "phash"),
     "q150_bpe_apply_stored" -> ("bpemodel", "m10"),
-    "q158_bpe_fertility" -> ("bpemodel", "m10"))
+    "q158_bpe_fertility" -> ("bpemodel", "m10"),
+    "q162_decontam_stored_excision" -> ("dedup", "evalgrams"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -1897,7 +1909,20 @@ object SparkEntry {
     // all-pairs join, exact |delta| verify on candidates only.
     "q161_audio_neardup" -> ((s, dir) =>
       Multimodal.audioNearDup(s, Tables.documents(s, dir))
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Decontamination excision from PERSISTED eval state: the q153
+    // pipeline with the benchmark corpus's gram set stored once (built
+    // on the even half, appended odd half — maintenance under the
+    // oracle gate) and only today's training batch grammed per run.
+    // Same oracle as q153: stored state must be bit-equal to the
+    // inline recompute.
+    "q162_decontam_stored_excision" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exciseFromGramIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        storedDedupIndex(s, dir, "evalgrams"), "doc_id", "text")
+        .orderBy("doc_id")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -2918,6 +2943,10 @@ object SparkEntry {
 
     "q160_source_copy_matrix" -> Dedup.copyMatrixSql(n = 3, threshold = 0.5),
 
-    "q161_audio_neardup" -> Multimodal.audioNearDupSql()
+    "q161_audio_neardup" -> Multimodal.audioNearDupSql(),
+
+    "q162_decontam_stored_excision" ->
+      Dedup.exciseContaminatedSql(k = 24,
+        trainPred = "doc_id % 3 != 0", evalPred = "doc_id % 3 = 0")
   )
 }

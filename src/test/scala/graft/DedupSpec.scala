@@ -439,6 +439,41 @@ class DedupSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("stored eval-gram index: build/append/query bit-equal to inline; refusals") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/dedupspec_gramidx"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val eval1 = Seq(100L -> "SECRET BENCHMARK ANSWER").toDF("doc_id", "text")
+    val eval2 = Seq(101L -> "ANOTHER HELD OUT PROBE").toDF("doc_id", "text")
+    val train = Seq(
+      1L -> "x SECRET BENCHMARK y",
+      2L -> "has ANOTHER HELD OUT text",
+      3L -> "clean document").toDF("doc_id", "text")
+    def run() = Dedup.exciseFromGramIndex(train, dir, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def inline(ev: org.apache.spark.sql.DataFrame) =
+      Dedup.exciseContaminated(train, ev, "doc_id", "text", k = 6)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // Query and append against a missing index must refuse loudly.
+    intercept[IllegalArgumentException](run())
+    intercept[IllegalArgumentException](
+      Dedup.appendToGramIndex(eval2, dir, "doc_id", "text"))
+    Dedup.buildGramIndex(eval1, dir, "doc_id", "text", k = 6)
+    assert(run() == inline(eval1), "stored != inline after build")
+    graft.engine.Caches.release()
+    // Growth: after the append, doc 2's leak (absent from eval1) is cut.
+    Dedup.appendToGramIndex(eval2, dir, "doc_id", "text")
+    val grown = run()
+    assert(grown == inline(eval1.union(eval2)), "stored != inline after append")
+    assert(grown.find(_._1 == 2L).exists(_._3 > 0),
+      "appended eval content must start marking")
+    graft.engine.Caches.release()
+  }
+
   test("copy matrix rolls pairs up by unordered source pair") {
     import spark.implicits._
     val docs = Seq(
