@@ -239,6 +239,42 @@ object SparkEntry {
   private def withWide(body: String): String =
     s"WITH wide AS (\n${StarSchema.wideViewSql}\n)\n$body"
 
+  /** Shared CTE chain of the ANN-evaluation oracles (q155 recall, q163
+    * MRR): the q26 brute ranking as `bt` and the q28 IVF ranking as
+    * `iv` (rank retained) side by side. */
+  private lazy val annEvalCtes = s"""WITH ${
+      graft.operators.Clustering.kmeansCentsSql(initStride = 53, iters = 2)},
+    |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+    |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+    |       FROM embeddings WHERE vec_id < 10),
+    |bt AS (
+    |  SELECT query_id, neighbor_id FROM (
+    |    SELECT query_id, neighbor_id,
+    |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+    |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+    |    FROM corpus JOIN qs ON query_id != neighbor_id) t
+    |  WHERE rank <= 5),
+    |corpus_cells AS (
+    |  SELECT neighbor_id, c_emb, cent_id FROM (
+    |    SELECT neighbor_id, c_emb, cent_id,
+    |      ROW_NUMBER() OVER (PARTITION BY neighbor_id
+    |        ORDER BY ${Similarity.Sql.cosine("c_emb", "cent_emb")} DESC, cent_id) AS r
+    |    FROM corpus CROSS JOIN cents) t WHERE r = 1),
+    |query_cells AS (
+    |  SELECT query_id, q_emb, cent_id FROM (
+    |    SELECT query_id, q_emb, cent_id,
+    |      ROW_NUMBER() OVER (PARTITION BY query_id
+    |        ORDER BY ${Similarity.Sql.cosine("q_emb", "cent_emb")} DESC, cent_id) AS r
+    |    FROM qs CROSS JOIN cents) t WHERE r <= 3),
+    |iv AS (
+    |  SELECT query_id, neighbor_id, rank FROM (
+    |    SELECT query_id, neighbor_id,
+    |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+    |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+    |    FROM corpus_cells JOIN query_cells USING (cent_id)
+    |    WHERE query_id != neighbor_id) t
+    |  WHERE rank <= 5)""".stripMargin
+
   private val airlineMonthlyCte =
     s"""WITH wide AS (
        |${StarSchema.wideViewSql}
@@ -1922,6 +1958,20 @@ object SparkEntry {
       Dedup.exciseFromGramIndex(docs.filter(col("doc_id") % 3 =!= 0),
         storedDedupIndex(s, dir, "evalgrams"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // MRR companion to q155: recall says how much of the truth the IVF
+    // ranking retrieves, MRR says how EARLY — what matters when a
+    // re-ranker or an LLM reads only the head of the list.
+    "q163_ann_mrr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        emb, "vec_id", "embedding", initStride = 53, iters = 2)
+      Similarity.mrrAtK(
+        Similarity.bruteForceTopK(qs, emb, k = 5),
+        Similarity.ivfTopKWith(qs, emb, k = 5, cents, nProbe = 3))
+        .orderBy("query_id")
     })
   )
 
@@ -2871,43 +2921,23 @@ object SparkEntry {
 
     // The q26 brute chain and the q28 IVF chain side by side, joined on
     // (query_id, neighbor_id) for the per-query hit count.
-    "q155_ann_recall" -> s"""WITH ${
-        graft.operators.Clustering.kmeansCentsSql(initStride = 53, iters = 2)},
-      |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-      |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
-      |       FROM embeddings WHERE vec_id < 10),
-      |bt AS (
-      |  SELECT query_id, neighbor_id FROM (
-      |    SELECT query_id, neighbor_id,
-      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-      |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
-      |    FROM corpus JOIN qs ON query_id != neighbor_id) t
-      |  WHERE rank <= 5),
-      |corpus_cells AS (
-      |  SELECT neighbor_id, c_emb, cent_id FROM (
-      |    SELECT neighbor_id, c_emb, cent_id,
-      |      ROW_NUMBER() OVER (PARTITION BY neighbor_id
-      |        ORDER BY ${Similarity.Sql.cosine("c_emb", "cent_emb")} DESC, cent_id) AS r
-      |    FROM corpus CROSS JOIN cents) t WHERE r = 1),
-      |query_cells AS (
-      |  SELECT query_id, q_emb, cent_id FROM (
-      |    SELECT query_id, q_emb, cent_id,
-      |      ROW_NUMBER() OVER (PARTITION BY query_id
-      |        ORDER BY ${Similarity.Sql.cosine("q_emb", "cent_emb")} DESC, cent_id) AS r
-      |    FROM qs CROSS JOIN cents) t WHERE r <= 3),
-      |iv AS (
-      |  SELECT query_id, neighbor_id FROM (
-      |    SELECT query_id, neighbor_id,
-      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-      |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
-      |    FROM corpus_cells JOIN query_cells USING (cent_id)
-      |    WHERE query_id != neighbor_id) t
-      |  WHERE rank <= 5)
+    "q155_ann_recall" -> s"""$annEvalCtes
       |SELECT iv.query_id,
       |  CAST(SUM(CASE WHEN bt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_hits,
       |  CAST(SUM(CASE WHEN bt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
       |    AS DOUBLE) / 5 AS recall
+      |FROM iv LEFT JOIN bt USING (query_id, neighbor_id)
+      |GROUP BY iv.query_id ORDER BY query_id""".stripMargin,
+
+    "q163_ann_mrr" -> s"""$annEvalCtes
+      |SELECT iv.query_id,
+      |  CAST(MIN(CASE WHEN bt.neighbor_id IS NOT NULL THEN iv.rank END)
+      |    AS BIGINT) AS first_hit,
+      |  CASE WHEN MIN(CASE WHEN bt.neighbor_id IS NOT NULL THEN iv.rank END)
+      |      IS NULL THEN 0.0
+      |    ELSE 1.0 / MIN(CASE WHEN bt.neighbor_id IS NOT NULL
+      |      THEN iv.rank END) END AS mrr
       |FROM iv LEFT JOIN bt USING (query_id, neighbor_id)
       |GROUP BY iv.query_id ORDER BY query_id""".stripMargin,
 

@@ -130,6 +130,23 @@ object Similarity {
       .withColumn("recall", col("n_hits").cast("double") / k)
   }
 
+  /** Mean-reciprocal-rank companion to [[recallAtK]]: per query, the
+    * reciprocal of the approx ranking's FIRST position that hits the
+    * exact top-k (`1/rank`, 0.0 when nothing hits) — recall says how
+    * much of the truth an ANN retrieves, MRR says how early, which is
+    * what matters when a re-ranker or an LLM reads only the head of
+    * the list. Inputs as in [[recallAtK]], with `approx` also carrying
+    * its `rank` column. Same k·|queries| evaluation cost. */
+  def mrrAtK(truth: DataFrame, approx: DataFrame): DataFrame =
+    approx.select("query_id", "neighbor_id", "rank")
+      .join(truth.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(min(when(col("hit") === 1, col("rank"))).cast("long")
+        .as("first_hit"))
+      .withColumn("mrr", when(col("first_hit").isNull, 0.0)
+        .otherwise(lit(1.0) / col("first_hit")))
+
   /** All pairs with cosine ≥ threshold (embedding near-dup), exact.
     *
     * Distributed all-pairs without a nested-loop join: vectors are hashed

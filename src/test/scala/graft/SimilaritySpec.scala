@@ -472,4 +472,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((0L, 0.0)))
     assert(out(3L) == ((0L, 0.0)))
   }
+
+  test("mrrAtK: reciprocal of the first hit's rank; all-miss queries score 0") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L))
+      .toDF("query_id", "neighbor_id")
+    // q1's first hit sits at rank 3; q2 never hits.
+    val approx = Seq((1L, 99L, 1), (1L, 98L, 2), (1L, 11L, 3), (1L, 10L, 4),
+      (2L, 30L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.mrrAtK(truth, approx)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((Some(3L), 1.0 / 3)))
+    assert(out(2L) == ((None, 0.0)))
+  }
 }
