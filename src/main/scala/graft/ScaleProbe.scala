@@ -20,12 +20,14 @@ package graft
   * SPARK_GRAFT_SCALE_ONLY. */
 object ScaleProbe {
 
-  /** Top-10 by BENCH_BASELINE.json median as of round 13. */
+  /** Top-10 by BENCH_BASELINE.json median as of the round-13
+    * continuation (q151 entered at #5; q152-q163's ×10 points are in
+    * BENCH_NOTES.md "Round-13 continuation probe"). */
   val DefaultQueries: Seq[String] = Seq(
     "q121_ivfpq_topk", "q23_ngram_jaccard", "q117_pq_topk",
-    "q139_semdedup", "q41_jdbc_roundtrip", "q89_fuzzy_join",
-    "q32_sink_roundtrip", "q146_bpe_tokenize", "q145_multimodal_curation",
-    "q105_compact_roundtrip")
+    "q139_semdedup", "q151_winnowing_spans", "q41_jdbc_roundtrip",
+    "q89_fuzzy_join", "q32_sink_roundtrip", "q146_bpe_tokenize",
+    "q145_multimodal_curation")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

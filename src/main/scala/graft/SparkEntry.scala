@@ -1972,6 +1972,21 @@ object SparkEntry {
         Similarity.bruteForceTopK(qs, emb, k = 5),
         Similarity.ivfTopKWith(qs, emb, k = 5, cents, nProbe = 3))
         .orderBy("query_id")
+    }),
+
+    // Streaming drift monitor: the q159 statistic as a deployment —
+    // stored reference histogram built once, each AvailableNow run
+    // scores ONLY its new batch against it (checkpointed exactly-once,
+    // batch ids monotone across runs). Per-batch cost independent of
+    // reference size.
+    "q164_stream_drift_monitor" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.streaming.DriftMonitor.twoRunMonitor(s,
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 === 1),
+        emb.filter(col("vec_id") % 3 === 2),
+        s"${Sinks.scratch}/q164")
+        .orderBy("batch_id")
     })
   )
 
@@ -2977,6 +2992,18 @@ object SparkEntry {
 
     "q162_decontam_stored_excision" ->
       Dedup.exciseContaminatedSql(k = 24,
-        trainPred = "doc_id % 3 != 0", evalPred = "doc_id % 3 = 0")
+        trainPred = "doc_id % 3 != 0", evalPred = "doc_id % 3 = 0"),
+
+    // Each streamed batch's PSI vs the stored reference == the batch
+    // twin with the matching predicates.
+    "q164_stream_drift_monitor" -> s"""SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS batch_id, d1.* FROM (
+      |${graft.operators.Drift.embeddingDriftSql(nBits = 6,
+          refPred = "vec_id % 3 = 0", curPred = "vec_id % 3 = 1")}) d1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS batch_id, d2.* FROM (
+      |${graft.operators.Drift.embeddingDriftSql(nBits = 6,
+          refPred = "vec_id % 3 = 0", curPred = "vec_id % 3 = 2")}) d2)
+      |ORDER BY batch_id""".stripMargin
   )
 }

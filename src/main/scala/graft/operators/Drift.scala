@@ -123,6 +123,18 @@ object Drift {
        |  FROM r FULL JOIN c ON r.bin IS NOT DISTINCT FROM c.bin),
        |$sqlTail""".stripMargin
 
+  /** PSI of a current snapshot against PRE-AGGREGATED reference
+    * counts `(bin, n_ref)` — the form a monitoring deployment runs
+    * per batch against a STORED reference histogram (the reference
+    * corpus is scanned once at deploy time, never per batch; see
+    * [[graft.streaming.DriftMonitor]]). Identical math to
+    * [[psiCategorical]] by construction (same private chain). */
+  def psiFromRefCounts(refCounts: DataFrame, cur: DataFrame,
+      keyCol: String): DataFrame =
+    summarize(withTerms(outerBins(
+      refCounts.select(col("bin"), col("n_ref")),
+      cur.groupBy(col(keyCol).as("bin")).agg(count(lit(1)).as("n_cur")))))
+
   /** EMBEDDING-space drift between two vector snapshots: PSI over SRP
     * sign-bucket histograms — "did the embedding distribution move",
     * the monitoring question a scalar PSI ([[psi]]) and a token PSI
@@ -149,12 +161,15 @@ object Drift {
     psiCategorical(buckets(ref), buckets(cur), "bucket")
   }
 
-  /** SQL twin of [[embeddingDrift]] over `embeddings` split by vec_id
-    * parity (reference = even ids, current = odd ids). */
-  def embeddingDriftSql(nBits: Int = 8, seed: Long = 7L): String = {
+  /** SQL twin of [[embeddingDrift]] over `embeddings` split by
+    * `refPred` / `curPred` (default: vec_id parity). */
+  def embeddingDriftSql(nBits: Int = 8, seed: Long = 7L,
+      refPred: String = "vec_id % 2 = 0",
+      curPred: String = "vec_id % 2 = 1"): String = {
     val sig = Similarity.srpSignatureSql(nBits, seed)
-    s"""WITH sigs AS (SELECT vec_id % 2 AS side, $sig AS bin
-       |  FROM embeddings),
+    s"""WITH sigs AS (SELECT CASE WHEN $refPred THEN 0 ELSE 1 END AS side,
+       |    $sig AS bin
+       |  FROM embeddings WHERE ($refPred) OR ($curPred)),
        |r AS (SELECT bin, count(*) AS n_ref FROM sigs WHERE side = 0 GROUP BY 1),
        |c AS (SELECT bin, count(*) AS n_cur FROM sigs WHERE side = 1 GROUP BY 1),
        |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
