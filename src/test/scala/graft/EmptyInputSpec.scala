@@ -124,4 +124,31 @@ class EmptyInputSpec extends SparkSpec {
       .filter(col("n_removed") =!= 0).count() == 0)
     graft.engine.Caches.release()
   }
+
+  test("continuation operators (CDC, copy matrix, metrics, audio, drift) are total on empty inputs") {
+    import graft.operators.{Dedup, Drift, Similarity}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noSrcDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    val noPairs = Seq.empty[(Long, Long, Double)]
+      .toDF("id_a", "id_b", "jaccard")
+    val noRank = Seq.empty[(Long, Long, Int)]
+      .toDF("query_id", "neighbor_id", "rank")
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // Empty corpora: zero rows everywhere, no errors (ANSI division
+    // included — every ratio in these operators divides a count that
+    // is >= 1 whenever its row exists).
+    assert(Dedup.cdcChunks(noDocs, "doc_id", "text", 8).count() == 0)
+    assert(Dedup.cdcSharedChunkStats(noDocs, "doc_id", "text", 8).count() == 0)
+    assert(Dedup.copyMatrix(noSrcDocs, "doc_id", "source", noPairs).count() == 0)
+    assert(Similarity.recallAtK(noRank.drop("rank"), noRank, 5).count() == 0)
+    assert(Similarity.mrrAtK(noRank.drop("rank"), noRank).count() == 0)
+    assert(graft.operators.Multimodal.audioNearDup(spark, noDocs).count() == 0)
+    // Drift of two empty clouds: the outer bin set is empty, PSI
+    // summarizes to a zero-bin row with NULL sums (SUM over no rows —
+    // the same shape the DuckDB twin emits) rather than erroring.
+    val d = Drift.embeddingDrift(noEmb, noEmb, nBits = 3).head()
+    assert(d.getLong(1) == 0 && d.isNullAt(2) && d.isNullAt(3))
+    graft.engine.Caches.release()
+  }
 }
