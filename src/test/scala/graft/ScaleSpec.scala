@@ -93,4 +93,31 @@ class ScaleSpec extends SparkSpec {
     assert(sq(dir).compareTo(sq(sf).multiply(
       new java.math.BigDecimal(10))) == 0)
   }
+
+  test("x10 continuation plans: excision windows stay per-doc equi, CDC and drift flat") {
+    def docs(d: String) = spark.read.parquet(s"$d/documents.parquet")
+    def emb(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
+    // Decontam excision at x10: the gram join stays equi (broadcast or
+    // shuffled-hash), never a nested loop, and the only windows are
+    // document-partitioned (no corpus-global sort).
+    val pEx = plan(Dedup.exciseContaminated(
+      docs(dir).filter(col("doc_id") % 3 =!= 0),
+      docs(dir).filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 24))
+    assert(!pEx.contains("BroadcastNestedLoopJoin") &&
+      !pEx.contains("CartesianProduct"), s"non-equi join at x10:\n$pEx")
+    graft.engine.Caches.release()
+    // CDC chunk stats at x10: same contract.
+    val pCdc = plan(Dedup.cdcSharedChunkStats(docs(dir), "doc_id", "text", 16))
+    assert(!pCdc.contains("BroadcastNestedLoopJoin") &&
+      !pCdc.contains("CartesianProduct"))
+    graft.engine.Caches.release()
+    // Embedding drift at x10: the histogram join is 2^nBits rows —
+    // the PSI tail must still broadcast it, and the 1-row totals ride
+    // a broadcast, not a cartesian.
+    val pDr = plan(graft.operators.Drift.embeddingDrift(
+      emb(dir).filter(col("vec_id") % 2 === 0),
+      emb(dir).filter(col("vec_id") % 2 === 1), nBits = 6))
+    assert(!pDr.contains("CartesianProduct"), s"cartesian at x10:\n$pDr")
+    graft.engine.Caches.release()
+  }
 }
