@@ -1987,6 +1987,20 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 === 2),
         s"${Sinks.scratch}/q164")
         .orderBy("batch_id")
+    }),
+
+    // Filter funnel: the FineWeb/Dolma-style ablation table — gates
+    // apply IN ORDER, each doc attributed to the FIRST gate it fails,
+    // so per-gate drops are marginal, not overlap-confounded. One
+    // corpus scan; all funnel arithmetic on the gates-sized frame.
+    "q165_filter_funnel" -> ((s, dir) => {
+      val t = col("text")
+      Curation.filterFunnel(Tables.documents(s, dir), Seq(
+        "min_tokens" -> (TextFunctions.tokenCount(t) >= 10),
+        "quality" -> (TextFunctions.qualityScore(t) >= 0.3),
+        "punct" -> (TextFunctions.punctRatio(t) <= 0.2),
+        "stopwords" -> (TextFunctions.stopwordRatio(t) >= 0.05)))
+        .orderBy("stage")
     })
   )
 
@@ -3004,6 +3018,15 @@ object SparkEntry {
       |  SELECT CAST(2 AS BIGINT) AS batch_id, d2.* FROM (
       |${graft.operators.Drift.embeddingDriftSql(nBits = 6,
           refPred = "vec_id % 3 = 0", curPred = "vec_id % 3 = 2")}) d2)
-      |ORDER BY batch_id""".stripMargin
+      |ORDER BY batch_id""".stripMargin,
+
+    "q165_filter_funnel" -> {
+      import TextFunctions.{Sql => T}
+      Curation.filterFunnelSql(Seq(
+        "min_tokens" -> s"${T.tokenCount("text")} >= 10",
+        "quality" -> s"${T.qualityScore("text")} >= 0.3",
+        "punct" -> s"${T.punctRatio("text")} <= 0.2",
+        "stopwords" -> s"${T.stopwordRatio("text")} >= 0.05"))
+    }
   )
 }

@@ -246,6 +246,69 @@ object Curation {
         col("bin"): _*)
   }
 
+  /** Sequential FILTER FUNNEL — the ablation table curation papers
+    * publish (FineWeb, Dolma: "gate X drops N docs of the survivors of
+    * the gates before it"): gates apply IN ORDER, and each document is
+    * attributed to the FIRST gate it fails, so the per-gate drop counts
+    * are the marginal effect of each gate in sequence, not independent
+    * overlap-confounded counts. Returns one row per gate:
+    * `(stage, gate, n_in, n_dropped, n_out)` with
+    * `n_out(i) = n_in(i+1)` and `n_out(last) = survivors`.
+    *
+    * Scale shape: ONE corpus scan — the first-failing-gate index is a
+    * single nested-CASE projection, collapsed by a map-side-combined
+    * count — then all funnel arithmetic runs on the gates-sized frame
+    * (the unpartitioned cumulative window is over |gates| rows, never
+    * the corpus). */
+  def filterFunnel(docs: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "need at least one gate")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val firstFail = gates.zipWithIndex.foldRight(lit(-1)) {
+      case (((_, g), i), acc) => when(!g, lit(i)).otherwise(acc)
+    }
+    val counts = graft.engine.Caches.materialized(
+      docs.select(firstFail.as("ff")).groupBy("ff")
+        .agg(count(lit(1)).as("n")))
+    val totalDf = counts.agg(coalesce(sum("n"), lit(0L)).as("total"))
+    val gateNames = gates.map(_._1).zipWithIndex
+      .map { case (g, i) => (i, g) }.toDF("stage", "gate")
+    val cumBefore = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gateNames
+      .join(counts.withColumnRenamed("ff", "stage"), Seq("stage"), "left")
+      .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(totalDf))
+      .withColumn("n_in",
+        col("total") - coalesce(sum("n_dropped").over(cumBefore), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .select("stage", "gate", "n_in", "n_dropped", "n_out")
+  }
+
+  /** SQL twin of [[filterFunnel]] over `documents`: gates as (name,
+    * boolean-SQL) pairs in the same order. */
+  def filterFunnelSql(gates: Seq[(String, String)]): String = {
+    val cases = gates.zipWithIndex
+      .map { case ((_, g), i) => s"WHEN NOT ($g) THEN $i" }.mkString(" ")
+    val values = gates.zipWithIndex
+      .map { case ((n, _), i) => s"($i, '$n')" }.mkString(", ")
+    s"""WITH ff AS (SELECT CASE $cases ELSE -1 END AS ff FROM documents),
+       |counts AS (SELECT ff, count(*) AS n FROM ff GROUP BY ff),
+       |total AS (SELECT COALESCE(SUM(n), 0) AS total FROM counts),
+       |gates(stage, gate) AS (VALUES $values),
+       |j AS (SELECT g.stage, g.gate, COALESCE(c.n, 0) AS n_dropped
+       |  FROM gates g LEFT JOIN counts c ON c.ff = g.stage)
+       |SELECT CAST(stage AS INTEGER) AS stage, gate,
+       |  CAST(total - COALESCE(SUM(n_dropped) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS n_in,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CAST(total - COALESCE(SUM(n_dropped) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    - n_dropped AS BIGINT) AS n_out
+       |FROM j CROSS JOIN total ORDER BY stage""".stripMargin
+  }
+
   /** SQL twin of [[packSequences]] (global-window formulation). */
   def packSequencesSql(binTokens: Long): String = {
     import TextFunctions.{Sql => T}

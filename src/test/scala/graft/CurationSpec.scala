@@ -128,4 +128,29 @@ class CurationSpec extends SparkSpec {
     assert(shuffled.exceptAll(packed).count() == 0)
     graft.engine.Caches.release()
   }
+
+  test("filter funnel: first-fail attribution, marginal drops, chained totals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // Doc 1 fails BOTH gates — must be attributed to gate 0 only.
+    // Doc 2 fails only gate 1; docs 3-4 survive; doc 5 fails gate 0.
+    val docs = Seq(
+      (1L, "x"), (2L, "zz"), (3L, "hello hello"), (4L, "world"),
+      (5L, "y")).toDF("doc_id", "text")
+    val out = Curation.filterFunnel(docs, Seq(
+      "len2" -> (length(col("text")) >= 2),
+      "no_z" -> !col("text").contains("z")))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (0, "len2", 5L, 2L, 3L),   // docs 1 and 5 (doc 1 NOT double-counted)
+      (1, "no_z", 3L, 1L, 2L)))  // doc 2, of the 3 survivors
+    // A gate that drops nothing still reports its row.
+    val out2 = Curation.filterFunnel(docs, Seq(
+      "always" -> org.apache.spark.sql.functions.lit(true)))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out2.toSeq == Seq((5L, 0L, 5L)))
+    graft.engine.Caches.release()
+  }
 }
