@@ -2001,6 +2001,18 @@ object SparkEntry {
         "punct" -> (TextFunctions.punctRatio(t) <= 0.2),
         "stopwords" -> (TextFunctions.stopwordRatio(t) >= 0.05)))
         .orderBy("stage")
+    }),
+
+    // N-gram novelty: the memorization/contamination MEASUREMENT (q95
+    // is the binary decision) — fraction of each training doc's
+    // distinct 8-grams absent from the reference slice.
+    "q166_ngram_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.ngramNovelty(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -3027,6 +3039,9 @@ object SparkEntry {
         "quality" -> s"${T.qualityScore("text")} >= 0.3",
         "punct" -> s"${T.punctRatio("text")} <= 0.2",
         "stopwords" -> s"${T.stopwordRatio("text")} >= 0.05"))
-    }
+    },
+
+    "q166_ngram_novelty" -> Curation.ngramNoveltySql(n = 8,
+      docPred = "doc_id % 3 != 0", refPred = "doc_id % 3 = 0")
   )
 }

@@ -206,6 +206,54 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document N-GRAM NOVELTY against a reference corpus: the
+    * fraction of a document's DISTINCT word `n`-grams that occur
+    * nowhere in the reference — the memorization/contamination AUDIT
+    * metric (novel-n-gram rate is how memorization studies quantify
+    * verbatim regurgitation, and how a curation pass scores "is this
+    * batch genuinely new text or a paraphrase-shuffle of what we
+    * already have"). [[decontaminate]] is the binary decision; this is
+    * the measurement. Returns `(id, n_grams, n_novel, novelty_frac)`;
+    * the shingle convention matches the repetition metrics (a doc
+    * shorter than `n` tokens contributes its whole text as one
+    * shingle, so `n_grams >= 1` and the division is total).
+    *
+    * Scale shape: the reference collapses to its distinct gram set
+    * once (broadcast when small, gram-keyed equi-join otherwise), the
+    * document side is one explode + distinct + doc-keyed count —
+    * the q95 join shape with a count instead of an anti-join. */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val docGrams = docs.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("s")).distinct()
+    val refGrams = ref
+      .select(explode(Dedup.shingles(col(textCol), n)).as("s")).distinct()
+      .withColumn("seen", lit(1))
+    docGrams.join(refGrams, Seq("s"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Oracle twin of [[ngramNovelty]] over `documents` split by
+    * `docPred` / `refPred`. */
+  def ngramNoveltySql(n: Int, docPred: String, refPred: String): String = {
+    val sh = Dedup.shinglesSql(n)
+    s"""WITH dg AS (SELECT DISTINCT doc_id, unnest($sh) AS s
+       |  FROM documents WHERE $docPred),
+       |rg AS (SELECT DISTINCT unnest($sh) AS s
+       |  FROM documents WHERE $refPred)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN rg.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  round(CAST(SUM(CASE WHEN rg.s IS NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+       |FROM dg LEFT JOIN rg ON dg.s = rg.s
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Sequence packing (doc granularity): concatenate the corpus in
     * `idCol` order and chunk it into training bins of `binTokens`
     * tokens — each document's bin is `floor(tokens_before_it /

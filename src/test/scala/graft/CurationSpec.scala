@@ -129,6 +129,23 @@ class CurationSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("n-gram novelty: exact fractions, short-doc whole-text shingle, bounds") {
+    import spark.implicits._
+    val ref = Seq(100L -> "a b c d e").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "a b c d e",       // verbatim: 3 of 3 trigrams seen -> 0.0
+      2L -> "a b c x y",       // 1 seen ("a b c"), 2 novel -> 2/3
+      3L -> "p q r s",         // all 2 trigrams novel -> 1.0
+      4L -> "zz").toDF("doc_id", "text") // sub-n: ONE whole-text shingle
+    val out = Curation.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((3L, 2L, 0.666667)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    assert(out(4L) == ((1L, 1L, 1.0)))
+  }
+
   test("filter funnel: first-fail attribution, marginal drops, chained totals") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, length}
