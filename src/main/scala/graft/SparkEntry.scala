@@ -2013,6 +2013,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", n = 8)
         .orderBy("doc_id")
+    }),
+
+    // The corpus curation REPORT: near-dup survival (q24/q37/q38) as
+    // the first funnel gate, quality gates after — the end-to-end
+    // ablation table a curation run publishes, with every drop
+    // attributed to exactly one stage.
+    "q167_curation_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val victims = Dedup.dedupClusters(
+          Dedup.minhashNearDup(docs, "doc_id", "text",
+            n = 3, numHashes = 64, bands = 16, threshold = 0.5))
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"), lit(1).as("is_victim"))
+      val t = col("text")
+      Curation.filterFunnel(docs.join(victims, Seq("doc_id"), "left"), Seq(
+        "near_dup_survivor" -> col("is_victim").isNull,
+        "min_tokens" -> (TextFunctions.tokenCount(t) >= 10),
+        "quality" -> (TextFunctions.qualityScore(t) >= 0.3)))
+        .orderBy("stage")
     })
   )
 
@@ -3042,6 +3061,31 @@ object SparkEntry {
     },
 
     "q166_ngram_novelty" -> Curation.ngramNoveltySql(n = 8,
-      docPred = "doc_id % 3 != 0", refPred = "doc_id % 3 = 0")
+      docPred = "doc_id % 3 != 0", refPred = "doc_id % 3 = 0"),
+
+    "q167_curation_report" -> {
+      import TextFunctions.{Sql => T}
+      Curation.filterFunnelSql(
+        gates = Seq(
+          "near_dup_survivor" -> "surv",
+          "min_tokens" -> s"${T.tokenCount("text")} >= 10",
+          "quality" -> s"${T.qualityScore("text")} >= 0.3"),
+        prelude = s"""RECURSIVE pairs AS (
+          |${Dedup.trueJaccardPairsSql(3, 0.5)}
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs
+          |), reach AS (
+          |  SELECT DISTINCT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+          |), clusters AS (
+          |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+          |), gated AS (
+          |  SELECT d.*, d.doc_id NOT IN
+          |    (SELECT id FROM clusters WHERE id <> cluster_id) AS surv
+          |  FROM documents d)""".stripMargin,
+        from = "gated")
+    }
   )
 }

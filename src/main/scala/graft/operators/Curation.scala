@@ -333,14 +333,18 @@ object Curation {
       .select("stage", "gate", "n_in", "n_dropped", "n_out")
   }
 
-  /** SQL twin of [[filterFunnel]] over `documents`: gates as (name,
-    * boolean-SQL) pairs in the same order. */
-  def filterFunnelSql(gates: Seq[(String, String)]): String = {
+  /** SQL twin of [[filterFunnel]]: gates as (name, boolean-SQL) pairs
+    * in the same order, over `from` (default the raw `documents`
+    * table; `prelude` lets callers prepend CTEs — e.g. a computed
+    * is-survivor relation — that `from` refers to). */
+  def filterFunnelSql(gates: Seq[(String, String)],
+      prelude: String = "", from: String = "documents"): String = {
     val cases = gates.zipWithIndex
       .map { case ((_, g), i) => s"WHEN NOT ($g) THEN $i" }.mkString(" ")
     val values = gates.zipWithIndex
       .map { case ((n, _), i) => s"($i, '$n')" }.mkString(", ")
-    s"""WITH ff AS (SELECT CASE $cases ELSE -1 END AS ff FROM documents),
+    val pre = if (prelude.isEmpty) "" else prelude + ",\n"
+    s"""WITH ${pre}ff AS (SELECT CASE $cases ELSE -1 END AS ff FROM $from),
        |counts AS (SELECT ff, count(*) AS n FROM ff GROUP BY ff),
        |total AS (SELECT COALESCE(SUM(n), 0) AS total FROM counts),
        |gates(stage, gate) AS (VALUES $values),
