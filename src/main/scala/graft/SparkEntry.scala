@@ -239,21 +239,16 @@ object SparkEntry {
   private def withWide(body: String): String =
     s"WITH wide AS (\n${StarSchema.wideViewSql}\n)\n$body"
 
-  /** Shared CTE chain of the ANN-evaluation oracles (q155 recall, q163
-    * MRR): the q26 brute ranking as `bt` and the q28 IVF ranking as
-    * `iv` (rank retained) side by side. */
-  private lazy val annEvalCtes = s"""WITH ${
+  /** The q28 IVF chain's shared prelude — trained centroids, corpus/
+    * query projections, nearest-cell assignments — interpolated into
+    * BOTH the q28 oracle and the ANN-evaluation oracles, so a retune
+    * (nProbe, tie-breaks, stride) can never silently diverge the
+    * ranking q28 gates from the ranking q155/q163 evaluate. */
+  private lazy val ivfChainCtes = s"""WITH ${
       graft.operators.Clustering.kmeansCentsSql(initStride = 53, iters = 2)},
     |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
     |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
     |       FROM embeddings WHERE vec_id < 10),
-    |bt AS (
-    |  SELECT query_id, neighbor_id FROM (
-    |    SELECT query_id, neighbor_id,
-    |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-    |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
-    |    FROM corpus JOIN qs ON query_id != neighbor_id) t
-    |  WHERE rank <= 5),
     |corpus_cells AS (
     |  SELECT neighbor_id, c_emb, cent_id FROM (
     |    SELECT neighbor_id, c_emb, cent_id,
@@ -265,7 +260,19 @@ object SparkEntry {
     |    SELECT query_id, q_emb, cent_id,
     |      ROW_NUMBER() OVER (PARTITION BY query_id
     |        ORDER BY ${Similarity.Sql.cosine("q_emb", "cent_emb")} DESC, cent_id) AS r
-    |    FROM qs CROSS JOIN cents) t WHERE r <= 3),
+    |    FROM qs CROSS JOIN cents) t WHERE r <= 3)""".stripMargin
+
+  /** Shared CTE chain of the ANN-evaluation oracles (q155 recall, q163
+    * MRR): the q26 brute ranking as `bt` and the q28 IVF ranking as
+    * `iv` (rank retained) side by side, over [[ivfChainCtes]]. */
+  private lazy val annEvalCtes = s"""$ivfChainCtes,
+    |bt AS (
+    |  SELECT query_id, neighbor_id FROM (
+    |    SELECT query_id, neighbor_id,
+    |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+    |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+    |    FROM corpus JOIN qs ON query_id != neighbor_id) t
+    |  WHERE rank <= 5),
     |iv AS (
     |  SELECT query_id, neighbor_id, rank FROM (
     |    SELECT query_id, neighbor_id,
@@ -2289,23 +2296,7 @@ object SparkEntry {
     // Deterministic centroids (every 53rd vec) let the oracle replay the
     // exact IVF cell assignment: nearest cell per corpus vector, top-3
     // cells per query, cell-local scoring, per-query top-5.
-    "q28_ivf_topk" -> s"""WITH ${
-        graft.operators.Clustering.kmeansCentsSql(initStride = 53, iters = 2)},
-      |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-      |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
-      |       FROM embeddings WHERE vec_id < 10),
-      |corpus_cells AS (
-      |  SELECT neighbor_id, c_emb, cent_id FROM (
-      |    SELECT neighbor_id, c_emb, cent_id,
-      |      ROW_NUMBER() OVER (PARTITION BY neighbor_id
-      |        ORDER BY ${Similarity.Sql.cosine("c_emb", "cent_emb")} DESC, cent_id) AS r
-      |    FROM corpus CROSS JOIN cents) t WHERE r = 1),
-      |query_cells AS (
-      |  SELECT query_id, q_emb, cent_id FROM (
-      |    SELECT query_id, q_emb, cent_id,
-      |      ROW_NUMBER() OVER (PARTITION BY query_id
-      |        ORDER BY ${Similarity.Sql.cosine("q_emb", "cent_emb")} DESC, cent_id) AS r
-      |    FROM qs CROSS JOIN cents) t WHERE r <= 3),
+    "q28_ivf_topk" -> s"""$ivfChainCtes,
       |scored AS (
       |  SELECT query_id, neighbor_id,
       |    ${Similarity.Sql.cosine("q_emb", "c_emb")} AS cosine

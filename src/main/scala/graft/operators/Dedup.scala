@@ -967,7 +967,10 @@ object Dedup {
     require(k >= 1 && minDf >= 2, s"need k >= 1, minDf >= 2; got k=$k minDf=$minDf")
     val base = materialized(parallelized(docs)
       .select(col(idCol).as("id"), col(textCol).as("text")))
-    val grams = charGrams(base, k)
+    // The gram projection feeds BOTH the df count and the mark join —
+    // materialize it once (the minhashNearDup shingle-cache argument)
+    // instead of re-running the len(text)-rows-per-doc explode twice.
+    val grams = materialized(charGrams(base, k))
     val boiler = grams.select("id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("gram")

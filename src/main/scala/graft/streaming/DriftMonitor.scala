@@ -62,13 +62,21 @@ object DriftMonitor {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (mb: DataFrame, id: Long) =>
+        // foreachBatch is AT-LEAST-once (a crash between this write
+        // and the checkpoint commit re-executes the batch), so the
+        // write must be idempotent per batch: dynamic partition
+        // overwrite on batch_id makes a re-executed batch REPLACE its
+        // own row instead of appending a duplicate alarm.
         Drift.psiFromRefCounts(
             spark.read.parquet(s"$refDir/hist"),
             mb.select(Similarity.srpSignature(nBits, seed).as("bucket")),
             "bucket")
           .withColumn("batch_id", lit(id + 1))
           .select("batch_id", "psi", "n_bins", "n_ref", "n_cur")
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -91,6 +99,10 @@ object DriftMonitor {
     runAvailable(spark, src, batch1.schema, ref, out, cp)
     batch2.write.mode("append").parquet(src)
     runAvailable(spark, src, batch1.schema, ref, out, cp)
+    // batch_id comes back as a PARTITION column (inferred int, listed
+    // last) — restore the written long type and column order.
     spark.read.parquet(out)
+      .select(col("batch_id").cast("long").as("batch_id"), col("psi"),
+        col("n_bins"), col("n_ref"), col("n_cur"))
   }
 }
