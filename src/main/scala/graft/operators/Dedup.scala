@@ -569,12 +569,21 @@ object Dedup {
   /** Index MAINTENANCE: shingle + band `newRef` with the FROZEN stored
     * parameters and append — yesterday's deduped ingest becomes part of
     * tomorrow's reference corpus without re-shingling anything already
-    * indexed; append cost is O(|newRef|), independent of index size
-    * (the existing tables are never read, only appended to). Contract:
-    * `newRef` ids must be disjoint from the indexed ids (this helper
-    * never scans the index to check, by design — a dup id would emit
-    * its matches twice). Marker dropped for the duration and
-    * re-committed after, same crash semantics as the ANN appends. */
+    * indexed. The append is REPLAY-SAFE: each table anti-joins the
+    * incoming ids against what IT already holds (per-table, not a
+    * single check, because a crash between the `sh` and `bands` appends
+    * leaves `sh` ahead of `bands`) — so re-running the same append is a
+    * no-op, and retrying a half-landed one completes the missing table
+    * instead of doubling rows (duplicate `sh`/`bands` rows would
+    * silently double every match [[minhashNearDupFromIndex]] emits for
+    * those ids). The guard costs one column-pruned id scan per table —
+    * O(index) reads but O(|newRef|) writes; a table format with
+    * MERGE semantics removes even that at production scale. Contract:
+    * `newRef` ids must be disjoint from ids of OTHER documents already
+    * indexed (an id collision between different texts is
+    * indistinguishable from a replay and gets skipped). Marker dropped
+    * for the duration and re-committed after, same crash semantics as
+    * the ANN appends. */
   def appendToMinhashIndex(newRef: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = newRef.sparkSession
@@ -584,9 +593,14 @@ object Dedup {
     graft.engine.Markers.gated(spark, dir, IndexMarker) {
       val sh = materialized(parallelized(newRef)
         .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-      sh.write.mode("append").parquet(s"$dir/sh")
+      val novelSh = materialized(sh.join(
+        spark.read.parquet(s"$dir/sh").select("id"), Seq("id"), "left_anti"))
+      novelSh.write.mode("append").parquet(s"$dir/sh")
       val (as, bs) = hashFamily(numHashes, seed)
-      sh.select(col("id"), explode(TextKernels.minhashBandsCol(
+      val novelBands = materialized(sh.join(
+        spark.read.parquet(s"$dir/bands").select("id").distinct(),
+        Seq("id"), "left_anti"))
+      novelBands.select(col("id"), explode(TextKernels.minhashBandsCol(
           col("sh"), as, bs, bandsN, MinhashP)).as("band"))
         .write.mode("append").parquet(s"$dir/bands")
     }

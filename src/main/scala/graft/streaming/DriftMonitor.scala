@@ -98,7 +98,10 @@ object DriftMonitor {
     batch1.write.mode("append").parquet(src)
     runAvailable(spark, src, batch1.schema, ref, out, cp)
     batch2.write.mode("append").parquet(src)
-    runAvailable(spark, src, batch1.schema, ref, out, cp)
+    // batch2's OWN schema: the demo's batches happen to share one, but
+    // reusing batch1.schema here would silently drop/null columns for
+    // a caller whose second batch differs.
+    runAvailable(spark, src, batch2.schema, ref, out, cp)
     // batch_id comes back as a PARTITION column (inferred int, listed
     // last) — restore the written long type and column order.
     spark.read.parquet(out)

@@ -21,15 +21,23 @@ import graft.operators.Dedup
   *
   * Exactly-once and crash shape: the SOURCE side is exactly-once via
   * the checkpoint (a re-run resumes at the file log, like
-  * [[IncrementalIngest]]). The three SINK writes inside a batch
-  * (accepted parquet, rejected parquet, index append) are not one
-  * transaction — plain parquet has no multi-table commit — but the
-  * index append runs LAST and inside the marker window
-  * ([[Dedup.appendToMinhashIndex]] drops `_INDEX_SUCCESS` for the
-  * duration), so a crash mid-batch leaves a visibly-incomplete index
-  * (rebuild/repair), never a silently half-deduped corpus; a table
-  * format (Delta/Iceberg) supplies the transactional upgrade at
-  * production, the same adjudication as the streaming upsert sink.
+  * [[IncrementalIngest]]), but foreachBatch itself is AT-LEAST-once —
+  * a crash anywhere between the batch's first write and the checkpoint
+  * commit re-executes the whole batch. Every write inside a batch is
+  * therefore idempotent per batch: accepted and rejected are
+  * partitioned by the checkpoint's own `batch_id` and written with
+  * dynamic partition overwrite (a replay REPLACES its own partition,
+  * exactly [[DriftMonitor]]'s shape — never silent duplicate corpus
+  * rows), the index append anti-joins per table against already-stored
+  * ids ([[Dedup.appendToMinhashIndex]]'s replay guard — a replay
+  * no-ops, a crash between the two table appends completes on retry),
+  * and the cross-check drops self-matches so a replay that finds its
+  * OWN batch already indexed does not re-file every accepted row as
+  * `ref_dup`. The `_INDEX_SUCCESS` marker window still brackets the
+  * index mutation, so a crash INSIDE the append stays visibly
+  * incomplete; a table format (Delta/Iceberg) supplies the
+  * multi-table-transaction upgrade at production, the same
+  * adjudication as the streaming upsert sink.
   *
   * Scale shape per batch: within-batch dedup is the q24 banded
   * self-join on the BATCH only (batches are bounded by the trigger,
@@ -61,8 +69,9 @@ object StreamingDedup {
       .schema(schema)
       .parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatch(batch, indexDir, acceptedDir, rejectedDir, threshold)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        dedupBatch(batch, id + 1, indexDir, acceptedDir, rejectedDir,
+          threshold)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -72,11 +81,13 @@ object StreamingDedup {
 
   /** One micro-batch's dedup: within-batch collapse, cross check
     * against the stored index, three writes (accepted, rejected,
-    * index append — append LAST, see the crash-shape note above).
+    * index append — append LAST), each idempotent under a full-batch
+    * replay at the same `batchId` (see the crash-shape note above).
     * Batch twin of the streaming path, public so the spec can prove
-    * streaming == batch on identical arrivals. */
-  def dedupBatch(batch: DataFrame, indexDir: String, acceptedDir: String,
-      rejectedDir: String, threshold: Double): Unit = {
+    * streaming == batch on identical arrivals AND that a replayed
+    * batch leaves the corpus, quarantine, and index bit-unchanged. */
+  def dedupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      acceptedDir: String, rejectedDir: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
     val (n, numHashes, bands) = storedLshShape(spark, indexDir)
     val docs = graft.engine.Caches.materialized(
@@ -101,10 +112,16 @@ object StreamingDedup {
       .agg(max(struct(col("jaccard"), col("matched_id"))).as("m"))
       .select(col("doc_id"), col("m.matched_id").as("matched_id"),
         col("m.jaccard").as("jaccard"), lit("batch_dup").as("reason"))
-    // Cross check: survivors vs the STORED reference state.
+    // Cross check: survivors vs the STORED reference state. The
+    // self-match filter is replay safety, not semantics: ids are
+    // globally unique by contract, so new_id == ref_id can only mean a
+    // replayed batch finding its own previous append in the index —
+    // without the filter, every accepted row would re-file as a
+    // ref_dup of itself on replay.
     val refMatches = graft.engine.Caches.materialized(
       Dedup.minhashNearDupFromIndex(batchSurvivors, indexDir,
-        "doc_id", "text", threshold))
+        "doc_id", "text", threshold)
+        .filter(col("new_id") =!= col("ref_id")))
     val refVictims = refMatches
       .groupBy(col("new_id").as("doc_id"))
       .agg(max(struct(col("jaccard"), col("ref_id"))).as("m"))
@@ -113,10 +130,21 @@ object StreamingDedup {
     val novel = graft.engine.Caches.materialized(
       batchSurvivors.join(
         refVictims.select("doc_id"), Seq("doc_id"), "left_anti"))
+    // Idempotent sinks: a replayed batch overwrites ITS OWN batch_id
+    // partition instead of appending duplicates (DriftMonitor's shape).
     batchVictims.union(refVictims)
-      .write.mode("append").parquet(rejectedDir)
-    novel.write.mode("append").parquet(acceptedDir)
-    // Index append LAST: the marker window covers the state mutation.
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(rejectedDir)
+    novel.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(acceptedDir)
+    // Index append LAST: the marker window covers the state mutation;
+    // the append's per-table anti-join makes a replay a no-op.
     Dedup.appendToMinhashIndex(novel, indexDir, "doc_id", "text")
     graft.engine.Caches.release()
   }

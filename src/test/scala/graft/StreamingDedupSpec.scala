@@ -92,12 +92,69 @@ class StreamingDedupSpec extends SparkSpec {
     val (acc, rej, idx) = (s"$root/accepted", s"$root/rejected", s"$root/index")
     Seq(acc, rej).foreach(IncrementalIngest.deleteDir(spark, _))
     buildRefIndex(idx)
-    StreamingDedup.dedupBatch(df(batch1: _*), idx, acc, rej, threshold = 0.5)
-    StreamingDedup.dedupBatch(df(batch2: _*), idx, acc, rej, threshold = 0.5)
+    StreamingDedup.dedupBatch(df(batch1: _*), 1L, idx, acc, rej, threshold = 0.5)
+    StreamingDedup.dedupBatch(df(batch2: _*), 2L, idx, acc, rej, threshold = 0.5)
     assert(acceptedIds(acc) == Set(102L, 103L, 202L))
     assert(rejected(rej) == Map(
       101L -> ((1L, "ref_dup")),
       104L -> ((103L, "batch_dup")),
       201L -> ((102L, "ref_dup"))))
+  }
+
+  test("full-batch replay is idempotent: corpus, quarantine, and index unchanged") {
+    // foreachBatch is at-least-once: a crash after all three writes but
+    // before the checkpoint commit re-executes the WHOLE batch at the
+    // same batch id. The replay must not duplicate accepted/rejected
+    // rows, must not re-file accepted docs as ref_dups of themselves
+    // (their ids are now IN the index), and must not double index rows.
+    val root = s"${graft.engine.Sinks.scratch}/streaming_dedup_replay"
+    val (acc, rej, idx) = (s"$root/accepted", s"$root/rejected", s"$root/index")
+    Seq(acc, rej).foreach(IncrementalIngest.deleteDir(spark, _))
+    buildRefIndex(idx)
+    def snapshot(): (Seq[(Long, String)], Map[Long, (Long, String)], Long, Long) = (
+      spark.read.parquet(acc).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted,
+      rejected(rej),
+      spark.read.parquet(s"$idx/sh").count(),
+      spark.read.parquet(s"$idx/bands").count())
+    StreamingDedup.dedupBatch(df(batch1: _*), 1L, idx, acc, rej, threshold = 0.5)
+    val first = snapshot()
+    StreamingDedup.dedupBatch(df(batch1: _*), 1L, idx, acc, rej, threshold = 0.5)
+    assert(snapshot() == first, "replayed batch must be a no-op")
+    assert(first._1.map(_._1) == Seq(102L, 103L))
+    assert(first._2 == Map(
+      101L -> ((1L, "ref_dup")), 104L -> ((103L, "batch_dup"))))
+    // And the replay must not have poisoned FUTURE batches: batch 2
+    // still dedups correctly against the grown index.
+    StreamingDedup.dedupBatch(df(batch2: _*), 2L, idx, acc, rej, threshold = 0.5)
+    assert(acceptedIds(acc) == Set(102L, 103L, 202L))
+    assert(rejected(rej)(201L) == ((102L, "ref_dup")))
+  }
+
+  test("half-landed index append completes on retry instead of doubling") {
+    // Crash between the sh append and the bands append leaves sh ahead
+    // of bands; the per-table anti-join retry appends ONLY the missing
+    // bands rows, ending bit-identical to a clean single append.
+    import spark.implicits._
+    val root = s"${graft.engine.Sinks.scratch}/minhash_append_retry"
+    val idx = s"$root/index"
+    buildRefIndex(idx)
+    val newRef = df(102L -> novelA, 103L -> novelB)
+    // Simulate the half-landed state: sh rows landed, bands did not.
+    val shOnly = newRef.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    shOnly.write.mode("append").parquet(s"$idx/sh")
+    Dedup.appendToMinhashIndex(newRef, idx, "doc_id", "text")
+    val sh = spark.read.parquet(s"$idx/sh")
+    val bands = spark.read.parquet(s"$idx/bands")
+    assert(sh.count() == sh.select("id").distinct().count(),
+      "no duplicate sh rows after retry")
+    assert(bands.select("id").distinct().count() == 4,
+      "bands completed for the new ids")
+    // Match emission is single, not doubled.
+    val m = Dedup.minhashNearDupFromIndex(df(201L -> variant(novelA)),
+      idx, "doc_id", "text", 0.5).collect()
+    assert(m.length == 1 && m.head.getLong(1) == 102L)
+    graft.engine.Caches.release()
   }
 }
