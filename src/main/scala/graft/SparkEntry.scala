@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Cleaning, Dashboard, Ingest, Joins, Sinks, StarSchema, Tables}
 import graft.functions.{TextFunctions, WeightedMean}
-import graft.operators.{CorpusStats, Curation, Dedup, EventAnalytics, Merge, Multimodal, Privacy, QualityReport, Retrieval, Sampling, Similarity}
+import graft.operators.{CorpusStats, Curation, Dedup, EventAnalytics, Merge, Multimodal, Privacy, QualityClassifier, QualityReport, Retrieval, Sampling, Similarity}
 import graft.sources.Jdbc
 import graft.streaming.EventStream
 
@@ -188,6 +188,22 @@ object SparkEntry {
     }
   }
 
+  /** Persisted quality-classifier model for `dir`'s corpus: trained
+    * ONCE on the reference slice (doc_id % 3 == 0, the q148/q150
+    * split) labeled good = English (the CCNet target-language
+    * framing). Content-keyed on text AND lang — the model is a
+    * function of both. */
+  private def storedQualityModel(s: SparkSession, dir: String): String = {
+    val train = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+      .withColumn("label_good", col("lang") === "en")
+    graft.engine.Fixtures.ensure(s, train, "doc_id",
+      s"${Sinks.scratch}/quality_model", "nb", Some(dir),
+      contentSig = Some(pmod(xxhash64(col("text"), col("lang")),
+        lit(1000000007L)))) { idx =>
+      QualityClassifier.saveModel(train, "text", "label_good", idx)
+    }
+  }
+
   /** Fixture-backed query → (family, kind): which single fixture each
     * timed body reads, so [[warmFixtures]] can materialize exactly the
     * subset a filtered bench run needs. */
@@ -203,7 +219,8 @@ object SparkEntry {
     "q149_phash_stored_dedup" -> ("dedup", "phash"),
     "q150_bpe_apply_stored" -> ("bpemodel", "m10"),
     "q158_bpe_fertility" -> ("bpemodel", "m10"),
-    "q162_decontam_stored_excision" -> ("dedup", "evalgrams"))
+    "q162_decontam_stored_excision" -> ("dedup", "evalgrams"),
+    "q169_quality_stored_score" -> ("qualitymodel", "nb"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -229,6 +246,9 @@ object SparkEntry {
         graft.engine.Caches.release()
       case ("bpemodel", _) =>
         storedBpeModel(s, dir)
+        graft.engine.Caches.release()
+      case ("qualitymodel", _) =>
+        storedQualityModel(s, dir)
         graft.engine.Caches.release()
       case (_, k) =>
         storedAnnIndex(s, dir, k)
@@ -2039,6 +2059,33 @@ object SparkEntry {
         "min_tokens" -> (TextFunctions.tokenCount(t) >= 10),
         "quality" -> (TextFunctions.qualityScore(t) >= 0.3)))
         .orderBy("stage")
+    }),
+
+    // Model-based quality scoring (the CCNet/FineWeb filter stage): a
+    // Naive-Bayes LINEAR classifier trained on a labeled good-vs-crawl
+    // slice (reference third; label = target-language docs, the CCNet
+    // framing), applied to the unseen rest. Training is pure counting,
+    // so the oracle replays the whole train-then-score chain exactly.
+    "q168_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      QualityClassifier.trainScore(
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("label_good", col("lang") === "en"),
+        "text", "label_good",
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The same scores from the PERSISTED model (params + weights built
+    // once, marker-gated — the q150 lifecycle): the per-arrival leg of
+    // the quality stage, zero training recompute, bit-equal to q168's
+    // inline twin — so ONE oracle adjudicates both paths.
+    "q169_quality_stored_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      QualityClassifier.scoreFromModel(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        storedQualityModel(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -3077,6 +3124,16 @@ object SparkEntry {
           |    (SELECT id FROM clusters WHERE id <> cluster_id) AS surv
           |  FROM documents d)""".stripMargin,
         from = "gated")
-    }
+    },
+
+    "q168_quality_classifier" -> QualityClassifier.scoreSql(
+      trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
+      applyPred = "doc_id % 3 <> 0"),
+
+    // Stored path == inline path bit-for-bit (spec-asserted), so the
+    // SAME train-then-score replay adjudicates the persisted model.
+    "q169_quality_stored_score" -> QualityClassifier.scoreSql(
+      trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
+      applyPred = "doc_id % 3 <> 0")
   )
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Aggregates, Caches, Markers}
+import graft.functions.TextFunctions
+
+/** Model-based document quality scoring with a PERSISTED classifier —
+  * the CCNet/FineWeb curation stage (Wenzek et al., LREC 2020 train a
+  * model on trusted text and bucket crawl docs by its score; FineWeb /
+  * DCLM train a small classifier on labeled good-vs-crawl pages and
+  * keep the top scores): train ONCE on a labeled corpus, persist the
+  * weights, score every arriving document forever. The reference
+  * dashboard has no model tier at all (its filters are hand constants,
+  * `/root/reference/src/app.py:60-110`); this is the extension tier's
+  * production replacement for q165's fixed heuristic gates.
+  *
+  * Model: multinomial Naive Bayes over whitespace tokens in LINEAR
+  * form — per-token weight `w(t) = ln p(t|good) - ln p(t|bad)` with
+  * Laplace smoothing, document score
+  * `b + Σ_tokens w(t)` where `b = ln(docs_good/docs_bad)` is the
+  * log-prior. That IS a linear classifier (the fastText/DCLM shape
+  * with NB-estimated weights), and its training is PURE COUNTING —
+  * exact integers, so the DuckDB oracle replays the whole
+  * train-then-score chain bit-for-bit, unlike gradient descent whose
+  * float trajectory no cross-engine contract could pin. Smoothing
+  * follows the [[CorpusStats.bigramLogProb]] open-vocabulary
+  * convention: `V = |training vocab| + 1`, an unseen token scores the
+  * `count = 0` slot of the SAME formula, so apply-time text needs no
+  * unk rewrite.
+  *
+  * Numeric contract (the q96 one, hash-green since round 9): integer
+  * counts feed ONE double division and `ln` per term, per-document
+  * sums go through [[Aggregates.sumExact]] (order-insensitive exact
+  * decimal), rounded where emitted. Stored weights are IEEE doubles —
+  * parquet round-trips them exactly, so [[scoreFromModel]] is
+  * bit-equal to the inline [[trainScore]] (spec-asserted), and ONE
+  * oracle serves both.
+  *
+  * Scale shape: training is one tokens-exploded `groupBy(tok)` (map-
+  * side combined, vocabulary-sized output — orders of magnitude below
+  * the corpus); the model is a vocabulary-sized table that joins
+  * broadcast-or-shuffle on `tok` at Catalyst's discretion; scoring is
+  * one pass over the target corpus with a per-doc partial aggregate.
+  * Nothing is ever collected to the driver except [[saveModel]]'s
+  * 1-row class-balance validation probe. At 100 TB the weights table
+  * is a few MB per million-token vocabulary — a broadcast join against
+  * any corpus size.
+  */
+object QualityClassifier {
+
+  private val Marker = "_MODEL_SUCCESS"
+
+  /** True iff `dir` holds a COMPLETED classifier build. */
+  def modelExists(spark: SparkSession, dir: String): Boolean =
+    Markers.exists(spark, dir, Marker)
+
+  /** Vocabulary counts + 1-row corpus params of the labeled training
+    * frame. `labelCol` must be boolean (true = good). Returned frames
+    * are lazy; params = (v, n_pos, n_neg, docs_pos, docs_neg). */
+  private def fit(labeled: DataFrame, textCol: String,
+      labelCol: String): (DataFrame, DataFrame) = {
+    val toks = labeled.select(col(labelCol).as("y"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
+    val docCounts = labeled.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("docs_pos"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("docs_neg"))
+    val params = counts.agg(
+      (count(lit(1)) + 1).as("v"),
+      coalesce(sum("c_pos"), lit(0L)).as("n_pos"),
+      coalesce(sum("c_neg"), lit(0L)).as("n_neg"))
+      .crossJoin(broadcast(docCounts))
+    (counts, params)
+  }
+
+  /** Per-token linear weight from class counts: one double division
+    * and one `ln` per class, subtracted — the exact expression the
+    * oracle replays. The `cnt = 0` instantiation IS the
+    * out-of-vocabulary weight (open-vocab slot, bigram-LM precedent). */
+  private def weightExpr(cPos: Column, cNeg: Column, nPos: Column,
+      nNeg: Column, v: Column): Column =
+    log((cPos + 1L).cast("double") / (nPos + v).cast("double")) -
+      log((cNeg + 1L).cast("double") / (nNeg + v).cast("double"))
+
+  /** Shared scoring path (inline and stored models are the SAME code
+    * over different weight/params frames — bit-equality by
+    * construction). Emits one row per `docs` row:
+    * (idCol, n_tokens, quality_score, is_good). */
+  private def scoreWith(docs: DataFrame, weights: DataFrame,
+      params: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docToks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val perDoc = docToks
+      .join(weights, Seq("tok"), "left")
+      .crossJoin(broadcast(params))
+      .withColumn("w", coalesce(col("w"),
+        weightExpr(lit(0L), lit(0L), col("n_pos"), col("n_neg"), col("v"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        Aggregates.sumExact(col("w")).as("tok_sum"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(params))
+      .withColumn("quality_score", round(
+        log(col("docs_pos").cast("double") / col("docs_neg").cast("double"))
+          + coalesce(col("tok_sum"), lit(0.0)), 6))
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("quality_score"),
+        when(col("quality_score") > 0, 1).otherwise(0).as("is_good"))
+  }
+
+  /** Inline twin: train on `labeled` (boolean `labelCol`, true=good),
+    * score `docs`. Bit-equal to [[saveModel]] + [[scoreFromModel]]
+    * with the same training frame (spec-asserted). */
+  def trainScore(labeled: DataFrame, textCol: String, labelCol: String,
+      docs: DataFrame, idCol: String, docTextCol: String): DataFrame = {
+    val (counts, params) = fit(labeled, textCol, labelCol)
+    val p = Caches.materialized(params)
+    val weights = counts.crossJoin(broadcast(p)).select(col("tok"),
+      weightExpr(col("c_pos"), col("c_neg"), col("n_pos"), col("n_neg"),
+        col("v")).as("w"))
+    scoreWith(docs, Caches.materialized(weights), p, idCol, docTextCol)
+  }
+
+  /** Train and PERSIST: `params` (1 row) + `weights` (tok, w) under
+    * the completion-marker lifecycle every stored artifact uses (a
+    * crash mid-build leaves a visibly incomplete dir, never a silent
+    * half-model). The only driver round-trip is the 1-row class-
+    * balance probe — a single-class training set has no log-prior and
+    * must refuse loudly, not emit ±Inf scores downstream. */
+  def saveModel(labeled: DataFrame, textCol: String, labelCol: String,
+      dir: String): Unit = {
+    val spark = labeled.sparkSession
+    val (counts, params) = fit(labeled, textCol, labelCol)
+    Markers.gated(spark, dir, Marker) {
+      val p = Caches.materialized(params)
+      val r = p.head()
+      require(r.getLong(3) > 0 && r.getLong(4) > 0,
+        s"training needs BOTH classes; got docs_pos=${r.getLong(3)} " +
+          s"docs_neg=${r.getLong(4)}")
+      p.write.mode("overwrite").parquet(s"$dir/params")
+      counts.crossJoin(broadcast(p)).select(col("tok"),
+        weightExpr(col("c_pos"), col("c_neg"), col("n_pos"), col("n_neg"),
+          col("v")).as("w"))
+        .write.mode("overwrite").parquet(s"$dir/weights")
+    }
+  }
+
+  /** Score `docs` with the STORED model — the per-arrival leg: cost is
+    * one pass over `docs` plus a vocabulary-sized join, zero training
+    * recompute. */
+  def scoreFromModel(docs: DataFrame, dir: String, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(modelExists(spark, dir),
+      s"no completed quality model at $dir — run saveModel first")
+    scoreWith(docs, spark.read.parquet(s"$dir/weights"),
+      spark.read.parquet(s"$dir/params"), idCol, textCol)
+  }
+
+  /** Oracle twin over `documents`: trains on rows matching
+    * `trainPred` labeled by boolean `labelExpr`, scores rows matching
+    * `applyPred` — the full train-then-score chain replayed in SQL
+    * (counting is exact, so the recomputed weights ARE the stored
+    * ones). */
+  def scoreSql(trainPred: String, labelExpr: String,
+      applyPred: String): String = {
+    import TextFunctions.{Sql => T}
+    s"""WITH train AS (SELECT text, ($labelExpr) AS y
+       |  FROM documents WHERE $trainPred),
+       |toks AS (SELECT y, unnest(${T.tokens("text")}) AS tok FROM train),
+       |counts AS (SELECT tok,
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+       |  FROM toks GROUP BY tok),
+       |params AS (SELECT
+       |    (SELECT CAST(COUNT(*) + 1 AS BIGINT) FROM counts) AS v,
+       |    (SELECT CAST(COALESCE(SUM(c_pos), 0) AS BIGINT) FROM counts)
+       |      AS n_pos,
+       |    (SELECT CAST(COALESCE(SUM(c_neg), 0) AS BIGINT) FROM counts)
+       |      AS n_neg,
+       |    (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+       |      FROM train) AS docs_pos,
+       |    (SELECT CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+       |      FROM train) AS docs_neg),
+       |weights AS (SELECT tok,
+       |    ln(CAST(c_pos + 1 AS DOUBLE) / CAST(n_pos + v AS DOUBLE)) -
+       |    ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + v AS DOUBLE)) AS w
+       |  FROM counts CROSS JOIN params),
+       |atoks AS (SELECT doc_id, unnest(${T.tokens("text")}) AS tok
+       |  FROM documents WHERE $applyPred),
+       |per_doc AS (SELECT t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    ${Aggregates.sumExactSql(
+             "COALESCE(w.w, ln(CAST(0 + 1 AS DOUBLE) / " +
+               "CAST(p.n_pos + p.v AS DOUBLE)) - " +
+               "ln(CAST(0 + 1 AS DOUBLE) / CAST(p.n_neg + p.v AS DOUBLE)))")}
+       |      AS tok_sum
+       |  FROM atoks t LEFT JOIN weights w USING (tok) CROSS JOIN params p
+       |  GROUP BY t.doc_id),
+       |scored AS (SELECT d.doc_id,
+       |    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |    round(ln(CAST(p.docs_pos AS DOUBLE) / CAST(p.docs_neg AS DOUBLE))
+       |      + COALESCE(s.tok_sum, 0.0), 6) AS quality_score
+       |  FROM documents d LEFT JOIN per_doc s USING (doc_id)
+       |  CROSS JOIN params p WHERE $applyPred)
+       |SELECT doc_id, n_tokens, quality_score,
+       |  CASE WHEN quality_score > 0 THEN 1 ELSE 0 END AS is_good
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+}

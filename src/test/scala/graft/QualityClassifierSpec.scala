@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityClassifier
+import graft.streaming.IncrementalIngest
+
+/** The stored-model quality classifier (CCNet/FineWeb stage): planted-
+  * quality ranking, train/apply determinism, stored == inline
+  * bit-equality, OOV/empty-doc handling, and refusal paths. */
+class QualityClassifierSpec extends SparkSpec {
+
+  // Planted quality: "good" docs speak clean-corpus words, "bad" docs
+  // speak spam words; the holdout mixes them in graded proportions so
+  // the score must RANK holdouts by their good-word fraction.
+  private val goodWords = Seq("theorem", "proof", "lemma", "corollary",
+    "integral", "matrix", "vector", "basis")
+  private val badWords = Seq("click", "winner", "free", "casino",
+    "jackpot", "pills", "xxx", "prize")
+  private def sentence(ws: Seq[String], n: Int): String =
+    Iterator.continually(ws).flatten.take(n).mkString(" ")
+
+  private def labeled: DataFrame = {
+    import spark.implicits._
+    ((1L to 8L).map(i =>
+      (i, sentence(goodWords.drop((i % 3).toInt), 12), true)) ++
+      (9L to 16L).map(i =>
+        (i, sentence(badWords.drop((i % 3).toInt), 12), false)))
+      .toDF("doc_id", "text", "label_good")
+  }
+
+  // Holdout graded from all-good to all-bad (and one empty doc).
+  private def holdout: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (101L, sentence(goodWords, 12)),
+      (102L, sentence(goodWords, 9) + " " + sentence(badWords, 3)),
+      (103L, sentence(goodWords, 6) + " " + sentence(badWords, 6)),
+      (104L, sentence(goodWords, 3) + " " + sentence(badWords, 9)),
+      (105L, sentence(badWords, 12)),
+      (106L, "completely unseen vocabulary everywhere here today"),
+      (107L, ""))
+      .toDF("doc_id", "text")
+  }
+
+  private def scores(df: DataFrame): Map[Long, (Long, Double, Int)] =
+    df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+
+  test("planted-quality ranking: scores order holdouts by good-word fraction") {
+    val out = scores(QualityClassifier.trainScore(
+      labeled, "text", "label_good", holdout, "doc_id", "text"))
+    val byGrade = Seq(101L, 102L, 103L, 104L, 105L).map(out(_)._2)
+    assert(byGrade == byGrade.sorted.reverse,
+      s"scores must decrease with planted quality: $byGrade")
+    assert(out(101L)._3 == 1 && out(105L)._3 == 0)
+    // All-OOV doc: every token gets the open-vocab weight; balanced
+    // classes (8 vs 8 docs) make the prior 0, and equal token mass per
+    // class makes the OOV weight 0 — a fully-unseen doc is NEUTRAL.
+    assert(out(106L)._2 == 0.0 && out(106L)._1 == 6L)
+    // Empty text still emits a row (split("", " ") yields one ""
+    // token — the q96 convention, shared with the DuckDB twin).
+    assert(out.contains(107L))
+  }
+
+  test("train/apply is deterministic and stored model is bit-equal to inline") {
+    val dir = s"${graft.engine.Sinks.scratch}/quality_model_spec"
+    IncrementalIngest.deleteDir(spark, dir)
+    val inline1 = scores(QualityClassifier.trainScore(
+      labeled, "text", "label_good", holdout, "doc_id", "text"))
+    val inline2 = scores(QualityClassifier.trainScore(
+      labeled, "text", "label_good", holdout, "doc_id", "text"))
+    assert(inline1 == inline2, "same inputs must train the same model")
+    QualityClassifier.saveModel(labeled, "text", "label_good", dir)
+    assert(QualityClassifier.modelExists(spark, dir))
+    val stored = scores(QualityClassifier.scoreFromModel(
+      holdout, dir, "doc_id", "text"))
+    assert(stored == inline1,
+      "stored weights must reproduce the inline scores bit-for-bit")
+    graft.engine.Caches.release()
+  }
+
+  test("refusals: missing model, single-class training") {
+    val dir = s"${graft.engine.Sinks.scratch}/quality_model_refusal"
+    IncrementalIngest.deleteDir(spark, dir)
+    assertThrows[IllegalArgumentException] {
+      QualityClassifier.scoreFromModel(holdout, dir, "doc_id", "text")
+    }
+    assertThrows[IllegalArgumentException] {
+      QualityClassifier.saveModel(
+        labeled.filter(col("label_good")), "text", "label_good", dir)
+    }
+    // The failed single-class build must NOT leave a valid marker.
+    assert(!QualityClassifier.modelExists(spark, dir))
+    graft.engine.Caches.release()
+  }
+
+  test("prior is isolated: same token mass in fewer docs shifts every score by ln(ratio)") {
+    import spark.implicits._
+    // Concatenate bad-doc pairs: 8 docs x 12 tokens -> 4 docs x 24
+    // tokens with the IDENTICAL token distribution — n_pos/n_neg/V and
+    // every weight are unchanged; ONLY docs_neg halves, so each score
+    // moves by exactly the prior delta ln(8/8) -> ln(8/4) = ln 2.
+    val badTexts = (9L to 16L).map(i =>
+      sentence(badWords.drop((i % 3).toInt), 12))
+    val concentrated = ((1L to 8L).map(i =>
+      (i, sentence(goodWords.drop((i % 3).toInt), 12), true)) ++
+      badTexts.grouped(2).zipWithIndex.map { case (pair, j) =>
+        (100L + j, pair.mkString(" "), false)
+      }).toDF("doc_id", "text", "label_good")
+    val bal = scores(QualityClassifier.trainScore(
+      labeled, "text", "label_good", holdout, "doc_id", "text"))
+    val conc = scores(QualityClassifier.trainScore(
+      concentrated, "text", "label_good", holdout, "doc_id", "text"))
+    holdout.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(math.abs(conc(id)._2 - bal(id)._2 - math.log(2.0)) < 2e-6,
+        s"doc $id: prior delta must be ln 2")
+    }
+  }
+}
