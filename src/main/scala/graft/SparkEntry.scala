@@ -2086,7 +2086,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0),
         storedQualityModel(s, dir), "doc_id", "text")
         .orderBy("doc_id")
-    })
+    }),
+
+    // BYTE-level BPE trainer (GPT-2 bytes-to-unicode): q140's twin
+    // over the byte alphabet — never drops a character of any script,
+    // prices digits/punctuation/whitespace. The oracle carries the
+    // 256-row byte mapping as a literal table.
+    "q170_byte_bpe_train" -> ((s, dir) =>
+      CorpusStats.byteBpeTrain(Tables.documents(s, dir),
+        "text", rounds = 10).orderBy("round")),
+
+    // Byte-level token pricing (q146's twin): per-document pre-token /
+    // byte / token counts under the trained byte merges — n_bytes is
+    // the losslessness invariant (tokens only ever merge bytes).
+    "q171_byte_bpe_tokenize" -> ((s, dir) =>
+      CorpusStats.byteBpeTokenize(Tables.documents(s, dir),
+        "doc_id", "text", rounds = 10).orderBy("doc_id"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3134,6 +3149,10 @@ object SparkEntry {
     // SAME train-then-score replay adjudicates the persisted model.
     "q169_quality_stored_score" -> QualityClassifier.scoreSql(
       trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
-      applyPred = "doc_id % 3 <> 0")
+      applyPred = "doc_id % 3 <> 0"),
+
+    "q170_byte_bpe_train" -> CorpusStats.byteBpeTrainSql(rounds = 10),
+
+    "q171_byte_bpe_tokenize" -> CorpusStats.byteBpeTokenizeSql(rounds = 10)
   )
 }

@@ -438,6 +438,22 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  /** Byte-syms expression: `text → array<string>` ([[byteSyms]]). */
+  case class ByteSymsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "byte_syms"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"byte_syms expects string, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      byteSyms(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.byteSyms($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Marker-hits expression: `text → int` (word set fixed at plan time). */
   case class MarkerHitsExpr(child: Expression, words: Seq[String])
       extends UnaryExpression {
@@ -483,8 +499,47 @@ object TextKernels {
   def simhashCol(text: Column): Column =
     GraftSql.column(SimhashExpr(GraftSql.expression(text)))
 
+  /** GPT-2 bytes-to-unicode table (Radford et al. 2019, the public
+    * `encoder.py` `bytes_to_unicode`): a BIJECTION from each of the 256
+    * byte values to a printable BMP codepoint — visually-safe bytes
+    * (0x21-0x7E, 0xA1-0xAC, 0xAE-0xFF) map to themselves, the rest
+    * (controls, space, 0x7F, 0xA0, 0xAD) to 0x100+k in byte order. A
+    * byte-level tokenizer runs BPE over these CHARS, so no byte of any
+    * script is ever unrepresentable — the property the codepoint-level
+    * `\p{L}+` word tokenizer lacks. Public so the oracle twin can carry
+    * the same 256 rows as a literal table and the spec can invert it. */
+  val byteToChar: Array[String] = {
+    val keep = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    var n = 0
+    Array.tabulate(256) { b =>
+      if (keep(b)) String.valueOf(b.toChar)
+      else { val s = String.valueOf((0x100 + n).toChar); n += 1; s }
+    }
+  }
+
+  private val byteSymsTable: Array[UTF8String] =
+    byteToChar.map(UTF8String.fromString)
+
+  /** A string's UTF-8 bytes mapped through [[byteToChar]], one symbol
+    * per byte — the byte-level BPE initial symbol sequence (no
+    * end-of-word marker; GPT-2's space-prefix convention carries word
+    * boundaries instead). One tight byte loop, codegen'd static call. */
+  def byteSyms(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val out = new Array[Any](b.length)
+    var i = 0
+    while (i < b.length) {
+      out(i) = byteSymsTable(b(i) & 0xff)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shinglesCol(text: Column, n: Int): Column =
     GraftSql.column(ShinglesExpr(GraftSql.expression(text), n))
+
+  def byteSymsCol(text: Column): Column =
+    GraftSql.column(ByteSymsExpr(GraftSql.expression(text)))
 
   def markerHitsCol(text: Column, words: Seq[String]): Column =
     GraftSql.column(MarkerHitsExpr(GraftSql.expression(text), words))

@@ -657,22 +657,34 @@ object CorpusStats {
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum("freq").as("n"))
 
-  /** Shared merge loop: returns the collected merge list and the FINAL
-    * per-word symbol table (still persisted — [[bpeTrain]] releases it,
-    * [[bpeVocab]] hands it to the cache registry for deferred release
-    * since the returned lazy frame reads it). */
-  private def bpeMergeLoop(docs: DataFrame, textCol: String, rounds: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val words0 = docs
+  /** The codepoint-level initial word table: distinct `\p{L}+` words
+    * with counts, split per codepoint + the Sennrich `</w>` marker. */
+  private def wordWords0(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^\\p{L}+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         concat(array_remove(split(col("word"), ""), ""),
           array(lit("</w>"))).as("syms"))
+
+  /** Shared merge loop: returns the collected merge list and the FINAL
+    * per-word symbol table (still persisted — [[bpeTrain]] releases it,
+    * [[bpeVocab]] hands it to the cache registry for deferred release
+    * since the returned lazy frame reads it). */
+  private def bpeMergeLoop(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeMergeLoopFrom(wordWords0(docs, textCol), rounds)
+
+  /** The merge loop over an ARBITRARY initial symbol table
+    * `(word, freq, syms)` — the pre-tokenization (codepoint words vs
+    * byte-level pre-tokens) is the only thing the two BPE families
+    * differ in; every round is this same pair-count/argmax/rewrite. */
+  private def bpeMergeLoopFrom(words0: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var cur = words0.persist()
     cur.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -951,21 +963,24 @@ object CorpusStats {
        |        FROM documents WHERE $pred)
        |  WHERE regexp_matches(word, '^\\p{L}+$$') GROUP BY word)""".stripMargin
 
-  private def bpeChainSql(rounds: Int, pred: String = "TRUE"): String = {
-    def roundSql(r: Int): String = {
-      val p = r - 1
-      s"""pc$r AS (
-         |  SELECT p.l AS lhs, p.r AS rhs, CAST(sum(freq) AS BIGINT) AS n FROM (
-         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
-         |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
-         |    FROM w$p) GROUP BY p.l, p.r),
-         |b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM pc$r
-         |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
-         |${rewriteSql(s"e$r", s"sel$r", s"w$r", s"w$p", s"b$r")}""".stripMargin
-    }
-    "WITH " + wordTableSql("w0", pred) + ",\n" +
-      (1 to rounds).map(roundSql).mkString(",\n")
+  /** One TRAINING round's CTE block (pair counts + argmax + rewrite)
+    * over `w{r-1}` → `w{r}` — pre-tokenization-agnostic, shared by the
+    * codepoint and byte-level chains. */
+  private def trainRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""pc$r AS (
+       |  SELECT p.l AS lhs, p.r AS rhs, CAST(sum(freq) AS BIGINT) AS n FROM (
+       |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+       |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+       |    FROM w$p) GROUP BY p.l, p.r),
+       |b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM pc$r
+       |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+       |${rewriteSql(s"e$r", s"sel$r", s"w$r", s"w$p", s"b$r")}""".stripMargin
   }
+
+  private def bpeChainSql(rounds: Int, pred: String = "TRUE"): String =
+    "WITH " + wordTableSql("w0", pred) + ",\n" +
+      (1 to rounds).map(trainRoundSql).mkString(",\n")
 
   /** Oracle twin of [[saveBpeModel]] + [[bpeTokenizeFromModel]] over a
     * `documents` split: the training chain unrolled on the `trainPred`
@@ -990,4 +1005,127 @@ object CorpusStats {
        |JOIN a$rounds w USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
+
+  // ----------------------------------------------------- byte-level BPE
+
+  /** Byte-level pre-tokenization (the GPT-2 shape): leading-space
+    * letter runs, digit runs, punctuation runs, residual whitespace.
+    * Lossless by construction — every byte of the text lands in
+    * exactly one pre-token — unlike the `\p{L}+` word filter, which
+    * silently drops digits and punctuation from training AND pricing.
+    * One documented deviation from GPT-2's exact regex: RE2 (the
+    * oracle's engine) has no lookahead, so a run of 2+ whitespace
+    * characters folds wholly into one whitespace token instead of
+    * donating its last space to the following word; single spaces (the
+    * corpus norm) attach to the next run exactly as in GPT-2. Both
+    * engines use leftmost-first alternation, so segmentation agrees. */
+  val bytePreTokenRegex: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  private def bytePreTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bytePreTokenRegex), lit(0))
+
+  /** The byte-level initial word table: distinct pre-tokens with
+    * counts, symbols = UTF-8 bytes mapped through
+    * [[TextKernels.byteToChar]] (native kernel). No `</w>` marker —
+    * the space prefix carries the word boundary, as in GPT-2. */
+  private def byteWords0(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(bytePreTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        TextKernels.byteSymsCol(col("word")).as("syms"))
+
+  /** BYTE-level BPE trainer — [[bpeTrain]]'s twin over the
+    * bytes-to-unicode alphabet: never drops a character of ANY script
+    * (a byte always has a symbol) and prices digits, punctuation, and
+    * whitespace, which the codepoint-level `\p{L}+` trainer excludes
+    * by construction. Same merge loop, same argmax tie-break, same
+    * scale shape (one corpus scan, then vocabulary-sized rounds). */
+  def byteBpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, last) = bpeMergeLoopFrom(byteWords0(docs, textCol), rounds)
+    last.unpersist(blocking = false)
+    merges.toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** Per-document token pricing under the byte-level tokenizer —
+    * [[bpeTokenize]]'s twin: `(id, n_pretokens, n_bytes, n_tokens)`.
+    * `n_bytes` is the document's total UTF-8 payload across pre-tokens
+    * (= `n_tokens` at 0 merges — the losslessness invariant: byte
+    * tokenization starts from EVERY byte and only ever merges);
+    * documents always emit a row because every non-empty text has
+    * pre-tokens (no filter to fall out of). Same broadcast-vocabulary
+    * counting join as the word tokenizer. */
+  def byteBpeTokenize(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (_, last) = bpeMergeLoopFrom(byteWords0(docs, textCol), rounds)
+    graft.engine.Caches.track(last)
+    val vocab = last.select(col("word"), size(col("syms")).as("n_sub"))
+    docs.select(col(idCol), explode(bytePreTokens(col(textCol))).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(octet_length(col("word"))).as("n_bytes"),
+        sum("n_sub").as("n_tokens"))
+  }
+
+  /** The 256-row bytes-to-unicode mapping as a LITERAL CTE table
+    * `byte_map(hx, sym)` keyed by the uppercase hex of the byte —
+    * DuckDB's `hex(encode(word))` emits exactly that key, so the
+    * oracle replays the identical mapping with zero engine-specific
+    * byte surgery. */
+  private def byteMapSql: String = {
+    val rows = TextKernels.byteToChar.zipWithIndex.map { case (sym, b) =>
+      val esc = sym.replace("'", "''")
+      f"('$b%02X', '$esc')"
+    }
+    s"byte_map(hx, sym) AS (SELECT * FROM (VALUES\n  ${rows.grouped(8)
+      .map(_.mkString(", ")).mkString(",\n  ")}))"
+  }
+
+  /** Byte-level word-table header: `$name` = distinct pre-tokens of
+    * `documents` (under `pred`) with counts and byte symbols — the
+    * oracle twin of [[byteWords0]]: per-byte hex slices of the UTF-8
+    * encoding joined against the literal [[byteMapSql]] table. */
+  private def byteWordTableSql(name: String, pred: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT word, freq, list(bm.sym ORDER BY t.i) AS syms FROM (
+       |    SELECT word, freq,
+       |      unnest(range(1, octet_length(encode(word)) + 1)) AS i
+       |    FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |      FROM (SELECT unnest(regexp_extract_all(text,
+       |          '$bytePreTokenRegex')) AS word
+       |        FROM documents WHERE $pred)
+       |      GROUP BY word)) t
+       |  JOIN byte_map bm
+       |    ON bm.hx = substr(hex(encode(t.word)), 2 * t.i - 1, 2)
+       |  GROUP BY word, freq)""".stripMargin
+
+  private def byteBpeChainSql(rounds: Int, pred: String = "TRUE"): String =
+    "WITH " + byteMapSql + ",\n" + byteWordTableSql("w0", pred) + ",\n" +
+      (1 to rounds).map(trainRoundSql).mkString(",\n")
+
+  /** Oracle twin of [[byteBpeTrain]] (`documents` hard-wired). */
+  def byteBpeTrainSql(rounds: Int, pred: String = "TRUE"): String = {
+    val unioned = (1 to rounds)
+      .map(r => s"SELECT $r AS round, lhs, rhs, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    byteBpeChainSql(rounds, pred) +
+      s"\nSELECT * FROM (\n$unioned) ORDER BY round"
+  }
+
+  /** Oracle twin of [[byteBpeTokenize]] (`documents` hard-wired). */
+  def byteBpeTokenizeSql(rounds: Int, pred: String = "TRUE"): String =
+    byteBpeChainSql(rounds, pred) +
+      s"""
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+       |  CAST(sum(octet_length(encode(t.word))) AS BIGINT) AS n_bytes,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+       |    '$bytePreTokenRegex')) AS word
+       |  FROM documents WHERE $pred) t
+       |JOIN w$rounds w USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 }
