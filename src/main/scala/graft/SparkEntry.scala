@@ -2101,7 +2101,23 @@ object SparkEntry {
     // the losslessness invariant (tokens only ever merge bytes).
     "q171_byte_bpe_tokenize" -> ((s, dir) =>
       CorpusStats.byteBpeTokenize(Tables.documents(s, dir),
-        "doc_id", "text", rounds = 10).orderBy("doc_id"))
+        "doc_id", "text", rounds = 10).orderBy("doc_id")),
+
+    // Domain-level curation (the first gate of every web pipeline):
+    // blocklist LEFT ANTI -> per-domain content-hash cap -> per-host
+    // rollup with near-dup involvement and mean quality — the table a
+    // pipeline reads to set per-source weights.
+    "q172_domain_curation" -> ((s, dir) => {
+      val kept = graft.operators.DomainCuration.capPerDomain(
+        graft.operators.DomainCuration.applyBlocklist(
+          Tables.documents(s, dir), "source", Seq("src0", "src13")),
+        "source", "text", cap = 20)
+      graft.operators.DomainCuration.domainProfile(kept,
+        Dedup.minhashNearDup(kept, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5),
+        "doc_id", "source", "text")
+        .orderBy("source")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3153,6 +3169,9 @@ object SparkEntry {
 
     "q170_byte_bpe_train" -> CorpusStats.byteBpeTrainSql(rounds = 10),
 
-    "q171_byte_bpe_tokenize" -> CorpusStats.byteBpeTokenizeSql(rounds = 10)
+    "q171_byte_bpe_tokenize" -> CorpusStats.byteBpeTokenizeSql(rounds = 10),
+
+    "q172_domain_curation" -> graft.operators.DomainCuration.curationSql(
+      blocked = Seq("src0", "src13"), cap = 20, n = 3, threshold = 0.5)
   )
 }
