@@ -2144,6 +2144,25 @@ object SparkEntry {
   private val filterMonths = Seq(1, 2, 3)
   private val filterAirlines = (1 to 5).map(i => f"Supplier#$i%09d")
 
+  /** Machine-readable oracle EXEMPTIONS: the queries that, by
+    * documented contract, carry no `oracleSql` entry (the driver then
+    * records its weaker rows-only check). Verify dumps this map as
+    * `oracle_exemptions.json` next to `oracle_sql.json`, so the
+    * correctness artifact self-adjudicates instead of every reader
+    * re-deriving why two rows say `no_oracle`. BenchSpec pins
+    * `queries.keySet -- oracleSql.keySet == oracleExemptions.keySet` —
+    * a new query can never silently skip its oracle. */
+  val oracleExemptions: Map[String, String] = Map(
+    "q67_sketches" ->
+      ("HLL and GK-quantile sketches are not bit-reproducible across " +
+        "engines; error bounds are asserted against exact twins in " +
+        "EventAnalyticsSpec (see the q67 registration scaladoc)"),
+    "q102_heavy_hitters" ->
+      ("count-min sketch is not expressible in DuckDB; the one-sided " +
+        "error contract (est >= exact, est - exact <= eps*N) is " +
+        "asserted in EventAnalyticsSpec (see the q102 registration " +
+        "scaladoc)"))
+
   def oracleSql: Map[String, String] = ListMap(
     "q01_wide_view" -> withWide(
       "SELECT * FROM wide ORDER BY l_orderkey, l_linenumber"),

@@ -1306,6 +1306,13 @@ object Dedup {
     * redundancy, robust to insertions by the CDC cut construction.
     * Returns `(id, n_chunks, n_shared_chunks, shared_frac)`.
     *
+    * "Shared" deliberately means present in >= 2 DISTINCT documents
+    * (the df below counts over the DISTINCT (id, hash) pairs): a chunk
+    * repeated only WITHIN one document is self-redundancy, not
+    * cross-document sharing, and must not count — the oracle encodes
+    * the same distinct-doc semantic. Do not "fix" this to a plain
+    * occurrence count.
+    *
     * Chunks cross the exchange as 32-char md5 keys, never as text;
     * the df count is map-side combined on the hash. */
   def cdcSharedChunkStats(docs: DataFrame, idCol: String, textCol: String,

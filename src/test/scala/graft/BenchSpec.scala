@@ -39,6 +39,14 @@ class BenchSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"oracleSql keys with no query: $stale")
   }
 
+  test("every query has an oracle OR a documented exemption — never silence") {
+    val unoracled = names.diff(SparkEntry.oracleSql.keySet)
+    assert(unoracled == SparkEntry.oracleExemptions.keySet,
+      s"queries without oracle must exactly match the exemption list; " +
+        s"missing oracle: ${unoracled.diff(SparkEntry.oracleExemptions.keySet)}, " +
+        s"stale exemption: ${SparkEntry.oracleExemptions.keySet.diff(unoracled)}")
+  }
+
   test("every fixture-backed query names a registered query") {
     // Bench gates its untimed warm step on this set; a stale member
     // would silently stop warming (timed queries would pay the build).

@@ -72,7 +72,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    try:
+        exempt = json.load(open(f"{out_dir}/oracle_exemptions.json"))
+    except FileNotFoundError:
+        exempt = {}
+    for name, why in sorted(exempt.items()):
+        print(f"EXEMPT {name}: {why}")
+    print(f"== {n_pass} pass, {n_fail} fail, {len(exempt)} exempt ==")
     return 1 if n_fail else 0
 
 
