@@ -606,6 +606,61 @@ object Dedup {
     }
   }
 
+  /** Index COMPACTION: every append adds a handful of small parquet
+    * files, so a long-lived index accumulates thousands of them — at
+    * cluster scale that is task-per-tiny-file scheduling and NameNode
+    * pressure on every query. Rewrite `sh` and `bands` in place into
+    * target-sized files (DISTINCT first — a no-op on a healthy index
+    * since the replay-safe append never duplicates, but it repairs any
+    * index half-doubled by a pre-guard crash), inside the marker
+    * window: a crash mid-swap leaves a visibly-incomplete index
+    * (rebuild), never a silently truncated one. Query results over a
+    * compacted index are bit-equal to the uncompacted one
+    * (spec-asserted) — the band join and shingle verify are
+    * layout-independent. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long = 64L << 20): Unit = {
+    require(minhashIndexExists(spark, dir),
+      s"no completed MinHash index at $dir — compaction needs a finished build")
+    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+      compactIndexTable(spark, s"$dir/sh", targetBytes)
+      compactIndexTable(spark, s"$dir/bands", targetBytes)
+    }
+  }
+
+  /** [[compactMinhashIndex]] for the eval-gram decontamination index:
+    * here the DISTINCT does real work — [[appendToGramIndex]] tolerates
+    * cross-append duplicate grams by documented contract (the mark
+    * merge is idempotent), so compaction is where that tolerated
+    * redundancy is finally paid down. */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long = 64L << 20): Unit = {
+    require(gramIndexExists(spark, dir),
+      s"no completed eval-gram index at $dir — compaction needs a finished build")
+    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+      compactIndexTable(spark, s"$dir/grams", targetBytes)
+    }
+  }
+
+  /** One table's in-place compaction: DISTINCT rows rewritten into
+    * `ceil(bytes / targetBytes)` files via a staging dir + rename (the
+    * caller's marker window covers the non-atomic swap). */
+  private def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long): Unit = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).distinct()
+      .repartition(n)
+      .write.parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+  }
+
   /** [[minhashNearDupAcross]] against a PERSISTED reference index: only
     * the NEW batch is shingled and banded (with the index's stored
     * parameters); the reference side's bands and shingles stream from

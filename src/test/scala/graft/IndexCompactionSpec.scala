@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+import graft.streaming.IncrementalIngest
+
+/** Stored-index compaction: query results bit-equal before/after,
+  * fewer files after, duplicate-gram payoff, and refusal on a missing
+  * index. */
+class IndexCompactionSpec extends SparkSpec {
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def dataFiles(dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).count { st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")
+      }
+  }
+
+  test("minhash index: compaction keeps query results bit-equal and shrinks files") {
+    val dir = s"${graft.engine.Sinks.scratch}/compaction_minhash"
+    IncrementalIngest.deleteDir(spark, dir)
+    Dedup.buildMinhashIndex(
+      df(1L -> "alpha beta gamma delta epsilon zeta eta theta"),
+      dir, "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+    // Several appends -> several small files per table.
+    Seq(df(2L -> "one two three four five six seven eight"),
+        df(3L -> "red orange yellow green blue indigo violet pink"),
+        df(4L -> "cat dog fox wolf bear lion tiger puma"))
+      .foreach(Dedup.appendToMinhashIndex(_, dir, "doc_id", "text"))
+    val probe = df(
+      101L -> "alpha beta gamma delta epsilon zeta eta zzz",
+      102L -> "red orange yellow green blue indigo violet zzz")
+    def query() = Dedup.minhashNearDupFromIndex(probe, dir,
+      "doc_id", "text", 0.5).orderBy("new_id", "ref_id").collect().toSeq
+    val before = query()
+    assert(before.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((101L, 1L), (102L, 3L)), "sanity: probes match their sources")
+    val filesBefore = dataFiles(s"$dir/sh") + dataFiles(s"$dir/bands")
+    graft.engine.Caches.release()
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(Dedup.minhashIndexExists(spark, dir), "marker re-committed")
+    assert(query() == before, "compacted index must answer bit-equally")
+    val filesAfter = dataFiles(s"$dir/sh") + dataFiles(s"$dir/bands")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink file counts: $filesBefore -> $filesAfter")
+    assert(filesAfter == 2, "tiny index compacts to one file per table")
+    graft.engine.Caches.release()
+  }
+
+  test("gram index: compaction pays down append-tolerated duplicate grams") {
+    val dir = s"${graft.engine.Sinks.scratch}/compaction_grams"
+    IncrementalIngest.deleteDir(spark, dir)
+    val eval1 = df(100L -> "SECRET BENCHMARK ANSWER")
+    Dedup.buildGramIndex(eval1, dir, "doc_id", "text", k = 6)
+    // Appending the SAME eval corpus twice duplicates its grams — the
+    // documented append tolerance this compaction exists to pay down.
+    Dedup.appendToGramIndex(eval1, dir, "doc_id", "text")
+    Dedup.appendToGramIndex(eval1, dir, "doc_id", "text")
+    val train = df(1L -> "x SECRET BENCHMARK y", 2L -> "clean doc")
+    def run() = Dedup.exciseFromGramIndex(train, dir, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val before = run()
+    val rowsBefore = spark.read.parquet(s"$dir/grams").count()
+    graft.engine.Caches.release()
+    Dedup.compactGramIndex(spark, dir)
+    assert(run() == before, "compacted gram index must excise bit-equally")
+    val rowsAfter = spark.read.parquet(s"$dir/grams").count()
+    assert(rowsAfter * 3 == rowsBefore,
+      s"triple-appended grams must dedup 3:1 ($rowsBefore -> $rowsAfter)")
+    graft.engine.Caches.release()
+  }
+
+  test("compaction refuses an incomplete index") {
+    val dir = s"${graft.engine.Sinks.scratch}/compaction_refusal"
+    IncrementalIngest.deleteDir(spark, dir)
+    assertThrows[IllegalArgumentException] {
+      Dedup.compactMinhashIndex(spark, dir)
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.compactGramIndex(spark, dir)
+    }
+  }
+}
