@@ -220,7 +220,8 @@ object SparkEntry {
     "q150_bpe_apply_stored" -> ("bpemodel", "m10"),
     "q158_bpe_fertility" -> ("bpemodel", "m10"),
     "q162_decontam_stored_excision" -> ("dedup", "evalgrams"),
-    "q169_quality_stored_score" -> ("qualitymodel", "nb"))
+    "q169_quality_stored_score" -> ("qualitymodel", "nb"),
+    "q173_stream_funnel_monitor" -> ("qualitymodel", "nb"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -2117,6 +2118,22 @@ object SparkEntry {
           n = 3, numHashes = 64, bands = 16, threshold = 0.5),
         "doc_id", "source", "text")
         .orderBy("source")
+    }),
+
+    // Streaming filter-funnel monitor: each arriving batch is scored
+    // against the STORED quality model, gated in order, and publishes
+    // its per-gate ablation rows idempotently under its batch id — the
+    // q164 monitor pattern applied to the q165 funnel. Two-run demo:
+    // the second drain funnels ONLY batch 2 and numbers it across runs.
+    "q173_stream_funnel_monitor" -> ((s, dir) => {
+      val applySlice = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 =!= 0)
+      graft.streaming.FunnelMonitor.twoRunFunnel(s,
+        storedQualityModel(s, dir),
+        applySlice.filter(col("doc_id") % 2 === 1),
+        applySlice.filter(col("doc_id") % 2 === 0),
+        s"${Sinks.scratch}/q173")
+        .orderBy("batch_id", "stage")
     })
   )
 
@@ -3191,6 +3208,32 @@ object SparkEntry {
     "q171_byte_bpe_tokenize" -> CorpusStats.byteBpeTokenizeSql(rounds = 10),
 
     "q172_domain_curation" -> graft.operators.DomainCuration.curationSql(
-      blocked = Seq("src0", "src13"), cap = 20, n = 3, threshold = 0.5)
+      blocked = Seq("src0", "src13"), cap = 20, n = 3, threshold = 0.5),
+
+    // Each streamed batch's funnel == the batch twin with the matching
+    // predicate, model scores replayed by the q168 train-score chain.
+    "q173_stream_funnel_monitor" -> {
+      import TextFunctions.{Sql => T}
+      def funnelFor(batchPred: String): String = Curation.filterFunnelSql(
+        gates = Seq(
+          "min_tokens" -> s"${T.tokenCount("text")} >= 10",
+          "quality_heuristic" -> s"${T.qualityScore("text")} >= 0.3",
+          "model_good" -> "quality_score > 0"),
+        prelude = QualityClassifier.scoreChainSql(
+          trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
+          applyPred = "doc_id % 3 <> 0") +
+          s""",
+           |gated AS (SELECT d.doc_id, d.text, s.quality_score
+           |  FROM documents d JOIN qc_scored s USING (doc_id)
+           |  WHERE $batchPred)""".stripMargin,
+        from = "gated")
+      s"""SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS batch_id, f1.* FROM (
+         |${funnelFor("doc_id % 2 = 1")}) f1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS batch_id, f2.* FROM (
+         |${funnelFor("doc_id % 2 = 0")}) f2)
+         |ORDER BY batch_id, stage""".stripMargin
+    }
   )
 }

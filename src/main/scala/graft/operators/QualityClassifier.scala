@@ -168,48 +168,61 @@ object QualityClassifier {
     * (counting is exact, so the recomputed weights ARE the stored
     * ones). */
   def scoreSql(trainPred: String, labelExpr: String,
+      applyPred: String): String =
+    "WITH " + scoreChainSql(trainPred, labelExpr, applyPred) +
+      s"""
+       |SELECT doc_id, n_tokens, quality_score,
+       |  CASE WHEN quality_score > 0 THEN 1 ELSE 0 END AS is_good
+       |FROM qc_scored ORDER BY doc_id""".stripMargin
+
+  /** The train-then-score CTE chain (ends at `qc_scored` =
+    * (doc_id, n_tokens, quality_score) over `applyPred`) WITHOUT the
+    * leading WITH or a final select — composable into larger oracles
+    * (the streaming funnel monitor wraps it per batch). Every CTE is
+    * `qc_`-prefixed so composition can never collide with a host
+    * query's names. */
+  def scoreChainSql(trainPred: String, labelExpr: String,
       applyPred: String): String = {
     import TextFunctions.{Sql => T}
-    s"""WITH train AS (SELECT text, ($labelExpr) AS y
+    s"""qc_train AS (SELECT text, ($labelExpr) AS y
        |  FROM documents WHERE $trainPred),
-       |toks AS (SELECT y, unnest(${T.tokens("text")}) AS tok FROM train),
-       |counts AS (SELECT tok,
+       |qc_toks AS (SELECT y, unnest(${T.tokens("text")}) AS tok
+       |  FROM qc_train),
+       |qc_counts AS (SELECT tok,
        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
        |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
-       |  FROM toks GROUP BY tok),
-       |params AS (SELECT
-       |    (SELECT CAST(COUNT(*) + 1 AS BIGINT) FROM counts) AS v,
-       |    (SELECT CAST(COALESCE(SUM(c_pos), 0) AS BIGINT) FROM counts)
+       |  FROM qc_toks GROUP BY tok),
+       |qc_params AS (SELECT
+       |    (SELECT CAST(COUNT(*) + 1 AS BIGINT) FROM qc_counts) AS v,
+       |    (SELECT CAST(COALESCE(SUM(c_pos), 0) AS BIGINT) FROM qc_counts)
        |      AS n_pos,
-       |    (SELECT CAST(COALESCE(SUM(c_neg), 0) AS BIGINT) FROM counts)
+       |    (SELECT CAST(COALESCE(SUM(c_neg), 0) AS BIGINT) FROM qc_counts)
        |      AS n_neg,
        |    (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
-       |      FROM train) AS docs_pos,
+       |      FROM qc_train) AS docs_pos,
        |    (SELECT CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
-       |      FROM train) AS docs_neg),
-       |weights AS (SELECT tok,
+       |      FROM qc_train) AS docs_neg),
+       |qc_weights AS (SELECT tok,
        |    ln(CAST(c_pos + 1 AS DOUBLE) / CAST(n_pos + v AS DOUBLE)) -
        |    ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + v AS DOUBLE)) AS w
-       |  FROM counts CROSS JOIN params),
-       |atoks AS (SELECT doc_id, unnest(${T.tokens("text")}) AS tok
+       |  FROM qc_counts CROSS JOIN qc_params),
+       |qc_atoks AS (SELECT doc_id, unnest(${T.tokens("text")}) AS tok
        |  FROM documents WHERE $applyPred),
-       |per_doc AS (SELECT t.doc_id,
+       |qc_per_doc AS (SELECT t.doc_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    ${Aggregates.sumExactSql(
              "COALESCE(w.w, ln(CAST(0 + 1 AS DOUBLE) / " +
                "CAST(p.n_pos + p.v AS DOUBLE)) - " +
                "ln(CAST(0 + 1 AS DOUBLE) / CAST(p.n_neg + p.v AS DOUBLE)))")}
        |      AS tok_sum
-       |  FROM atoks t LEFT JOIN weights w USING (tok) CROSS JOIN params p
+       |  FROM qc_atoks t LEFT JOIN qc_weights w USING (tok)
+       |  CROSS JOIN qc_params p
        |  GROUP BY t.doc_id),
-       |scored AS (SELECT d.doc_id,
+       |qc_scored AS (SELECT d.doc_id,
        |    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
        |    round(ln(CAST(p.docs_pos AS DOUBLE) / CAST(p.docs_neg AS DOUBLE))
        |      + COALESCE(s.tok_sum, 0.0), 6) AS quality_score
-       |  FROM documents d LEFT JOIN per_doc s USING (doc_id)
-       |  CROSS JOIN params p WHERE $applyPred)
-       |SELECT doc_id, n_tokens, quality_score,
-       |  CASE WHEN quality_score > 0 THEN 1 ELSE 0 END AS is_good
-       |FROM scored ORDER BY doc_id""".stripMargin
+       |  FROM documents d LEFT JOIN qc_per_doc s USING (doc_id)
+       |  CROSS JOIN qc_params p WHERE $applyPred)""".stripMargin
   }
 }
