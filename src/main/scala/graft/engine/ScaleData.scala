@@ -54,8 +54,16 @@ import org.apache.spark.sql.functions._
   * (review finding). */
 object ScaleData {
 
-  /** Per-copy letter tag. */
-  private def tag(i: Int): String = ('a' + (i % 26)).toChar.toString
+  /** Per-copy letter tag: FIXED-WIDTH two letters (base-26), so tags
+    * of different copies are always equal-length and distinct — the
+    * structural-disjointness argument needs both (a one-letter "a"
+    * suffix would be a PREFIX of a two-letter "ab", and a copy-0 word
+    * could then collide with a copy-k word). Width 2 supports k up to
+    * 676 — the ×100 probe decade. */
+  private def tag(i: Int): String = {
+    require(i < 26 * 26, s"copy index $i exceeds the 2-letter tag space")
+    "" + ('a' + (i / 26)).toChar + ('a' + (i % 26)).toChar
+  }
 
   private val Marker = "_SCALE_COMPLETE"
 
@@ -69,7 +77,9 @@ object ScaleData {
         .agg(count(lit(1)), coalesce(max(col(idCol)), lit(-1L))).head()
       s"$t=${r.getLong(0)}/${r.getLong(1)}"
     }
-    s"$baseDir|k=$k|${fp("documents", "doc_id")}|${fp("lineitem", "l_orderkey")}"
+    // `tags=2` versions the copy-tag scheme: a corpus synthesized by an
+    // older build (1-letter tags) must rebuild, not silently mix.
+    s"$baseDir|k=$k|tags=2|${fp("documents", "doc_id")}|${fp("lineitem", "l_orderkey")}"
   }
 
   /** True iff `outDir` holds a completed corpus matching `baseDir`/k. */
@@ -90,7 +100,10 @@ object ScaleData {
     * is deleted and rebuilt). */
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
       k: Int): Unit = {
-    require(k >= 1 && k <= 26, s"k must be in [1, 26], got $k")
+    // Tag space bounds k at 676; the embedding rotate+flip transform
+    // bounds it at 2*dim (128 for the 64-dim corpus) before cross-copy
+    // vectors repeat — both beyond the ×100 decade this probe targets.
+    require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
     val fp = fingerprint(spark, baseDir, k)
     val fs = Markers.fs(spark, outDir)
     val markerPath = Markers.path(outDir, Marker)
@@ -158,13 +171,28 @@ object ScaleData {
 
     val emb = base("embeddings")
     val vecStride = strideOf(emb, "vec_id")
-    scaled(emb, (e, i) => e.select(
-      (col("vec_id") + i * vecStride).as("vec_id"),
-      (if (i == 0) col("embedding")
-       else concat(
-         slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-         slice(col("embedding"), lit(1), lit(i)))).as("embedding"),
-      col("label")))("embeddings")
+    // Rotation wraps at the dimension; the second lap (i >= dim)
+    // GLOBALLY NEGATES the vector — still orthogonal (norms and all
+    // within-copy cosines preserved), and a copy sharing a rotation
+    // with an earlier one sits at cosine -1 from it, never a spurious
+    // near-dup. Vectors repeat only at i = 2*dim, the require() bound.
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    scaled(emb, (e, i) => {
+      val r = i % dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(r + 1), lit(dim - r)),
+          slice(col("embedding"), lit(1), lit(r)))
+      val signed =
+        if ((i / dim) % 2 == 1)
+          transform(rotated, x => (x * lit(-1.0f)).cast("float"))
+        else rotated
+      e.select(
+        (col("vec_id") + i * vecStride).as("vec_id"),
+        signed.as("embedding"),
+        col("label"))
+    })("embeddings")
 
     val out = fs.create(markerPath, true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
