@@ -94,8 +94,13 @@ object QualityClassifier {
       params: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docToks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    // Explicit hint: the weights table is vocabulary-sized (a few MB
+    // per million tokens) against a corpus-sized probe side — at plan
+    // time the agg/scan behind it has unknown stats, and waiting for
+    // AQE to discover broadcastability wastes the first shuffle at
+    // 100 TB.
     val perDoc = docToks
-      .join(weights, Seq("tok"), "left")
+      .join(broadcast(weights), Seq("tok"), "left")
       .crossJoin(broadcast(params))
       .withColumn("w", coalesce(col("w"),
         weightExpr(lit(0L), lit(0L), col("n_pos"), col("n_neg"), col("v"))))
