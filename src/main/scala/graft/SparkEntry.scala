@@ -204,6 +204,17 @@ object SparkEntry {
     }
   }
 
+  /** Persisted BYTE-level BPE model for `dir`'s corpus — the q150
+    * lifecycle at the byte alphabet, same reference slice. */
+  private def storedByteBpeModel(s: SparkSession, dir: String): String = {
+    val ref = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+    graft.engine.Fixtures.ensure(s, ref, "doc_id",
+      s"${Sinks.scratch}/byte_bpe_model", "b10", Some(dir),
+      contentSig = Some(pmod(xxhash64(col("text")), lit(1000000007L)))) { idx =>
+      CorpusStats.saveByteBpeModel(ref, "text", rounds = 10, idx)
+    }
+  }
+
   /** Fixture-backed query → (family, kind): which single fixture each
     * timed body reads, so [[warmFixtures]] can materialize exactly the
     * subset a filtered bench run needs. */
@@ -221,7 +232,8 @@ object SparkEntry {
     "q158_bpe_fertility" -> ("bpemodel", "m10"),
     "q162_decontam_stored_excision" -> ("dedup", "evalgrams"),
     "q169_quality_stored_score" -> ("qualitymodel", "nb"),
-    "q173_stream_funnel_monitor" -> ("qualitymodel", "nb"))
+    "q173_stream_funnel_monitor" -> ("qualitymodel", "nb"),
+    "q174_byte_bpe_apply_stored" -> ("bpemodel", "b10"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -244,6 +256,9 @@ object SparkEntry {
       case ("media", k) => mediaFixture(s, dir, k).count()
       case ("dedup", k) =>
         storedDedupIndex(s, dir, k)
+        graft.engine.Caches.release()
+      case ("bpemodel", "b10") =>
+        storedByteBpeModel(s, dir)
         graft.engine.Caches.release()
       case ("bpemodel", _) =>
         storedBpeModel(s, dir)
@@ -2134,7 +2149,17 @@ object SparkEntry {
         applySlice.filter(col("doc_id") % 2 === 0),
         s"${Sinks.scratch}/q173")
         .orderBy("batch_id", "stage")
-    })
+    }),
+
+    // Byte-level tokenizer lifecycle's last leg (q150's byte twin):
+    // price an UNSEEN corpus with the STORED byte model — unseen
+    // pre-tokens segment (bytes where no merge applies) instead of
+    // dropping; every non-empty doc emits a row by construction.
+    "q174_byte_bpe_apply_stored" -> ((s, dir) =>
+      CorpusStats.byteBpeTokenizeFromModel(
+        Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", storedByteBpeModel(s, dir))
+        .orderBy("doc_id"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3234,6 +3259,10 @@ object SparkEntry {
          |  SELECT CAST(2 AS BIGINT) AS batch_id, f2.* FROM (
          |${funnelFor("doc_id % 2 = 0")}) f2)
          |ORDER BY batch_id, stage""".stripMargin
-    }
+    },
+
+    "q174_byte_bpe_apply_stored" -> CorpusStats.byteBpeApplyFromModelSql(
+      rounds = 10, trainPred = "doc_id % 3 = 0",
+      applyPred = "doc_id % 3 <> 0")
   )
 }

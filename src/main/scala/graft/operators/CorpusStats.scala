@@ -531,9 +531,19 @@ object CorpusStats {
       .as[(String, Long)].collect()
     // Per-word symbol sequences: codepoint split + the </w> marker —
     // the exact local twin of the distributed split(word, "") chain.
-    var cur: Array[(Array[String], Long)] = words.map { case (w, f) =>
+    val cur0: Array[(Array[String], Long)] = words.map { case (w, f) =>
       (w.split("").filter(_.nonEmpty) :+ "</w>", f)
     }
+    localMergeLoop(cur0, rounds).toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** The driver-local merge loop over per-word symbol sequences —
+    * [[bpeTrainLocal]]'s engine, shared with the byte-level trainer
+    * (the pre-tokenization/symbol alphabet is the ONLY difference
+    * between the families, locally exactly as distributed). */
+  private def localMergeLoop(cur0: Array[(Array[String], Long)],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var cur = cur0
     // Binary UTF-8 comparison = Spark's string ordering.
     def utf8Lt(a: String, b: String): Boolean = {
       val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -585,7 +595,7 @@ object CorpusStats {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "lhs", "rhs", "n")
+    merges.toSeq
   }
 
   /** The corpus vocabulary AFTER `rounds` BPE merges — [[bpeTrain]]'s
@@ -1128,4 +1138,112 @@ object CorpusStats {
        |  FROM documents WHERE $pred) t
        |JOIN w$rounds w USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------- persisted byte-level BPE model
+
+  /** [[bpeTrainLocal]] at the byte level: the shared driver-local
+    * merge loop over byte symbols — same argmax tie-break (UTF-8 byte
+    * order = Spark's string order), identical output to
+    * [[byteBpeTrain]] by construction (ByteBpeSpec pins it). */
+  def byteBpeTrainLocal(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = docs
+      .select(explode(bytePreTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    val cur0: Array[(Array[String], Long)] = words.map { case (w, f) =>
+      (byteSymsLocal(w), f)
+    }
+    localMergeLoop(cur0, rounds).toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** Driver-local twin of [[TextKernels.byteSymsCol]]. */
+  private def byteSymsLocal(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => TextKernels.byteToChar(b & 0xff))
+
+  /** Train a BYTE-level BPE tokenizer and PERSIST the model — the
+    * [[saveBpeModel]] lifecycle for the byte family (same `merges`
+    * table, same completion marker, driver-local trainer for the
+    * production 30k-round shape). */
+  def saveByteBpeModel(docs: DataFrame, textCol: String, rounds: Int,
+      dir: String): Unit =
+    graft.engine.Markers.gated(docs.sparkSession, dir, ModelMarker) {
+      byteBpeTrainLocal(docs, textCol, rounds)
+        .write.mode("overwrite").parquet(s"$dir/merges")
+    }
+
+  /** Tokenize an ARBITRARY corpus with a STORED byte-level model —
+    * [[bpeTokenizeFromModel]]'s byte twin, with the byte family's
+    * stronger guarantee: there is no word filter to fall out of and no
+    * unseen-character failure mode — EVERY pre-token of every script
+    * segments (bytes where no merge applies), so every document with
+    * non-empty text emits a row. Same scale shape: merges collect as a
+    * model-bounded driver list, the corpus's distinct pre-tokens are
+    * segmented driver-locally (vocab-sized, the same bound as the
+    * broadcast the counting join ships anyway), the corpus itself
+    * never collects. */
+  def byteBpeTokenizeFromModel(docs: DataFrame, idCol: String,
+      textCol: String, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(bpeModelExists(spark, dir),
+      s"no completed BPE model at $dir — run saveByteBpeModel first")
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(explode(bytePreTokens(col(textCol))).as("word"))
+      .distinct()
+      .as[String].collect()
+    val vocabRows = words.map { w =>
+      var syms: Array[String] = byteSymsLocal(w)
+      merges.foreach { case (a, b) =>
+        if (syms.length >= 2) {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (buf.nonEmpty && buf.last == a && x == b)
+              buf(buf.length - 1) = a + b
+            else buf += x
+          }
+          syms = buf.toArray
+        }
+      }
+      (w, syms.length.toLong)
+    }.toSeq
+    val vocab = vocabRows.toDF("word", "n_sub")
+    docs.select(col(idCol), explode(bytePreTokens(col(textCol))).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(octet_length(col("word"))).as("n_bytes"),
+        sum("n_sub").as("n_tokens"))
+  }
+
+  /** Oracle twin of [[saveByteBpeModel]] + [[byteBpeTokenizeFromModel]]
+    * over a `documents` split: the byte chain unrolled on `trainPred`
+    * (its `b$r` tables ARE the stored model), the `applyPred` slice's
+    * own byte word table rewritten by the same pairs in order, then
+    * per-document counts — unseen pre-tokens flow through rounds whose
+    * pair never occurs in them, exactly the Spark side's replay. */
+  def byteBpeApplyFromModelSql(rounds: Int, trainPred: String,
+      applyPred: String): String = {
+    val applyBlocks = (1 to rounds).map(r =>
+      rewriteSql(s"ae$r", s"asel$r", s"a$r", s"a${r - 1}", s"b$r"))
+    byteBpeChainSql(rounds, trainPred) + ",\n" +
+      byteWordTableSql("a0", applyPred) + ",\n" +
+      applyBlocks.mkString(",\n") +
+      s"""
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+       |  CAST(sum(octet_length(encode(t.word))) AS BIGINT) AS n_bytes,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+       |    '$bytePreTokenRegex')) AS word
+       |  FROM documents WHERE $applyPred) t
+       |JOIN a$rounds w USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
 }

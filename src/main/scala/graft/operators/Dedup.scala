@@ -644,8 +644,10 @@ object Dedup {
 
   /** One table's in-place compaction: DISTINCT rows rewritten into
     * `ceil(bytes / targetBytes)` files via a staging dir + rename (the
-    * caller's marker window covers the non-atomic swap). */
-  private def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
+    * caller's marker window covers the non-atomic swap). Shared by the
+    * MinHash/gram compactions here and [[ImageDedup.compactPhashIndex]]. */
+  private[operators] def compactIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long): Unit = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(path)

@@ -504,6 +504,20 @@ object ImageDedup {
     }
   }
 
+  /** Index COMPACTION — [[Dedup.compactMinhashIndex]]'s contract for
+    * the media index: appends accumulate small files; rewrite `hashes`
+    * into target-sized files (DISTINCT defends against a pre-crash
+    * double-append) inside the marker window. Query results bit-equal
+    * (spec-asserted — the band join is layout-independent). */
+  def compactPhashIndex(spark: SparkSession, dir: String,
+      targetBytes: Long = 64L << 20): Unit = {
+    require(phashIndexExists(spark, dir),
+      s"no completed pHash index at $dir — compaction needs a finished build")
+    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+      Dedup.compactIndexTable(spark, s"$dir/hashes", targetBytes)
+    }
+  }
+
   /** [[phashNearDupAcross]] against a PERSISTED reference index: only
     * the new batch is decoded and hashed; the reference hashes stream
     * from parquet into the same pre-collapsed band join. Bit-equal to

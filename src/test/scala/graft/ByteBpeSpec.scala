@@ -78,6 +78,59 @@ class ByteBpeSpec extends SparkSpec {
       s"round 1 must merge the dominant pair (a,b): ${m1.head}")
   }
 
+  test("driver-local byte trainer equals the distributed loop") {
+    val docs = df(mixed)
+    val dist = CorpusStats.byteBpeTrain(docs, "text", rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val local = CorpusStats.byteBpeTrainLocal(docs, "text", rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(dist == local,
+      "same merges, same counts, same tie-breaks — or the stored model drifts")
+  }
+
+  test("stored byte model prices UNSEEN text: novel pre-tokens segment, never drop") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${graft.engine.Sinks.scratch}/byte_bpe_model_spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, dir)
+    assertThrows[IllegalArgumentException] {
+      CorpusStats.byteBpeTokenizeFromModel(df(mixed), "doc_id", "text", dir)
+    }
+    CorpusStats.saveByteBpeModel(df(mixed), "text", rounds = 8, dir)
+    // Unseen corpus: new emoji, new script mix, text the model never saw.
+    val unseen = df(Seq(
+      11L -> "hello hello hello",       // seen pre-token: merges apply
+      12L -> "σπάρκ δεδομένα 🚀🚀",     // fully unseen Greek + emoji
+      13L -> "?!?!?!"))
+    val out = CorpusStats.byteBpeTokenizeFromModel(
+        unseen, "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(11L, 12L, 13L),
+      "every unseen doc emits a row — no vocabulary join to fall out of")
+    // Unseen Greek/emoji: byte totals exact, tokens <= bytes (merges
+    // that happen to apply can only shrink).
+    val (nPre12, nBytes12, nToks12) = out(12L)
+    assert(nBytes12 == "σπάρκ δεδομένα 🚀🚀"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    assert(nPre12 <= nToks12 && nToks12 <= nBytes12)
+    // The stored apply on the TRAINING corpus itself is bit-equal to
+    // the inline tokenizer at the same rounds (model == chain)...
+    val inline = CorpusStats.byteBpeTokenize(df(mixed), "doc_id", "text",
+        rounds = 8).orderBy("doc_id").collect().toSeq
+    val stored = CorpusStats.byteBpeTokenizeFromModel(df(mixed), "doc_id",
+        "text", dir).orderBy("doc_id").collect().toSeq
+    assert(stored == inline)
+    // ...and compresses it: each trained merge had count >= 2 in this
+    // corpus, so total tokens land strictly below total bytes.
+    val (totToks, totBytes) = stored.map(r => (r.getLong(3), r.getLong(2)))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(totToks < totBytes, "trained merges must compress the training corpus")
+    graft.engine.Caches.release()
+  }
+
   test("token pricing: lossless byte totals, merge monotonicity, every doc priced") {
     val priced = CorpusStats.byteBpeTokenize(df(mixed), "doc_id", "text",
       rounds = 5).collect()

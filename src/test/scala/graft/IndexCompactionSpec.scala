@@ -79,6 +79,31 @@ class IndexCompactionSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("phash index: compaction keeps query results bit-equal and shrinks files") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/compaction_phash"
+    IncrementalIngest.deleteDir(spark, dir)
+    def hs(rows: (Long, Long)*) = rows.toDF("img_id", "phash")
+    graft.operators.ImageDedup.buildPhashIndex(hs(1L -> 0L), dir)
+    graft.operators.ImageDedup.appendToPhashIndex(
+      hs(2L -> 0xFF00FF00FF00FF00L), dir)
+    graft.operators.ImageDedup.appendToPhashIndex(
+      hs(3L -> 0x0F0F0F0F0F0F0F0FL), dir)
+    val probe = hs(101L -> 3L) // hamming 2 from ref 1, far from 2 and 3
+    def query() = graft.operators.ImageDedup
+      .phashNearDupAcrossFromIndex(probe, dir, maxHamming = 3)
+      .orderBy("new_id", "ref_id").collect().toSeq
+    val before = query()
+    assert(before.map(_.getLong(1)) == Seq(1L))
+    val filesBefore = dataFiles(s"$dir/hashes")
+    graft.engine.Caches.release()
+    graft.operators.ImageDedup.compactPhashIndex(spark, dir)
+    assert(graft.operators.ImageDedup.phashIndexExists(spark, dir))
+    assert(query() == before, "compacted phash index must answer bit-equally")
+    assert(dataFiles(s"$dir/hashes") < filesBefore)
+    graft.engine.Caches.release()
+  }
+
   test("compaction refuses an incomplete index") {
     val dir = s"${graft.engine.Sinks.scratch}/compaction_refusal"
     IncrementalIngest.deleteDir(spark, dir)
