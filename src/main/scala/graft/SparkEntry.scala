@@ -233,7 +233,8 @@ object SparkEntry {
     "q162_decontam_stored_excision" -> ("dedup", "evalgrams"),
     "q169_quality_stored_score" -> ("qualitymodel", "nb"),
     "q173_stream_funnel_monitor" -> ("qualitymodel", "nb"),
-    "q174_byte_bpe_apply_stored" -> ("bpemodel", "b10"))
+    "q174_byte_bpe_apply_stored" -> ("bpemodel", "b10"),
+    "q176_quality_topq_keep" -> ("qualitymodel", "nb"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -2159,7 +2160,43 @@ object SparkEntry {
       CorpusStats.byteBpeTokenizeFromModel(
         Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0),
         "doc_id", "text", storedByteBpeModel(s, dir))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // INCREMENTAL model update: train on half the labeled corpus,
+    // appendToModel the other half, score — the oracle replays the
+    // UNION train, so the driver gate itself proves update == retrain
+    // bit-for-bit (counts are a sufficient statistic; the timed body
+    // deliberately includes the build+append, which IS this query's
+    // operator).
+    "q175_quality_model_update" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("label_good", col("lang") === "en")
+      val modelDir = s"${Sinks.scratch}/q175_model"
+      graft.streaming.IncrementalIngest.deleteDir(s, modelDir)
+      QualityClassifier.saveModel(
+        train.filter(col("doc_id") % 2 === 0), "text", "label_good", modelDir)
+      QualityClassifier.appendToModel(
+        train.filter(col("doc_id") % 2 === 1), "text", "label_good", modelDir)
+      QualityClassifier.scoreFromModel(
+        docs.filter(col("doc_id") % 3 =!= 0), modelDir, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Top-quantile keep per language (FineWeb's "keep the best X%"):
+    // stored-model scores cut at the best 25% of each language —
+    // per-stratum rank windows, never a global sort.
+    "q176_quality_topq_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0)
+      val scored = docs.join(
+        QualityClassifier.scoreFromModel(docs, storedQualityModel(s, dir),
+          "doc_id", "text").select("doc_id", "quality_score"),
+        Seq("doc_id"))
+      Sampling.topQuantileByScore(scored, "lang", "quality_score",
+        "doc_id", q = 0.25)
+        .select("doc_id", "lang", "quality_score")
+        .orderBy("doc_id")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3263,6 +3300,29 @@ object SparkEntry {
 
     "q174_byte_bpe_apply_stored" -> CorpusStats.byteBpeApplyFromModelSql(
       rounds = 10, trainPred = "doc_id % 3 = 0",
-      applyPred = "doc_id % 3 <> 0")
+      applyPred = "doc_id % 3 <> 0"),
+
+    // The union replay IS the oracle: the query trains on half and
+    // appends the other half, so the gate proves update == retrain.
+    "q175_quality_model_update" -> QualityClassifier.scoreSql(
+      trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
+      applyPred = "doc_id % 3 <> 0"),
+
+    "q176_quality_topq_keep" -> {
+      val (rk, n) = Sampling.topQuantileRankSql("lang", "quality_score",
+        "doc_id")
+      "WITH " + QualityClassifier.scoreChainSql(
+        trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
+        applyPred = "doc_id % 3 <> 0") +
+        s""",
+         |scored2 AS (SELECT d.doc_id, d.lang, s.quality_score
+         |  FROM documents d JOIN qc_scored s USING (doc_id)
+         |  WHERE doc_id % 3 <> 0),
+         |r AS (SELECT doc_id, lang, quality_score,
+         |    $rk AS rk, $n AS n
+         |  FROM scored2)
+         |SELECT doc_id, lang, quality_score FROM r
+         |WHERE rk <= CEIL(0.25 * n) ORDER BY doc_id""".stripMargin
+    }
   )
 }

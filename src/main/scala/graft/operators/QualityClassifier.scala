@@ -131,12 +131,15 @@ object QualityClassifier {
     scoreWith(docs, Caches.materialized(weights), p, idCol, docTextCol)
   }
 
-  /** Train and PERSIST: `params` (1 row) + `weights` (tok, w) under
-    * the completion-marker lifecycle every stored artifact uses (a
-    * crash mid-build leaves a visibly incomplete dir, never a silent
-    * half-model). The only driver round-trip is the 1-row class-
-    * balance probe — a single-class training set has no log-prior and
-    * must refuse loudly, not emit ±Inf scores downstream. */
+  /** Train and PERSIST: `params` (1 row) + `counts` (tok, c_pos,
+    * c_neg — the SUFFICIENT STATISTIC that makes the model
+    * incrementally updatable, see [[appendToModel]]) + `weights`
+    * (tok, w) under the completion-marker lifecycle every stored
+    * artifact uses (a crash mid-build leaves a visibly incomplete dir,
+    * never a silent half-model). The only driver round-trip is the
+    * 1-row class-balance probe — a single-class training set has no
+    * log-prior and must refuse loudly, not emit ±Inf scores
+    * downstream. */
   def saveModel(labeled: DataFrame, textCol: String, labelCol: String,
       dir: String): Unit = {
     val spark = labeled.sparkSession
@@ -148,10 +151,72 @@ object QualityClassifier {
         s"training needs BOTH classes; got docs_pos=${r.getLong(3)} " +
           s"docs_neg=${r.getLong(4)}")
       p.write.mode("overwrite").parquet(s"$dir/params")
-      counts.crossJoin(broadcast(p)).select(col("tok"),
+      val c = Caches.materialized(counts)
+      c.write.mode("overwrite").parquet(s"$dir/counts")
+      c.crossJoin(broadcast(p)).select(col("tok"),
         weightExpr(col("c_pos"), col("c_neg"), col("n_pos"), col("n_neg"),
           col("v")).as("w"))
         .write.mode("overwrite").parquet(s"$dir/weights")
+    }
+  }
+
+  /** Model MAINTENANCE — the property Naive Bayes buys that no
+    * gradient-trained model has: the stored token counts are a
+    * SUFFICIENT STATISTIC, so adding newly-labeled documents is exact
+    * integer addition. `appendToModel(B)` after `saveModel(A)` yields
+    * BIT-FOR-BIT the model `saveModel(A union B)` would (spec-asserted;
+    * q175's oracle replays the union), at the cost of the NEW batch's
+    * counting plus a vocabulary-sized merge — never a full retrain
+    * over the history. All three tables are rewritten via staging dirs
+    * and renamed inside the marker window (outputs land fully before
+    * any source is deleted; a crash stays visibly incomplete). The
+    * append batch may be single-class — only the UNION needs both. */
+  def appendToModel(newLabeled: DataFrame, textCol: String,
+      labelCol: String, dir: String): Unit = {
+    val spark = newLabeled.sparkSession
+    require(modelExists(spark, dir),
+      s"no completed quality model at $dir — append needs a finished build")
+    Markers.gated(spark, dir, Marker) {
+      val storedCounts = spark.read.parquet(s"$dir/counts")
+      val newToks = newLabeled.select(col(labelCol).as("y"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      val newCounts = newToks.groupBy("tok").agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
+      val merged = Caches.materialized(
+        storedCounts.as("a").join(newCounts.as("b"), Seq("tok"),
+            "full_outer")
+          .select(col("tok"),
+            (coalesce(col("a.c_pos"), lit(0L)) +
+              coalesce(col("b.c_pos"), lit(0L))).as("c_pos"),
+            (coalesce(col("a.c_neg"), lit(0L)) +
+              coalesce(col("b.c_neg"), lit(0L))).as("c_neg")))
+      val oldP = spark.read.parquet(s"$dir/params").head()
+      val newDocs = newLabeled.agg(
+        coalesce(sum(when(col(labelCol), 1L).otherwise(0L)), lit(0L)).as("dp"),
+        coalesce(sum(when(col(labelCol), 0L).otherwise(1L)), lit(0L)).as("dn"))
+        .head()
+      val p = Caches.materialized(merged.agg(
+          (count(lit(1)) + 1).as("v"),
+          coalesce(sum("c_pos"), lit(0L)).as("n_pos"),
+          coalesce(sum("c_neg"), lit(0L)).as("n_neg"))
+        .withColumn("docs_pos", lit(oldP.getLong(3) + newDocs.getLong(0)))
+        .withColumn("docs_neg", lit(oldP.getLong(4) + newDocs.getLong(1))))
+      val weights = merged.crossJoin(broadcast(p)).select(col("tok"),
+        weightExpr(col("c_pos"), col("c_neg"), col("n_pos"), col("n_neg"),
+          col("v")).as("w"))
+      // Stage ALL outputs before deleting ANY source: the merged/param
+      // caches could evict and recompute from the tables under them.
+      val fs = Markers.fs(spark, dir)
+      def stage(df: DataFrame, name: String): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/${name}_staging")
+      def commit(name: String): Unit = {
+        fs.delete(Markers.path(dir, name), true)
+        require(fs.rename(Markers.path(dir, s"${name}_staging"),
+          Markers.path(dir, name)), s"rename of $name failed")
+      }
+      stage(p, "params"); stage(merged, "counts"); stage(weights, "weights")
+      Seq("params", "counts", "weights").foreach(commit)
     }
   }
 

@@ -150,6 +150,36 @@ object Sampling {
       .where(col("_rk") <= quota).drop("_rk")
   }
 
+  /** Keep the TOP `q` fraction of each stratum by score — the
+    * FineWeb-style "keep the best X% per language by classifier
+    * score" cut ([[quotaSample]] balances COUNTS; this keeps the
+    * best-scoring tail). Deterministic: ties break on `idCol`, and the
+    * kept count per stratum is `ceil(q * n)` (at least one row per
+    * non-empty stratum for any q > 0). Scale shape: the rank and count
+    * windows are PARTITIONED by the stratum — per-stratum sorts, never
+    * a global one (the quotaSample argument; a global top-quantile
+    * would funnel the corpus through one reducer, the thing a
+    * production cut replaces with an approx-quantile threshold). */
+  def topQuantileByScore(df: DataFrame, stratumCol: String,
+      scoreCol: String, idCol: String, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    val rankW = Window.partitionBy(stratumCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val countW = Window.partitionBy(stratumCol)
+    df.withColumn("_rk", row_number().over(rankW))
+      .withColumn("_n", count(lit(1)).over(countW))
+      .where(col("_rk") <= ceil(lit(q) * col("_n")))
+      .drop("_rk", "_n")
+  }
+
+  /** SQL twin of [[topQuantileByScore]]: wrap as a subquery computing
+    * both windows, filter outside. */
+  def topQuantileRankSql(stratumCol: String, scoreCol: String,
+      idCol: String): (String, String) = (
+    s"""row_number() OVER (PARTITION BY $stratumCol
+       |    ORDER BY $scoreCol DESC, $idCol ASC)""".stripMargin,
+    s"COUNT(*) OVER (PARTITION BY $stratumCol)")
+
   /** SQL twin of [[quotaSample]]'s rank (DuckDB `md5` = the same
     * lowercase hex). Wrap as an rn subquery with `rn <= quota`. */
   def quotaRankSql(stratumCol: String, textCol: String): String =

@@ -96,6 +96,36 @@ class QualityClassifierSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("incremental append == union retrain, bit-for-bit; single-class append OK") {
+    val root = s"${graft.engine.Sinks.scratch}/quality_model_append"
+    val (inc, full) = (s"$root/incremental", s"$root/full")
+    Seq(inc, full).foreach(IncrementalIngest.deleteDir(spark, _))
+    val (half1, half2) = (labeled.filter(col("doc_id") % 2 === 0),
+      labeled.filter(col("doc_id") % 2 === 1))
+    QualityClassifier.saveModel(half1, "text", "label_good", inc)
+    QualityClassifier.appendToModel(half2, "text", "label_good", inc)
+    QualityClassifier.saveModel(labeled, "text", "label_good", full)
+    assert(scores(QualityClassifier.scoreFromModel(holdout, inc,
+        "doc_id", "text")) ==
+      scores(QualityClassifier.scoreFromModel(holdout, full,
+        "doc_id", "text")),
+      "counts are a sufficient statistic: append must equal retrain")
+    // A single-class batch appends fine — only the UNION needs both.
+    val goodOnly = labeled.filter(col("label_good"))
+      .withColumn("doc_id", col("doc_id") + 100L)
+    QualityClassifier.appendToModel(goodOnly, "text", "label_good", inc)
+    val after = scores(QualityClassifier.scoreFromModel(holdout, inc,
+      "doc_id", "text"))
+    assert(after(101L)._2 > after(105L)._2, "ranking survives the append")
+    assert(QualityClassifier.modelExists(spark, inc), "marker re-committed")
+    // Append without a model refuses.
+    assertThrows[IllegalArgumentException] {
+      QualityClassifier.appendToModel(half2, "text", "label_good",
+        s"$root/nowhere")
+    }
+    graft.engine.Caches.release()
+  }
+
   test("prior is isolated: same token mass in fewer docs shifts every score by ln(ratio)") {
     import spark.implicits._
     // Concatenate bad-doc pairs: 8 docs x 12 tokens -> 4 docs x 24

@@ -199,4 +199,25 @@ class SamplingSpec extends SparkSpec {
     assert(out(4L) == ((4L, naive(4L)._1, naive(4L)._2)))
     graft.engine.Caches.release()
   }
+
+  test("topQuantileByScore: ceil per stratum, ties on id, never empties a stratum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // en: 5 docs (25% -> ceil(1.25) = 2 kept); de: 1 doc (always kept);
+    // ties: docs 3 and 4 share a score — lower id wins the last slot.
+    val scored = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.5), (3L, "en", 0.5),
+      (4L, "en", 0.1), (5L, "en", 0.0),
+      (9L, "de", -2.0))
+      .toDF("doc_id", "lang", "score")
+    val kept = graft.operators.Sampling.topQuantileByScore(
+        scored, "lang", "score", "doc_id", q = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 9L),
+      "en keeps ceil(5*0.25)=2 best (tie 2-vs-3 broken by id); de keeps its 1")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Sampling.topQuantileByScore(
+        scored, "lang", "score", "doc_id", q = 0.0)
+    }
+  }
 }
