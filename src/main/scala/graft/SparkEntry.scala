@@ -234,7 +234,8 @@ object SparkEntry {
     "q169_quality_stored_score" -> ("qualitymodel", "nb"),
     "q173_stream_funnel_monitor" -> ("qualitymodel", "nb"),
     "q174_byte_bpe_apply_stored" -> ("bpemodel", "b10"),
-    "q176_quality_topq_keep" -> ("qualitymodel", "nb"))
+    "q176_quality_topq_keep" -> ("qualitymodel", "nb"),
+    "q177_byte_bpe_fertility" -> ("bpemodel", "b10"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -2196,7 +2197,16 @@ object SparkEntry {
         "doc_id", q = 0.25)
         .select("doc_id", "lang", "quality_score")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Byte-tokenizer fairness/compression audit (q158's byte twin):
+    // per-language fertility AND bytes-per-token under the stored byte
+    // model — the GPT-style "which scripts pay full byte cost" table.
+    "q177_byte_bpe_fertility" -> ((s, dir) =>
+      CorpusStats.byteBpeFertilityByLang(
+        Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0),
+        "lang", "text", storedByteBpeModel(s, dir))
+        .orderBy("lang"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3323,6 +3333,10 @@ object SparkEntry {
          |  FROM scored2)
          |SELECT doc_id, lang, quality_score FROM r
          |WHERE rk <= CEIL(0.25 * n) ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q177_byte_bpe_fertility" -> CorpusStats.byteBpeFertilityByLangSql(
+      rounds = 10, trainPred = "doc_id % 3 = 0",
+      applyPred = "doc_id % 3 <> 0")
   )
 }

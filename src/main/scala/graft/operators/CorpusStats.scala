@@ -1187,7 +1187,21 @@ object CorpusStats {
     * broadcast the counting join ships anyway), the corpus itself
     * never collects. */
   def byteBpeTokenizeFromModel(docs: DataFrame, idCol: String,
-      textCol: String, dir: String): DataFrame = {
+      textCol: String, dir: String): DataFrame =
+    docs.select(col(idCol), explode(bytePreTokens(col(textCol))).as("word"))
+      .join(broadcast(byteStoredModelVocab(docs, textCol, dir)),
+        Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(octet_length(col("word"))).as("n_bytes"),
+        sum("n_sub").as("n_tokens"))
+
+  /** The apply corpus's distinct pre-token vocabulary segmented by a
+    * STORED byte model: `(word, n_sub)`, broadcastable — the byte twin
+    * of [[storedModelVocab]], shared by [[byteBpeTokenizeFromModel]]
+    * and [[byteBpeFertilityByLang]]. */
+  private def byteStoredModelVocab(docs: DataFrame, textCol: String,
+      dir: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(bpeModelExists(spark, dir),
@@ -1214,13 +1228,52 @@ object CorpusStats {
       }
       (w, syms.length.toLong)
     }.toSeq
-    val vocab = vocabRows.toDF("word", "n_sub")
-    docs.select(col(idCol), explode(bytePreTokens(col(textCol))).as("word"))
-      .join(broadcast(vocab), Seq("word"))
-      .groupBy(col(idCol))
+    vocabRows.toDF("word", "n_sub")
+  }
+
+  /** Byte-tokenizer FERTILITY by language — [[bpeFertilityByLang]]'s
+    * byte twin, with the byte family's headline metric added:
+    * `bytes_per_token` is the COMPRESSION a byte-level tokenizer
+    * achieves per language (GPT-style tokenizers are audited exactly
+    * this way — a language the merges never saw prices near 1.0
+    * byte/token, i.e. pays full byte cost per token of context). Exact
+    * BIGINT sums divided once — no rounding needed cross-engine. */
+  def byteBpeFertilityByLang(docs: DataFrame, langCol: String,
+      textCol: String, dir: String): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        explode(bytePreTokens(col(textCol))).as("word"))
+      .join(broadcast(byteStoredModelVocab(docs, textCol, dir)),
+        Seq("word"))
+      .groupBy("lang")
       .agg(count(lit(1)).as("n_pretokens"),
         sum(octet_length(col("word"))).as("n_bytes"),
         sum("n_sub").as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_pretokens"))
+      .withColumn("bytes_per_token",
+        col("n_bytes").cast("double") / col("n_tokens"))
+
+  /** Oracle twin of [[byteBpeFertilityByLang]] over a `documents`
+    * split. */
+  def byteBpeFertilityByLangSql(rounds: Int, trainPred: String,
+      applyPred: String): String = {
+    val applyBlocks = (1 to rounds).map(r =>
+      rewriteSql(s"ae$r", s"asel$r", s"a$r", s"a${r - 1}", s"b$r"))
+    byteBpeChainSql(rounds, trainPred) + ",\n" +
+      byteWordTableSql("a0", applyPred) + ",\n" +
+      applyBlocks.mkString(",\n") +
+      s"""
+       |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_pretokens,
+       |  CAST(sum(octet_length(encode(t.word))) AS BIGINT) AS n_bytes,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(len(w.syms)) AS DOUBLE) / count(*) AS fertility,
+       |  CAST(sum(octet_length(encode(t.word))) AS DOUBLE)
+       |    / sum(len(w.syms)) AS bytes_per_token
+       |FROM (SELECT lang, unnest(regexp_extract_all(text,
+       |    '$bytePreTokenRegex')) AS word
+       |  FROM documents WHERE $applyPred) t
+       |JOIN a$rounds w USING (word)
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
   }
 
   /** Oracle twin of [[saveByteBpeModel]] + [[byteBpeTokenizeFromModel]]
