@@ -79,4 +79,28 @@ object TextKernelProperties extends Properties("TextKernels") {
       TextKernels.simhash64(UTF8String.fromString(toks.mkString(" "))) ==
         TextKernels.simhash64(UTF8String.fromString(shuffled.mkString(" ")))
     }
+
+  property("byte pre-tokenization is LOSSLESS for arbitrary unicode") = {
+    // Every char falls in exactly one alternative (letter/digit/punct
+    // runs with an optional leading space, or a whitespace run), so
+    // the matches concatenate back to the input — the GPT-2 guarantee
+    // the \p{L}+ word filter lacks. Checked over adversarial text,
+    // not just the fixture.
+    val re = graft.operators.CorpusStats.bytePreTokenRegex.r
+    forAll(text) { s =>
+      re.findAllIn(s).mkString("") == s
+    }
+  }
+
+  property("byteSyms inverts to the exact UTF-8 bytes (bijection round-trip)") = {
+    val inv: Map[String, Byte] = TextKernels.byteToChar.zipWithIndex
+      .map { case (c, b) => c -> b.toByte }.toMap
+    forAll(text) { s =>
+      val syms = TextKernels.byteSyms(UTF8String.fromString(s))
+      val back = (0 until syms.numElements())
+        .map(i => inv(syms.getUTF8String(i).toString)).toArray
+      java.util.Arrays.equals(back,
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
 }
