@@ -2206,7 +2206,21 @@ object SparkEntry {
       CorpusStats.byteBpeFertilityByLang(
         Tables.documents(s, dir).filter(col("doc_id") % 3 =!= 0),
         "lang", "text", storedByteBpeModel(s, dir))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Semantic decontamination: drop training vectors near-parallel to
+    // ANY eval vector — the embedding-space leak no lexical gram gate
+    // sees (a paraphrased benchmark answer keeps its direction). Cell-
+    // bucketed new x ref, best match per contaminated id.
+    "q178_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ref = emb.filter(col("vec_id") % 3 === 0)
+      val cents = ref.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      Similarity.semanticDecontam(
+        emb.filter(col("vec_id") % 3 =!= 0), ref, cents, threshold = 0.4)
+        .orderBy("vec_id")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3337,6 +3351,10 @@ object SparkEntry {
 
     "q177_byte_bpe_fertility" -> CorpusStats.byteBpeFertilityByLangSql(
       rounds = 10, trainPred = "doc_id % 3 = 0",
-      applyPred = "doc_id % 3 <> 0")
+      applyPred = "doc_id % 3 <> 0"),
+
+    "q178_semantic_decontam" -> Similarity.semanticDecontamSql(
+      threshold = 0.4, centStride = 53,
+      newPred = "vec_id % 3 <> 0", refPred = "vec_id % 3 = 0")
   )
 }

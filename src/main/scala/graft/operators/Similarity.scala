@@ -514,6 +514,75 @@ object Similarity {
        |   OR vec_id IN (SELECT id FROM reps)
        |ORDER BY vec_id""".stripMargin
 
+  /** Semantic DECONTAMINATION — the embedding-space member of the
+    * decontamination family: drop every training vector whose
+    * embedding is near-parallel (cosine ≥ `threshold`) to ANY held-out
+    * evaluation vector. The lexical members (q95 exact n-grams,
+    * q153/q162 span excision) cannot see a PARAPHRASED eval answer —
+    * it shares no grams with its source but keeps its direction; this
+    * is the [[semDeDup]] observation pointed at benchmark leakage
+    * instead of duplication.
+    *
+    * Scale shape: both sides assign to the same centroid cells (one
+    * map-side `max_by` scan each), candidates are within-cell
+    * NEW × REF pairs — Σ|cell_new|·|cell_ref|, never |new|·|ref| — and
+    * each contaminated id emits its single best match (max cosine,
+    * ties to the lowest ref id). Returns the DROP LIST
+    * `(vec_id, ref_id, cosine)`; survivors = anti-join on it. Raw
+    * cosine doubles are cross-engine exact (the q26 contract), so the
+    * argmax needs no rounding. */
+  def semanticDecontam(newV: DataFrame, refV: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      assignCells(cents)(
+          df.select(col("vec_id").as("id"), col("embedding").as("emb")),
+          "id", "emb", 1)
+        .withColumn("nrm", norm(col("emb")))
+    val an = graft.engine.Caches.materialized(side(newV))
+    val ar = graft.engine.Caches.materialized(side(refV))
+    an.select(col("id").as("new_id"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a"), col("cent_id"))
+      .join(ar.select(col("id").as("ref_id"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b"), col("cent_id")), Seq("cent_id"))
+      .withColumn("cosine", cosineWithNorms(col("emb_a"), col("emb_b"),
+        col("nrm_a"), col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(max(struct(col("cosine"), (-col("ref_id")).as("neg_ref"))).as("m"))
+      .select(col("new_id").as("vec_id"), (-col("m.neg_ref")).as("ref_id"),
+        col("m.cosine").as("cosine"))
+  }
+
+  /** Oracle twin of [[semanticDecontam]] over `embeddings`: new side
+    * `newPred`, eval side `refPred`, centroids = the ref side strided. */
+  def semanticDecontamSql(threshold: Double, centStride: Long,
+      newPred: String, refPred: String): String = {
+    def assign(name: String, pred: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Sql.cosine("e.embedding", "c.cent_emb")} DESC,
+         |          c.cent_id) AS r
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE $pred) t WHERE r = 1)""".stripMargin
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |          FROM embeddings
+       |          WHERE ($refPred) AND vec_id % $centStride = 0),
+       |${assign("an", newPred)},
+       |${assign("ar", refPred)},
+       |cand AS (
+       |  SELECT a.vec_id AS new_id, b.vec_id AS ref_id,
+       |    ${Sql.cosine("a.embedding", "b.embedding")} AS cosine
+       |  FROM an a JOIN ar b ON a.cent_id = b.cent_id)
+       |SELECT new_id AS vec_id, ref_id, cosine FROM (
+       |  SELECT new_id, ref_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY new_id
+       |      ORDER BY cosine DESC, ref_id ASC) AS r
+       |  FROM cand WHERE cosine >= $threshold) t
+       |WHERE r = 1 ORDER BY vec_id""".stripMargin
+  }
+
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011) — the MEMORY-bound ANN regime
     * beside cell-probe IVF (q28): the corpus is stored as `m` small

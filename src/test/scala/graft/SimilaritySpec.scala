@@ -384,6 +384,42 @@ class SimilaritySpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("semanticDecontam: planted paraphrase drops with its best ref; orthogonal text survives") {
+    import spark.implicits._
+    // Hand-built 4-dim geometry: ref axis e1; train has a near-copy of
+    // it (cosine ~0.995), a milder paraphrase (~0.71), an orthogonal
+    // vector, and a NEGATED copy (cosine -1: direction-sensitive, must
+    // survive). Two refs along e1 so "best match" has to pick the
+    // closer (101, exact axis) over the tilted 102.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val ref = Seq(
+      (101L, v(1, 0, 0, 0)),
+      (102L, v(0.9, 0.1, 0, 0)),
+      (103L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, v(0.99, 0.01, 0, 0)),  // near-copy -> dropped, best = 101
+      (2L, v(1, 1, 0, 0)),        // ~0.71 to e1 -> dropped at 0.5
+      (3L, v(0, 1, 0, 0)),        // orthogonal to every ref -> survives
+      (4L, v(-1, 0, 0, 0)))       // negated -> cosine -1, survives
+      .toDF("vec_id", "embedding")
+    // One centroid on the axis, one on e3: all e1-ish vectors co-cell.
+    val cents = Seq((101L, v(1, 0, 0, 0)), (103L, v(0, 0, 1, 0)))
+      .toDF("cent_id", "cent_emb")
+    val out = Similarity.semanticDecontam(train, ref, cents,
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L), s"drop list wrong: $out")
+    assert(out(1L) == 101L, "best match must beat the tilted ref 102")
+    assert(out(2L) == 102L, "the tilted ref IS closer to the diagonal")
+    // Survivors via anti-join = the operator's consumption contract.
+    val survivors = train.join(
+      Similarity.semanticDecontam(train, ref, cents, 0.5)
+        .select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(3L, 4L))
+    graft.engine.Caches.release()
+  }
+
   test("pqTopK: recall@5 >= 0.7 vs brute force (measured 0.94 re-ranked), bit-deterministic") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") < 10)
