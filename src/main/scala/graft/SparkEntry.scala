@@ -97,6 +97,13 @@ object SparkEntry {
         case "ivfpq" => Similarity.buildIvfPqIndex(emb, idx,
           cellStride = 53, cellIters = 1,
           m = 16, subDim = 4, pqStride = 3, pqIters = 1)
+        // Evens-only base for the STREAMING ingest demo (q182): the
+        // immutable starting point each run copies into scratch before
+        // streaming the odd half in — so the timed path is the streamed
+        // lifecycle, not a re-training of this base every run.
+        case "ivfpq_base" => Similarity.buildIvfPqIndex(evens, idx,
+          cellStride = 53, cellIters = 1,
+          m = 16, subDim = 4, pqStride = 3, pqIters = 1)
         case "pq_grown" =>
           Similarity.buildPqIndex(evens, idx,
             m = 16, subDim = 4, initStride = 3, iters = 1)
@@ -235,7 +242,9 @@ object SparkEntry {
     "q173_stream_funnel_monitor" -> ("qualitymodel", "nb"),
     "q174_byte_bpe_apply_stored" -> ("bpemodel", "b10"),
     "q176_quality_topq_keep" -> ("qualitymodel", "nb"),
-    "q177_byte_bpe_fertility" -> ("bpemodel", "b10"))
+    "q177_byte_bpe_fertility" -> ("bpemodel", "b10"),
+    "q180_quality_eval" -> ("qualitymodel", "nb"),
+    "q182_stream_ann_ingest" -> ("ann", "ivfpq_base"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -2220,6 +2229,66 @@ object SparkEntry {
       Similarity.semanticDecontam(
         emb.filter(col("vec_id") % 3 =!= 0), ref, cents, threshold = 0.4)
         .orderBy("vec_id")
+    }),
+
+    // Unicode-normalization dedup: every document arrives twice, once
+    // with "key" re-spelled in DECOMPOSED form (e + U+0301) and once
+    // PRECOMPOSED (U+00E9) — byte-distinct, canonically equivalent.
+    // NFC-keyed grouping collapses them (n_raw_forms = 2 exactly where
+    // the marker occurs); byte-exact dedup cannot. The normalization
+    // stage every pipeline runs before fingerprinting anything.
+    "q179_nfc_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val variants = docs.select(col("doc_id"),
+          regexp_replace(col("text"), Curation.NfdMarker,
+            Curation.NfdReplacement).as("text"))
+        .unionAll(docs.select(col("doc_id"),
+          regexp_replace(col("text"), Curation.NfdMarker,
+            Curation.NfcReplacement).as("text")))
+      Curation.nfcDedupGroups(variants, "doc_id", "text")
+        .orderBy("rep_id", "norm_text")
+    }),
+
+    // Held-out evaluation of the STORED quality classifier: confusion
+    // matrix at its own threshold + exact tie-aware ROC AUC
+    // (Mann-Whitney closed form) — the acceptance gate a model passes
+    // before it may filter a corpus; q155/q163's evaluation discipline
+    // applied to the quality stage.
+    "q180_quality_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      QualityClassifier.evaluateFromModel(
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("label_good", col("lang") === "en"),
+        storedQualityModel(s, dir), "doc_id", "text", "label_good")
+    }),
+
+    // Soft dedup (SoftDedup, ACL 2024): keep every near-duplicate but
+    // weight it by 1/cluster-size, so each piece of content carries
+    // constant gradient mass — the reweighting alternative to q38's
+    // hard removal, over the same MinHash cluster machinery.
+    "q181_softdedup_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.softDedupWeights(docs,
+        Dedup.minhashNearDup(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5),
+        "doc_id").orderBy("doc_id")
+    }),
+
+    // Streaming ANN-index ingest: copy the STORED even-half base index
+    // (one training, amortized — the fixture), stream the odd half in
+    // as two micro-batches (encoded against the FROZEN centroids/
+    // codebook, replay-safe appends), query the grown index —
+    // bit-equal to q138's bulk append, so the same oracle adjudicates
+    // the whole streamed lifecycle.
+    "q182_stream_ann_ingest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.streaming.AnnIngest.twoRunIngestFromBase(s,
+        storedAnnIndex(s, dir, "ivfpq_base"),
+        emb.filter(col("vec_id") % 4 === 1),
+        emb.filter(col("vec_id") % 4 === 3),
+        s"${Sinks.scratch}/q182",
+        emb.filter(col("vec_id") < 10), emb, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -3355,6 +3424,23 @@ object SparkEntry {
 
     "q178_semantic_decontam" -> Similarity.semanticDecontamSql(
       threshold = 0.4, centStride = 53,
-      newPred = "vec_id % 3 <> 0", refPred = "vec_id % 3 = 0")
+      newPred = "vec_id % 3 <> 0", refPred = "vec_id % 3 = 0"),
+
+    "q179_nfc_dedup" -> Curation.nfcVariantDedupSql(),
+
+    "q180_quality_eval" -> QualityClassifier.evaluateSql(
+      trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
+      applyPred = "doc_id % 3 <> 0", evalLabelExpr = "d.lang = 'en'"),
+
+    "q181_softdedup_weights" -> Sampling.softDedupWeightsSql(
+      n = 3, threshold = 0.5),
+
+    // Bit-equal to q138's build+bulk-append lifecycle over the same
+    // vectors (batch boundaries are invisible to the frozen-artifact
+    // encoders), so the bulk oracle adjudicates the streamed loop.
+    "q182_stream_ann_ingest" -> Similarity.ivfPqTopKSql(k = 5,
+      cellStride = 53, cellIters = 1, nProbe = 3,
+      m = 16, subDim = 4, pqStride = 3, pqIters = 1,
+      trainPred = "vec_id % 2 = 0")
   )
 }

@@ -546,4 +546,48 @@ object TextKernels {
 
   def polyFingerprintCol(text: Column): Column =
     GraftSql.column(PolyFingerprintExpr(GraftSql.expression(text)))
+
+  /** Unicode NFC normalization (UAX #15 canonical composition) of a
+    * document. The same logical content crawled from two sources
+    * routinely differs only in normal form (decomposed `e`+U+0301 vs
+    * precomposed U+00E9 — macOS filesystems and some CMSes emit NFD),
+    * and every byte-keyed stage downstream (exact dedup's md5 groups,
+    * shingle hashes, BPE byte symbols) sees those as distinct content —
+    * so normalization is the FIRST text transform of a production
+    * pipeline, before any fingerprint is taken.
+    *
+    * `Normalizer.isNormalized` is the UAX #15 quick-check — for ASCII
+    * and already-NFC text (the overwhelming majority of a real crawl)
+    * it is a single scan with zero allocation, so the kernel adds ~one
+    * branch per row to a 100 TB pass. Only strings that actually carry
+    * decomposed sequences pay the compose. Java's Normalizer and
+    * DuckDB's `nfc_normalize` (utf8proc) both implement UAX #15
+    * canonical composition, which is what makes the whole operator
+    * oracle-expressible ([[NfcNormalizeExpr]] stays codegen'd either
+    * way). */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** NFC-normalize expression: `text → text`, one static call. */
+  case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects string, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      nfcNormalize(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcNormalize($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nfcNormalizeCol(text: Column): Column =
+    GraftSql.column(NfcNormalizeExpr(GraftSql.expression(text)))
 }

@@ -361,6 +361,60 @@ object Curation {
        |FROM j CROSS JOIN total ORDER BY stage""".stripMargin
   }
 
+  /** NFC-NORMALIZED dedup groups: collapse documents whose texts are
+    * byte-distinct but CANONICALLY EQUIVALENT (Unicode NFC, UAX #15) —
+    * the same word carried as precomposed `é` (U+00E9) by one source
+    * and decomposed `e`+U+0301 by another is one piece of content, and
+    * byte-keyed exact dedup (q22's md5 groups) can never see that. A
+    * production pipeline normalizes BEFORE any fingerprint is taken;
+    * this operator is that stage plus the dedup it unlocks, reporting
+    * per normalized text the representative id, the row count, and how
+    * many distinct RAW byte forms it collapsed (`n_raw_forms > 1` ⇔
+    * normalization did work byte-exact dedup would have missed).
+    *
+    * Scale shape: one projection through the codegen'd
+    * [[graft.functions.TextKernels.nfcNormalize]] kernel (quick-check
+    * scan, zero allocation on already-NFC text — the overwhelming
+    * majority of a real crawl), then a single hash aggregation keyed on
+    * the normalized text — exactly q22's plan with the kernel fused
+    * into the scan. No extra shuffle versus plain exact dedup. */
+  def nfcDedupGroups(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.groupBy(graft.functions.TextKernels.nfcNormalizeCol(col(textCol))
+        .as("norm_text"))
+      .agg(min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(textCol)).as("n_raw_forms"))
+      .select("rep_id", "n_rows", "n_raw_forms", "norm_text")
+
+  /** The q179 mixed-normal-form corpus, shared between the Spark query
+    * and the DuckDB oracle: every document arrives TWICE, once with
+    * `marker` re-spelled with a decomposed accent (`base` + combining
+    * acute U+0301 — the NFD form a macOS-origin or CMS-mangled crawl
+    * emits) and once precomposed (U+00E9) — the crawl-dedup fixture
+    * where the two copies are byte-distinct iff the document contains
+    * the marker word. Both sides build it with literal `replace`, so
+    * the corpora are bit-identical by construction. */
+  val NfdMarker = "key"
+  val NfdReplacement = "ke\u0301y" // k, e, U+0301 combining acute
+  val NfcReplacement = "k\u00e9y" // k, U+00E9 precomposed
+
+  /** Oracle twin of [[nfcDedupGroups]] over the two-normal-form corpus
+    * (DuckDB `nfc_normalize` = utf8proc's UAX #15 composition, the
+    * same canonical composition as the Java kernel). */
+  def nfcVariantDedupSql(): String =
+    s"""WITH variants AS (
+       |  SELECT doc_id, replace(text, '$NfdMarker', '$NfdReplacement')
+       |    AS text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, replace(text, '$NfdMarker', '$NfcReplacement')
+       |    AS text FROM documents)
+       |SELECT MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_forms,
+       |  nfc_normalize(text) AS norm_text
+       |FROM variants GROUP BY nfc_normalize(text)
+       |ORDER BY rep_id, norm_text""".stripMargin
+
   /** SQL twin of [[packSequences]] (global-window formulation). */
   def packSequencesSql(binTokens: Long): String = {
     import TextFunctions.{Sql => T}

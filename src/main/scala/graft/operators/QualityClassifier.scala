@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Aggregates, Caches, Markers}
@@ -231,6 +232,120 @@ object QualityClassifier {
     scoreWith(docs, spark.read.parquet(s"$dir/weights"),
       spark.read.parquet(s"$dir/params"), idCol, textCol)
   }
+
+  /** Held-out EVALUATION of the stored classifier — the acceptance
+    * gate a quality model must pass before it is allowed to filter a
+    * corpus (the q155/q163 ANN-evaluation idea applied to the quality
+    * stage): score `labeled` (whose true boolean `labelCol` is known)
+    * from the persisted model and emit ONE report row — class counts,
+    * the confusion matrix at the model's own `is_good` threshold,
+    * accuracy/precision/recall, and the exact tie-aware ROC AUC.
+    *
+    * AUC is computed in closed form (Mann–Whitney), not by sampling:
+    * group the scored frame by distinct score, cumulate negative
+    * counts below each score, and sum `c_pos · (neg_below + ½·c_neg)`
+    * — exactly the count of (positive, negative) pairs ranked
+    * correctly, ties at half weight, divided by `n_pos · n_neg`.
+    * Every term is an exact multiple of 0.5 far below 2^52, so the
+    * arithmetic is exact in either engine and the oracle matches
+    * bit-for-bit.
+    *
+    * Scale shape: one scoring pass (the [[scoreFromModel]] plan), one
+    * score-keyed hash aggregation, then windows/aggregates over the
+    * DISTINCT-SCORE frame only — the global cumulative window runs on
+    * that aggregated frame, never the corpus (and an evaluation set is
+    * a bounded labeled sample by construction — nobody holds out 100 TB
+    * of labels). */
+  def evaluateFromModel(labeled: DataFrame, dir: String, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    val scored = Caches.materialized(
+      scoreFromModel(labeled, dir, idCol, textCol)
+        .select(col(idCol), col("quality_score"), col("is_good"))
+        .join(labeled.select(col(idCol),
+          col(labelCol).cast("boolean").as("y")), Seq(idCol)))
+    val byScore = scored.groupBy("quality_score").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
+    // Distinct-score frame: bounded by the evaluation set, already
+    // aggregated — the partition-less window is over that, not data.
+    val wBelow = Window.orderBy("quality_score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rank = byScore
+      .withColumn("neg_below",
+        coalesce(sum(col("c_neg")).over(wBelow), lit(0L)))
+      .agg(
+        Aggregates.sumExact(col("c_pos").cast("double") *
+          (col("neg_below").cast("double") +
+            lit(0.5) * col("c_neg").cast("double"))).as("hits"),
+        sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"))
+    val conf = scored.agg(
+      sum(when(col("y") && col("is_good") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("y") && col("is_good") === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("y") && col("is_good") === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("y") && col("is_good") === 0, 1L).otherwise(0L)).as("fn"))
+    rank.crossJoin(broadcast(conf)).select(
+      col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("tn"), col("fn"),
+      round((col("tp") + col("tn")).cast("double") /
+        (col("n_pos") + col("n_neg")).cast("double"), 6).as("accuracy"),
+      round(when(col("tp") + col("fp") === 0, 0.0)
+        .otherwise(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")), 6).as("precision_good"),
+      round(when(col("tp") + col("fn") === 0, 0.0)
+        .otherwise(col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double")), 6).as("recall_good"),
+      round(when(col("n_pos") === 0 || col("n_neg") === 0, 0.0)
+        .otherwise(col("hits") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double"))), 6)
+        .as("auc"))
+  }
+
+  /** Oracle twin of [[evaluateFromModel]] over `documents`: replays the
+    * train-then-score chain ([[scoreChainSql]]) and the same closed-form
+    * confusion/AUC arithmetic; `evalLabelExpr` is the held-out truth
+    * over alias `d` (e.g. `d.lang = 'en'`). */
+  def evaluateSql(trainPred: String, labelExpr: String, applyPred: String,
+      evalLabelExpr: String): String =
+    "WITH " + scoreChainSql(trainPred, labelExpr, applyPred) + s""",
+       |qe_lab AS (SELECT s.quality_score,
+       |    CASE WHEN s.quality_score > 0 THEN 1 ELSE 0 END AS is_good,
+       |    ($evalLabelExpr) AS y
+       |  FROM qc_scored s JOIN documents d USING (doc_id)),
+       |qe_byscore AS (SELECT quality_score,
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+       |  FROM qe_lab GROUP BY quality_score),
+       |qe_cum AS (SELECT *, CAST(COALESCE(SUM(c_neg) OVER (
+       |    ORDER BY quality_score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS neg_below FROM qe_byscore),
+       |qe_rank AS (SELECT ${Aggregates.sumExactSql(
+             "CAST(c_pos AS DOUBLE) * (CAST(neg_below AS DOUBLE) + " +
+               "0.5 * CAST(c_neg AS DOUBLE))")} AS hits,
+       |    CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(c_neg) AS BIGINT) AS n_neg FROM qe_cum),
+       |qe_conf AS (SELECT
+       |    CAST(SUM(CASE WHEN y AND is_good = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN NOT y AND is_good = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT y AND is_good = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn,
+       |    CAST(SUM(CASE WHEN y AND is_good = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn
+       |  FROM qe_lab)
+       |SELECT n_pos, n_neg, tp, fp, tn, fn,
+       |  round(CAST(tp + tn AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE), 6)
+       |    AS accuracy,
+       |  round(CASE WHEN tp + fp = 0 THEN 0.0
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+       |    AS precision_good,
+       |  round(CASE WHEN tp + fn = 0 THEN 0.0
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6)
+       |    AS recall_good,
+       |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0
+       |    ELSE hits / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6)
+       |    AS auc
+       |FROM qe_rank CROSS JOIN qe_conf""".stripMargin
 
   /** Oracle twin over `documents`: trains on rows matching
     * `trainPred` labeled by boolean `labelExpr`, scores rows matching

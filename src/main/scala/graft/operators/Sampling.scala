@@ -279,4 +279,66 @@ object Sampling {
        |WHERE CAST(cum AS DOUBLE) <= budget
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** SOFT dedup — duplicate-aware TRAINING WEIGHTS instead of removal
+    * (He et al., "SoftDedup: an Efficient Data Reweighting Method for
+    * Speeding Up Language Model Pre-training", ACL 2024): hard near-dup
+    * removal (q38's survivors) throws away the signal that a document
+    * was independently published N times; soft dedup KEEPS every copy
+    * and down-weights it by its commonness, so the sampled gradient
+    * mass per piece of content is constant. Commonness here is the
+    * near-dup CLUSTER SIZE ([[Dedup.dedupClusters]] over `pairs`);
+    * weight = 1/commonness, singletons (docs in no cluster) weigh 1.
+    * Emits `(id, commonness, weight)` for EVERY document — the sampler
+    * multiplies these into its per-doc sampling rate.
+    *
+    * Scale shape: inherits the O(log diameter) pointer-doubling rounds
+    * of [[Dedup.dedupClusters]]; on top of that, one cluster-keyed
+    * count (cluster-cardinality output) joined back to members, then a
+    * LEFT join to the corpus on the id key — all shuffles are on id/
+    * cluster keys, nothing driver-side, no new scan of the text. */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(pairs)
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("commonness"))
+    val members = clusters.join(sizes, Seq("cluster_id"))
+      .select(col("id").as(idCol), col("commonness"))
+    docs.select(col(idCol))
+      .join(members, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("commonness"), lit(1L)).as("commonness"),
+        round(lit(1.0) / coalesce(col("commonness"), lit(1L)).cast("double"),
+          6).as("weight"))
+  }
+
+  /** Oracle twin of [[softDedupWeights]] over `documents` with the
+    * exhaustive true-Jaccard pair source (= the LSH pipeline's output
+    * on the planted corpus — the q24/q37 recall argument) and the
+    * recursive-CTE connected components the q37 oracle uses. */
+  def softDedupWeightsSql(n: Int = 3, threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${Dedup.trueJaccardPairsSql(n, threshold)}
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+       |), clusters AS (
+       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), sizes AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS commonness
+       |  FROM clusters GROUP BY cluster_id
+       |), members AS (
+       |  SELECT c.id, s.commonness FROM clusters c JOIN sizes s
+       |  USING (cluster_id)
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(m.commonness, 1) AS BIGINT) AS commonness,
+       |  round(CAST(1.0 AS DOUBLE) /
+       |    CAST(COALESCE(m.commonness, 1) AS DOUBLE), 6) AS weight
+       |FROM documents d LEFT JOIN members m ON m.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -882,6 +882,52 @@ object Similarity {
     fs.create(indexMarker(dir), true).close()
   }
 
+  /** [[appendToIvfPqIndex]] made REPLAY-SAFE for at-least-once callers
+    * (the streaming ingest loop, [[graft.streaming.AnnIngest]]): each
+    * table anti-joins the incoming ids against what IT already holds —
+    * per-table, not one shared check, because a crash between the
+    * `cells` and `codes` appends leaves `cells` ahead of `codes` — so
+    * re-running the same append is a no-op, and retrying a half-landed
+    * one completes the missing table instead of double-coding vectors
+    * (a double-coded vector is ADC-scored once per copy and silently
+    * surfaces twice in the candidate ranking). The
+    * [[graft.operators.Dedup.appendToMinhashIndex]] discipline applied
+    * to the ANN index; the guard costs one column-pruned id scan per
+    * table. Same disjoint-ids-across-DIFFERENT-content contract and
+    * marker lifecycle as the plain append. */
+  def appendToIvfPqIndexReplaySafe(newVectors: DataFrame,
+      dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    require(indexExists(spark, dir),
+      s"no completed IVF-PQ index at $dir — append needs a finished build")
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cents")),
+      s"$dir holds no IVF layer (cents) — use appendToPqIndex")
+    fs.delete(indexMarker(dir), false)
+    val nv = graft.engine.Caches.materialized(
+      newVectors.select(col("vec_id"), col("embedding")))
+    val cents = spark.read.parquet(s"$dir/cents")
+    val novelCells = nv.join(
+      spark.read.parquet(s"$dir/cells").select(col("nid").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    assignCells(cents)(
+        novelCells.select(col("vec_id").as("nid"),
+          col("embedding").as("c_emb")),
+        "nid", "c_emb", 1)
+      .select("nid", "cent_id")
+      .write.mode("append").parquet(s"$dir/cells")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val (m, subDim) = pqShapeOf(codebook)
+    val novelCodes = nv.join(
+      spark.read.parquet(s"$dir/codes").select(col("nid").as("vec_id"))
+        .distinct(),
+      Seq("vec_id"), "left_anti")
+    encodePqCodes(subVectors(novelCodes, "vec_id", m, subDim),
+        codebook, subDim)
+      .write.mode("append").parquet(s"$dir/codes")
+    fs.create(indexMarker(dir), true).close()
+  }
+
   /** (m, subDim) of a stored codebook — derived from the index itself
     * (max sub_j + 1, slice width), two ints of driver state, so query
     * callers cannot drift from what was actually built. */

@@ -170,4 +170,25 @@ class CurationSpec extends SparkSpec {
     assert(out2.toSeq == Seq((5L, 0L, 5L)))
     graft.engine.Caches.release()
   }
+
+  test("nfc dedup collapses canonically-equivalent byte-distinct texts") {
+    import spark.implicits._
+    // Doc 1 in decomposed and precomposed spellings (byte-distinct,
+    // same content); doc 3/4 exact byte dups; doc 5 a singleton.
+    val corpus = Seq(
+      (1L, "the ke\u0301y point"),  // e + combining acute
+      (2L, "the k\u00e9y point"),   // precomposed é
+      (3L, "plain ascii text"),
+      (4L, "plain ascii text"),
+      (5L, "unique row")).toDF("doc_id", "text")
+    val out = Curation.nfcDedupGroups(corpus, "doc_id", "text")
+      .orderBy("rep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L),   // two rows, TWO raw forms — normalization did work
+      (3L, 2L, 1L),   // exact dups: two rows, one raw form
+      (5L, 1L, 1L)))
+    // Byte-exact dedup sees 4 distinct texts; NFC sees the true 3.
+    assert(corpus.select("text").distinct().count() == 4)
+  }
 }

@@ -148,4 +148,47 @@ class QualityClassifierSpec extends SparkSpec {
         s"doc $id: prior delta must be ln 2")
     }
   }
+
+  test("held-out evaluation: confusion reconciles, AUC == brute-force pairs") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/quality_model_eval"
+    IncrementalIngest.deleteDir(spark, dir)
+    QualityClassifier.saveModel(labeled, "text", "label_good", dir)
+    // Held-out labeled set: two tied positives (identical text), one
+    // hard positive (bad-leaning mix), one neutral all-OOV negative —
+    // exercises ties on both sides of the threshold.
+    val eval = Seq(
+      (201L, sentence(goodWords, 10), true),
+      (202L, sentence(goodWords, 6) + " " + sentence(badWords, 4), true),
+      (203L, sentence(badWords, 6) + " " + sentence(goodWords, 4), false),
+      (204L, sentence(badWords, 10), false),
+      (205L, sentence(goodWords, 10), true),
+      (206L, "completely unseen vocabulary here", false))
+      .toDF("doc_id", "text", "label_good")
+    val rep = QualityClassifier.evaluateFromModel(
+      eval, dir, "doc_id", "text", "label_good").head()
+    // Brute-force reference: all (pos, neg) score pairs, ties at half.
+    val scored = QualityClassifier.scoreFromModel(eval, dir, "doc_id", "text")
+      .join(eval.select(col("doc_id"), col("label_good")), Seq("doc_id"))
+      .collect().map(r => (r.getAs[Double]("quality_score"),
+        r.getAs[Boolean]("label_good")))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    val hits = (for { p <- pos; n <- neg } yield {
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    }).sum
+    val wantAuc = BigDecimal(hits / (pos.length.toDouble * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rep.getAs[Double]("auc") == wantAuc)
+    assert(rep.getAs[Long]("n_pos") == pos.length)
+    assert(rep.getAs[Long]("n_neg") == neg.length)
+    // Confusion reconciles with class counts and the threshold rule.
+    assert(rep.getAs[Long]("tp") + rep.getAs[Long]("fn") == pos.length)
+    assert(rep.getAs[Long]("fp") + rep.getAs[Long]("tn") == neg.length)
+    val wantTp = scored.count { case (s, y) => y && s > 0 }
+    assert(rep.getAs[Long]("tp") == wantTp)
+    // The planted model must actually separate: good docs outrank bad.
+    assert(rep.getAs[Double]("auc") > 0.7, s"weak separation: $rep")
+    graft.engine.Caches.release()
+  }
 }

@@ -220,4 +220,28 @@ class SamplingSpec extends SparkSpec {
         scored, "lang", "score", "doc_id", q = 0.0)
     }
   }
+
+  test("softDedupWeights: 1/cluster-size, singletons 1, constant content mass") {
+    import spark.implicits._
+    val corpus = (1L to 6L).map(i => (i, s"doc number $i"))
+      .toDF("doc_id", "text")
+    // Planted near-dup graph: {1,2,3} via a chain, {4,5}; 6 singleton.
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Sampling.softDedupWeights(corpus, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    Seq(1L, 2L, 3L).foreach(i => assert(out(i) == ((3L, 0.333333))))
+    Seq(4L, 5L).foreach(i => assert(out(i) == ((2L, 0.5))))
+    assert(out(6L) == ((1L, 1.0)))
+    // Soft dedup's invariant: each piece of content carries total
+    // weight ~1, so Σ weights == #content groups (3), mod rounding.
+    val total = out.values.map(_._2).sum
+    assert(math.abs(total - 3.0) < 1e-4, s"content mass drifted: $total")
+    // And that equals what HARD dedup would keep (the survivors), so
+    // the two strategies agree on effective corpus size.
+    val survivors = graft.operators.Dedup.survivors(corpus, "doc_id",
+      graft.operators.Dedup.dedupClusters(pairs)).count()
+    assert(math.round(total) == survivors)
+    graft.engine.Caches.release()
+  }
 }

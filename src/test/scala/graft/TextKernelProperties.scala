@@ -27,7 +27,7 @@ object TextKernelProperties extends Properties("TextKernels") {
     2 -> Gen.oneOf(TextFunctions.langMarkers.flatMap(_._2)),
     3 -> Gen.alphaNumStr.map(_.take(8)),
     1 -> Gen.const(""),
-    1 -> Gen.oneOf("naïve", "über", "café", "一鿿", "☃", "👍", "ｈｅｌｌｏ"))
+    1 -> Gen.oneOf("naïve", "\u00fcber", "caf\u00e9", "一鿿", "☃", "👍", "ｈｅｌｌｏ"))
 
   private val text: Gen[String] =
     Gen.listOf(token).map(_.mkString(" "))
@@ -103,4 +103,44 @@ object TextKernelProperties extends Properties("TextKernels") {
         s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
+
+  /** Text that actually exercises canonical (de)composition: combining
+    * marks, precomposed accents, decomposed Hangul jamo, singleton
+    * replacements (U+212B angstrom). Escapes, not literals — an editor
+    * normalizing this file must not be able to erase the test. */
+  private val nfcToken: Gen[String] = Gen.frequency(
+    3 -> Gen.alphaNumStr.map(_.take(8)),
+    2 -> Gen.oneOf("ke\u0301y", "k\u00e9y", "cafe\u0301", "caf\u00e9",
+      "u\u0308ber", "\u00fcber", "n\u0303", "\u00f1"),
+    1 -> Gen.oneOf("\u1112\u1161\u11ab", "\ud55c", // han: jamo vs syllable
+      "\u212b", "A\u030a", "\u00c5"), // angstrom vs A+ring vs precomposed
+    1 -> Gen.const(""))
+
+  private val nfcText: Gen[String] =
+    Gen.listOf(nfcToken).map(_.mkString(" "))
+
+  property("nfcNormalize collapses all canonical-equivalent spellings") = {
+    import java.text.Normalizer
+    forAll(nfcText) { s =>
+      val viaKernel = TextKernels.nfcNormalize(UTF8String.fromString(s))
+        .toString
+      // Scramble through NFD: a canonically-equivalent byte-distinct
+      // spelling must normalize to the SAME string.
+      val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
+      val viaNfd = TextKernels.nfcNormalize(UTF8String.fromString(nfd))
+        .toString
+      viaKernel == viaNfd &&
+        // idempotent, and already-NFC input is returned unchanged
+        TextKernels.nfcNormalize(
+          UTF8String.fromString(viaKernel)).toString == viaKernel
+    }
+  }
+
+  property("nfcNormalize is the identity object on ASCII (fast path)") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val in = UTF8String.fromString(s)
+      // Reference equality: the quick-check path must hand back the
+      // same object, not a copy — that is the 100 TB no-op guarantee.
+      TextKernels.nfcNormalize(in) eq in
+    }
 }
