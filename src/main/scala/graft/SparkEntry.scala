@@ -2289,6 +2289,35 @@ object SparkEntry {
         s"${Sinks.scratch}/q182",
         emb.filter(col("vec_id") < 10), emb, k = 5, nProbe = 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // Language-ID evaluation: the documents table carries a TRUE lang
+    // label, so the n-gram/function-word heuristic gets the same
+    // acceptance discipline as the classifier (q180) and the ANN tier
+    // (q155/q163) — a confusion matrix with per-true-language shares.
+    // One scan, one (lang, pred)-keyed aggregation (≤ |langs|² rows),
+    // the share window runs over that aggregated frame.
+    "q183_langid_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share", round(col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy("lang")), 6))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Decontamination with a BLOOM-PRUNED gram join — bit-equal to the
+    // exact q95 plan (no false negatives; false positives die in the
+    // exact join), but corpus grams that miss the benchmark are dropped
+    // MAP-SIDE before the exchange: the 100 TB decontamination shape.
+    "q184_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminateBloomPruned(docs,
+        docs.filter(col("doc_id") % 89 === 0),
+        "doc_id", "text", n = 8).select("doc_id", "text").orderBy("doc_id")
     })
   )
 
@@ -3441,6 +3470,24 @@ object SparkEntry {
     "q182_stream_ann_ingest" -> Similarity.ivfPqTopKSql(k = 5,
       cellStride = 53, cellIters = 1, nProbe = 3,
       m = 16, subDim = 4, pqStride = 3, pqIters = 1,
-      trainPred = "vec_id % 2 = 0")
+      trainPred = "vec_id % 2 = 0"),
+
+    "q183_langid_eval" -> {
+      import TextFunctions.{Sql => T}
+      s"""WITH t AS (SELECT lang, ${T.langId("text")} AS pred_lang
+         |  FROM documents),
+         |g AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM t GROUP BY lang, pred_lang)
+         |SELECT lang, pred_lang, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) /
+         |    CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
+         |    AS share
+         |FROM g ORDER BY lang, pred_lang""".stripMargin
+    },
+
+    // The EXACT decontamination oracle adjudicates the bloom-pruned
+    // plan: the filter has no false negatives and its false positives
+    // are eliminated by the exact gram join that follows.
+    "q184_bloom_decontam" -> Curation.decontaminateSql(n = 8, benchMod = 89)
   )
 }

@@ -206,6 +206,43 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** [[decontaminate]] with a BLOOM-PRUNED gram join — the shape for
+    * benchmark sets too large to broadcast. Plain decontamination stays
+    * map-side only while the benchmark's distinct grams fit in a
+    * broadcast hash relation (~30-60 bytes per gram per executor); a
+    * real decontamination list (the union of every eval suite plus
+    * their paraphrase expansions) outgrows that, and the fallback is a
+    * full shuffle of the corpus's len(text)-rows-per-doc gram explode —
+    * the whole cost at 100 TB, with almost every shuffled gram missing.
+    * A Bloom filter carries the same no-false-negative membership at
+    * ~10 BITS per gram ([[graft.engine.Joins.bloomKeyFilter]] —
+    * distributed build, one driver round-trip of the filter bytes,
+    * ~1.2 MB per million grams at 1% fpp), so the prune stays map-side
+    * two orders of magnitude past the broadcast limit; only the ≤fpp
+    * surviving grams reach the exchange. Result is BIT-EQUAL to
+    * [[decontaminate]]: no false negatives, and false positives are
+    * eliminated by the exact gram join that follows — so the q95 oracle
+    * adjudicates this plan unchanged (spec-asserted equality, and the
+    * q88 bloom-join contract covers the filter itself). At bench SF the
+    * fixed build cost dominates (the broadcast twin wins there, q95 vs
+    * q184 in BENCH_NOTES); the crossover is exactly where broadcasting
+    * stops being an option. */
+  def decontaminateBloomPruned(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val benchShingles = graft.engine.Caches.materialized(bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("s")).distinct())
+    val expected = math.max(benchShingles.count(), 1L)
+    val corpusShingles = corpus.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .where(graft.engine.Joins.bloomKeyFilter(benchShingles, "s",
+        expected, fpp))
+    val contaminated = corpusShingles
+      .join(benchShingles, Seq("s"))
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Per-document N-GRAM NOVELTY against a reference corpus: the
     * fraction of a document's DISTINCT word `n`-grams that occur
     * nowhere in the reference — the memorization/contamination AUDIT

@@ -191,4 +191,23 @@ class CurationSpec extends SparkSpec {
     // Byte-exact dedup sees 4 distinct texts; NFC sees the true 3.
     assert(corpus.select("text").distinct().count() == 4)
   }
+
+  test("bloom-pruned decontamination == exact decontamination, bit-for-bit") {
+    val bench = docs.filter(col("doc_id") % 89 === 0)
+    val exact = Curation.decontaminate(docs, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val pruned = Curation.decontaminateBloomPruned(
+        docs, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned == exact,
+      "no false negatives; false positives must die in the exact join")
+    assert(exact.nonEmpty && exact.size < docs.count(),
+      "fixture must actually drop some docs and keep some")
+    // Degenerate fpp still exact (a saturated filter only loses pruning).
+    val loose = Curation.decontaminateBloomPruned(
+        docs, bench, "doc_id", "text", n = 8, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(loose == exact)
+    graft.engine.Caches.release()
+  }
 }
