@@ -2318,7 +2318,16 @@ object SparkEntry {
       Curation.decontaminateBloomPruned(docs,
         docs.filter(col("doc_id") % 89 === 0),
         "doc_id", "text", n = 8).select("doc_id", "text").orderBy("doc_id")
-    })
+    }),
+
+    // BM25 top-k (Okapi): the production lexical ranker — tf saturation
+    // (k1) + document-length prior (b), the two corrections the TF-IDF
+    // leg of q126 lacks. Same scale shape as that leg: corpus tf table
+    // built once, query vocabulary broadcast, only (query, candidate)
+    // partials cross the exchange.
+    "q185_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        nQueries = 10, k = 5).orderBy("query_id", "rank"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3488,6 +3497,8 @@ object SparkEntry {
     // The EXACT decontamination oracle adjudicates the bloom-pruned
     // plan: the filter has no false negatives and its false positives
     // are eliminated by the exact gram join that follows.
-    "q184_bloom_decontam" -> Curation.decontaminateSql(n = 8, benchMod = 89)
+    "q184_bloom_decontam" -> Curation.decontaminateSql(n = 8, benchMod = 89),
+
+    "q185_bm25_topk" -> Retrieval.bm25TopKSql(nQueries = 10, k = 5)
   )
 }

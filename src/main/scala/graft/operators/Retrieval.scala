@@ -173,4 +173,88 @@ object Retrieval {
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY rrf DESC, neighbor_id ASC) AS rank FROM fused) _
        |WHERE rank <= $k""".stripMargin
+
+  /** BM25 top-k (Robertson & Zaragoza, FnTIR 2009 — the Okapi scoring
+    * every production lexical search engine ships): for each query
+    * document (`idCol < nQueries`, query-by-example like the RRF legs),
+    * rank candidates by
+    * `Σ_{w ∈ q} idf(w) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`
+    * with the standard plus-one idf `ln((N−df+0.5)/(df+0.5) + 1)`. The
+    * TF-IDF leg in [[hybridRrfTopK]] has no length normalization — a
+    * long spammy document accumulates score linearly in its repeats;
+    * BM25's tf saturation (k1) and length prior (b) are exactly the two
+    * corrections the production ranker carries.
+    *
+    * Determinism contract: per-term scores are one fixed-order double
+    * expression (mirrored token-for-token in [[bm25TopKSql]]), the
+    * per-(query, candidate) reduction is the exact-decimal sum, ranks
+    * break ties on candidate id. Scale shape: same as the lexical RRF
+    * leg — the corpus term-frequency table is built once (never
+    * shuffled by term), query vocabulary broadcast, only (query,
+    * candidate) partials move; doc lengths ride the same tf table. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      nQueries: Int = 10, k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tf = graft.engine.Caches.materialized(
+      termFreq(docs, idCol, textCol))
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("_n"))
+      .crossJoin(dl.agg(Aggregates.sumExact(col("dl").cast("double"))
+        .as("_dlsum")))
+      .withColumn("avgdl", col("_dlsum") / col("_n"))
+    val qterms = tf.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col("w")).distinct()
+    val scored = tf
+      .join(broadcast(qterms), "w")
+      .filter(col(idCol) =!= col("query_id"))
+      .join(dfreq, "w")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            (lit(b) * col("dl").cast("double")) / col("avgdl"))))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(Aggregates.sumExact(col("term_score")).as("bm25"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "bm25", "rank")
+  }
+
+  /** SQL twin of [[bm25TopK]] (`documents` hard-wired; identical
+    * fixed-order per-term expression, same decimal-exact reduction). */
+  def bm25TopKSql(nQueries: Int = 10, k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+       |  GROUP BY 1),
+       |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS _n,
+       |  (SELECT ${Aggregates.sumExactSql("CAST(dl AS DOUBLE)")} FROM dl)
+       |    AS _dlsum),
+       |s2 AS (SELECT _n, _dlsum / _n AS avgdl FROM stats),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM tf
+       |  WHERE doc_id < $nQueries),
+       |scored AS (SELECT qt.query_id, tf.doc_id AS neighbor_id,
+       |    ${Aggregates.sumExactSql(
+             s"ln((_n - df + 0.5) / (df + 0.5) + 1.0) * " +
+               s"(tf.tf * ${k1 + 1.0}) / (tf.tf + $k1 * " +
+               s"((${1.0 - b}) + ($b * CAST(dl.dl AS DOUBLE)) / avgdl))")}
+       |      AS bm25
+       |  FROM tf JOIN qt USING (w) JOIN dfreq USING (w)
+       |    JOIN dl ON dl.doc_id = tf.doc_id, s2
+       |  WHERE tf.doc_id != qt.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, bm25, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY bm25 DESC, neighbor_id ASC) AS rank FROM scored) _
+       |WHERE rank <= $k""".stripMargin
 }

@@ -101,4 +101,51 @@ class RetrievalSpec extends SparkSpec {
       .findAllIn(plan).size
     assert(broadcasts >= 2, s"expected >=2 broadcast joins, plan:\n$plan")
   }
+
+  test("BM25 matches an independent closed-form computation; length prior bites") {
+    import spark.implicits._
+    // Query doc 0 = "apple banana". Doc 1 spams "apple" in a LONG
+    // document; doc 2 matches both terms in a short one; doc 3 is
+    // noise. Raw tf-idf would reward doc 1's repeats linearly — BM25's
+    // saturation + length prior must rank doc 2 first.
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple apple apple apple apple pear pear pear pear pear pear"),
+      (2L, "apple banana pear"),
+      (3L, "cherry date fig")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // Independent reference: plain-Scala BM25 over the same fixture.
+    val texts = Map(0L -> "apple banana",
+      1L -> "apple apple apple apple apple apple pear pear pear pear pear pear",
+      2L -> "apple banana pear", 3L -> "cherry date fig")
+    val toks = texts.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = texts.size
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size }
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val (k1, b) = (1.2, 0.75)
+    def bm25(q: Long, d: Long): Double =
+      toks(q).distinct.filter(toks(d).contains).map { w =>
+        val tf = toks(d).count(_ == w).toDouble
+        val idf = math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1.0)
+        idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + (b * toks(d).size) / avgdl))
+      }.sum
+    val want = Seq(1L, 2L, 3L).map(d => d -> bm25(0L, d)).toMap
+    // Tolerance = the operator's exact-decimal(28,6) per-term
+    // reduction: scores are 6-decimal-quantized, the reference is not.
+    out.foreach { case (nid, score, _) =>
+      assert(math.abs(score - want(nid)) < 1e-5,
+        s"doc $nid: $score != ${want(nid)}")
+    }
+    assert(out.head._1 == 2L,
+      "length prior must beat the long spam document's raw repeats")
+    // And the un-normalized comparison it corrects: doc 1 has more
+    // raw 'apple' mass than doc 2.
+    assert(toks(1L).count(_ == "apple") > toks(2L).count(_ == "apple"))
+    graft.engine.Caches.release()
+  }
 }
