@@ -151,4 +151,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(d.getLong(1) == 0 && d.isNullAt(2) && d.isNullAt(3))
     graft.engine.Caches.release()
   }
+
+  test("round-14 continuation operators are total on empty inputs") {
+    import graft.operators.{Curation, Retrieval, Sampling}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "some perfectly ordinary text")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // NFC dedup of nothing is nothing.
+    assert(Curation.nfcDedupGroups(noDocs, "doc_id", "text").count() == 0)
+    // No near-dup pairs: every doc is a singleton at weight 1.
+    val w = Sampling.softDedupWeights(docs, noPairs, "doc_id").collect()
+    assert(w.length == 1 && w(0).getLong(1) == 1L && w(0).getDouble(2) == 1.0)
+    // Empty corpus with pairs-from-nothing stays empty.
+    assert(Sampling.softDedupWeights(noDocs, noPairs, "doc_id").count() == 0)
+    // Bloom-pruned decontamination: empty bench keeps the corpus whole
+    // (degenerate 1-item filter, nothing matches the empty exact join);
+    // empty corpus stays empty.
+    assert(Curation.decontaminateBloomPruned(docs, noDocs,
+      "doc_id", "text").count() == 1)
+    assert(Curation.decontaminateBloomPruned(noDocs, docs,
+      "doc_id", "text").count() == 0)
+    // BM25 with no query docs (or no docs at all) emits no rows.
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text", nQueries = 0).count() == 0)
+    assert(Retrieval.bm25TopK(noDocs, "doc_id", "text").count() == 0)
+    graft.engine.Caches.release()
+  }
 }

@@ -451,4 +451,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     graft.engine.Caches.release()
   }
+
+  test("NFC dedup is one hash aggregation with the kernel fused into the scan") {
+    import graft.operators.Curation
+    val df = Curation.nfcDedupGroups(Tables.documents(spark, sf),
+      "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("nfc_normalize"), s"kernel missing from the plan:\n$p")
+    // q22's plan family: partial/final hash aggregate pairs over ONE
+    // exchange on the normalized key (countDistinct adds its expand/
+    // second agg but no extra shuffle of the corpus scan).
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"dedup must be aggregation-only:\n$p")
+  }
+
+  test("bloom-pruned decontamination carries might_contain ahead of the gram join") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    val df = Curation.decontaminateBloomPruned(docs,
+      docs.filter(col("doc_id") % 89 === 0), "doc_id", "text", n = 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"the map-side bloom prune is missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    graft.engine.Caches.release()
+  }
 }
