@@ -2327,7 +2327,15 @@ object SparkEntry {
     // partials cross the exchange.
     "q185_bm25_topk" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
-        nQueries = 10, k = 5).orderBy("query_id", "rank"))
+        nQueries = 10, k = 5).orderBy("query_id", "rank")),
+
+    // Vocabulary-growth audit (Heaps' law): per id-range bucket, how
+    // many word types debut there — the "is this source still yielding
+    // new language" curve; one scan + one word-keyed min, cumulative
+    // windows over the 10-row bucket frame only.
+    "q186_vocab_growth" -> ((s, dir) =>
+      CorpusStats.vocabGrowth(Tables.documents(s, dir), "doc_id", "text",
+        buckets = 10).orderBy("bucket"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3499,6 +3507,8 @@ object SparkEntry {
     // are eliminated by the exact gram join that follows.
     "q184_bloom_decontam" -> Curation.decontaminateSql(n = 8, benchMod = 89),
 
-    "q185_bm25_topk" -> Retrieval.bm25TopKSql(nQueries = 10, k = 5)
+    "q185_bm25_topk" -> Retrieval.bm25TopKSql(nQueries = 10, k = 5),
+
+    "q186_vocab_growth" -> CorpusStats.vocabGrowthSql(buckets = 10)
   )
 }

@@ -25,6 +25,80 @@ object CorpusStats {
     docs.select(col(idCol),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
 
+  // -------------------------------------------------- vocabulary growth
+
+  /** VOCABULARY-GROWTH audit (Heaps'/Herdan's law): bucket the corpus
+    * into `buckets` equal id ranges (ingest order) and report, per
+    * bucket, document/token volume and how many word types appear there
+    * for the FIRST time — the curve a curator reads to decide whether a
+    * crawl is still yielding new language or re-serving its own
+    * vocabulary (a healthy corpus grows like V ∝ N^β, β≈0.5-0.7; a
+    * flat tail means the marginal data is lexically redundant, the
+    * cheapest possible "stop ingesting this source" signal).
+    *
+    * One corpus scan: per-bucket doc/token sums are a `buckets`-row
+    * aggregation; first appearances need no per-prefix rescans — each
+    * word type's MIN(doc id) is one word-keyed aggregation, and the
+    * bucket of that minimum is where the type debuts. Cumulative
+    * columns are windows over the `buckets`-row frame only. Bucket
+    * assignment is `floor(id·buckets/(maxId+1))` — pure arithmetic on
+    * the id, no global sort, identical in the SQL twin. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bound = docs.agg((max(col(idCol)) + 1L).as("_bound"))
+    def bucketOf(id: Column): Column =
+      floor(id * lit(buckets.toLong) / col("_bound")).cast("long")
+    val docSide = docs.crossJoin(broadcast(bound))
+      .select(bucketOf(col(idCol)).as("bucket"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val debuts = tokensWithPos(docs, idCol, textCol)
+      .groupBy("w").agg(min(col(idCol)).as("first_id"))
+      .crossJoin(broadcast(bound))
+      .groupBy(bucketOf(col("first_id")).as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // buckets-row frame: the windows below never see corpus-sized data.
+    docSide.join(debuts, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_types", sum("new_types").over(w))
+  }
+
+  /** Oracle twin of [[vocabGrowth]] over `documents`. */
+  def vocabGrowthSql(buckets: Int = 10): String = {
+    import TextFunctions.{Sql => T}
+    s"""WITH bound AS (SELECT MAX(doc_id) + 1 AS _bound FROM documents),
+       |d AS (SELECT CAST(FLOOR(doc_id * $buckets / _bound) AS BIGINT)
+       |    AS bucket,
+       |    CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens
+       |  FROM documents, bound),
+       |ds AS (SELECT bucket, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY bucket),
+       |firsts AS (SELECT unnest(string_split(text, ' ')) AS w,
+       |    doc_id FROM documents),
+       |deb AS (SELECT CAST(FLOOR(first_id * $buckets / _bound) AS BIGINT)
+       |    AS bucket, COUNT(*) AS new_types
+       |  FROM (SELECT w, MIN(doc_id) AS first_id FROM firsts GROUP BY w) _,
+       |    bound
+       |  GROUP BY 1)
+       |SELECT bucket, n_docs, n_tokens,
+       |  CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tokens,
+       |  CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_types
+       |FROM ds LEFT JOIN deb USING (bucket)
+       |ORDER BY bucket""".stripMargin
+  }
+
   // -------------------------------------------------- repetition metrics
 
   /** Within-document repetition signals (Rae et al., "Scaling Language

@@ -324,4 +324,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(bpeMerges(d, 5) == Seq(
       (1, "a", "</w>", 1L), (2, "b", "</w>", 1L)))
   }
+
+  test("vocabGrowth: debuts land in their first-appearance bucket, cumulates") {
+    import spark.implicits._
+    // ids 0-3 → 2 buckets of 2 docs. Types: a,b debut in bucket 0;
+    // c debuts in bucket 1; a,b recurring later add NO new types.
+    val d = Seq(
+      (0L, "a b"), (1L, "a a"), (2L, "b c"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.vocabGrowth(d, "doc_id", "text", buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 4L, 2L, 4L, 2L),
+      (1L, 2L, 4L, 1L, 8L, 3L)))
+    // Totality + conservation on the real table: cum_types at the last
+    // bucket equals the corpus's distinct type count, cum_tokens its
+    // token total.
+    val docsReal = graft.engine.Tables.documents(spark, sf)
+    val g = CorpusStats.vocabGrowth(docsReal, "doc_id", "text")
+      .orderBy(org.apache.spark.sql.functions.col("bucket").desc).head()
+    val wantTypes = docsReal.select(
+      org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text")))).distinct().count()
+    assert(g.getLong(5) == wantTypes)
+  }
 }
