@@ -244,7 +244,8 @@ object SparkEntry {
     "q176_quality_topq_keep" -> ("qualitymodel", "nb"),
     "q177_byte_bpe_fertility" -> ("bpemodel", "b10"),
     "q180_quality_eval" -> ("qualitymodel", "nb"),
-    "q182_stream_ann_ingest" -> ("ann", "ivfpq_base"))
+    "q182_stream_ann_ingest" -> ("ann", "ivfpq_base"),
+    "q187_quality_calibration" -> ("qualitymodel", "nb"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -2335,7 +2336,20 @@ object SparkEntry {
     // windows over the 10-row bucket frame only.
     "q186_vocab_growth" -> ((s, dir) =>
       CorpusStats.vocabGrowth(Tables.documents(s, dir), "doc_id", "text",
-        buckets = 10).orderBy("bucket"))
+        buckets = 10).orderBy("bucket")),
+
+    // Calibration table of the stored classifier: score deciles vs
+    // empirical positive rate — the reliability diagram a curator reads
+    // before turning scores into a hard keep threshold (q180 says HOW
+    // WELL it ranks; this says WHAT the scores mean).
+    "q187_quality_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      QualityClassifier.calibrationFromModel(
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("label_good", col("lang") === "en"),
+        storedQualityModel(s, dir), "doc_id", "text", "label_good",
+        bins = 10).orderBy("bin")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3509,6 +3523,11 @@ object SparkEntry {
 
     "q185_bm25_topk" -> Retrieval.bm25TopKSql(nQueries = 10, k = 5),
 
-    "q186_vocab_growth" -> CorpusStats.vocabGrowthSql(buckets = 10)
+    "q186_vocab_growth" -> CorpusStats.vocabGrowthSql(buckets = 10),
+
+    "q187_quality_calibration" -> QualityClassifier.calibrationSql(
+      trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
+      applyPred = "doc_id % 3 <> 0", evalLabelExpr = "d.lang = 'en'",
+      bins = 10)
   )
 }

@@ -299,6 +299,55 @@ object QualityClassifier {
         .as("auc"))
   }
 
+  /** CALIBRATION table of the stored classifier (the reliability
+    * diagram behind [[evaluateFromModel]]'s single AUC number): rank
+    * the held-out docs by score, cut into `bins` equal-count deciles
+    * (NTILE — deterministic with the id tie-break), and report each
+    * decile's size, positive count, empirical positive rate, and exact
+    * mean score. A well-ranked but mis-calibrated model (Naive Bayes
+    * is typically over-confident) shows a monotone pos_rate column
+    * with extreme mean scores — exactly what a curator needs to see
+    * before turning a score into a keep threshold (FineWeb-style
+    * top-quantile keeps depend on ranking only; hard thresholds
+    * depend on this table).
+    *
+    * The NTILE window ranks the evaluation frame — bounded labeled
+    * sample by construction (the [[evaluateFromModel]] argument);
+    * everything after is a `bins`-row aggregation. */
+  def calibrationFromModel(labeled: DataFrame, dir: String, idCol: String,
+      textCol: String, labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val scored = scoreFromModel(labeled, dir, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+      .join(labeled.select(col(idCol),
+        col(labelCol).cast("boolean").as("y")), Seq(idCol))
+    val w = Window.orderBy(col("quality_score"), col(idCol))
+    scored.withColumn("bin", ntile(bins).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        Aggregates.avgExact(col("quality_score")).as("mean_score"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("mean_score"), 6).as("mean_score"))
+  }
+
+  /** Oracle twin of [[calibrationFromModel]] over `documents`. */
+  def calibrationSql(trainPred: String, labelExpr: String,
+      applyPred: String, evalLabelExpr: String, bins: Int = 10): String =
+    "WITH " + scoreChainSql(trainPred, labelExpr, applyPred) + s""",
+       |qb_lab AS (SELECT s.doc_id, s.quality_score, ($evalLabelExpr) AS y
+       |  FROM qc_scored s JOIN documents d USING (doc_id)),
+       |qb_binned AS (SELECT *, NTILE($bins) OVER (
+       |    ORDER BY quality_score, doc_id) AS bin FROM qb_lab)
+       |SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate,
+       |  round(${Aggregates.avgExactSql("quality_score")}, 6) AS mean_score
+       |FROM qb_binned GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Oracle twin of [[evaluateFromModel]] over `documents`: replays the
     * train-then-score chain ([[scoreChainSql]]) and the same closed-form
     * confusion/AUC arithmetic; `evalLabelExpr` is the held-out truth

@@ -191,4 +191,33 @@ class QualityClassifierSpec extends SparkSpec {
     assert(rep.getAs[Double]("auc") > 0.7, s"weak separation: $rep")
     graft.engine.Caches.release()
   }
+
+  test("calibration table: partition of the eval set, monotone on planted data") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/quality_model_calib"
+    IncrementalIngest.deleteDir(spark, dir)
+    QualityClassifier.saveModel(labeled, "text", "label_good", dir)
+    // Graded eval set: positives speak progressively more good words.
+    val eval = (1L to 20L).map { i =>
+      val good = (i % 11).toInt
+      (200L + i,
+        sentence(goodWords, good) + " " + sentence(badWords, 10 - good),
+        i % 11 > 5)
+    }.toDF("doc_id", "text", "label_good")
+    val bins = QualityClassifier.calibrationFromModel(
+      eval, dir, "doc_id", "text", "label_good", bins = 4)
+      .orderBy("bin").collect()
+    // Partition: bins cover every doc once; NTILE spreads 20 as 5/5/5/5.
+    assert(bins.map(_.getLong(1)).sum == 20L)
+    assert(bins.map(_.getLong(1)).toSeq == Seq(5L, 5L, 5L, 5L))
+    // Positives concentrate in the high-score bins on planted data.
+    assert(bins.last.getDouble(3) > bins.head.getDouble(3),
+      s"calibration must slope upward: ${bins.mkString(", ")}")
+    // Deterministic under repartitioning (NTILE has the id tie-break).
+    val again = QualityClassifier.calibrationFromModel(
+      eval.repartition(7), dir, "doc_id", "text", "label_good", bins = 4)
+      .orderBy("bin").collect()
+    assert(bins.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    graft.engine.Caches.release()
+  }
 }
