@@ -2349,6 +2349,18 @@ object SparkEntry {
           .withColumn("label_good", col("lang") === "en"),
         storedQualityModel(s, dir), "doc_id", "text", "label_good",
         bins = 10).orderBy("bin")
+    }),
+
+    // Effective dataset size under soft-dedup weights: per language,
+    // raw vs weight-discounted doc/token volume — the redundancy gap
+    // the q181 reweighting exists to control, and the per-language
+    // budget input for a temperature mix over DEDUPLICATED mass.
+    "q188_effective_size" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.effectiveCorpusSize(docs,
+        Dedup.minhashNearDup(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5),
+        "doc_id", "text", "lang").orderBy("lang")
     })
   )
 
@@ -3528,6 +3540,9 @@ object SparkEntry {
     "q187_quality_calibration" -> QualityClassifier.calibrationSql(
       trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
       applyPred = "doc_id % 3 <> 0", evalLabelExpr = "d.lang = 'en'",
-      bins = 10)
+      bins = 10),
+
+    "q188_effective_size" -> Sampling.effectiveCorpusSizeSql(
+      n = 3, threshold = 0.5)
   )
 }

@@ -312,6 +312,53 @@ object Sampling {
           6).as("weight"))
   }
 
+  /** EFFECTIVE corpus size under soft-dedup weights — the headline
+    * number the SoftDedup reweighting exists to control: per language,
+    * raw doc/token volume next to the weight-discounted volume
+    * (`Σ weight`, `Σ weight·tokens`). The gap between raw and effective
+    * is exactly the redundancy the corpus carries; a language whose
+    * effective share collapses is one whose crawl is mostly
+    * republication — the per-language budget input for a q99-style
+    * temperature mix over DEDUPLICATED mass instead of raw mass.
+    *
+    * Scale shape: [[softDedupWeights]]'s cluster build + one id-keyed
+    * join carrying (lang, token count) + a language-cardinality
+    * aggregation; exact-decimal sums for the weighted columns. */
+  def effectiveCorpusSize(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    import graft.engine.Aggregates
+    import graft.functions.TextFunctions
+    val weights = softDedupWeights(docs, pairs, idCol)
+    docs.select(col(idCol), col(langCol).as("lang"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(weights, Seq(idCol))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        Aggregates.sumExact(col("weight")).as("effective_docs"),
+        Aggregates.sumExact(col("weight") * col("n_tokens").cast("double"))
+          .as("effective_tokens"))
+  }
+
+  /** Oracle twin of [[effectiveCorpusSize]] (wraps
+    * [[softDedupWeightsSql]]'s chain; `documents` hard-wired). */
+  def effectiveCorpusSizeSql(n: Int = 3, threshold: Double = 0.5): String = {
+    import graft.engine.Aggregates
+    import graft.functions.TextFunctions.{Sql => T}
+    s"""WITH RECURSIVE w AS (
+       |${softDedupWeightsSql(n, threshold)}
+       |), base AS (SELECT doc_id, lang,
+       |    CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  ${Aggregates.sumExactSql("weight")} AS effective_docs,
+       |  ${Aggregates.sumExactSql(
+           "weight * CAST(n_tokens AS DOUBLE)")} AS effective_tokens
+       |FROM base JOIN w USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Oracle twin of [[softDedupWeights]] over `documents` with the
     * exhaustive true-Jaccard pair source (= the LSH pipeline's output
     * on the planted corpus — the q24/q37 recall argument) and the

@@ -244,4 +244,28 @@ class SamplingSpec extends SparkSpec {
     assert(math.round(total) == survivors)
     graft.engine.Caches.release()
   }
+
+  test("effectiveCorpusSize: raw vs weighted volumes reconcile per language") {
+    import spark.implicits._
+    // en: docs 1-3 one cluster (2 tokens each) + singleton 6 (3 tokens);
+    // de: pair {4,5} (1 token each).
+    val corpus = Seq(
+      (1L, "a b", "en"), (2L, "a b", "en"), (3L, "a b", "en"),
+      (4L, "x", "de"), (5L, "x", "de"), (6L, "p q r", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Sampling.effectiveCorpusSize(corpus, pairs,
+        "doc_id", "text", "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // en: 4 raw docs / 9 raw tokens; effective docs = 3·(1/3) + 1 = 2,
+    // effective tokens = 3·(2·1/3) + 3 = 5 (mod 6-dp weight rounding).
+    // de: 2 raw docs / 2 raw tokens; effective = 1 doc, 1 token.
+    val Seq(de, en) = out.toSeq
+    assert(de == (("de", 2L, 2L, 1.0, 1.0)))
+    assert(en._2 == 4L && en._3 == 9L)
+    assert(math.abs(en._4 - 2.0) < 1e-4 && math.abs(en._5 - 5.0) < 1e-4)
+    graft.engine.Caches.release()
+  }
 }
