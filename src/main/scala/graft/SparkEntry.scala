@@ -2361,6 +2361,19 @@ object SparkEntry {
         Dedup.minhashNearDup(docs, "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.5),
         "doc_id", "text", "lang").orderBy("lang")
+    }),
+
+    // Checksum-validated card scrub: each doc carries a Luhn-VALID
+    // planted card and its check-digit-flipped twin — the scrubber must
+    // redact exactly the valid one (regex-only scrubbing would take
+    // both; 90% of random 16-digit strings are NOT cards). The oracle
+    // replays the Luhn arithmetic, not the planted layout.
+    "q189_card_scrub" -> ((s, dir) => {
+      val (valid, invalid) = Privacy.plantedCards(col("doc_id"))
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" card "), valid, lit(" ref "), invalid)
+          .as("text"))
+      Privacy.scrubCards(aug, "text").orderBy("doc_id")
     })
   )
 
@@ -3543,6 +3556,21 @@ object SparkEntry {
       bins = 10),
 
     "q188_effective_size" -> Sampling.effectiveCorpusSizeSql(
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5),
+
+    "q189_card_scrub" -> s"""WITH b AS (SELECT doc_id, text,
+      |    '4539' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 11, '0')
+      |      AS base15 FROM documents),
+      |chk AS (SELECT doc_id, text, base15,
+      |    (10 - ((${Privacy.luhnSum15Sql("base15")}) % 10)) % 10 AS c
+      |  FROM b),
+      |aug AS (SELECT doc_id,
+      |    text || ' card ' || base15 || CAST(c AS VARCHAR) ||
+      |    ' ref ' || base15 || CAST((c + 1) % 10 AS VARCHAR) AS text
+      |  FROM chk)
+      |SELECT doc_id, ${Privacy.CardSql.scrubbed("text")} AS text,
+      |  ${Privacy.CardSql.candidateCount("text")} AS n_card_candidates,
+      |  ${Privacy.CardSql.validCount("text")} AS n_cards
+      |FROM aug ORDER BY doc_id""".stripMargin
   )
 }

@@ -590,4 +590,108 @@ object TextKernels {
 
   def nfcNormalizeCol(text: Column): Column =
     GraftSql.column(NfcNormalizeExpr(GraftSql.expression(text)))
+
+  /** Luhn checksum (ISO/IEC 7812) over `len` ASCII digit bytes at
+    * `off`: rightmost digit plain, every second digit doubled with
+    * 9-wrap; valid iff the sum is ≡ 0 (mod 10). The validation every
+    * payment-card format check runs — a 16-digit order number passes a
+    * `\d{16}` regex but fails Luhn with probability 0.9, which is
+    * exactly why a PII scrubber must checksum before redacting. */
+  def luhnValid(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var sum = 0
+    var i = 0
+    while (i < len) {
+      var d = b(off + len - 1 - i) - '0'
+      if (i % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      i += 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Candidate card runs of `text`: MAXIMAL ASCII-digit runs of length
+    * exactly [[CardDigits]] (a 17-digit run is not a card — same
+    * semantics as the boundary-guarded regex the twins use, since a
+    * longer run fails both). Calls `f(off, len)` per candidate. */
+  private def forEachCardRun(b: Array[Byte])(f: (Int, Int) => Unit): Unit = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) >= '0' && b(i) <= '9') {
+        var j = i
+        while (j < b.length && b(j) >= '0' && b(j) <= '9') j += 1
+        if (j - i == CardDigits) f(i, j - i)
+        i = j
+      } else i += 1
+    }
+  }
+
+  val CardDigits = 16
+  private val CardMask = "[CARD]".getBytes("UTF-8")
+
+  /** Replace every LUHN-VALID 16-digit run with `[CARD]`, one byte
+    * scan; invalid runs (order numbers, hashes) pass through untouched.
+    * Output is never longer than the input, so one exact-size copy. */
+  def cardScrub(text: UTF8String): UTF8String = {
+    val b = text.getBytes
+    val out = new Array[Byte](b.length)
+    var (src, dst) = (0, 0)
+    forEachCardRun(b) { (off, len) =>
+      if (luhnValid(b, off, len)) {
+        System.arraycopy(b, src, out, dst, off - src); dst += off - src
+        System.arraycopy(CardMask, 0, out, dst, CardMask.length)
+        dst += CardMask.length
+        src = off + len
+      }
+    }
+    System.arraycopy(b, src, out, dst, b.length - src)
+    dst += b.length - src
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(out, 0, dst))
+  }
+
+  /** Count of Luhn-VALID 16-digit runs (the redaction count the audit
+    * column carries next to the raw candidate count). */
+  def cardCount(text: UTF8String): Int = {
+    val b = text.getBytes
+    var n = 0
+    forEachCardRun(b)((off, len) => if (luhnValid(b, off, len)) n += 1)
+    n
+  }
+
+  /** Card-scrub expression: `text → text`, one static call. */
+  case class CardScrubExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "card_scrub"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"card_scrub expects string, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      cardScrub(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.cardScrub($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Card-count expression: `text → int`, one static call. */
+  case class CardCountExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "card_count"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"card_count expects string, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      cardCount(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.cardCount($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def cardScrubCol(text: Column): Column =
+    GraftSql.column(CardScrubExpr(GraftSql.expression(text)))
+
+  def cardCountCol(text: Column): Column =
+    GraftSql.column(CardCountExpr(GraftSql.expression(text)))
 }

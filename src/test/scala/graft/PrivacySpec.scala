@@ -62,4 +62,39 @@ class PrivacySpec extends SparkSpec {
     assert(out(4L).getString(1) == "mixed [EMAIL] and [PHONE] in one doc")
     assert(out(4L).getLong(2) == 1 && out(4L).getLong(3) == 1)
   }
+
+  test("card scrub redacts Luhn-valid runs only; candidates audited separately") {
+    import spark.implicits._
+    // 4111111111111111 is the classic Luhn-valid test PAN; flipping its
+    // last digit breaks the checksum. 15- and 17-digit runs are not
+    // candidates at all.
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),
+      (2L, "order 4111111111111112 is not a card"),
+      (3L, "id 411111111111111 and 41111111111111111 are wrong length"),
+      (4L, "two cards 4111111111111111 and 4111111111111111 one order 1234567890123450"),
+      (5L, "no digits at all"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Privacy.scrubCards(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("pay [CARD] now", 1L, 1L)))
+    assert(out(2L) == (("order 4111111111111112 is not a card", 1L, 0L)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L &&
+      out(3L)._1 == "id 411111111111111 and 41111111111111111 are wrong length")
+    // 1234567890123450: Luhn-valid? Its check makes this a planted
+    // assertion either way — compute the truth from the kernel-
+    // independent reference used in TextKernelProperties.
+    val orderValid = {
+      val s = "1234567890123450".reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum
+      s % 10 == 0
+    }
+    assert(out(4L)._2 == 3L)
+    assert(out(4L)._3 == (if (orderValid) 3L else 2L))
+    assert(out(4L)._1.contains("[CARD] and [CARD]"))
+    assert(out(5L) == (("no digits at all", 0L, 0L)))
+  }
 }

@@ -143,4 +143,56 @@ object TextKernelProperties extends Properties("TextKernels") {
       // same object, not a copy — that is the 100 TB no-op guarantee.
       TextKernels.nfcNormalize(in) eq in
     }
+
+  /** Pure-Scala Luhn reference (BigInt-free, digit chars). */
+  private def luhnRef(digits: String): Boolean = {
+    val s = digits.reverse.zipWithIndex.map { case (ch, i) =>
+      val d = ch - '0'
+      if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+    }.sum
+    s % 10 == 0
+  }
+
+  private val digits16: Gen[String] =
+    Gen.listOfN(16, Gen.numChar).map(_.mkString)
+
+  property("luhnValid == the independent reference over random 16-digit runs") =
+    forAll(digits16) { d =>
+      val b = d.getBytes("UTF-8")
+      TextKernels.luhnValid(b, 0, b.length) == luhnRef(d)
+    }
+
+  /** Card-bearing text: digit runs of various lengths (only exactly-16
+    * runs are candidates) interleaved with words and separators. */
+  private val cardText: Gen[String] = {
+    val runLen = Gen.frequency(4 -> Gen.const(16),
+      1 -> Gen.choose(1, 15), 1 -> Gen.choose(17, 22))
+    val piece = Gen.frequency(
+      3 -> runLen.flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString)),
+      3 -> Gen.alphaStr.map(_.take(6)),
+      1 -> Gen.const(""))
+    Gen.listOf(piece).map(_.mkString(" "))
+  }
+
+  property("cardScrub/cardCount == a maximal-run reference scrubber") = {
+    def refScrub(s: String): (String, Int) = {
+      val runs = "[0-9]+".r.findAllMatchIn(s).toList
+      val valid = runs.filter(m => m.end - m.start == 16 &&
+        luhnRef(s.substring(m.start, m.end)))
+      // java.lang.StringBuilder: Scala's append(Any) would otherwise
+      // swallow the 3-arg form as a tuple.
+      val sb = new java.lang.StringBuilder
+      var src = 0
+      valid.foreach { m =>
+        sb.append(s, src, m.start).append("[CARD]"); src = m.end
+      }
+      sb.append(s, src, s.length)
+      (sb.toString, valid.size)
+    }
+    forAll(cardText) { s =>
+      val (wantText, wantN) = refScrub(s)
+      TextKernels.cardScrub(UTF8String.fromString(s)).toString == wantText &&
+        TextKernels.cardCount(UTF8String.fromString(s)) == wantN
+    }
+  }
 }
