@@ -2374,7 +2374,16 @@ object SparkEntry {
         concat(col("text"), lit(" card "), valid, lit(" ref "), invalid)
           .as("text"))
       Privacy.scrubCards(aug, "text").orderBy("doc_id")
-    })
+    }),
+
+    // Overlapping-window chunking — the RAG/embedding ingestion stage:
+    // 32-token windows sliding by 24 (8-token overlap), offsets and
+    // chunk ids pure arithmetic on the token count. Map-only; the row
+    // multiplication IS the downstream embedder's input.
+    "q190_chunking" -> ((s, dir) =>
+      Curation.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        windowTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_id"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3571,6 +3580,9 @@ object SparkEntry {
       |SELECT doc_id, ${Privacy.CardSql.scrubbed("text")} AS text,
       |  ${Privacy.CardSql.candidateCount("text")} AS n_card_candidates,
       |  ${Privacy.CardSql.validCount("text")} AS n_cards
-      |FROM aug ORDER BY doc_id""".stripMargin
+      |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q190_chunking" -> Curation.chunkDocumentsSql(
+      windowTokens = 32, strideTokens = 24)
   )
 }

@@ -398,6 +398,62 @@ object Curation {
        |FROM j CROSS JOIN total ORDER BY stage""".stripMargin
   }
 
+  /** Overlapping-window CHUNKING — the RAG/embedding ingestion stage:
+    * split each document into windows of `windowTokens` tokens sliding
+    * by `strideTokens` (consecutive chunks overlap by `window−stride`,
+    * so no sentence is ever split across a hard boundary without also
+    * appearing whole in a neighbor). Emits `(id, chunk_id, start_tok,
+    * n_tokens, chunk_text)` — chunk ids and offsets are pure arithmetic
+    * on the token count, so the assignment is deterministic under any
+    * partitioning and exactly replayable in SQL. A document shorter
+    * than one window is its own single chunk; the last chunk starts at
+    * the final stride step and is clipped, never padded.
+    *
+    * Scale shape: one projection (split + size), one `posexplode` of a
+    * per-doc `sequence(0, n_chunks−1)` (output is chunk-sized — the
+    * same row multiplication the downstream embedder pays anyway), and
+    * codegen'd `slice`/`array_join` for the chunk text. Map-only: no
+    * shuffle anywhere. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"window must be >= 1, got $windowTokens")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      s"stride must be in [1, window], got $strideTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = floor(
+      (greatest(n - windowTokens, lit(0)) + strideTokens - 1).cast("double") /
+        strideTokens).cast("int") + 1
+    docs.select(col(idCol), toks.as("_toks"), n.as("_n"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "_k")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        (col("_k") * strideTokens).cast("long").as("start_tok"),
+        size(slice(col("_toks"), col("_k") * strideTokens + 1,
+          lit(windowTokens))).cast("long").as("n_tokens"),
+        array_join(slice(col("_toks"), col("_k") * strideTokens + 1,
+          lit(windowTokens)), " ").as("chunk_text"))
+  }
+
+  /** Oracle twin of [[chunkDocuments]] over `documents` (DuckDB
+    * `list_slice` is 1-based inclusive-end and clips like Spark's
+    * `slice`). */
+  def chunkDocumentsSql(windowTokens: Int, strideTokens: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, toks, n,
+       |    unnest(range((greatest(n - $windowTokens, 0) + $strideTokens - 1)
+       |      // $strideTokens + 1)) AS k
+       |  FROM t)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |  CAST(k * $strideTokens AS BIGINT) AS start_tok,
+       |  CAST(len(list_slice(toks, k * $strideTokens + 1,
+       |    least(k * $strideTokens + $windowTokens, n))) AS BIGINT)
+       |    AS n_tokens,
+       |  array_to_string(list_slice(toks, k * $strideTokens + 1,
+       |    least(k * $strideTokens + $windowTokens, n)), ' ')
+       |    AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** NFC-NORMALIZED dedup groups: collapse documents whose texts are
     * byte-distinct but CANONICALLY EQUIVALENT (Unicode NFC, UAX #15) —
     * the same word carried as precomposed `é` (U+00E9) by one source

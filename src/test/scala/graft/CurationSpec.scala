@@ -192,6 +192,41 @@ class CurationSpec extends SparkSpec {
     assert(corpus.select("text").distinct().count() == 4)
   }
 
+  test("chunking: coverage, overlap, clipping, and sub-window docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks @ w4 s3
+      (2L, "a b"),                                    // sub-window: 1 chunk
+      (3L, "")).toDF("doc_id", "text")                // empty: 1 token "" chunk
+    val out = Curation.chunkDocuments(d, "doc_id", "text",
+        windowTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 6L, 4L, "t7 t8 t9 t10")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, "a b")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, 1L, "")))
+    // Coverage invariant on the real table: stitching each chunk's
+    // POST-OVERLAP tail (first chunk whole) reproduces every document.
+    val docsReal = Tables.documents(spark, sf)
+    val stitched = Curation.chunkDocuments(docsReal, "doc_id", "text",
+        windowTokens = 32, strideTokens = 24)
+      .orderBy("doc_id", "chunk_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues { rows =>
+        rows.sortBy(_.getLong(1)).zipWithIndex.map { case (r, i) =>
+          val ts = r.getString(4).split(" ", -1)
+          (if (i == 0) ts else ts.drop(32 - 24)).mkString(" ")
+        }.filter(_.nonEmpty).mkString(" ")
+      }.toMap
+    docsReal.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      assert(stitched(id) == text, s"doc $id not reconstructed")
+    }
+  }
+
   test("bloom-pruned decontamination == exact decontamination, bit-for-bit") {
     val bench = docs.filter(col("doc_id") % 89 === 0)
     val exact = Curation.decontaminate(docs, bench, "doc_id", "text", n = 8)
