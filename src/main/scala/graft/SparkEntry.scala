@@ -2383,7 +2383,15 @@ object SparkEntry {
     "q190_chunking" -> ((s, dir) =>
       Curation.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
         windowTokens = 32, strideTokens = 24)
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Zipf rank-frequency fit over the top-100 word types: natural
+    // language sits near slope -1; drift toward 0 is boilerplate
+    // domination. Head selection is a deterministic take-ordered; the
+    // regression runs on the <=100-row head frame.
+    "q191_zipf_slope" -> ((s, dir) =>
+      CorpusStats.zipfSlope(Tables.documents(s, dir), "doc_id", "text",
+        topK = 100))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3583,6 +3591,8 @@ object SparkEntry {
       |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q190_chunking" -> Curation.chunkDocumentsSql(
-      windowTokens = 32, strideTokens = 24)
+      windowTokens = 32, strideTokens = 24),
+
+    "q191_zipf_slope" -> CorpusStats.zipfSlopeSql(topK = 100)
   )
 }

@@ -99,6 +99,70 @@ object CorpusStats {
        |ORDER BY bucket""".stripMargin
   }
 
+  /** ZIPF rank–frequency fit: least-squares slope of `ln freq` on
+    * `ln rank` over the `topK` most frequent word types — natural
+    * language sits near slope −1 (Zipf's law); a corpus drifting
+    * toward 0 is template/boilerplate-dominated (frequencies too
+    * flat), one far below −1 is vocabulary-collapsed. The companion
+    * health number to [[vocabGrowth]]: that audits NEW types, this
+    * audits how the mass distributes over the head.
+    *
+    * Shape: one tokens-exploded word count (vocab-sized), a sort-limit
+    * head selection (distributed take-ordered, ties on the word so the
+    * head is deterministic), then the regression over ≤ `topK` rows —
+    * the rank window and the closed-form slope run on that head frame
+    * only. Exact-decimal sums; ln is the one float op and both engines
+    * agree on it bit-for-bit across the existing oracle family. */
+  def zipfSlope(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val counts = tokensWithPos(docs, idCol, textCol)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val head = counts.orderBy(col("cnt").desc, col("w").asc).limit(topK)
+    val ranked = head.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("k"),
+        graft.engine.Aggregates.sumExact(col("x")).as("sx"),
+        graft.engine.Aggregates.sumExact(col("y")).as("sy"),
+        graft.engine.Aggregates.sumExact(col("x") * col("y")).as("sxy"),
+        graft.engine.Aggregates.sumExact(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_types"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("k"), 6).as("intercept"))
+  }
+
+  /** Oracle twin of [[zipfSlope]] over `documents` (same head
+    * selection, same fixed-order regression arithmetic). */
+  def zipfSlopeSql(topK: Int = 100): String = {
+    import graft.engine.Aggregates
+    s"""WITH counts AS (SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) _
+       |  GROUP BY w),
+       |head AS (SELECT * FROM counts ORDER BY cnt DESC, w ASC LIMIT $topK),
+       |ranked AS (SELECT
+       |    ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS DOUBLE))
+       |      AS x,
+       |    ln(CAST(cnt AS DOUBLE)) AS y
+       |  FROM head),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    ${Aggregates.sumExactSql("x")} AS sx,
+       |    ${Aggregates.sumExactSql("y")} AS sy,
+       |    ${Aggregates.sumExactSql("x * y")} AS sxy,
+       |    ${Aggregates.sumExactSql("x * x")} AS sxx
+       |  FROM ranked)
+       |SELECT k AS n_types,
+       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+       |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+       |    AS intercept
+       |FROM s""".stripMargin
+  }
+
   // -------------------------------------------------- repetition metrics
 
   /** Within-document repetition signals (Rae et al., "Scaling Language

@@ -351,4 +351,29 @@ class CorpusStatsSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("text")))).distinct().count()
     assert(g.getLong(5) == wantTypes)
   }
+
+  test("zipfSlope: matches a closed-form reference; near -1 on planted Zipf text") {
+    import spark.implicits._
+    // Planted EXACT Zipf head: word r appears floor(60/r) times.
+    val freqs = (1 to 10).map(r => s"w$r" -> (60 / r))
+    val text = freqs.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = CorpusStats.zipfSlope(d, "doc_id", "text", topK = 10).head()
+    // Independent least-squares reference over the same head.
+    val pts = freqs.sortBy { case (w, n) => (-n, w) }.zipWithIndex
+      .map { case ((_, n), i) => (math.log(i + 1.0), math.log(n.toDouble)) }
+    val k = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(got.getLong(0) == 10L)
+    assert(math.abs(got.getDouble(1) - slope) < 1e-5,
+      s"${got.getDouble(1)} != $slope")
+    assert(math.abs(slope - (-1.0)) < 0.05, s"planted Zipf should fit ~-1: $slope")
+    // Real-table sanity: head mass decays, slope strictly negative.
+    val real = CorpusStats.zipfSlope(
+      graft.engine.Tables.documents(spark, sf), "doc_id", "text").head()
+    assert(real.getDouble(1) < 0.0)
+  }
 }
