@@ -2391,7 +2391,20 @@ object SparkEntry {
     // regression runs on the <=100-row head frame.
     "q191_zipf_slope" -> ((s, dir) =>
       CorpusStats.zipfSlope(Tables.documents(s, dir), "doc_id", "text",
-        topK = 100))
+        topK = 100)),
+
+    // Gopher line-level structural gate: fold the corpus into 8-token
+    // lines (boilerplate planted into every 5th doc — a repeated
+    // header), then score duplicate-line and duplicate-char fractions
+    // against the published thresholds. One explode + two-level agg.
+    "q192_gopher_lines" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val folded = docs.select(col("doc_id"),
+        CorpusStats.gopherLines(col("doc_id"), col("text"),
+          lineLen = 8, plantMod = 5).as("text"))
+      CorpusStats.gopherLineStats(folded, "doc_id", "text")
+        .orderBy("doc_id")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3593,6 +3606,10 @@ object SparkEntry {
     "q190_chunking" -> Curation.chunkDocumentsSql(
       windowTokens = 32, strideTokens = 24),
 
-    "q191_zipf_slope" -> CorpusStats.zipfSlopeSql(topK = 100)
+    "q191_zipf_slope" -> CorpusStats.zipfSlopeSql(topK = 100),
+
+    "q192_gopher_lines" ->
+      (CorpusStats.gopherLineStatsSql(lineLen = 8, plantMod = 5) +
+        "\nORDER BY doc_id")
   )
 }

@@ -163,6 +163,90 @@ object CorpusStats {
        |FROM s""".stripMargin
   }
 
+  // -------------------------------------------------- line-level quality
+
+  /** Deterministic multi-line synthesis for the line-level quality gate:
+    * fold the single-line corpus text into lines of `lineLen` tokens,
+    * then plant boilerplate into every `plantMod`-th document by
+    * repeating its first line twice more (the shape of a scraped page
+    * whose header/footer leaks into the body). Test/oracle harness only
+    * — the operator itself ([[gopherLineStats]]) takes any text column
+    * that already contains newlines. */
+  def gopherLines(id: Column, text: Column, lineLen: Int,
+      plantMod: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nLines = ceil(size(toks).cast("double") / lineLen).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * lineLen + 1, lit(lineLen)), " "))
+    val planted = when(id % plantMod === 0,
+      concat(lines, array(element_at(lines, 1), element_at(lines, 1))))
+      .otherwise(lines)
+    array_join(planted, "\n")
+  }
+
+  /** LINE-LEVEL structural quality gate (Rae et al., "Scaling Language
+    * Models" [Gopher], App. A1 repetition filters): the fraction of
+    * duplicated lines and the fraction of characters inside duplicate
+    * line occurrences — the two signals that catch scraped-page
+    * boilerplate (repeated nav bars, headers, cookie banners) which
+    * word-level n-gram fractions ([[repetitionMetrics]]) dilute away on
+    * long pages. A document fails the gate when either exceeds the
+    * published thresholds (dup-line 0.30, dup-char 0.20).
+    *
+    * Shape: one scan → explode on `\n` → two-level aggregate (per
+    * (doc, line) counts, then per-doc sums), both levels with map-side
+    * partial aggregation keyed on the document id — the same
+    * inverted-index shape as the top-word share, linear in corpus size.
+    * "Characters in duplicate occurrences" counts every occurrence
+    * beyond a line's first: `Σ (cnt-1)·len(line) / Σ cnt·len(line)`. */
+  def gopherLineStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val perLine = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(col(idCol), col("line")).agg(count(lit(1)).as("cnt"))
+    val dupLine = round(
+      (sum("cnt") - count(lit(1))).cast("double") / sum("cnt"), 6)
+    val dupChar = round(
+      sum((col("cnt") - 1) * length(col("line"))).cast("double") /
+        sum(col("cnt") * length(col("line"))), 6)
+    perLine.groupBy(col(idCol))
+      .agg(sum("cnt").cast("long").as("n_lines"),
+        dupLine.as("dup_line_frac"), dupChar.as("dup_char_frac"))
+      .withColumn("pass",
+        (col("dup_line_frac") <= 0.30 && col("dup_char_frac") <= 0.20)
+          .cast("int"))
+  }
+
+  /** Oracle twin of [[gopherLines]] → [[gopherLineStats]] (DuckDB
+    * dialect, `documents` hard-wired): the same line folding (DuckDB
+    * list slices are inclusive 1-based, `toks[a : a+lineLen-1]` is the
+    * `lineLen`-token window), the same planted repeat, the same
+    * two-level aggregate over exact integer ratios. */
+  def gopherLineStatsSql(lineLen: Int, plantMod: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |    FROM documents),
+       |l0 AS (SELECT doc_id, list_transform(
+       |    range(0, CAST(ceil(len(toks) / ${lineLen}.0) AS INT)),
+       |    i -> array_to_string(
+       |      toks[i * $lineLen + 1 : i * $lineLen + $lineLen], ' '))
+       |    AS lines FROM t),
+       |l1 AS (SELECT doc_id, CASE WHEN doc_id % $plantMod = 0
+       |    THEN list_concat(lines, [lines[1], lines[1]])
+       |    ELSE lines END AS lines FROM l0),
+       |c AS (SELECT doc_id, line, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(lines) AS line FROM l1) e
+       |  GROUP BY doc_id, line),
+       |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+       |    round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6)
+       |      AS dup_line_frac,
+       |    round(CAST(sum((cnt - 1) * length(line)) AS DOUBLE) /
+       |      sum(cnt * length(line)), 6) AS dup_char_frac
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_lines, dup_line_frac, dup_char_frac,
+       |  CASE WHEN dup_line_frac <= 0.30 AND dup_char_frac <= 0.20
+       |    THEN 1 ELSE 0 END AS pass
+       |FROM m""".stripMargin
+
   // -------------------------------------------------- repetition metrics
 
   /** Within-document repetition signals (Rae et al., "Scaling Language

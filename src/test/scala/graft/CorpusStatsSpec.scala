@@ -376,4 +376,43 @@ class CorpusStatsSpec extends SparkSpec {
       graft.engine.Tables.documents(spark, sf), "doc_id", "text").head()
     assert(real.getDouble(1) < 0.0)
   }
+
+  test("gopherLineStats: hand-computed dup-line/dup-char fractions + gate") {
+    import spark.implicits._
+    // Doc 1: lines [aa, aa, bcde] → 3 lines, 1 duplicate occurrence
+    // (dup_line 1/3); duplicate chars = 1·len("aa") = 2 of total
+    // 2+2+4 = 8 (dup_char 0.25 > 0.20 → gate fails).
+    val d = Seq(1L -> "aa\naa\nbcde", 2L -> "x\ny").toDF("doc_id", "text")
+    val m = CorpusStats.gopherLineStats(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getAs[Long]("n_lines") == 3L)
+    assert(m(0).getAs[Double]("dup_line_frac") == 0.333333)
+    assert(m(0).getAs[Double]("dup_char_frac") == 0.25)
+    assert(m(0).getAs[Int]("pass") == 0)
+    assert(m(1).getAs[Long]("n_lines") == 2L)
+    assert(m(1).getAs[Double]("dup_line_frac") == 0.0)
+    assert(m(1).getAs[Int]("pass") == 1)
+  }
+
+  test("gopherLines folds tokens into lines and plants the repeated header") {
+    import spark.implicits._
+    val d = Seq(5L -> "a b c d e f g h i j", 6L -> "a b c d e")
+      .toDF("doc_id", "text")
+    val folded = d.select(col("doc_id"),
+      CorpusStats.gopherLines(col("doc_id"), col("text"),
+        lineLen = 4, plantMod = 5).as("text"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    // id 5 ≡ 0 (mod 5): 10 tokens → [4,4,2] + first line twice more.
+    assert(folded(0)._2 ==
+      "a b c d\ne f g h\ni j\na b c d\na b c d")
+    // id 6: 5 tokens → [4,1], no plant.
+    assert(folded(1)._2 == "a b c d\ne")
+    // Planted docs must fail the gate; clean short docs pass.
+    val stats = CorpusStats.gopherLineStats(
+      d.select(col("doc_id"), CorpusStats.gopherLines(col("doc_id"),
+        col("text"), 4, 5).as("text")), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(stats(0).getAs[Int]("pass") == 0)
+    assert(stats(1).getAs[Int]("pass") == 1)
+  }
 }
