@@ -2404,6 +2404,18 @@ object SparkEntry {
           lineLen = 8, plantMod = 5).as("text"))
       CorpusStats.gopherLineStats(folded, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Encoding-hygiene gate: detect double-encoding mojibake digraphs,
+    // U+FFFD replacement chars, and bare C0 controls (planted on a 7/11/
+    // 13 schedule so overlap docs carry several). Map-only codegen pass.
+    "q193_mojibake_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.encodingAudit(
+        docs.select(col("doc_id"),
+          Curation.plantEncodingArtifacts(col("doc_id"), col("text"))
+            .as("text")),
+        "doc_id", "text").orderBy("doc_id")
     })
   )
 
@@ -3610,6 +3622,9 @@ object SparkEntry {
 
     "q192_gopher_lines" ->
       (CorpusStats.gopherLineStatsSql(lineLen = 8, plantMod = 5) +
-        "\nORDER BY doc_id")
+        "\nORDER BY doc_id"),
+
+    "q193_mojibake_gate" ->
+      (Curation.encodingAuditSql() + "\nORDER BY doc_id")
   )
 }

@@ -508,6 +508,95 @@ object Curation {
        |FROM variants GROUP BY nfc_normalize(text)
        |ORDER BY rep_id, norm_text""".stripMargin
 
+  // ------------------------------------------------- encoding hygiene
+
+  /** Mojibake digraphs: UTF-8 bytes decoded as Latin-1/cp1252 somewhere
+    * upstream turn `é`/`ü` into `Ã©`/`Ã¼` and a right quote into
+    * `â€™` — the most common double-encoding signatures in web crawls.
+    * Literal strings (no regex), so both engines count them with exact
+    * `replace` length arithmetic. */
+  val MojibakePatterns: Seq[String] = Seq(
+    "\u00c3\u00a9", // Ã© (é through Latin-1)
+    "\u00c3\u00bc", // Ã¼ (ü through Latin-1)
+    "\u00e2\u20ac\u2122") // â€™ (’ through cp1252)
+
+  /** Bare control characters (C0 minus `\t`/`\n`/`\r`) — binary junk or
+    * transport corruption; never legitimate in corpus text. Hex-class
+    * regex, identical in Java regex and RE2. */
+  val CtrlClass: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** ENCODING-HYGIENE audit — the mojibake gate every crawl pipeline
+    * runs before any text op trusts the bytes: per document, the count
+    * of UTF-8-as-Latin-1 double-encoding digraphs ([[MojibakePatterns]]),
+    * of U+FFFD replacement characters (a decoder already gave up
+    * upstream), and of bare C0 control characters; `clean = 1` iff all
+    * three are zero. Downstream, dirty documents are either dropped or
+    * routed to a re-decode pass — both need exactly this table.
+    *
+    * Scale shape: map-only projection — literal `replace` length
+    * arithmetic plus one hex-class `regexp_count`, all codegen'd; no
+    * shuffle, flat wall at any corpus size. */
+  def encodingAudit(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def countLit(pat: String): Column =
+      ((length(t) - length(replace(t, lit(pat), lit("")))) /
+        lit(pat.length)).cast("int")
+    val moji = MojibakePatterns.map(countLit).reduce(_ + _)
+    docs.select(col(idCol),
+      moji.as("n_mojibake"),
+      countLit("\ufffd").as("n_replacement"),
+      regexp_count(t, lit(CtrlClass)).cast("int").as("n_ctrl"))
+      .withColumn("clean",
+        (col("n_mojibake") + col("n_replacement") + col("n_ctrl") === 0)
+          .cast("int"))
+  }
+
+  /** Deterministic artifact planting for the q193 harness: every 7th
+    * document gains a mojibake digraph, every 11th a replacement
+    * character, every 13th a bare BEL — the overlaps (77, 91, …)
+    * exercise multi-artifact documents. Operator input only; the
+    * detector never sees the plant schedule. */
+  def plantEncodingArtifacts(id: Column, text: Column): Column = {
+    val m = when(id % 7 === 0,
+      concat(text, lit(" caf\u00c3\u00a9"))).otherwise(text)
+    val r = when(id % 11 === 0, concat(m, lit("\ufffd"))).otherwise(m)
+    when(id % 13 === 0, concat(r, lit("\u0007"))).otherwise(r)
+  }
+
+  /** Oracle twin of [[plantEncodingArtifacts]] → [[encodingAudit]]
+    * (DuckDB; planted bytes spelled `chr(codepoint)` so the SQL stays
+    * ASCII-clean, counts via the same replace length arithmetic —
+    * `length`/`replace` are codepoint-exact in both engines). */
+  def encodingAuditSql(): String = {
+    def countLit(sqlPat: String, cp: Int) =
+      s"CAST((length(text) - length(replace(text, $sqlPat, ''))) / $cp AS INTEGER)"
+    val mojiSql = Seq(
+      ("chr(195)||chr(169)", 2),
+      ("chr(195)||chr(188)", 2),
+      ("chr(226)||chr(8364)||chr(8482)", 3))
+    // NB cp1252 0x80/0x99 decode to U+20AC/U+2122 when mis-read — the
+    // digraph is â(U+00E2) €(U+20AC) ™(U+2122): chr args are codepoints.
+    val moji = mojiSql.map((countLit _).tupled).mkString(" + ")
+    s"""WITH m AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+       |    THEN text || ' caf' || chr(195) || chr(169) ELSE text END
+       |    AS text FROM documents),
+       |r AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+       |    THEN text || chr(65533) ELSE text END AS text FROM m),
+       |aug AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+       |    THEN text || chr(7) ELSE text END AS text FROM r),
+       |audit AS (SELECT doc_id,
+       |    $moji AS n_mojibake,
+       |    ${countLit("chr(65533)", 1)} AS n_replacement,
+       |    CAST(len(regexp_extract_all(text, '$CtrlClass'))
+       |      AS INTEGER) AS n_ctrl
+       |  FROM aug)
+       |SELECT doc_id, n_mojibake, n_replacement, n_ctrl,
+       |  CASE WHEN n_mojibake + n_replacement + n_ctrl = 0
+       |    THEN 1 ELSE 0 END AS clean
+       |FROM audit""".stripMargin
+  }
+
   /** SQL twin of [[packSequences]] (global-window formulation). */
   def packSequencesSql(binTokens: Long): String = {
     import TextFunctions.{Sql => T}

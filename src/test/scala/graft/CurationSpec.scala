@@ -245,4 +245,40 @@ class CurationSpec extends SparkSpec {
     assert(loose == exact)
     graft.engine.Caches.release()
   }
+
+  test("encodingAudit: hand-computed artifact counts and the clean flag") {
+    import spark.implicits._
+    val d = Seq(
+      1L -> "plain clean text",
+      2L -> "double \u00c3\u00a9ncoded caf\u00c3\u00a9", // two digraphs
+      3L -> "dec\ufffdder g\ufffdve up", // two replacement chars
+      4L -> "bell and junk", // two C0 controls
+      5L -> "tab\tand\nnewline are fine",
+      6L -> "quote \u00e2\u20ac\u2122 mangled" // cp1252 quote digraph
+    ).toDF("doc_id", "text")
+    val a = Curation.encodingAudit(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a(0).getAs[Int]("clean") == 1)
+    assert(a(1).getAs[Int]("n_mojibake") == 2 && a(1).getAs[Int]("clean") == 0)
+    assert(a(2).getAs[Int]("n_replacement") == 2 && a(2).getAs[Int]("clean") == 0)
+    assert(a(3).getAs[Int]("n_ctrl") == 2 && a(3).getAs[Int]("clean") == 0)
+    assert(a(4).getAs[Int]("n_ctrl") == 0 && a(4).getAs[Int]("clean") == 1,
+      "tab/newline are legitimate whitespace, not artifacts")
+    assert(a(5).getAs[Int]("n_mojibake") == 1 && a(5).getAs[Int]("clean") == 0)
+  }
+
+  test("plantEncodingArtifacts: 7/11/13 schedule, overlaps stack") {
+    import spark.implicits._
+    val d = Seq(7L, 10L, 77L).map(i => i -> "base").toDF("doc_id", "text")
+    val planted = d.select(col("doc_id"),
+      Curation.plantEncodingArtifacts(col("doc_id"), col("text")).as("text"))
+    val a = Curation.encodingAudit(planted, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a(0).getAs[Int]("n_mojibake") == 1 &&
+      a(0).getAs[Int]("n_replacement") == 0) // 7: mojibake only
+    assert(a(1).getAs[Int]("clean") == 1) // 10: untouched
+    assert(a(2).getAs[Int]("n_mojibake") == 1 &&
+      a(2).getAs[Int]("n_replacement") == 1 &&
+      a(2).getAs[Int]("n_ctrl") == 0) // 77 = 7·11: both plants, no ctrl
+  }
 }
