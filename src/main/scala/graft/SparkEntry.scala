@@ -2416,6 +2416,18 @@ object SparkEntry {
           Curation.plantEncodingArtifacts(col("doc_id"), col("text"))
             .as("text")),
         "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // SFT-transcript intake gate: each doc becomes a 4-message JSON
+    // chat (role-order bug planted every 13th, truncated-empty turn
+    // every 17th); from_json + array HOFs validate structure. Map-only.
+    "q194_chat_validate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.ChatData.validateTranscripts(
+        docs.select(col("doc_id"),
+          graft.operators.ChatData.syntheticTranscript(
+            col("doc_id"), col("text")).as("transcript")),
+        "doc_id", "transcript").orderBy("doc_id")
     })
   )
 
@@ -3625,6 +3637,10 @@ object SparkEntry {
         "\nORDER BY doc_id"),
 
     "q193_mojibake_gate" ->
-      (Curation.encodingAuditSql() + "\nORDER BY doc_id")
+      (Curation.encodingAuditSql() + "\nORDER BY doc_id"),
+
+    "q194_chat_validate" ->
+      (graft.operators.ChatData.validateTranscriptsSql() +
+        "\nORDER BY doc_id")
   )
 }
