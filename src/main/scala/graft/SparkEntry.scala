@@ -2428,6 +2428,18 @@ object SparkEntry {
           graft.operators.ChatData.syntheticTranscript(
             col("doc_id"), col("text")).as("transcript")),
         "doc_id", "transcript").orderBy("doc_id")
+    }),
+
+    // URL canonicalization + canonical-key dup report: scheme/www/case/
+    // slash/tracking-param/fragment noise collapsed by a pure regex
+    // projection, then one hash agg on the canonical key (q22's plan).
+    "q195_url_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.DomainCuration.canonicalUrlReport(
+        docs.select(col("doc_id"),
+          graft.operators.DomainCuration.syntheticUrl(
+            col("doc_id"), col("source")).as("url")),
+        "doc_id", "url").orderBy("canonical_url")
     })
   )
 
@@ -3641,6 +3653,10 @@ object SparkEntry {
 
     "q194_chat_validate" ->
       (graft.operators.ChatData.validateTranscriptsSql() +
-        "\nORDER BY doc_id")
+        "\nORDER BY doc_id"),
+
+    "q195_url_canonical" ->
+      (graft.operators.DomainCuration.canonicalUrlReportSql() +
+        "\nORDER BY canonical_url")
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Aggregates
@@ -98,4 +98,104 @@ object DomainCuration {
        |  mean_quality
        |FROM agged ORDER BY source""".stripMargin
   }
+
+  // ------------------------------------------------ URL canonicalization
+
+  /** URL canonicalization — the step BEFORE any URL-keyed dedup: the
+    * same page arrives from a crawl under `http`/`https`, with and
+    * without `www.`, host case noise, trailing slashes, tracking
+    * parameters (`utm_*`, `fbclid`, `gclid`), and fragments. The
+    * canonical form is `host/path?query` with the scheme dropped, the
+    * host lowercased and `www.`-stripped, the trailing slash removed,
+    * tracking parameters deleted (content-identifying parameters kept),
+    * and the fragment cut. Pure regex projection — codegen'd, map-only;
+    * the regex dialect subset used is identical in Java regex and RE2
+    * so the oracle replays it verbatim. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val host = lower(regexp_extract(noFrag, "^[a-z]+://([^/?#]+)", 1))
+    val hostClean = regexp_replace(host, "^www\\.", "")
+    val path = regexp_extract(noFrag, "^[a-z]+://[^/?#]+([^?#]*)", 1)
+    val pathClean = regexp_replace(path, "/$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val queryClean = regexp_replace(
+      regexp_replace(query, "(^|&)(utm_[a-z_]*|fbclid|gclid)=[^&]*", ""),
+      "^&", "")
+    concat(hostClean, pathClean,
+      when(queryClean === "", lit(""))
+        .otherwise(concat(lit("?"), queryClean)))
+  }
+
+  /** Canonical-URL dedup report: group documents by
+    * [[canonicalizeUrl]], keeping the min-id representative, the group
+    * size, and how many distinct RAW spellings the canonical form
+    * collapsed (`n_raw_forms > 1` ⇔ canonicalization did work raw
+    * URL-keyed dedup would have missed). One hash aggregation on the
+    * canonical key — q22's exact-dedup plan with the regex
+    * canonicalizer fused into the scan. */
+  def canonicalUrlReport(docs: DataFrame, idCol: String,
+      urlCol: String): DataFrame =
+    docs.select(col(idCol), col(urlCol),
+        canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(urlCol)).as("n_raw_forms"))
+
+  /** Deterministic URL synthesis for the q195 harness: scheme, `www.`,
+    * host case, trailing slash, tracking/content parameters, and
+    * fragment all vary on coprime id schedules, so canonical groups mix
+    * raw spellings. Harness only. */
+  def syntheticUrl(id: Column, source: Column): Column =
+    concat(
+      when(id % 2 === 0, lit("https")).otherwise(lit("http")),
+      lit("://"),
+      when(id % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(id % 9 === 0, upper(source)).otherwise(source),
+      lit(".example.com/page/"), (id % 50).cast("string"),
+      when(id % 8 === 0, lit("/")).otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit("?utm_source=feed&id="), (id % 5).cast("string")))
+        .when(id % 4 === 1, concat(lit("?id="), (id % 5).cast("string")))
+        .otherwise(lit("")),
+      when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** Oracle twin of [[syntheticUrl]] → [[canonicalizeUrl]] →
+    * [[canonicalUrlReport]] (DuckDB; the param-strip regexp_replace
+    * needs the explicit 'g' flag that is Spark's default). */
+  def canonicalUrlReportSql(): String =
+    s"""WITH u AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+       |    || '://'
+       |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+       |    || (CASE WHEN doc_id % 9 = 0 THEN upper(source) ELSE source END)
+       |    || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 8 = 0 THEN '/' ELSE '' END)
+       |    || (CASE WHEN doc_id % 4 = 0
+       |          THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+       |        WHEN doc_id % 4 = 1
+       |          THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+       |        ELSE '' END)
+       |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+       |  FROM documents),
+       |parts AS (SELECT doc_id, url,
+       |    regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+       |canon AS (SELECT doc_id, url,
+       |    regexp_replace(lower(regexp_extract(nofrag,
+       |      '^[a-z]+://([^/?#]+)', 1)), '^www\\.', '')
+       |    || regexp_replace(regexp_extract(nofrag,
+       |      '^[a-z]+://[^/?#]+([^?#]*)', 1), '/$$', '')
+       |    || (CASE WHEN regexp_replace(regexp_replace(
+       |          regexp_extract(nofrag, '\\?([^#]*)', 1),
+       |          '(^|&)(utm_[a-z_]*|fbclid|gclid)=[^&]*', '', 'g'),
+       |          '^&', '') = '' THEN ''
+       |        ELSE '?' || regexp_replace(regexp_replace(
+       |          regexp_extract(nofrag, '\\?([^#]*)', 1),
+       |          '(^|&)(utm_[a-z_]*|fbclid|gclid)=[^&]*', '', 'g'),
+       |          '^&', '') END) AS canonical_url
+       |  FROM parts)
+       |SELECT canonical_url, min(doc_id) AS rep_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+       |FROM canon GROUP BY canonical_url""".stripMargin
 }

@@ -62,4 +62,45 @@ class DomainCurationSpec extends SparkSpec {
     assert(prof("good.example") == ((3L, 2L, 0.666667)),
       "docs 3 and 4 involved; doc 3 counted once despite two pairs")
   }
+
+  test("canonicalizeUrl: every noise axis collapses; content params survive") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme, www, host case, trailing slash, fragment all collapse.
+      "https://www.Site.Example.com/a/b/" -> "site.example.com/a/b",
+      "http://site.example.com/a/b#frag" -> "site.example.com/a/b",
+      // tracking params drop wherever they sit; content params stay.
+      "https://h.co/p?utm_source=x&id=2" -> "h.co/p?id=2",
+      "https://h.co/p?id=2&utm_medium=y" -> "h.co/p?id=2",
+      "https://h.co/p?utm_a=1&id=2&utm_b=3" -> "h.co/p?id=2",
+      "https://h.co/p?fbclid=abc" -> "h.co/p",
+      "https://h.co/p?id=2&gclid=g&q=x" -> "h.co/p?id=2&q=x",
+      // root path and no-query stay minimal.
+      "https://h.co/" -> "h.co",
+      "http://h.co/p?x=1" -> "h.co/p?x=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(DomainCuration.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      got.zip(cases).filter { case (g, (_, w)) => g != w }.mkString("; "))
+  }
+
+  test("canonicalUrlReport groups raw spellings under one canonical form") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "https://www.h.co/p?utm_source=a"),
+      (2L, "http://h.co/p/"),
+      (3L, "https://h.co/p#f"),
+      (4L, "https://h.co/other"))
+      .toDF("doc_id", "url")
+    val rep = DomainCuration.canonicalUrlReport(d, "doc_id", "url")
+      .orderBy("canonical_url").collect()
+    assert(rep.length == 2)
+    assert(rep(1).getString(0) == "h.co/p" &&
+      rep(1).getAs[Long]("rep_id") == 1L &&
+      rep(1).getAs[Long]("n_docs") == 3L &&
+      rep(1).getAs[Long]("n_raw_forms") == 3L)
+    assert(rep(0).getString(0) == "h.co/other" &&
+      rep(0).getAs[Long]("n_docs") == 1L)
+  }
 }
