@@ -2440,7 +2440,15 @@ object SparkEntry {
           graft.operators.DomainCuration.syntheticUrl(
             col("doc_id"), col("source")).as("url")),
         "doc_id", "url").orderBy("canonical_url")
-    })
+    }),
+
+    // Dedup-method evaluation: per-method precision/recall/F1 against
+    // exact n-gram Jaccard truth — the method-selection table; the
+    // minhash row doubles as a band-scheme regression test (must equal
+    // the truth set exactly).
+    "q196_dedup_eval" -> ((s, dir) =>
+      Dedup.dedupMethodEval(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("method"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3657,6 +3665,10 @@ object SparkEntry {
 
     "q195_url_canonical" ->
       (graft.operators.DomainCuration.canonicalUrlReportSql() +
-        "\nORDER BY canonical_url")
+        "\nORDER BY canonical_url"),
+
+    "q196_dedup_eval" ->
+      (Dedup.dedupMethodEvalSql(n = 3, threshold = 0.5) +
+        "\nORDER BY method")
   )
 }

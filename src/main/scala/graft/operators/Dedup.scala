@@ -1455,4 +1455,115 @@ object Dedup {
        |SELECT a.s AS name_a, b.s AS name_b
        |FROM v a JOIN v b ON a.s < b.s
        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin
+
+  // ------------------------------------------------ dedup-method eval
+
+  /** DEDUP-METHOD EVALUATION: precision / recall / F1 of each dedup
+    * family's pair output against exact n-gram Jaccard ground truth —
+    * the table a pipeline owner reads to pick a method (and its
+    * thresholds) for a new corpus, the dedup analogue of the ANN
+    * recall (q155) and classifier AUC (q180) evaluations. Methods:
+    * `exact` (raw-text equality pairs — perfect precision, recall only
+    * on verbatim copies), `simhash` (Hamming≤3 on 64-bit signatures — a
+    * DIFFERENT similarity notion, so both error kinds occur), and
+    * `minhash` (banded LSH + exact verification — equals the truth set
+    * by the q24 band-scheme contract; the row anchors the table and
+    * regression-tests that contract).
+    *
+    * Scale shape: the truth set is the q23 inverted-index pair frame
+    * (materialized once, reused by every method's left join); each
+    * method contributes its own banded/grouped pair generation; stats
+    * are per-method single-row aggregates joined to a broadcast 1-row
+    * truth count. Output is methods-sized. Float contract: precision/
+    * recall/F1 are computed unrounded (`tp/n` double division, F1 =
+    * `2pr/(p+r)`) and rounded once at the end, same op order as the
+    * oracle. */
+  def dedupMethodEval(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val truth = materialized(
+      ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+        .select("id_a", "id_b"))
+    val truthCount = truth.agg(count(lit(1)).as("n_truth"))
+    val fp = docs.select(col(idCol).as("id"), md5(col(textCol)).as("fp"))
+    val exactPairs = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "exact" -> exactPairs,
+      "minhash" -> minhashNearDup(docs, idCol, textCol,
+        n = n, numHashes = 64, bands = 16, threshold = threshold),
+      "simhash" -> simhashNearDup(docs, idCol, textCol))
+    val rows = methods.map { case (name, pred0) =>
+      val pred = pred0.select("id_a", "id_b").distinct()
+      pred.join(truth.withColumn("t", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_pred"),
+          coalesce(sum(coalesce(col("t"), lit(0))), lit(0L)).as("tp"))
+        .crossJoin(broadcast(truthCount))
+        .select(lit(name).as("method"), col("n_pred"), col("n_truth"),
+          col("tp"))
+    }.reduce(_ unionAll _)
+    val p = when(col("n_pred") === 0, 0.0)
+      .otherwise(col("tp").cast("double") / col("n_pred"))
+    val r = when(col("n_truth") === 0, 0.0)
+      .otherwise(col("tp").cast("double") / col("n_truth"))
+    rows.withColumn("p", p).withColumn("r", r)
+      .select(col("method"), col("n_pred"), col("n_truth"), col("tp"),
+        round(col("p"), 6).as("precision"),
+        round(col("r"), 6).as("recall"),
+        round(when(col("p") + col("r") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("p") * col("r") /
+            (col("p") + col("r"))), 6).as("f1"))
+  }
+
+  /** Oracle twin of [[dedupMethodEval]] over `documents` (DuckDB): the
+    * truth CTE is [[ngramJaccardPairsSql]], exact pairs are a raw-text
+    * equality self-join, simhash replays [[simhashNearDupSql]], and the
+    * minhash row IS the truth-vs-truth row by the q24 contract (banded
+    * LSH + exact verify emits exactly the true-Jaccard pair set; the
+    * Spark side runs the real pipeline, so a band-scheme regression
+    * breaks the hash compare here). */
+  def dedupMethodEvalSql(n: Int, threshold: Double): String = {
+    def statsFor(predCte: String, name: String) =
+      s"""SELECT '$name' AS method,
+         |  CAST(count(*) AS BIGINT) AS n_pred,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |  CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
+         |FROM $predCte p LEFT JOIN truth t
+         |  ON p.id_a = t.id_a AND p.id_b = t.id_b""".stripMargin
+    s"""WITH truth AS (SELECT id_a, id_b FROM (
+       |${ngramJaccardPairsSql(n, threshold)}
+       |)),
+       |exact_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM documents a JOIN documents b
+       |  ON a.text = b.text AND a.doc_id < b.doc_id),
+       |simhash_pairs AS (SELECT id_a, id_b FROM (
+       |${simhashNearDupSql(3)}
+       |)),
+       |stats AS (
+       |${statsFor("exact_pairs", "exact")}
+       |UNION ALL
+       |${statsFor("truth", "minhash")}
+       |UNION ALL
+       |${statsFor("simhash_pairs", "simhash")}
+       |)
+       |SELECT method, n_pred, n_truth, tp,
+       |  round(CASE WHEN n_pred = 0 THEN 0.0
+       |    ELSE CAST(tp AS DOUBLE) / n_pred END, 6) AS precision,
+       |  round(CASE WHEN n_truth = 0 THEN 0.0
+       |    ELSE CAST(tp AS DOUBLE) / n_truth END, 6) AS recall,
+       |  round(CASE WHEN (CASE WHEN n_pred = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / n_pred END)
+       |      + (CASE WHEN n_truth = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / n_truth END) = 0.0 THEN 0.0
+       |    ELSE 2.0 * (CASE WHEN n_pred = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / n_pred END)
+       |      * (CASE WHEN n_truth = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / n_truth END)
+       |      / ((CASE WHEN n_pred = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / n_pred END)
+       |      + (CASE WHEN n_truth = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / n_truth END)) END, 6) AS f1
+       |FROM stats""".stripMargin
+  }
 }

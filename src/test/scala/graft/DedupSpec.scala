@@ -514,4 +514,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains(("", "c")), "empty vs 1-char")
     assert(!pairs.contains(("act", "cat")), "transposition is ed 2 under Levenshtein")
   }
+
+  test("dedupMethodEval: hand-computed P/R/F1; minhash row equals truth") {
+    import spark.implicits._
+    // Docs 1/2 verbatim copies (exact + truth), 3/4 near-dups sharing
+    // most trigrams (truth, not exact), 5 unrelated.
+    val d = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "one two three four five six seven eight nine eleven",
+      5L -> "totally unrelated content words only here")
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupMethodEval(d, "doc_id", "text",
+      n = 3, threshold = 0.5).orderBy("method").collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    // Truth: (1,2) J=1; (3,4) share 7 of 9 distinct trigrams (J=0.7/...).
+    val nTruth = byName("exact").getAs[Long]("n_truth")
+    assert(nTruth == 2L, s"truth pairs: $nTruth")
+    val ex = byName("exact")
+    assert(ex.getAs[Long]("n_pred") == 1L && ex.getAs[Long]("tp") == 1L)
+    assert(ex.getAs[Double]("precision") == 1.0 &&
+      ex.getAs[Double]("recall") == 0.5)
+    assert(ex.getAs[Double]("f1") == math.rint(2.0 * 1.0 * 0.5 / 1.5 * 1e6) / 1e6)
+    val mh = byName("minhash")
+    assert(mh.getAs[Long]("n_pred") == nTruth &&
+      mh.getAs[Long]("tp") == nTruth,
+      "minhash (banded LSH + exact verify) must equal the truth set")
+    assert(mh.getAs[Double]("f1") == 1.0)
+    val sh = byName("simhash")
+    assert(sh.getAs[Long]("tp") <= sh.getAs[Long]("n_pred"))
+    graft.engine.Caches.release()
+  }
 }
