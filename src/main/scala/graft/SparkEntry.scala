@@ -2448,7 +2448,19 @@ object SparkEntry {
     // the truth set exactly).
     "q196_dedup_eval" -> ((s, dir) =>
       Dedup.dedupMethodEval(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5).orderBy("method"))
+        n = 3, threshold = 0.5).orderBy("method")),
+
+    // HTML→text extraction: strip script/style/tags, decode entities in
+    // contract order, squash whitespace — the raw-crawl intake stage.
+    // Pure regex/replace projection chain, map-only.
+    "q197_html_extract" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.WebText.extractText(
+        docs.select(col("doc_id"),
+          graft.operators.WebText.syntheticHtml(col("doc_id"), col("text"))
+            .as("html")),
+        "doc_id", "html").orderBy("doc_id")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3669,6 +3681,9 @@ object SparkEntry {
 
     "q196_dedup_eval" ->
       (Dedup.dedupMethodEvalSql(n = 3, threshold = 0.5) +
-        "\nORDER BY method")
+        "\nORDER BY method"),
+
+    "q197_html_extract" ->
+      (graft.operators.WebText.extractTextSql() + "\nORDER BY doc_id")
   )
 }
