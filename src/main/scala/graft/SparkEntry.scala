@@ -2460,6 +2460,18 @@ object SparkEntry {
           graft.operators.WebText.syntheticHtml(col("doc_id"), col("text"))
             .as("html")),
         "doc_id", "html").orderBy("doc_id")
+    }),
+
+    // CCNet cross-doc line dedup: line-df excision of boilerplate that
+    // appears once per document across many documents (planted every
+    // 3rd doc). Lines shuffle as md5 keys; order-preserving reassembly.
+    "q198_line_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dropBoilerplateLines(
+        docs.select(col("doc_id"),
+          Dedup.plantBoilerplate(col("doc_id"), col("text"),
+            lineLen = 8, mod = 3).as("text")),
+        "doc_id", "text", minDf = 10).orderBy("doc_id")
     })
   )
 
@@ -3684,6 +3696,10 @@ object SparkEntry {
         "\nORDER BY method"),
 
     "q197_html_extract" ->
-      (graft.operators.WebText.extractTextSql() + "\nORDER BY doc_id")
+      (graft.operators.WebText.extractTextSql() + "\nORDER BY doc_id"),
+
+    "q198_line_dedup" ->
+      (Dedup.dropBoilerplateLinesSql(lineLen = 8, mod = 3, minDf = 10) +
+        "\nORDER BY doc_id")
   )
 }

@@ -172,12 +172,18 @@ object CorpusStats {
     * whose header/footer leaks into the body). Test/oracle harness only
     * — the operator itself ([[gopherLineStats]]) takes any text column
     * that already contains newlines. */
-  def gopherLines(id: Column, text: Column, lineLen: Int,
-      plantMod: Int): Column = {
+  /** Fold single-line text into an ARRAY of `lineLen`-token lines —
+    * the shared synthesis primitive for the line-level operators. */
+  def foldLines(text: Column, lineLen: Int): Column = {
     val toks = TextFunctions.tokens(text)
     val nLines = ceil(size(toks).cast("double") / lineLen).cast("int")
-    val lines = transform(sequence(lit(0), nLines - 1),
+    transform(sequence(lit(0), nLines - 1),
       i => array_join(slice(toks, i * lineLen + 1, lit(lineLen)), " "))
+  }
+
+  def gopherLines(id: Column, text: Column, lineLen: Int,
+      plantMod: Int): Column = {
+    val lines = foldLines(text, lineLen)
     val planted = when(id % plantMod === 0,
       concat(lines, array(element_at(lines, 1), element_at(lines, 1))))
       .otherwise(lines)

@@ -1456,6 +1456,91 @@ object Dedup {
        |FROM v a JOIN v b ON a.s < b.s
        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin
 
+  // ----------------------------------------- cross-doc line dedup (CCNet)
+
+  /** CROSS-DOCUMENT line deduplication (Wenzek et al., "CCNet",
+    * LREC'20 §3.2 — paragraph-hash dedup): hash every line, count the
+    * number of DISTINCT documents each line appears in corpus-wide, and
+    * excise lines appearing in `minDf`-or-more documents — the shared
+    * nav bars, cookie banners, and subscription prompts that survive
+    * per-document filters precisely because each document carries them
+    * only once. Complements q192 (within-doc line repetition) and q152
+    * (within-corpus gram excision at a different granularity). Output
+    * per document: the reassembled text (kept lines in original order),
+    * kept/dropped line counts — a document whose every line is
+    * boilerplate survives with empty text, it is never silently lost.
+    *
+    * Scale shape: lines cross the exchange as 16-byte MD5 keys for the
+    * df count (the classic inverted-index shape, map-side combinable);
+    * the re-assembly is one per-document aggregation whose collect is
+    * canonicalized by `array_sort` on (pos, line) structs —
+    * deterministic under any partitioning. Per-document state is
+    * bounded by document size; nothing is pairwise. */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String,
+      textCol: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every line, got $minDf")
+    val lines = materialized(docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line"))))
+    val dfc = lines.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    val tagged = lines.join(dfc, Seq("h"))
+      .withColumn("keep", (col("line_df") < minDf).cast("int"))
+    tagged.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep") === 1,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(lit(1) - col("keep")).cast("long").as("n_dropped"))
+  }
+
+  /** The canonical boilerplate sentence planted by the q198 harness. */
+  val BoilerplateLine = "subscribe to our newsletter for updates today"
+
+  /** q198 synthesis: fold the corpus into 8-token lines and append
+    * [[BoilerplateLine]] to every `mod`-th document — the cross-doc
+    * repeat that line-df excision must find (df ≈ N/mod) while every
+    * organic line stays (df ≈ 1). Harness only. */
+  def plantBoilerplate(id: Column, text: Column, lineLen: Int,
+      mod: Int): Column = {
+    val lines = CorpusStats.foldLines(text, lineLen)
+    array_join(when(id % mod === 0,
+      concat(lines, array(lit(BoilerplateLine)))).otherwise(lines), "\n")
+  }
+
+  /** Oracle twin of [[plantBoilerplate]] → [[dropBoilerplateLines]]
+    * (DuckDB): same fold, df by line VALUE (equivalent to the MD5 key —
+    * the hash is injective on this corpus by construction), kept lines
+    * re-joined with `string_agg ORDER BY pos`. */
+  def dropBoilerplateLinesSql(lineLen: Int, mod: Int, minDf: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |    FROM documents),
+       |l0 AS (SELECT doc_id, list_transform(
+       |    range(0, CAST(ceil(len(toks) / ${lineLen}.0) AS INT)),
+       |    i -> array_to_string(
+       |      toks[i * $lineLen + 1 : i * $lineLen + $lineLen], ' '))
+       |    AS lines FROM t),
+       |l1 AS (SELECT doc_id, CASE WHEN doc_id % $mod = 0
+       |    THEN list_concat(lines, ['$BoilerplateLine'])
+       |    ELSE lines END AS lines FROM l0),
+       |e AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos,
+       |    lines FROM l1),
+       |x AS (SELECT doc_id, pos, lines[pos] AS line FROM e),
+       |d AS (SELECT line, count(DISTINCT doc_id) AS line_df
+       |  FROM x GROUP BY line),
+       |c AS (SELECT x.doc_id, x.pos, x.line, d.line_df FROM x
+       |  JOIN d USING (line))
+       |SELECT doc_id,
+       |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+       |    FILTER (WHERE line_df < $minDf), '') AS text,
+       |  CAST(coalesce(sum(CASE WHEN line_df < $minDf THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN line_df >= $minDf THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_dropped
+       |FROM c GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------ dedup-method eval
 
   /** DEDUP-METHOD EVALUATION: precision / recall / F1 of each dedup

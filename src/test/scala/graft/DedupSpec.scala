@@ -546,4 +546,39 @@ class DedupSpec extends SparkSpec {
     assert(sh.getAs[Long]("tp") <= sh.getAs[Long]("n_pred"))
     graft.engine.Caches.release()
   }
+
+  test("dropBoilerplateLines: cross-doc lines excised, order kept, totality") {
+    import spark.implicits._
+    val boiler = "subscribe now"
+    val d = Seq(
+      1L -> s"alpha one\n$boiler\nalpha two",
+      2L -> s"$boiler\nbeta solo",
+      3L -> s"gamma a\ngamma b",
+      4L -> boiler) // entirely boilerplate → empty text, never lost
+      .toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(d, "doc_id", "text", minDf = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[String]("text") == "alpha one\nalpha two" &&
+      out(0).getAs[Long]("n_kept") == 2L &&
+      out(0).getAs[Long]("n_dropped") == 1L)
+    assert(out(1).getAs[String]("text") == "beta solo")
+    assert(out(2).getAs[String]("text") == "gamma a\ngamma b" &&
+      out(2).getAs[Long]("n_dropped") == 0L)
+    assert(out(3).getAs[String]("text") == "" &&
+      out(3).getAs[Long]("n_kept") == 0L)
+    // df just below the threshold: nothing dropped.
+    val loose = Dedup.dropBoilerplateLines(d, "doc_id", "text", minDf = 4)
+      .orderBy("doc_id").collect()
+    assert(loose.forall(_.getAs[Long]("n_dropped") == 0L),
+      "df=3 boilerplate survives minDf=4")
+    // A line repeated WITHIN one doc only is not cross-doc boilerplate.
+    val within = Seq(5L -> "same line\nsame line\nother", 6L -> "unrelated")
+      .toDF("doc_id", "text")
+    val w = Dedup.dropBoilerplateLines(within, "doc_id", "text", minDf = 2)
+      .orderBy("doc_id").collect()
+    assert(w(0).getAs[Long]("n_dropped") == 0L,
+      "df counts DISTINCT documents, not occurrences")
+    graft.engine.Caches.release()
+  }
 }
