@@ -2472,7 +2472,14 @@ object SparkEntry {
           Dedup.plantBoilerplate(col("doc_id"), col("text"),
             lineLen = 8, mod = 3).as("text")),
         "doc_id", "text", minDf = 10).orderBy("doc_id")
-    })
+    }),
+
+    // Context-window fit: per candidate sequence length, docs that fit,
+    // docs chunking must split, and the token mass truncate-at-L would
+    // discard. One scan × broadcast windows list; windows-sized output.
+    "q199_context_fit" -> ((s, dir) =>
+      Curation.contextFitReport(Tables.documents(s, dir), "text",
+        windows = Seq(16, 32, 64)).orderBy("window"))
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3700,6 +3707,10 @@ object SparkEntry {
 
     "q198_line_dedup" ->
       (Dedup.dropBoilerplateLinesSql(lineLen = 8, mod = 3, minDf = 10) +
-        "\nORDER BY doc_id")
+        "\nORDER BY doc_id"),
+
+    "q199_context_fit" ->
+      (Curation.contextFitReportSql(Seq(16, 32, 64)) +
+        "\nORDER BY \"window\"")
   )
 }

@@ -597,6 +597,65 @@ object Curation {
        |FROM audit""".stripMargin
   }
 
+  // ------------------------------------------------ context-window fit
+
+  /** CONTEXT-WINDOW FIT report: for each candidate sequence length,
+    * how much of the corpus fits outright, how many tokens a
+    * truncate-at-L policy would throw away, and how many documents a
+    * chunking policy (q190) must split — the table that picks L and the
+    * packing strategy before an embedding or training run is priced.
+    *
+    * Shape: one token-count scan, cross-joined to the broadcast
+    * windows list (|windows| rows), one aggregation keyed on the
+    * window — output is windows-sized. All-integer arithmetic; the
+    * fractions are exact-ratio doubles rounded once. */
+  def contextFitReport(docs: DataFrame, textCol: String,
+      windows: Seq[Int]): DataFrame = {
+    require(windows.nonEmpty, "no candidate windows to report on")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    toks.crossJoin(broadcast(windows.toDF("window")))
+      .groupBy("window")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_tokens") <= col("window"), 1L).otherwise(0L))
+          .as("n_docs_fit"),
+        sum(greatest(col("n_tokens") - col("window"), lit(0L)))
+          .as("tokens_lost"))
+      .select(col("window"),
+        col("n_docs_fit"),
+        (col("n_docs") - col("n_docs_fit")).as("n_docs_chunked"),
+        round(col("n_docs_fit").cast("double") / col("n_docs"), 6)
+          .as("frac_docs_fit"),
+        col("tokens_lost"),
+        round(col("tokens_lost").cast("double") / col("total_tokens"), 6)
+          .as("frac_tokens_lost"))
+  }
+
+  /** Oracle twin of [[contextFitReport]] over `documents`. */
+  def contextFitReportSql(windows: Seq[Int]): String = {
+    import TextFunctions.{Sql => T}
+    s"""WITH t AS (SELECT CAST(${T.tokenCount("text")} AS BIGINT)
+       |    AS n_tokens FROM documents),
+       |w AS (SELECT unnest([${windows.mkString(", ")}]) AS "window"),
+       |a AS (SELECT "window", count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN n_tokens <= "window" THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_docs_fit,
+       |    CAST(sum(greatest(n_tokens - "window", 0)) AS BIGINT)
+       |      AS tokens_lost
+       |  FROM t CROSS JOIN w GROUP BY "window")
+       |SELECT "window", n_docs_fit,
+       |  CAST(n_docs - n_docs_fit AS BIGINT) AS n_docs_chunked,
+       |  round(CAST(n_docs_fit AS DOUBLE) / n_docs, 6) AS frac_docs_fit,
+       |  tokens_lost,
+       |  round(CAST(tokens_lost AS DOUBLE) / total_tokens, 6)
+       |    AS frac_tokens_lost
+       |FROM a""".stripMargin
+  }
+
   /** SQL twin of [[packSequences]] (global-window formulation). */
   def packSequencesSql(binTokens: Long): String = {
     import TextFunctions.{Sql => T}

@@ -267,6 +267,26 @@ class CurationSpec extends SparkSpec {
     assert(a(5).getAs[Int]("n_mojibake") == 1 && a(5).getAs[Int]("clean") == 0)
   }
 
+  test("contextFitReport: hand-computed fit counts and truncation loss") {
+    import spark.implicits._
+    // Token counts: 2, 4, 6 (total 12).
+    val d = Seq("a b", "a b c d", "a b c d e f").toDF("text")
+    val r = Curation.contextFitReport(d, "text", Seq(3, 5, 10))
+      .orderBy("window").collect()
+    // L=3: one doc fits; losses (4-3)+(6-3)=4 of 12.
+    assert(r(0).getAs[Long]("n_docs_fit") == 1L &&
+      r(0).getAs[Long]("n_docs_chunked") == 2L &&
+      r(0).getAs[Long]("tokens_lost") == 4L &&
+      r(0).getAs[Double]("frac_tokens_lost") == math.rint(4.0 / 12 * 1e6) / 1e6)
+    // L=5: two fit, loss 1.
+    assert(r(1).getAs[Long]("n_docs_fit") == 2L &&
+      r(1).getAs[Long]("tokens_lost") == 1L)
+    // L=10: everything fits, zero loss.
+    assert(r(2).getAs[Long]("n_docs_fit") == 3L &&
+      r(2).getAs[Long]("tokens_lost") == 0L &&
+      r(2).getAs[Double]("frac_docs_fit") == 1.0)
+  }
+
   test("plantEncodingArtifacts: 7/11/13 schedule, overlaps stack") {
     import spark.implicits._
     val d = Seq(7L, 10L, 77L).map(i => i -> "base").toDF("doc_id", "text")
