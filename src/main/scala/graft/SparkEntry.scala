@@ -2479,7 +2479,16 @@ object SparkEntry {
     // discard. One scan × broadcast windows list; windows-sized output.
     "q199_context_fit" -> ((s, dir) =>
       Curation.contextFitReport(Tables.documents(s, dir), "text",
-        windows = Seq(16, 32, 64)).orderBy("window"))
+        windows = Seq(16, 32, 64)).orderBy("window")),
+
+    // License-aware curation: broadcast provenance dim → per-license
+    // compliance rollup (sources, docs, token mass, usable flag).
+    "q200_license_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.DomainCuration.licenseAudit(docs,
+        graft.operators.DomainCuration.syntheticLicenses(docs, "source"),
+        "source", "text").orderBy("license")
+    })
   )
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
@@ -3711,6 +3720,10 @@ object SparkEntry {
 
     "q199_context_fit" ->
       (Curation.contextFitReportSql(Seq(16, 32, 64)) +
-        "\nORDER BY \"window\"")
+        "\nORDER BY \"window\""),
+
+    "q200_license_audit" ->
+      (graft.operators.DomainCuration.licenseAuditSql() +
+        "\nORDER BY license")
   )
 }

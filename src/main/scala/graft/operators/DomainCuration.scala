@@ -99,6 +99,77 @@ object DomainCuration {
        |FROM agged ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------- license gating
+
+  val LicenseNames: Seq[String] =
+    Seq("cc-by", "public-domain", "cc-by-nc", "proprietary")
+
+  val AllowedLicenses: Seq[String] = Seq("cc-by", "public-domain")
+
+  /** Deterministic per-source license dimension for the q200 harness:
+    * license assigned by the source's numeric suffix mod 4. A real
+    * pipeline ingests this table from its provenance system; the
+    * operator below only assumes (domain → license) rows. */
+  def syntheticLicenses(docs: DataFrame, domainCol: String): DataFrame = {
+    val digits = regexp_extract(col(domainCol), "([0-9]+)", 1)
+    val n = when(digits === "", lit(0)).otherwise(digits.cast("int"))
+    docs.select(col(domainCol)).distinct()
+      .withColumn("license",
+        element_at(array(LicenseNames.map(lit): _*), pmod(n, lit(4)) + 1))
+  }
+
+  /** Keep only documents whose domain's license is on the allowlist —
+    * broadcast inner join + IN filter (the dimension is provenance-
+    * system-sized, thousands of rows at most). A domain MISSING from
+    * the dimension is dropped: unknown provenance is not a usable
+    * license. */
+  def licenseGate(docs: DataFrame, licenses: DataFrame, domainCol: String,
+      allowed: Seq[String] = AllowedLicenses): DataFrame =
+    docs.join(broadcast(licenses), Seq(domainCol))
+      .filter(col("license").isin(allowed: _*))
+      .drop("license")
+
+  /** License audit — the compliance rollup read alongside the gate:
+    * per license, whether it is usable, how many sources and documents
+    * carry it, and the token mass at stake. Domains missing from the
+    * dimension surface as `unknown` (not usable) rather than vanishing.
+    * One broadcast join + one license-cardinality aggregation. */
+  def licenseAudit(docs: DataFrame, licenses: DataFrame, domainCol: String,
+      textCol: String, allowed: Seq[String] = AllowedLicenses): DataFrame =
+    docs.join(broadcast(licenses), Seq(domainCol), "left")
+      .withColumn("license", coalesce(col("license"), lit("unknown")))
+      .groupBy("license")
+      .agg(countDistinct(col(domainCol)).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("total_tokens"))
+      .withColumn("allowed",
+        col("license").isin(allowed: _*).cast("int"))
+      .select("license", "allowed", "n_sources", "n_docs", "total_tokens")
+
+  /** Oracle twin of [[syntheticLicenses]] → [[licenseAudit]] over
+    * `documents` (`source` = domain; the synthetic dimension covers
+    * every source, so the left join degenerates to inner). */
+  def licenseAuditSql(): String = {
+    import TextFunctions.{Sql => T}
+    val names = LicenseNames.zipWithIndex
+      .map { case (nm, i) => s"WHEN $i THEN '$nm'" }.mkString(" ")
+    val inList = AllowedLicenses.map(l => s"'$l'").mkString(", ")
+    s"""WITH dim AS (SELECT source,
+       |    CASE (CASE WHEN regexp_extract(source, '([0-9]+)', 1) = ''
+       |      THEN 0 ELSE CAST(regexp_extract(source, '([0-9]+)', 1)
+       |        AS INT) END) % 4 $names END AS license
+       |  FROM (SELECT DISTINCT source FROM documents) _),
+       |j AS (SELECT d.source, dim.license, ${T.tokenCount("d.text")}
+       |    AS n_tokens FROM documents d JOIN dim USING (source))
+       |SELECT license,
+       |  CASE WHEN license IN ($inList) THEN 1 ELSE 0 END AS allowed,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM j GROUP BY license""".stripMargin
+  }
+
   // ------------------------------------------------ URL canonicalization
 
   /** URL canonicalization — the step BEFORE any URL-keyed dedup: the

@@ -63,6 +63,33 @@ class DomainCurationSpec extends SparkSpec {
       "docs 3 and 4 involved; doc 3 counted once despite two pairs")
   }
 
+  test("licenseGate/licenseAudit: allowlist filtering, unknown quarantine") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "src0", "a b c"),      // cc-by (allowed)
+      (2L, "src1", "d e"),        // public-domain (allowed)
+      (3L, "src2", "f g h i"),    // cc-by-nc
+      (4L, "src3", "j"),          // proprietary
+      (5L, "src0", "k l"),        // cc-by again
+      (6L, "ghost", "m n o"))     // not in the dimension
+      .toDF("doc_id", "source", "text")
+    val dim = DomainCuration.syntheticLicenses(
+      d.filter(col("source") =!= "ghost"), "source")
+    val kept = DomainCuration.licenseGate(d, dim, "source")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 5L), "nc/proprietary/unknown all dropped")
+    val audit = DomainCuration.licenseAudit(d, dim, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Int]("allowed"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("total_tokens")))).toMap
+    assert(audit("cc-by") == ((1, 2L, 5L)))
+    assert(audit("public-domain") == ((1, 1L, 2L)))
+    assert(audit("cc-by-nc") == ((0, 1L, 4L)))
+    assert(audit("proprietary") == ((0, 1L, 1L)))
+    assert(audit("unknown") == ((0, 1L, 3L)),
+      "missing provenance surfaces as unknown, never usable")
+  }
+
   test("canonicalizeUrl: every noise axis collapses; content params survive") {
     import spark.implicits._
     val cases = Seq(
