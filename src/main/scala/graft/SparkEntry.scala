@@ -2488,8 +2488,21 @@ object SparkEntry {
       graft.operators.DomainCuration.licenseAudit(docs,
         graft.operators.DomainCuration.syntheticLicenses(docs, "source"),
         "source", "text").orderBy("license")
-    })
+    }),
+
+    // Data-mixture plan: per-language sampling rates/epochs against a
+    // token budget and target proportions; 'ja' has a target but no
+    // data — the plan must fail loudly on it, not renormalize silently.
+    "q201_mixture_plan" -> ((s, dir) =>
+      graft.operators.Selection.mixturePlan(Tables.documents(s, dir),
+        "lang", "text", targets = MixtureTargets, budget = 40000L,
+        maxEpochs = 4).orderBy("lang"))
   )
+
+  /** q201's target proportions (shared with the oracle). */
+  private val MixtureTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1,
+    "zh" -> 0.1, "ja" -> 0.05)
 
   /** [[custTotals]] with the money measure kept as exact DECIMAL (for
     * the additive combine of q86). */
@@ -3724,6 +3737,10 @@ object SparkEntry {
 
     "q200_license_audit" ->
       (graft.operators.DomainCuration.licenseAuditSql() +
-        "\nORDER BY license")
+        "\nORDER BY license"),
+
+    "q201_mixture_plan" ->
+      (graft.operators.Selection.mixturePlanSql(MixtureTargets,
+        budget = 40000L, maxEpochs = 4) + "\nORDER BY lang")
   )
 }

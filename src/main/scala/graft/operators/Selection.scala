@@ -93,4 +93,82 @@ object Selection {
        |  FROM tf JOIN vocab USING (w) GROUP BY 1)
        |SELECT doc_id, n_tokens, log_weight FROM scored
        |ORDER BY log_weight DESC, doc_id ASC LIMIT $topN""".stripMargin
+
+  // ------------------------------------------------------ mixture plan
+
+  /** DATA-MIXTURE PLAN: given target language proportions and a token
+    * budget, the per-language sampling plan a pretraining run executes
+    * — available token mass, the budget share, the sampling rate
+    * (rate > 1 ⇔ upsampling across epochs), the epoch count, how many
+    * UNIQUE tokens the plan consumes, and whether the share is
+    * satisfiable under the epoch cap (repeating a tiny slice dozens of
+    * times degrades the model; production mixes cap epochs, cf. the
+    * <~4-epoch guidance from data-constrained scaling studies).
+    * Languages with a target but NO data surface as unsatisfiable rows
+    * (the plan must fail loudly, not renormalize silently); languages
+    * with data but no target get weight 0.
+    *
+    * Shape: one token-count aggregation on the language key, full-outer
+    * joined to the literal target table — language-cardinality
+    * everything. */
+  def mixturePlan(docs: DataFrame, langCol: String, textCol: String,
+      targets: Seq[(String, Double)], budget: Long,
+      maxEpochs: Int): DataFrame = {
+    require(targets.nonEmpty, "no mixture targets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs.groupBy(col(langCol).as("lang"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long")).as("available_tokens"))
+    val t = targets.toDF("lang", "weight")
+    val joined = avail.join(t, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("weight"), lit(0.0)).as("weight"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"))
+      .withColumn("target_tokens",
+        floor(col("weight") * budget).cast("long"))
+    val rate0 = when(col("available_tokens") === 0, lit(null))
+      .otherwise(col("target_tokens").cast("double") /
+        col("available_tokens"))
+    joined
+      .withColumn("sampling_rate", round(coalesce(rate0, lit(0.0)), 6))
+      .withColumn("epochs", coalesce(ceil(rate0).cast("int"), lit(0)))
+      .withColumn("unique_tokens_used",
+        least(col("available_tokens"), col("target_tokens")))
+      .withColumn("satisfiable",
+        when(col("target_tokens") === 0, 1)
+          .when(col("available_tokens") === 0, 0)
+          .when(rate0 <= maxEpochs, 1).otherwise(0))
+  }
+
+  /** Oracle twin of [[mixturePlan]] over `documents` (DuckDB; the
+    * target table is a VALUES literal, the full outer join coalesces
+    * keys explicitly). */
+  def mixturePlanSql(targets: Seq[(String, Double)], budget: Long,
+      maxEpochs: Int): String = {
+    import graft.functions.TextFunctions.{Sql => T}
+    val values = targets.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+    s"""WITH avail AS (SELECT lang,
+       |    CAST(sum(${T.tokenCount("text")}) AS BIGINT)
+       |      AS available_tokens
+       |  FROM documents GROUP BY lang),
+       |t(lang, weight) AS (VALUES $values),
+       |j AS (SELECT coalesce(a.lang, t.lang) AS lang,
+       |    coalesce(t.weight, 0.0) AS weight,
+       |    coalesce(a.available_tokens, 0) AS available_tokens,
+       |    CAST(floor(coalesce(t.weight, 0.0) * $budget) AS BIGINT)
+       |      AS target_tokens
+       |  FROM avail a FULL OUTER JOIN t ON a.lang = t.lang),
+       |r AS (SELECT *, CASE WHEN available_tokens = 0 THEN NULL
+       |    ELSE CAST(target_tokens AS DOUBLE) / available_tokens END
+       |      AS rate0 FROM j)
+       |SELECT lang, weight, available_tokens, target_tokens,
+       |  round(coalesce(rate0, 0.0), 6) AS sampling_rate,
+       |  coalesce(CAST(ceil(rate0) AS INT), 0) AS epochs,
+       |  least(available_tokens, target_tokens) AS unique_tokens_used,
+       |  CASE WHEN target_tokens = 0 THEN 1
+       |    WHEN available_tokens = 0 THEN 0
+       |    WHEN rate0 <= $maxEpochs THEN 1 ELSE 0 END AS satisfiable
+       |FROM r""".stripMargin
+  }
 }

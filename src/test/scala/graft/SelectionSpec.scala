@@ -47,4 +47,34 @@ class SelectionSpec extends SparkSpec {
       s"selected en-share $enShareSelected <= corpus $enShareCorpus")
     assert(sel.count() == n)
   }
+
+  test("mixturePlan: rates, epochs, loud failure on missing languages") {
+    import spark.implicits._
+    import graft.operators.Selection
+    // Token mass: en 10 ("a"x10 over two docs), de 2.
+    val d = Seq(
+      ("en", "a a a a a"), ("en", "b b b b b"), ("de", "c c"))
+      .toDF("lang", "text")
+    val plan = Selection.mixturePlan(d, "lang", "text",
+      targets = Seq("en" -> 0.5, "de" -> 0.4, "ja" -> 0.1),
+      budget = 20L, maxEpochs = 3)
+      .orderBy("lang").collect()
+    val byLang = plan.map(r => r.getString(0) -> r).toMap
+    val en = byLang("en") // target 10 of avail 10 → rate 1, 1 epoch
+    assert(en.getAs[Long]("target_tokens") == 10L &&
+      en.getAs[Double]("sampling_rate") == 1.0 &&
+      en.getAs[Int]("epochs") == 1 &&
+      en.getAs[Int]("satisfiable") == 1 &&
+      en.getAs[Long]("unique_tokens_used") == 10L)
+    val de = byLang("de") // target 8 of avail 2 → rate 4 > cap 3
+    assert(de.getAs[Double]("sampling_rate") == 4.0 &&
+      de.getAs[Int]("epochs") == 4 &&
+      de.getAs[Int]("satisfiable") == 0,
+      "over-the-epoch-cap upsampling must be flagged")
+    val ja = byLang("ja") // target but zero data
+    assert(ja.getAs[Long]("available_tokens") == 0L &&
+      ja.getAs[Int]("epochs") == 0 &&
+      ja.getAs[Int]("satisfiable") == 0,
+      "a language with no data fails loudly, never renormalizes")
+  }
 }
