@@ -2496,7 +2496,18 @@ object SparkEntry {
     "q201_mixture_plan" -> ((s, dir) =>
       graft.operators.Selection.mixturePlan(Tables.documents(s, dir),
         "lang", "text", targets = MixtureTargets, budget = 40000L,
-        maxEpochs = 4).orderBy("lang"))
+        maxEpochs = 4).orderBy("lang")),
+
+    // Embedding intake QA: wrong-dim / NaN / zero-norm counts + the
+    // healthy norm distribution (corruption planted on 31/41/53).
+    "q202_embedding_qa" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.embeddingQa(
+        emb.select(col("vec_id"),
+          Similarity.plantBadVectors(col("vec_id"), col("embedding"),
+            Similarity.Dim).as("embedding")),
+        "embedding", expectedDim = Similarity.Dim)
+    })
   )
 
   /** q201's target proportions (shared with the oracle). */
@@ -3741,6 +3752,9 @@ object SparkEntry {
 
     "q201_mixture_plan" ->
       (graft.operators.Selection.mixturePlanSql(MixtureTargets,
-        budget = 40000L, maxEpochs = 4) + "\nORDER BY lang")
+        budget = 40000L, maxEpochs = 4) + "\nORDER BY lang"),
+
+    "q202_embedding_qa" ->
+      Similarity.embeddingQaSql(expectedDim = Similarity.Dim)
   )
 }

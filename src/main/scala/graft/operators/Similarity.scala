@@ -1240,4 +1240,89 @@ object Similarity {
        |      CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS TINYINT))
        |  END, ',') AS qvec
        |FROM s ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------- embedding intake QA
+
+  /** EMBEDDING INTAKE QA — the gate run before any vector lands in an
+    * index: counts of wrong-dimension vectors (truncated uploads,
+    * mixed-model batches), vectors carrying NaN (overflowed encoders),
+    * zero-norm vectors (cosine-undefined; every downstream cosine guard
+    * silently maps them to 0 similarity), plus the norm distribution of
+    * the healthy remainder (mean/min/max — a shifted norm distribution
+    * is the cheapest signal that the encoder version changed). One
+    * map-only flag projection, one global aggregate, 1-row output.
+    * Flags are mutually exclusive by precedence (wrong-dim → NaN →
+    * zero-norm) so the counts partition the bad set. Norm mean is
+    * exact-decimal ([[graft.engine.Aggregates.avgExact]]); the norm
+    * itself is the strict left-to-right double dot shared with the ANN
+    * tier, so the oracle replays it bit-for-bit. */
+  def embeddingQa(vecs: DataFrame, embCol: String,
+      expectedDim: Int): DataFrame = {
+    val e = col(embCol)
+    val wrongDim = size(e) =!= expectedDim
+    val hasNan = exists(e, x => isnan(x.cast("double")))
+    val nrm = norm(e)
+    val flagged = vecs.select(
+      when(wrongDim, 1).otherwise(0).as("wrong_dim"),
+      when(!wrongDim && hasNan, 1).otherwise(0).as("has_nan"),
+      when(!wrongDim && !hasNan && nrm === 0.0, 1).otherwise(0)
+        .as("zero_norm"),
+      when(!wrongDim && !hasNan && nrm =!= 0.0, nrm).as("good_norm"))
+    flagged.agg(
+      count(lit(1)).as("n_vecs"),
+      sum("wrong_dim").cast("long").as("n_wrong_dim"),
+      sum("has_nan").cast("long").as("n_nan"),
+      sum("zero_norm").cast("long").as("n_zero_norm"),
+      round(graft.engine.Aggregates.avgExact(col("good_norm")), 6)
+        .as("norm_mean"),
+      round(min("good_norm"), 6).as("norm_min"),
+      round(max("good_norm"), 6).as("norm_max"))
+  }
+
+  /** q202 corruption planting: every 31st vector zeroed, every 41st
+    * gets a NaN head element, every 53rd is truncated to half the
+    * dimension. Harness only. */
+  def plantBadVectors(id: Column, emb: Column, dim: Int): Column =
+    when(id % 31 === 0, transform(emb, _ => lit(0.0f)))
+      .when(id % 41 === 0,
+        concat(array(lit(Float.NaN)), slice(emb, 2, dim - 1)))
+      .when(id % 53 === 0, slice(emb, 1, dim / 2))
+      .otherwise(emb)
+
+  /** Oracle twin of [[plantBadVectors]] → [[embeddingQa]] over
+    * `embeddings` (DuckDB; the same flag precedence, the same
+    * left-to-right norm, `'NaN'::FLOAT` for the planted head). */
+  def embeddingQaSql(expectedDim: Int): String = {
+    val nrm = s"sqrt(${Sql.dotDim("emb", "emb", expectedDim)})"
+    s"""WITH p AS (SELECT vec_id,
+       |    CASE WHEN vec_id % 31 = 0
+       |      THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+       |    WHEN vec_id % 41 = 0
+       |      THEN list_concat([CAST('NaN' AS FLOAT)], embedding[2:])
+       |    WHEN vec_id % 53 = 0 THEN embedding[1 : ${expectedDim / 2}]
+       |    ELSE embedding END AS emb
+       |  FROM embeddings),
+       |f AS (SELECT
+       |    CASE WHEN len(emb) <> $expectedDim THEN 1 ELSE 0 END
+       |      AS wrong_dim,
+       |    CASE WHEN len(emb) = $expectedDim AND len(list_filter(emb,
+       |      x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 1 ELSE 0 END
+       |      AS has_nan,
+       |    CASE WHEN len(emb) = $expectedDim AND len(list_filter(emb,
+       |        x -> isnan(CAST(x AS DOUBLE)))) = 0 AND $nrm = 0.0
+       |      THEN 1 ELSE 0 END AS zero_norm,
+       |    CASE WHEN len(emb) = $expectedDim AND len(list_filter(emb,
+       |        x -> isnan(CAST(x AS DOUBLE)))) = 0 AND $nrm <> 0.0
+       |      THEN $nrm END AS good_norm
+       |  FROM p)
+       |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(wrong_dim) AS BIGINT) AS n_wrong_dim,
+       |  CAST(sum(has_nan) AS BIGINT) AS n_nan,
+       |  CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm,
+       |  round(${graft.engine.Aggregates.avgExactSql("good_norm")}, 6)
+       |    AS norm_mean,
+       |  round(min(good_norm), 6) AS norm_min,
+       |  round(max(good_norm), 6) AS norm_max
+       |FROM f""".stripMargin
+  }
 }

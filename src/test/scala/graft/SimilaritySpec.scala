@@ -523,4 +523,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == ((Some(3L), 1.0 / 3)))
     assert(out(2L) == ((None, 0.0)))
   }
+
+  test("embeddingQa: flag precedence partitions the bad set; norm stats") {
+    import spark.implicits._
+    val dim = 4
+    val d = Seq(
+      (1L, Array(3.0f, 0f, 4f, 0f)),            // healthy, norm 5
+      (2L, Array(0f, 0f, 0f, 0f)),              // zero norm
+      (3L, Array(Float.NaN, 1f, 1f, 1f)),       // NaN
+      (4L, Array(1.0f, 2.0f)),                  // wrong dim
+      (5L, Array(Float.NaN, 9f)),               // wrong dim AND NaN → wrong_dim
+      (6L, Array(0f, 0f, 0f, 12f)))             // healthy, norm 12
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embeddingQa(d, "embedding", dim).head()
+    assert(r.getAs[Long]("n_vecs") == 6L)
+    assert(r.getAs[Long]("n_wrong_dim") == 2L,
+      "precedence: wrong-dim wins over NaN")
+    assert(r.getAs[Long]("n_nan") == 1L)
+    assert(r.getAs[Long]("n_zero_norm") == 1L)
+    assert(r.getAs[Double]("norm_mean") == 8.5)
+    assert(r.getAs[Double]("norm_min") == 5.0 &&
+      r.getAs[Double]("norm_max") == 12.0)
+  }
+
+  test("plantBadVectors drives exactly the planted corruption classes") {
+    import spark.implicits._
+    val dim = 4
+    val base = Array(1.0f, 1f, 1f, 1f)
+    val d = Seq(31L, 41L, 53L, 7L).map(_ -> base).toDF("vec_id", "embedding")
+    val planted = d.select(col("vec_id"),
+      Similarity.plantBadVectors(col("vec_id"), col("embedding"), dim)
+        .as("embedding"))
+    val r = Similarity.embeddingQa(planted, "embedding", dim).head()
+    assert(r.getAs[Long]("n_zero_norm") == 1L) // 31
+    assert(r.getAs[Long]("n_nan") == 1L)       // 41
+    assert(r.getAs[Long]("n_wrong_dim") == 1L) // 53
+    assert(r.getAs[Double]("norm_mean") == 2.0) // the untouched 7
+  }
 }
