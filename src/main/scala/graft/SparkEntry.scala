@@ -2507,6 +2507,18 @@ object SparkEntry {
           Similarity.plantBadVectors(col("vec_id"), col("embedding"),
             Similarity.Dim).as("embedding")),
         "embedding", expectedDim = Similarity.Dim)
+    }),
+
+    // Character-entropy gate: Shannon entropy of the per-doc char
+    // distribution flags key-mash/padding/base64 degeneracy (planted
+    // every 23rd doc). Exact-decimal Σ; ln the only float op.
+    "q203_char_entropy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      CorpusStats.charEntropy(
+        docs.select(col("doc_id"),
+          CorpusStats.plantDegenerateText(col("doc_id"), col("text"))
+            .as("text")),
+        "doc_id", "text", minEntropy = 2.0).orderBy("doc_id")
     })
   )
 
@@ -3755,6 +3767,9 @@ object SparkEntry {
         budget = 40000L, maxEpochs = 4) + "\nORDER BY lang"),
 
     "q202_embedding_qa" ->
-      Similarity.embeddingQaSql(expectedDim = Similarity.Dim)
+      Similarity.embeddingQaSql(expectedDim = Similarity.Dim),
+
+    "q203_char_entropy" ->
+      (CorpusStats.charEntropySql(minEntropy = 2.0) + "\nORDER BY doc_id")
   )
 }

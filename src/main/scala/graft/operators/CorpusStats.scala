@@ -253,6 +253,59 @@ object CorpusStats {
        |    THEN 1 ELSE 0 END AS pass
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------- char entropy
+
+  /** CHARACTER-ENTROPY quality signal: Shannon entropy (nats) of the
+    * per-document character distribution — the cheapest degenerate-text
+    * detector (key-mash, padding runs, base64 blobs, single-char spam
+    * all sit far from natural text's ≈2.8 nats). `H = ln N − (Σ cᵢ ln
+    * cᵢ)/N` over exact integer counts; the Σ is an exact-decimal sum of
+    * per-character terms ([[Aggregates.sumExact]]) so reduce order
+    * never shifts the result, `ln` is the only float op (the q96/q191
+    * contract). `low_entropy = 1` below `minEntropy`.
+    *
+    * Shape: explode to one row per character occurrence, two-level
+    * aggregate keyed on the doc id — the q192 inverted-index shape,
+    * map-side combinable, linear in corpus bytes. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+      minEntropy: Double): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(idCol))
+      .agg(sum("cnt").cast("long").as("n_chars"),
+        round(log(sum("cnt")) -
+          Aggregates.sumExact(col("cnt") * log(col("cnt"))) / sum("cnt"),
+          6).as("char_entropy"))
+      .withColumn("low_entropy",
+        (col("char_entropy") < minEntropy).cast("int"))
+  }
+
+  /** q203 degenerate-text planting: every 23rd document becomes a
+    * repeated two-character run (the padding/key-mash shape). */
+  def plantDegenerateText(id: Column, text: Column): Column =
+    when(id % 23 === 0, repeat(lit("aa "), 40)).otherwise(text)
+
+  /** Oracle twin of [[plantDegenerateText]] → [[charEntropy]] over
+    * `documents` (DuckDB; per-char explode via `regexp_extract_all
+    * '.'` — no newlines in this corpus — same exact-decimal Σ). */
+  def charEntropySql(minEntropy: Double): String =
+    s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0
+       |    THEN repeat('aa ', 40) ELSE text END AS text FROM documents),
+       |e AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+       |  FROM p),
+       |c AS (SELECT doc_id, ch, count(*) AS cnt FROM e
+       |  GROUP BY doc_id, ch),
+       |h AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+       |    round(ln(sum(cnt)) -
+       |      ${Aggregates.sumExactSql("cnt * ln(cnt)")} / sum(cnt), 6)
+       |      AS char_entropy
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_chars, char_entropy,
+       |  CASE WHEN char_entropy < $minEntropy THEN 1 ELSE 0 END
+       |    AS low_entropy
+       |FROM h""".stripMargin
+
   // -------------------------------------------------- repetition metrics
 
   /** Within-document repetition signals (Rae et al., "Scaling Language

@@ -394,6 +394,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(m(1).getAs[Int]("pass") == 1)
   }
 
+  test("charEntropy: closed-form values, degenerate plant flagged") {
+    import org.apache.spark.sql.functions.col
+    // "aaab": p(a)=3/4, p(b)=1/4 → H = ln4 - (3 ln3)/4.
+    val d = docs(1L -> "aaab", 2L -> "aaaa", 3L -> "abcd")
+    val m = CorpusStats.charEntropy(d, "doc_id", "text", minEntropy = 1.0)
+      .orderBy("doc_id").collect()
+    def round6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(m(0).getAs[Long]("n_chars") == 4L)
+    assert(math.abs(m(0).getAs[Double]("char_entropy") -
+      round6(math.log(4) - 3 * math.log(3) / 4)) < 2e-6)
+    assert(m(1).getAs[Double]("char_entropy") == 0.0 &&
+      m(1).getAs[Int]("low_entropy") == 1, "single-char run: H = 0")
+    assert(m(2).getAs[Double]("char_entropy") == round6(math.log(4)) &&
+      m(2).getAs[Int]("low_entropy") == 0, "uniform 4 chars: H = ln 4")
+    // The planted key-mash shape lands under any sane threshold.
+    val planted = d.select(col("doc_id"),
+      CorpusStats.plantDegenerateText(col("doc_id") * 23, col("text"))
+        .as("text"))
+    val p = CorpusStats.charEntropy(planted, "doc_id", "text", 2.0)
+      .orderBy("doc_id").collect()
+    assert(p.forall(_.getAs[Int]("low_entropy") == 1),
+      "all ids ≡ 0 mod 23 → every doc is the planted run")
+  }
+
   test("gopherLines folds tokens into lines and plants the repeated header") {
     import spark.implicits._
     val d = Seq(5L -> "a b c d e f g h i j", 6L -> "a b c d e")
