@@ -2519,6 +2519,21 @@ object SparkEntry {
           CorpusStats.plantDegenerateText(col("doc_id"), col("text"))
             .as("text")),
         "doc_id", "text", minEntropy = 2.0).orderBy("doc_id")
+    }),
+
+    // Streaming chat intake: the q194 gate in deployment shape — each
+    // micro-batch validated, routed to accepted/quarantine sinks with
+    // first-fail reasons, idempotent per batch id. Two-run demo; the
+    // report rolls up both sinks per (batch, reason).
+    "q204_stream_chat_intake" -> ((s, dir) => {
+      val t = Tables.documents(s, dir).select(col("doc_id"),
+        graft.operators.ChatData.syntheticTranscript(
+          col("doc_id"), col("text")).as("transcript"))
+      graft.streaming.ChatIntake.twoRunIntake(s,
+        t.filter(col("doc_id") % 2 === 1),
+        t.filter(col("doc_id") % 2 === 0),
+        s"${graft.engine.Sinks.scratch}/q204_chat_intake")
+        .orderBy("batch_id", "reason")
     })
   )
 
@@ -3770,6 +3785,10 @@ object SparkEntry {
       Similarity.embeddingQaSql(expectedDim = Similarity.Dim),
 
     "q203_char_entropy" ->
-      (CorpusStats.charEntropySql(minEntropy = 2.0) + "\nORDER BY doc_id")
+      (CorpusStats.charEntropySql(minEntropy = 2.0) + "\nORDER BY doc_id"),
+
+    "q204_stream_chat_intake" ->
+      (graft.streaming.ChatIntake.intakeReportSql() +
+        "\nORDER BY batch_id, reason")
   )
 }
