@@ -315,15 +315,17 @@ object SparkEntry {
     * `iv` (rank retained) side by side, over [[ivfChainCtes]]. */
   private lazy val annEvalCtes = s"""$ivfChainCtes,
     |bt AS (
-    |  SELECT query_id, neighbor_id FROM (
+    |  SELECT query_id, neighbor_id, rank AS t_rank, cos AS t_cos FROM (
     |    SELECT query_id, neighbor_id,
+    |      ${Similarity.Sql.cosine("q_emb", "c_emb")} AS cos,
     |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
     |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
     |    FROM corpus JOIN qs ON query_id != neighbor_id) t
     |  WHERE rank <= 5),
     |iv AS (
-    |  SELECT query_id, neighbor_id, rank FROM (
+    |  SELECT query_id, neighbor_id, rank, cos AS a_cos FROM (
     |    SELECT query_id, neighbor_id,
+    |      ${Similarity.Sql.cosine("q_emb", "c_emb")} AS cos,
     |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
     |        ${Similarity.Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
     |    FROM corpus_cells JOIN query_cells USING (cent_id)
@@ -2534,6 +2536,19 @@ object SparkEntry {
         t.filter(col("doc_id") % 2 === 0),
         s"${graft.engine.Sinks.scratch}/q204_chat_intake")
         .orderBy("batch_id", "reason")
+    }),
+
+    // nDCG of the IVF ranking vs the exact one (graded gains = exact
+    // cosines) — completes the ANN eval triple beside q155/q163.
+    "q205_ann_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        emb, "vec_id", "embedding", initStride = 53, iters = 2)
+      Similarity.ndcgAtK(
+        Similarity.bruteForceTopK(qs, emb, k = 5),
+        Similarity.ivfTopKWith(qs, emb, k = 5, cents, nProbe = 3))
+        .orderBy("query_id")
     })
   )
 
@@ -3789,6 +3804,19 @@ object SparkEntry {
 
     "q204_stream_chat_intake" ->
       (graft.streaming.ChatIntake.intakeReportSql() +
-        "\nORDER BY batch_id, reason")
+        "\nORDER BY batch_id, reason"),
+
+    "q205_ann_ndcg" -> s"""$annEvalCtes,
+      |dcgs AS (SELECT query_id,
+      |    ${graft.engine.Aggregates.sumExactSql("a_cos / ln(rank + 1)")}
+      |      AS dcg0 FROM iv GROUP BY query_id),
+      |idcgs AS (SELECT query_id,
+      |    ${graft.engine.Aggregates.sumExactSql("t_cos / ln(t_rank + 1)")}
+      |      AS idcg0 FROM bt GROUP BY query_id)
+      |SELECT query_id, round(dcg0, 6) AS dcg, round(idcg0, 6) AS idcg,
+      |  round(CASE WHEN idcg0 = 0 THEN 0.0 ELSE dcg0 / idcg0 END, 6)
+      |    AS ndcg
+      |FROM dcgs JOIN idcgs USING (query_id)
+      |ORDER BY query_id""".stripMargin
   )
 }

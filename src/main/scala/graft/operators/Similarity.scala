@@ -147,6 +147,32 @@ object Similarity {
       .withColumn("mrr", when(col("first_hit").isNull, 0.0)
         .otherwise(lit(1.0) / col("first_hit")))
 
+  /** Ranking-quality companion to [[recallAtK]]/[[mrrAtK]]: nDCG of an
+    * approximate ranking against the exact one, with the EXACT cosine
+    * as the graded gain — recall says how much of the truth an ANN
+    * returns, MRR how early the first hit lands, nDCG how well the
+    * WHOLE head is ordered (two rankings with identical recall can
+    * differ badly here). Both inputs carry `(query_id, neighbor_id,
+    * cosine, rank)`; output per query: the (natural-log) DCG of each
+    * ranking and their ratio. The ln-discounted DCG differs from the
+    * textbook log₂ form by the constant ln 2 in BOTH numerator and
+    * denominator, so `ndcg` IS the standard metric — and ln is the one
+    * float op with a proven cross-engine bit contract here (the
+    * q96/q191 precedent; log₂ has no such guarantee). Per-term values
+    * go through the exact-decimal Σ so reduce order never shifts a
+    * digit. k·|queries|-sized, like the other two evaluations. */
+  def ndcgAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
+    def dcgOf(r: DataFrame, out: String) = r.groupBy("query_id")
+      .agg(graft.engine.Aggregates.sumExact(
+        col("cosine") / log(col("rank") + 1)).as(out))
+    dcgOf(approx, "dcg0").join(dcgOf(truth, "idcg0"), Seq("query_id"))
+      .select(col("query_id"),
+        round(col("dcg0"), 6).as("dcg"),
+        round(col("idcg0"), 6).as("idcg"),
+        round(when(col("idcg0") === 0.0, 0.0)
+          .otherwise(col("dcg0") / col("idcg0")), 6).as("ndcg"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup), exact.
     *
     * Distributed all-pairs without a nested-loop join: vectors are hashed

@@ -524,6 +524,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((None, 0.0)))
   }
 
+  test("ndcgAtK: perfect ranking → 1.0; order degradation is graded") {
+    import spark.implicits._
+    def rk(rows: (Long, Long, Double, Int)*) =
+      rows.toDF("query_id", "neighbor_id", "cosine", "rank")
+    val truth = rk((1L, 10L, 0.9, 1), (1L, 11L, 0.6, 2), (1L, 12L, 0.3, 3))
+    // Identical ranking → nDCG exactly 1.
+    val perfect = Similarity.ndcgAtK(truth, truth).head()
+    assert(perfect.getAs[Double]("ndcg") == 1.0)
+    // Same items, top two swapped: DCG drops but all gains retained.
+    val swapped = rk((1L, 11L, 0.6, 1), (1L, 10L, 0.9, 2), (1L, 12L, 0.3, 3))
+    val s = Similarity.ndcgAtK(truth, swapped).head()
+    assert(s.getAs[Double]("ndcg") < 1.0 && s.getAs[Double]("ndcg") > 0.9,
+      s"swap of adjacent head items is a mild degradation: $s")
+    // Missing the best item entirely hurts more than any reorder.
+    val missing = rk((1L, 11L, 0.6, 1), (1L, 12L, 0.3, 2))
+    val m = Similarity.ndcgAtK(truth, missing).head()
+    assert(m.getAs[Double]("ndcg") < s.getAs[Double]("ndcg"))
+    // Closed form for the swap, ln-discounted: Σ gain/ln(rank+1).
+    def dcg(g: Seq[Double]) = g.zipWithIndex
+      .map { case (x, i) => math.rint(x / math.log(i + 2) * 1e6) / 1e6 }.sum
+    val want = math.rint(dcg(Seq(0.6, 0.9, 0.3)) / dcg(Seq(0.9, 0.6, 0.3)) * 1e6) / 1e6
+    assert(math.abs(s.getAs[Double]("ndcg") - want) < 2e-6)
+  }
+
   test("embeddingQa: flag precedence partitions the bad set; norm stats") {
     import spark.implicits._
     val dim = 4
