@@ -176,4 +176,50 @@ class EmptyInputSpec extends SparkSpec {
     assert(Retrieval.bm25TopK(noDocs, "doc_id", "text").count() == 0)
     graft.engine.Caches.release()
   }
+
+  test("fifth-wave operators (q192-q205) are total on empty inputs") {
+    import graft.operators.{ChatData, Curation, Dedup, DomainCuration,
+      Selection, Similarity, WebText}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "some perfectly ordinary text")).toDF("doc_id", "text")
+    assert(CorpusStats.gopherLineStats(noDocs, "doc_id", "text").count() == 0)
+    assert(Curation.encodingAudit(noDocs, "doc_id", "text").count() == 0)
+    assert(ChatData.validateTranscripts(
+      noDocs.withColumnRenamed("text", "transcript"),
+      "doc_id", "transcript").count() == 0)
+    assert(DomainCuration.canonicalUrlReport(
+      noDocs.withColumnRenamed("text", "url"), "doc_id", "url").count() == 0)
+    assert(WebText.extractText(
+      noDocs.withColumnRenamed("text", "html"), "doc_id", "html").count() == 0)
+    assert(Dedup.dropBoilerplateLines(noDocs, "doc_id", "text",
+      minDf = 2).count() == 0)
+    // Context fit over zero docs: no per-window rows (never a 0/0).
+    assert(Curation.contextFitReport(noDocs, "text", Seq(8)).count() == 0)
+    // License audit with an empty dimension: everything is 'unknown'.
+    val noDim = Seq.empty[(String, String)].toDF("source", "license")
+    val audited = DomainCuration.licenseAudit(
+      docs.withColumn("source", lit("s")), noDim, "source", "text").collect()
+    assert(audited.length == 1 && audited(0).getString(0) == "unknown" &&
+      audited(0).getAs[Int]("allowed") == 0)
+    // Mixture plan over an empty corpus: every target is unsatisfiable
+    // (or trivially satisfied at weight 0), never a division error.
+    val plan = Selection.mixturePlan(
+      Seq.empty[(String, String)].toDF("lang", "text"), "lang", "text",
+      Seq("en" -> 1.0), budget = 100L, maxEpochs = 4).collect()
+    assert(plan.length == 1 && plan(0).getAs[Int]("satisfiable") == 0)
+    // Embedding QA over zero vectors: one row of zeros, null norms.
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val qa = Similarity.embeddingQa(noVecs, "embedding", 4).head()
+    assert(qa.getAs[Long]("n_vecs") == 0L && qa.isNullAt(4))
+    assert(CorpusStats.charEntropy(noDocs, "doc_id", "text", 2.0)
+      .count() == 0)
+    // Dedup-method eval on a dup-free corpus: zero truth, zero division.
+    val distinctDocs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val ev = Dedup.dedupMethodEval(distinctDocs, "doc_id", "text")
+      .collect()
+    assert(ev.forall(_.getAs[Double]("recall") == 0.0) &&
+      ev.forall(_.getAs[Double]("f1") == 0.0))
+    graft.engine.Caches.release()
+  }
 }
