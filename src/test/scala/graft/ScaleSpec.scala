@@ -120,4 +120,34 @@ class ScaleSpec extends SparkSpec {
     assert(!pDr.contains("CartesianProduct"), s"cartesian at x10:\n$pDr")
     graft.engine.Caches.release()
   }
+
+  test("x10 fifth-wave plans: line dedup stays equi, method eval never BNLJ") {
+    def docs(d: String) = spark.read.parquet(s"$d/documents.parquet")
+    // Cross-doc line dedup at x10: the df-count join keys on the md5
+    // hash (equi), the reassembly is one doc-keyed agg — no nested
+    // loop, no corpus-global window.
+    val pLd = plan(Dedup.dropBoilerplateLines(
+      docs(dir).select(col("doc_id"),
+        Dedup.plantBoilerplate(col("doc_id"), col("text"), 8, 3)
+          .as("text")),
+      "doc_id", "text", minDf = 10))
+    assert(!pLd.contains("BroadcastNestedLoopJoin") &&
+      !pLd.contains("CartesianProduct"), s"non-equi join at x10:\n$pLd")
+    assert(!pLd.contains("Window"), s"unexpected window at x10:\n$pLd")
+    graft.engine.Caches.release()
+    // Dedup-method eval at x10: every pair generator is banded/grouped
+    // equi. The 1-row truth-count crossJoin legitimately plans as a
+    // broadcast nested loop (1 row × methods rows — constant work); the
+    // shape that must NEVER appear is an unbroadcast cartesian.
+    val pEv = plan(Dedup.dedupMethodEval(docs(dir), "doc_id", "text"))
+    assert(!pEv.contains("CartesianProduct"), s"cartesian at x10:\n$pEv")
+    graft.engine.Caches.release()
+    // Gopher line stats at x10: explode + two hash aggs, no join at all.
+    val pGl = plan(graft.operators.CorpusStats.gopherLineStats(
+      docs(dir).select(col("doc_id"),
+        graft.operators.CorpusStats.gopherLines(col("doc_id"), col("text"),
+          8, 5).as("text")), "doc_id", "text"))
+    assert(!pGl.contains("Join"), s"unexpected join at x10:\n$pGl")
+    graft.engine.Caches.release()
+  }
 }
