@@ -2538,6 +2538,16 @@ object SparkEntry {
         .orderBy("batch_id", "reason")
     }),
 
+    // Keyword safety gate with category attribution (C4 badwords
+    // stage): native marker kernels, map-only; planted on 19/29.
+    "q206_safety_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.safetyGate(
+        docs.select(col("doc_id"),
+          Curation.plantSafetyTerms(col("doc_id"), col("text")).as("text")),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+
     // nDCG of the IVF ranking vs the exact one (graded gains = exact
     // cosines) — completes the ANN eval triple beside q155/q163.
     "q205_ann_ndcg" -> ((s, dir) => {
@@ -3817,6 +3827,9 @@ object SparkEntry {
       |  round(CASE WHEN idcg0 = 0 THEN 0.0 ELSE dcg0 / idcg0 END, 6)
       |    AS ndcg
       |FROM dcgs JOIN idcgs USING (query_id)
-      |ORDER BY query_id""".stripMargin
+      |ORDER BY query_id""".stripMargin,
+
+    "q206_safety_gate" ->
+      (Curation.safetyGateSql() + "\nORDER BY doc_id")
   )
 }

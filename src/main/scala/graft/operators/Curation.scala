@@ -597,6 +597,78 @@ object Curation {
        |FROM audit""".stripMargin
   }
 
+  // ---------------------------------------------------- safety gating
+
+  /** Safety-term categories for the keyword gate. Category ORDER is the
+    * attribution order (first non-zero category names the block). A
+    * production list is thousands of terms per category (C4's badwords
+    * list); the kernel cost is one token scan regardless. */
+  val SafetyCategories: Seq[(String, Seq[String])] = Seq(
+    "adult" -> Seq("nsfw", "xrated"),
+    "violence" -> Seq("gorefest", "slaughter"),
+    "gambling" -> Seq("casino", "jackpot"))
+
+  /** KEYWORD SAFETY GATE (the C4 §2.2 badwords filter): per document,
+    * hit counts for every category (native one-byte-scan marker kernel
+    * — stays inside whole-stage codegen no matter how long the lists
+    * get), a `blocked` flag when total hits exceed `maxHits`, and the
+    * FIRST offending category for triage ("none" when clean). Map-only
+    * projection — flat wall at any corpus size; blocked docs route to
+    * human review or a model-based second opinion, never silent drops.
+    */
+  def safetyGate(docs: DataFrame, idCol: String, textCol: String,
+      categories: Seq[(String, Seq[String])] = SafetyCategories,
+      maxHits: Int = 0): DataFrame = {
+    require(categories.nonEmpty, "no safety categories configured")
+    val hitCols = categories.map { case (cat, words) =>
+      cat -> TextFunctions.markerHits(col(textCol), words).cast("int")
+    }
+    val total = hitCols.map(_._2).reduce(_ + _)
+    val firstCat = hitCols.reverse.foldLeft(lit("none")) {
+      case (acc, (cat, h)) => when(h > 0, lit(cat)).otherwise(acc)
+    }
+    docs.select(col(idCol) +:
+      hitCols.map { case (c, h) => h.as(s"${c}_hits") } :+
+      (total > maxHits).cast("int").as("blocked") :+
+      firstCat.as("category"): _*)
+  }
+
+  /** q206 planting: every 19th document gains gambling terms, every
+    * 29th a violence term (overlaps at 551 exercise the attribution
+    * order). Harness only. */
+  def plantSafetyTerms(id: Column, text: Column): Column = {
+    val g = when(id % 19 === 0,
+      concat(text, lit(" casino jackpot casino"))).otherwise(text)
+    when(id % 29 === 0, concat(g, lit(" gorefest"))).otherwise(g)
+  }
+
+  /** Oracle twin of [[plantSafetyTerms]] → [[safetyGate]] over
+    * `documents` (same marker-hit token semantics, same attribution
+    * fold). */
+  def safetyGateSql(categories: Seq[(String, Seq[String])] =
+      SafetyCategories, maxHits: Int = 0): String = {
+    import TextFunctions.{Sql => T}
+    val hits = categories.map { case (c, ws) =>
+      s"CAST(${T.markerHits("text", ws)} AS INTEGER) AS ${c}_hits"
+    }.mkString(",\n|    ")
+    val total = categories.map { case (c, _) => s"${c}_hits" }.mkString(" + ")
+    val cases = categories.map { case (c, _) =>
+      s"WHEN ${c}_hits > 0 THEN '$c'"
+    }.mkString(" ")
+    s"""WITH g AS (SELECT doc_id, CASE WHEN doc_id % 19 = 0
+       |    THEN text || ' casino jackpot casino' ELSE text END AS text
+       |  FROM documents),
+       |aug AS (SELECT doc_id, CASE WHEN doc_id % 29 = 0
+       |    THEN text || ' gorefest' ELSE text END AS text FROM g),
+       |h AS (SELECT doc_id,
+       |    $hits
+       |  FROM aug)
+       |SELECT doc_id, ${categories.map(_._1 + "_hits").mkString(", ")},
+       |  CASE WHEN $total > $maxHits THEN 1 ELSE 0 END AS blocked,
+       |  CASE $cases ELSE 'none' END AS category
+       |FROM h""".stripMargin
+  }
+
   // ------------------------------------------------ context-window fit
 
   /** CONTEXT-WINDOW FIT report: for each candidate sequence length,

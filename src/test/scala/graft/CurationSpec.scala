@@ -267,6 +267,29 @@ class CurationSpec extends SparkSpec {
     assert(a(5).getAs[Int]("n_mojibake") == 1 && a(5).getAs[Int]("clean") == 0)
   }
 
+  test("safetyGate: per-category hits, attribution order, clean pass") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "perfectly ordinary text"),
+      (2L, "a casino trip and a jackpot win"),   // gambling ×2
+      (3L, "gorefest scene"),                    // violence
+      (4L, "nsfw casino"),                       // adult wins attribution
+      (5L, "casinos are fine"))                  // substring ≠ token hit
+      .toDF("doc_id", "text")
+    val g = Curation.safetyGate(d, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    assert(g(0).getAs[Int]("blocked") == 0 &&
+      g(0).getAs[String]("category") == "none")
+    assert(g(1).getAs[Int]("gambling_hits") == 2 &&
+      g(1).getAs[String]("category") == "gambling")
+    assert(g(2).getAs[Int]("violence_hits") == 1 &&
+      g(2).getAs[Int]("blocked") == 1)
+    assert(g(3).getAs[String]("category") == "adult",
+      "first-listed category names a multi-category block")
+    assert(g(4).getAs[Int]("blocked") == 0,
+      "marker hits are whole tokens, not substrings")
+  }
+
   test("contextFitReport: hand-computed fit counts and truncation loss") {
     import spark.implicits._
     // Token counts: 2, 4, 6 (total 12).
