@@ -177,6 +177,22 @@ object SparkEntry {
           Dedup.appendToGramIndex(ref.filter(col("doc_id") % 2 === 1),
             idx, "doc_id", "text")
         }
+      case "linedf" =>
+        // Folded lines with the boilerplate planted on even ids — the
+        // q198 corpus shape; build/append split by id parity within
+        // the reference third.
+        val ref = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), Dedup.plantBoilerplate(col("doc_id"),
+            col("text"), lineLen = 8, mod = 2).as("text"))
+        graft.engine.Fixtures.ensure(s, ref, "doc_id",
+          s"${Sinks.scratch}/dedup_index", kind, Some(dir),
+          contentSig = Some(pmod(xxhash64(col("text")),
+            lit(1000000007L)))) { idx =>
+          Dedup.buildLineIndex(ref.filter(col("doc_id") % 2 === 0),
+            idx, "doc_id", "text")
+          Dedup.appendToLineIndex(ref.filter(col("doc_id") % 2 === 1),
+            idx, "doc_id", "text", batchTag = "b1")
+        }
       case other => sys.error(s"unknown dedup index kind '$other'")
     }
   }
@@ -245,7 +261,8 @@ object SparkEntry {
     "q177_byte_bpe_fertility" -> ("bpemodel", "b10"),
     "q180_quality_eval" -> ("qualitymodel", "nb"),
     "q182_stream_ann_ingest" -> ("ann", "ivfpq_base"),
-    "q187_quality_calibration" -> ("qualitymodel", "nb"))
+    "q187_quality_calibration" -> ("qualitymodel", "nb"),
+    "q207_line_df_stored" -> ("dedup", "linedf"))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -2548,6 +2565,19 @@ object SparkEntry {
         "doc_id", "text").orderBy("doc_id")
     }),
 
+    // Line-dedup from PERSISTED reference state: new batches cleansed
+    // against the stored boilerplate line frequencies (build + tagged
+    // append untimed via the linedf fixture), q148/q162 lifecycle.
+    "q207_line_df_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), Dedup.plantBoilerplate(col("doc_id"),
+          col("text"), lineLen = 8, mod = 2).as("text"))
+      Dedup.dropBoilerplateFromIndex(batch,
+        storedDedupIndex(s, dir, "linedf"),
+        "doc_id", "text", minDf = 5).orderBy("doc_id")
+    }),
+
     // nDCG of the IVF ranking vs the exact one (graded gains = exact
     // cosines) — completes the ANN eval triple beside q155/q163.
     "q205_ann_ndcg" -> ((s, dir) => {
@@ -3830,6 +3860,10 @@ object SparkEntry {
       |ORDER BY query_id""".stripMargin,
 
     "q206_safety_gate" ->
-      (Curation.safetyGateSql() + "\nORDER BY doc_id")
+      (Curation.safetyGateSql() + "\nORDER BY doc_id"),
+
+    "q207_line_df_stored" ->
+      (Dedup.dropBoilerplateFromIndexSql(lineLen = 8, plantMod = 2,
+        minDf = 5) + "\nORDER BY doc_id")
   )
 }

@@ -1479,13 +1479,26 @@ object Dedup {
   def dropBoilerplateLines(docs: DataFrame, idCol: String,
       textCol: String, minDf: Int): DataFrame = {
     require(minDf >= 2, s"minDf < 2 would drop every line, got $minDf")
-    val lines = materialized(docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("h", md5(col("line"))))
+    val lines = materialized(explodedLines(docs, idCol, textCol))
     val dfc = lines.groupBy("h")
       .agg(countDistinct(col(idCol)).as("line_df"))
     val tagged = lines.join(dfc, Seq("h"))
       .withColumn("keep", (col("line_df") < minDf).cast("int"))
+    reassembleKept(tagged, idCol)
+  }
+
+  /** One row per line occurrence, with position and 16-byte hash key. */
+  private def explodedLines(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+
+  /** Order-preserving document reassembly from keep-tagged lines —
+    * `array_sort` on (pos, line) structs canonicalizes the collect
+    * under any partitioning. */
+  private def reassembleKept(tagged: DataFrame,
+      idCol: String): DataFrame =
     tagged.groupBy(col(idCol))
       .agg(
         array_join(transform(
@@ -1494,7 +1507,115 @@ object Dedup {
           s => s.getField("line")), "\n").as("text"),
         sum(col("keep")).cast("long").as("n_kept"),
         sum(lit(1) - col("keep")).cast("long").as("n_dropped"))
+
+  // ------------------------------------- persisted line-df index (q207)
+
+  /** Does `dir` hold a COMPLETED line-df index? */
+  def lineIndexExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    graft.engine.Markers.exists(spark, dir, IndexMarker)
+
+  /** Per-batch partial line document-frequencies: one row per distinct
+    * line hash with the count of distinct `idCol` docs carrying it in
+    * THIS batch, tagged so appends are replay-safe. */
+  private def linePartial(ref: DataFrame, idCol: String, textCol: String,
+      tag: String): DataFrame =
+    explodedLines(ref, idCol, textCol)
+      .groupBy("h")
+      .agg(countDistinct(col(idCol)).as("partial_df"))
+      .withColumn("batch_tag", lit(tag))
+
+  /** Build-once persistence of the [[dropBoilerplateLines]] reference:
+    * a crawl's boilerplate population is learned from the corpus
+    * already ingested, then every NEW batch is cleansed against the
+    * STORED line frequencies without rescanning history — the q148/
+    * q149/q162 stored-reference pattern for the line-dedup family.
+    * The store is per-batch PARTIAL df counts (`h, partial_df,
+    * batch_tag`); queries sum partials per hash, so an append is one
+    * new partition, never a rewrite. Contract: batches must carry
+    * disjoint document ids (shared ids would double-count df, exactly
+    * the MinHash index's id contract). */
+  def buildLineIndex(ref: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = ref.sparkSession
+    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+      linePartial(ref, idCol, textCol, "base")
+        .write.mode("overwrite").parquet(s"$dir/line_df")
+    }
   }
+
+  /** Index MAINTENANCE: add a new reference batch under `batchTag`.
+    * REPLAY-SAFE by the tag: if the store already carries this tag the
+    * append is a no-op (a crashed-and-retried ingest cannot double a
+    * batch's df contribution). */
+  def appendToLineIndex(newRef: DataFrame, dir: String, idCol: String,
+      textCol: String, batchTag: String): Unit = {
+    val spark = newRef.sparkSession
+    require(lineIndexExists(spark, dir),
+      s"no completed line-df index at $dir — append needs a finished build")
+    require(batchTag != "base", "'base' is the build's reserved tag")
+    val seen = spark.read.parquet(s"$dir/line_df")
+      .filter(col("batch_tag") === batchTag).limit(1).count() > 0
+    if (!seen) graft.engine.Markers.gated(spark, dir, IndexMarker) {
+      linePartial(newRef, idCol, textCol, batchTag)
+        .write.mode("append").parquet(s"$dir/line_df")
+    }
+  }
+
+  /** [[dropBoilerplateLines]] against the PERSISTED reference: lines
+    * of the incoming batch are dropped when their STORED df (summed
+    * over all indexed batches) reaches `minDf` — the batch's own
+    * repetitions do not count (stored-reference semantics; an organic
+    * line repeated across the new batch alone survives until the batch
+    * is itself appended). A line absent from the index has df 0. */
+  def dropBoilerplateFromIndex(docs: DataFrame, dir: String,
+      idCol: String, textCol: String, minDf: Int): DataFrame = {
+    val spark = docs.sparkSession
+    require(lineIndexExists(spark, dir),
+      s"no completed line-df index at $dir — run buildLineIndex first")
+    require(minDf >= 2, s"minDf < 2 would drop every indexed line, got $minDf")
+    val dfc = spark.read.parquet(s"$dir/line_df")
+      .groupBy("h").agg(sum("partial_df").as("line_df"))
+    val tagged = explodedLines(docs, idCol, textCol)
+      .join(dfc, Seq("h"), "left")
+      .withColumn("keep",
+        (coalesce(col("line_df"), lit(0L)) < minDf).cast("int"))
+    reassembleKept(tagged, idCol)
+  }
+
+  /** Oracle twin of the q207 registration (DuckDB): reference = every
+    * 3rd document (folded, boilerplate planted every 2nd id), apply
+    * side = the rest (same fold/plant), df over DISTINCT reference
+    * docs only, same left-join-keep-reassemble. */
+  def dropBoilerplateFromIndexSql(lineLen: Int, plantMod: Int,
+      minDf: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |    FROM documents),
+       |l0 AS (SELECT doc_id, list_transform(
+       |    range(0, CAST(ceil(len(toks) / ${lineLen}.0) AS INT)),
+       |    i -> array_to_string(
+       |      toks[i * $lineLen + 1 : i * $lineLen + $lineLen], ' '))
+       |    AS lines FROM t),
+       |l1 AS (SELECT doc_id, CASE WHEN doc_id % $plantMod = 0
+       |    THEN list_concat(lines, ['$BoilerplateLine'])
+       |    ELSE lines END AS lines FROM l0),
+       |e AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos,
+       |    lines FROM l1),
+       |x AS (SELECT doc_id, pos, lines[pos] AS line FROM e),
+       |refdf AS (SELECT line, count(DISTINCT doc_id) AS line_df
+       |  FROM x WHERE doc_id % 3 = 0 GROUP BY line),
+       |c AS (SELECT x.doc_id, x.pos, x.line,
+       |    coalesce(r.line_df, 0) AS line_df
+       |  FROM x LEFT JOIN refdf r USING (line)
+       |  WHERE x.doc_id % 3 <> 0)
+       |SELECT doc_id,
+       |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+       |    FILTER (WHERE line_df < $minDf), '') AS text,
+       |  CAST(coalesce(sum(CASE WHEN line_df < $minDf THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN line_df >= $minDf THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_dropped
+       |FROM c GROUP BY doc_id""".stripMargin
 
   /** The canonical boilerplate sentence planted by the q198 harness. */
   val BoilerplateLine = "subscribe to our newsletter for updates today"

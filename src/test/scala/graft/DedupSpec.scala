@@ -581,4 +581,45 @@ class DedupSpec extends SparkSpec {
       "df counts DISTINCT documents, not occurrences")
     graft.engine.Caches.release()
   }
+
+  test("line-df index: stored == inline reference, tagged append replay-safe") {
+    import spark.implicits._
+    val boiler = "subscribe now"
+    val ref1 = Seq(1L -> s"$boiler\nr1 a", 2L -> s"$boiler\nr2 b")
+      .toDF("doc_id", "text")
+    val ref2 = Seq(3L -> s"$boiler\nr3 c").toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> s"new a\n$boiler\nnew b", // boilerplate known from the index
+      11L -> "organic only",
+      12L -> s"fresh repeat\nfresh stuff", // batch-local line: df 0
+      13L -> "fresh repeat")             // ...even across the batch
+      .toDF("doc_id", "text")
+    val dir = s"${graft.engine.Sinks.scratch}/line_df_spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, dir)
+    intercept[IllegalArgumentException] {
+      Dedup.dropBoilerplateFromIndex(batch, dir, "doc_id", "text", 3)
+    }
+    Dedup.buildLineIndex(ref1, dir, "doc_id", "text")
+    Dedup.appendToLineIndex(ref2, dir, "doc_id", "text", "b1")
+    val out = Dedup.dropBoilerplateFromIndex(batch, dir, "doc_id", "text",
+      minDf = 3).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text") == "new a\nnew b" &&
+      out(0).getAs[Long]("n_dropped") == 1L,
+      "stored df 3 (2 built + 1 appended) reaches the threshold")
+    assert(out(1).getAs[Long]("n_dropped") == 0L)
+    assert(out(2).getAs[Long]("n_dropped") == 0L &&
+      out(3).getAs[Long]("n_dropped") == 0L,
+      "the batch's own cross-doc repeats don't count (stored reference)")
+    // Replayed append under the same tag: a no-op, df stays 3.
+    Dedup.appendToLineIndex(ref2, dir, "doc_id", "text", "b1")
+    val replay = Dedup.dropBoilerplateFromIndex(batch, dir, "doc_id",
+      "text", minDf = 4).orderBy("doc_id").collect()
+    assert(replay(0).getAs[Long]("n_dropped") == 0L,
+      "df must still be 3 < 4 — a replayed tag cannot double-count")
+    // The build's tag is reserved.
+    intercept[IllegalArgumentException] {
+      Dedup.appendToLineIndex(ref2, dir, "doc_id", "text", "base")
+    }
+    graft.engine.Caches.release()
+  }
 }
