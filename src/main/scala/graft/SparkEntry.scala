@@ -2565,6 +2565,13 @@ object SparkEntry {
         "doc_id", "text").orderBy("doc_id")
     }),
 
+    // Dataset card: the one-artifact corpus summary a release ships
+    // with (volumes, lang mix, dup/PII/safety rates, quality) — one
+    // scan, two bounded consumers, (metric, value) rows.
+    "q208_dataset_card" -> ((s, dir) =>
+      Curation.datasetCard(Tables.documents(s, dir), "text", "lang")
+        .orderBy("metric")),
+
     // Line-dedup from PERSISTED reference state: new batches cleansed
     // against the stored boilerplate line frequencies (build + tagged
     // append untimed via the linedf fixture), q148/q162 lifecycle.
@@ -3864,6 +3871,9 @@ object SparkEntry {
 
     "q207_line_df_stored" ->
       (Dedup.dropBoilerplateFromIndexSql(lineLen = 8, plantMod = 2,
-        minDf = 5) + "\nORDER BY doc_id")
+        minDf = 5) + "\nORDER BY doc_id"),
+
+    "q208_dataset_card" ->
+      (Curation.datasetCardSql() + "\nORDER BY metric")
   )
 }

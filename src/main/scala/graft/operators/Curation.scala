@@ -597,6 +597,117 @@ object Curation {
        |FROM audit""".stripMargin
   }
 
+  // ----------------------------------------------------- dataset card
+
+  /** DATASET CARD — the one-artifact corpus summary a release ships
+    * with ("Datasheets for Datasets", Gebru et al. 2021): volumes,
+    * language composition, exact-duplicate rate, heuristic quality,
+    * PII incidence, and safety-block rate, as a long (metric, value)
+    * table. Complements q167 (the per-gate ablation FUNNEL) — the
+    * funnel says what a run dropped and why; the card says what the
+    * released corpus IS.
+    *
+    * Shape: one materialized per-doc projection feeds a 1-row global
+    * aggregate (unpivoted to metric rows) plus a language-cardinality
+    * share rollup — two consumers, one corpus scan. Every value is
+    * exact arithmetic or the exact-decimal mean, rounded once. */
+  def datasetCard(docs: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    val t = col(textCol)
+    val allSafetyWords = SafetyCategories.flatMap(_._2)
+    val perDoc = graft.engine.Caches.materialized(docs.select(
+      col(langCol).as("lang"),
+      // The dup-rate distinct shuffles 16-byte hashes, never the
+      // documents themselves (the exchange-weight rule every dedup op
+      // here follows; the oracle twin hashes identically).
+      md5(t.cast("binary")).as("text_fp"),
+      TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      length(t).cast("long").as("n_chars"),
+      TextFunctions.qualityScore(t).as("quality"),
+      ((size(regexp_extract_all(t, lit(Privacy.EmailPattern), lit(0))) +
+        size(regexp_extract_all(t, lit(Privacy.PhonePattern), lit(0)))) > 0)
+        .cast("long").as("has_pii"),
+      (TextFunctions.markerHits(t, allSafetyWords) > 0).cast("long")
+        .as("blocked")))
+    val a = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      sum("n_chars").as("total_chars"),
+      countDistinct(col("text_fp")).as("n_distinct"),
+      Aggregates.avgExact(col("quality")).as("mean_quality"),
+      sum("has_pii").as("n_pii"),
+      sum("blocked").as("n_blocked"))
+    val globals = a.select(explode(array(
+      struct(lit("n_docs").as("metric"),
+        col("n_docs").cast("double").as("value")),
+      struct(lit("total_tokens").as("metric"),
+        col("total_tokens").cast("double").as("value")),
+      struct(lit("total_chars").as("metric"),
+        col("total_chars").cast("double").as("value")),
+      struct(lit("mean_doc_tokens").as("metric"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("value")),
+      struct(lit("exact_dup_rate").as("metric"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+          .as("value")),
+      struct(lit("mean_quality").as("metric"),
+        col("mean_quality").as("value")),
+      struct(lit("pii_doc_rate").as("metric"),
+        (col("n_pii").cast("double") / col("n_docs")).as("value")),
+      struct(lit("safety_blocked_rate").as("metric"),
+        (col("n_blocked").cast("double") / col("n_docs")).as("value"))))
+      .as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+    val total = a.select(col("n_docs"))
+    val langs = perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(concat(lit("lang_share_"), col("lang")).as("metric"),
+        (col("n").cast("double") / col("n_docs")).as("value"))
+    globals.unionAll(langs)
+      .select(col("metric"), round(col("value"), 6).as("value"))
+  }
+
+  /** Oracle twin of [[datasetCard]] over `documents` (same per-doc
+    * projections, same union of unpivoted globals + language shares). */
+  def datasetCardSql(): String = {
+    import TextFunctions.{Sql => T}
+    val allWords = SafetyCategories.flatMap(_._2)
+    s"""WITH p AS (SELECT lang, md5(text) AS text_fp,
+       |    CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    ${T.qualityScore("text")} AS quality,
+       |    CASE WHEN ${Privacy.ScrubSql.emailCount("text")} +
+       |      ${Privacy.ScrubSql.phoneCount("text")} > 0
+       |      THEN 1 ELSE 0 END AS has_pii,
+       |    CASE WHEN ${T.markerHits("text", allWords)} > 0
+       |      THEN 1 ELSE 0 END AS blocked
+       |  FROM documents),
+       |a AS (SELECT count(*) AS n_docs,
+       |    sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars,
+       |    count(DISTINCT text_fp) AS n_distinct,
+       |    ${Aggregates.avgExactSql("quality")} AS mean_quality,
+       |    sum(has_pii) AS n_pii, sum(blocked) AS n_blocked
+       |  FROM p),
+       |g AS (
+       |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+       |  UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM a
+       |  UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM a
+       |  UNION ALL SELECT 'mean_doc_tokens',
+       |    CAST(total_tokens AS DOUBLE) / n_docs FROM a
+       |  UNION ALL SELECT 'exact_dup_rate',
+       |    1.0 - CAST(n_distinct AS DOUBLE) / n_docs FROM a
+       |  UNION ALL SELECT 'mean_quality', mean_quality FROM a
+       |  UNION ALL SELECT 'pii_doc_rate',
+       |    CAST(n_pii AS DOUBLE) / n_docs FROM a
+       |  UNION ALL SELECT 'safety_blocked_rate',
+       |    CAST(n_blocked AS DOUBLE) / n_docs FROM a),
+       |l AS (SELECT 'lang_share_' || lang AS metric,
+       |    CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM a) AS value
+       |  FROM p GROUP BY lang)
+       |SELECT metric, round(value, 6) AS value FROM g
+       |UNION ALL SELECT metric, round(value, 6) AS value FROM l""".stripMargin
+  }
+
   // ---------------------------------------------------- safety gating
 
   /** Safety-term categories for the keyword gate. Category ORDER is the

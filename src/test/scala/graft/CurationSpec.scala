@@ -267,6 +267,28 @@ class CurationSpec extends SparkSpec {
     assert(a(5).getAs[Int]("n_mojibake") == 1 && a(5).getAs[Int]("clean") == 0)
   }
 
+  test("datasetCard: hand-computed card over a tiny labeled corpus") {
+    import spark.implicits._
+    val d = Seq(
+      ("en", "the data table"),                     // 3 tokens
+      ("en", "the data table"),                     // exact dup
+      ("de", "contact me at bob@example.com now"),  // PII
+      ("fr", "casino words here"))                  // safety-blocked
+      .toDF("lang", "text")
+    val card = Curation.datasetCard(d, "text", "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 4.0)
+    assert(card("total_tokens") == 3 + 3 + 5 + 3)
+    assert(card("exact_dup_rate") == 0.25)
+    assert(card("pii_doc_rate") == 0.25)
+    assert(card("safety_blocked_rate") == 0.25)
+    assert(card("lang_share_en") == 0.5 &&
+      card("lang_share_de") == 0.25 && card("lang_share_fr") == 0.25)
+    assert(card("mean_doc_tokens") == 3.5)
+    assert(card("mean_quality") > 0.0 && card("mean_quality") <= 1.0)
+    graft.engine.Caches.release()
+  }
+
   test("safetyGate: per-category hits, attribution order, clean pass") {
     import spark.implicits._
     val d = Seq(
