@@ -481,10 +481,14 @@ object EventStream {
     * Scope, honestly: this closes the common read-during-swap window; it
     * is NOT snapshot isolation. A fallback dir can itself be renamed or
     * deleted between this resolution and the last task of the consuming
-    * action (the reader then sees path-not-found and simply calls this
-    * again), and a reader that must never observe that — or that needs
-    * cross-action consistency — needs the versioned-manifest metadata
-    * layer (Delta/Iceberg), per the sink's own adjudication. */
+    * action — the reader then sees one of the vanished-path spellings
+    * (`FileNotFoundException`, `FILE_NOT_EXIST`/`PATH_NOT_FOUND`, a
+    * `FAILED_READ_FILE` variant, or `UNABLE_TO_INFER_SCHEMA` when the
+    * dir exists momentarily empty between the writer's two renames) and
+    * simply calls this again. A reader that must never observe that —
+    * or that needs cross-action consistency — needs the
+    * versioned-manifest metadata layer (Delta/Iceberg), per the sink's
+    * own adjudication. */
   def readUpsertTable(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)

@@ -498,7 +498,11 @@ class EventStreamSpec extends SparkSpec {
             c.isInstanceOf[java.io.FileNotFoundException] ||
               Option(c.getMessage).exists(m =>
                 m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
-                  m.contains("FAILED_READ_FILE"))
+                  m.contains("FAILED_READ_FILE") ||
+                  // A dir caught momentarily EMPTY between the writer's
+                  // two renames: Spark reports the vanished state as a
+                  // schema-inference failure, not a missing path.
+                  m.contains("UNABLE_TO_INFER_SCHEMA"))
         }
       try {
         assert(valid(rows()), "reader observed a partial/invalid state")
