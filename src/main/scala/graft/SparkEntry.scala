@@ -3860,10 +3860,11 @@ object SparkEntry {
       |idcgs AS (SELECT query_id,
       |    ${graft.engine.Aggregates.sumExactSql("t_cos / ln(t_rank + 1)")}
       |      AS idcg0 FROM bt GROUP BY query_id)
-      |SELECT query_id, round(dcg0, 6) AS dcg, round(idcg0, 6) AS idcg,
-      |  round(CASE WHEN idcg0 = 0 THEN 0.0 ELSE dcg0 / idcg0 END, 6)
-      |    AS ndcg
-      |FROM dcgs JOIN idcgs USING (query_id)
+      |SELECT query_id, round(coalesce(dcg0, 0.0), 6) AS dcg,
+      |  round(idcg0, 6) AS idcg,
+      |  round(CASE WHEN idcg0 = 0 THEN 0.0
+      |    ELSE coalesce(dcg0, 0.0) / idcg0 END, 6) AS ndcg
+      |FROM idcgs LEFT JOIN dcgs USING (query_id)
       |ORDER BY query_id""".stripMargin,
 
     "q206_safety_gate" ->

@@ -62,9 +62,15 @@ object ChatData {
       coalesce(length(m.getField("content")), lit(0))
     val nEmpty = coalesce(size(filter(msgs, m => contentLen(m) === 0)),
       lit(0))
+    // Token counting goes through the shared TextFunctions contract so
+    // the operator and its DuckDB twin (string_split/len) can never
+    // drift on whitespace edge cases: Spark's split keeps trailing
+    // empty strings at its default limit of -1, exactly like DuckDB's
+    // string_split, and the single shared definition keeps it that way.
     val totalTokens = coalesce(aggregate(msgs, lit(0L),
       (acc, m) => acc + when(contentLen(m) === 0, 0L)
-        .otherwise(size(split(m.getField("content"), " ")).cast("long"))),
+        .otherwise(graft.functions.TextFunctions
+          .tokenCount(m.getField("content")).cast("long"))),
       lit(0L))
     df.select(col(idCol),
       nTurns.as("n_turns"),

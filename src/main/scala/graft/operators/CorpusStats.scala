@@ -177,8 +177,13 @@ object CorpusStats {
   def foldLines(text: Column, lineLen: Int): Column = {
     val toks = TextFunctions.tokens(text)
     val nLines = ceil(size(toks).cast("double") / lineLen).cast("int")
-    transform(sequence(lit(0), nLines - 1),
-      i => array_join(slice(toks, i * lineLen + 1, lit(lineLen)), " "))
+    // A zero-token array gives sequence(0, -1), which DESCENDS to
+    // [0, -1] and would emit two phantom empty lines where the
+    // oracle's range(0, 0) is empty — the same footgun [[bpePairCounts]]
+    // filters out. Clamp to an empty lines array instead.
+    when(nLines <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), greatest(nLines, lit(1)) - 1),
+        i => array_join(slice(toks, i * lineLen + 1, lit(lineLen)), " ")))
   }
 
   def gopherLines(id: Column, text: Column, lineLen: Int,

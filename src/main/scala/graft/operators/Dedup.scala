@@ -1540,14 +1540,23 @@ object Dedup {
     val spark = ref.sparkSession
     graft.engine.Markers.gated(spark, dir, IndexMarker) {
       linePartial(ref, idCol, textCol, "base")
-        .write.mode("overwrite").parquet(s"$dir/line_df")
+        .write.mode("overwrite").partitionBy("batch_tag")
+        .parquet(s"$dir/line_df")
     }
   }
 
   /** Index MAINTENANCE: add a new reference batch under `batchTag`.
-    * REPLAY-SAFE by the tag: if the store already carries this tag the
-    * append is a no-op (a crashed-and-retried ingest cannot double a
-    * batch's df contribution). */
+    * REPLAY-SAFE by the tag twice over: the fast path skips a tag the
+    * store already carries, and the write itself is a dynamic
+    * partition OVERWRITE of the tag's own partition — so even two
+    * writers that both pass the `seen` check converge on ONE copy of
+    * the tag's df contribution (the second replaces the first with
+    * identical content) instead of double-counting it. The residual
+    * contract is therefore only the marker gate's: concurrent
+    * mutations of the SAME index directory must be externally
+    * serialized (single writer per index), the same hard contract the
+    * MinHash/gram/pHash appends carry — a retry or replay of the same
+    * append needs no serialization at all. */
   def appendToLineIndex(newRef: DataFrame, dir: String, idCol: String,
       textCol: String, batchTag: String): Unit = {
     val spark = newRef.sparkSession
@@ -1558,7 +1567,10 @@ object Dedup {
       .filter(col("batch_tag") === batchTag).limit(1).count() > 0
     if (!seen) graft.engine.Markers.gated(spark, dir, IndexMarker) {
       linePartial(newRef, idCol, textCol, batchTag)
-        .write.mode("append").parquet(s"$dir/line_df")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_tag")
+        .parquet(s"$dir/line_df")
     }
   }
 

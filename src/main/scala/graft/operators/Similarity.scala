@@ -165,12 +165,16 @@ object Similarity {
     def dcgOf(r: DataFrame, out: String) = r.groupBy("query_id")
       .agg(graft.engine.Aggregates.sumExact(
         col("cosine") / log(col("rank") + 1)).as(out))
-    dcgOf(approx, "dcg0").join(dcgOf(truth, "idcg0"), Seq("query_id"))
+    // Left-join FROM the truth DCGs: a query the approximate ranking
+    // returned nothing for scores ndcg 0, it does not vanish from the
+    // report — the same treatment [[mrrAtK]] gives an absent query.
+    dcgOf(truth, "idcg0").join(dcgOf(approx, "dcg0"), Seq("query_id"), "left")
       .select(col("query_id"),
-        round(col("dcg0"), 6).as("dcg"),
+        round(coalesce(col("dcg0"), lit(0.0)), 6).as("dcg"),
         round(col("idcg0"), 6).as("idcg"),
         round(when(col("idcg0") === 0.0, 0.0)
-          .otherwise(col("dcg0") / col("idcg0")), 6).as("ndcg"))
+          .otherwise(coalesce(col("dcg0"), lit(0.0)) / col("idcg0")), 6)
+          .as("ndcg"))
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup), exact.

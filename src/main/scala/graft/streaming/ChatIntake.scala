@@ -76,6 +76,38 @@ object ChatIntake {
     q.awaitTermination()
   }
 
+  /** Read a routed sink's (batch_id, reason) pairs, tolerating a sink
+    * that never received a row: a partitioned write of zero rows
+    * leaves only a `_SUCCESS` marker behind, which
+    * `spark.read.parquet` cannot infer a schema from — an all-valid
+    * corpus (correctly empty quarantine) or an all-broken one (empty
+    * accepted sink) must produce a report, not a crash. The guard is a
+    * filesystem check for data files, not exception control flow, so a
+    * genuinely corrupt sink still fails loudly. */
+  private def readRouted(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (hasData)
+      // batch_id returns as an inferred partition column — restore type.
+      spark.read.parquet(dir)
+        .select(col("batch_id").cast("long").as("batch_id"), col("reason"))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("reason",
+            org.apache.spark.sql.types.StringType))))
+  }
+
   /** Two-run demo (the q116/q164 contract): land batch 1, drain, land
     * batch 2, drain — the second run routes ONLY batch 2 and the
     * checkpoint numbers it batch 2 across runs. Returns the per-batch
@@ -89,9 +121,8 @@ object ChatIntake {
     runAvailable(spark, src, batch1.schema, acc, quar, cp)
     batch2.write.mode("append").parquet(src)
     runAvailable(spark, src, batch2.schema, acc, quar, cp)
-    // batch_id returns as an inferred partition column — restore type.
-    spark.read.parquet(acc).unionByName(spark.read.parquet(quar))
-      .groupBy(col("batch_id").cast("long").as("batch_id"), col("reason"))
+    readRouted(spark, acc).unionByName(readRouted(spark, quar))
+      .groupBy("batch_id", "reason")
       .agg(count(lit(1)).as("n_docs"))
   }
 

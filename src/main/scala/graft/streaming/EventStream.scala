@@ -367,6 +367,28 @@ object EventStream {
        |  AND v.ts <= p.ts
        |  AND v.ts >= p.ts - INTERVAL $lookbackMinutes MINUTES""".stripMargin
 
+  /** The upsert table's version layout: immutable `v<N>/` snapshot
+    * directories published by zero-byte `MANIFEST-<N>` marker files.
+    * The LIVE version is the greatest published marker; a version dir
+    * without its marker does not exist as far as any reader is
+    * concerned. Markers are zero-padded so a directory listing sorts
+    * them, but resolution parses the number (padding is cosmetic). */
+  private def versionDir(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(path, f"v$v%08d")
+  private def versionMarker(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(path, f"MANIFEST-$v%08d")
+
+  /** All PUBLISHED versions at `path`, ascending (empty when the sink
+    * is uninitialized). One metadata listing. */
+  private def publishedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("MANIFEST-"))
+      .map(_.stripPrefix("MANIFEST-").toLong).sorted
+  }
+
   /** Streaming MERGE sink: each micro-batch UPSERTs into a parquet
     * target by key ([[graft.operators.Merge.upsert]] inside
     * `foreachBatch`) — the CDC-apply pattern every lakehouse table
@@ -374,46 +396,43 @@ object EventStream {
     * the batch's newest row, new keys inserted, untouched keys carried
     * forward. Within a batch the newest row per key wins (`max_by` on
     * the order column — a micro-batch can hold several changes for one
-    * key). The read-modify-write is the parquet-without-ACID
-    * restatement; a real deployment points the same foreachBatch at a
-    * Delta/Iceberg MERGE and keeps exactly-once — here restarts replay
-    * the last batch, and the upsert being idempotent per (key, batch)
-    * makes that safe PROVIDED the swap itself is crash-safe. The swap
-    * is rename(target, tombstone) → rename(staged, target) →
-    * delete(tombstone): every step is a directory RENAME (atomic on
-    * HDFS/local FS), never a recursive delete of live data — a
-    * recursive delete is file-at-a-time, and a death mid-delete would
-    * leave a PARTIAL target that a restart would read as valid state.
-    * Each batch opens with recovery, keyed on what survived: a
-    * tombstone beside a missing target means a death between the two
-    * renames — roll the fully-written staged dir forward (its
-    * `_SUCCESS` marker was committed before the swap began; as a
-    * defensive fallback a staged dir without one rolls the tombstone
-    * back instead); a tombstone beside a live target means a death
-    * before the tombstone delete — just re-delete it; a staged dir
-    * with `_SUCCESS` and neither tombstone nor target is the legacy
-    * half-swap shape, finished forward; a staged dir WITHOUT
-    * `_SUCCESS` is an aborted mid-write, replaced by overwrite mode.
-    * Every other crash point replays cleanly: the target is either the
-    * pre-batch state or the post-batch state, never partial.
+    * key).
     *
-    * AVAILABILITY (distinct from crash safety): between
-    * rename(target→tombstone) and rename(staged→target) there is a
-    * reader-visible window — microseconds of metadata ops, but real —
-    * where `current` does not exist and a concurrent read fails with
-    * path-not-found. Durability is never at risk (both dirs exist
-    * throughout; recovery rolls forward), only read availability.
-    * Readers that cannot tolerate it should treat a missing `current`
-    * as "swap in flight" and retry once, or fall back to `tombstone`
-    * (the pre-batch state, complete by construction) / `staged` when
-    * its `_SUCCESS` exists — the same precedence recovery uses. The
-    * gapless alternative is a versioned-directory pointer (write
-    * `v<N+1>/`, atomically rewrite a manifest file naming the live
-    * version), i.e. exactly the metadata layer Delta/Iceberg provide;
-    * this parquet-only sink documents the gap instead of reinventing
-    * that. */
+    * COMMIT PROTOCOL — a versioned-directory manifest, the same
+    * metadata idea Delta/Iceberg implement, reduced to the two
+    * filesystem primitives that ARE atomic on HDFS and local FS
+    * (exclusive file create; file delete). Each batch: (1) resolve the
+    * live version N = max published `MANIFEST-*` marker; (2) merge the
+    * batch into `v<N>`'s rows and write the result to `v<N+1>/`
+    * (overwrite mode, so an orphan left by a previous crash is simply
+    * replaced); (3) PUBLISH by creating the zero-byte `MANIFEST-<N+1>`
+    * — one atomic create, after which every resolution sees N+1;
+    * (4) garbage-collect versions older than `keepVersions`, marker
+    * strictly BEFORE data dir so no reachable marker ever names a
+    * partially-deleted dir. Published version dirs are IMMUTABLE —
+    * nothing is ever renamed or rewritten under a reader, which is
+    * what eliminates the read-during-swap race the previous
+    * staged-rename protocol could only document.
+    *
+    * Crash recovery needs no branching: a death before (3) leaves an
+    * unpublished orphan `v<N+1>` that the checkpoint's replay
+    * overwrites (the upsert is idempotent per (key, batch)); a death
+    * after (3) but inside (4) leaves stale markers/dirs the next
+    * batch's GC sweeps. The table is ALWAYS the newest published
+    * version — never partial, never stale.
+    *
+    * `keepVersions` is the reader-horizon contract (Delta's vacuum
+    * retention, in miniature): a reader that resolved version N keeps
+    * a complete immutable snapshot under it for at least
+    * `keepVersions - 1` subsequent batch commits. Size it to the
+    * longest-running reader; 2 suffices for readers shorter than a
+    * batch interval. Object stores without atomic create/list
+    * visibility need the real table formats — that adjudication
+    * stands. */
   def startUpsertSink(changes: DataFrame, path: String,
-      checkpointDir: String, key: String, orderCol: String): StreamingQuery =
+      checkpointDir: String, key: String, orderCol: String,
+      keepVersions: Int = 2): StreamingQuery = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     changes.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -421,97 +440,68 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          import org.apache.hadoop.fs.Path
-          val target = new Path(s"$path/current")
-          val staged = new Path(s"$path/staged")
-          val tomb = new Path(s"$path/tombstone")
-          val fs = new Path(path)
+          val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // Crash recovery (see scaladoc): finish a half-completed swap
-          // forward (or defensively back) before reading the target.
-          if (fs.exists(tomb)) {
-            if (!fs.exists(target)) {
-              if (fs.exists(new Path(staged, "_SUCCESS")))
-                require(fs.rename(staged, target),
-                  s"recovery rename $staged -> $target failed")
-              else
-                require(fs.rename(tomb, target),
-                  s"recovery rollback $tomb -> $target failed")
-            }
-            fs.delete(tomb, true)
-          }
-          if (!fs.exists(target) &&
-              fs.exists(new Path(staged, "_SUCCESS")))
-            require(fs.rename(staged, target),
-              s"recovery rename $staged -> $target failed")
+          val versions = publishedVersions(fs, path)
+          val live = versions.lastOption
+          val next = live.getOrElse(0L) + 1
           val cols = batch.columns.filterNot(_ == key)
           val newest = batch.groupBy(col(key))
             .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("_r"))
             .select(col(key) +: cols.map(c => col(s"_r.$c").as(c)): _*)
-          val merged =
-            if (!fs.exists(target)) newest
-            else graft.operators.Merge.upsert(
-              spark.read.parquet(target.toString), newest, key)
-          // Write to a staged dir then swap the read path last — a
-          // plain overwrite of a table being read mid-write is the
-          // lost-update hazard this avoids on object stores. The swap
-          // itself is rename-only: the live target is never the object
-          // of a (non-atomic, file-at-a-time) recursive delete.
-          merged.write.mode("overwrite").parquet(staged.toString)
-          if (fs.exists(target))
-            require(fs.rename(target, tomb),
-              s"rename $target -> $tomb failed")
-          require(fs.rename(staged, target),
-            s"rename $staged -> $target failed")
-          fs.delete(tomb, true)
+          val merged = live match {
+            case None => newest
+            case Some(v) => graft.operators.Merge.upsert(
+              spark.read.parquet(versionDir(path, v).toString), newest, key)
+          }
+          // (2) stage the new immutable snapshot; overwrite sweeps any
+          // unpublished orphan a crashed predecessor left here.
+          merged.write.mode("overwrite")
+            .parquet(versionDir(path, next).toString)
+          // (3) publish: one atomic exclusive create.
+          fs.create(versionMarker(path, next), false).close()
+          // (4) GC everything below the keep horizon, marker strictly
+          // before dir. Swept by LISTING rather than from the resolved
+          // version set, so a dir orphaned by a crash mid-GC (marker
+          // deleted, dir not) is reclaimed by the next batch instead
+          // of leaking forever.
+          val keepFrom = (versions :+ next).takeRight(keepVersions).head
+          val names = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+            .toSeq.map(_.getPath.getName)
+          names.filter(_.startsWith("MANIFEST-"))
+            .map(_.stripPrefix("MANIFEST-").toLong).filter(_ < keepFrom)
+            .foreach(v => fs.delete(versionMarker(path, v), false))
+          names.filter(n => n.length > 1 && n.startsWith("v") &&
+              n.drop(1).forall(_.isDigit))
+            .map(_.drop(1).toLong).filter(_ < keepFrom)
+            .foreach(v => fs.delete(versionDir(path, v), true))
           ()
         }
       }
       .start()
+  }
 
-  /** Availability-aware reader for a [[startUpsertSink]] table — the
-    * documented reader-gap recipe as code. `current` missing is treated
-    * as "swap in flight": re-probe once after a short pause (the gap is
-    * two metadata renames wide), then fall back in RECOVERY precedence —
-    * `staged` bearing `_SUCCESS` (the fully-written post-batch state the
-    * writer is about to rename in) before `tombstone` (the pre-batch
-    * state, complete by construction) — and fail loudly only when no
-    * complete state exists at all.
-    *
-    * Scope, honestly: this closes the common read-during-swap window; it
-    * is NOT snapshot isolation. A fallback dir can itself be renamed or
-    * deleted between this resolution and the last task of the consuming
-    * action — the reader then sees one of the vanished-path spellings
-    * (`FileNotFoundException`, `FILE_NOT_EXIST`/`PATH_NOT_FOUND`, a
-    * `FAILED_READ_FILE` variant, or `UNABLE_TO_INFER_SCHEMA` when the
-    * dir exists momentarily empty between the writer's two renames) and
-    * simply calls this again. A reader that must never observe that —
-    * or that needs cross-action consistency — needs the
-    * versioned-manifest metadata layer (Delta/Iceberg), per the sink's
-    * own adjudication. */
+  /** Reader for a [[startUpsertSink]] table: resolve the greatest
+    * published `MANIFEST-<N>` marker, read the immutable `v<N>/` it
+    * names. No retries, no fallback precedence, no tolerated race
+    * spellings — a published version is complete by construction
+    * (the marker is created only after the snapshot's own `_SUCCESS`)
+    * and immutable until it ages past the writer's `keepVersions`
+    * horizon, which is the one contract the caller sizes (a reader
+    * must finish within `keepVersions - 1` subsequent commits).
+    * Fails loudly only on an uninitialized sink. */
   def readUpsertTable(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = new Path(s"$path/current")
-    val staged = new Path(s"$path/staged")
-    val tomb = new Path(s"$path/tombstone")
-    def resolve(): Option[Path] =
-      if (fs.exists(current)) Some(current) else None
-    val chosen = resolve()
-      .orElse { Thread.sleep(50); resolve() }
-      .orElse(if (fs.exists(new Path(staged, "_SUCCESS"))) Some(staged)
-              else None)
-      .orElse(if (fs.exists(tomb)) Some(tomb) else None)
-      .getOrElse(throw new java.io.FileNotFoundException(
-        s"$path holds no complete upsert-table state (no current, no " +
-          "staged/_SUCCESS, no tombstone) — not an initialized sink, or " +
-          "an aborted first batch"))
-    spark.read.parquet(chosen.toString)
+    val live = publishedVersions(fs, path).lastOption.getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"$path holds no published upsert-table version (no MANIFEST-* " +
+          "marker) — not an initialized sink, or an aborted first batch"))
+    spark.read.parquet(versionDir(path, live).toString)
   }
 
   /** End-to-end batch-cadence driver for [[startUpsertSink]], returning
-    * the maintained table (`<root>/table/current`): batch 1 lands in the
+    * the maintained table (the newest published version): batch 1 lands in the
     * source dir and a first `AvailableNow` run folds it into the target;
     * batch 2 lands and a second run (same checkpoint, so ONLY the new
     * files) folds into the existing state. The read-back proves both
@@ -535,7 +525,7 @@ object EventStream {
     run()
     batch2.write.mode("append").parquet(src)
     run()
-    spark.read.parquet(s"$table/current")
+    readUpsertTable(spark, table)
   }
 
   /** Stream-static enrichment join: each streaming event looks up its key

@@ -55,6 +55,24 @@ class ChatIntakeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/quarantine").count() == quarN)
   }
 
+  test("all-valid corpus: empty quarantine sink cannot crash the report") {
+    // A sink that never received a row carries only a _SUCCESS marker;
+    // the report must treat it as empty, not fail schema inference.
+    val root = s"${graft.engine.Sinks.scratch}/chat_intake_clean"
+    val rep = ChatIntake.twoRunIntake(spark,
+      t(1L -> valid, 2L -> valid), t(3L -> valid), root)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(rep == Map((1L, "valid") -> 2L, (2L, "valid") -> 1L))
+    // And the mirror image: an all-broken corpus leaves accepted empty.
+    val root2 = s"${graft.engine.Sinks.scratch}/chat_intake_dirty"
+    val rep2 = ChatIntake.twoRunIntake(spark,
+      t(1L -> junk), t(2L -> short), root2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(rep2 == Map((1L, "parse_fail") -> 1L, (2L, "too_short") -> 1L))
+  }
+
   test("first-fail precedence: one doc, one reason, in gate order") {
     // junk is simultaneously unparseable/short/non-alternating — the
     // reason must be parse_fail alone; short is also 'valid-shaped'

@@ -311,11 +311,17 @@ class EventStreamSpec extends SparkSpec {
         s"$root/cp", key = "k", orderCol = "ver")
       q.awaitTermination()
     }
+    def manifests(): Seq[String] = {
+      val fsl = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsl.listStatus(new org.apache.hadoop.fs.Path(s"$root/t")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("MANIFEST-")).sorted
+    }
     // Batch 1: keys 1, 2 — key 1 twice in ONE batch, ver 2 must win.
     src.addData(Chg(1L, "a-v1", 1L), Chg(1L, "a-v2", 2L), Chg(2L, "b-v1", 1L))
     drain()
     def state(): Map[Long, (String, Long)] =
-      spark.read.parquet(s"$root/t/current").as[Chg].collect()
+      EventStream.readUpsertTable(spark, s"$root/t").as[Chg].collect()
         .map(c => c.k -> (c.v, c.ver)).toMap
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v1", 1L)))
     // Batch 2: key 2 updated, key 3 inserted, key 1 untouched (carried).
@@ -323,52 +329,54 @@ class EventStreamSpec extends SparkSpec {
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v2", 2L),
       3L -> ("c-v1", 1L)))
-    // Crash window: a death between delete(target) and rename leaves a
-    // committed staged dir and NO target. Simulate it exactly (the
-    // pre-crash staged dir IS the post-merge state, i.e. the current
-    // target), then replay a batch: recovery must finish the swap
-    // forward first, so untouched keys 1 and 3 survive the replay
-    // instead of the table being rebuilt from the batch alone.
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t/current"),
-      new org.apache.hadoop.fs.Path(s"$root/t/staged")))
+    // Crash window: a death AFTER the snapshot write but BEFORE the
+    // marker create leaves an unpublished orphan v<next> holding stale
+    // content. The replay must resolve the PUBLISHED version, merge
+    // against it (keys 1 and 3 survive), and overwrite the orphan —
+    // never read it.
+    Seq(Chg(9L, "stale-orphan", 9L)).toDF()
+      .write.mode("overwrite").parquet(s"$root/t/v00000003")
     src.addData(Chg(2L, "b-v3", 3L))
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
       3L -> ("c-v1", 1L)))
-    // Crash window: a death BETWEEN the two swap renames leaves a
-    // tombstone (the pre-batch target), a committed staged dir, and NO
-    // target. Recovery must roll the staged state forward and drop the
-    // tombstone — not resurrect the stale pre-batch table.
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t/current"),
-      new org.apache.hadoop.fs.Path(s"$root/t/staged")))
-    Seq(Chg(8L, "stale-pre-batch", 1L)).toDF()
-      .write.mode("overwrite").parquet(s"$root/t/tombstone")
+    assert(!state().contains(9L), "unpublished orphan content must be swept")
+    // GC horizon: keepVersions = 2 (the default), so after three
+    // batches only the two newest published versions remain.
+    assert(manifests() == Seq("MANIFEST-00000002", "MANIFEST-00000003"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t/v00000001")))
+    // Crash window: a death inside GC after deleting an old marker but
+    // before its data dir leaves an UNREACHABLE orphan dir. It must
+    // never be read, and the next batch's list-based GC reclaims it
+    // (everything below the keep horizon is swept, published or not).
+    Seq(Chg(8L, "gc-orphan", 8L)).toDF()
+      .write.mode("overwrite").parquet(s"$root/t/v00000001")
     src.addData(Chg(4L, "d-v1", 1L))
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
       3L -> ("c-v1", 1L), 4L -> ("d-v1", 1L)))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t/tombstone")))
-    // Crash window: a death AFTER rename(staged, target) but before the
-    // tombstone delete leaves both target and tombstone. The target is
-    // already the post-batch state; recovery must only drop the
-    // tombstone, and the replay re-merges idempotently.
-    Seq(Chg(8L, "stale-pre-batch", 1L)).toDF()
-      .write.mode("overwrite").parquet(s"$root/t/tombstone")
+    assert(manifests() == Seq("MANIFEST-00000003", "MANIFEST-00000004"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t/v00000001")),
+      "a dir orphaned by a crash mid-GC must be reclaimed, not leak")
+    // Replays are idempotent per (key, batch): re-running the same
+    // logical change advances the version but not the answer.
     src.addData(Chg(4L, "d-v2", 2L))
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
       3L -> ("c-v1", 1L), 4L -> ("d-v2", 2L)))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t/tombstone")))
-    // An ABORTED staged write (no _SUCCESS) must NOT be recovered: with
-    // the target also absent this is a cold start; the batch rebuilds
-    // from its own rows only and the stale partial staged data is
-    // overwritten, never read.
-    graft.streaming.IncrementalIngest.deleteDir(spark, s"$root/t/current")
+    // Cold start beside garbage: no markers at all plus a partial
+    // unpublished dir → the batch rebuilds from its own rows only.
+    (1L to 5L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        f"$root/t/MANIFEST-$v%08d"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(f"$root/t/v$v%08d"), true)
+    }
     Seq(Chg(9L, "stale-partial", 9L)).toDF()
-      .write.mode("overwrite").parquet(s"$root/t/staged")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/t/staged/_SUCCESS"), false)
+      .write.mode("overwrite").parquet(s"$root/t/v00000001")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/t/v00000001/_SUCCESS"), false)
     src.addData(Chg(7L, "g-v1", 1L))
     drain()
     assert(state() == Map(7L -> ("g-v1", 1L)))
@@ -425,7 +433,7 @@ class EventStreamSpec extends SparkSpec {
       3L -> ("c-v1", 5L)))
   }
 
-  test("readUpsertTable: recovery-precedence fallback through every swap state") {
+  test("readUpsertTable: manifest resolution, orphan blindness, race-free concurrent reads") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     val root = s"${graft.engine.Sinks.scratch}/upsert-reader-spec"
@@ -435,85 +443,77 @@ class EventStreamSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rows(): Set[Long] =
       EventStream.readUpsertTable(spark, t).as[Chg].collect().map(_.k).toSet
-    // Uninitialized sink: no complete state anywhere → loud failure.
+    def publish(v: Long, rs: Seq[Chg]): Unit = {
+      rs.toDF().write.mode("overwrite").parquet(f"$t/v$v%08d")
+      fs.create(new Path(f"$t/MANIFEST-$v%08d"), false).close()
+    }
+    // Uninitialized sink: no published version anywhere → loud failure,
+    // even when an UNPUBLISHED orphan dir sits there (never read).
+    Seq(Chg(9L, "orphan", 1L)).toDF().write.parquet(s"$t/v00000001")
     assertThrows[java.io.FileNotFoundException](rows())
-    // Normal state: current exists and wins regardless of leftovers.
-    Seq(Chg(1L, "a", 1L)).toDF().write.parquet(s"$t/current")
-    Seq(Chg(9L, "stale", 1L)).toDF().write.parquet(s"$t/tombstone")
+    fs.delete(new Path(s"$t/v00000001"), true)
+    // Normal state: the greatest published marker wins; a NEWER orphan
+    // dir without its marker is invisible (crash before publish).
+    publish(1L, Seq(Chg(1L, "a", 1L)))
     assert(rows() == Set(1L))
-    fs.delete(new Path(s"$t/tombstone"), true)
-    // Mid-swap, between the two renames: current is gone, the pre-batch
-    // state sits in tombstone, the post-batch state in staged with its
-    // _SUCCESS. Recovery precedence: the reader takes STAGED (newer).
-    assert(fs.rename(new Path(s"$t/current"), new Path(s"$t/tombstone")))
-    Seq(Chg(1L, "a", 1L), Chg(2L, "b", 1L)).toDF().write.parquet(s"$t/staged")
+    Seq(Chg(9L, "orphan", 1L)).toDF().write.parquet(s"$t/v00000002")
+    assert(rows() == Set(1L), "an unpublished version must be invisible")
+    // Publishing v2 flips resolution atomically; stale v1 still being
+    // present (GC not yet run) changes nothing.
+    fs.delete(new Path(s"$t/v00000002"), true)
+    publish(2L, Seq(Chg(1L, "a", 1L), Chg(2L, "b", 1L)))
     assert(rows() == Set(1L, 2L))
-    // Same state but the staged write was ABORTED (no _SUCCESS): the
-    // reader must NOT serve the partial dir — tombstone is the newest
-    // COMPLETE state.
-    fs.delete(new Path(s"$t/staged/_SUCCESS"), false)
-    assert(rows() == Set(1L))
-    fs.delete(new Path(s"$t/staged"), true)
-    fs.delete(new Path(s"$t/tombstone"), true)
-    // Concurrent swaps: a writer thread loops the sink's exact swap
-    // sequence (stage → rename current away → rename staged in →
-    // drop tombstone) while the reader polls. The helper must always
-    // RESOLVE a complete state; a fallback dir being renamed between
-    // resolution and the read action surfaces as the documented
-    // retry-again case (tolerated below), never as a wrong answer:
-    // every successful read sees a valid version's key-set.
-    Seq(Chg(1L, "a", 1L)).toDF().write.parquet(s"$t/current")
-    val v2 = Seq(Chg(1L, "a", 1L), Chg(2L, "b", 1L))
+    fs.delete(new Path(s"$t/MANIFEST-00000001"), false)
+    fs.delete(new Path(s"$t/v00000001"), true)
+    // Concurrent commits: a writer thread loops the sink's exact
+    // publish sequence (write v<next> → create marker → GC below the
+    // keep horizon) while the reader polls. Published versions are
+    // immutable, and the keep horizon (4 here — sized to the longest
+    // reader, per the keepVersions contract, so a read that spans
+    // several commits on a loaded host still holds a live snapshot)
+    // means the version a reader resolves survives every commit that
+    // can land during its read — so EVERY read must succeed with a
+    // valid version's key-set. No tolerated failure causes: any
+    // exception fails the test. (This is the property the old
+    // staged-swap protocol could not give; its spec tolerated four
+    // enumerated race spellings.)
     @volatile var writerDone = false
+    @volatile var writerErr: Throwable = null
     val writer = new Thread(() => {
-      for (i <- 1 to 12) {
-        val df = if (i % 2 == 0) Seq(Chg(1L, "a", 1L)).toDF() else v2.toDF()
-        df.write.mode("overwrite").parquet(s"$t/staged")
-        assert(fs.rename(new Path(s"$t/current"), new Path(s"$t/tombstone")))
-        assert(fs.rename(new Path(s"$t/staged"), new Path(s"$t/current")))
-        fs.delete(new Path(s"$t/tombstone"), true)
-        // Quiet gap between swaps: a writer that NEVER pauses keeps a
-        // rename window open against every overlapping read, and all
-        // reads race (observed on a loaded host) — real sinks swap per
-        // micro-batch, not in a tight loop.
-        Thread.sleep(200)
-      }
-      writerDone = true
+      try {
+        for (i <- 3 to 14) {
+          val rs = if (i % 2 == 0) Seq(Chg(1L, "a", 1L), Chg(2L, "b", 1L))
+            else Seq(Chg(1L, "a", 1L))
+          publish(i.toLong, rs)
+          val keepFrom = i - 3
+          fs.listStatus(new Path(t)).toSeq.map(_.getPath.getName).foreach {
+            n =>
+              if (n.startsWith("MANIFEST-") &&
+                  n.stripPrefix("MANIFEST-").toLong < keepFrom)
+                fs.delete(new Path(t, n), false)
+          }
+          fs.listStatus(new Path(t)).toSeq.map(_.getPath.getName).foreach {
+            n =>
+              if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+                  n.drop(1).toLong < keepFrom)
+                fs.delete(new Path(t, n), true)
+          }
+          Thread.sleep(100)
+        }
+      } catch { case e: Throwable => writerErr = e }
+      finally writerDone = true
     })
     writer.start()
     var ok = 0
-    var retried = 0
     val valid = Set(Set(1L), Set(1L, 2L))
     while (!writerDone) {
-      // The post-resolution race the scaladoc documents (a resolved dir
-      // or file renamed away before/while the action runs) surfaces as
-      // a file/path-not-found OR any FAILED_READ_FILE variant (NO_HINT
-      // when the file vanishes mid-read rather than at open) somewhere
-      // in the failure's cause chain — tolerated, the contract says
-      // "call again". Any OTHER failure (or an invalid key-set) fails
-      // the test.
-      def isGoneRace(t: Throwable): Boolean =
-        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).exists {
-          c =>
-            c.isInstanceOf[java.io.FileNotFoundException] ||
-              Option(c.getMessage).exists(m =>
-                m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
-                  m.contains("FAILED_READ_FILE") ||
-                  // A dir caught momentarily EMPTY between the writer's
-                  // two renames: Spark reports the vanished state as a
-                  // schema-inference failure, not a missing path.
-                  m.contains("UNABLE_TO_INFER_SCHEMA"))
-        }
-      try {
-        assert(valid(rows()), "reader observed a partial/invalid state")
-        ok += 1
-      } catch {
-        case e: Throwable if isGoneRace(e) => retried += 1
-      }
+      assert(valid(rows()), "reader observed a partial/invalid state")
+      ok += 1
     }
     writer.join()
-    assert(ok > 0, s"no read succeeded during swaps (retried=$retried)")
-    assert(rows() == Set(1L)) // final state: 12 swaps, even = v1
+    assert(writerErr == null, s"writer failed: $writerErr")
+    assert(ok > 0, "no read completed during the commit storm")
+    assert(rows() == Set(1L, 2L)) // final state: version 14, even = v2
   }
 }
 

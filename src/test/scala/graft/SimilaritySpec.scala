@@ -548,6 +548,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(s.getAs[Double]("ndcg") - want) < 2e-6)
   }
 
+  test("ndcgAtK: a query with zero approx results scores 0, not absent") {
+    import spark.implicits._
+    def rk(rows: (Long, Long, Double, Int)*) =
+      rows.toDF("query_id", "neighbor_id", "cosine", "rank")
+    val truth = rk((1L, 10L, 0.9, 1), (2L, 20L, 0.8, 1))
+    val approx = rk((1L, 10L, 0.9, 1)) // nothing returned for query 2
+    val r = Similarity.ndcgAtK(truth, approx).orderBy("query_id").collect()
+    assert(r.length == 2, "absent query must stay in the report")
+    assert(r(0).getAs[Double]("ndcg") == 1.0)
+    assert(r(1).getAs[Double]("ndcg") == 0.0 &&
+      r(1).getAs[Double]("dcg") == 0.0,
+      "mrrAtK reports 0.0 for a query with no hit; ndcg must match")
+  }
+
   test("embeddingQa: flag precedence partitions the bad set; norm stats") {
     import spark.implicits._
     val dim = 4
