@@ -1463,45 +1463,85 @@ object SparkEntry {
         .select((col("bin") * 50).cast("double").as("bin_lo"), col("n"))
         .orderBy("bin_lo")),
 
-    // Sketch tier: HLL distinct users and approx value quantiles next to
-    // their exact twins. No DuckDB oracle — HLL/GK sketches are not
-    // reproducible across engines; EventAnalyticsSpec bounds the error
-    // instead, and the driver records the rows-only check (contract-
-    // sanctioned for non-SQL-expressible ops). At 100 TB the approx
-    // forms are the point: fixed-size state, no per-group sort or
-    // distinct shuffle.
-    "q67_sketches" -> ((s, dir) =>
-      Tables.events(s, dir).groupBy("event_type")
+    // Sketch tier: HLL distinct users and approx value quantiles. The
+    // sketch ESTIMATES are not reproducible across engines, so the
+    // registered check emits what IS cross-engine checkable: the exact
+    // distinct count (DuckDB recomputes it) plus per-group boolean
+    // VERDICTS that the sketches met their published error contracts —
+    // HLL within 3×rsd (rsd = 0.05, Spark's default) of the exact
+    // count, and the approx median within the ±1/accuracy RANK window
+    // around 0.5 (checked by ranking approx_p50 against the group's
+    // own values: strictly-below count can't exceed the upper rank,
+    // at-or-below count must reach the lower rank). The oracle replays
+    // the exact count and asserts the verdicts as invariants (literal
+    // TRUE) — a sketch drifting out of contract flips a boolean and
+    // fails the hash compare, so the bound check runs under the driver
+    // gate, not only in EventAnalyticsSpec. At 100 TB the approx forms
+    // are the point: fixed-size state, no per-group sort or distinct
+    // shuffle; the exact twins here are the verification harness, not
+    // the production plan.
+    "q67_sketches" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_type", "user_id", "value")
+      val eps = 1.0 / 10000 // percentile_approx rank accuracy
+      val sk = graft.engine.Caches.materialized(ev.groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count_distinct(col("user_id")).as("exact_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000))
             .as("approx_p50"),
-          percentile(col("value"), lit(0.5)).as("exact_p50"))
-        .orderBy("event_type")),
+          count(lit(1)).as("n")))
+      val ranks = ev
+        .join(broadcast(sk.select("event_type", "approx_p50")),
+          Seq("event_type"))
+        .groupBy("event_type")
+        .agg(sum(when(col("value") < col("approx_p50"), 1L).otherwise(0L))
+            .as("n_lt"),
+          sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L))
+            .as("n_le"))
+      val out = sk.join(ranks, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= lit(3 * 0.05) * col("exact_users")).as("hll_ok"),
+          (col("n_lt") <= (lit(0.5) + eps) * col("n") &&
+            col("n_le") >= (lit(0.5) - eps) * col("n")).as("p50_ok"))
+        .orderBy("event_type")
+      out
+    }),
 
     // Sketch tier #2 — count-min heavy hitters: one fixed-size CMS pass
     // over the stream (partial/final merge, ~109 KB of state at
     // eps=0.001 regardless of cardinality), probed for the exact top-20
-    // users. Oracle-exempt like q67 (CMS is not expressible in DuckDB);
-    // determinism from the fixed seed + total-ordered top-k; the
-    // one-sided error contract (est >= exact, est - exact <= eps*N) is
-    // spec'd in EventAnalyticsSpec. Driver materializations are the
-    // ~109 KB sketch bytes (the q88 bloom pattern) and the 20-row
-    // top-k list the sketch is probed with — both bounded by
-    // construction, independent of data scale.
+    // users. The CMS estimate itself is not expressible in DuckDB, so —
+    // exactly like q67 — the registered check emits the exact top-k
+    // (DuckDB replays it) plus the one-sided error contract as boolean
+    // verdicts: est >= exact (a CMS can only overcount) and
+    // est - exact <= eps·N (N = total updates). The oracle asserts both
+    // as literal-TRUE invariants, putting the sketch contract under the
+    // driver gate; EventAnalyticsSpec keeps the value-level assertions.
+    // Determinism from the fixed seed + total-ordered top-k. Driver
+    // materializations are the ~109 KB sketch bytes (the q88 bloom
+    // pattern) and the 20-row top-k list the sketch is probed with —
+    // both bounded by construction, independent of data scale.
     "q102_heavy_hitters" -> ((s, dir) => {
       import org.apache.spark.util.sketch.CountMinSketch
+      val eps = 0.001
       val ev = Tables.events(s, dir)
       val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(20)
-      val bytes = ev
-        .select(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
-        .head().getAs[Array[Byte]](0)
+      val (bytes, n) = {
+        val r = ev.select(
+          expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("n")).head()
+        (r.getAs[Array[Byte]](0), r.getLong(1))
+      }
       val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      val rows = top.collect().map(r =>
-        (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+      val rows = top.collect().map { r =>
+        val est = cms.estimateCount(r.getLong(0))
+        (r.getLong(0), r.getLong(1), est >= r.getLong(1),
+          est - r.getLong(1) <= eps * n)
+      }
       import s.implicits._
-      rows.toSeq.toDF("user_id", "exact_cnt", "est_cnt")
+      rows.toSeq.toDF("user_id", "exact_cnt", "est_ge_exact",
+          "est_within_eps")
         .orderBy(col("exact_cnt").desc, col("user_id").asc)
     }),
 
@@ -2636,16 +2676,11 @@ object SparkEntry {
     * re-deriving why two rows say `no_oracle`. BenchSpec pins
     * `queries.keySet -- oracleSql.keySet == oracleExemptions.keySet` —
     * a new query can never silently skip its oracle. */
-  val oracleExemptions: Map[String, String] = Map(
-    "q67_sketches" ->
-      ("HLL and GK-quantile sketches are not bit-reproducible across " +
-        "engines; error bounds are asserted against exact twins in " +
-        "EventAnalyticsSpec (see the q67 registration scaladoc)"),
-    "q102_heavy_hitters" ->
-      ("count-min sketch is not expressible in DuckDB; the one-sided " +
-        "error contract (est >= exact, est - exact <= eps*N) is " +
-        "asserted in EventAnalyticsSpec (see the q102 registration " +
-        "scaladoc)"))
+  val oracleExemptions: Map[String, String] = Map.empty
+  // (Round 15 closed the last two: q67/q102 now emit the exact half of
+  // each sketch check plus boolean bound-verdicts the oracle asserts as
+  // literal-TRUE invariants, so every registered query is oracled. The
+  // mechanism stays for future genuinely non-replayable ops.)
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_wide_view" -> withWide(
@@ -3364,8 +3399,25 @@ object SparkEntry {
         |  FROM wide GROUP BY 1) _
         |ORDER BY bin_lo""".stripMargin),
 
+    // The exact half of the sketch check is replayed; the sketch error
+    // contracts ride as literal-TRUE invariants — a Spark sketch that
+    // drifted out of its published bound flips the boolean and fails
+    // the hash compare (see the q67/q102 registration scaladoc).
+    "q67_sketches" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS hll_ok, TRUE AS p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q68_quality_report" ->
       (QualityReport.ordersAuditSql() + "\nORDER BY check_name"),
+
+    "q102_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, exact_cnt, TRUE AS est_ge_exact,
+        |  TRUE AS est_within_eps
+        |FROM c ORDER BY exact_cnt DESC, user_id ASC LIMIT 20""".stripMargin,
 
     "q69_schema_evolution" ->
       """SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source,

@@ -803,17 +803,33 @@ object CorpusStats {
     * cluster) or when the distinct-word table is too large to collect;
     * use this when rounds dominate (real tokenizer training: 30k rounds
     * × vocab-sized work ≈ seconds locally vs hours of job scheduling).
-    * Driver memory bound = the distinct-word table (words × average
-    * word length) — the same order as the broadcast vocabulary
-    * [[bpeTokenize]] already ships to every executor. */
-  def bpeTrainLocal(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    *
+    * DRIVER MEMORY BOUND: the collected table is the distinct words
+    * with `freq >= minFreq` (× average word length). At the default
+    * `minFreq = 1` that is the full distinct-word table — the same
+    * order as the broadcast vocabulary [[bpeTokenize]] already ships
+    * to every executor, fine for curated corpora. On RAW WEB TEXT the
+    * freq-1 tail (typos, hashes, OCR noise) typically dominates the
+    * distinct-word count while contributing a vanishing share of pair
+    * mass, so standard tokenizer practice (SentencePiece/HF trainers'
+    * `min_frequency`) prunes it IN THE DISTRIBUTED AGGREGATION, before
+    * anything reaches the driver — `minFreq = 2` alone usually shrinks
+    * the collect by roughly half an order of magnitude. Semantics: the
+    * pruned trainer's merges equal the unpruned trainer's whenever no
+    * selected pair's count depends on sub-threshold words (their pair
+    * mass is bounded by `(minFreq-1) × |pruned words|`'s spread over
+    * pairs); a fixture-pinned spec asserts the exact-equality case. */
+  def bpeTrainLocal(docs: DataFrame, textCol: String, rounds: Int,
+      minFreq: Long = 1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^\\p{L}+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
       .as[(String, Long)].collect()
     // Per-word symbol sequences: codepoint split + the </w> marker —
     // the exact local twin of the distributed split(word, "") chain.
@@ -1049,9 +1065,9 @@ object CorpusStats {
     * and merge locally; output spec-pinned identical to [[bpeTrain]]).
     * Same completion-marker lifecycle as every stored index. */
   def saveBpeModel(docs: DataFrame, textCol: String, rounds: Int,
-      dir: String): Unit =
+      dir: String, minFreq: Long = 1L): Unit =
     graft.engine.Markers.gated(docs.sparkSession, dir, ModelMarker) {
-      bpeTrainLocal(docs, textCol, rounds)
+      bpeTrainLocal(docs, textCol, rounds, minFreq)
         .write.mode("overwrite").parquet(s"$dir/merges")
     }
 
@@ -1430,15 +1446,20 @@ object CorpusStats {
   /** [[bpeTrainLocal]] at the byte level: the shared driver-local
     * merge loop over byte symbols — same argmax tie-break (UTF-8 byte
     * order = Spark's string order), identical output to
-    * [[byteBpeTrain]] by construction (ByteBpeSpec pins it). */
+    * [[byteBpeTrain]] by construction (ByteBpeSpec pins it). `minFreq`
+    * prunes the sub-threshold pre-token tail in the distributed
+    * aggregation before the collect, with [[bpeTrainLocal]]'s exact
+    * driver-bound and equality semantics. */
   def byteBpeTrainLocal(docs: DataFrame, textCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, minFreq: Long = 1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val words = docs
       .select(explode(bytePreTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
       .as[(String, Long)].collect()
     val cur0: Array[(Array[String], Long)] = words.map { case (w, f) =>
       (byteSymsLocal(w), f)
@@ -1456,9 +1477,9 @@ object CorpusStats {
     * table, same completion marker, driver-local trainer for the
     * production 30k-round shape). */
   def saveByteBpeModel(docs: DataFrame, textCol: String, rounds: Int,
-      dir: String): Unit =
+      dir: String, minFreq: Long = 1L): Unit =
     graft.engine.Markers.gated(docs.sparkSession, dir, ModelMarker) {
-      byteBpeTrainLocal(docs, textCol, rounds)
+      byteBpeTrainLocal(docs, textCol, rounds, minFreq)
         .write.mode("overwrite").parquet(s"$dir/merges")
     }
 

@@ -265,6 +265,47 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrainLocal minFreq: prune equals unpruned when rare words are pair-disjoint") {
+    // Web-text shape in miniature: a high-frequency core vocabulary
+    // plus a freq-1 typo tail. The tail here shares NO adjacent symbol
+    // pair with the core (disjoint letters), so pruning it (minFreq=2)
+    // must reproduce the unpruned trainer EXACTLY — rounds, pairs, AND
+    // counts — while collecting a strictly smaller word table. This is
+    // the equality contract the scaladoc states: merges match whenever
+    // no selected pair's count depends on sub-threshold words.
+    // Every CORE pre-token stays above the cut at BOTH levels — the
+    // byte family splits "abab" (doc start) from "Ġabab" (mid-doc), so
+    // each position variant needs freq >= 2 for exact equality there.
+    val d = docs(
+      1L -> "abab abab ab zyx",
+      2L -> "abab abab ab qpo",
+      3L -> "abab tsr")
+    def m(df: org.apache.spark.sql.DataFrame) = df.orderBy("round")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val unpruned = m(CorpusStats.bpeTrainLocal(d, "text", rounds = 3))
+    val pruned = m(CorpusStats.bpeTrainLocal(d, "text", rounds = 3,
+      minFreq = 2L))
+    assert(pruned == unpruned,
+      "pair-disjoint freq-1 tail must not change the trained merges")
+    // The tail really is sub-threshold: its letters never appear in
+    // any merge, so the prune dropped it rather than merging past it.
+    // (Letters chosen disjoint from the </w> marker's characters.)
+    assert(!unpruned.exists { case (_, l, r, _) =>
+      (l + r).exists("zyxqpotsr".contains(_)) })
+    // Byte-level twin carries the same knob and the same contract.
+    val bu = m(CorpusStats.byteBpeTrainLocal(d, "text", rounds = 3))
+    val bp = m(CorpusStats.byteBpeTrainLocal(d, "text", rounds = 3,
+      minFreq = 2L))
+    assert(bp == bu)
+    // And an aggressive cut that DOES cross the contract boundary
+    // (minFreq above every word's freq) exhausts cleanly instead of
+    // throwing: zero merges, not an error.
+    assert(CorpusStats.bpeTrainLocal(d, "text", rounds = 3,
+      minFreq = 100L).count() == 0)
+  }
+
   test("bpeVocab: final segmentation equals the merge sequence applied in order") {
     // Same corpus as the hand-computed trainer fixture. Applying the
     // merges in order: (a,b) → abab=[ab,ab,</w>], ab=[ab,</w>];
