@@ -2636,7 +2636,18 @@ object SparkEntry {
         Similarity.bruteForceTopK(qs, emb, k = 5),
         Similarity.ivfTopKWith(qs, emb, k = 5, cents, nProbe = 3))
         .orderBy("query_id")
-    })
+    }),
+
+    // The end-to-end curation DAG as ONE registered query: raw HTML
+    // pages → extract (q197) → NFC (q179) → gate funnel (q193/q206/
+    // q203/q165) → exact near-dup clusters (q43/q37/q38) → quality
+    // classifier (q168) → token budget (q40) → packing (q71) → dataset
+    // card (q208), reported as a single (metric, value) table. The
+    // oracle replays the SAME DAG composed from each stage's own
+    // from-parameterized SQL twin — see graft.operators.Pipeline.
+    "q209_full_pipeline" -> ((s, dir) =>
+      graft.operators.Pipeline.fullCuration(Tables.documents(s, dir))
+        .orderBy("metric"))
   )
 
   /** q201's target proportions (shared with the oracle). */
@@ -3927,6 +3938,9 @@ object SparkEntry {
         minDf = 5) + "\nORDER BY doc_id"),
 
     "q208_dataset_card" ->
-      (Curation.datasetCardSql() + "\nORDER BY metric")
+      (Curation.datasetCardSql() + "\nORDER BY metric"),
+
+    "q209_full_pipeline" ->
+      (graft.operators.Pipeline.fullCurationSql() + "\nORDER BY metric")
   )
 }

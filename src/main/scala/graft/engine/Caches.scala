@@ -47,6 +47,25 @@ object Caches {
     track(cached)
   }
 
+  /** [[materialized]] plus LOGICAL-PLAN truncation: the returned frame
+    * plans as a `LogicalRDD` over the persisted rows, so a deep
+    * multi-stage composition (the q209 curation DAG) pays analyzer/
+    * optimizer/explain cost per STAGE instead of per accumulated
+    * lineage. Without this, every downstream plan — and every AQE
+    * plan-update explain render — carries the entire upstream tree;
+    * measured on the 8-stage pipeline that was a >1 GiB plan STRING
+    * (driver OOM) and 100×-ish plan-time blowups on 138-row cached
+    * frames, all planning cost, zero execution cost. Execution is
+    * unchanged: the RDD reads the persisted blocks, stays distributed,
+    * and is released with the registry like any other cache. The
+    * trade: Catalyst can no longer push filters/prune columns INTO the
+    * truncated stage — callers truncate only at stage boundaries whose
+    * output they consume whole, exactly the q209 shape. */
+  def truncated(df: DataFrame): DataFrame = {
+    val cached = materialized(df)
+    cached.sparkSession.createDataFrame(cached.rdd, cached.schema)
+  }
+
   /** Unpersist every tracked cache (non-blocking) and forget them.
     * Correctness-neutral at any point — an unpersisted frame recomputes
     * from lineage — so callers time it after the consuming action. */

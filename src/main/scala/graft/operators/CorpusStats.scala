@@ -293,10 +293,16 @@ object CorpusStats {
 
   /** Oracle twin of [[plantDegenerateText]] → [[charEntropy]] over
     * `documents` (DuckDB; per-char explode via `regexp_extract_all
-    * '.'` — no newlines in this corpus — same exact-decimal Σ). */
-  def charEntropySql(minEntropy: Double): String =
-    s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0
-       |    THEN repeat('aa ', 40) ELSE text END AS text FROM documents),
+    * '.'` — no newlines in this corpus — same exact-decimal Σ).
+    * `planted = false` skips the q203 harness plant for callers (the
+    * q209 pipeline) whose relation already carries its artifacts. */
+  def charEntropySql(minEntropy: Double, from: String = "documents",
+      planted: Boolean = true): String = {
+    val plant = if (planted)
+      s"""CASE WHEN doc_id % 23 = 0
+       |    THEN repeat('aa ', 40) ELSE text END""".stripMargin
+    else "text"
+    s"""WITH p AS (SELECT doc_id, $plant AS text FROM $from),
        |e AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
        |  FROM p),
        |c AS (SELECT doc_id, ch, count(*) AS cnt FROM e
@@ -310,6 +316,7 @@ object CorpusStats {
        |  CASE WHEN char_entropy < $minEntropy THEN 1 ELSE 0 END
        |    AS low_entropy
        |FROM h""".stripMargin
+  }
 
   // -------------------------------------------------- repetition metrics
 

@@ -119,11 +119,12 @@ object Curation {
 
   /** SQL twin of [[tokenBudgetSample]] (the global-window formulation —
     * equivalent by construction, viable at oracle scale). */
-  def tokenBudgetSampleSql(budget: Long): String = {
+  def tokenBudgetSampleSql(budget: Long,
+      from: String = "documents"): String = {
     import TextFunctions.{Sql => T}
     s"""WITH t AS (SELECT doc_id, ${T.qualityScore("text")} AS quality,
        |    CAST(${T.bpeTokenCount("text")} AS BIGINT) AS n_tokens
-       |  FROM documents),
+       |  FROM $from),
        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
        |  FROM t)
@@ -536,16 +537,40 @@ object Curation {
     * Scale shape: map-only projection — literal `replace` length
     * arithmetic plus one hex-class `regexp_count`, all codegen'd; no
     * shuffle, flat wall at any corpus size. */
+  /** Exact-occurrence count of a literal pattern (codepoint-length
+    * replace arithmetic \u2014 the same spelling both engines share). */
+  private def literalCount(t: Column, pat: String): Column =
+    ((length(t) - length(replace(t, lit(pat), lit("")))) /
+      lit(pat.length)).cast("int")
+
+  /** Total encoding-artifact count \u2014 the single-expression form of the
+    * [[encodingAudit]] verdict (mojibake digraphs + U+FFFD + bare C0
+    * controls), for callers that gate on "any artifact at all" (the
+    * q209 pipeline funnel) without the per-category columns. */
+  def encodingDirtyCount(t: Column): Column =
+    MojibakePatterns.map(literalCount(t, _)).reduce(_ + _) +
+      literalCount(t, "\ufffd") +
+      regexp_count(t, lit(CtrlClass)).cast("int")
+
+  /** DuckDB twin of [[encodingDirtyCount]] over a text expression. */
+  def encodingDirtyCountSql(x: String): String = {
+    def c(sqlPat: String, cp: Int) =
+      s"CAST((length($x) - length(replace($x, $sqlPat, ''))) / $cp AS INTEGER)"
+    val moji = Seq(
+      ("chr(195)||chr(169)", 2),
+      ("chr(195)||chr(188)", 2),
+      ("chr(226)||chr(8364)||chr(8482)", 3))
+    (moji.map((c _).tupled) :+ c("chr(65533)", 1)).mkString(" + ") +
+      s" + CAST(len(regexp_extract_all($x, '$CtrlClass')) AS INTEGER)"
+  }
+
   def encodingAudit(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val t = col(textCol)
-    def countLit(pat: String): Column =
-      ((length(t) - length(replace(t, lit(pat), lit("")))) /
-        lit(pat.length)).cast("int")
-    val moji = MojibakePatterns.map(countLit).reduce(_ + _)
+    val moji = MojibakePatterns.map(literalCount(t, _)).reduce(_ + _)
     docs.select(col(idCol),
       moji.as("n_mojibake"),
-      countLit("\ufffd").as("n_replacement"),
+      literalCount(t, "\ufffd").as("n_replacement"),
       regexp_count(t, lit(CtrlClass)).cast("int").as("n_ctrl"))
       .withColumn("clean",
         (col("n_mojibake") + col("n_replacement") + col("n_ctrl") === 0)
@@ -669,7 +694,7 @@ object Curation {
 
   /** Oracle twin of [[datasetCard]] over `documents` (same per-doc
     * projections, same union of unpivoted globals + language shares). */
-  def datasetCardSql(): String = {
+  def datasetCardSql(from: String = "documents"): String = {
     import TextFunctions.{Sql => T}
     val allWords = SafetyCategories.flatMap(_._2)
     s"""WITH p AS (SELECT lang, md5(text) AS text_fp,
@@ -681,7 +706,7 @@ object Curation {
        |      THEN 1 ELSE 0 END AS has_pii,
        |    CASE WHEN ${T.markerHits("text", allWords)} > 0
        |      THEN 1 ELSE 0 END AS blocked
-       |  FROM documents),
+       |  FROM $from),
        |a AS (SELECT count(*) AS n_docs,
        |    sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars,
        |    count(DISTINCT text_fp) AS n_distinct,
@@ -840,11 +865,12 @@ object Curation {
   }
 
   /** SQL twin of [[packSequences]] (global-window formulation). */
-  def packSequencesSql(binTokens: Long): String = {
+  def packSequencesSql(binTokens: Long,
+      from: String = "documents"): String = {
     import TextFunctions.{Sql => T}
     s"""WITH t AS (SELECT doc_id,
        |    CAST(${T.tokenCount("text")} AS BIGINT) AS n_tokens
-       |  FROM documents),
+       |  FROM $from),
        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |    AS cum FROM t)

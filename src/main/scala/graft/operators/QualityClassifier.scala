@@ -402,8 +402,8 @@ object QualityClassifier {
     * (counting is exact, so the recomputed weights ARE the stored
     * ones). */
   def scoreSql(trainPred: String, labelExpr: String,
-      applyPred: String): String =
-    "WITH " + scoreChainSql(trainPred, labelExpr, applyPred) +
+      applyPred: String, from: String = "documents"): String =
+    "WITH " + scoreChainSql(trainPred, labelExpr, applyPred, from) +
       s"""
        |SELECT doc_id, n_tokens, quality_score,
        |  CASE WHEN quality_score > 0 THEN 1 ELSE 0 END AS is_good
@@ -416,10 +416,10 @@ object QualityClassifier {
     * `qc_`-prefixed so composition can never collide with a host
     * query's names. */
   def scoreChainSql(trainPred: String, labelExpr: String,
-      applyPred: String): String = {
+      applyPred: String, from: String = "documents"): String = {
     import TextFunctions.{Sql => T}
     s"""qc_train AS (SELECT text, ($labelExpr) AS y
-       |  FROM documents WHERE $trainPred),
+       |  FROM $from WHERE $trainPred),
        |qc_toks AS (SELECT y, unnest(${T.tokens("text")}) AS tok
        |  FROM qc_train),
        |qc_counts AS (SELECT tok,
@@ -441,7 +441,7 @@ object QualityClassifier {
        |    ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + v AS DOUBLE)) AS w
        |  FROM qc_counts CROSS JOIN qc_params),
        |qc_atoks AS (SELECT doc_id, unnest(${T.tokens("text")}) AS tok
-       |  FROM documents WHERE $applyPred),
+       |  FROM $from WHERE $applyPred),
        |qc_per_doc AS (SELECT t.doc_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    ${Aggregates.sumExactSql(
@@ -456,7 +456,7 @@ object QualityClassifier {
        |    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
        |    round(ln(CAST(p.docs_pos AS DOUBLE) / CAST(p.docs_neg AS DOUBLE))
        |      + COALESCE(s.tok_sum, 0.0), 6) AS quality_score
-       |  FROM documents d LEFT JOIN qc_per_doc s USING (doc_id)
+       |  FROM $from d LEFT JOIN qc_per_doc s USING (doc_id)
        |  CROSS JOIN qc_params p WHERE $applyPred)""".stripMargin
   }
 }

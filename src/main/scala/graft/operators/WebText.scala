@@ -80,7 +80,7 @@ object WebText {
   /** Oracle twin of [[syntheticHtml]] → [[extractText]] (DuckDB; the
     * same regex chain with explicit 'g' flags, the same entity order,
     * `chr(10)` for the planted newline so the SQL stays one line). */
-  def extractTextSql(): String = {
+  def extractTextSql(from: String = "documents"): String = {
     val entityChain = Entities.foldLeft("stripped") { case (acc, (ent, ch)) =>
       val sqlCh = ch match {
         case "\"" => "'\"'"
@@ -90,7 +90,7 @@ object WebText {
       s"replace($acc, '$ent', $sqlCh)"
     }
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |    FROM documents),
+       |    FROM $from),
        |h AS (SELECT doc_id,
        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
        |    '</title><style>body { color: #333; }</style></head>' ||

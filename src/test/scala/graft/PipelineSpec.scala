@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{Curation, Pipeline}
+
+/** q209 — the end-to-end curation DAG: the composed report's per-stage
+  * numbers must equal the standalone operators run on the same inputs
+  * (drop counts = the standalone funnel's), and the whole report must
+  * be conservation-consistent stage to stage. */
+class PipelineSpec extends SparkSpec {
+
+  test("pipeline funnel drops equal the standalone filterFunnel; report conserves") {
+    val docs = Tables.documents(spark, sf)
+    val report = Pipeline.fullCuration(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.engine.Caches.release()
+
+    // The standalone funnel over exactly the pipeline's gated corpus
+    // must reproduce the composed report's per-gate drop counts.
+    val funnel = Curation.filterFunnel(
+      Pipeline.gatedCorpus(docs, minEntropy = 2.0),
+      Pipeline.gateColumns(col("text"), minTokens = 10, minQuality = 0.3))
+      .collect()
+    graft.engine.Caches.release()
+    funnel.foreach { r =>
+      val key = f"1${r.getInt(0)}%02d_drop_${r.getString(1)}"
+      assert(report(key) == r.getLong(3).toDouble,
+        s"composed vs standalone drop count diverged at ${r.getString(1)}")
+    }
+
+    // Conservation across the report: every stage's out = next stage's
+    // in, so a stage silently losing or duplicating documents cannot
+    // produce a consistent table.
+    val gateDrops = funnel.map(_.getLong(3)).sum.toDouble
+    assert(report("000_input_docs") - gateDrops ==
+      report("190_gate_survivors"))
+    assert(report("190_gate_survivors") - report("200_dedup_victims") ==
+      report("210_dedup_survivors"))
+    assert(report("300_classifier_rejected") +
+      report("310_classifier_kept") == report("210_dedup_survivors"))
+    assert(report("400_budget_docs") <= report("310_classifier_kept"))
+    assert(report("410_budget_tokens") <= 20000.0,
+      "budget stage must respect the token budget")
+    // Packing and card both describe the SAME released corpus.
+    assert(report("600_card_n_docs") == report("400_budget_docs"))
+    assert(report("510_packed_tokens") == report("600_card_total_tokens"))
+    assert(report("500_packed_sequences") >= 1.0 ||
+      report("400_budget_docs") == 0.0)
+    // The harness plants guarantee real drops on this corpus.
+    assert(report("100_drop_encoding_clean") > 0)
+    assert(report("101_drop_safety") > 0)
+  }
+}
