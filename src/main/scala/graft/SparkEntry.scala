@@ -247,6 +247,7 @@ object SparkEntry {
     "q125_video_frames" -> ("media", "gif"),
     "q135_pq_stored_index" -> ("ann", "pq"),
     "q136_ivfpq_stored_index" -> ("ann", "ivfpq"),
+    "q211_ivfpq_adaptive" -> ("ann", "ivfpq"),
     "q137_pq_index_append" -> ("ann", "pq_grown"),
     "q138_ivfpq_index_append" -> ("ann", "ivfpq_grown"),
     "q148_minhash_stored_dedup" -> ("dedup", "minhash"),
@@ -2647,7 +2648,35 @@ object SparkEntry {
     // from-parameterized SQL twin — see graft.operators.Pipeline.
     "q209_full_pipeline" -> ((s, dir) =>
       graft.operators.Pipeline.fullCuration(Tables.documents(s, dir))
-        .orderBy("metric"))
+        .orderBy("metric")),
+
+    // Fixed-vs-adaptive IVF probing (the Faiss-style spill-until-k
+    // rule): one row per method with total probes + mean/min recall@50
+    // on the q155 fixture, where k exceeds the sparse cells' population
+    // — fixed-1 is structurally under-filled there (recall floor
+    // capped at |cell|/k), adaptive spills exactly where needed and
+    // stays under fixed-2's probe budget. Oracle replays the cell
+    // ranking, the spill rule, and the recall aggregation.
+    "q210_adaptive_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        emb, "vec_id", "embedding", initStride = 53, iters = 2)
+      Similarity.probeRecallReport(qs, emb, k = 50, cents,
+        fixed = Seq(1, 2), maxProbe = 4).orderBy("method")
+    }),
+
+    // The adaptive rule on the STORED IVF-PQ index (q136's fixture):
+    // probe depth comes from the stored cell populations, capped at
+    // maxProbe — the production knob for the persisted path. Oracle =
+    // the same train-inline replay as q136 with the spill rule
+    // substituted for the fixed probe.
+    "q211_ivfpq_adaptive" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKFromIndexAdaptive(emb.filter(col("vec_id") < 10),
+        emb, storedAnnIndex(s, dir, "ivfpq"), k = 5, maxProbe = 3)
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** q201's target proportions (shared with the oracle). */
@@ -3941,6 +3970,15 @@ object SparkEntry {
       (Curation.datasetCardSql() + "\nORDER BY metric"),
 
     "q209_full_pipeline" ->
-      (graft.operators.Pipeline.fullCurationSql() + "\nORDER BY metric")
+      (graft.operators.Pipeline.fullCurationSql() + "\nORDER BY metric"),
+
+    "q210_adaptive_probe" ->
+      (Similarity.probeRecallReportSql(k = 50, fixed = Seq(1, 2),
+        maxProbe = 4) + "\nORDER BY method"),
+
+    "q211_ivfpq_adaptive" -> Similarity.ivfPqTopKSql(k = 5,
+      cellStride = 53, cellIters = 1, nProbe = 3,
+      m = 16, subDim = 4, pqStride = 3, pqIters = 1,
+      adaptiveProbe = true)
   )
 }

@@ -396,16 +396,22 @@ object Similarity {
 
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
       cents: DataFrame, nProbe: Int): DataFrame = {
-    val assign = assignCells(cents) _
-
-    val corpusCells = assign(
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
-      "neighbor_id", "c_emb", 1)
-    val queryCells = assign(
+    val queryCells = assignCells(cents)(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id", "q_emb", nProbe)
+    ivfTopKWithProbes(corpus, k, cents,
+      queryCells.select("query_id", "q_emb", "cent_id"))
+  }
 
-    val scored = corpusCells.join(queryCells, Seq("cent_id"))
+  /** The IVF scoring tail shared by fixed and adaptive probing: join
+    * the probe set against the corpus cell assignment, exact cosine on
+    * the co-celled candidates, total-ordered top-k. */
+  private def ivfTopKWithProbes(corpus: DataFrame, k: Int,
+      cents: DataFrame, probes: DataFrame): DataFrame = {
+    val corpusCells = assignCells(cents)(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+      "neighbor_id", "c_emb", 1)
+    val scored = corpusCells.join(probes, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id")
@@ -413,6 +419,250 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Per-query cell RANKING (probe_rank 1..maxProbe by centroid
+    * similarity desc, cent_id asc — exactly [[assignCells]]' order,
+    * with the rank retained): the shared input of fixed-probe
+    * truncation and adaptive spilling. One map-side aggregation per
+    * query against the broadcast centroid table, like assignCells. */
+  private def rankedQueryCells(queries: DataFrame, cents: DataFrame,
+      maxProbe: Int): DataFrame =
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("sim", cosine(col("q_emb"), col("cent_emb")))
+      .groupBy("query_id").agg(first("q_emb").as("q_emb"),
+        slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+          col("cent_id")))), 1, maxProbe).as("cells"))
+      .select(col("query_id"), col("q_emb"),
+        posexplode(col("cells")).as(Seq("p", "c")))
+      .select(col("query_id"), col("q_emb"),
+        (col("p") + 1).cast("int").as("probe_rank"),
+        col("c").getField("cent_id").as("cent_id"))
+
+  /** ADAPTIVE multi-probe selection — the production IVF probing rule
+    * (Faiss-style): cells are taken in centroid-similarity rank order,
+    * and a query SPILLS to its next-ranked cell only while the
+    * cumulative population of the cells taken so far is below `k`,
+    * capped at `maxProbe` cells. A query landing in a dense first cell
+    * pays ONE probe; a query whose nearest cells are sparse keeps
+    * spilling until it has at least k real candidates — so no query can
+    * be structurally under-filled (candidates < k) the way a fixed
+    * nProbe leaves sparse-cell queries, and no probe is spent where the
+    * first cell already fills k. Both the ranking and the cell sizes
+    * are data-determined, so the rule replays exactly in SQL. The
+    * spill test uses RAW cell populations (the query's own vector is
+    * not discounted when it co-cells) — the production convention, and
+    * the one that keeps the rule a pure join against the cell-size
+    * table. Cost: the per-query window runs over ≤ maxProbe rows, never
+    * the corpus. */
+  def adaptiveProbes(queries: DataFrame, cents: DataFrame,
+      cellSizes: DataFrame, k: Int, maxProbe: Int): DataFrame = {
+    require(maxProbe >= 1, s"maxProbe must be >= 1, got $maxProbe")
+    val ranked = rankedQueryCells(queries, cents, maxProbe)
+    val w = Window.partitionBy("query_id").orderBy("probe_rank")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranked.join(broadcast(cellSizes), Seq("cent_id"))
+      .withColumn("cum_before", coalesce(sum("cell_n").over(w), lit(0L)))
+      .filter(col("cum_before") < k)
+      .select("query_id", "q_emb", "cent_id", "probe_rank")
+  }
+
+  /** [[ivfTopKWith]] with ADAPTIVE probing ([[adaptiveProbes]]): cell
+    * sizes come from the same corpus assignment the scoring tail uses.
+    * Same output schema; the probe count per query is data-dependent
+    * (1 when the nearest cell already holds k vectors). */
+  def ivfTopKWithAdaptive(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: DataFrame, maxProbe: Int): DataFrame = {
+    val corpusCells = graft.engine.Caches.materialized(assignCells(cents)(
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")),
+      "neighbor_id", "c_emb", 1))
+    val sizes = corpusCells.groupBy("cent_id")
+      .agg(count(lit(1)).as("cell_n"))
+    val probes = adaptiveProbes(queries, cents, sizes, k, maxProbe)
+      .select("query_id", "q_emb", "cent_id")
+    val scored = corpusCells.join(probes, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Fixed-vs-adaptive PROBE/RECALL comparison over one fixture — the
+    * table that justifies (or rejects) a probing policy: one row per
+    * method with its TOTAL probe count and the mean/min recall@k
+    * against the exact ranking. `min_recall` is the floor a fixed
+    * nProbe cannot defend when k exceeds the sparse cells' population
+    * (a query whose probed cells hold fewer than k vectors is
+    * STRUCTURALLY under-filled — no ranking of its candidates reaches
+    * recall 1), and exactly what [[adaptiveProbes]]' spill rule
+    * defends at a probe spend that tracks need instead of the worst
+    * case. Queries absent from a method's result (no co-celled
+    * candidates at all) count as recall 0, never vanish. Bounded
+    * output: |fixed| + 1 rows; the heavy frames (truth, corpus cells)
+    * are computed once and shared. */
+  def probeRecallReport(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: DataFrame, fixed: Seq[Int], maxProbe: Int): DataFrame = {
+    require(fixed.nonEmpty, "need at least one fixed-probe baseline")
+    val truth = graft.engine.Caches.materialized(
+      bruteForceTopK(queries, corpus, k))
+    val qids = truth.select("query_id").distinct()
+    val corpusCells = graft.engine.Caches.materialized(assignCells(cents)(
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")),
+      "neighbor_id", "c_emb", 1))
+    val sizes = corpusCells.groupBy("cent_id")
+      .agg(count(lit(1)).as("cell_n"))
+    def topWith(probes: DataFrame): DataFrame = {
+      val scored = corpusCells.join(probes, Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    }
+    def row(method: String, probes: DataFrame): DataFrame = {
+      val p = graft.engine.Caches.materialized(
+        probes.select("query_id", "q_emb", "cent_id"))
+      val rec = qids
+        .join(recallAtK(truth, topWith(p), k)
+          .select(col("query_id"), col("recall")), Seq("query_id"), "left")
+        .select(coalesce(col("recall"), lit(0.0)).as("recall"))
+      p.agg(count(lit(1)).cast("long").as("total_probes"))
+        .crossJoin(rec.agg(
+          graft.engine.Aggregates.avgExact(col("recall")).as("mean_r"),
+          min(col("recall")).as("min_r")))
+        .select(lit(method).as("method"), col("total_probes"),
+          round(col("mean_r"), 6).as("mean_recall"),
+          round(col("min_r"), 6).as("min_recall"))
+    }
+    val fixedRows = fixed.map(n => row(f"fixed_$n%02d",
+      rankedQueryCells(queries, cents, n)))
+    val adaptiveRow = row("adaptive",
+      adaptiveProbes(queries, cents, sizes, k, maxProbe))
+    (fixedRows :+ adaptiveRow).reduce(_ unionAll _)
+  }
+
+  /** Oracle twin of [[probeRecallReport]] over the q155 fixture
+    * (`embeddings`, k-means centroids, queries by `queryPred`): the
+    * cell ranking, the spill rule, the per-method top-k, and the
+    * recall aggregation all replayed in DuckDB. */
+  def probeRecallReportSql(k: Int, fixed: Seq[Int], maxProbe: Int,
+      initStride: Long = 53, iters: Int = 2,
+      queryPred: String = "vec_id < 10"): String = {
+    val maxRank = (fixed :+ maxProbe).max
+    def methodCtes(name: String, probeRel: String): String =
+      s"""${name}_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${Sql.cosine("q_emb", "c_emb")} DESC,
+         |          c.neighbor_id) AS rank
+         |    FROM $probeRel p
+         |    JOIN corpus_cells c USING (cent_id)
+         |    JOIN qs USING (query_id)
+         |    WHERE query_id != neighbor_id) t WHERE rank <= $k),
+         |${name}_rec AS (
+         |  SELECT q.query_id, COALESCE(r.recall, 0.0) AS recall
+         |  FROM (SELECT DISTINCT query_id FROM qs) q
+         |  LEFT JOIN (SELECT a.query_id,
+         |      CAST(COUNT(b.neighbor_id) AS DOUBLE) / $k AS recall
+         |    FROM ${name}_top a LEFT JOIN bt b
+         |      USING (query_id, neighbor_id)
+         |    GROUP BY a.query_id) r USING (query_id))""".stripMargin
+    def methodRow(name: String, probeRel: String): String =
+      s"""SELECT '$name' AS method,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $probeRel)
+         |    AS total_probes,
+         |  (SELECT round(${graft.engine.Aggregates.avgExactSql("recall")}, 6)
+         |    FROM ${name}_rec) AS mean_recall,
+         |  (SELECT round(MIN(recall), 6) FROM ${name}_rec)
+         |    AS min_recall""".stripMargin
+    val fixedNames = fixed.map(n => (f"fixed_$n%02d", n))
+    val perMethodCtes = (fixedNames.map { case (nm, n) =>
+      s"""${nm}_probes AS (SELECT query_id, cent_id FROM qrank
+         |  WHERE probe_rank <= $n),
+         |${methodCtes(nm, s"${nm}_probes")}""".stripMargin
+    } :+ s"""adaptive_probes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, q.cent_id, q.probe_rank,
+         |      COALESCE(SUM(s.cell_n) OVER (PARTITION BY q.query_id
+         |        ORDER BY q.probe_rank
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS cum_before
+         |    FROM qrank q JOIN cell_sizes s USING (cent_id)
+         |    WHERE q.probe_rank <= $maxProbe) t
+         |  WHERE cum_before < $k),
+         |${methodCtes("adaptive", "adaptive_probes")}""".stripMargin)
+      .mkString(",\n")
+    val rows = (fixedNames.map { case (nm, _) =>
+      methodRow(nm, s"${nm}_probes") } :+
+      methodRow("adaptive", "adaptive_probes")).mkString("\nUNION ALL\n")
+    s"""WITH ${graft.operators.Clustering.kmeansCentsSql(initStride, iters)},
+       |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE $queryPred),
+       |corpus_cells AS (
+       |  SELECT neighbor_id, c_emb, cent_id FROM (
+       |    SELECT neighbor_id, c_emb, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY neighbor_id
+       |        ORDER BY ${Sql.cosine("c_emb", "cent_emb")} DESC, cent_id)
+       |        AS r
+       |    FROM corpus CROSS JOIN cents) t WHERE r = 1),
+       |cell_sizes AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS cell_n
+       |  FROM corpus_cells GROUP BY cent_id),
+       |qrank AS (
+       |  SELECT query_id, cent_id, probe_rank FROM (
+       |    SELECT query_id, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${Sql.cosine("q_emb", "cent_emb")} DESC, cent_id)
+       |        AS probe_rank
+       |    FROM qs CROSS JOIN cents) t WHERE probe_rank <= $maxRank),
+       |bt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |        ${Sql.cosine("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+       |    FROM corpus JOIN qs ON query_id != neighbor_id) t
+       |  WHERE rank <= $k),
+       |$perMethodCtes
+       |$rows""".stripMargin
+  }
+
+  /** [[ivfPqTopKFromIndexAdaptive]]'s probe source: the STORED index's
+    * cell populations (one tiny aggregation of the `cells` table). */
+  def ivfPqTopKFromIndexAdaptive(queries: DataFrame, corpus: DataFrame,
+      dir: String, k: Int, maxProbe: Int, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val spark = queries.sparkSession
+    require(indexExists(spark, dir),
+      s"no completed IVF-PQ index at $dir — run buildIvfPqIndex first")
+    val cents = spark.read.parquet(s"$dir/cents")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val sizes = cells.groupBy("cent_id").agg(count(lit(1)).as("cell_n"))
+    val queryCells = adaptiveProbes(queries, cents, sizes, k, maxProbe)
+      .select("query_id", "cent_id")
+    val cands = cells.join(queryCells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("nid"))
+      .select("query_id", "nid")
+    val (m, subDim) = pqShapeOf(codebook)
+    requireFullCoverage(m, subDim)
+    requireCorpusCoversIndex(corpus, codes, m, dir)
+    val pairs = cands
+      .join(codes, Seq("nid"))
+      .join(queryPqDots(queries, codebook, m, subDim),
+        Seq("query_id", "sub_j", "code"))
+    rerankExact(rankAdc(pairs, queryNorms(queries), k * rerank),
+      queries, corpus, k)
   }
 
   /** IVF-celled near-dup pairs — the ANN-accelerated membrane between
@@ -1198,7 +1448,41 @@ object Similarity {
   def ivfPqTopKSql(k: Int, cellStride: Long, cellIters: Int, nProbe: Int,
       m: Int, subDim: Int, pqStride: Long, pqIters: Int,
       maxCodebook: Long = 128, rerank: Int = 4,
-      trainPred: String = "TRUE"): String =
+      trainPred: String = "TRUE",
+      adaptiveProbe: Boolean = false): String = {
+    // Fixed mode probes exactly nProbe cells; adaptive mode treats
+    // nProbe as the CAP and spills down the ranking only while the
+    // cumulative probed-cell population is below k (the
+    // [[adaptiveProbes]] rule, replayed).
+    val queryCells = if (!adaptiveProbe)
+      s"""query_cells AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT e.vec_id AS query_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Sql.cosine("e.embedding", "c.cent_emb")} DESC,
+         |          c.cent_id) AS r
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e
+         |      CROSS JOIN f_cents c) t WHERE r <= $nProbe)""".stripMargin
+    else
+      s"""cell_sizes AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS cell_n
+         |  FROM corpus_cells GROUP BY cent_id),
+         |query_cells AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, q.cent_id,
+         |      COALESCE(SUM(s.cell_n) OVER (PARTITION BY q.query_id
+         |        ORDER BY q.r
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS cum_before
+         |    FROM (
+         |      SELECT query_id, cent_id, r FROM (
+         |        SELECT e.vec_id AS query_id, c.cent_id,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${Sql.cosine("e.embedding", "c.cent_emb")}
+         |              DESC, c.cent_id) AS r
+         |        FROM (SELECT * FROM embeddings WHERE vec_id < 10) e
+         |          CROSS JOIN f_cents c) _ WHERE r <= $nProbe) q
+         |    JOIN cell_sizes s USING (cent_id)) t
+         |  WHERE cum_before < $k)""".stripMargin
     s"""WITH
        |${Clustering.kmeansCentsSql(cellStride, cellIters,
           from = s"(SELECT * FROM embeddings WHERE $trainPred)",
@@ -1210,14 +1494,7 @@ object Similarity {
        |        ORDER BY ${Sql.cosine("e.embedding", "c.cent_emb")} DESC,
        |          c.cent_id) AS r
        |    FROM embeddings e CROSS JOIN f_cents c) t WHERE r = 1),
-       |query_cells AS (
-       |  SELECT query_id, cent_id FROM (
-       |    SELECT e.vec_id AS query_id, c.cent_id,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${Sql.cosine("e.embedding", "c.cent_emb")} DESC,
-       |          c.cent_id) AS r
-       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e
-       |      CROSS JOIN f_cents c) t WHERE r <= $nProbe),
+       |$queryCells,
        |cands AS (
        |  SELECT query_id, nid FROM corpus_cells JOIN query_cells
        |    USING (cent_id) WHERE query_id != nid),
@@ -1230,6 +1507,7 @@ object Similarity {
        |    JOIN dots USING (query_id, sub_j, code)
        |  GROUP BY 1, 2),
        |${rankAdcSql(k, rerank)}""".stripMargin
+  }
 
   /** Symmetric int8 quantization of the embedding tier — the storage
     * path: per-row scale = max |element| (double), elements mapped to

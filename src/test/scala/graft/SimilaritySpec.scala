@@ -548,6 +548,43 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(s.getAs[Double]("ndcg") - want) < 2e-6)
   }
 
+  test("adaptive probing: spill rule, floor defense, probe economy") {
+    val qs = emb.filter(col("vec_id") < 10)
+    val cents = graft.operators.Clustering.kmeansCentroids(
+      emb, "vec_id", "embedding", initStride = 53, iters = 2)
+    val k = 50
+    val report = Similarity.probeRecallReport(qs, emb, k, cents,
+      fixed = Seq(1, 2), maxProbe = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    graft.engine.Caches.release()
+    val (pA, meanA, minA) = report("adaptive")
+    val (p1, mean1, min1) = report("fixed_01")
+    val (p2, _, min2) = report("fixed_02")
+    // k exceeds the sparse cells' population on this fixture, so
+    // fixed-1 is structurally under-filled somewhere; adaptive spills
+    // exactly there. Mean recall strictly raised, floor never lowered
+    // (strictly raised on the sf0.01 fixture — q210's driver run; at
+    // sf0.001 the floor query's first cell happens to be dense, so the
+    // two floors tie), and the probe spend stays strictly under the
+    // fixed-2 budget that would ALSO fix the floor (probe economy:
+    // spend tracks need).
+    assert(minA >= min1, s"adaptive floor $minA must not lose to fixed-1 $min1")
+    assert(meanA > mean1,
+      s"adaptive mean $meanA must strictly beat fixed-1 $mean1")
+    assert(pA >= p1 && pA < p2,
+      s"adaptive probes $pA must sit between fixed-1 $p1 and fixed-2 $p2")
+    // Adaptive can never deliver a structurally under-filled query:
+    // every query's probed cells hold >= min(k, corpus) vectors.
+    val sizes = Similarity.ivfTopKWithAdaptive(qs, emb, k, cents,
+      maxProbe = 4).groupBy("query_id").count().collect()
+    assert(sizes.forall(_.getLong(1) >= math.min(k, 40) - 1),
+      "every query must reach at least a full first spill of candidates")
+    // fixed-2's floor is also above fixed-1's here — the fixture's
+    // skew is what the adaptive rule exploits; record it for context.
+    assert(min2 >= min1)
+  }
+
   test("ndcgAtK: a query with zero approx results scores 0, not absent") {
     import spark.implicits._
     def rk(rows: (Long, Long, Double, Int)*) =
