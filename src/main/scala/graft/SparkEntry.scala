@@ -2676,7 +2676,16 @@ object SparkEntry {
       Similarity.ivfPqTopKFromIndexAdaptive(emb.filter(col("vec_id") < 10),
         emb, storedAnnIndex(s, dir, "ivfpq"), k = 5, maxProbe = 3)
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // The stop-shingle cost model as data: per df class, its posting
+    // pair work and the running total against the budget — the table
+    // autoMaxDf reads its cutoff from (replacing q23/q43/q151's magic
+    // maxDf = 100 with a derived knee). DedupSpec pins that the tuned
+    // cutoff reproduces the fixed-value pair population here.
+    "q212_maxdf_autotune" -> ((s, dir) =>
+      Dedup.maxDfTuningTable(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, pairBudget = 10000000L).orderBy("df"))
   )
 
   /** q201's target proportions (shared with the oracle). */
@@ -3979,6 +3988,10 @@ object SparkEntry {
     "q211_ivfpq_adaptive" -> Similarity.ivfPqTopKSql(k = 5,
       cellStride = 53, cellIters = 1, nProbe = 3,
       m = 16, subDim = 4, pqStride = 3, pqIters = 1,
-      adaptiveProbe = true)
+      adaptiveProbe = true),
+
+    "q212_maxdf_autotune" ->
+      (Dedup.maxDfTuningTableSql(n = 3, pairBudget = 10000000L) +
+        "\nORDER BY df")
   )
 }

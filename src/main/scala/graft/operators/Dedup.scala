@@ -180,6 +180,83 @@ object Dedup {
       s"ELSE [array_to_string($toks, ' ')] END)"
   }
 
+  // ------------------------------------------------ stop-shingle tuning
+
+  /** DF-class tuning table for the stop-shingle cutoff — the COST MODEL
+    * behind `maxDf`, materialized: in the inverted-index construction a
+    * shingle shared by `df` documents contributes C(df, 2) =
+    * df·(df−1)/2 candidate pairs to the posting self-join, so the total
+    * pair work admitted by a cutoff D is
+    *
+    *   W(D) = Σ_{df ≤ D} h(df) · df·(df−1)/2
+    *
+    * with `h` the document-frequency histogram. W is monotone in D and
+    * QUADRATIC in the tail — a single df-10⁶ boilerplate shingle alone
+    * is ~5·10¹¹ pairs, which is why the prune exists. One row per df
+    * class: the class population, its pair work, the running W, and
+    * whether the class fits `pairBudget`. The frame is df-class-sized
+    * (≤ max df rows), so the ordering window never sees the corpus.
+    * `class_pairs` is exact in BIGINT up to ~3·10⁹-document classes;
+    * beyond that move the arithmetic to DECIMAL. */
+  def maxDfTuningTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, pairBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pairBudget >= 1, s"pairBudget must be >= 1, got $pairBudget")
+    val inv = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s"))
+    val hist = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_shingles"))
+      .withColumn("class_pairs",
+        col("n_shingles") * expr("CAST(df * (df - 1) AS BIGINT) div 2"))
+    val w = Window.orderBy("df")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_pairs", sum("class_pairs").over(w).cast("long"))
+      .withColumn("kept",
+        (col("cum_pairs") <= pairBudget).cast("int"))
+      .select("df", "n_shingles", "class_pairs", "cum_pairs", "kept")
+  }
+
+  /** AUTO-TUNED stop-shingle cutoff: the largest df whose cumulative
+    * pair work ([[maxDfTuningTable]]'s W) stays within `pairBudget` —
+    * the knee where the next df class would blow the posting-join
+    * budget, derived from the corpus instead of carried as a magic
+    * constant. Floor 2 (df-1 shingles are unshareable; a cutoff below
+    * 2 would empty the index — if even the df-2 class exceeds the
+    * budget the floor still returns 2 and the caller's budget is
+    * simply not achievable by df pruning alone). On corpora whose
+    * whole distribution fits the budget — every fixture here — the
+    * tuned cutoff admits every shareable shingle, so the pair
+    * population equals any fixed maxDf at or above the max df
+    * (DedupSpec pins equality with the historical 100); on web-scale
+    * tails it cuts exactly the boilerplate classes the fixed constant
+    * was guessing at. One scalar driver round-trip over the df-class
+    * frame. */
+  def autoMaxDf(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, pairBudget: Long = 10000000L): Int = {
+    val kept = maxDfTuningTable(docs, idCol, textCol, n, pairBudget)
+      .filter(col("kept") === 1 && col("df") >= 2)
+      .agg(max("df")).head()
+    if (kept.isNullAt(0)) 2 else math.max(2, kept.getLong(0).toInt)
+  }
+
+  /** Oracle twin of [[maxDfTuningTable]] (`documents` hard-wired). */
+  def maxDfTuningTableSql(n: Int, pairBudget: Long): String =
+    s"""WITH sh AS (SELECT doc_id AS id, ${shinglesSql(n)} AS sh
+       |  FROM documents),
+       |inv AS (SELECT id, unnest(sh) AS s FROM sh),
+       |dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM inv
+       |  GROUP BY s),
+       |hist AS (SELECT df, CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(n_shingles * (df * (df - 1) // 2) AS BIGINT)
+       |      AS class_pairs
+       |  FROM dfreq GROUP BY df),
+       |c AS (SELECT *, CAST(SUM(class_pairs) OVER (ORDER BY df
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_pairs FROM hist)
+       |SELECT df, n_shingles, class_pairs, cum_pairs,
+       |  CASE WHEN cum_pairs <= $pairBudget THEN 1 ELSE 0 END AS kept
+       |FROM c""".stripMargin
+
   /** SQL twin of [[ngramJaccardPairs]] for the DuckDB oracle (documents
     * table, 3-gram shingles). */
   def ngramJaccardPairsSql(n: Int, threshold: Double, maxDf: Int = 100): String = {

@@ -235,6 +235,51 @@ class DedupSpec extends SparkSpec {
       n = 3, threshold = 0.5, maxDf = 100).count() == 0)
   }
 
+  test("autoMaxDf: budget knee reproduces the fixed-cutoff pair population") {
+    import spark.implicits._
+    // On this corpus the whole df distribution fits the default
+    // budget, so the tuned cutoff admits every shareable shingle and
+    // the pair population equals the historical fixed maxDf = 100 —
+    // the cost-model contract: tuning changes results only when the
+    // budget actually bites.
+    val tuned = Dedup.autoMaxDf(docs, "doc_id", "text", n = 3)
+    assert(tuned >= 2)
+    val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = tuned).cache()
+    val b = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = 100).cache()
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      s"tuned maxDf=$tuned must reproduce the fixed-100 pair population")
+    assert(a.count() > 0)
+    a.unpersist(); b.unpersist()
+    graft.engine.Caches.release()
+    // The tuning table is the cost model: W is monotone, the tuned
+    // value is the last kept class, and the next class (when any)
+    // exceeds the budget.
+    val t = Dedup.maxDfTuningTable(docs, "doc_id", "text", n = 3,
+      pairBudget = 10000000L).orderBy("df").collect()
+    assert(t.sliding(2).forall {
+      case Array(x, y) => x.getLong(3) <= y.getLong(3)
+      case _ => true
+    }, "cumulative pair work must be monotone in df")
+    val keptMax = t.filter(r => r.getInt(4) == 1 && r.getLong(0) >= 2)
+      .map(_.getLong(0)).max
+    assert(keptMax == tuned)
+    // A budget the df-2 class alone exceeds floors at 2 instead of
+    // emptying the index.
+    val tiny = Dedup.autoMaxDf(docs, "doc_id", "text", n = 3,
+      pairBudget = 1L)
+    assert(tiny == 2)
+    graft.engine.Caches.release()
+    // And a corpus that WOULD blow a small budget gets cut exactly at
+    // the knee: 50 identical docs (one df-50 class = 1225 pairs per
+    // shingle) against a 100-pair budget -> cutoff floors at 2.
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val copies = (0L until 50L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(Dedup.autoMaxDf(copies, "doc_id", "text", n = 3,
+      pairBudget = 100L) == 2)
+  }
+
   test("minhash LSH pairs match exhaustive true-Jaccard pairs on the planted corpus") {
     val lsh = Dedup.minhashNearDup(docs, "doc_id", "text",
       n = 3, numHashes = 64, bands = 16, threshold = 0.5)
