@@ -47,6 +47,32 @@ class BenchSpec extends AnyFunSuite {
         s"stale exemption: ${SparkEntry.oracleExemptions.keySet.diff(unoracled)}")
   }
 
+  test("registry split invariants: no duplicate keys, segment order preserved") {
+    // queries is ListMap(core ++ ext): a key registered in BOTH
+    // segments would be silently deduplicated by the ListMap (last
+    // wins) AND shift every later query's bench position — fail loudly
+    // instead.
+    val keys = SparkEntry.queries.keys.toSeq
+    val extKeys = SparkQueriesExt.entries.map(_._1)
+    assert(extKeys.distinct.size == extKeys.size,
+      "duplicate key inside the ext segment")
+    assert(keys.size == keys.distinct.size) // ListMap makes this a no-op check
+    assert(SparkEntry.queries.size ==
+      keys.size && extKeys.forall(SparkEntry.queries.contains))
+    // Order contract: the ext segment is APPENDED after the core one,
+    // exactly the pre-split registration order (bench reads queries in
+    // map order; per-query ledger context depends on it). Pin the
+    // boundary and the segment's internal order.
+    val coreCount = keys.size - extKeys.size
+    assert(keys.drop(coreCount) == extKeys,
+      "ext segment must be the map's tail, in its own registration order")
+    assert(keys.take(coreCount).toSet.intersect(extKeys.toSet).isEmpty)
+    // The historical boundary: q86 closes the core segment, q148 opens
+    // the ext segment (the pre-split adjacency).
+    assert(keys(coreCount - 1) == "q86_incremental_agg" &&
+      keys(coreCount) == "q148_minhash_stored_dedup")
+  }
+
   test("every fixture-backed query names a registered query") {
     // Bench gates its untimed warm step on this set; a stale member
     // would silently stop warming (timed queries would pay the build).
