@@ -1343,6 +1343,38 @@ private[graft] object SparkOracles {
 
     "q212_maxdf_autotune" ->
       (Dedup.maxDfTuningTableSql(n = 3, pairBudget = 10000000L) +
-        "\nORDER BY df")
+        "\nORDER BY df"),
+
+    "q213_ivf_fixed_cells" -> s"""WITH ${
+        graft.operators.Clustering.kmeansCentsSql(initStride = 1, iters = 2,
+          strideSqlOverride = Some(graft.operators.Clustering
+            .strideForCellsSql("embeddings", targetCells = 64)))},
+      |corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id < 10),
+      |corpus_cells AS (
+      |  SELECT neighbor_id, c_emb, cent_id FROM (
+      |    SELECT neighbor_id, c_emb, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY neighbor_id
+      |        ORDER BY ${Similarity.Sql.cosine("c_emb", "cent_emb")} DESC,
+      |          cent_id) AS r
+      |    FROM corpus CROSS JOIN cents) t WHERE r = 1),
+      |query_cells AS (
+      |  SELECT query_id, q_emb, cent_id FROM (
+      |    SELECT query_id, q_emb, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY ${Similarity.Sql.cosine("q_emb", "cent_emb")} DESC,
+      |          cent_id) AS r
+      |    FROM qs CROSS JOIN cents) t WHERE r <= 3),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    ${Similarity.Sql.cosine("q_emb", "c_emb")} AS cosine
+      |  FROM corpus_cells JOIN query_cells USING (cent_id)
+      |  WHERE query_id != neighbor_id)
+      |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

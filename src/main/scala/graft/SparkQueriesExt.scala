@@ -822,6 +822,24 @@ private[graft] object SparkQueriesExt {
     // cutoff reproduces the fixed-value pair population here.
     "q212_maxdf_autotune" -> ((s, dir) =>
       Dedup.maxDfTuningTable(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, pairBudget = 10000000L).orderBy("df"))
+        n = 3, pairBudget = 10000000L).orderBy("df")),
+
+    // The q121-convexity fix, registered: IVF whose init stride is
+    // CAPACITY-DERIVED (cells ≈ 64 at any corpus size), so k-means
+    // training is O(n·cells) — linear — where the fixture-stride
+    // trainers (q28/q121: cells = n/53) are structurally n²/stride
+    // (the one convex curve the ×100 probe found). Same query path as
+    // q28; the oracle derives the identical stride with a scalar
+    // subquery.
+    "q213_ivf_fixed_cells" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val stride = graft.operators.Clustering.strideForCells(
+        emb, "vec_id", targetCells = 64)
+      val cents = graft.operators.Clustering.kmeansCentroids(
+        emb, "vec_id", "embedding", initStride = stride, iters = 2)
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") < 10), emb, k = 5,
+        cents, nProbe = 3)
+        .orderBy("query_id", "rank")
+    })
   )
 }

@@ -162,18 +162,43 @@ object Clustering {
     * and cast to FLOAT, empty clusters coalescing to the previous
     * round's centroid. The final CTE is `cents` — splice with
     * `WITH $kmeansCentsSql, <rest>`. */
+  /** The CAPACITY-DERIVED init stride: `max(1, n div targetCells)`, so
+    * the centroid count stays ≈ targetCells at ANY corpus size and the
+    * whole k-means training is O(n · targetCells) — LINEAR in the
+    * corpus. A FIXED stride (the fixture trainers' 53) instead grows
+    * the centroid count with the corpus, making the assignment step
+    * n·(n/stride): structurally quadratic, and measured as the one
+    * convex curve in the ×100 scale probe (q121, BENCH_NOTES
+    * round-15). ids are assumed dense from 0 (the testdata layout; on
+    * sparse ids the stride still bounds the INIT set, just less
+    * tightly). One count() driver round-trip. */
+  def strideForCells(corpus: DataFrame, idCol: String,
+      targetCells: Long): Long = {
+    require(targetCells >= 1, s"targetCells must be >= 1, got $targetCells")
+    math.max(1L, corpus.select(col(idCol)).count() / targetCells)
+  }
+
+  /** [[strideForCells]]' DuckDB spelling (same floor-div arithmetic). */
+  def strideForCellsSql(from: String, targetCells: Long): String =
+    s"greatest(1, (SELECT count(*) FROM $from) // $targetCells)"
+
   def kmeansCentsSql(initStride: Long, iters: Int,
       from: String = "embeddings", idCol: String = "vec_id",
       embCol: String = "embedding", prefix: String = "",
-      dim: Int = Similarity.Dim, initCap: Long = Long.MaxValue): String = {
+      dim: Int = Similarity.Dim, initCap: Long = Long.MaxValue,
+      strideSqlOverride: Option[String] = None): String = {
     val p = prefix
+    require(strideSqlOverride.isEmpty || initCap == Long.MaxValue,
+      "initCap literal arithmetic needs a literal stride")
+    val strideSql = strideSqlOverride.map(s => s"($s)")
+      .getOrElse(initStride.toString)
     val cap =
       if (initCap == Long.MaxValue) ""
       else s" AND $idCol < ${initStride * initCap}"
     val init =
       s"""${p}cents0 AS (
          |  SELECT $idCol AS cent_id, $embCol AS cent_emb
-         |  FROM $from WHERE $idCol % $initStride = 0$cap)""".stripMargin
+         |  FROM $from WHERE $idCol % $strideSql = 0$cap)""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""${p}asg$r AS (
          |  SELECT $idCol, $embCol, cent_id FROM (

@@ -71,4 +71,27 @@ class ClusteringSpec extends SparkSpec {
     assert(cents(1)._2 == List(1.0f, 0.5f, 0.25f, 0.0f),
       "empty cluster must keep its previous centroid")
   }
+
+  test("strideForCells: centroid count is capacity-bound at any corpus size") {
+    import spark.implicits._
+    // The linear-training contract: stride = max(1, n div target), so
+    // the INIT centroid count is ≈ target regardless of n — at 10× the
+    // corpus a fixed stride would grow cells 10× (the quadratic
+    // assignment the ×100 probe measured on q121); the derived stride
+    // keeps them flat.
+    for (n <- Seq(100L, 1000L, 10000L)) {
+      val df = (0L until n).map(i => (i, Seq(1.0f, 0.0f)))
+        .toDF("vec_id", "embedding")
+      val stride = Clustering.strideForCells(df, "vec_id", targetCells = 16)
+      assert(stride == math.max(1L, n / 16))
+      val cells = (0L until n).count(_ % stride == 0)
+      assert(cells >= 16 && cells <= 17,
+        s"n=$n stride=$stride gives $cells init cells — must stay ≈ 16")
+    }
+    // Degenerate floor: fewer vectors than target cells → stride 1
+    // (every vector seeds — training can never request cells it lacks).
+    val tiny = (0L until 5L).map(i => (i, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Clustering.strideForCells(tiny, "vec_id", 16) == 1L)
+  }
 }
