@@ -379,14 +379,18 @@ object EventStream {
     new org.apache.hadoop.fs.Path(path, f"MANIFEST-$v%08d")
 
   /** All PUBLISHED versions at `path`, ascending (empty when the sink
-    * is uninitialized). One metadata listing. */
+    * is uninitialized). One metadata listing. A `MANIFEST-`-prefixed
+    * name whose suffix is not a number is ignored rather than crashing
+    * resolution — only the writer's own well-formed markers publish. */
   private def publishedVersions(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("MANIFEST-"))
-      .map(_.stripPrefix("MANIFEST-").toLong).sorted
+      .map(_.stripPrefix("MANIFEST-"))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).sorted
   }
 
   /** Streaming MERGE sink: each micro-batch UPSERTs into a parquet

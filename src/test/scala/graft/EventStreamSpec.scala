@@ -459,10 +459,13 @@ class EventStreamSpec extends SparkSpec {
     Seq(Chg(9L, "orphan", 1L)).toDF().write.parquet(s"$t/v00000002")
     assert(rows() == Set(1L), "an unpublished version must be invisible")
     // Publishing v2 flips resolution atomically; stale v1 still being
-    // present (GC not yet run) changes nothing.
+    // present (GC not yet run) changes nothing. A malformed
+    // MANIFEST-prefixed stray file is ignored, not a crash.
     fs.delete(new Path(s"$t/v00000002"), true)
     publish(2L, Seq(Chg(1L, "a", 1L), Chg(2L, "b", 1L)))
+    fs.create(new Path(s"$t/MANIFEST-not-a-number"), true).close()
     assert(rows() == Set(1L, 2L))
+    fs.delete(new Path(s"$t/MANIFEST-not-a-number"), false)
     fs.delete(new Path(s"$t/MANIFEST-00000001"), false)
     fs.delete(new Path(s"$t/v00000001"), true)
     // Concurrent commits: a writer thread loops the sink's exact
