@@ -126,6 +126,14 @@ object QualityClassifier {
       docs: DataFrame, idCol: String, docTextCol: String): DataFrame = {
     val (counts, params) = fit(labeled, textCol, labelCol)
     val p = Caches.materialized(params)
+    // Same 1-row class-balance probe as [[saveModel]]: a single-class
+    // training set has no log-prior — without the guard the inline
+    // path silently emits ±Inf scores (every doc is_good or none),
+    // while the persisted path refuses. Refuse identically.
+    val r = p.head()
+    require(r.getLong(3) > 0 && r.getLong(4) > 0,
+      "single-class training set — the NB log-prior is undefined; " +
+        "label both classes before training")
     val weights = counts.crossJoin(broadcast(p)).select(col("tok"),
       weightExpr(col("c_pos"), col("c_neg"), col("n_pos"), col("n_neg"),
         col("v")).as("w"))

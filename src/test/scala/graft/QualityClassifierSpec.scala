@@ -93,6 +93,13 @@ class QualityClassifierSpec extends SparkSpec {
     }
     // The failed single-class build must NOT leave a valid marker.
     assert(!QualityClassifier.modelExists(spark, dir))
+    // The INLINE path refuses identically — without the guard it would
+    // silently score everything ±Inf (log-prior undefined).
+    assertThrows[IllegalArgumentException] {
+      QualityClassifier.trainScore(
+        labeled.filter(col("label_good")), "text", "label_good",
+        holdout, "doc_id", "text")
+    }
     graft.engine.Caches.release()
   }
 
