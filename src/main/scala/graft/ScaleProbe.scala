@@ -20,14 +20,14 @@ package graft
   * SPARK_GRAFT_SCALE_ONLY. */
 object ScaleProbe {
 
-  /** Top-10 by BENCH_BASELINE.json median as of the round-13
-    * continuation (q151 entered at #5; q152-q163's ×10 points are in
-    * BENCH_NOTES.md "Round-13 continuation probe"). */
+  /** Top-10 by BENCH_BASELINE.json median as of round 15 (q209's
+    * 8-stage DAG now leads; every member's ×10 — and for the ANN/eval
+    * tier ×100 — points are in BENCH_NOTES.md's probe tables). */
   val DefaultQueries: Seq[String] = Seq(
+    "q209_full_pipeline", "q182_stream_ann_ingest", "q196_dedup_eval",
     "q121_ivfpq_topk", "q23_ngram_jaccard", "q117_pq_topk",
-    "q139_semdedup", "q151_winnowing_spans", "q41_jdbc_roundtrip",
-    "q89_fuzzy_join", "q32_sink_roundtrip", "q146_bpe_tokenize",
-    "q145_multimodal_curation")
+    "q210_adaptive_probe", "q173_stream_funnel_monitor",
+    "q181_softdedup_weights", "q170_byte_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
