@@ -238,10 +238,10 @@ object SparkEntry {
     }
   }
 
-  /** Fixture-backed query → (family, kind): which single fixture each
-    * timed body reads, so [[warmFixtures]] can materialize exactly the
-    * subset a filtered bench run needs. */
-  private val fixtureOf: Map[String, (String, String)] = Map(
+  /** Fixture-backed query → (family, kind) fixtures its timed body
+    * reads (q214 reads four), so [[warmFixtures]] can materialize
+    * exactly the subset a filtered bench run needs. */
+  private val fixtureOf: Map[String, Seq[(String, String)]] = Seq(
     "q30_media_decode" -> ("media", "png"),
     "q118_audio_decode" -> ("media", "wav"),
     "q125_video_frames" -> ("media", "gif"),
@@ -264,6 +264,10 @@ object SparkEntry {
     "q182_stream_ann_ingest" -> ("ann", "ivfpq_base"),
     "q187_quality_calibration" -> ("qualitymodel", "nb"),
     "q207_line_df_stored" -> ("dedup", "linedf"))
+    .map { case (q, fam) => q -> Seq(fam) }
+    .toMap + ("q214_incremental_pipeline" -> Seq(
+      ("dedup", "linedf"), ("dedup", "minhash"),
+      ("qualitymodel", "nb"), ("bpemodel", "m10")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -280,8 +284,8 @@ object SparkEntry {
   def warmFixtures(s: SparkSession, dir: String,
       selected: Set[String] = fixtureQueries): Unit = {
     val kinds = fixtureOf.collect {
-      case (q, fam) if selected.contains(q) => fam
-    }.toSet
+      case (q, fams) if selected.contains(q) => fams
+    }.flatten.toSet
     kinds.foreach {
       case ("media", k) => mediaFixture(s, dir, k).count()
       case ("dedup", k) =>

@@ -1375,6 +1375,10 @@ private[graft] object SparkOracles {
       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) t
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q214_incremental_pipeline" ->
+      (graft.operators.Pipeline.incrementalCurationSql() +
+        "\nORDER BY metric")
   )
 }

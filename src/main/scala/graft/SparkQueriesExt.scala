@@ -840,6 +840,29 @@ private[graft] object SparkQueriesExt {
       Similarity.ivfTopKWith(emb.filter(col("vec_id") < 10), emb, k = 5,
         cents, nProbe = 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // INCREMENTAL curation (q209's daily-loop twin): one NEW batch
+    // (doc_id % 3 <> 0, in the q207 folded/planted harness shape)
+    // processed end-to-end against the STORED artifacts — line-df
+    // index (q207), MinHash reference index (q148), NB quality model
+    // (q169), frozen BPE tokenizer (q150) — plus the batch-local
+    // select/pack/card tail. Zero history recompute; the oracle
+    // re-derives every stored artifact from the reference slice (the
+    // q148/q169/q207 convention). PipelineSpec asserts the stored-
+    // reference stage rows are ADDITIVE across batches.
+    "q214_incremental_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          Dedup.plantBoilerplate(col("doc_id"), col("text"),
+            lineLen = 8, mod = 2).as("text"))
+      graft.operators.Pipeline.incrementalCuration(batch,
+        storedDedupIndex(s, dir, "linedf"),
+        storedDedupIndex(s, dir, "minhash"),
+        storedQualityModel(s, dir),
+        storedBpeModel(s, dir))
+        .orderBy("metric")
     })
   )
 }

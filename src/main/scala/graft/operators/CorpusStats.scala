@@ -291,6 +291,13 @@ object CorpusStats {
   def plantDegenerateText(id: Column, text: Column): Column =
     when(id % 23 === 0, repeat(lit("aa "), 40)).otherwise(text)
 
+  /** SQL twin of [[plantDegenerateText]] (a CASE over `doc_id`/`text`)
+    * — the ONE place the q203 plant schedule is spelled in SQL; both
+    * [[charEntropySql]] and the q209 pipeline oracle compose it, so a
+    * schedule change cannot silently diverge the twins. */
+  val PlantDegenerateTextSql: String =
+    "CASE WHEN doc_id % 23 = 0 THEN repeat('aa ', 40) ELSE text END"
+
   /** Oracle twin of [[plantDegenerateText]] → [[charEntropy]] over
     * `documents` (DuckDB; per-char explode via `regexp_extract_all
     * '.'` — no newlines in this corpus — same exact-decimal Σ).
@@ -298,10 +305,7 @@ object CorpusStats {
     * q209 pipeline) whose relation already carries its artifacts. */
   def charEntropySql(minEntropy: Double, from: String = "documents",
       planted: Boolean = true): String = {
-    val plant = if (planted)
-      s"""CASE WHEN doc_id % 23 = 0
-       |    THEN repeat('aa ', 40) ELSE text END""".stripMargin
-    else "text"
+    val plant = if (planted) PlantDegenerateTextSql else "text"
     s"""WITH p AS (SELECT doc_id, $plant AS text FROM $from),
        |e AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
        |  FROM p),
@@ -1273,13 +1277,15 @@ object CorpusStats {
 
   /** Word-table header: `$name` = distinct `\p{L}+` words of
     * `documents` (under `pred`) with counts and codepoint symbols. */
-  private def wordTableSql(name: String, pred: String): String =
+  private def wordTableSql(name: String, pred: String,
+      from: String = "documents"): String =
     s"""$name AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-       |    list_transform(range(1, len(word)+1), i -> word[i:i])
-       |      || ['</w>'] AS syms
+       |    list_concat(
+       |      list_transform(range(1, len(word)+1), i -> word[i:i]),
+       |      ['</w>']) AS syms
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-       |        FROM documents WHERE $pred)
+       |        FROM $from WHERE $pred)
        |  WHERE regexp_matches(word, '^\\p{L}+$$') GROUP BY word)""".stripMargin
 
   /** One TRAINING round's CTE block (pair counts + argmax + rewrite)
@@ -1310,19 +1316,29 @@ object CorpusStats {
     * apply vocabulary. Unseen words flow through rounds whose pair
     * never occurs in them — exactly the Spark side's merge replay. */
   def bpeApplyFromModelSql(rounds: Int, trainPred: String,
-      applyPred: String): String = {
-    val applyBlocks = (1 to rounds).map(r =>
-      rewriteSql(s"ae$r", s"asel$r", s"a$r", s"a${r - 1}", s"b$r"))
-    bpeChainSql(rounds, trainPred) + ",\n" +
-      wordTableSql("a0", applyPred) + ",\n" +
-      applyBlocks.mkString(",\n") +
+      applyPred: String, applyFrom: String = "documents"): String = {
+    bpeApplyChainSql(rounds, trainPred, applyPred, applyFrom) +
       s"""
        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |      FROM documents WHERE $applyPred) t
+       |      FROM $applyFrom WHERE $applyPred) t
        |JOIN a$rounds w USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** The [[bpeApplyFromModelSql]] chain WITHOUT the per-document final
+    * select — ends at `a<rounds>` = (word, freq, syms), the apply
+    * slice's fully-segmented vocabulary. Composable (the q214
+    * incremental pipeline prices its released batch with it);
+    * `applyFrom` may be an outer CTE name. Starts with `WITH`. */
+  def bpeApplyChainSql(rounds: Int, trainPred: String,
+      applyPred: String, applyFrom: String = "documents"): String = {
+    val applyBlocks = (1 to rounds).map(r =>
+      rewriteSql(s"ae$r", s"asel$r", s"a$r", s"a${r - 1}", s"b$r"))
+    bpeChainSql(rounds, trainPred) + ",\n" +
+      wordTableSql("a0", applyPred, applyFrom) + ",\n" +
+      applyBlocks.mkString(",\n")
   }
 
   // ----------------------------------------------------- byte-level BPE

@@ -589,9 +589,19 @@ object Curation {
     when(id % 13 === 0, concat(r, lit("\u0007"))).otherwise(r)
   }
 
+  /** SQL twins of [[plantEncodingArtifacts]]'s three chained steps,
+    * each a CASE over the previous step's `text` (planted bytes spelled
+    * `chr(codepoint)` so the SQL stays ASCII-clean) — the one SQL
+    * spelling of the q193 schedule, composed by both [[encodingAuditSql]]
+    * and the q209 pipeline oracle. */
+  val PlantEncodingArtifactsSqlSteps: Seq[String] = Seq(
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) || chr(169)" +
+      " ELSE text END",
+    "CASE WHEN doc_id % 11 = 0 THEN text || chr(65533) ELSE text END",
+    "CASE WHEN doc_id % 13 = 0 THEN text || chr(7) ELSE text END")
+
   /** Oracle twin of [[plantEncodingArtifacts]] → [[encodingAudit]]
-    * (DuckDB; planted bytes spelled `chr(codepoint)` so the SQL stays
-    * ASCII-clean, counts via the same replace length arithmetic —
+    * (DuckDB; counts via the same replace length arithmetic —
     * `length`/`replace` are codepoint-exact in both engines). */
   def encodingAuditSql(): String = {
     def countLit(sqlPat: String, cp: Int) =
@@ -603,13 +613,10 @@ object Curation {
     // NB cp1252 0x80/0x99 decode to U+20AC/U+2122 when mis-read — the
     // digraph is â(U+00E2) €(U+20AC) ™(U+2122): chr args are codepoints.
     val moji = mojiSql.map((countLit _).tupled).mkString(" + ")
-    s"""WITH m AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
-       |    THEN text || ' caf' || chr(195) || chr(169) ELSE text END
-       |    AS text FROM documents),
-       |r AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
-       |    THEN text || chr(65533) ELSE text END AS text FROM m),
-       |aug AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
-       |    THEN text || chr(7) ELSE text END AS text FROM r),
+    val Seq(s1, s2, s3) = PlantEncodingArtifactsSqlSteps
+    s"""WITH m AS (SELECT doc_id, $s1 AS text FROM documents),
+       |r AS (SELECT doc_id, $s2 AS text FROM m),
+       |aug AS (SELECT doc_id, $s3 AS text FROM r),
        |audit AS (SELECT doc_id,
        |    $moji AS n_mojibake,
        |    ${countLit("chr(65533)", 1)} AS n_replacement,
@@ -778,6 +785,14 @@ object Curation {
     when(id % 29 === 0, concat(g, lit(" gorefest"))).otherwise(g)
   }
 
+  /** SQL twins of [[plantSafetyTerms]]'s two chained steps — the one
+    * SQL spelling of the q206 schedule, composed by both
+    * [[safetyGateSql]] and the q209 pipeline oracle. */
+  val PlantSafetyTermsSqlSteps: Seq[String] = Seq(
+    "CASE WHEN doc_id % 19 = 0 THEN text || ' casino jackpot casino'" +
+      " ELSE text END",
+    "CASE WHEN doc_id % 29 = 0 THEN text || ' gorefest' ELSE text END")
+
   /** Oracle twin of [[plantSafetyTerms]] → [[safetyGate]] over
     * `documents` (same marker-hit token semantics, same attribution
     * fold). */
@@ -791,11 +806,9 @@ object Curation {
     val cases = categories.map { case (c, _) =>
       s"WHEN ${c}_hits > 0 THEN '$c'"
     }.mkString(" ")
-    s"""WITH g AS (SELECT doc_id, CASE WHEN doc_id % 19 = 0
-       |    THEN text || ' casino jackpot casino' ELSE text END AS text
-       |  FROM documents),
-       |aug AS (SELECT doc_id, CASE WHEN doc_id % 29 = 0
-       |    THEN text || ' gorefest' ELSE text END AS text FROM g),
+    val Seq(g1, g2) = PlantSafetyTermsSqlSteps
+    s"""WITH g AS (SELECT doc_id, $g1 AS text FROM documents),
+       |aug AS (SELECT doc_id, $g2 AS text FROM g),
        |h AS (SELECT doc_id,
        |    $hits
        |  FROM aug)

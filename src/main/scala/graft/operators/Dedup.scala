@@ -78,11 +78,14 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs with the inverted-index
     * ESTIMATOR semantics (rare-only intersection): the per-pair score is
     * `|rare(a) ∩ rare(b)| / (|a| + |b| − |rare(a) ∩ rare(b)|)` where
-    * `rare` keeps shingles with document frequency ≤ `maxDf` (the
-    * stop-shingle prune; df ≥ 2 is implied — a shared shingle always has
-    * it). Since the score never exceeds true Jaccard, the output is the
-    * classic prune-tolerant subset: a true pair drops out only if enough
-    * of its shared shingles are ubiquitous.
+    * `rare` keeps shingles with document frequency ≤ the stop-shingle
+    * cutoff (df ≥ 2 is implied — a shared shingle always has it). The
+    * cutoff DEFAULTS to the q212 pair-budget knee derived in-plan from
+    * this corpus's own df histogram ([[autoMaxDfFrame]], broadcast as
+    * one row — no driver round-trip); pass `maxDf = Some(d)` to pin a
+    * fixed cutoff instead. Since the score never exceeds true Jaccard,
+    * the output is the classic prune-tolerant subset: a true pair drops
+    * out only if enough of its shared shingles are ubiquitous.
     *
     * Construction: candidates come from the PPJoin prefix filter
     * ([[prefixJaccardCandidates]] — total recall for true-J ≥ t pairs,
@@ -96,7 +99,8 @@ object Dedup {
     * proof). One shared inverted index feeds both the prefix index and
     * the rare arrays, so document frequencies are counted once. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
+      n: Int, threshold: Double, maxDf: Option[Int] = None,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
     val t = threshold
     require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
     val sh = materialized(parallelized(df)
@@ -111,7 +115,8 @@ object Dedup {
     // leaves every pairwise intersection unchanged while shrinking the
     // collected arrays to just the shareable shingles (on a mostly-
     // unique corpus that is a small fraction of each document).
-    val rareArrs = invDf.filter(col("df") <= maxDf && col("df") >= 2)
+    val rareArrs = pruneByMaxDf(invDf.filter(col("df") >= 2), "df",
+        maxDf, pairBudget, dfreq)
       .groupBy("id").agg(array_sort(collect_list(col("s"))).as("rsh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     cands
@@ -146,13 +151,15 @@ object Dedup {
     * cheaper (prefix postings ⊂ rare postings). */
   private[graft] def ngramJaccardPairsInverted(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Option[Int] = None,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
     val sh = materialized(parallelized(df)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val rare = pruneByMaxDf(dfreq.filter(col("df") >= 2), "df",
+      maxDf, pairBudget, dfreq)
     val postings = materialized(inv.join(rare.select("s"), Seq("s")))
     val shared = postings.as("a")
       .join(postings.as("b"),
@@ -232,12 +239,72 @@ object Dedup {
     * was guessing at. One scalar driver round-trip over the df-class
     * frame. */
   def autoMaxDf(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, pairBudget: Long = 10000000L): Int = {
+      n: Int, pairBudget: Long = DefaultPairBudget): Int = {
     val kept = maxDfTuningTable(docs, idCol, textCol, n, pairBudget)
       .filter(col("kept") === 1 && col("df") >= 2)
       .agg(max("df")).head()
     if (kept.isNullAt(0)) 2 else math.max(2, kept.getLong(0).toInt)
   }
+
+  /** The default pair budget behind the WIRED auto cutoff — the q212
+    * derivation's historical default, shared by every stop-term-pruned
+    * operator so the knob has one spelling. */
+  val DefaultPairBudget: Long = 10000000L
+
+  /** The [[autoMaxDf]] knee as a 1-ROW FRAME derived IN-PLAN from an
+    * already-computed term document-frequency frame (`dfCol` per term)
+    * — the wired form of the q212 derivation. The pruned operators
+    * broadcast this row into their stop-term filter, so the cutoff is
+    * derived from the corpus on every run with no driver round-trip
+    * and no second corpus scan (the df frame is one the operator
+    * already builds). The ordering window runs over the df-CLASS
+    * histogram (≤ max-df rows), never the corpus — the same bounded
+    * frame as [[maxDfTuningTable]]. */
+  private def autoMaxDfFrame(dfreq: DataFrame, dfCol: String,
+      pairBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pairBudget >= 1, s"pairBudget must be >= 1, got $pairBudget")
+    val hist = dfreq.groupBy(col(dfCol).as("_df"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_cp",
+        col("_n") * expr("CAST(_df * (_df - 1) AS BIGINT) div 2"))
+    val w = Window.orderBy("_df")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("_cum", sum("_cp").over(w))
+      .filter(col("_df") >= 2 && col("_cum") <= pairBudget)
+      .agg(coalesce(greatest(max("_df"), lit(2L)), lit(2L))
+        .as("max_df_cut"))
+  }
+
+  /** Stop-term prune over a frame carrying `dfCol`: a FIXED cutoff when
+    * `maxDf` is given, otherwise the broadcast in-plan
+    * [[autoMaxDfFrame]] knee at `pairBudget` (derived from `dfreq`,
+    * the operator's own df frame). */
+  private def pruneByMaxDf(postings: DataFrame, dfCol: String,
+      maxDf: Option[Int], pairBudget: Long, dfreq: DataFrame): DataFrame =
+    maxDf match {
+      case Some(m) => postings.filter(col(dfCol) <= m)
+      case None => postings
+        .crossJoin(broadcast(autoMaxDfFrame(dfreq, dfCol, pairBudget)))
+        .filter(col(dfCol) <= col("max_df_cut")).drop("max_df_cut")
+    }
+
+  /** Scalar-subquery SQL of the [[autoMaxDfFrame]] knee over a postings
+    * CTE (one row per (doc, term) in `from`, term column `termCol`) —
+    * the q213 stride pattern: the oracle RE-DERIVES the same cutoff
+    * from the same frame the operator derives it from, so a schedule
+    * or budget change reaches both engines together. */
+  def autoMaxDfCutSql(from: String, termCol: String,
+      pairBudget: Long): String =
+    s"""(WITH adf_d AS (SELECT CAST(count(*) AS BIGINT) AS df
+       |    FROM $from GROUP BY $termCol),
+       |  adf_h AS (SELECT df, CAST(count(*) * (df * (df - 1) // 2)
+       |      AS BIGINT) AS cp FROM adf_d GROUP BY df),
+       |  adf_c AS (SELECT df, CAST(SUM(cp) OVER (ORDER BY df
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum FROM adf_h)
+       |  SELECT GREATEST(COALESCE(MAX(df), 2), 2) FROM adf_c
+       |  WHERE df >= 2 AND cum <= $pairBudget)""".stripMargin
 
   /** Oracle twin of [[maxDfTuningTable]] (`documents` hard-wired). */
   def maxDfTuningTableSql(n: Int, pairBudget: Long): String =
@@ -258,14 +325,20 @@ object Dedup {
        |FROM c""".stripMargin
 
   /** SQL twin of [[ngramJaccardPairs]] for the DuckDB oracle (documents
-    * table, 3-gram shingles). */
-  def ngramJaccardPairsSql(n: Int, threshold: Double, maxDf: Int = 100): String = {
+    * table, 3-gram shingles). `maxDf = None` (the wired default)
+    * re-derives the auto cutoff from the same inverted index via
+    * [[autoMaxDfCutSql]]. */
+  def ngramJaccardPairsSql(n: Int, threshold: Double,
+      maxDf: Option[Int] = None,
+      pairBudget: Long = DefaultPairBudget): String = {
     val sh = shinglesSql(n)
+    val cut = maxDf.map(_.toString)
+      .getOrElse(autoMaxDfCutSql("inv", "s", pairBudget))
     s"""WITH sh AS (SELECT doc_id AS id, $sh AS sh FROM documents),
        |sizes AS (SELECT id, len(sh) AS n_sh FROM sh),
        |inv AS (SELECT id, unnest(sh) AS s FROM sh),
        |rare AS (SELECT s FROM inv GROUP BY s
-       |         HAVING COUNT(*) <= $maxDf AND COUNT(*) >= 2),
+       |         HAVING COUNT(*) <= $cut AND COUNT(*) >= 2),
        |postings AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
        |shared AS (SELECT a.id AS id_a, b.id AS id_b,
        |             CAST(COUNT(*) AS BIGINT) AS shared
@@ -1034,18 +1107,22 @@ object Dedup {
     * exact character run of length ≥ `w + k − 1`. Candidate generation
     * is the same inverted-index equi-join as every dedup tier — on the
     * GRAM STRING itself, so matches are exact by construction (no hash
-    * collision caveat). `maxDf` prunes ubiquitous grams (the q23
-    * stop-shingle policy: a fingerprint in more than `maxDf` documents
-    * is corpus boilerplate and would make the posting join quadratic
-    * in its list; df ≥ 2 is implied — a shared gram always has it). */
+    * collision caveat). Ubiquitous grams are pruned by the q23
+    * stop-shingle policy (a fingerprint in too many documents is corpus
+    * boilerplate and would make the posting join quadratic in its
+    * list); the cutoff defaults to the q212 pair-budget knee derived
+    * in-plan from the fingerprint df histogram, `maxDf = Some(d)` pins
+    * a fixed one. */
   def winnowedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, minShared: Long = 1L, maxDf: Int = 100): DataFrame = {
+      k: Int, w: Int, minShared: Long = 1L, maxDf: Option[Int] = None,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
     val sel = materialized(
       winnowingFingerprints(docs, idCol, textCol, k, w)
         .select(col("id"), col("gram")).distinct())
     val dfreq = sel.groupBy("gram").agg(count(lit(1)).as("df"))
+    val keep = pruneByMaxDf(dfreq, "df", maxDf, pairBudget, dfreq)
     val postings = materialized(
-      sel.join(dfreq.filter(col("df") <= maxDf).select("gram"), Seq("gram")))
+      sel.join(keep.select("gram"), Seq("gram")))
     postings.as("a")
       .join(postings.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
@@ -1058,7 +1135,10 @@ object Dedup {
     * gram/window/min/full-window construction with window functions,
     * the same df prune, exhaustive at oracle scale. */
   def winnowedSpanPairsSql(k: Int, w: Int, minShared: Long = 1L,
-      maxDf: Int = 100): String =
+      maxDf: Option[Int] = None,
+      pairBudget: Long = DefaultPairBudget): String = {
+    val cut = maxDf.map(_.toString)
+      .getOrElse(autoMaxDfCutSql("sel", "gram", pairBudget))
     s"""WITH g AS (
        |  SELECT doc_id AS id, len(text) - ${k - 1} AS n_g, p.pos,
        |    substr(text, p.pos + 1, $k) AS gram,
@@ -1076,13 +1156,14 @@ object Dedup {
        |    FROM g) _
        |  WHERE pos <= n_g - $w),
        |keep AS (SELECT gram FROM sel GROUP BY gram
-       |         HAVING COUNT(*) <= $maxDf),
+       |         HAVING COUNT(*) <= $cut),
        |p AS (SELECT sel.id, sel.gram FROM sel JOIN keep USING (gram))
        |SELECT a.id AS id_a, b.id AS id_b,
        |  CAST(COUNT(*) AS BIGINT) AS n_shared
        |FROM p a JOIN p b ON a.gram = b.gram AND a.id < b.id
        |GROUP BY a.id, b.id
        |HAVING COUNT(*) >= $minShared""".stripMargin
+  }
 
   /** Cross-document boilerplate EXCISION — the "cure" companion to the
     * detection tiers (Lee et al., "Deduplicating Training Data Makes
@@ -1640,6 +1721,17 @@ object Dedup {
     require(lineIndexExists(spark, dir),
       s"no completed line-df index at $dir — append needs a finished build")
     require(batchTag != "base", "'base' is the build's reserved tag")
+    // Layout guard: an index built before the batch_tag partitioning
+    // holds data files at the store ROOT; appending a batch_tag=<tag>/
+    // partition beside them yields a mixed directory parquet partition
+    // discovery rejects — corrupting the store. Fail loudly instead.
+    val storeRoot = new org.apache.hadoop.fs.Path(s"$dir/line_df")
+    val fs = storeRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacyFlat = fs.exists(storeRoot) && fs.listStatus(storeRoot)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(!legacyFlat,
+      s"line-df index at $dir uses the legacy flat (un-partitioned) " +
+        "layout — appending would corrupt it; rebuild with buildLineIndex")
     val seen = spark.read.parquet(s"$dir/line_df")
       .filter(col("batch_tag") === batchTag).limit(1).count() > 0
     if (!seen) graft.engine.Markers.gated(spark, dir, IndexMarker) {
@@ -1678,33 +1770,46 @@ object Dedup {
     * docs only, same left-join-keep-reassemble. */
   def dropBoilerplateFromIndexSql(lineLen: Int, plantMod: Int,
       minDf: Int): String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+    "WITH " + lineCleanseChainSql(lineLen, plantMod, minDf,
+      refPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0") + "\n" +
+      "SELECT doc_id, text, n_kept, n_dropped FROM lc_clean"
+
+  /** The [[dropBoilerplateFromIndexSql]] body as a composable CTE chain
+    * ending at `lc_clean(doc_id, text, n_kept, n_dropped)` — the q214
+    * incremental pipeline embeds it as its first stage. All CTEs are
+    * `lc_`-prefixed; the stored reference state is replayed as the
+    * `refPred` slice's own df counts (the q148/q207 oracle convention:
+    * stored state is content-keyed to `documents`, so the oracle
+    * recomputes it). */
+  def lineCleanseChainSql(lineLen: Int, plantMod: Int, minDf: Int,
+      refPred: String, applyPred: String): String =
+    s"""lc_t AS (SELECT doc_id, string_split(text, ' ') AS toks
        |    FROM documents),
-       |l0 AS (SELECT doc_id, list_transform(
+       |lc_l0 AS (SELECT doc_id, list_transform(
        |    range(0, CAST(ceil(len(toks) / ${lineLen}.0) AS INT)),
        |    i -> array_to_string(
        |      toks[i * $lineLen + 1 : i * $lineLen + $lineLen], ' '))
-       |    AS lines FROM t),
-       |l1 AS (SELECT doc_id, CASE WHEN doc_id % $plantMod = 0
+       |    AS lines FROM lc_t),
+       |lc_l1 AS (SELECT doc_id, CASE WHEN doc_id % $plantMod = 0
        |    THEN list_concat(lines, ['$BoilerplateLine'])
-       |    ELSE lines END AS lines FROM l0),
-       |e AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos,
-       |    lines FROM l1),
-       |x AS (SELECT doc_id, pos, lines[pos] AS line FROM e),
-       |refdf AS (SELECT line, count(DISTINCT doc_id) AS line_df
-       |  FROM x WHERE doc_id % 3 = 0 GROUP BY line),
-       |c AS (SELECT x.doc_id, x.pos, x.line,
+       |    ELSE lines END AS lines FROM lc_l0),
+       |lc_e AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos,
+       |    lines FROM lc_l1),
+       |lc_x AS (SELECT doc_id, pos, lines[pos] AS line FROM lc_e),
+       |lc_refdf AS (SELECT line, count(DISTINCT doc_id) AS line_df
+       |  FROM lc_x WHERE $refPred GROUP BY line),
+       |lc_c AS (SELECT x.doc_id, x.pos, x.line,
        |    coalesce(r.line_df, 0) AS line_df
-       |  FROM x LEFT JOIN refdf r USING (line)
-       |  WHERE x.doc_id % 3 <> 0)
-       |SELECT doc_id,
+       |  FROM lc_x x LEFT JOIN lc_refdf r USING (line)
+       |  WHERE $applyPred),
+       |lc_clean AS (SELECT doc_id,
        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
        |    FILTER (WHERE line_df < $minDf), '') AS text,
        |  CAST(coalesce(sum(CASE WHEN line_df < $minDf THEN 1 ELSE 0 END),
        |    0) AS BIGINT) AS n_kept,
        |  CAST(coalesce(sum(CASE WHEN line_df >= $minDf THEN 1 ELSE 0 END),
        |    0) AS BIGINT) AS n_dropped
-       |FROM c GROUP BY doc_id""".stripMargin
+       |FROM lc_c GROUP BY doc_id)""".stripMargin
 
   /** The canonical boilerplate sentence planted by the q198 harness. */
   val BoilerplateLine = "subscribe to our newsletter for updates today"

@@ -162,26 +162,138 @@ object Pipeline {
     report.select(col("metric"), round(col("value"), 6).as("value"))
   }
 
+  /** INCREMENTAL curation — the daily-loop twin of [[fullCuration]]:
+    * ONE NEW BATCH processed end-to-end against the STORED artifacts a
+    * production pipeline maintains, touching zero history:
+    *
+    *   1. LINE CLEANSE — boilerplate lines dropped against the
+    *      PERSISTED line-df index ([[Dedup.dropBoilerplateFromIndex]],
+    *      q207): the batch pays |batch| lines + a broadcast-or-shuffle
+    *      join against the stored df table, never a history rescan.
+    *   2. EXTRACT/NORMALIZE/GATE — the same map-only q209 stages
+    *      ([[gatedCorpus]] + [[Curation.filterFunnel]]).
+    *   3. HISTORY DEDUP — survivors near-dup-matched against the
+    *      PERSISTED MinHash index ([[Dedup.minhashNearDupFromIndex]],
+    *      q148): only the batch is shingled/banded; matches to any
+    *      indexed reference doc are dropped as already-held content.
+    *   4. CLASSIFY — scored by the PERSISTED NB quality model
+    *      ([[QualityClassifier.scoreFromModel]], q169): zero training
+    *      recompute.
+    *   5. PRICE — the classifier-kept batch priced under the FROZEN
+    *      stored BPE tokenizer ([[CorpusStats.bpeTokenizeFromModel]],
+    *      q150) — the token-cost row a curation run reports before
+    *      committing budget.
+    *   6. SELECT/PACK/CARD — the batch-local q40/q71/q208 stages.
+    *
+    * Stages 1-5 are PER-DOCUMENT against frozen stored state, so their
+    * report rows are ADDITIVE across batches: report(A) + report(B) =
+    * report(A ∪ B) row-for-row (PipelineSpec asserts it) — the
+    * q148/q207 stored-reference contract lifted to the whole chain.
+    * The select/pack/card tail is globally ordered by construction
+    * (a token budget is a corpus-level decision) and additive only in
+    * its inputs.
+    *
+    * The batch arrives in the q207 harness shape (folded lines,
+    * boilerplate planted by the registration); `docs` must carry
+    * (doc_id, lang, text). */
+  def incrementalCuration(batch: DataFrame,
+      lineIdxDir: String, minhashIdxDir: String,
+      qualityModelDir: String, bpeModelDir: String,
+      minTokens: Int = 10, minQuality: Double = 0.3,
+      minEntropy: Double = 2.0,
+      lineMinDf: Int = 5, dedupThreshold: Double = 0.5,
+      budget: Long = 20000L, binTokens: Long = 512L): DataFrame = {
+    val t = col("text")
+    val gates = gateColumns(t, minTokens, minQuality)
+
+    val cleansed = Caches.truncated(
+      Dedup.dropBoilerplateFromIndex(batch, lineIdxDir,
+        "doc_id", "text", lineMinDf))
+    val relabeled = cleansed.select(col("doc_id"), col("text"))
+      .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val gated = Caches.truncated(gatedCorpus(relabeled, minEntropy))
+    val funnel = Curation.filterFunnel(gated, gates)
+    val surv = Caches.truncated(
+      gated.filter(gates.map(_._2).reduce(_ && _))
+        .select("doc_id", "lang", "text"))
+
+    val victims = Caches.truncated(
+      Dedup.minhashNearDupFromIndex(surv, minhashIdxDir,
+          "doc_id", "text", dedupThreshold)
+        .select(col("new_id").as("doc_id")).distinct())
+    val kept = Caches.truncated(
+      surv.join(victims, Seq("doc_id"), "left_anti"))
+
+    val scored = Caches.truncated(QualityClassifier.scoreFromModel(
+      kept, qualityModelDir, "doc_id", "text"))
+    val sel = Caches.truncated(kept.join(
+      scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id")))
+
+    val priced = Caches.truncated(
+      CorpusStats.bpeTokenizeFromModel(sel, "doc_id", "text", bpeModelDir))
+
+    val budgeted = Caches.truncated(
+      Curation.tokenBudgetSample(sel, "doc_id", "text", budget))
+    val fin = Caches.truncated(
+      sel.join(budgeted.select("doc_id"), Seq("doc_id")))
+    val bins = Caches.truncated(
+      Curation.packSequences(fin, "doc_id", "text", binTokens))
+
+    def one(name: String, df: DataFrame, v: Column): DataFrame =
+      df.agg(v.cast("double").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val report =
+      one("000_batch_docs", batch, count(lit(1)))
+        .unionAll(one("050_line_lines_dropped", cleansed,
+          coalesce(sum("n_dropped"), lit(0L))))
+        .unionAll(one("060_line_lines_kept", cleansed,
+          coalesce(sum("n_kept"), lit(0L))))
+        .unionAll(funnel.select(
+          format_string("1%02d_drop_%s", col("stage"), col("gate"))
+            .as("metric"),
+          col("n_dropped").cast("double").as("value")))
+        .unionAll(one("190_gate_survivors", surv, count(lit(1))))
+        .unionAll(one("200_history_dup_docs", victims, count(lit(1))))
+        .unionAll(one("210_novel_docs", kept, count(lit(1))))
+        .unionAll(one("300_classifier_rejected",
+          scored.filter(col("is_good") === 0), count(lit(1))))
+        .unionAll(one("310_classifier_kept", sel, count(lit(1))))
+        .unionAll(one("350_stored_bpe_words", priced,
+          coalesce(sum("n_words"), lit(0L))))
+        .unionAll(one("360_stored_bpe_subwords", priced,
+          coalesce(sum("n_subwords"), lit(0L))))
+        .unionAll(one("400_budget_docs", fin, count(lit(1))))
+        .unionAll(one("410_budget_tokens", budgeted,
+          coalesce(sum("n_tokens"), lit(0L))))
+        .unionAll(one("500_packed_sequences", bins,
+          coalesce(countDistinct(col("bin")), lit(0L))))
+        .unionAll(one("510_packed_tokens", bins,
+          coalesce(sum("n_tokens"), lit(0L))))
+        .unionAll(Curation.datasetCard(fin, "text", "lang")
+          .select(concat(lit("600_card_"), col("metric")).as("metric"),
+            col("value")))
+    report.select(col("metric"), round(col("value"), 6).as("value"))
+  }
+
   // ------------------------------------------------------------ oracle
 
-  /** One-level CASE chains of the three harness plants (the q193/q203/
-    * q206 schedules), staged as CTEs so no branch text is duplicated. */
-  private def plantChainSql(from: String): String =
-    s"""pl_p0 AS MATERIALIZED (SELECT doc_id, lang, CASE WHEN doc_id % 23 = 0
-       |    THEN repeat('aa ', 40) ELSE text END AS text FROM $from),
-       |pl_p1 AS MATERIALIZED (SELECT doc_id, lang, CASE WHEN doc_id % 7 = 0
-       |    THEN text || ' caf' || chr(195) || chr(169) ELSE text END
-       |    AS text FROM pl_p0),
-       |pl_p2 AS MATERIALIZED (SELECT doc_id, lang, CASE WHEN doc_id % 11 = 0
-       |    THEN text || chr(65533) ELSE text END AS text FROM pl_p1),
-       |pl_p3 AS MATERIALIZED (SELECT doc_id, lang, CASE WHEN doc_id % 13 = 0
-       |    THEN text || chr(7) ELSE text END AS text FROM pl_p2),
-       |pl_p4 AS MATERIALIZED (SELECT doc_id, lang, CASE WHEN doc_id % 19 = 0
-       |    THEN text || ' casino jackpot casino' ELSE text END AS text
-       |    FROM pl_p3),
-       |pl_raw AS MATERIALIZED (SELECT doc_id, lang, CASE WHEN doc_id % 29 = 0
-       |    THEN text || ' gorefest' ELSE text END AS text FROM pl_p4)"""
-      .stripMargin
+  /** The [[plantAll]] chain as CTEs, COMPOSED from the same schedule
+    * definitions the Spark plant columns carry
+    * ([[CorpusStats.PlantDegenerateTextSql]],
+    * [[Curation.PlantEncodingArtifactsSqlSteps]],
+    * [[Curation.PlantSafetyTermsSqlSteps]]) — a schedule change in
+    * Curation/CorpusStats reaches this oracle automatically, never
+    * silently diverging it from [[plantAll]]. */
+  private def plantChainSql(from: String): String = {
+    val steps = CorpusStats.PlantDegenerateTextSql +:
+      (Curation.PlantEncodingArtifactsSqlSteps ++
+        Curation.PlantSafetyTermsSqlSteps)
+    steps.zipWithIndex.map { case (caseSql, i) =>
+      val name = if (i == steps.length - 1) "pl_raw" else s"pl_p$i"
+      val src = if (i == 0) from else s"pl_p${i - 1}"
+      s"$name AS MATERIALIZED (SELECT doc_id, lang, $caseSql AS text FROM $src)"
+    }.mkString(",\n")
+  }
 
   /** DuckDB replay of the WHOLE DAG — every stage is the corresponding
     * operator's own `from`-parameterized SQL twin, composed as nested
@@ -197,19 +309,26 @@ object Pipeline {
     * upstream chain per reference (measured as minutes instead of
     * seconds at sf0.001). `pl_reach` alone stays plain — a recursive
     * member cannot be materialized. */
-  def fullCurationSql(
-      minTokens: Int = 10, minQuality: Double = 0.3,
-      minEntropy: Double = 2.0,
-      jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
-      budget: Long = 20000L, binTokens: Long = 512L): String = {
+  /** The [[gateColumns]] funnel as SQL predicates — ONE spelling shared
+    * by the q209 and q214 oracles. */
+  private def gatesSql(minTokens: Int,
+      minQuality: Double): Seq[(String, String)] = {
     import TextFunctions.{Sql => T}
     val allWords = Curation.SafetyCategories.flatMap(_._2)
-    val gates = Seq(
+    Seq(
       "encoding_clean" -> s"(${Curation.encodingDirtyCountSql("text")}) = 0",
       "safety" -> s"${T.markerHits("text", allWords)} = 0",
       "entropy" -> "low_entropy = 0",
       "min_tokens" -> s"${T.tokenCount("text")} >= $minTokens",
       "quality" -> s"${T.qualityScore("text")} >= $minQuality")
+  }
+
+  def fullCurationSql(
+      minTokens: Int = 10, minQuality: Double = 0.3,
+      minEntropy: Double = 2.0,
+      jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
+      budget: Long = 20000L, binTokens: Long = 512L): String = {
+    val gates = gatesSql(minTokens, minQuality)
     val gatePred = gates.map { case (_, g) => s"($g)" }.mkString(" AND ")
     s"""WITH RECURSIVE
        |${plantChainSql("documents")},
@@ -278,6 +397,113 @@ object Pipeline {
        |  UNION ALL SELECT '510_packed_tokens',
        |    CAST(COALESCE(SUM(n_tokens), 0) AS DOUBLE) FROM pl_bins
        |  UNION ALL SELECT '600_card_' || metric, value FROM pl_card
+       |) _""".stripMargin
+  }
+
+  /** DuckDB replay of [[incrementalCuration]] — every stage the
+    * corresponding operator's own composable SQL twin; the STORED
+    * artifacts are replayed by re-deriving them from the `documents`
+    * reference slice (`doc_id % 3 = 0`), the q148/q169/q207 oracle
+    * convention (stored state is content-keyed to the corpus, so the
+    * oracle recomputes it): the line-df index is the ref slice's own
+    * line frequencies ([[Dedup.lineCleanseChainSql]]), the MinHash
+    * index's LSH+verify output is the exhaustive true-Jaccard cross
+    * pair set (the q148 band-scheme contract), the NB model is the
+    * [[QualityClassifier.scoreChainSql]] train chain over the ref
+    * slice, and the BPE model is the unrolled training chain
+    * ([[CorpusStats.bpeApplyChainSql]]). No recursion needed — the
+    * history dedup drops matches rather than clustering. Stage CTEs
+    * are MATERIALIZED (multiply-referenced CTEs re-inline otherwise,
+    * the measured q209 blowup). */
+  def incrementalCurationSql(
+      minTokens: Int = 10, minQuality: Double = 0.3,
+      minEntropy: Double = 2.0,
+      lineLen: Int = 8, linePlantMod: Int = 2, lineMinDf: Int = 5,
+      dedupN: Int = 3, dedupThreshold: Double = 0.5,
+      bpeRounds: Int = 10,
+      budget: Long = 20000L, binTokens: Long = 512L): String = {
+    val gates = gatesSql(minTokens, minQuality)
+    val gatePred = gates.map { case (_, g) => s"($g)" }.mkString(" AND ")
+    val sh = Dedup.shinglesSql(dedupN)
+    s"""WITH
+       |${Dedup.lineCleanseChainSql(lineLen, linePlantMod, lineMinDf,
+            refPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0")},
+       |ic_batch AS MATERIALIZED (SELECT c.doc_id, d.lang, c.text
+       |  FROM lc_clean c JOIN documents d USING (doc_id)),
+       |${plantChainSql("ic_batch")},
+       |ic_ext0 AS MATERIALIZED (${WebText.extractTextSql(from = "pl_raw")}),
+       |ic_ext AS MATERIALIZED (SELECT e.doc_id, r.lang, e.text
+       |  FROM ic_ext0 e JOIN pl_raw r USING (doc_id)),
+       |ic_nrm AS MATERIALIZED (SELECT doc_id, lang, nfc_normalize(text) AS text
+       |  FROM ic_ext),
+       |ic_ent AS MATERIALIZED (${CorpusStats.charEntropySql(minEntropy,
+            from = "ic_nrm", planted = false)}),
+       |ic_gated AS MATERIALIZED (SELECT n.doc_id, n.lang, n.text, e.low_entropy
+       |  FROM ic_nrm n JOIN ic_ent e USING (doc_id)),
+       |ic_funnel AS MATERIALIZED (${Curation.filterFunnelSql(gates,
+            from = "ic_gated")}),
+       |ic_surv AS MATERIALIZED (SELECT doc_id, lang, text FROM ic_gated
+       |  WHERE $gatePred),
+       |ic_ref AS MATERIALIZED (SELECT doc_id AS ref_id, $sh AS sh
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |ic_new AS MATERIALIZED (SELECT doc_id, $sh AS sh FROM ic_surv),
+       |ic_victims AS MATERIALIZED (SELECT DISTINCT n.doc_id
+       |  FROM ic_new n JOIN ic_ref r
+       |  ON CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(n.sh, r.sh))) >= $dedupThreshold),
+       |ic_kept AS MATERIALIZED (SELECT * FROM ic_surv
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ic_victims)),
+       |ic_scored AS MATERIALIZED (${QualityClassifier.scoreSql(
+            trainPred = "doc_id % 3 = 0", labelExpr = "lang = 'en'",
+            applyPred = "TRUE", from = "documents",
+            applyFrom = Some("ic_kept"))}),
+       |ic_sel AS MATERIALIZED (SELECT k.* FROM ic_kept k
+       |  JOIN ic_scored s USING (doc_id) WHERE s.is_good = 1),
+       |ic_priced AS MATERIALIZED (SELECT * FROM (
+       |${CorpusStats.bpeApplyFromModelSql(bpeRounds,
+            trainPred = "doc_id % 3 = 0", applyPred = "TRUE",
+            applyFrom = "ic_sel")}
+       |) _),
+       |ic_budget AS MATERIALIZED (${Curation.tokenBudgetSampleSql(budget,
+            from = "ic_sel")}),
+       |ic_final AS MATERIALIZED (SELECT s.* FROM ic_sel s
+       |  JOIN ic_budget b USING (doc_id)),
+       |ic_bins AS MATERIALIZED (${Curation.packSequencesSql(binTokens,
+            from = "ic_final")}),
+       |ic_card AS MATERIALIZED (SELECT * FROM (
+       |  ${Curation.datasetCardSql(from = "ic_final")}) _)
+       |SELECT metric, round(value, 6) AS value FROM (
+       |  SELECT '000_batch_docs' AS metric,
+       |    CAST(count(*) AS DOUBLE) AS value FROM ic_batch
+       |  UNION ALL SELECT '050_line_lines_dropped',
+       |    CAST(COALESCE(SUM(n_dropped), 0) AS DOUBLE) FROM lc_clean
+       |  UNION ALL SELECT '060_line_lines_kept',
+       |    CAST(COALESCE(SUM(n_kept), 0) AS DOUBLE) FROM lc_clean
+       |  UNION ALL SELECT printf('1%02d_drop_%s', stage, gate),
+       |    CAST(n_dropped AS DOUBLE) FROM ic_funnel
+       |  UNION ALL SELECT '190_gate_survivors',
+       |    CAST(count(*) AS DOUBLE) FROM ic_surv
+       |  UNION ALL SELECT '200_history_dup_docs',
+       |    CAST(count(*) AS DOUBLE) FROM ic_victims
+       |  UNION ALL SELECT '210_novel_docs',
+       |    CAST(count(*) AS DOUBLE) FROM ic_kept
+       |  UNION ALL SELECT '300_classifier_rejected',
+       |    CAST(count(*) AS DOUBLE) FROM ic_scored WHERE is_good = 0
+       |  UNION ALL SELECT '310_classifier_kept',
+       |    CAST(count(*) AS DOUBLE) FROM ic_sel
+       |  UNION ALL SELECT '350_stored_bpe_words',
+       |    CAST(COALESCE(SUM(n_words), 0) AS DOUBLE) FROM ic_priced
+       |  UNION ALL SELECT '360_stored_bpe_subwords',
+       |    CAST(COALESCE(SUM(n_subwords), 0) AS DOUBLE) FROM ic_priced
+       |  UNION ALL SELECT '400_budget_docs',
+       |    CAST(count(*) AS DOUBLE) FROM ic_final
+       |  UNION ALL SELECT '410_budget_tokens',
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS DOUBLE) FROM ic_budget
+       |  UNION ALL SELECT '500_packed_sequences',
+       |    CAST(COUNT(DISTINCT bin) AS DOUBLE) FROM ic_bins
+       |  UNION ALL SELECT '510_packed_tokens',
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS DOUBLE) FROM ic_bins
+       |  UNION ALL SELECT '600_card_' || metric, value FROM ic_card
        |) _""".stripMargin
   }
 }

@@ -319,8 +319,16 @@ object QualityClassifier {
     * top-quantile keeps depend on ranking only; hard thresholds
     * depend on this table).
     *
-    * The NTILE window ranks the evaluation frame — bounded labeled
-    * sample by construction (the [[evaluateFromModel]] argument);
+    * The binning is NOT a global NTILE window (a single sorted task
+    * over the whole evaluation frame): it is the [[Curation.
+    * tokenBudgetSample]] two-pass distributed prefix sum — range
+    * repartition on the order key, per-partition local ranks via a
+    * window keyed on the physical partition id, broadcast per-partition
+    * offsets → global rank, then NTILE's closed form
+    * `bin(r) = ⌈…⌉` from (rank, n, bins). Bit-identical to
+    * `ntile(bins) OVER (ORDER BY score, id)` by construction — the
+    * first `n mod bins` bins carry `⌈n/bins⌉` rows, the rest
+    * `⌊n/bins⌋` — which is what the DuckDB NTILE oracle replays;
     * everything after is a `bins`-row aggregation. */
   def calibrationFromModel(labeled: DataFrame, dir: String, idCol: String,
       textCol: String, labelCol: String, bins: Int = 10): DataFrame = {
@@ -329,8 +337,32 @@ object QualityClassifier {
       .select(col(idCol), col("quality_score"))
       .join(labeled.select(col(idCol),
         col(labelCol).cast("boolean").as("y")), Seq(idCol))
-    val w = Window.orderBy(col("quality_score"), col(idCol))
-    scored.withColumn("bin", ntile(bins).over(w))
+    val p = labeled.sparkSession.sparkContext.defaultParallelism
+    val local = Caches.materialized(scored
+      .repartitionByRange(p, col("quality_score").asc, col(idCol).asc)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rank", sum(lit(1L)).over(
+        Window.partitionBy("pid")
+          .orderBy(col("quality_score").asc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val totals = local.groupBy("pid").agg(max("local_rank").as("pcount"))
+    // P rows — offsets and the total are partition METADATA, not data.
+    val offsets = totals.withColumn("offset",
+      coalesce(sum("pcount").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    val nRows = totals.agg(sum("pcount").as("n_rows"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(nRows))
+      .withColumn("r", col("local_rank") + col("offset"))
+      .withColumn("_q", expr(s"n_rows div $bins"))
+      .withColumn("_rem", expr(s"n_rows % $bins"))
+      .withColumn("bin",
+        when(col("r") <= (col("_q") + 1) * col("_rem"),
+          expr("(r - 1) div (_q + 1) + 1"))
+          .otherwise(expr("_rem + (r - (_q + 1) * _rem - 1) div _q + 1"))
+          .cast("int"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
@@ -410,8 +442,10 @@ object QualityClassifier {
     * (counting is exact, so the recomputed weights ARE the stored
     * ones). */
   def scoreSql(trainPred: String, labelExpr: String,
-      applyPred: String, from: String = "documents"): String =
-    "WITH " + scoreChainSql(trainPred, labelExpr, applyPred, from) +
+      applyPred: String, from: String = "documents",
+      applyFrom: Option[String] = None): String =
+    "WITH " + scoreChainSql(trainPred, labelExpr, applyPred, from,
+      applyFrom) +
       s"""
        |SELECT doc_id, n_tokens, quality_score,
        |  CASE WHEN quality_score > 0 THEN 1 ELSE 0 END AS is_good
@@ -422,10 +456,15 @@ object QualityClassifier {
     * leading WITH or a final select — composable into larger oracles
     * (the streaming funnel monitor wraps it per batch). Every CTE is
     * `qc_`-prefixed so composition can never collide with a host
-    * query's names. */
+    * query's names. `applyFrom` scores a DIFFERENT relation than the
+    * training one (the stored-model shape: train on the reference
+    * slice of `from`, score an arbitrary batch CTE) — default is the
+    * single-relation form. */
   def scoreChainSql(trainPred: String, labelExpr: String,
-      applyPred: String, from: String = "documents"): String = {
+      applyPred: String, from: String = "documents",
+      applyFrom: Option[String] = None): String = {
     import TextFunctions.{Sql => T}
+    val af = applyFrom.getOrElse(from)
     s"""qc_train AS (SELECT text, ($labelExpr) AS y
        |  FROM $from WHERE $trainPred),
        |qc_toks AS (SELECT y, unnest(${T.tokens("text")}) AS tok
@@ -449,7 +488,7 @@ object QualityClassifier {
        |    ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + v AS DOUBLE)) AS w
        |  FROM qc_counts CROSS JOIN qc_params),
        |qc_atoks AS (SELECT doc_id, unnest(${T.tokens("text")}) AS tok
-       |  FROM $from WHERE $applyPred),
+       |  FROM $af WHERE $applyPred),
        |qc_per_doc AS (SELECT t.doc_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    ${Aggregates.sumExactSql(
@@ -464,7 +503,7 @@ object QualityClassifier {
        |    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
        |    round(ln(CAST(p.docs_pos AS DOUBLE) / CAST(p.docs_neg AS DOUBLE))
        |      + COALESCE(s.tok_sum, 0.0), 6) AS quality_score
-       |  FROM $from d LEFT JOIN qc_per_doc s USING (doc_id)
+       |  FROM $af d LEFT JOIN qc_per_doc s USING (doc_id)
        |  CROSS JOIN qc_params p WHERE $applyPred)""".stripMargin
   }
 }

@@ -378,6 +378,17 @@ object EventStream {
   private def versionMarker(path: String, v: Long) =
     new org.apache.hadoop.fs.Path(path, f"MANIFEST-$v%08d")
 
+  /** Version number named by a `MANIFEST-<N>` marker file name, or None
+    * for any malformed `MANIFEST-`-prefixed stray. The ONE parser both
+    * resolution and GC go through: a stray a reader tolerates must also
+    * be a stray the GC sweep tolerates, or a single junk file wedges the
+    * streaming query (every checkpoint replay re-crashes on it). */
+  private def parseMarkerVersion(name: String): Option[Long] =
+    Some(name.stripPrefix("MANIFEST-"))
+      .filter(s => name.startsWith("MANIFEST-") && s.nonEmpty &&
+        s.forall(_.isDigit))
+      .map(_.toLong)
+
   /** All PUBLISHED versions at `path`, ascending (empty when the sink
     * is uninitialized). One metadata listing. A `MANIFEST-`-prefixed
     * name whose suffix is not a number is ignored rather than crashing
@@ -387,10 +398,7 @@ object EventStream {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("MANIFEST-"))
-      .map(_.stripPrefix("MANIFEST-"))
-      .filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong).sorted
+      .flatMap(parseMarkerVersion).sorted
   }
 
   /** Streaming MERGE sink: each micro-batch UPSERTs into a parquet
@@ -472,8 +480,7 @@ object EventStream {
           val keepFrom = (versions :+ next).takeRight(keepVersions).head
           val names = fs.listStatus(new org.apache.hadoop.fs.Path(path))
             .toSeq.map(_.getPath.getName)
-          names.filter(_.startsWith("MANIFEST-"))
-            .map(_.stripPrefix("MANIFEST-").toLong).filter(_ < keepFrom)
+          names.flatMap(parseMarkerVersion).filter(_ < keepFrom)
             .foreach(v => fs.delete(versionMarker(path, v), false))
           names.filter(n => n.length > 1 && n.startsWith("v") &&
               n.drop(1).forall(_.isDigit))

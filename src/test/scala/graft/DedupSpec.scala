@@ -200,7 +200,7 @@ class DedupSpec extends SparkSpec {
     val copies = (0L until 120L).map(i => (i, text)).toDF("doc_id", "text")
     val nPairs = 120L * 119L / 2L
     val pruned = Dedup.ngramJaccardPairs(copies, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDf = 100)
+      n = 3, threshold = 0.5, maxDf = Some(100))
     assert(pruned.count() == 0, "maxDf prune must miss everything here (the documented caveat)")
     val got = Dedup.prefixJaccardPairs(copies, "doc_id", "text",
       n = 3, threshold = 0.5)
@@ -214,9 +214,9 @@ class DedupSpec extends SparkSpec {
     // filter and merge-counts the rare-only intersection; the naive
     // maxDf posting self-join is kept private as the proof twin. Same
     // pair set AND bit-identical scores (same integers, same division),
-    // both at the default maxDf and at a tight maxDf where the
-    // rare-only estimator visibly under-scores true Jaccard.
-    for (maxDf <- Seq(100, 3)) {
+    // at the wired auto default, a pinned 100, and a tight maxDf where
+    // the rare-only estimator visibly under-scores true Jaccard.
+    for (maxDf <- Seq(None, Some(100), Some(3))) {
       val neu = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = maxDf).cache()
       val old = Dedup.ngramJaccardPairsInverted(docs, "doc_id", "text",
@@ -232,7 +232,7 @@ class DedupSpec extends SparkSpec {
     val text = (1 to 12).map(i => s"w$i").mkString(" ")
     val copies = (0L until 120L).map(i => (i, text)).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(copies, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDf = 100).count() == 0)
+      n = 3, threshold = 0.5, maxDf = Some(100)).count() == 0)
   }
 
   test("autoMaxDf: budget knee reproduces the fixed-cutoff pair population") {
@@ -245,13 +245,20 @@ class DedupSpec extends SparkSpec {
     val tuned = Dedup.autoMaxDf(docs, "doc_id", "text", n = 3)
     assert(tuned >= 2)
     val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDf = tuned).cache()
+      n = 3, threshold = 0.5, maxDf = Some(tuned)).cache()
     val b = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDf = 100).cache()
+      n = 3, threshold = 0.5, maxDf = Some(100)).cache()
     assert(a.except(b).count() == 0 && b.except(a).count() == 0,
       s"tuned maxDf=$tuned must reproduce the fixed-100 pair population")
     assert(a.count() > 0)
-    a.unpersist(); b.unpersist()
+    // The WIRED default (maxDf = None — the in-plan broadcast knee)
+    // must equal both: the driver-scalar derivation and the in-plan
+    // derivation are the same knob.
+    val auto = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).cache()
+    assert(auto.except(b).count() == 0 && b.except(auto).count() == 0,
+      "wired auto cutoff must reproduce the fixed-100 pair population")
+    a.unpersist(); b.unpersist(); auto.unpersist()
     graft.engine.Caches.release()
     // The tuning table is the cost model: W is monotone, the tuned
     // value is the last kept class, and the next class (when any)

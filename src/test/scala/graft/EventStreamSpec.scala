@@ -338,11 +338,22 @@ class EventStreamSpec extends SparkSpec {
     // never read it.
     Seq(Chg(9L, "stale-orphan", 9L)).toDF()
       .write.mode("overwrite").parquet(s"$root/t/v00000003")
+    // A malformed MANIFEST-prefixed stray must survive BOTH resolution
+    // and the post-publish GC sweep — an unguarded parse in either
+    // crashes the micro-batch, and since the stray persists, every
+    // checkpoint replay re-crashes (a wedged query).
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/t/MANIFEST-not-a-number"), true).close()
     src.addData(Chg(2L, "b-v3", 3L))
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
       3L -> ("c-v1", 1L)))
     assert(!state().contains(9L), "unpublished orphan content must be swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/t/MANIFEST-not-a-number")),
+      "GC must tolerate (and not delete) a malformed marker stray")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/t/MANIFEST-not-a-number"), false)
     // GC horizon: keepVersions = 2 (the default), so after three
     // batches only the two newest published versions remain.
     assert(manifests() == Seq("MANIFEST-00000002", "MANIFEST-00000003"))

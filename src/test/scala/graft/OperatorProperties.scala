@@ -121,7 +121,7 @@ object OperatorProperties extends Properties("Operators") {
         3L -> hosts(3))
       val df = texts.toDF("doc_id", "text")
       val pairs = graft.operators.Dedup
-        .winnowedSpanPairs(df, "doc_id", "text", k, w, maxDf = 1000)
+        .winnowedSpanPairs(df, "doc_id", "text", k, w, maxDf = Some(1000))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       graft.engine.Caches.release()
       // RECALL (the winnowing theorem): the planted t-char run always

@@ -52,4 +52,50 @@ class PipelineSpec extends SparkSpec {
     assert(report("100_drop_encoding_clean") > 0)
     assert(report("101_drop_safety") > 0)
   }
+
+  test("incremental pipeline: stored-reference stage rows are additive across batches") {
+    val docs = Tables.documents(spark, sf)
+    // The four stored artifacts the daily loop reads — built once via
+    // the same fixtures the q214 registration uses.
+    val lineIdx = SparkEntry.storedDedupIndex(spark, sf, "linedf")
+    val mhIdx = SparkEntry.storedDedupIndex(spark, sf, "minhash")
+    val qm = SparkEntry.storedQualityModel(spark, sf)
+    val bpe = SparkEntry.storedBpeModel(spark, sf)
+    graft.engine.Caches.release()
+    def run(pred: org.apache.spark.sql.Column): Map[String, Double] = {
+      val batch = docs.filter(pred)
+        .select(col("doc_id"), col("lang"),
+          graft.operators.Dedup.plantBoilerplate(col("doc_id"),
+            col("text"), lineLen = 8, mod = 2).as("text"))
+      val r = Pipeline.incrementalCuration(batch, lineIdx, mhIdx, qm, bpe)
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      graft.engine.Caches.release()
+      r
+    }
+    val inBatch = col("doc_id") % 3 =!= 0
+    val a = run(inBatch && col("doc_id") % 2 === 0)
+    val b = run(inBatch && col("doc_id") % 2 === 1)
+    val u = run(inBatch)
+    // Stages 1-5 are per-document against FROZEN stored state, so their
+    // rows are additive: report(A) + report(B) == report(A ∪ B) —
+    // the q148/q207 stored-reference contract lifted to the chain. The
+    // select/pack/card tail (metric keys >= "400") is globally ordered
+    // and deliberately excluded.
+    val additive = u.keySet.filter(_ < "400")
+    assert(additive.exists(_.startsWith("1")), "funnel rows present")
+    additive.foreach { k =>
+      assert(a.getOrElse(k, 0.0) + b.getOrElse(k, 0.0) == u(k),
+        s"$k not additive: ${a.getOrElse(k, 0.0)} + " +
+          s"${b.getOrElse(k, 0.0)} != ${u(k)}")
+    }
+    // The stored-reference stages do real work on this corpus.
+    assert(u("050_line_lines_dropped") > 0, "line cleanse must fire")
+    assert(u("200_history_dup_docs") > 0, "history dedup must fire")
+    assert(u("350_stored_bpe_words") > 0, "stored tokenizer must price")
+    // Conservation within one run.
+    assert(u("190_gate_survivors") - u("200_history_dup_docs") ==
+      u("210_novel_docs"))
+    assert(u("300_classifier_rejected") + u("310_classifier_kept") ==
+      u("210_novel_docs"))
+  }
 }

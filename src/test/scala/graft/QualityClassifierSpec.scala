@@ -227,4 +227,55 @@ class QualityClassifierSpec extends SparkSpec {
     assert(bins.map(_.toString).toSeq == again.map(_.toString).toSeq)
     graft.engine.Caches.release()
   }
+
+  test("calibration two-pass binning == global NTILE; no single-sort over the eval frame") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/quality_model_calib2"
+    IncrementalIngest.deleteDir(spark, dir)
+    QualityClassifier.saveModel(labeled, "text", "label_good", dir)
+    // 23 docs: indivisible by every bin count below, so the closed-form
+    // uneven split (first n%b bins one row larger) is exercised; b = 40
+    // exercises the degenerate n < bins case (one row per bin).
+    val eval = (1L to 23L).map { i =>
+      val good = (i % 11).toInt
+      (300L + i,
+        sentence(goodWords, good) + " " + sentence(badWords, 10 - good),
+        i % 11 > 5)
+    }.toDF("doc_id", "text", "label_good")
+    for (b <- Seq(4, 10, 40)) {
+      val got = QualityClassifier.calibrationFromModel(
+        eval, dir, "doc_id", "text", "label_good", bins = b)
+      // The retired global-window formulation, verbatim.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality_score"), col("doc_id"))
+      val want = QualityClassifier.scoreFromModel(eval, dir, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+        .join(eval.select(col("doc_id"),
+          col("label_good").cast("boolean").as("y")), Seq("doc_id"))
+        .withColumn("bin", ntile(b).over(w))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+          graft.engine.Aggregates.avgExact(col("quality_score"))
+            .as("mean_score"))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+            .as("pos_rate"),
+          round(col("mean_score"), 6).as("mean_score"))
+      assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+        s"bins=$b: closed-form binning must equal global NTILE")
+      graft.engine.Caches.release()
+    }
+    // Plan contract: the eval frame is ranked via the range-partitioned
+    // two-pass shape — no NTILE window (whose sort is one task over the
+    // whole frame) anywhere in the plan.
+    val got = QualityClassifier.calibrationFromModel(
+      eval, dir, "doc_id", "text", "label_good", bins = 4)
+    val qe = got.queryExecution
+    got.collect()
+    val p = qe.executedPlan.toString
+    assert(!p.toLowerCase.contains("ntile"),
+      s"calibration must not plan an NTILE window:\n$p")
+    graft.engine.Caches.release()
+  }
 }
