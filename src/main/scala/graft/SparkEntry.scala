@@ -142,8 +142,12 @@ object SparkEntry {
     kind match {
       case "minhash" =>
         val ref = docs.filter(col("doc_id") % 3 === 0)
+        // Fixture key carries a layout version: the manifest-protocol
+        // index (segments + versioned manifests) is not readable by —
+        // or from — the old flat layout, so a stale scratch dir from a
+        // pre-manifest build must miss, not serve.
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
-          s"${Sinks.scratch}/dedup_index", kind, Some(dir),
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
           contentSig = Some(pmod(xxhash64(col("text")),
             lit(1000000007L)))) { idx =>
           // q98's exact LSH family: 32 bands × 2 rows (see the q98

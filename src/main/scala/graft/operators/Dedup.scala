@@ -662,10 +662,12 @@ object Dedup {
 
   private val IndexMarker = "_INDEX_SUCCESS"
 
-  /** True iff `dir` holds a COMPLETED MinHash index build. */
+  /** True iff `dir` holds a COMPLETED MinHash index build (a published
+    * manifest version — this family runs the versioned-manifest
+    * protocol, see [[graft.engine.Manifests]]). */
   def minhashIndexExists(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean =
-    graft.engine.Markers.exists(spark, dir, IndexMarker)
+    graft.engine.Manifests.exists(spark, dir)
 
   /** Build-once persistence of the REFERENCE side of incremental dedup —
     * the production 100 TB shape [[minhashNearDupAcross]]'s scaladoc
@@ -683,99 +685,127 @@ object Dedup {
     *   - `bands`   — (id, band): the exploded LSH band keys (the
     *     candidate equi-join side).
     *
-    * Same completion-marker lifecycle as the ANN indexes: the marker
-    * commits strictly after every table landed, so a crash mid-build
-    * leaves a visibly-incomplete directory, never a silently partial
-    * index. [[minhashNearDupFromIndex]] over this index is bit-equal
-    * to the recompute-everything [[minhashNearDupAcross]] with the
-    * same parameters (asserted in DedupSpec; the inline twin's oracle
-    * is therefore also this index's oracle). */
+    * COMMIT PROTOCOL — unlike the other stored families' dropped-marker
+    * gate, this index runs [[graft.engine.Manifests]]' versioned
+    * snapshots: the build writes one immutable data segment and
+    * publishes manifest v1 with one atomic marker create. A reader
+    * resolves a snapshot ONCE and reads params/sh/bands from the SAME
+    * immutable version — never a mid-mutation view — and a resolved
+    * snapshot survives `keepVersions - 1` subsequent commits
+    * (ManifestsSpec holds a concurrent reader across append and
+    * compaction). [[minhashNearDupFromIndex]] over this index is
+    * bit-equal to the recompute-everything [[minhashNearDupAcross]]
+    * with the same parameters (asserted in DedupSpec; the inline
+    * twin's oracle is therefore also this index's oracle). */
   def buildMinhashIndex(ref: DataFrame, dir: String, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       seed: Long = 42L): Unit = {
     val spark = ref.sparkSession
     import spark.implicits._
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       Seq((n, numHashes, bands, seed))
         .toDF("n", "num_hashes", "bands", "seed")
-        .write.mode("overwrite").parquet(s"$dir/params")
+        .write.mode("overwrite").parquet(s"$seg/params")
       val sh = materialized(parallelized(ref)
         .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-      sh.write.mode("overwrite").parquet(s"$dir/sh")
+      sh.write.mode("overwrite").parquet(s"$seg/sh")
       val (as, bs) = hashFamily(numHashes, seed)
       sh.select(col("id"), explode(TextKernels.minhashBandsCol(
           col("sh"), as, bs, bands, MinhashP)).as("band"))
-        .write.mode("overwrite").parquet(s"$dir/bands")
+        .write.mode("overwrite").parquet(s"$seg/bands")
+      Seq("params", "sh", "bands")
+        .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
+    ()
   }
 
-  /** Stored LSH params of a completed index. */
+  /** Stored LSH params of a resolved index snapshot. */
   private def minhashParamsOf(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int, Int, Long) = {
-    val r = spark.read.parquet(s"$dir/params").head()
+      snap: graft.engine.Manifests.Snapshot): (Int, Int, Int, Long) = {
+    val r = snap.read(spark, "params").head()
     (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }
 
   /** Index MAINTENANCE: shingle + band `newRef` with the FROZEN stored
     * parameters and append — yesterday's deduped ingest becomes part of
     * tomorrow's reference corpus without re-shingling anything already
-    * indexed. The append is REPLAY-SAFE: each table anti-joins the
-    * incoming ids against what IT already holds (per-table, not a
-    * single check, because a crash between the `sh` and `bands` appends
-    * leaves `sh` ahead of `bands`) — so re-running the same append is a
-    * no-op, and retrying a half-landed one completes the missing table
-    * instead of doubling rows (duplicate `sh`/`bands` rows would
-    * silently double every match [[minhashNearDupFromIndex]] emits for
-    * those ids). The guard costs one column-pruned id scan per table —
-    * O(index) reads but O(|newRef|) writes; a table format with
-    * MERGE semantics removes even that at production scale. Contract:
-    * `newRef` ids must be disjoint from ids of OTHER documents already
-    * indexed (an id collision between different texts is
-    * indistinguishable from a replay and gets skipped). Marker dropped
-    * for the duration and re-committed after, same crash semantics as
-    * the ANN appends. */
+    * indexed. The commit writes ONE new immutable segment (O(|newRef|)
+    * writes) whose manifest lists the prior snapshot's segments plus
+    * its own — the manifest protocol's whole point for an index: the
+    * append never rewrites history, and a concurrent reader's resolved
+    * snapshot is untouched. REPLAY-SAFE: the batch anti-joins against
+    * the snapshot's indexed ids — ONE check now, not the old
+    * per-table pair, because the segment+manifest+marker commit is
+    * atomic (there is no crash window where `sh` landed and `bands`
+    * didn't; an unpublished segment is invisible and overwritten by
+    * the replay). A fully-replayed append short-circuits without
+    * publishing. Contract: `newRef` ids must be disjoint from ids of
+    * OTHER documents already indexed (an id collision between
+    * different texts is indistinguishable from a replay and gets
+    * skipped); single writer per index dir. */
   def appendToMinhashIndex(newRef: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = newRef.sparkSession
-    require(minhashIndexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed MinHash index at $dir — append needs a finished build")
-    val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, dir)
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
-      val sh = materialized(parallelized(newRef)
-        .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-      val novelSh = materialized(sh.join(
-        spark.read.parquet(s"$dir/sh").select("id"), Seq("id"), "left_anti"))
-      novelSh.write.mode("append").parquet(s"$dir/sh")
-      val (as, bs) = hashFamily(numHashes, seed)
-      val novelBands = materialized(sh.join(
-        spark.read.parquet(s"$dir/bands").select("id").distinct(),
-        Seq("id"), "left_anti"))
-      novelBands.select(col("id"), explode(TextKernels.minhashBandsCol(
-          col("sh"), as, bs, bandsN, MinhashP)).as("band"))
-        .write.mode("append").parquet(s"$dir/bands")
+    val snap = snapOpt.get
+    val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, snap)
+    val sh = materialized(parallelized(newRef)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    val novelSh = materialized(sh.join(
+      snap.read(spark, "sh").select("id"), Seq("id"), "left_anti"))
+    if (!novelSh.isEmpty) {
+      graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+        novelSh.write.mode("overwrite").parquet(s"$seg/sh")
+        val (as, bs) = hashFamily(numHashes, seed)
+        novelSh.select(col("id"), explode(TextKernels.minhashBandsCol(
+            col("sh"), as, bs, bandsN, MinhashP)).as("band"))
+          .write.mode("overwrite").parquet(s"$seg/bands")
+        snap.tables ++ Seq(
+          "sh" -> (snap.tables("sh") :+ graft.engine.Manifests.ref(v, "sh")),
+          "bands" -> (snap.tables("bands") :+
+            graft.engine.Manifests.ref(v, "bands")))
+      }
+      ()
     }
   }
 
-  /** Index COMPACTION: every append adds a handful of small parquet
+  /** Index COMPACTION: every append adds a segment of small parquet
     * files, so a long-lived index accumulates thousands of them — at
     * cluster scale that is task-per-tiny-file scheduling and NameNode
-    * pressure on every query. Rewrite `sh` and `bands` in place into
-    * target-sized files (DISTINCT first — a no-op on a healthy index
-    * since the replay-safe append never duplicates, but it repairs any
-    * index half-doubled by a pre-guard crash), inside the marker
-    * window: a crash mid-swap leaves a visibly-incomplete index
-    * (rebuild), never a silently truncated one. Query results over a
-    * compacted index are bit-equal to the uncompacted one
+    * pressure on every query. Publish ONE new version whose segment
+    * rewrites `sh` and `bands` into target-sized files (DISTINCT
+    * first — a no-op on a healthy index since the replay-safe append
+    * never duplicates, but it repairs an index half-doubled by a
+    * pre-guard crash) and whose manifest references ONLY the new
+    * segment — the old segments age out with the GC horizon while any
+    * in-flight reader keeps its resolved snapshot. Query results over
+    * a compacted index are bit-equal to the uncompacted one
     * (spec-asserted) — the band join and shingle verify are
     * layout-independent. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetBytes: Long = 64L << 20): Unit = {
-    require(minhashIndexExists(spark, dir),
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed MinHash index at $dir — compaction needs a finished build")
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
-      compactIndexTable(spark, s"$dir/sh", targetBytes)
-      compactIndexTable(spark, s"$dir/bands", targetBytes)
+    val snap = snapOpt.get
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      Seq("params", "sh", "bands").foreach { t =>
+        val paths = snap.paths(t)
+        val fs = new org.apache.hadoop.fs.Path(paths.head)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = paths.map(p => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(p)).getLength).sum
+        val nf = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        snap.read(spark, t).distinct().repartition(nf)
+          .write.mode("overwrite").parquet(s"$seg/$t")
+      }
+      Seq("params", "sh", "bands")
+        .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
+    ()
   }
 
   /** [[compactMinhashIndex]] for the eval-gram decontamination index:
@@ -825,9 +855,14 @@ object Dedup {
   def minhashNearDupFromIndex(newDf: DataFrame, dir: String, idCol: String,
       textCol: String, threshold: Double = 0.5): DataFrame = {
     val spark = newDf.sparkSession
-    require(minhashIndexExists(spark, dir),
+    // ONE snapshot resolution: params, bands and shingles all come from
+    // the same immutable published version — a concurrent append or
+    // compaction cannot skew this query's view of the index.
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed MinHash index at $dir — run buildMinhashIndex first")
-    val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, dir)
+    val snap = snapOpt.get
+    val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, snap)
     val (as, bs) = hashFamily(numHashes, seed)
     val shNew = materialized(parallelized(newDf)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
@@ -835,14 +870,14 @@ object Dedup {
       explode(TextKernels.minhashBandsCol(
         col("sh"), as, bs, bandsN, MinhashP)).as("band"))
     val cands = bandedNew.as("a")
-      .join(spark.read.parquet(s"$dir/bands").as("b"),
+      .join(snap.read(spark, "bands").as("b"),
         col("a.band") === col("b.band"))
       .select(col("a.id").as("new_id"), col("b.id").as("ref_id"))
       .distinct()
     cands
       .join(shNew.select(col("id").as("new_id"), col("sh").as("sh_a")),
         Seq("new_id"))
-      .join(spark.read.parquet(s"$dir/sh")
+      .join(snap.read(spark, "sh")
           .select(col("id").as("ref_id"), col("sh").as("sh_b")),
         Seq("ref_id"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

@@ -28,16 +28,16 @@ import graft.operators.Dedup
   * partitioned by the checkpoint's own `batch_id` and written with
   * dynamic partition overwrite (a replay REPLACES its own partition,
   * exactly [[DriftMonitor]]'s shape — never silent duplicate corpus
-  * rows), the index append anti-joins per table against already-stored
+  * rows), the index append anti-joins against the snapshot's stored
   * ids ([[Dedup.appendToMinhashIndex]]'s replay guard — a replay
-  * no-ops, a crash between the two table appends completes on retry),
+  * no-ops without publishing a version),
   * and the cross-check drops self-matches so a replay that finds its
   * OWN batch already indexed does not re-file every accepted row as
-  * `ref_dup`. The `_INDEX_SUCCESS` marker window still brackets the
-  * index mutation, so a crash INSIDE the append stays visibly
-  * incomplete; a table format (Delta/Iceberg) supplies the
-  * multi-table-transaction upgrade at production, the same
-  * adjudication as the streaming upsert sink.
+  * `ref_dup`. The index mutation itself is an atomic manifest commit
+  * ([[graft.engine.Manifests]]): a crash inside the append leaves an
+  * unpublished segment the replay overwrites — there is no
+  * half-appended window at all, the multi-table-transaction shape the
+  * old marker gate could only approximate.
   *
   * Scale shape per batch: within-batch dedup is the q24 banded
   * self-join on the BATCH only (batches are bounded by the trigger,
@@ -150,10 +150,12 @@ object StreamingDedup {
   }
 
   /** The stored index's LSH shape — batches must band the same way
-    * the index did or the pigeonhole guarantee breaks. */
+    * the index did or the pigeonhole guarantee breaks. Resolved from
+    * the live manifest snapshot (the index family's commit protocol). */
   private def storedLshShape(spark: SparkSession,
       dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/params").head()
+    val r = graft.engine.Manifests.snapshot(spark, dir).get
+      .read(spark, "params").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 }

@@ -43,12 +43,17 @@ class IndexCompactionSpec extends SparkSpec {
     val before = query()
     assert(before.map(r => (r.getLong(0), r.getLong(1))) ==
       Seq((101L, 1L), (102L, 3L)), "sanity: probes match their sources")
-    val filesBefore = dataFiles(s"$dir/sh") + dataFiles(s"$dir/bands")
+    // Files of a table = data files across the LIVE snapshot's segments
+    // (the manifest layout spreads appends over immutable segments).
+    def tableFiles(table: String): Int =
+      graft.engine.Manifests.snapshot(spark, dir).get
+        .paths(table).map(dataFiles).sum
+    val filesBefore = tableFiles("sh") + tableFiles("bands")
     graft.engine.Caches.release()
     Dedup.compactMinhashIndex(spark, dir)
-    assert(Dedup.minhashIndexExists(spark, dir), "marker re-committed")
+    assert(Dedup.minhashIndexExists(spark, dir), "version re-published")
     assert(query() == before, "compacted index must answer bit-equally")
-    val filesAfter = dataFiles(s"$dir/sh") + dataFiles(s"$dir/bands")
+    val filesAfter = tableFiles("sh") + tableFiles("bands")
     assert(filesAfter < filesBefore,
       s"compaction must shrink file counts: $filesBefore -> $filesAfter")
     assert(filesAfter == 2, "tiny index compacts to one file per table")

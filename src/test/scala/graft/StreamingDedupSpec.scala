@@ -81,10 +81,11 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r(201L) == ((102L, "ref_dup")))
     assert(r.keySet == Set(101L, 104L, 201L))
     // The index now holds reference + everything accepted.
-    val indexed = spark.read.parquet(s"$idx/sh").select("id").collect()
+    val indexed = graft.engine.Manifests.snapshot(spark, idx).get
+      .read(spark, "sh").select("id").collect()
       .map(_.getLong(0)).toSet
     assert(indexed == Set(1L, 2L, 102L, 103L, 202L))
-    assert(Dedup.minhashIndexExists(spark, idx), "marker re-committed")
+    assert(Dedup.minhashIndexExists(spark, idx), "version published")
   }
 
   test("streaming path equals the batch twin on identical arrivals") {
@@ -115,8 +116,10 @@ class StreamingDedupSpec extends SparkSpec {
       spark.read.parquet(acc).select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted,
       rejected(rej),
-      spark.read.parquet(s"$idx/sh").count(),
-      spark.read.parquet(s"$idx/bands").count())
+      graft.engine.Manifests.snapshot(spark, idx).get
+        .read(spark, "sh").count(),
+      graft.engine.Manifests.snapshot(spark, idx).get
+        .read(spark, "bands").count())
     StreamingDedup.dedupBatch(df(batch1: _*), 1L, idx, acc, rej, threshold = 0.5)
     val first = snapshot()
     StreamingDedup.dedupBatch(df(batch1: _*), 1L, idx, acc, rej, threshold = 0.5)
@@ -131,22 +134,29 @@ class StreamingDedupSpec extends SparkSpec {
     assert(rejected(rej)(201L) == ((102L, "ref_dup")))
   }
 
-  test("half-landed index append completes on retry instead of doubling") {
-    // Crash between the sh append and the bands append leaves sh ahead
-    // of bands; the per-table anti-join retry appends ONLY the missing
-    // bands rows, ending bit-identical to a clean single append.
-    import spark.implicits._
+  test("crashed (unpublished) index append completes on retry instead of doubling") {
+    // Under the manifest protocol the old half-landed window (sh ahead
+    // of bands) cannot exist: a crash before the marker create leaves
+    // an UNPUBLISHED orphan segment that is invisible to readers. The
+    // retry claims the same version, OVERWRITES the orphan, and
+    // publishes once — ending bit-identical to a clean single append.
     val root = s"${graft.engine.Sinks.scratch}/minhash_append_retry"
     val idx = s"$root/index"
     buildRefIndex(idx)
     val newRef = df(102L -> novelA, 103L -> novelB)
-    // Simulate the half-landed state: sh rows landed, bands did not.
-    val shOnly = newRef.select(col("doc_id").as("id"),
+    // Simulate the crash: the next version's segment holds partial (and
+    // even wrong) data, with no manifest and no marker published.
+    val orphanSeg = graft.engine.Manifests.segDir(idx, 2L)
+    df(999L -> "stale orphan rows").select(col("doc_id").as("id"),
       Dedup.shingles(col("text"), 3).as("sh"))
-    shOnly.write.mode("append").parquet(s"$idx/sh")
+      .write.mode("overwrite").parquet(s"$orphanSeg/sh")
     Dedup.appendToMinhashIndex(newRef, idx, "doc_id", "text")
-    val sh = spark.read.parquet(s"$idx/sh")
-    val bands = spark.read.parquet(s"$idx/bands")
+    val snap = graft.engine.Manifests.snapshot(spark, idx).get
+    assert(snap.version == 2L, "retry claims the orphan's version")
+    val sh = snap.read(spark, "sh")
+    val bands = snap.read(spark, "bands")
+    assert(sh.filter(col("id") === 999L).isEmpty,
+      "orphan content must be overwritten, never published")
     assert(sh.count() == sh.select("id").distinct().count(),
       "no duplicate sh rows after retry")
     assert(bands.select("id").distinct().count() == 4,
