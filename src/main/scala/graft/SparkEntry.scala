@@ -170,6 +170,19 @@ object SparkEntry {
           graft.operators.ImageDedup.appendToPhashIndex(
             refHs.filter(col("img_id") % 2 === 1), idx)
         }
+      case "bm25" =>
+        // Full corpus (queries self-excluded at query time, like the
+        // inline q185); build evens + append odds — the maintenance
+        // path under the oracle gate, the q148 lifecycle shape.
+        graft.engine.Fixtures.ensure(s, docs, "doc_id",
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
+          contentSig = Some(pmod(xxhash64(col("text")),
+            lit(1000000007L)))) { idx =>
+          graft.operators.Retrieval.buildBm25Index(
+            docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text")
+          graft.operators.Retrieval.appendToBm25Index(
+            docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text")
+        }
       case "evalgrams" =>
         val ref = docs.filter(col("doc_id") % 3 === 0)
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
@@ -269,9 +282,11 @@ object SparkEntry {
     "q187_quality_calibration" -> ("qualitymodel", "nb"),
     "q207_line_df_stored" -> ("dedup", "linedf"))
     .map { case (q, fam) => q -> Seq(fam) }
-    .toMap + ("q214_incremental_pipeline" -> Seq(
-      ("dedup", "linedf"), ("dedup", "minhash"),
-      ("qualitymodel", "nb"), ("bpemodel", "m10")))
+    .toMap + (
+      "q214_incremental_pipeline" -> Seq(
+        ("dedup", "linedf"), ("dedup", "minhash"),
+        ("qualitymodel", "nb"), ("bpemodel", "m10")),
+      "q216_bm25_stored" -> Seq(("dedup", "bm25")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]

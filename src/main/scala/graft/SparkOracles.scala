@@ -1379,6 +1379,15 @@ private[graft] object SparkOracles {
 
     "q214_incremental_pipeline" ->
       (graft.operators.Pipeline.incrementalCurationSql() +
-        "\nORDER BY metric")
+        "\nORDER BY metric"),
+
+    "q215_lsh_sizing" ->
+      (Dedup.lshSizingTableSql() + "\nORDER BY rows_per_band"),
+
+    // Stored-state twin replays the same ground truth as its inline
+    // counterpart (q185): persistence must be bit-invisible.
+    "q216_bm25_stored" ->
+      (Retrieval.bm25TopKSql(nQueries = 10, k = 5) +
+        "\nORDER BY query_id, rank")
   )
 }

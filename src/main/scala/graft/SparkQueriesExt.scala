@@ -863,6 +863,31 @@ private[graft] object SparkQueriesExt {
         storedQualityModel(s, dir),
         storedBpeModel(s, dir))
         .orderBy("metric")
+    }),
+
+    // The LSH sizing derivation as data (the q212 pattern applied to
+    // the last magic constants in the dedup family): per candidate
+    // rows-per-band, the knee-bounded and recall-floored band window,
+    // the chosen row, and the S-curve detection probabilities. At the
+    // canonical gate (t=0.5, s*=0.9, floor 1-1e-6) the chosen row IS
+    // the historical 16x4 = 64-hash scheme — now computed, not carried
+    // (DedupSpec pins it; every MinHash default reads from it).
+    "q215_lsh_sizing" -> ((s, dir) =>
+      Dedup.lshSizingTable(s).orderBy("rows_per_band")),
+
+    // BM25 from the PERSISTED postings index (q185's stored twin —
+    // the last retrieval structure to get the build/append/query
+    // lifecycle): postings/df/dl/avgdl stored once as additive
+    // segment partials (build evens + append odds, untimed fixture),
+    // the query path tokenizes only the 10 query docs and pays
+    // O(query-term postings). Bit-equal to the inline q185, so ONE
+    // oracle adjudicates both paths.
+    "q216_bm25_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Retrieval.bm25TopKFromIndex(
+        docs.filter(col("doc_id") < 10),
+        storedDedupIndex(s, dir, "bm25"), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
     })
   )
 }

@@ -511,6 +511,118 @@ object Dedup {
     * `a*h+b` never overflows a long). */
   val MinhashP: Long = 2147483647L
 
+  /** LSH banding (bands b, rows-per-band r) DERIVED from the target
+    * threshold — the S-curve knob-closure for the last magic sizing in
+    * the dedup family (the q212/q213 pattern applied to the 64-hash/
+    * 16-band constants). A banded scheme detects a pair of Jaccard
+    * similarity s with probability `1 − (1 − s^r)^b`; the derivation
+    * picks, among r = 1..maxRows:
+    *
+    *   - the LARGEST b with the curve's knee `(1/b)^(1/r)` still at or
+    *     above `threshold` (b ≤ t^−r): candidates below the threshold
+    *     stay improbable, so the verify join is not flooded;
+    *   - subject to detection at `targetSim` (the similarity the
+    *     corpus's true near-dups actually have — the q24 bimodal
+    *     contract's upper mode) reaching `recallFloor`;
+    *   - at the SMALLEST such r (fewest total hashes b·r).
+    *
+    * At the canonical inputs (threshold 0.5, targetSim 0.9, floor
+    * 1 − 1e−6) this yields exactly (b = 16, r = 4) = 64 hashes — the
+    * historical constants, now a computed consequence (spec-pinned).
+    * Throws if no r ≤ maxRows satisfies both constraints (threshold
+    * and floor irreconcilable at this budget). */
+  def bandsForThreshold(threshold: Double, targetSim: Double = 0.9,
+      recallFloor: Double = 1 - 1e-6, maxRows: Int = 16): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(targetSim >= threshold && targetSim < 1.0,
+      s"targetSim must be in [threshold, 1), got $targetSim")
+    require(recallFloor > 0.0 && recallFloor < 1.0,
+      s"recallFloor must be in (0, 1), got $recallFloor")
+    (1 to maxRows).iterator.flatMap { r =>
+      val (bKnee, bRecall) = lshBandWindow(threshold, targetSim,
+        recallFloor, r)
+      if (bRecall <= bKnee) Some((bKnee, r)) else None
+    }.nextOption().getOrElse(sys.error(
+      s"no (bands, rows) with rows <= $maxRows reaches recall " +
+        s"$recallFloor at sim $targetSim with knee >= $threshold"))
+  }
+
+  /** (largest b with knee ≥ threshold, smallest b reaching the recall
+    * floor at targetSim) for one r — the ±1e-9 guards keep the integer
+    * floor/ceil stable across libm implementations (the oracle replays
+    * the identical guarded arithmetic). */
+  private def lshBandWindow(threshold: Double, targetSim: Double,
+      recallFloor: Double, r: Int): (Int, Int) = (
+    math.floor(math.pow(threshold, -r) + 1e-9).toInt,
+    math.ceil(math.log(1 - recallFloor) /
+      math.log(1 - math.pow(targetSim, r)) - 1e-9).toInt)
+
+  /** Detection probability of the (b, r) banded scheme at similarity
+    * s: `1 − (1 − s^r)^b`. */
+  def lshDetectProb(bands: Int, rows: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** The [[bandsForThreshold]] derivation AS DATA (the q212 pattern):
+    * one row per candidate rows-per-band r with its feasible band
+    * window, the chosen flag, and the resulting S-curve detection
+    * probabilities at the threshold and at the target similarity —
+    * the table a curator reads to see why the sizing is what it is.
+    * Pure closed-form arithmetic (no corpus scan); probabilities
+    * rounded once, integers through the guarded floor/ceil. */
+  def lshSizingTable(spark: org.apache.spark.sql.SparkSession,
+      threshold: Double = 0.5, targetSim: Double = 0.9,
+      recallFloor: Double = 1 - 1e-6, maxRows: Int = 16): DataFrame = {
+    import spark.implicits._
+    val chosen = bandsForThreshold(threshold, targetSim, recallFloor, maxRows)
+    (1 to maxRows).map { r =>
+      val (bKnee, bRecall) = lshBandWindow(threshold, targetSim,
+        recallFloor, r)
+      val feasible = if (bRecall <= bKnee) 1 else 0
+      val isChosen = if ((bKnee, r) == chosen) 1 else 0
+      (r, bKnee, bRecall, feasible, isChosen, bKnee * r,
+        BigDecimal(lshDetectProb(bKnee, r, threshold))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(lshDetectProb(bKnee, r, targetSim))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("rows_per_band", "b_knee", "b_recall", "feasible", "chosen",
+      "hashes", "detect_at_threshold", "detect_at_target")
+  }
+
+  /** Oracle twin of [[lshSizingTable]] (DuckDB): the identical guarded
+    * closed-form arithmetic, row set from `range`. */
+  def lshSizingTableSql(threshold: Double = 0.5, targetSim: Double = 0.9,
+      recallFloor: Double = 1 - 1e-6, maxRows: Int = 16): String =
+    s"""WITH r AS (SELECT CAST(unnest(range(1, ${maxRows + 1})) AS INTEGER)
+       |    AS rows_per_band),
+       |c AS (SELECT rows_per_band,
+       |    CAST(floor(pow($threshold, -rows_per_band) + 1e-9) AS INTEGER)
+       |      AS b_knee,
+       |    CAST(ceil(ln(1 - $recallFloor)
+       |      / ln(1 - pow($targetSim, rows_per_band)) - 1e-9) AS INTEGER)
+       |      AS b_recall
+       |  FROM r),
+       |f AS (SELECT *, CASE WHEN b_recall <= b_knee THEN 1 ELSE 0 END
+       |    AS feasible FROM c),
+       |ch AS (SELECT *, CASE WHEN feasible = 1 AND rows_per_band =
+       |    (SELECT MIN(rows_per_band) FROM f WHERE feasible = 1)
+       |    THEN 1 ELSE 0 END AS chosen FROM f)
+       |SELECT rows_per_band, b_knee, b_recall, feasible, chosen,
+       |  b_knee * rows_per_band AS hashes,
+       |  round(1 - pow(1 - pow($threshold, rows_per_band), b_knee), 6)
+       |    AS detect_at_threshold,
+       |  round(1 - pow(1 - pow($targetSim, rows_per_band), b_knee), 6)
+       |    AS detect_at_target
+       |FROM ch""".stripMargin
+
+  /** The DERIVED default LSH sizing at the canonical near-dup gate
+    * (threshold 0.5, bimodal upper mode 0.9): (bands, rows) = (16, 4),
+    * 64 hashes — every MinHash default below reads from here, so the
+    * sizing has one derivation, not scattered literals. */
+  val DefaultLsh: (Int, Int) = bandsForThreshold(0.5)
+  private val DefaultBands: Int = DefaultLsh._1
+  private val DefaultNumHashes: Int = DefaultLsh._1 * DefaultLsh._2
+
   /** Seeded affine hash family params, deterministic across runs. */
   def hashFamily(numHashes: Int, seed: Long): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(seed)
@@ -582,7 +694,7 @@ object Dedup {
     * are precisely the near-dup candidates) → distinct candidate pairs →
     * join back for exact Jaccard ≥ `threshold`. */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      n: Int = 3, numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     // Persist the shingle projection (reused by both verify join-backs and
     // the signature) and the banded keys (reused by both self-join sides).
@@ -629,8 +741,9 @@ object Dedup {
     * freshly shingled. The verify joins fan candidates back to both
     * shingle caches. */
   def minhashNearDupAcross(newDf: DataFrame, refDf: DataFrame,
-      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      idCol: String, textCol: String, n: Int = 3,
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val (as, bs) = hashFamily(numHashes, seed)
     def prep(df: DataFrame): (DataFrame, DataFrame) = {
       // Shingles feed the band projection AND the verify join-back —
@@ -698,8 +811,8 @@ object Dedup {
     * with the same parameters (asserted in DedupSpec; the inline
     * twin's oracle is therefore also this index's oracle). */
   def buildMinhashIndex(ref: DataFrame, dir: String, idCol: String,
-      textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L): Unit = {
+      textCol: String, n: Int = 3, numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands, seed: Long = 42L): Unit = {
     val spark = ref.sparkSession
     import spark.implicits._
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>

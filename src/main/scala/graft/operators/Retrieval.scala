@@ -192,6 +192,18 @@ object Retrieval {
     * leg — the corpus term-frequency table is built once (never
     * shuffled by term), query vocabulary broadcast, only (query,
     * candidate) partials move; doc lengths ride the same tf table. */
+  /** The Okapi per-term score, ONE spelling shared by the inline and
+    * stored-index paths so their floats are bit-identical: idf =
+    * `ln((N−df+0.5)/(df+0.5)+1)`, tf saturation k1, length prior b. */
+  private def bm25TermScore(tfC: org.apache.spark.sql.Column,
+      dfC: org.apache.spark.sql.Column, dlC: org.apache.spark.sql.Column,
+      nC: org.apache.spark.sql.Column, avgdlC: org.apache.spark.sql.Column,
+      k1: Double, b: Double): org.apache.spark.sql.Column =
+    log((nC - dfC + lit(0.5)) / (dfC + lit(0.5)) + lit(1.0)) *
+      (tfC * lit(k1 + 1.0)) /
+      (tfC + lit(k1) * (lit(1.0 - b) +
+        (lit(b) * dlC.cast("double")) / avgdlC))
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       nQueries: Int = 10, k: Int = 5, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -211,14 +223,135 @@ object Retrieval {
       .join(dfreq, "w")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .withColumn("idf", log(
-        (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-          + lit(1.0)))
-      .withColumn("term_score",
-        col("idf") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) +
-            (lit(b) * col("dl").cast("double")) / col("avgdl"))))
+      .withColumn("term_score", bm25TermScore(col("tf"), col("df"),
+        col("dl"), col("_n"), col("avgdl"), k1, b))
       .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(Aggregates.sumExact(col("term_score")).as("bm25"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "bm25", "rank")
+  }
+
+  // ------------------------------------------- persisted BM25 postings
+
+  /** True iff `dir` holds a COMPLETED BM25 postings index (a published
+    * manifest version). */
+  def bm25IndexExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = graft.engine.Manifests.exists(spark, dir)
+
+  /** One segment's four partial tables for `docs`, written under
+    * `seg`: `postings` (w, doc_id, tf — sorted by term within files,
+    * so parquet row-group min/max stats prune non-query terms at scan
+    * time), `dl` (doc_id, dl), `dfreq` (w, partial_df), and `stats`
+    * (1 row: partial n_docs, partial dl_sum). All four are ADDITIVE —
+    * document frequencies, corpus size, and total length sum across
+    * segments exactly (integers) — which is what makes the append a
+    * pure segment write with no merge. */
+  private def writeBm25Segment(docs: DataFrame, idCol: String,
+      textCol: String, seg: String): Unit = {
+    val tf = graft.engine.Caches.materialized(
+      termFreq(docs, idCol, textCol)
+        .select(col("w"), col(idCol).as("doc_id"), col("tf")))
+    tf.repartition(col("w")).sortWithinPartitions("w")
+      .write.mode("overwrite").parquet(s"$seg/postings")
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$seg/dl")
+    tf.groupBy("w").agg(count(lit(1)).as("partial_df"))
+      .write.mode("overwrite").parquet(s"$seg/dfreq")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("dl_sum")))
+      .write.mode("overwrite").parquet(s"$seg/stats")
+  }
+
+  private val Bm25Tables = Seq("postings", "dl", "dfreq", "stats")
+
+  /** Build-once persistence of the BM25 corpus statistics — the last
+    * retrieval structure without a build/append/query lifecycle (the
+    * q185 registration rebuilt postings inline per query). Versioned-
+    * manifest commits like the MinHash index: atomic publish, reader
+    * snapshots, GC. */
+  def buildBm25Index(docs: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      writeBm25Segment(docs, idCol, textCol, seg)
+      Bm25Tables.map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
+    }
+    ()
+  }
+
+  /** Index MAINTENANCE: one new segment of partial statistics for the
+    * batch — O(|batch|) writes, no history rewrite, additive by
+    * construction (df/n/dl_sum sum across segments). Replay-safe via
+    * the snapshot anti-join on already-indexed doc ids; a fully
+    * replayed append publishes nothing. Same single-writer contract
+    * as every stored artifact. */
+  def appendToBm25Index(newDocs: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
+      s"no completed BM25 index at $dir — append needs a finished build")
+    val snap = snapOpt.get
+    val novel = graft.engine.Caches.materialized(
+      newDocs.join(snap.read(spark, "dl")
+          .select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_anti"))
+    if (!novel.isEmpty) {
+      graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+        writeBm25Segment(novel, idCol, textCol, seg)
+        Bm25Tables.map(t => t ->
+          (snap.tables(t) :+ graft.engine.Manifests.ref(v, t))).toMap
+      }
+      ()
+    }
+  }
+
+  /** BM25 top-k of external query documents against the STORED index:
+    * the query path tokenizes ONLY the query frame, broadcasts its
+    * vocabulary into the postings/dfreq scans (term-sorted segments,
+    * so row-group stats prune non-matching terms), and sums the
+    * segment-partial df/n/dl_sum statistics — the corpus is never
+    * re-tokenized or re-aggregated (RetrievalSpec asserts the plan).
+    * Bit-equal to [[bm25TopK]] over the same corpus: identical
+    * [[bm25TermScore]] expression, exact integer statistics, the same
+    * decimal-exact reduction. Self-matches (query id present in the
+    * index) are excluded like the inline twin. */
+  def bm25TopKFromIndex(queries: DataFrame, dir: String, idCol: String,
+      textCol: String, k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val spark = queries.sparkSession
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
+      s"no completed BM25 index at $dir — run buildBm25Index first")
+    val snap = snapOpt.get
+    val stats = snap.read(spark, "stats")
+      .agg(sum("n_docs").as("_n"), sum("dl_sum").as("_dlsum"))
+      .withColumn("avgdl", col("_dlsum").cast("double") / col("_n"))
+      .select("_n", "avgdl")
+    // Truncated (LogicalRDD) rather than merely cached: the query
+    // tokenization is consumed whole by two joins, and truncation
+    // keeps the corpus scan out of every downstream plan — the
+    // spec-asserted "query path reads only stored tables" contract is
+    // then visible in the plan itself.
+    val qterms = graft.engine.Caches.truncated(
+      queries.select(col(idCol).as("query_id"),
+          explode(split(col(textCol), " ")).as("w"))
+        .distinct())
+    val dfTotal = snap.read(spark, "dfreq")
+      .join(broadcast(qterms.select("w").distinct()), Seq("w"))
+      .groupBy("w").agg(sum("partial_df").as("df"))
+    val scored = snap.read(spark, "postings")
+      .join(broadcast(qterms), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfTotal, Seq("w"))
+      .join(snap.read(spark, "dl"), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", bm25TermScore(col("tf"), col("df"),
+        col("dl"), col("_n"), col("avgdl"), k1, b))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
       .agg(Aggregates.sumExact(col("term_score")).as("bm25"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("bm25").desc, col("neighbor_id").asc)

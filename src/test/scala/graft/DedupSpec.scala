@@ -287,6 +287,45 @@ class DedupSpec extends SparkSpec {
       pairBudget = 100L) == 2)
   }
 
+  test("bandsForThreshold: canonical gate derives the historical 16x4 scheme; S-curve properties hold") {
+    // The knob-closure contract: the 64-hash/16-band constants every
+    // MinHash default carries are now a COMPUTED consequence of
+    // (threshold 0.5, targetSim 0.9, recall floor 1-1e-6).
+    assert(Dedup.bandsForThreshold(0.5) == ((16, 4)))
+    assert(Dedup.DefaultLsh == ((16, 4)))
+    // Recall floor holds at the derived sizing, by the curve itself...
+    assert(Dedup.lshDetectProb(16, 4, 0.9) >= 1 - 1e-6)
+    // ...and empirically: the near-dup operator at the DERIVED sizing
+    // (its defaults) equals the exhaustive truth on the fixture corpus
+    // (the q24 contract, now resting on the derivation).
+    val (b, r) = Dedup.bandsForThreshold(0.5)
+    val lsh = Dedup.minhashNearDup(docs, "doc_id", "text",
+      n = 3, numHashes = b * r, bands = b, threshold = 0.5)
+      .select("id_a", "id_b")
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .withColumn("j", Dedup.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(lsh.except(brute).count() == 0 && brute.except(lsh).count() == 0)
+    graft.engine.Caches.release()
+    // Other thresholds derive schemes that still clear the floor at
+    // the target similarity, with the knee never below the threshold.
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val (bb, rr) = Dedup.bandsForThreshold(t)
+      assert(math.pow(1.0 / bb, 1.0 / rr) >= t - 1e-6,
+        s"knee below threshold at t=$t: ($bb, $rr)")
+      assert(Dedup.lshDetectProb(bb, rr, 0.9) >= 1 - 1e-6,
+        s"recall floor missed at t=$t")
+    }
+    // The sizing table agrees with the scalar derivation.
+    val tbl = Dedup.lshSizingTable(spark).filter(col("chosen") === 1)
+      .head()
+    assert(tbl.getInt(1) == 16 && tbl.getInt(0) == 4,
+      s"sizing table chose ${tbl}")
+  }
+
   test("minhash LSH pairs match exhaustive true-Jaccard pairs on the planted corpus") {
     val lsh = Dedup.minhashNearDup(docs, "doc_id", "text",
       n = 3, numHashes = 64, bands = 16, threshold = 0.5)

@@ -148,4 +148,51 @@ class RetrievalSpec extends SparkSpec {
     assert(toks(1L).count(_ == "apple") > toks(2L).count(_ == "apple"))
     graft.engine.Caches.release()
   }
+
+  test("stored BM25 index (build + append) is bit-equal to inline; query never rescans the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val dir = s"${graft.engine.Sinks.scratch}/bm25_index_spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, dir)
+    Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), dir,
+      "doc_id", "text")
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1), dir,
+      "doc_id", "text")
+    assert(Retrieval.bm25IndexExists(spark, dir))
+    val inline = Retrieval.bm25TopK(docs, "doc_id", "text",
+      nQueries = 10, k = 5).orderBy("query_id", "rank").collect().toSeq
+    graft.engine.Caches.release()
+    val stored = Retrieval.bm25TopKFromIndex(
+      docs.filter(col("doc_id") < 10), dir, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(stored.map(_.toString) == inline.map(_.toString),
+      "stored-index BM25 must be bit-equal to the inline path")
+    graft.engine.Caches.release()
+    // Replay safety: re-appending an already-indexed batch publishes
+    // no new version and changes no answer.
+    val v = graft.engine.Manifests.liveVersion(spark, dir)
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1), dir,
+      "doc_id", "text")
+    assert(graft.engine.Manifests.liveVersion(spark, dir) == v,
+      "fully-replayed append must not publish")
+    graft.engine.Caches.release()
+    // Plan contract: the query path reads ONLY stored tables — the
+    // corpus text is never re-tokenized (exactly one explode: the
+    // query frame's own terms) and no aggregation rebuilds postings.
+    val q = Retrieval.bm25TopKFromIndex(
+      docs.filter(col("doc_id") < 10), dir, "doc_id", "text", k = 5)
+    val qe = q.queryExecution
+    q.collect()
+    val p = qe.executedPlan.toString
+    // The CORPUS is never re-read at query time: every file scan in
+    // the final plan reads the stored index dir (the query frame's own
+    // tokenization is cached before this plan runs — it shows as an
+    // in-memory scan, not a corpus file scan).
+    val corpusScans = "Scan parquet[^\\n]*".r.findAllIn(p)
+      .count(s => !s.contains("bm25_index_spec"))
+    assert(corpusScans == 0,
+      s"query path must scan only stored index tables:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "query vocabulary must broadcast into the postings probe")
+    graft.engine.Caches.release()
+  }
 }
