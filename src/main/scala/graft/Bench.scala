@@ -345,6 +345,19 @@ object Bench {
       partial.println(s"""{"q":"$name","sec":${r.sec},"cpu_s":${n2(r.cpuS)},""" +
         s""""gc_s":${n2(r.gcS)},"jit_s":${n2(r.jitS)},""" +
         s""""busy_pct":${n2(r.busyPct)},"sf":"$sfDir"}""")
+      // Stage attribution for the pipeline DAGs (telemetry channel,
+      // like the JVM vitals — NOT part of the oracled report): which
+      // stage to buy hardware for, readable per round from the partial
+      // log without a dev re-run.
+      if (name.startsWith("q209_") || name.startsWith("q214_")) {
+        val stages = graft.operators.Pipeline.lastStageSeconds
+        if (stages.nonEmpty) {
+          val js = stages.map { case (s, sec) => jstr(s) + ":" + n2(sec) }
+            .mkString("{", ",", "}")
+          System.err.println(s"[bench] $name stages: $js")
+          partial.println(s"""{"q":"$name","stages":$js,"sf":"$sfDir"}""")
+        }
+      }
       name -> r
     }
     val total = results.values.map(_.sec).filter(_ >= 0).sum

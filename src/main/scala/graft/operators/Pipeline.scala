@@ -95,44 +95,88 @@ object Pipeline {
     nrm.join(ent, Seq("doc_id"))
   }
 
+  /** Per-stage wall seconds of the LAST [[fullCuration]] /
+    * [[incrementalCuration]] run in this JVM, in stage order — the
+    * answer to "which stage do I buy hardware for" at 100 TB. Each
+    * stage in those DAGs ends at an eager materialization barrier
+    * ([[Caches.truncated]]'s count()), so the wall between barriers IS
+    * the stage's executed cost — the same number a
+    * QueryExecutionListener would attribute to the barrier action,
+    * without the async-callback attribution race (listener events post
+    * on the listener bus; a label-switching listener can credit a late
+    * callback to the wrong stage). The final `(metric, value)` report
+    * assembly is the caller's action and is the residual between the
+    * bench wall and this table's sum.
+    *
+    * DIAGNOSTIC channel (the [[Dedup.lastClusterRounds]] precedent):
+    * read after a run by [[stageTimingReport]] and the bench telemetry
+    * (stderr + BENCH_PARTIAL.jsonl). Deliberately NOT part of the
+    * oracled q209/q214 report — wall time is not oracle-able, and a
+    * row of it would break the hash gate; CORRECTNESS stays on the
+    * value columns. Meaningless under concurrent callers. */
+  @volatile private var lastTimings: Seq[(String, Double)] = Nil
+  def lastStageSeconds: Seq[(String, Double)] = lastTimings
+
+  /** The last run's (stage, seconds) as a DataFrame, for callers that
+    * want the timing table beside the report. */
+  def stageTimingReport(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    lastTimings.toDF("stage", "seconds")
+  }
+
+  private def timeStages[A](body: ((String, => DataFrame) => DataFrame) => A): A = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def staged(name: String, f: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val r = f
+      acc += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val out = body(staged)
+    lastTimings = acc.toList
+    out
+  }
+
   /** Run the whole DAG; returns the `(metric, value)` report. */
   def fullCuration(docs: DataFrame,
       minTokens: Int = 10, minQuality: Double = 0.3,
       minEntropy: Double = 2.0,
       jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
-      budget: Long = 20000L, binTokens: Long = 512L): DataFrame = {
+      budget: Long = 20000L, binTokens: Long = 512L): DataFrame = timeStages { staged =>
     val spark = docs.sparkSession
     import spark.implicits._
     val t = col("text")
     val gates = gateColumns(t, minTokens, minQuality)
 
-    val gated = Caches.truncated(gatedCorpus(docs, minEntropy))
+    val gated = staged("1_extract_gate",
+      Caches.truncated(gatedCorpus(docs, minEntropy)))
     val funnel = Curation.filterFunnel(gated, gates)
-    val surv = Caches.truncated(
+    val surv = staged("2_survivors", Caches.truncated(
       gated.filter(gates.map(_._2).reduce(_ && _))
-        .select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", "text")))
 
-    val victims = Caches.truncated(Dedup.dedupClusters(
+    val victims = staged("3_dedup_pairs", Caches.truncated(Dedup.dedupClusters(
         Dedup.prefixJaccardPairs(surv, "doc_id", "text",
           jaccardN, jaccardThreshold))
       .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as("doc_id")))
-    val kept = Caches.truncated(
-      surv.join(victims, Seq("doc_id"), "left_anti"))
+      .select(col("id").as("doc_id"))))
+    val kept = staged("4_dedup_survivors", Caches.truncated(
+      surv.join(victims, Seq("doc_id"), "left_anti")))
 
-    val scored = Caches.truncated(QualityClassifier.trainScore(
-      kept.filter(col("doc_id") % 3 === 0)
-        .withColumn("label_good", col("lang") === "en"),
-      "text", "label_good", kept, "doc_id", "text"))
-    val sel = Caches.truncated(kept.join(
-      scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id")))
+    val scored = staged("5_classify", Caches.truncated(
+      QualityClassifier.trainScore(
+        kept.filter(col("doc_id") % 3 === 0)
+          .withColumn("label_good", col("lang") === "en"),
+        "text", "label_good", kept, "doc_id", "text")))
+    val sel = staged("6_classifier_keep", Caches.truncated(kept.join(
+      scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id"))))
 
-    val budgeted = Caches.truncated(
-      Curation.tokenBudgetSample(sel, "doc_id", "text", budget))
-    val fin = Caches.truncated(
-      sel.join(budgeted.select("doc_id"), Seq("doc_id")))
-    val bins = Caches.truncated(
-      Curation.packSequences(fin, "doc_id", "text", binTokens))
+    val budgeted = staged("7_budget", Caches.truncated(
+      Curation.tokenBudgetSample(sel, "doc_id", "text", budget)))
+    val fin = staged("8_final_select", Caches.truncated(
+      sel.join(budgeted.select("doc_id"), Seq("doc_id"))))
+    val bins = staged("9_pack", Caches.truncated(
+      Curation.packSequences(fin, "doc_id", "text", binTokens)))
 
     def one(name: String, df: DataFrame, v: Column): DataFrame =
       df.agg(v.cast("double").as("value"))
@@ -202,42 +246,44 @@ object Pipeline {
       minTokens: Int = 10, minQuality: Double = 0.3,
       minEntropy: Double = 2.0,
       lineMinDf: Int = 5, dedupThreshold: Double = 0.5,
-      budget: Long = 20000L, binTokens: Long = 512L): DataFrame = {
+      budget: Long = 20000L, binTokens: Long = 512L): DataFrame = timeStages { staged =>
     val t = col("text")
     val gates = gateColumns(t, minTokens, minQuality)
 
-    val cleansed = Caches.truncated(
+    val cleansed = staged("1_line_cleanse", Caches.truncated(
       Dedup.dropBoilerplateFromIndex(batch, lineIdxDir,
-        "doc_id", "text", lineMinDf))
+        "doc_id", "text", lineMinDf)))
     val relabeled = cleansed.select(col("doc_id"), col("text"))
       .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val gated = Caches.truncated(gatedCorpus(relabeled, minEntropy))
+    val gated = staged("2_extract_gate",
+      Caches.truncated(gatedCorpus(relabeled, minEntropy)))
     val funnel = Curation.filterFunnel(gated, gates)
-    val surv = Caches.truncated(
+    val surv = staged("3_survivors", Caches.truncated(
       gated.filter(gates.map(_._2).reduce(_ && _))
-        .select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", "text")))
 
-    val victims = Caches.truncated(
+    val victims = staged("4_history_dedup", Caches.truncated(
       Dedup.minhashNearDupFromIndex(surv, minhashIdxDir,
           "doc_id", "text", dedupThreshold)
-        .select(col("new_id").as("doc_id")).distinct())
-    val kept = Caches.truncated(
-      surv.join(victims, Seq("doc_id"), "left_anti"))
+        .select(col("new_id").as("doc_id")).distinct()))
+    val kept = staged("5_novel", Caches.truncated(
+      surv.join(victims, Seq("doc_id"), "left_anti")))
 
-    val scored = Caches.truncated(QualityClassifier.scoreFromModel(
-      kept, qualityModelDir, "doc_id", "text"))
-    val sel = Caches.truncated(kept.join(
-      scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id")))
+    val scored = staged("6_classify", Caches.truncated(
+      QualityClassifier.scoreFromModel(
+        kept, qualityModelDir, "doc_id", "text")))
+    val sel = staged("7_classifier_keep", Caches.truncated(kept.join(
+      scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id"))))
 
-    val priced = Caches.truncated(
-      CorpusStats.bpeTokenizeFromModel(sel, "doc_id", "text", bpeModelDir))
+    val priced = staged("8_bpe_price", Caches.truncated(
+      CorpusStats.bpeTokenizeFromModel(sel, "doc_id", "text", bpeModelDir)))
 
-    val budgeted = Caches.truncated(
-      Curation.tokenBudgetSample(sel, "doc_id", "text", budget))
-    val fin = Caches.truncated(
-      sel.join(budgeted.select("doc_id"), Seq("doc_id")))
-    val bins = Caches.truncated(
-      Curation.packSequences(fin, "doc_id", "text", binTokens))
+    val budgeted = staged("9_budget", Caches.truncated(
+      Curation.tokenBudgetSample(sel, "doc_id", "text", budget)))
+    val fin = staged("10_final_select", Caches.truncated(
+      sel.join(budgeted.select("doc_id"), Seq("doc_id"))))
+    val bins = staged("11_pack", Caches.truncated(
+      Curation.packSequences(fin, "doc_id", "text", binTokens)))
 
     def one(name: String, df: DataFrame, v: Column): DataFrame =
       df.agg(v.cast("double").as("value"))
