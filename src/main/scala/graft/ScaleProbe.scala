@@ -20,14 +20,16 @@ package graft
   * SPARK_GRAFT_SCALE_ONLY. */
 object ScaleProbe {
 
-  /** Top-10 by BENCH_BASELINE.json median as of round 15 (q209's
-    * 8-stage DAG now leads; every member's ×10 — and for the ANN/eval
-    * tier ×100 — points are in BENCH_NOTES.md's probe tables). */
+  /** Top-10 by BENCH_BASELINE.json median as of round 16 (q209 leads,
+    * the q214 incremental pipeline enters at #3; every member's ×10 —
+    * and for the ANN/eval tier and the round-16 flagship/media probes
+    * ×100 — points are in BENCH_NOTES.md's probe tables). */
   val DefaultQueries: Seq[String] = Seq(
-    "q209_full_pipeline", "q182_stream_ann_ingest", "q196_dedup_eval",
+    "q209_full_pipeline", "q182_stream_ann_ingest",
+    "q214_incremental_pipeline", "q196_dedup_eval",
     "q121_ivfpq_topk", "q23_ngram_jaccard", "q117_pq_topk",
     "q210_adaptive_probe", "q173_stream_funnel_monitor",
-    "q181_softdedup_weights", "q170_byte_bpe_train")
+    "q181_softdedup_weights")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
