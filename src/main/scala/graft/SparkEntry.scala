@@ -87,7 +87,7 @@ object SparkEntry {
     // so the probe re-runs per call; it is one small aggregate over the
     // embeddings table.
     graft.engine.Fixtures.ensure(s, emb, "vec_id",
-      s"${Sinks.scratch}/ann_index", kind, Some(dir),
+      s"${Sinks.scratch}/ann_index", s"${kind}_mf1", Some(dir),
       contentSig = Some(pmod(
         xxhash64(concat_ws(",", col("embedding").cast("array<string>"))),
         lit(1000000007L)))) { idx =>
@@ -159,7 +159,7 @@ object SparkEntry {
         }
       case "phash" =>
         graft.engine.Fixtures.ensure(s, docs, "doc_id",
-          s"${Sinks.scratch}/dedup_index", kind, Some(dir)) { idx =>
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir)) { idx =>
           val refHs = graft.engine.Caches.materialized(
             graft.operators.ImageDedup.phashImages(s,
                 graft.operators.ImageDedup.texturedBases(s, docs)).toDF()
@@ -186,7 +186,7 @@ object SparkEntry {
       case "evalgrams" =>
         val ref = docs.filter(col("doc_id") % 3 === 0)
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
-          s"${Sinks.scratch}/dedup_index", kind, Some(dir),
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
           contentSig = Some(pmod(xxhash64(col("text")),
             lit(1000000007L)))) { idx =>
           Dedup.buildGramIndex(ref.filter(col("doc_id") % 2 === 0),
@@ -202,7 +202,7 @@ object SparkEntry {
           .select(col("doc_id"), Dedup.plantBoilerplate(col("doc_id"),
             col("text"), lineLen = 8, mod = 2).as("text"))
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
-          s"${Sinks.scratch}/dedup_index", kind, Some(dir),
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
           contentSig = Some(pmod(xxhash64(col("text")),
             lit(1000000007L)))) { idx =>
           Dedup.buildLineIndex(ref.filter(col("doc_id") % 2 === 0),
@@ -222,7 +222,7 @@ object SparkEntry {
   private[graft] def storedBpeModel(s: SparkSession, dir: String): String = {
     val ref = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
     graft.engine.Fixtures.ensure(s, ref, "doc_id",
-      s"${Sinks.scratch}/bpe_model", "m10", Some(dir),
+      s"${Sinks.scratch}/bpe_model", "m10_mf1", Some(dir),
       contentSig = Some(pmod(xxhash64(col("text")), lit(1000000007L)))) { idx =>
       CorpusStats.saveBpeModel(ref, "text", rounds = 10, idx)
     }
@@ -237,7 +237,7 @@ object SparkEntry {
     val train = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
       .withColumn("label_good", col("lang") === "en")
     graft.engine.Fixtures.ensure(s, train, "doc_id",
-      s"${Sinks.scratch}/quality_model", "nb", Some(dir),
+      s"${Sinks.scratch}/quality_model", "nb_mf1", Some(dir),
       contentSig = Some(pmod(xxhash64(col("text"), col("lang")),
         lit(1000000007L)))) { idx =>
       QualityClassifier.saveModel(train, "text", "label_good", idx)
@@ -249,7 +249,7 @@ object SparkEntry {
   private[graft] def storedByteBpeModel(s: SparkSession, dir: String): String = {
     val ref = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
     graft.engine.Fixtures.ensure(s, ref, "doc_id",
-      s"${Sinks.scratch}/byte_bpe_model", "b10", Some(dir),
+      s"${Sinks.scratch}/byte_bpe_model", "b10_mf1", Some(dir),
       contentSig = Some(pmod(xxhash64(col("text")), lit(1000000007L)))) { idx =>
       CorpusStats.saveByteBpeModel(ref, "text", rounds = 10, idx)
     }

@@ -1058,12 +1058,12 @@ object CorpusStats {
 
   // --------------------------------------------- persisted BPE model
 
-  private val ModelMarker = "_MODEL_SUCCESS"
-
-  /** True iff `dir` holds a COMPLETED BPE model. */
+  /** True iff `dir` holds a COMPLETED BPE model (a published manifest
+    * version — the stored artifacts all run the versioned-manifest
+    * protocol, [[graft.engine.Manifests]]). */
   def bpeModelExists(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean =
-    graft.engine.Markers.exists(spark, dir, ModelMarker)
+    graft.engine.Manifests.exists(spark, dir)
 
   /** Train a BPE tokenizer and PERSIST the model — one parquet table
     * `merges` (round, lhs, rhs, n), which IS the tokenizer (the merge
@@ -1074,13 +1074,16 @@ object CorpusStats {
     * [[bpeTrainLocal]] — the production-shape variant this persistence
     * exists for (30k-round vocabularies collect the word table once
     * and merge locally; output spec-pinned identical to [[bpeTrain]]).
-    * Same completion-marker lifecycle as every stored index. */
+    * One atomic manifest commit like every stored artifact. */
   def saveBpeModel(docs: DataFrame, textCol: String, rounds: Int,
-      dir: String, minFreq: Long = 1L): Unit =
-    graft.engine.Markers.gated(docs.sparkSession, dir, ModelMarker) {
+      dir: String, minFreq: Long = 1L): Unit = {
+    graft.engine.Manifests.publish(docs.sparkSession, dir) { (v, seg, _) =>
       bpeTrainLocal(docs, textCol, rounds, minFreq)
-        .write.mode("overwrite").parquet(s"$dir/merges")
+        .write.mode("overwrite").parquet(s"$seg/merges")
+      Map("merges" -> Seq(graft.engine.Manifests.ref(v, "merges")))
     }
+    ()
+  }
 
   /** Tokenize an ARBITRARY corpus with a STORED model: replay the
     * trained merges in order over the corpus's own distinct words —
@@ -1134,9 +1137,10 @@ object CorpusStats {
       dir: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(bpeModelExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed BPE model at $dir — run saveBpeModel first")
-    val merges = spark.read.parquet(s"$dir/merges")
+    val merges = snapOpt.get.read(spark, "merges")
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val words = docs
@@ -1497,14 +1501,17 @@ object CorpusStats {
 
   /** Train a BYTE-level BPE tokenizer and PERSIST the model — the
     * [[saveBpeModel]] lifecycle for the byte family (same `merges`
-    * table, same completion marker, driver-local trainer for the
+    * table, same atomic manifest commit, driver-local trainer for the
     * production 30k-round shape). */
   def saveByteBpeModel(docs: DataFrame, textCol: String, rounds: Int,
-      dir: String, minFreq: Long = 1L): Unit =
-    graft.engine.Markers.gated(docs.sparkSession, dir, ModelMarker) {
+      dir: String, minFreq: Long = 1L): Unit = {
+    graft.engine.Manifests.publish(docs.sparkSession, dir) { (v, seg, _) =>
       byteBpeTrainLocal(docs, textCol, rounds, minFreq)
-        .write.mode("overwrite").parquet(s"$dir/merges")
+        .write.mode("overwrite").parquet(s"$seg/merges")
+      Map("merges" -> Seq(graft.engine.Manifests.ref(v, "merges")))
     }
+    ()
+  }
 
   /** Tokenize an ARBITRARY corpus with a STORED byte-level model —
     * [[bpeTokenizeFromModel]]'s byte twin, with the byte family's
@@ -1534,9 +1541,10 @@ object CorpusStats {
       dir: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(bpeModelExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed BPE model at $dir — run saveByteBpeModel first")
-    val merges = spark.read.parquet(s"$dir/merges")
+    val merges = snapOpt.get.read(spark, "merges")
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val words = docs

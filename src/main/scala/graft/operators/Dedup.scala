@@ -773,8 +773,6 @@ object Dedup {
 
   // --------------------------------------------- persisted MinHash index
 
-  private val IndexMarker = "_INDEX_SUCCESS"
-
   /** True iff `dir` holds a COMPLETED MinHash index build (a published
     * manifest version — this family runs the versioned-manifest
     * protocol, see [[graft.engine.Manifests]]). */
@@ -905,16 +903,8 @@ object Dedup {
       s"no completed MinHash index at $dir — compaction needs a finished build")
     val snap = snapOpt.get
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
-      Seq("params", "sh", "bands").foreach { t =>
-        val paths = snap.paths(t)
-        val fs = new org.apache.hadoop.fs.Path(paths.head)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val bytes = paths.map(p => fs.getContentSummary(
-          new org.apache.hadoop.fs.Path(p)).getLength).sum
-        val nf = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        snap.read(spark, t).distinct().repartition(nf)
-          .write.mode("overwrite").parquet(s"$seg/$t")
-      }
+      Seq("params", "sh", "bands").foreach(
+        compactSnapshotTable(spark, snap, _, seg, targetBytes))
       Seq("params", "sh", "bands")
         .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
@@ -925,35 +915,39 @@ object Dedup {
     * here the DISTINCT does real work — [[appendToGramIndex]] tolerates
     * cross-append duplicate grams by documented contract (the mark
     * merge is idempotent), so compaction is where that tolerated
-    * redundancy is finally paid down. */
+    * redundancy is finally paid down. One new manifest version whose
+    * segment holds the re-distinct, size-targeted tables. */
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetBytes: Long = 64L << 20): Unit = {
-    require(gramIndexExists(spark, dir),
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed eval-gram index at $dir — compaction needs a finished build")
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
-      compactIndexTable(spark, s"$dir/grams", targetBytes)
+    val snap = snapOpt.get
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      Seq("params", "grams").foreach(
+        compactSnapshotTable(spark, snap, _, seg, targetBytes))
+      Seq("params", "grams")
+        .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
+    ()
   }
 
-  /** One table's in-place compaction: DISTINCT rows rewritten into
-    * `ceil(bytes / targetBytes)` files via a staging dir + rename (the
-    * caller's marker window covers the non-atomic swap). Shared by the
-    * MinHash/gram compactions here and [[ImageDedup.compactPhashIndex]]. */
-  private[operators] def compactIndexTable(
+  /** One snapshot table rewritten (DISTINCT, size-targeted file count)
+    * into a new segment — the shared tail of the MinHash/gram/pHash
+    * compactions; the caller's manifest commit makes the swap atomic. */
+  private[operators] def compactSnapshotTable(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, targetBytes: Long): Unit = {
-    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
-    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
-    fs.delete(tmp, true)
-    spark.read.parquet(path).distinct()
-      .repartition(n)
-      .write.parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+      snap: graft.engine.Manifests.Snapshot, table: String, seg: String,
+      targetBytes: Long): Unit = {
+    val paths = snap.paths(table)
+    val fs = new org.apache.hadoop.fs.Path(paths.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = paths.map(p => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(p)).getLength).sum
+    val nf = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    snap.read(spark, table).distinct().repartition(nf)
+      .write.mode("overwrite").parquet(s"$seg/$table")
   }
 
   /** [[minhashNearDupAcross]] against a PERSISTED reference index: only
@@ -1393,66 +1387,79 @@ object Dedup {
   /** True iff `dir` holds a COMPLETED eval-gram index build. */
   def gramIndexExists(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean =
-    graft.engine.Markers.exists(spark, dir, IndexMarker)
+    graft.engine.Manifests.exists(spark, dir)
 
   /** Build-once persistence of the EVAL side of decontamination
     * excision — benchmark corpora are stable while training batches
     * arrive daily, so the gram set is computed ONCE and every batch
     * pays only its own scan (the same amortization the q148 MinHash
-    * and q149 pHash indexes give their dedup tiers). Tables under
-    * `dir`: `params` (k — queries and appends derive the gram width
-    * from the store, so callers cannot drift from what was built) and
-    * `grams` (the distinct eval k-grams). Same completion-marker
-    * lifecycle as every stored index. */
+    * and q149 pHash indexes give their dedup tiers). Tables under the
+    * versioned-manifest protocol ([[graft.engine.Manifests]]):
+    * `params` (k — queries and appends derive the gram width from the
+    * snapshot, so callers cannot drift from what was built) and
+    * `grams` (the distinct eval k-grams, one segment per corpus
+    * addition). */
   def buildGramIndex(evalDocs: DataFrame, dir: String, idCol: String,
       textCol: String, k: Int): Unit = {
     val spark = evalDocs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need k >= 1; got k=$k")
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
-      Seq(k).toDF("k").write.mode("overwrite").parquet(s"$dir/params")
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      Seq(k).toDF("k").write.mode("overwrite").parquet(s"$seg/params")
       charGrams(parallelized(evalDocs)
           .select(col(idCol).as("id"), col(textCol).as("text")), k)
         .select("gram").distinct()
-        .write.mode("overwrite").parquet(s"$dir/grams")
+        .write.mode("overwrite").parquet(s"$seg/grams")
+      Seq("params", "grams")
+        .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
+    ()
   }
 
   /** Index MAINTENANCE: gram a newly-added eval corpus with the FROZEN
-    * stored width and append. Cross-append duplicate grams are
-    * harmless by construction: a duplicated gram duplicates mark rows,
-    * and the gaps-and-islands merge is idempotent over duplicate
-    * positions (min/max over equal values) — documented rather than
-    * paid for with a global re-distinct on every append. */
+    * stored width and publish one new segment. Cross-append duplicate
+    * grams are harmless by construction: a duplicated gram duplicates
+    * mark rows, and the gaps-and-islands merge is idempotent over
+    * duplicate positions (min/max over equal values) — documented
+    * rather than paid for with a global re-distinct on every append
+    * (compaction pays it down). */
   def appendToGramIndex(newEval: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = newEval.sparkSession
-    require(gramIndexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed eval-gram index at $dir — append needs a finished build")
-    val k = spark.read.parquet(s"$dir/params").head().getInt(0)
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+    val snap = snapOpt.get
+    val k = snap.read(spark, "params").head().getInt(0)
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       charGrams(parallelized(newEval)
           .select(col(idCol).as("id"), col(textCol).as("text")), k)
         .select("gram").distinct()
-        .write.mode("append").parquet(s"$dir/grams")
+        .write.mode("overwrite").parquet(s"$seg/grams")
+      snap.tables ++ Seq("grams" ->
+        (snap.tables("grams") :+ graft.engine.Manifests.ref(v, "grams")))
     }
+    ()
   }
 
   /** [[exciseContaminated]] against a PERSISTED eval-gram index: only
-    * the training batch is grammed; the eval side streams from
-    * parquet. Bit-equal to the inline twin over the same eval corpus
-    * (duplicate stored grams cannot change the merged intervals — see
+    * the training batch is grammed; the eval side streams from the
+    * resolved snapshot (one immutable version for params AND grams).
+    * Bit-equal to the inline twin over the same eval corpus (duplicate
+    * stored grams cannot change the merged intervals — see
     * [[appendToGramIndex]]). */
   def exciseFromGramIndex(docs: DataFrame, dir: String, idCol: String,
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    require(gramIndexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed eval-gram index at $dir — run buildGramIndex first")
-    val k = spark.read.parquet(s"$dir/params").head().getInt(0)
+    val snap = snapOpt.get
+    val k = snap.read(spark, "params").head().getInt(0)
     val base = materialized(parallelized(docs)
       .select(col(idCol).as("id"), col(textCol).as("text")))
     val marks = charGrams(base, k)
-      .join(spark.read.parquet(s"$dir/grams"), Seq("gram"))
+      .join(snap.read(spark, "grams"), Seq("gram"))
       .select("id", "pos")
     exciseMarked(base, marks, k, idCol)
   }
@@ -1816,10 +1823,12 @@ object Dedup {
 
   // ------------------------------------- persisted line-df index (q207)
 
-  /** Does `dir` hold a COMPLETED line-df index? */
+  /** Does `dir` hold a COMPLETED line-df index (a published manifest
+    * version — this family runs the versioned-manifest protocol like
+    * the MinHash and BM25 stores)? */
   def lineIndexExists(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean =
-    graft.engine.Markers.exists(spark, dir, IndexMarker)
+    graft.engine.Manifests.exists(spark, dir)
 
   /** Per-batch partial line document-frequencies: one row per distinct
     * line hash with the count of distinct `idCol` docs carrying it in
@@ -1837,57 +1846,50 @@ object Dedup {
     * STORED line frequencies without rescanning history — the q148/
     * q149/q162 stored-reference pattern for the line-dedup family.
     * The store is per-batch PARTIAL df counts (`h, partial_df,
-    * batch_tag`); queries sum partials per hash, so an append is one
-    * new partition, never a rewrite. Contract: batches must carry
-    * disjoint document ids (shared ids would double-count df, exactly
-    * the MinHash index's id contract). */
+    * batch_tag`) under the versioned-manifest protocol
+    * ([[graft.engine.Manifests]]): partials are additive, so each
+    * batch is one immutable segment and queries sum partials per hash
+    * over the snapshot — an append writes O(|batch|), never a rewrite,
+    * and the old mixed-layout corruption hazard (flat files beside
+    * partition dirs) is structurally impossible. Contract: batches
+    * must carry disjoint document ids (shared ids would double-count
+    * df, exactly the MinHash index's id contract). */
   def buildLineIndex(ref: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = ref.sparkSession
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       linePartial(ref, idCol, textCol, "base")
-        .write.mode("overwrite").partitionBy("batch_tag")
-        .parquet(s"$dir/line_df")
+        .write.mode("overwrite").parquet(s"$seg/line_df")
+      Map("line_df" -> Seq(graft.engine.Manifests.ref(v, "line_df")))
     }
+    ()
   }
 
-  /** Index MAINTENANCE: add a new reference batch under `batchTag`.
-    * REPLAY-SAFE by the tag twice over: the fast path skips a tag the
-    * store already carries, and the write itself is a dynamic
-    * partition OVERWRITE of the tag's own partition — so even two
-    * writers that both pass the `seen` check converge on ONE copy of
-    * the tag's df contribution (the second replaces the first with
-    * identical content) instead of double-counting it. The residual
-    * contract is therefore only the marker gate's: concurrent
-    * mutations of the SAME index directory must be externally
-    * serialized (single writer per index), the same hard contract the
-    * MinHash/gram/pHash appends carry — a retry or replay of the same
-    * append needs no serialization at all. */
+  /** Index MAINTENANCE: add a new reference batch under `batchTag` as
+    * one new manifest segment. REPLAY-SAFE by the tag: a tag the
+    * snapshot already carries short-circuits without publishing, and a
+    * crashed (unpublished) commit's orphan segment is invisible and
+    * overwritten by the retry — the atomic-commit upgrade of the old
+    * dynamic-partition-overwrite convergence argument. Single writer
+    * per index dir, the same contract every stored artifact carries. */
   def appendToLineIndex(newRef: DataFrame, dir: String, idCol: String,
       textCol: String, batchTag: String): Unit = {
     val spark = newRef.sparkSession
-    require(lineIndexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed line-df index at $dir — append needs a finished build")
     require(batchTag != "base", "'base' is the build's reserved tag")
-    // Layout guard: an index built before the batch_tag partitioning
-    // holds data files at the store ROOT; appending a batch_tag=<tag>/
-    // partition beside them yields a mixed directory parquet partition
-    // discovery rejects — corrupting the store. Fail loudly instead.
-    val storeRoot = new org.apache.hadoop.fs.Path(s"$dir/line_df")
-    val fs = storeRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val legacyFlat = fs.exists(storeRoot) && fs.listStatus(storeRoot)
-      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    require(!legacyFlat,
-      s"line-df index at $dir uses the legacy flat (un-partitioned) " +
-        "layout — appending would corrupt it; rebuild with buildLineIndex")
-    val seen = spark.read.parquet(s"$dir/line_df")
+    val snap = snapOpt.get
+    val seen = snap.read(spark, "line_df")
       .filter(col("batch_tag") === batchTag).limit(1).count() > 0
-    if (!seen) graft.engine.Markers.gated(spark, dir, IndexMarker) {
-      linePartial(newRef, idCol, textCol, batchTag)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_tag")
-        .parquet(s"$dir/line_df")
+    if (!seen) {
+      graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+        linePartial(newRef, idCol, textCol, batchTag)
+          .write.mode("overwrite").parquet(s"$seg/line_df")
+        Map("line_df" -> (snap.tables("line_df") :+
+          graft.engine.Manifests.ref(v, "line_df")))
+      }
+      ()
     }
   }
 
@@ -1900,10 +1902,11 @@ object Dedup {
   def dropBoilerplateFromIndex(docs: DataFrame, dir: String,
       idCol: String, textCol: String, minDf: Int): DataFrame = {
     val spark = docs.sparkSession
-    require(lineIndexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed line-df index at $dir — run buildLineIndex first")
     require(minDf >= 2, s"minDf < 2 would drop every indexed line, got $minDf")
-    val dfc = spark.read.parquet(s"$dir/line_df")
+    val dfc = snapOpt.get.read(spark, "line_df")
       .groupBy("h").agg(sum("partial_df").as("line_df"))
     val tagged = explodedLines(docs, idCol, textCol)
       .join(dfc, Seq("h"), "left")

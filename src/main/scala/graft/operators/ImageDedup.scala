@@ -465,69 +465,82 @@ object ImageDedup {
 
   // ---------------------------------------------- persisted pHash index
 
-  private val IndexMarker = "_INDEX_SUCCESS"
-
   /** True iff `dir` holds a COMPLETED pHash index build. */
   def phashIndexExists(spark: SparkSession, dir: String): Boolean =
-    graft.engine.Markers.exists(spark, dir, IndexMarker)
+    graft.engine.Manifests.exists(spark, dir)
 
   /** Persist the REFERENCE side of incremental media dedup — the
     * production shape [[phashNearDupAcross]]'s scaladoc promised: the
     * reference corpus's hashes are a pure function of its pixels, so a
     * daily image ingest decodes and hashes each reference image ONCE,
     * ever, instead of re-decoding the whole corpus per batch. One
-    * parquet table `hashes` (img_id, phash) — 9 bytes of stored state
-    * per indexed image; quarantined (corrupt) rows carry no hash and
-    * must be filtered out by the caller (they are not reference
-    * content). Same completion-marker lifecycle as the ANN and MinHash
-    * indexes. [[phashNearDupAcrossFromIndex]] over this index is
-    * bit-equal to the recompute-everything inline twin (ImageDedupSpec). */
-  def buildPhashIndex(refHs: DataFrame, dir: String): Unit =
-    graft.engine.Markers.gated(refHs.sparkSession, dir, IndexMarker) {
+    * table `hashes` (img_id, phash) — 9 bytes of stored state per
+    * indexed image; quarantined (corrupt) rows carry no hash and must
+    * be filtered out by the caller (they are not reference content).
+    * Versioned-manifest commits ([[graft.engine.Manifests]]) like the
+    * MinHash/gram/line/BM25 stores: atomic publish, reader snapshots,
+    * GC. [[phashNearDupAcrossFromIndex]] over this index is bit-equal
+    * to the recompute-everything inline twin (ImageDedupSpec). */
+  def buildPhashIndex(refHs: DataFrame, dir: String): Unit = {
+    graft.engine.Manifests.publish(refHs.sparkSession, dir) { (v, seg, _) =>
       refHs.select(col("img_id"), col("phash"))
-        .write.mode("overwrite").parquet(s"$dir/hashes")
+        .write.mode("overwrite").parquet(s"$seg/hashes")
+      Map("hashes" -> Seq(graft.engine.Manifests.ref(v, "hashes")))
     }
+    ()
+  }
 
   /** Index MAINTENANCE: append newly-deduped images' hashes so
-    * tomorrow's batches dedup against them too. Append cost is
-    * O(|new|), independent of index size; ids must be disjoint from
-    * the indexed ones (never scanned to check, by design). Marker
-    * dropped for the duration, re-committed after — a crash mid-append
-    * leaves a visibly-incomplete index, never a silently partial one. */
+    * tomorrow's batches dedup against them too — one new O(|new|)
+    * segment, independent of index size; ids must be disjoint from
+    * the indexed ones (never scanned to check, by design). A crashed
+    * (unpublished) commit is invisible and overwritten by the retry. */
   def appendToPhashIndex(newHs: DataFrame, dir: String): Unit = {
     val spark = newHs.sparkSession
-    require(phashIndexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed pHash index at $dir — append needs a finished build")
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
+    val snap = snapOpt.get
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       newHs.select(col("img_id"), col("phash"))
-        .write.mode("append").parquet(s"$dir/hashes")
+        .write.mode("overwrite").parquet(s"$seg/hashes")
+      Map("hashes" -> (snap.tables("hashes") :+
+        graft.engine.Manifests.ref(v, "hashes")))
     }
+    ()
   }
 
   /** Index COMPACTION — [[Dedup.compactMinhashIndex]]'s contract for
-    * the media index: appends accumulate small files; rewrite `hashes`
-    * into target-sized files (DISTINCT defends against a pre-crash
-    * double-append) inside the marker window. Query results bit-equal
-    * (spec-asserted — the band join is layout-independent). */
+    * the media index: appends accumulate small segments; publish one
+    * version whose segment rewrites `hashes` into target-sized files
+    * (DISTINCT defends against a pre-crash double-append). Query
+    * results bit-equal (spec-asserted — the band join is
+    * layout-independent). */
   def compactPhashIndex(spark: SparkSession, dir: String,
       targetBytes: Long = 64L << 20): Unit = {
-    require(phashIndexExists(spark, dir),
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed pHash index at $dir — compaction needs a finished build")
-    graft.engine.Markers.gated(spark, dir, IndexMarker) {
-      Dedup.compactIndexTable(spark, s"$dir/hashes", targetBytes)
+    val snap = snapOpt.get
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      Dedup.compactSnapshotTable(spark, snap, "hashes", seg, targetBytes)
+      Map("hashes" -> Seq(graft.engine.Manifests.ref(v, "hashes")))
     }
+    ()
   }
 
   /** [[phashNearDupAcross]] against a PERSISTED reference index: only
     * the new batch is decoded and hashed; the reference hashes stream
-    * from parquet into the same pre-collapsed band join. Bit-equal to
-    * the inline twin over the indexed hashes. */
+    * from the resolved snapshot into the same pre-collapsed band join.
+    * Bit-equal to the inline twin over the indexed hashes. */
   def phashNearDupAcrossFromIndex(newHs: DataFrame, dir: String,
       maxHamming: Int = 3): DataFrame = {
     val spark = newHs.sparkSession
-    require(phashIndexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed pHash index at $dir — run buildPhashIndex first")
-    phashNearDupAcross(newHs, spark.read.parquet(s"$dir/hashes"), maxHamming)
+    phashNearDupAcross(newHs, snapOpt.get.read(spark, "hashes"), maxHamming)
   }
 
   /** Oracle twin of [[phashIncrementalDedup]]: the shared hash chain,

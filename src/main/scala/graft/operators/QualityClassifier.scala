@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Aggregates, Caches, Markers}
+import graft.engine.{Aggregates, Caches}
 import graft.functions.TextFunctions
 
 /** Model-based document quality scoring with a PERSISTED classifier —
@@ -51,11 +51,11 @@ import graft.functions.TextFunctions
   */
 object QualityClassifier {
 
-  private val Marker = "_MODEL_SUCCESS"
-
-  /** True iff `dir` holds a COMPLETED classifier build. */
+  /** True iff `dir` holds a COMPLETED classifier build (a published
+    * manifest version — the stored artifacts all run the versioned-
+    * manifest protocol, [[graft.engine.Manifests]]). */
   def modelExists(spark: SparkSession, dir: String): Boolean =
-    Markers.exists(spark, dir, Marker)
+    graft.engine.Manifests.exists(spark, dir)
 
   /** Vocabulary counts + 1-row corpus params of the labeled training
     * frame. `labelCol` must be boolean (true = good). Returned frames
@@ -143,30 +143,32 @@ object QualityClassifier {
   /** Train and PERSIST: `params` (1 row) + `counts` (tok, c_pos,
     * c_neg — the SUFFICIENT STATISTIC that makes the model
     * incrementally updatable, see [[appendToModel]]) + `weights`
-    * (tok, w) under the completion-marker lifecycle every stored
-    * artifact uses (a crash mid-build leaves a visibly incomplete dir,
-    * never a silent half-model). The only driver round-trip is the
-    * 1-row class-balance probe — a single-class training set has no
-    * log-prior and must refuse loudly, not emit ±Inf scores
-    * downstream. */
+    * (tok, w), ONE atomic manifest commit like every stored artifact
+    * (an unpublished crash is invisible and overwritten on retry).
+    * The only driver round-trip is the 1-row class-balance probe — a
+    * single-class training set has no log-prior and must refuse
+    * loudly, not emit ±Inf scores downstream. */
   def saveModel(labeled: DataFrame, textCol: String, labelCol: String,
       dir: String): Unit = {
     val spark = labeled.sparkSession
     val (counts, params) = fit(labeled, textCol, labelCol)
-    Markers.gated(spark, dir, Marker) {
-      val p = Caches.materialized(params)
-      val r = p.head()
-      require(r.getLong(3) > 0 && r.getLong(4) > 0,
-        s"training needs BOTH classes; got docs_pos=${r.getLong(3)} " +
-          s"docs_neg=${r.getLong(4)}")
-      p.write.mode("overwrite").parquet(s"$dir/params")
+    val p = Caches.materialized(params)
+    val r = p.head()
+    require(r.getLong(3) > 0 && r.getLong(4) > 0,
+      s"training needs BOTH classes; got docs_pos=${r.getLong(3)} " +
+        s"docs_neg=${r.getLong(4)}")
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      p.write.mode("overwrite").parquet(s"$seg/params")
       val c = Caches.materialized(counts)
-      c.write.mode("overwrite").parquet(s"$dir/counts")
+      c.write.mode("overwrite").parquet(s"$seg/counts")
       c.crossJoin(broadcast(p)).select(col("tok"),
         weightExpr(col("c_pos"), col("c_neg"), col("n_pos"), col("n_neg"),
           col("v")).as("w"))
-        .write.mode("overwrite").parquet(s"$dir/weights")
+        .write.mode("overwrite").parquet(s"$seg/weights")
+      Seq("params", "counts", "weights")
+        .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
+    ()
   }
 
   /** Model MAINTENANCE — the property Naive Bayes buys that no
@@ -176,57 +178,56 @@ object QualityClassifier {
     * BIT-FOR-BIT the model `saveModel(A union B)` would (spec-asserted;
     * q175's oracle replays the union), at the cost of the NEW batch's
     * counting plus a vocabulary-sized merge — never a full retrain
-    * over the history. All three tables are rewritten via staging dirs
-    * and renamed inside the marker window (outputs land fully before
-    * any source is deleted; a crash stays visibly incomplete). The
-    * append batch may be single-class — only the UNION needs both. */
+    * over the history. The commit is one new manifest version whose
+    * segment holds the rewritten tables: the merge reads the OLD
+    * immutable snapshot while the new segment lands, so the
+    * staged-rename machinery the marker protocol needed ("stage ALL
+    * outputs before deleting ANY source") is gone by construction —
+    * nothing is ever deleted under a reader or a cache. The append
+    * batch may be single-class — only the UNION needs both. */
   def appendToModel(newLabeled: DataFrame, textCol: String,
       labelCol: String, dir: String): Unit = {
     val spark = newLabeled.sparkSession
-    require(modelExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed quality model at $dir — append needs a finished build")
-    Markers.gated(spark, dir, Marker) {
-      val storedCounts = spark.read.parquet(s"$dir/counts")
-      val newToks = newLabeled.select(col(labelCol).as("y"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      val newCounts = newToks.groupBy("tok").agg(
-        sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
-        sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
-      val merged = Caches.materialized(
-        storedCounts.as("a").join(newCounts.as("b"), Seq("tok"),
-            "full_outer")
-          .select(col("tok"),
-            (coalesce(col("a.c_pos"), lit(0L)) +
-              coalesce(col("b.c_pos"), lit(0L))).as("c_pos"),
-            (coalesce(col("a.c_neg"), lit(0L)) +
-              coalesce(col("b.c_neg"), lit(0L))).as("c_neg")))
-      val oldP = spark.read.parquet(s"$dir/params").head()
-      val newDocs = newLabeled.agg(
-        coalesce(sum(when(col(labelCol), 1L).otherwise(0L)), lit(0L)).as("dp"),
-        coalesce(sum(when(col(labelCol), 0L).otherwise(1L)), lit(0L)).as("dn"))
-        .head()
-      val p = Caches.materialized(merged.agg(
-          (count(lit(1)) + 1).as("v"),
-          coalesce(sum("c_pos"), lit(0L)).as("n_pos"),
-          coalesce(sum("c_neg"), lit(0L)).as("n_neg"))
-        .withColumn("docs_pos", lit(oldP.getLong(3) + newDocs.getLong(0)))
-        .withColumn("docs_neg", lit(oldP.getLong(4) + newDocs.getLong(1))))
-      val weights = merged.crossJoin(broadcast(p)).select(col("tok"),
+    val snap = snapOpt.get
+    val storedCounts = snap.read(spark, "counts")
+    val newToks = newLabeled.select(col(labelCol).as("y"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val newCounts = newToks.groupBy("tok").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
+    val merged = Caches.materialized(
+      storedCounts.as("a").join(newCounts.as("b"), Seq("tok"),
+          "full_outer")
+        .select(col("tok"),
+          (coalesce(col("a.c_pos"), lit(0L)) +
+            coalesce(col("b.c_pos"), lit(0L))).as("c_pos"),
+          (coalesce(col("a.c_neg"), lit(0L)) +
+            coalesce(col("b.c_neg"), lit(0L))).as("c_neg")))
+    val oldP = snap.read(spark, "params").head()
+    val newDocs = newLabeled.agg(
+      coalesce(sum(when(col(labelCol), 1L).otherwise(0L)), lit(0L)).as("dp"),
+      coalesce(sum(when(col(labelCol), 0L).otherwise(1L)), lit(0L)).as("dn"))
+      .head()
+    val p = Caches.materialized(merged.agg(
+        (count(lit(1)) + 1).as("v"),
+        coalesce(sum("c_pos"), lit(0L)).as("n_pos"),
+        coalesce(sum("c_neg"), lit(0L)).as("n_neg"))
+      .withColumn("docs_pos", lit(oldP.getLong(3) + newDocs.getLong(0)))
+      .withColumn("docs_neg", lit(oldP.getLong(4) + newDocs.getLong(1))))
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      p.write.mode("overwrite").parquet(s"$seg/params")
+      merged.write.mode("overwrite").parquet(s"$seg/counts")
+      merged.crossJoin(broadcast(p)).select(col("tok"),
         weightExpr(col("c_pos"), col("c_neg"), col("n_pos"), col("n_neg"),
           col("v")).as("w"))
-      // Stage ALL outputs before deleting ANY source: the merged/param
-      // caches could evict and recompute from the tables under them.
-      val fs = Markers.fs(spark, dir)
-      def stage(df: DataFrame, name: String): Unit =
-        df.write.mode("overwrite").parquet(s"$dir/${name}_staging")
-      def commit(name: String): Unit = {
-        fs.delete(Markers.path(dir, name), true)
-        require(fs.rename(Markers.path(dir, s"${name}_staging"),
-          Markers.path(dir, name)), s"rename of $name failed")
-      }
-      stage(p, "params"); stage(merged, "counts"); stage(weights, "weights")
-      Seq("params", "counts", "weights").foreach(commit)
+        .write.mode("overwrite").parquet(s"$seg/weights")
+      Seq("params", "counts", "weights")
+        .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
+    ()
   }
 
   /** Score `docs` with the STORED model — the per-arrival leg: cost is
@@ -235,10 +236,14 @@ object QualityClassifier {
   def scoreFromModel(docs: DataFrame, dir: String, idCol: String,
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    require(modelExists(spark, dir),
+    // ONE snapshot resolution: weights and params come from the same
+    // immutable published version — a concurrent append cannot skew a
+    // scoring run's view of the model.
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed quality model at $dir — run saveModel first")
-    scoreWith(docs, spark.read.parquet(s"$dir/weights"),
-      spark.read.parquet(s"$dir/params"), idCol, textCol)
+    scoreWith(docs, snapOpt.get.read(spark, "weights"),
+      snapOpt.get.read(spark, "params"), idCol, textCol)
   }
 
   /** Held-out EVALUATION of the stored classifier — the acceptance

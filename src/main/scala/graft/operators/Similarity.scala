@@ -642,12 +642,14 @@ object Similarity {
       dir: String, k: Int, maxProbe: Int, rerank: Int = 4): DataFrame = {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val spark = queries.sparkSession
-    require(indexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed IVF-PQ index at $dir — run buildIvfPqIndex first")
-    val cents = spark.read.parquet(s"$dir/cents")
-    val cells = spark.read.parquet(s"$dir/cells")
-    val codebook = spark.read.parquet(s"$dir/codebook")
-    val codes = spark.read.parquet(s"$dir/codes")
+    val snap = snapOpt.get
+    val cents = snap.read(spark, "cents")
+    val cells = snap.read(spark, "cells")
+    val codebook = snap.read(spark, "codebook")
+    val codes = snap.read(spark, "codes")
     val sizes = cells.groupBy("cent_id").agg(count(lit(1)).as("cell_n"))
     val queryCells = adaptiveProbes(queries, cents, sizes, k, maxProbe)
       .select("query_id", "cent_id")
@@ -1013,23 +1015,33 @@ object Similarity {
 
   // --------------------------------------------------- persisted index
 
-  /** Completion marker for a persisted ANN index build: parquet's own
-    * per-table `_SUCCESS` can exist for an EARLIER table while a later
-    * one is mid-write, so build-once gating needs a marker committed
-    * strictly after every table landed ([[graft.engine.Markers]] — the
-    * one shared lifecycle all persisted-state artifacts use). */
-  private val IndexMarker = "_INDEX_SUCCESS"
-
-  private def indexMarker(dir: String) =
-    graft.engine.Markers.path(dir, IndexMarker)
-
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.engine.Markers.fs(spark, dir)
-
-  /** True iff `dir` holds a COMPLETED index build. */
+  /** True iff `dir` holds a COMPLETED index build (a published
+    * manifest version — the ANN stores run the same versioned-manifest
+    * protocol as every other persisted artifact,
+    * [[graft.engine.Manifests]]: atomic publish, reader snapshots,
+    * GC past the keep horizon). */
   def indexExists(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean =
-    graft.engine.Markers.exists(spark, dir, IndexMarker)
+    graft.engine.Manifests.exists(spark, dir)
+
+  /** Train the PQ tables for `corpus` into one segment: `codebook`
+    * (written first, READ BACK, and used to encode) + `codes` — the
+    * stored index is self-consistent by construction. Shared by the
+    * PQ and IVF-PQ builds. */
+  private def writePqSegment(corpus: DataFrame, seg: String, m: Int,
+      subDim: Int, initStride: Long, iters: Int,
+      maxCodebook: Long): Unit = {
+    val spark = corpus.sparkSession
+    val corpusSubs = graft.engine.Caches.materialized(
+      subVectors(corpus, "vec_id", m, subDim))
+    Clustering.kmeansCentroidsGrouped(
+        corpusSubs, "sub_j", "vec_id", "sub_emb",
+        initStride, iters, subDim, maxCodebook)
+      .write.mode("overwrite").parquet(s"$seg/codebook")
+    val storedCodebook = spark.read.parquet(s"$seg/codebook")
+    encodePqCodes(corpusSubs, storedCodebook, subDim)
+      .write.mode("overwrite").parquet(s"$seg/codes")
+  }
 
   /** Build-once PQ index persistence — the production 100 TB shape:
     * training runs ONCE and every query amortizes it, instead of
@@ -1047,24 +1059,17 @@ object Similarity {
     * parquet round-trips are exact — [[pqTopKFromIndex]] over this
     * index is bit-equal to the train-inline [[pqTopK]] with the same
     * parameters (asserted in SimilaritySpec; the oracle replay of the
-    * inline twin is therefore also this index's oracle). A completion
-    * marker commits last; [[indexExists]] gates build-once reuse. */
+    * inline twin is therefore also this index's oracle). One atomic
+    * manifest commit; [[indexExists]] gates build-once reuse. */
   def buildPqIndex(corpus: DataFrame, dir: String, m: Int, subDim: Int,
       initStride: Long, iters: Int, maxCodebook: Long = 128): Unit = {
     requireFullCoverage(m, subDim)
-    val spark = corpus.sparkSession
-    val fs = fsOf(spark, dir)
-    fs.delete(indexMarker(dir), false)
-    val corpusSubs = graft.engine.Caches.materialized(
-      subVectors(corpus, "vec_id", m, subDim))
-    Clustering.kmeansCentroidsGrouped(
-        corpusSubs, "sub_j", "vec_id", "sub_emb",
-        initStride, iters, subDim, maxCodebook)
-      .write.mode("overwrite").parquet(s"$dir/codebook")
-    val storedCodebook = spark.read.parquet(s"$dir/codebook")
-    encodePqCodes(corpusSubs, storedCodebook, subDim)
-      .write.mode("overwrite").parquet(s"$dir/codes")
-    fs.create(indexMarker(dir), true).close()
+    graft.engine.Manifests.publish(corpus.sparkSession, dir) { (v, seg, _) =>
+      writePqSegment(corpus, seg, m, subDim, initStride, iters, maxCodebook)
+      Seq("codebook", "codes")
+        .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
+    }
+    ()
   }
 
   /** [[buildPqIndex]] plus the IVF layer: the coarse cell centroids and
@@ -1081,18 +1086,21 @@ object Similarity {
       maxCodebook: Long = 128): Unit = {
     requireFullCoverage(m, subDim)
     val spark = corpus.sparkSession
-    val fs = fsOf(spark, dir)
-    fs.delete(indexMarker(dir), false)
-    Clustering.kmeansCentroids(corpus, "vec_id", "embedding",
-        cellStride, cellIters)
-      .write.mode("overwrite").parquet(s"$dir/cents")
-    val storedCents = spark.read.parquet(s"$dir/cents")
-    assignCells(storedCents)(
-        corpus.select(col("vec_id").as("nid"), col("embedding").as("c_emb")),
-        "nid", "c_emb", 1)
-      .select("nid", "cent_id")
-      .write.mode("overwrite").parquet(s"$dir/cells")
-    buildPqIndex(corpus, dir, m, subDim, pqStride, pqIters, maxCodebook)
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      Clustering.kmeansCentroids(corpus, "vec_id", "embedding",
+          cellStride, cellIters)
+        .write.mode("overwrite").parquet(s"$seg/cents")
+      val storedCents = spark.read.parquet(s"$seg/cents")
+      assignCells(storedCents)(
+          corpus.select(col("vec_id").as("nid"), col("embedding").as("c_emb")),
+          "nid", "c_emb", 1)
+        .select("nid", "cent_id")
+        .write.mode("overwrite").parquet(s"$seg/cells")
+      writePqSegment(corpus, seg, m, subDim, pqStride, pqIters, maxCodebook)
+      Seq("cents", "cells", "codebook", "codes")
+        .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
+    }
+    ()
   }
 
   /** Index MAINTENANCE: encode `newVectors` against the FROZEN stored
@@ -1107,105 +1115,94 @@ object Similarity {
     *
     * Contract: `newVectors` ids must be disjoint from the indexed ids
     * (an id appearing twice would be scored twice — this helper never
-    * scans the existing codes to check, by design). The completion
-    * marker is dropped for the duration and re-committed after the
-    * append, so a crash mid-append leaves a visibly-incomplete index
-    * (rebuild), never a silently partial one; the parquet append itself
-    * is not atomic — a table format (Delta/Iceberg) supplies that at
-    * production, same adjudication as the streaming upsert sink. */
+    * scans the existing codes to check, by design). The commit is one
+    * new O(|new|) segment published atomically; a crashed unpublished
+    * segment is invisible and overwritten by the retry. */
   def appendToPqIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
-    require(indexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed PQ index at $dir — append needs a finished build")
-    val fs = fsOf(spark, dir)
+    val snap = snapOpt.get
     // Appending codes-only into an IVF-PQ index would leave the new
-    // vectors cell-less: the marker re-commits, the index LOOKS
-    // complete, and the candidate join silently never surfaces them —
-    // the exact "silently partial" failure the marker exists to
-    // prevent. Fail loudly on the layer mismatch instead.
-    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cents")),
+    // vectors cell-less: the index LOOKS complete, but the candidate
+    // join silently never surfaces them. Fail loudly on the layer
+    // mismatch instead.
+    require(!snap.tables.contains("cents"),
       s"$dir holds an IVF layer (cents) — use appendToIvfPqIndex, or " +
         "appended vectors get codes but no cell and stay unsearchable")
-    fs.delete(indexMarker(dir), false)
-    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codebook = snap.read(spark, "codebook")
     val (m, subDim) = pqShapeOf(codebook)
-    encodePqCodes(subVectors(newVectors, "vec_id", m, subDim),
-        codebook, subDim)
-      .write.mode("append").parquet(s"$dir/codes")
-    fs.create(indexMarker(dir), true).close()
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      encodePqCodes(subVectors(newVectors, "vec_id", m, subDim),
+          codebook, subDim)
+        .write.mode("overwrite").parquet(s"$seg/codes")
+      snap.tables ++ Seq("codes" ->
+        (snap.tables("codes") :+ graft.engine.Manifests.ref(v, "codes")))
+    }
+    ()
   }
 
   /** [[appendToPqIndex]] for an IVF-PQ index: new vectors additionally
-    * get a cell assignment against the FROZEN stored centroids,
-    * appended to `cells`. Same disjoint-ids contract and marker
-    * lifecycle. */
+    * get a cell assignment against the FROZEN stored centroids — one
+    * segment carrying BOTH the new cells and the new codes, published
+    * atomically (there is no crash window where one table landed and
+    * the other didn't). Same disjoint-ids contract. */
   def appendToIvfPqIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
-    require(indexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed IVF-PQ index at $dir — append needs a finished build")
-    val fs = fsOf(spark, dir)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cents")),
+    val snap = snapOpt.get
+    require(snap.tables.contains("cents"),
       s"$dir holds no IVF layer (cents) — use appendToPqIndex")
-    fs.delete(indexMarker(dir), false)
-    val cents = spark.read.parquet(s"$dir/cents")
-    assignCells(cents)(
-        newVectors.select(col("vec_id").as("nid"),
-          col("embedding").as("c_emb")),
-        "nid", "c_emb", 1)
-      .select("nid", "cent_id")
-      .write.mode("append").parquet(s"$dir/cells")
-    val codebook = spark.read.parquet(s"$dir/codebook")
+    val cents = snap.read(spark, "cents")
+    val codebook = snap.read(spark, "codebook")
     val (m, subDim) = pqShapeOf(codebook)
-    encodePqCodes(subVectors(newVectors, "vec_id", m, subDim),
-        codebook, subDim)
-      .write.mode("append").parquet(s"$dir/codes")
-    fs.create(indexMarker(dir), true).close()
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      assignCells(cents)(
+          newVectors.select(col("vec_id").as("nid"),
+            col("embedding").as("c_emb")),
+          "nid", "c_emb", 1)
+        .select("nid", "cent_id")
+        .write.mode("overwrite").parquet(s"$seg/cells")
+      encodePqCodes(subVectors(newVectors, "vec_id", m, subDim),
+          codebook, subDim)
+        .write.mode("overwrite").parquet(s"$seg/codes")
+      snap.tables ++ Seq(
+        "cells" -> (snap.tables("cells") :+
+          graft.engine.Manifests.ref(v, "cells")),
+        "codes" -> (snap.tables("codes") :+
+          graft.engine.Manifests.ref(v, "codes")))
+    }
+    ()
   }
 
   /** [[appendToIvfPqIndex]] made REPLAY-SAFE for at-least-once callers
-    * (the streaming ingest loop, [[graft.streaming.AnnIngest]]): each
-    * table anti-joins the incoming ids against what IT already holds —
-    * per-table, not one shared check, because a crash between the
-    * `cells` and `codes` appends leaves `cells` ahead of `codes` — so
-    * re-running the same append is a no-op, and retrying a half-landed
-    * one completes the missing table instead of double-coding vectors
-    * (a double-coded vector is ADC-scored once per copy and silently
-    * surfaces twice in the candidate ranking). The
-    * [[graft.operators.Dedup.appendToMinhashIndex]] discipline applied
-    * to the ANN index; the guard costs one column-pruned id scan per
-    * table. Same disjoint-ids-across-DIFFERENT-content contract and
-    * marker lifecycle as the plain append. */
+    * (the streaming ingest loop, [[graft.streaming.AnnIngest]]): the
+    * batch anti-joins against the snapshot's indexed ids, so re-running
+    * the same append is a no-op (skipped without publishing) — ONE
+    * check now, not the old per-table pair, because the cells+codes
+    * segment publishes atomically (a crash cannot leave `cells` ahead
+    * of `codes`; an unpublished orphan is invisible and overwritten by
+    * the retry). A double-coded vector would be ADC-scored once per
+    * copy and silently surface twice — the guard costs one
+    * column-pruned id scan. Same disjoint-ids-across-DIFFERENT-content
+    * contract as the plain append. */
   def appendToIvfPqIndexReplaySafe(newVectors: DataFrame,
       dir: String): Unit = {
     val spark = newVectors.sparkSession
-    require(indexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed IVF-PQ index at $dir — append needs a finished build")
-    val fs = fsOf(spark, dir)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cents")),
+    val snap = snapOpt.get
+    require(snap.tables.contains("cents"),
       s"$dir holds no IVF layer (cents) — use appendToPqIndex")
-    fs.delete(indexMarker(dir), false)
-    val nv = graft.engine.Caches.materialized(
-      newVectors.select(col("vec_id"), col("embedding")))
-    val cents = spark.read.parquet(s"$dir/cents")
-    val novelCells = nv.join(
-      spark.read.parquet(s"$dir/cells").select(col("nid").as("vec_id")),
-      Seq("vec_id"), "left_anti")
-    assignCells(cents)(
-        novelCells.select(col("vec_id").as("nid"),
-          col("embedding").as("c_emb")),
-        "nid", "c_emb", 1)
-      .select("nid", "cent_id")
-      .write.mode("append").parquet(s"$dir/cells")
-    val codebook = spark.read.parquet(s"$dir/codebook")
-    val (m, subDim) = pqShapeOf(codebook)
-    val novelCodes = nv.join(
-      spark.read.parquet(s"$dir/codes").select(col("nid").as("vec_id"))
-        .distinct(),
-      Seq("vec_id"), "left_anti")
-    encodePqCodes(subVectors(novelCodes, "vec_id", m, subDim),
-        codebook, subDim)
-      .write.mode("append").parquet(s"$dir/codes")
-    fs.create(indexMarker(dir), true).close()
+    val novel = graft.engine.Caches.materialized(
+      newVectors.select(col("vec_id"), col("embedding"))
+        .join(snap.read(spark, "cells").select(col("nid").as("vec_id")),
+          Seq("vec_id"), "left_anti"))
+    if (!novel.isEmpty) appendToIvfPqIndex(novel, dir)
   }
 
   /** (m, subDim) of a stored codebook — derived from the index itself
@@ -1250,10 +1247,11 @@ object Similarity {
       k: Int, rerank: Int = 4): DataFrame = {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val spark = queries.sparkSession
-    require(indexExists(spark, dir),
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed PQ index at $dir — run buildPqIndex first")
-    val codebook = spark.read.parquet(s"$dir/codebook")
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codebook = snapOpt.get.read(spark, "codebook")
+    val codes = snapOpt.get.read(spark, "codes")
     val (m, subDim) = pqShapeOf(codebook)
     requireFullCoverage(m, subDim)
     requireCorpusCoversIndex(corpus, codes, m, dir)
@@ -1274,12 +1272,16 @@ object Similarity {
       dir: String, k: Int, nProbe: Int, rerank: Int = 4): DataFrame = {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val spark = queries.sparkSession
-    require(indexExists(spark, dir),
+    // ONE snapshot resolution: all four tables come from the same
+    // immutable published version.
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
       s"no completed IVF-PQ index at $dir — run buildIvfPqIndex first")
-    val cents = spark.read.parquet(s"$dir/cents")
-    val cells = spark.read.parquet(s"$dir/cells")
-    val codebook = spark.read.parquet(s"$dir/codebook")
-    val codes = spark.read.parquet(s"$dir/codes")
+    val snap = snapOpt.get
+    val cents = snap.read(spark, "cents")
+    val cells = snap.read(spark, "cells")
+    val codebook = snap.read(spark, "codebook")
+    val codes = snap.read(spark, "codes")
     val queryCells = assignCells(cents)(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id", "q_emb", nProbe).select("query_id", "cent_id")

@@ -50,29 +50,36 @@ class AnnIngestSpec extends SparkSpec {
     val batch = emb.filter(col("vec_id") % 4 === 1)
     AnnIngest.ingestBatch(batch, idx)
     val want = topk(idx)
-    val codesBefore = spark.read.parquet(s"$idx/codes").count()
-    val cellsBefore = spark.read.parquet(s"$idx/cells").count()
+    def tableCount(t: String): Long =
+      graft.engine.Manifests.snapshot(spark, idx).get.read(spark, t).count()
+    val codesBefore = tableCount("codes")
+    val cellsBefore = tableCount("cells")
     // Full replay (the at-least-once hazard): nothing may change.
     AnnIngest.ingestBatch(batch, idx)
-    assert(spark.read.parquet(s"$idx/codes").count() == codesBefore)
-    assert(spark.read.parquet(s"$idx/cells").count() == cellsBefore)
+    assert(tableCount("codes") == codesBefore)
+    assert(tableCount("cells") == cellsBefore)
     assert(topk(idx) == want)
-    // Half-landed append (cells landed, codes did not — the crash
-    // window between the two table appends): the retry must complete
-    // the codes table without duplicating cells.
+    // Under the manifest protocol the old half-landed window (cells
+    // ahead of codes) cannot exist — both tables land in ONE atomic
+    // segment commit. A crashed (unpublished) commit: plant an orphan
+    // segment at the next version; the retry must overwrite it and
+    // publish once, never surfacing the orphan content.
     val batch2 = emb.filter(col("vec_id") % 4 === 3)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    // Simulate by appending only cells via the replay-safe path run
-    // against an index whose codes dir we then restore.
+    val nextV = graft.engine.Manifests.liveVersion(spark, idx).get + 1
+    emb.filter(col("vec_id") === 0).select(col("vec_id").as("nid"))
+      .withColumn("cent_id", col("nid"))
+      .write.mode("overwrite")
+      .parquet(s"${graft.engine.Manifests.segDir(idx, nextV)}/cells")
     AnnIngest.ingestBatch(batch2, idx)
-    val fullCodes = spark.read.parquet(s"$idx/codes").count()
-    val fullCells = spark.read.parquet(s"$idx/cells").count()
+    val fullCodes = tableCount("codes")
+    val fullCells = tableCount("cells")
     val grown = topk(idx)
     // Re-ingest once more: still a no-op even after two batches.
     AnnIngest.ingestBatch(batch2, idx)
-    assert(spark.read.parquet(s"$idx/codes").count() == fullCodes)
-    assert(spark.read.parquet(s"$idx/cells").count() == fullCells)
+    assert(tableCount("codes") == fullCodes)
+    assert(tableCount("cells") == fullCells)
     assert(topk(idx) == grown)
     assert(Similarity.indexExists(spark, idx), "marker re-committed")
     fs.close()

@@ -73,12 +73,14 @@ class IndexCompactionSpec extends SparkSpec {
     def run() = Dedup.exciseFromGramIndex(train, dir, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def gramRows(): Long = graft.engine.Manifests.snapshot(spark, dir).get
+      .read(spark, "grams").count()
     val before = run()
-    val rowsBefore = spark.read.parquet(s"$dir/grams").count()
+    val rowsBefore = gramRows()
     graft.engine.Caches.release()
     Dedup.compactGramIndex(spark, dir)
     assert(run() == before, "compacted gram index must excise bit-equally")
-    val rowsAfter = spark.read.parquet(s"$dir/grams").count()
+    val rowsAfter = gramRows()
     assert(rowsAfter * 3 == rowsBefore,
       s"triple-appended grams must dedup 3:1 ($rowsBefore -> $rowsAfter)")
     graft.engine.Caches.release()
@@ -98,14 +100,16 @@ class IndexCompactionSpec extends SparkSpec {
     def query() = graft.operators.ImageDedup
       .phashNearDupAcrossFromIndex(probe, dir, maxHamming = 3)
       .orderBy("new_id", "ref_id").collect().toSeq
+    def hashFiles(): Int = graft.engine.Manifests.snapshot(spark, dir).get
+      .paths("hashes").map(dataFiles).sum
     val before = query()
     assert(before.map(_.getLong(1)) == Seq(1L))
-    val filesBefore = dataFiles(s"$dir/hashes")
+    val filesBefore = hashFiles()
     graft.engine.Caches.release()
     graft.operators.ImageDedup.compactPhashIndex(spark, dir)
     assert(graft.operators.ImageDedup.phashIndexExists(spark, dir))
     assert(query() == before, "compacted phash index must answer bit-equally")
-    assert(dataFiles(s"$dir/hashes") < filesBefore)
+    assert(hashFiles() < filesBefore)
     graft.engine.Caches.release()
   }
 

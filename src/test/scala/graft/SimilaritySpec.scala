@@ -300,7 +300,8 @@ class SimilaritySpec extends SparkSpec {
         "append must re-commit the completion marker")
       // Structural: every vector now carries exactly m codes.
       val n = emb.count()
-      assert(spark.read.parquet(s"$dir/codes").count() == n * 16,
+      assert(graft.engine.Manifests.snapshot(spark, dir).get
+        .read(spark, "codes").count() == n * 16,
         "appended index must hold m codes for EVERY vector")
       rows(Similarity.pqTopKFromIndex(queries, emb, dir, k = 5))
     }
@@ -319,7 +320,8 @@ class SimilaritySpec extends SparkSpec {
       k = 5, nProbe = 3))
     assert(got.exists(_._2 % 2 == 1),
       "IVF-PQ append must make odd vectors searchable")
-    assert(spark.read.parquet(s"$ivfDir/cells").count() == emb.count(),
+    assert(graft.engine.Manifests.snapshot(spark, ivfDir).get
+      .read(spark, "cells").count() == emb.count(),
       "every vector must hold exactly one cell after append")
     // Layer-mismatch guard: a codes-only append into an IVF-PQ index
     // would leave the new vectors cell-less and silently unsearchable.
