@@ -51,6 +51,26 @@ object ScaleProbe {
     System.err.println(
       f"[scale] corpus ×$k at $outDir (${(System.nanoTime() - t0) / 1e9}%.1f s)")
 
+    // Untimed fixture materialization for BOTH corpora, the Bench
+    // discipline: a fixture-backed probe query (stored dedup/ANN/model
+    // state) must measure the QUERY path at each scale, not a ×k index
+    // training inside its scaled window — without this the ratio of a
+    // stored-state query reads as its build cost (round-16 residual:
+    // q214's first ×10 point carried four index builds).
+    val fixtureSel = names.toSet.filter(SparkEntry.fixtureQueries)
+    if (fixtureSel.nonEmpty) {
+      val tw = System.nanoTime()
+      Seq(baseDir, outDir).foreach { d =>
+        try SparkEntry.warmFixtures(spark, d, fixtureSel)
+        catch { case t: Throwable =>
+          System.err.println(s"[scale] warmFixtures($d) FAILED: $t") }
+        graft.engine.Caches.release()
+        spark.catalog.clearCache()
+      }
+      System.err.println(
+        f"[scale] warmFixtures ${(System.nanoTime() - tw) / 1e9}%.2f s (untimed)")
+    }
+
     def n2(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // The one parseable stdout line must survive hostile env paths —

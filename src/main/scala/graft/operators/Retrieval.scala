@@ -309,6 +309,42 @@ object Retrieval {
     }
   }
 
+  /** Index COMPACTION — the [[Dedup.compactMinhashIndex]] contract for
+    * the postings store: appends accumulate small segments; publish one
+    * version whose segment rewrites each table into target-sized files.
+    * The DISTINCT inside the shared helper is a no-op for `postings`/
+    * `dl` (the replay-safe append never duplicates a doc) and WRONG for
+    * the partial tables, which may legitimately carry one row per
+    * (term, segment) — so `dfreq` and `stats` are re-AGGREGATED to
+    * their canonical one-row-per-key form instead (query results are
+    * unchanged: the query path sums partials, and a sum of sums is the
+    * sum). Postings re-sort by term so row-group pruning survives
+    * compaction. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long = 64L << 20): Unit = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
+      s"no completed BM25 index at $dir — compaction needs a finished build")
+    val snap = snapOpt.get
+    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      snap.read(spark, "postings")
+        .repartition(col("w")).sortWithinPartitions("w")
+        .write.mode("overwrite").parquet(s"$seg/postings")
+      graft.operators.Dedup.compactSnapshotTable(spark, snap, "dl", seg,
+        targetBytes)
+      snap.read(spark, "dfreq").groupBy("w")
+        .agg(sum("partial_df").as("partial_df"))
+        .write.mode("overwrite").parquet(s"$seg/dfreq")
+      snap.read(spark, "stats")
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("dl_sum"), lit(0L)).as("dl_sum"))
+        .write.mode("overwrite").parquet(s"$seg/stats")
+      Bm25Tables.map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
+    }
+    ()
+  }
+
   /** BM25 top-k of external query documents against the STORED index:
     * the query path tokenizes ONLY the query frame, broadcasts its
     * vocabulary into the postings/dfreq scans (term-sorted segments,

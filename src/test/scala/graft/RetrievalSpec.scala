@@ -175,6 +175,23 @@ class RetrievalSpec extends SparkSpec {
     assert(graft.engine.Manifests.liveVersion(spark, dir) == v,
       "fully-replayed append must not publish")
     graft.engine.Caches.release()
+    // Compaction: answers bit-equal, partial tables re-based to one
+    // row per key, one segment per table.
+    Retrieval.compactBm25Index(spark, dir)
+    val compacted = Retrieval.bm25TopKFromIndex(
+      docs.filter(col("doc_id") < 10), dir, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(compacted.map(_.toString) == inline.map(_.toString),
+      "compacted index must answer bit-equally")
+    val snapC = graft.engine.Manifests.snapshot(spark, dir).get
+    assert(snapC.tables.values.forall(_.size == 1),
+      "compaction must re-base every table to one segment")
+    assert(snapC.read(spark, "stats").count() == 1L,
+      "compaction must fold the stats partials to one row")
+    val dfreqC = snapC.read(spark, "dfreq")
+    assert(dfreqC.count() == dfreqC.select("w").distinct().count(),
+      "compaction must fold the df partials to one row per term")
+    graft.engine.Caches.release()
     // Plan contract: the query path reads ONLY stored tables — the
     // corpus text is never re-tokenized (exactly one explode: the
     // query frame's own terms) and no aggregation rebuilds postings.
