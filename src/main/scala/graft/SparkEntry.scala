@@ -170,6 +170,17 @@ object SparkEntry {
           graft.operators.ImageDedup.appendToPhashIndex(
             refHs.filter(col("img_id") % 2 === 1), idx)
         }
+      case "simhash" =>
+        val ref = docs.filter(col("doc_id") % 3 === 0)
+        graft.engine.Fixtures.ensure(s, ref, "doc_id",
+          s"${Sinks.scratch}/dedup_index", kind, Some(dir),
+          contentSig = Some(pmod(xxhash64(col("text")),
+            lit(1000000007L)))) { idx =>
+          Dedup.buildSimhashIndex(ref.filter(col("doc_id") % 2 === 0),
+            idx, "doc_id", "text")
+          Dedup.appendToSimhashIndex(ref.filter(col("doc_id") % 2 === 1),
+            idx, "doc_id", "text")
+        }
       case "bm25" =>
         // Full corpus (queries self-excluded at query time, like the
         // inline q185); build evens + append odds — the maintenance
@@ -286,7 +297,8 @@ object SparkEntry {
       "q214_incremental_pipeline" -> Seq(
         ("dedup", "linedf"), ("dedup", "minhash"),
         ("qualitymodel", "nb"), ("bpemodel", "m10")),
-      "q216_bm25_stored" -> Seq(("dedup", "bm25")))
+      "q216_bm25_stored" -> Seq(("dedup", "bm25")),
+      "q217_simhash_stored" -> Seq(("dedup", "simhash")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]

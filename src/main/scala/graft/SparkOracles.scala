@@ -1388,6 +1388,10 @@ private[graft] object SparkOracles {
     // counterpart (q185): persistence must be bit-invisible.
     "q216_bm25_stored" ->
       (Retrieval.bm25TopKSql(nQueries = 10, k = 5) +
-        "\nORDER BY query_id, rank")
+        "\nORDER BY query_id, rank"),
+
+    "q217_simhash_stored" ->
+      (Dedup.simhashNearDupAcrossSql(maxHamming = 3, refMod = 3) +
+        "\nORDER BY new_id, ref_id")
   )
 }

@@ -888,6 +888,21 @@ private[graft] object SparkQueriesExt {
         docs.filter(col("doc_id") < 10),
         storedDedupIndex(s, dir, "bm25"), "doc_id", "text", k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Incremental SimHash dedup from PERSISTED reference state — the
+    // third near-dup notion gets the q148/q149 lifecycle (MinHash:
+    // shingle overlap; pHash: pixels; SimHash: weighted token-profile
+    // distance): reference signatures stored once (build evens +
+    // append odds of the reference slice), today's batch signed and
+    // band-joined against the store. Oracle = the exhaustive cross
+    // form of q25's twin (stored state must be bit-invisible).
+    "q217_simhash_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.simhashNearDupFromIndex(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        storedDedupIndex(s, dir, "simhash"), "doc_id", "text")
+        .orderBy("new_id", "ref_id")
     })
   )
 }

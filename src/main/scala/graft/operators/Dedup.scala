@@ -1169,6 +1169,115 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------------ persisted SimHash index
+
+  /** True iff `dir` holds a COMPLETED SimHash index (a published
+    * manifest version). */
+  def simhashIndexExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = graft.engine.Manifests.exists(spark, dir)
+
+  /** Build-once persistence of the REFERENCE side of incremental
+    * SimHash dedup — the q148/q149 stored-state lifecycle for the
+    * third near-dup notion (MinHash: bag-of-shingles overlap; pHash:
+    * pixels; SimHash: weighted token-profile distance). One table
+    * `sigs` (id, simhash): 16 bytes per indexed document, a pure
+    * function of the text, computed once per reference doc ever.
+    * Versioned-manifest commits like every stored artifact. */
+  def buildSimhashIndex(ref: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    graft.engine.Manifests.publish(ref.sparkSession, dir) { (v, seg, _) =>
+      simhash(ref, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$seg/sigs")
+      Map("sigs" -> Seq(graft.engine.Manifests.ref(v, "sigs")))
+    }
+    ()
+  }
+
+  /** Index MAINTENANCE: one new O(|batch|) segment of signatures.
+    * REPLAY-SAFE via the snapshot anti-join on indexed ids (a fully
+    * replayed append publishes nothing); a crashed unpublished commit
+    * is invisible and overwritten by the retry. Single writer per
+    * index dir. */
+  def appendToSimhashIndex(newRef: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = newRef.sparkSession
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
+      s"no completed SimHash index at $dir — append needs a finished build")
+    val snap = snapOpt.get
+    val novel = materialized(simhash(newRef, idCol, textCol)
+      .join(snap.read(spark, "sigs").select("id"), Seq("id"), "left_anti"))
+    if (!novel.isEmpty) {
+      graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+        novel.write.mode("overwrite").parquet(s"$seg/sigs")
+        Map("sigs" -> (snap.tables("sigs") :+
+          graft.engine.Manifests.ref(v, "sigs")))
+      }
+      ()
+    }
+  }
+
+  /** [[simhashNearDup]] against a PERSISTED reference index: only the
+    * NEW batch is signed; the stored signatures stream from the
+    * resolved snapshot into the 4×16-bit banded cross join (the q25
+    * pigeonhole — total recall for maxHamming ≤ 3), exact
+    * `bit_count(xor)` verify on band colliders only. Emits
+    * (new_id, ref_id, hamming). */
+  def simhashNearDupFromIndex(newDf: DataFrame, dir: String,
+      idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val spark = newDf.sparkSession
+    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
+    require(snapOpt.nonEmpty,
+      s"no completed SimHash index at $dir — run buildSimhashIndex first")
+    def banded(sigs: DataFrame): DataFrame = {
+      val bandArr = array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      sigs.select(col("id"), col("simhash"), posexplode(bandArr))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_val")
+    }
+    val newBands = materialized(banded(simhash(newDf, idCol, textCol)))
+    newBands.as("a")
+      .join(banded(snapOpt.get.read(spark, "sigs")).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(col("a.id").as("new_id"), col("b.id").as("ref_id"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "ref_id", "hamming")
+  }
+
+  /** Exhaustive cross-corpus SimHash oracle over the `doc_id % refMod`
+    * split of `documents` (DuckDB): ground truth for
+    * [[simhashNearDupFromIndex]] — stored state must be bit-invisible,
+    * so the oracle is the same exhaustive form as the inline q25
+    * twin's, restricted to new×ref pairs. */
+  def simhashNearDupAcrossSql(maxHamming: Int = 3, refMod: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b.range AS bit,
+       |    SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th, range(0, 64) b
+       |  GROUP BY doc_id, b.range),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+       |      ORDER BY bit DESC) AS BIT) AS sig
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id % $refMod <> 0 AND b.doc_id % $refMod = 0
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
+
   /** SQL twin of [[simhashNearDup]] for the DuckDB oracle: per-token
     * `md5_number_upper` (= [[TextKernels.md5First8LE]] bit-for-bit), ±1
     * bit sums, sign-packed into a 64-bit BIT string, exhaustive

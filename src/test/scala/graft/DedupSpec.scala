@@ -287,6 +287,44 @@ class DedupSpec extends SparkSpec {
       pairBudget = 100L) == 2)
   }
 
+  test("persisted simhash index (build + append) equals the inline cross pairs; replay-safe") {
+    val dir = s"${graft.engine.Sinks.scratch}/simhash_index_spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, dir)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupFromIndex(batch, dir, "doc_id", "text")
+    }
+    Dedup.buildSimhashIndex(ref.filter(col("doc_id") % 2 === 0), dir,
+      "doc_id", "text")
+    Dedup.appendToSimhashIndex(ref.filter(col("doc_id") % 2 === 1), dir,
+      "doc_id", "text")
+    assert(Dedup.simhashIndexExists(spark, dir))
+    val stored = Dedup.simhashNearDupFromIndex(batch, dir, "doc_id", "text")
+      .orderBy("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    graft.engine.Caches.release()
+    // Inline truth: the q25 self-join over the whole corpus, restricted
+    // to cross (batch, ref) pairs — stored state must be bit-invisible.
+    val refIds = ref.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inline = Dedup.simhashNearDup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .flatMap { case (a, b, h) =>
+        if (!refIds(a) && refIds(b)) Some((a, b, h))
+        else if (refIds(a) && !refIds(b)) Some((b, a, h))
+        else None
+      }.sorted.toSeq
+    assert(stored == inline,
+      s"stored-index simhash must equal the inline cross pairs")
+    graft.engine.Caches.release()
+    // Replay safety: a fully-replayed append publishes nothing.
+    val v = graft.engine.Manifests.liveVersion(spark, dir)
+    Dedup.appendToSimhashIndex(ref.filter(col("doc_id") % 2 === 1), dir,
+      "doc_id", "text")
+    assert(graft.engine.Manifests.liveVersion(spark, dir) == v)
+    graft.engine.Caches.release()
+  }
+
   test("bandsForThreshold: canonical gate derives the historical 16x4 scheme; S-curve properties hold") {
     // The knob-closure contract: the 64-hash/16-band constants every
     // MinHash default carries are now a COMPUTED consequence of
