@@ -1392,6 +1392,14 @@ private[graft] object SparkOracles {
 
     "q217_simhash_stored" ->
       (Dedup.simhashNearDupAcrossSql(maxHamming = 3, refMod = 3) +
-        "\nORDER BY new_id, ref_id")
+        "\nORDER BY new_id, ref_id"),
+
+    // Version 1 of the minhash fixture = the build-evens state: the
+    // truth set is the exhaustive cross-Jaccard against exactly that
+    // reference subset.
+    "q218_index_time_travel" -> Dedup.trueJaccardAcrossPredSql(
+      n = 3, threshold = 0.5,
+      refPred = "doc_id % 3 = 0 AND doc_id % 2 = 0",
+      newPred = "doc_id % 3 <> 0")
   )
 }

@@ -903,6 +903,22 @@ private[graft] object SparkQueriesExt {
         docs.filter(col("doc_id") % 3 =!= 0),
         storedDedupIndex(s, dir, "simhash"), "doc_id", "text")
         .orderBy("new_id", "ref_id")
+    }),
+
+    // TIME TRAVEL over a stored index (the Delta/Iceberg VERSION AS OF
+    // read, free under the manifest protocol because every kept
+    // version is a complete immutable snapshot): the same q148 batch
+    // queried against VERSION 1 of the MinHash index — the pre-append
+    // build-evens state — answers "what would yesterday's index have
+    // said?" for audits and reproductions. Oracle = the exhaustive
+    // cross-Jaccard truth restricted to the ref subset version 1 held.
+    "q218_index_time_travel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashNearDupFromIndex(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        storedDedupIndex(s, dir, "minhash"),
+        "doc_id", "text", threshold = 0.5, atVersion = Some(1L))
+        .orderBy("new_id", "ref_id")
     })
   )
 }

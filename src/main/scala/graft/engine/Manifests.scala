@@ -105,6 +105,19 @@ object Manifests {
     }
   }
 
+  /** TIME TRAVEL: resolve a SPECIFIC published version — the
+    * Delta/Iceberg `VERSION AS OF` read, free under this protocol
+    * because every kept version is a complete immutable snapshot.
+    * None when version `v` is not currently published (never built,
+    * or aged past the writer's `keepVersions` horizon — the one
+    * contract a historical reader sizes against). */
+  def snapshotAt(spark: SparkSession, dir: String,
+      v: Long): Option[Snapshot] = {
+    val fs = fsOf(spark, dir)
+    if (!publishedVersions(fs, dir).contains(v)) None
+    else Some(Snapshot(dir, v, readManifest(fs, dir, v)))
+  }
+
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long): Map[String, Seq[String]] = {
     val in = fs.open(manifestPath(dir, v))

@@ -960,14 +960,24 @@ object Dedup {
     * reference-side recompute. Bit-equal to the inline twin at the
     * index's parameters. */
   def minhashNearDupFromIndex(newDf: DataFrame, dir: String, idCol: String,
-      textCol: String, threshold: Double = 0.5): DataFrame = {
+      textCol: String, threshold: Double = 0.5,
+      atVersion: Option[Long] = None): DataFrame = {
     val spark = newDf.sparkSession
     // ONE snapshot resolution: params, bands and shingles all come from
     // the same immutable published version — a concurrent append or
     // compaction cannot skew this query's view of the index.
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed MinHash index at $dir — run buildMinhashIndex first")
+    // `atVersion` TIME-TRAVELS to a pinned published version (the
+    // audit/reproduce read: "what would yesterday's index have said?")
+    // — same plan, a different manifest file.
+    val snapOpt = atVersion
+      .map(graft.engine.Manifests.snapshotAt(spark, dir, _))
+      .getOrElse(graft.engine.Manifests.snapshot(spark, dir))
+    require(snapOpt.nonEmpty, atVersion match {
+      case Some(v) => s"MinHash index at $dir has no published version " +
+        s"$v — never built, or aged past the keep horizon"
+      case None =>
+        s"no completed MinHash index at $dir — run buildMinhashIndex first"
+    })
     val snap = snapOpt.get
     val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, snap)
     val (as, bs) = hashFamily(numHashes, seed)
@@ -995,14 +1005,25 @@ object Dedup {
   /** True cross-corpus Jaccard oracle (DuckDB): exhaustive new×ref pairs
     * over the `doc_id % refMod` split of `documents` — ground truth for
     * [[minhashNearDupAcross]], viable at oracle scale only. */
-  def trueJaccardAcrossSql(n: Int, threshold: Double, refMod: Int): String = {
+  def trueJaccardAcrossSql(n: Int, threshold: Double, refMod: Int): String =
+    trueJaccardAcrossPredSql(n, threshold,
+      refPred = s"doc_id % $refMod = 0",
+      newPred = s"doc_id % $refMod <> 0")
+
+  /** [[trueJaccardAcrossSql]] with free-form side predicates — the
+    * time-travel oracle (q218) pins the ref side to the subset a
+    * HISTORICAL index version held. */
+  def trueJaccardAcrossPredSql(n: Int, threshold: Double,
+      refPred: String, newPred: String): String = {
     val sh = shinglesSql(n)
-    s"""WITH sh AS (SELECT doc_id AS id, doc_id % $refMod = 0 AS is_ref,
-       |    $sh AS sh FROM documents),
+    s"""WITH shn AS (SELECT doc_id AS id, $sh AS sh FROM documents
+       |  WHERE $newPred),
+       |shr AS (SELECT doc_id AS id, $sh AS sh FROM documents
+       |  WHERE $refPred),
        |pairs AS (SELECT a.id AS new_id, b.id AS ref_id,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-       |  FROM sh a JOIN sh b ON NOT a.is_ref AND b.is_ref)
+       |  FROM shn a JOIN shr b ON TRUE)
        |SELECT new_id, ref_id, jaccard FROM pairs
        |WHERE jaccard >= $threshold
        |ORDER BY new_id, ref_id""".stripMargin

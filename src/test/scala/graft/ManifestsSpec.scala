@@ -101,6 +101,43 @@ class ManifestsSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("time travel: a pinned published version answers as of then; aged versions refuse") {
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_timetravel"
+    IncrementalIngest.deleteDir(spark, dir)
+    Dedup.buildMinhashIndex(
+      df(1L -> "alpha beta gamma delta epsilon zeta eta theta"),
+      dir, "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+    Dedup.appendToMinhashIndex(
+      df(2L -> "one two three four five six seven eight"),
+      dir, "doc_id", "text")
+    val probe = df(
+      101L -> "alpha beta gamma delta epsilon zeta eta zzz",
+      102L -> "one two three four five six seven zzz")
+    def ids(atVersion: Option[Long]) =
+      Dedup.minhashNearDupFromIndex(probe, dir, "doc_id", "text", 0.5,
+          atVersion = atVersion)
+        .orderBy("new_id").collect().map(_.getLong(1)).toSeq
+    // Live sees both reference docs; VERSION AS OF 1 sees only doc 1.
+    assert(ids(None) == Seq(1L, 2L))
+    assert(ids(Some(1L)) == Seq(1L),
+      "version 1 must answer with the pre-append state")
+    assert(Manifests.snapshotAt(spark, dir, 3L).isEmpty,
+      "an unpublished version must not resolve")
+    // Age version 1 past the keep horizon (keepVersions = 2): after
+    // one more commit it must refuse rather than serve a swept mix.
+    Dedup.appendToMinhashIndex(
+      df(3L -> "red orange yellow green blue indigo violet pink"),
+      dir, "doc_id", "text")
+    assert(Manifests.snapshotAt(spark, dir, 1L).isEmpty,
+      "a version aged past the keep horizon must not resolve")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupFromIndex(probe, dir, "doc_id", "text", 0.5,
+        atVersion = Some(1L)).collect()
+    }
+    assert(e.getMessage.contains("keep horizon"))
+    graft.engine.Caches.release()
+  }
+
   test("minhash index: queries read one snapshot — results stable across a mid-flight commit") {
     val dir = s"${graft.engine.Sinks.scratch}/manifests_minhash_iso"
     IncrementalIngest.deleteDir(spark, dir)
