@@ -186,7 +186,7 @@ object SparkEntry {
         // inline q185); build evens + append odds — the maintenance
         // path under the oracle gate, the q148 lifecycle shape.
         graft.engine.Fixtures.ensure(s, docs, "doc_id",
-          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf2", Some(dir),
           contentSig = Some(pmod(xxhash64(col("text")),
             lit(1000000007L)))) { idx =>
           graft.operators.Retrieval.buildBm25Index(

@@ -254,7 +254,14 @@ object Retrieval {
     val tf = graft.engine.Caches.materialized(
       termFreq(docs, idCol, textCol)
         .select(col("w"), col(idCol).as("doc_id"), col("tf")))
-    tf.repartition(col("w")).sortWithinPartitions("w")
+    // Range-partition on (term, doc) — NOT hash-on-term: a ubiquitous
+    // term's posting list is corpus-sized, and hashing by term alone
+    // would put all of it in one partition (the skew bomb at 100 TB).
+    // The range partitioner's sampled (w, doc_id) boundaries split a
+    // hot term ACROSS partitions while keeping files term-clustered,
+    // so parquet row-group min/max stats still prune non-query terms.
+    tf.repartitionByRange(col("w"), col("doc_id"))
+      .sortWithinPartitions("w", "doc_id")
       .write.mode("overwrite").parquet(s"$seg/postings")
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     dl.write.mode("overwrite").parquet(s"$seg/dl")
@@ -329,7 +336,8 @@ object Retrieval {
     val snap = snapOpt.get
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       snap.read(spark, "postings")
-        .repartition(col("w")).sortWithinPartitions("w")
+        .repartitionByRange(col("w"), col("doc_id"))
+        .sortWithinPartitions("w", "doc_id")
         .write.mode("overwrite").parquet(s"$seg/postings")
       graft.operators.Dedup.compactSnapshotTable(spark, snap, "dl", seg,
         targetBytes)

@@ -440,7 +440,15 @@ object EventStream {
     * longest-running reader; 2 suffices for readers shorter than a
     * batch interval. Object stores without atomic create/list
     * visibility need the real table formats — that adjudication
-    * stands. */
+    * stands.
+    *
+    * Relation to [[graft.engine.Manifests]] (the shared segment-based
+    * generalization of this protocol the stored indexes run): the sink
+    * deliberately keeps WHOLE-VERSION directories rather than
+    * segment-listing manifests, because a MERGE sink rewrites the full
+    * table every batch by definition — there is no O(batch) append
+    * segment for a manifest to buy, so version dir = segment and the
+    * extra manifest file would be pure indirection. */
   def startUpsertSink(changes: DataFrame, path: String,
       checkpointDir: String, key: String, orderCol: String,
       keepVersions: Int = 2): StreamingQuery = {
