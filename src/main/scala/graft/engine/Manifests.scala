@@ -192,4 +192,23 @@ object Manifests {
   /** `dir`-relative ref of `table` inside version `v`'s segment — what
     * a `stage` callback puts in its returned map. */
   def ref(v: Long, table: String): String = s"${segName(v)}/$table"
+
+  /** Resolve the live snapshot — or the PINNED one when `atVersion` is
+    * set (time travel) — failing with an actionable message otherwise:
+    * the shared head of every stored-artifact reader and mutator.
+    * `artifact` names the store kind ("MinHash index"); `buildHint`
+    * says what to run first ("run buildMinhashIndex first"). */
+  def resolveOrFail(spark: SparkSession, dir: String, artifact: String,
+      buildHint: String, atVersion: Option[Long] = None): Snapshot = {
+    val snapOpt = atVersion.map(snapshotAt(spark, dir, _))
+      .getOrElse(snapshot(spark, dir))
+    atVersion match {
+      case Some(v) => require(snapOpt.nonEmpty,
+        s"$artifact at $dir has no published version $v — never built, " +
+          "or aged past the keep horizon")
+      case None => require(snapOpt.nonEmpty,
+        s"no completed $artifact at $dir — $buildHint")
+    }
+    snapOpt.get
+  }
 }

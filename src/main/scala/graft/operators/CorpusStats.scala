@@ -1137,10 +1137,9 @@ object CorpusStats {
       dir: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed BPE model at $dir — run saveBpeModel first")
-    val merges = snapOpt.get.read(spark, "merges")
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "BPE model", "run saveBpeModel first")
+    val merges = snap.read(spark, "merges")
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val words = docs
@@ -1541,10 +1540,9 @@ object CorpusStats {
       dir: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed BPE model at $dir — run saveByteBpeModel first")
-    val merges = snapOpt.get.read(spark, "merges")
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "BPE model", "run saveByteBpeModel first")
+    val merges = snap.read(spark, "merges")
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val words = docs

@@ -857,10 +857,8 @@ object Dedup {
   def appendToMinhashIndex(newRef: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = newRef.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed MinHash index at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "MinHash index", "append needs a finished build")
     val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, snap)
     val sh = materialized(parallelized(newRef)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
@@ -898,10 +896,8 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetBytes: Long = 64L << 20): Unit = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed MinHash index at $dir — compaction needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "MinHash index", "compaction needs a finished build")
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       Seq("params", "sh", "bands").foreach(
         compactSnapshotTable(spark, snap, _, seg, targetBytes))
@@ -920,10 +916,8 @@ object Dedup {
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetBytes: Long = 64L << 20): Unit = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed eval-gram index at $dir — compaction needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "eval-gram index", "compaction needs a finished build")
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       Seq("params", "grams").foreach(
         compactSnapshotTable(spark, snap, _, seg, targetBytes))
@@ -969,16 +963,8 @@ object Dedup {
     // `atVersion` TIME-TRAVELS to a pinned published version (the
     // audit/reproduce read: "what would yesterday's index have said?")
     // — same plan, a different manifest file.
-    val snapOpt = atVersion
-      .map(graft.engine.Manifests.snapshotAt(spark, dir, _))
-      .getOrElse(graft.engine.Manifests.snapshot(spark, dir))
-    require(snapOpt.nonEmpty, atVersion match {
-      case Some(v) => s"MinHash index at $dir has no published version " +
-        s"$v — never built, or aged past the keep horizon"
-      case None =>
-        s"no completed MinHash index at $dir — run buildMinhashIndex first"
-    })
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "MinHash index", "run buildMinhashIndex first", atVersion)
     val (n, numHashes, bandsN, seed) = minhashParamsOf(spark, snap)
     val (as, bs) = hashFamily(numHashes, seed)
     val shNew = materialized(parallelized(newDf)
@@ -1222,10 +1208,8 @@ object Dedup {
   def appendToSimhashIndex(newRef: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = newRef.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed SimHash index at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "SimHash index", "append needs a finished build")
     val novel = materialized(simhash(newRef, idCol, textCol)
       .join(snap.read(spark, "sigs").select("id"), Seq("id"), "left_anti"))
     if (!novel.isEmpty) {
@@ -1245,13 +1229,13 @@ object Dedup {
     * `bit_count(xor)` verify on band colliders only. Emits
     * (new_id, ref_id, hamming). */
   def simhashNearDupFromIndex(newDf: DataFrame, dir: String,
-      idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      atVersion: Option[Long] = None): DataFrame = {
     require(maxHamming <= 3,
       s"4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
     val spark = newDf.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed SimHash index at $dir — run buildSimhashIndex first")
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "SimHash index", "run buildSimhashIndex first", atVersion)
     def banded(sigs: DataFrame): DataFrame = {
       val bandArr = array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)
@@ -1261,7 +1245,7 @@ object Dedup {
     }
     val newBands = materialized(banded(simhash(newDf, idCol, textCol)))
     newBands.as("a")
-      .join(banded(snapOpt.get.read(spark, "sigs")).as("b"),
+      .join(banded(snap.read(spark, "sigs")).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val"))
       .select(col("a.id").as("new_id"), col("b.id").as("ref_id"),
@@ -1556,10 +1540,8 @@ object Dedup {
   def appendToGramIndex(newEval: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = newEval.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed eval-gram index at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "eval-gram index", "append needs a finished build")
     val k = snap.read(spark, "params").head().getInt(0)
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       charGrams(parallelized(newEval)
@@ -1579,12 +1561,10 @@ object Dedup {
     * stored grams cannot change the merged intervals — see
     * [[appendToGramIndex]]). */
   def exciseFromGramIndex(docs: DataFrame, dir: String, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, atVersion: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed eval-gram index at $dir — run buildGramIndex first")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "eval-gram index", "run buildGramIndex first", atVersion)
     val k = snap.read(spark, "params").head().getInt(0)
     val base = materialized(parallelized(docs)
       .select(col(idCol).as("id"), col(textCol).as("text")))
@@ -2005,11 +1985,9 @@ object Dedup {
   def appendToLineIndex(newRef: DataFrame, dir: String, idCol: String,
       textCol: String, batchTag: String): Unit = {
     val spark = newRef.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed line-df index at $dir — append needs a finished build")
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "line-df index", "append needs a finished build")
     require(batchTag != "base", "'base' is the build's reserved tag")
-    val snap = snapOpt.get
     val seen = snap.read(spark, "line_df")
       .filter(col("batch_tag") === batchTag).limit(1).count() > 0
     if (!seen) {
@@ -2030,13 +2008,13 @@ object Dedup {
     * line repeated across the new batch alone survives until the batch
     * is itself appended). A line absent from the index has df 0. */
   def dropBoilerplateFromIndex(docs: DataFrame, dir: String,
-      idCol: String, textCol: String, minDf: Int): DataFrame = {
+      idCol: String, textCol: String, minDf: Int,
+      atVersion: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed line-df index at $dir — run buildLineIndex first")
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "line-df index", "run buildLineIndex first", atVersion)
     require(minDf >= 2, s"minDf < 2 would drop every indexed line, got $minDf")
-    val dfc = snapOpt.get.read(spark, "line_df")
+    val dfc = snap.read(spark, "line_df")
       .groupBy("h").agg(sum("partial_df").as("line_df"))
     val tagged = explodedLines(docs, idCol, textCol)
       .join(dfc, Seq("h"), "left")

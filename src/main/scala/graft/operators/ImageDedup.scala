@@ -497,10 +497,8 @@ object ImageDedup {
     * (unpublished) commit is invisible and overwritten by the retry. */
   def appendToPhashIndex(newHs: DataFrame, dir: String): Unit = {
     val spark = newHs.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed pHash index at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "pHash index", "append needs a finished build")
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       newHs.select(col("img_id"), col("phash"))
         .write.mode("overwrite").parquet(s"$seg/hashes")
@@ -519,10 +517,8 @@ object ImageDedup {
   def compactPhashIndex(spark: SparkSession, dir: String,
       targetBytes: Long = 64L << 20): Unit = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed pHash index at $dir — compaction needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "pHash index", "compaction needs a finished build")
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       Dedup.compactSnapshotTable(spark, snap, "hashes", seg, targetBytes)
       Map("hashes" -> Seq(graft.engine.Manifests.ref(v, "hashes")))
@@ -535,12 +531,11 @@ object ImageDedup {
     * from the resolved snapshot into the same pre-collapsed band join.
     * Bit-equal to the inline twin over the indexed hashes. */
   def phashNearDupAcrossFromIndex(newHs: DataFrame, dir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, atVersion: Option[Long] = None): DataFrame = {
     val spark = newHs.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed pHash index at $dir — run buildPhashIndex first")
-    phashNearDupAcross(newHs, snapOpt.get.read(spark, "hashes"), maxHamming)
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "pHash index", "run buildPhashIndex first", atVersion)
+    phashNearDupAcross(newHs, snap.read(spark, "hashes"), maxHamming)
   }
 
   /** Oracle twin of [[phashIncrementalDedup]]: the shared hash chain,

@@ -188,10 +188,8 @@ object QualityClassifier {
   def appendToModel(newLabeled: DataFrame, textCol: String,
       labelCol: String, dir: String): Unit = {
     val spark = newLabeled.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed quality model at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "quality model", "append needs a finished build")
     val storedCounts = snap.read(spark, "counts")
     val newToks = newLabeled.select(col(labelCol).as("y"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
@@ -234,16 +232,16 @@ object QualityClassifier {
     * one pass over `docs` plus a vocabulary-sized join, zero training
     * recompute. */
   def scoreFromModel(docs: DataFrame, dir: String, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, atVersion: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     // ONE snapshot resolution: weights and params come from the same
     // immutable published version — a concurrent append cannot skew a
-    // scoring run's view of the model.
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed quality model at $dir — run saveModel first")
-    scoreWith(docs, snapOpt.get.read(spark, "weights"),
-      snapOpt.get.read(spark, "params"), idCol, textCol)
+    // scoring run's view of the model, and `atVersion` pins a
+    // historical model ("score with last week's weights") for audits.
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "quality model", "run saveModel first", atVersion)
+    scoreWith(docs, snap.read(spark, "weights"),
+      snap.read(spark, "params"), idCol, textCol)
   }
 
   /** Held-out EVALUATION of the stored classifier — the acceptance

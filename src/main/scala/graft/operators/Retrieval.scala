@@ -298,10 +298,8 @@ object Retrieval {
   def appendToBm25Index(newDocs: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = newDocs.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed BM25 index at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "BM25 index", "append needs a finished build")
     val novel = graft.engine.Caches.materialized(
       newDocs.join(snap.read(spark, "dl")
           .select(col("doc_id").as(idCol)),
@@ -330,10 +328,8 @@ object Retrieval {
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetBytes: Long = 64L << 20): Unit = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed BM25 index at $dir — compaction needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "BM25 index", "compaction needs a finished build")
     graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
       snap.read(spark, "postings")
         .repartitionByRange(col("w"), col("doc_id"))
@@ -365,12 +361,10 @@ object Retrieval {
     * index) are excluded like the inline twin. */
   def bm25TopKFromIndex(queries: DataFrame, dir: String, idCol: String,
       textCol: String, k: Int = 5, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, atVersion: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed BM25 index at $dir — run buildBm25Index first")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "BM25 index", "run buildBm25Index first", atVersion)
     val stats = snap.read(spark, "stats")
       .agg(sum("n_docs").as("_n"), sum("dl_sum").as("_dlsum"))
       .withColumn("avgdl", col("_dlsum").cast("double") / col("_n"))

@@ -639,13 +639,12 @@ object Similarity {
   /** [[ivfPqTopKFromIndexAdaptive]]'s probe source: the STORED index's
     * cell populations (one tiny aggregation of the `cells` table). */
   def ivfPqTopKFromIndexAdaptive(queries: DataFrame, corpus: DataFrame,
-      dir: String, k: Int, maxProbe: Int, rerank: Int = 4): DataFrame = {
+      dir: String, k: Int, maxProbe: Int, rerank: Int = 4,
+      atVersion: Option[Long] = None): DataFrame = {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val spark = queries.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed IVF-PQ index at $dir — run buildIvfPqIndex first")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "IVF-PQ index", "run buildIvfPqIndex first", atVersion)
     val cents = snap.read(spark, "cents")
     val cells = snap.read(spark, "cells")
     val codebook = snap.read(spark, "codebook")
@@ -1120,10 +1119,8 @@ object Similarity {
     * segment is invisible and overwritten by the retry. */
   def appendToPqIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed PQ index at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "PQ index", "append needs a finished build")
     // Appending codes-only into an IVF-PQ index would leave the new
     // vectors cell-less: the index LOOKS complete, but the candidate
     // join silently never surfaces them. Fail loudly on the layer
@@ -1150,10 +1147,8 @@ object Similarity {
     * the other didn't). Same disjoint-ids contract. */
   def appendToIvfPqIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed IVF-PQ index at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "IVF-PQ index", "append needs a finished build")
     require(snap.tables.contains("cents"),
       s"$dir holds no IVF layer (cents) — use appendToPqIndex")
     val cents = snap.read(spark, "cents")
@@ -1192,10 +1187,8 @@ object Similarity {
   def appendToIvfPqIndexReplaySafe(newVectors: DataFrame,
       dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed IVF-PQ index at $dir — append needs a finished build")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "IVF-PQ index", "append needs a finished build")
     require(snap.tables.contains("cents"),
       s"$dir holds no IVF layer (cents) — use appendToPqIndex")
     val novel = graft.engine.Caches.materialized(
@@ -1244,14 +1237,13 @@ object Similarity {
     * scanned once by the re-rank and never shuffled. Bit-equal to
     * [[pqTopK]] with the index's build parameters. */
   def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame, dir: String,
-      k: Int, rerank: Int = 4): DataFrame = {
+      k: Int, rerank: Int = 4, atVersion: Option[Long] = None): DataFrame = {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val spark = queries.sparkSession
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed PQ index at $dir — run buildPqIndex first")
-    val codebook = snapOpt.get.read(spark, "codebook")
-    val codes = snapOpt.get.read(spark, "codes")
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "PQ index", "run buildPqIndex first", atVersion)
+    val codebook = snap.read(spark, "codebook")
+    val codes = snap.read(spark, "codes")
     val (m, subDim) = pqShapeOf(codebook)
     requireFullCoverage(m, subDim)
     requireCorpusCoversIndex(corpus, codes, m, dir)
@@ -1269,15 +1261,14 @@ object Similarity {
     * [[requireCorpusCoversIndex]]). Bit-equal to [[ivfPqTopK]] with
     * the index's build parameters. */
   def ivfPqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
-      dir: String, k: Int, nProbe: Int, rerank: Int = 4): DataFrame = {
+      dir: String, k: Int, nProbe: Int, rerank: Int = 4,
+      atVersion: Option[Long] = None): DataFrame = {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val spark = queries.sparkSession
     // ONE snapshot resolution: all four tables come from the same
     // immutable published version.
-    val snapOpt = graft.engine.Manifests.snapshot(spark, dir)
-    require(snapOpt.nonEmpty,
-      s"no completed IVF-PQ index at $dir — run buildIvfPqIndex first")
-    val snap = snapOpt.get
+    val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "IVF-PQ index", "run buildIvfPqIndex first", atVersion)
     val cents = snap.read(spark, "cents")
     val cells = snap.read(spark, "cells")
     val codebook = snap.read(spark, "codebook")

@@ -138,6 +138,31 @@ class ManifestsSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("time travel generalizes: a pinned model version scores as of then") {
+    import spark.implicits._
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_model_tt"
+    IncrementalIngest.deleteDir(spark, dir)
+    val trainA = Seq((1L, "good fine nice", true), (2L, "bad awful", false))
+      .toDF("doc_id", "text", "y")
+    val trainB = Seq((3L, "splendid good", true), (4L, "horrid bad", false))
+      .toDF("doc_id", "text", "y")
+    val eval = Seq((10L, "good splendid"), (11L, "bad horrid"))
+      .toDF("doc_id", "text")
+    graft.operators.QualityClassifier.saveModel(trainA, "text", "y", dir)
+    def scores(atVersion: Option[Long]) =
+      graft.operators.QualityClassifier.scoreFromModel(
+          eval, dir, "doc_id", "text", atVersion)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val before = scores(None)
+    graft.operators.QualityClassifier.appendToModel(trainB, "text", "y", dir)
+    assert(scores(Some(1L)) == before,
+      "version 1 must score with the pre-append weights")
+    assert(scores(None) != before,
+      "the live model must reflect the appended labels")
+    graft.engine.Caches.release()
+  }
+
   test("minhash index: queries read one snapshot — results stable across a mid-flight commit") {
     val dir = s"${graft.engine.Sinks.scratch}/manifests_minhash_iso"
     IncrementalIngest.deleteDir(spark, dir)
