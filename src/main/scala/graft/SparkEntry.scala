@@ -142,14 +142,19 @@ object SparkEntry {
     kind match {
       case "minhash" =>
         val ref = docs.filter(col("doc_id") % 3 === 0)
-        // Fixture key carries a layout version: the manifest-protocol
-        // index (segments + versioned manifests) is not readable by —
-        // or from — the old flat layout, so a stale scratch dir from a
-        // pre-manifest build must miss, not serve.
+        // Fixture key carries a layout version: mf2 = tagged manifests
+        // + store-level RETENTION pin (a pre-tag scratch dir must miss,
+        // not serve — q219 asserts the commit tags).
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
-          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf2", Some(dir),
           contentSig = Some(pmod(xxhash64(col("text")),
             lit(1000000007L)))) { idx =>
+          // q218 CONTRACT: version 1 (the build-evens commit) must stay
+          // published — its oracle is the evens-only truth. The store-
+          // level retention pin protects it from ANY future commit to
+          // this fixture (a new appending query, a compaction round),
+          // which would otherwise GC v1 under publish's default keep=2.
+          graft.engine.Manifests.setRetention(s, idx, keepVersions = 8)
           // q98's exact LSH family: 32 bands × 2 rows (see the q98
           // registration comment for the recall arithmetic).
           Dedup.buildMinhashIndex(ref.filter(col("doc_id") % 2 === 0),

@@ -1400,6 +1400,30 @@ private[graft] object SparkOracles {
     "q218_index_time_travel" -> Dedup.trueJaccardAcrossPredSql(
       n = 3, threshold = 0.5,
       refPred = "doc_id % 3 = 0 AND doc_id % 2 = 0",
-      newPred = "doc_id % 3 <> 0")
+      newPred = "doc_id % 3 <> 0"),
+
+    // The minhash fixture's commit ledger, re-derived from `documents`:
+    // the shingle fallback (< n tokens -> the whole text) means every
+    // doc yields >= 1 shingle, so `bands` is exactly 32 rows per doc
+    // and `sh` one row per doc; params is one row staged at build and
+    // carried (0 new rows) by the append.
+    "q219_index_history" ->
+      """WITH evens AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+        |  odds AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 1)
+        |SELECT CAST(version AS BIGINT) AS version, tag, "table",
+        |  CAST(segments AS BIGINT) AS segments,
+        |  CAST(new_segments AS BIGINT) AS new_segments,
+        |  CAST(new_rows AS BIGINT) AS new_rows
+        |FROM (VALUES
+        |  (1, 'build', 'bands', 1, 1, (SELECT 32 * c FROM evens)),
+        |  (1, 'build', 'params', 1, 1, 1),
+        |  (1, 'build', 'sh', 1, 1, (SELECT c FROM evens)),
+        |  (2, 'append', 'bands', 2, 1, (SELECT 32 * c FROM odds)),
+        |  (2, 'append', 'params', 1, 0, 0),
+        |  (2, 'append', 'sh', 2, 1, (SELECT c FROM odds))
+        |) AS t(version, tag, "table", segments, new_segments, new_rows)
+        |ORDER BY version, "table"""".stripMargin
   )
 }

@@ -914,11 +914,33 @@ private[graft] object SparkQueriesExt {
     // cross-Jaccard truth restricted to the ref subset version 1 held.
     "q218_index_time_travel" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val idx = storedDedupIndex(s, dir, "minhash")
+      // Pin = the EARLIEST still-published version, not a hard-coded
+      // number: the fixture's RETENTION pin keeps the build-evens
+      // commit (v1) alive, and a wiped-and-rebuilt fixture always
+      // numbers it 1 — but resolving it by position means one extra
+      // commit can never silently shift which snapshot this query
+      // reads (the oracle is the evens-only truth; ManifestsSpec pins
+      // earliest == build-evens across a 3-commit store).
       Dedup.minhashNearDupFromIndex(
-        docs.filter(col("doc_id") % 3 =!= 0),
-        storedDedupIndex(s, dir, "minhash"),
-        "doc_id", "text", threshold = 0.5, atVersion = Some(1L))
+        docs.filter(col("doc_id") % 3 =!= 0), idx,
+        "doc_id", "text", threshold = 0.5,
+        atVersion = graft.engine.Manifests.earliestVersion(s, idx))
         .orderBy("new_id", "ref_id")
-    })
+    }),
+
+    // COMMIT HISTORY of a stored index — the DESCRIBE HISTORY companion
+    // to q218's VERSION AS OF: one row per (kept version, table) with
+    // the commit tag and the commit's own contribution, row counts
+    // derived on demand from the immutable segments (publish pays
+    // nothing; counts can't drift from data). Oracle = the fixture's
+    // two-commit contract reconciled against counts re-derived from
+    // `documents` (the q148 convention): v1 "build" staged the evens
+    // of the reference third (1 param row, |evens| shingle-set rows,
+    // 32·|evens| band rows), v2 "append" staged the odds and carried
+    // params forward untouched.
+    "q219_index_history" -> ((s, dir) =>
+      graft.engine.Manifests.history(s, storedDedupIndex(s, dir, "minhash"))
+        .orderBy("version", "table"))
   )
 }

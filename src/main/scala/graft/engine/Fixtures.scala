@@ -95,6 +95,13 @@ object Fixtures {
     val dir = s"$root/${kind}_n${key.getLong(0)}_m${key.getLong(1)}$sig"
     val fs = fsOf(dir)
     if (!fs.exists(marker(dir))) {
+      // A dir without the completion marker is an INTERRUPTED build —
+      // wipe it before re-running. Pre-manifest layouts made a
+      // rebuild-in-place idempotent; under [[Manifests]] the retried
+      // build/append sequence would PUBLISH NEW VERSIONS on top of the
+      // partial ones (version numbers encode build history), aging the
+      // early versions a time-travel pin targets past the keep horizon.
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       build(dir)
       fs.create(marker(dir), true).close()
     }

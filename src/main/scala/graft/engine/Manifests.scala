@@ -33,14 +33,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `keepVersions - 1` subsequent commits (the vacuum-retention
   * contract, sized to the longest reader).
   *
-  * Crash recovery needs no branching: a death before the marker create
-  * leaves an unpublished orphan segment/manifest that the claiming
-  * replay OVERWRITES and GC eventually sweeps; a death inside GC
-  * leaves stale markers/manifests/segments the next commit's sweep
-  * reclaims (markers deleted strictly before what they reference).
-  * Mutations of one artifact dir must be externally serialized
-  * (single writer) — same contract as every stored artifact here;
-  * readers need no coordination at all. */
+  * Writer contract — ENFORCED, not just documented: [[publish]] takes
+  * an exclusive `CLAIM-<N>` create before staging anything, so two
+  * writers racing the single-writer contract produce one winner and
+  * one loud [[IllegalStateException]] instead of a torn commit (the
+  * pre-claim hazard: both resolve `next = live+1`, the winner's orphan
+  * sweep deletes the loser's half-staged segment, and the marker can
+  * pair with mixed segment contents). Crash recovery: a death AFTER
+  * the marker create is already durable — GC sweeps the stale claim at
+  * the next commit; a death BEFORE it leaves a claim the next publish
+  * refuses with the recovery step in its message (delete the CLAIM
+  * file once no writer is alive — automated rebuild paths like
+  * [[Fixtures.ensure]] wipe the whole unfinished dir instead); a death
+  * inside GC leaves stale markers/manifests/segments the next commit's
+  * sweep reclaims (markers deleted strictly before what they
+  * reference). A stage failure (exception, writer alive) releases its
+  * claim on the way out, so retries are never wedged. Readers need no
+  * coordination at all. */
 object Manifests {
 
   private def fsOf(spark: SparkSession, dir: String) =
@@ -51,10 +60,56 @@ object Manifests {
     new org.apache.hadoop.fs.Path(dir, f"MANIFEST-$v%08d")
   private def manifestPath(dir: String, v: Long) =
     new org.apache.hadoop.fs.Path(dir, f"v$v%08d")
+  private def claimPath(dir: String, v: Long) =
+    new org.apache.hadoop.fs.Path(dir, f"CLAIM-$v%08d")
+  private def retentionPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "RETENTION")
+
+  /** Pin the store's GC retention: every subsequent [[publish]] keeps
+    * at least `keepVersions` versions REGARDLESS of the caller's
+    * per-call default. Retention is a property of the STORE, not of
+    * whoever happens to commit next — a time-travel consumer that
+    * needs version 1 alive must not depend on every future append
+    * call site remembering to pass the right knob (that coupling is
+    * invisible across files; this file is not). */
+  def setRetention(spark: SparkSession, dir: String,
+      keepVersions: Int): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(retentionPath(dir), true)
+    try out.write(keepVersions.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The store-level retention pin, if one is set (digit-bounded parse:
+    * a corrupt RETENTION file is ignored, not a wedge). */
+  def retention(spark: SparkSession, dir: String): Option[Int] =
+    retentionOf(fsOf(spark, dir), dir)
+
+  private def retentionOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Int] =
+    if (!fs.exists(retentionPath(dir))) None
+    else {
+      val in = fs.open(retentionPath(dir))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim
+      finally in.close()
+      Some(text).filter(s => s.nonEmpty && s.length <= 9 &&
+        s.forall(_.isDigit)).map(_.toInt).filter(_ >= 1)
+    }
 
   /** Absolute path of version `v`'s data segment directory. */
   def segDir(dir: String, v: Long): String = f"$dir/seg$v%08d"
   private def segName(v: Long): String = f"seg$v%08d"
+
+  /** All-digit suffix that fits a Long without overflow risk: 18
+    * digits caps at 10^18-1 < Long.MaxValue, so `.toLong` can never
+    * throw. A 19+-digit stray (junk beyond any version this writer
+    * could have produced) is malformed like any other stray — ignored,
+    * not a NumberFormatException that wedges resolution AND the sweep. */
+  private def digitsFitLong(s: String): Boolean =
+    s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)
 
   /** Version named by a `MANIFEST-<N>` marker file name; None for any
     * malformed stray (tolerated by BOTH resolution and GC — the
@@ -62,8 +117,7 @@ object Manifests {
     * writer on junk a reader shrugs off). */
   private def parseMarkerVersion(name: String): Option[Long] =
     Some(name.stripPrefix("MANIFEST-"))
-      .filter(s => name.startsWith("MANIFEST-") && s.nonEmpty &&
-        s.forall(_.isDigit))
+      .filter(s => name.startsWith("MANIFEST-") && digitsFitLong(s))
       .map(_.toLong)
 
   private def publishedVersions(
@@ -77,6 +131,13 @@ object Manifests {
   /** The live (greatest published) version, if any. */
   def liveVersion(spark: SparkSession, dir: String): Option[Long] =
     publishedVersions(fsOf(spark, dir), dir).lastOption
+
+  /** The EARLIEST still-published version, if any — what a time-travel
+    * pin that means "the oldest state this store still remembers"
+    * resolves instead of hard-coding a version number that one extra
+    * commit plus GC would age out from under it. */
+  def earliestVersion(spark: SparkSession, dir: String): Option[Long] =
+    publishedVersions(fsOf(spark, dir), dir).headOption
 
   /** True iff `dir` holds at least one published version. */
   def exists(spark: SparkSession, dir: String): Boolean =
@@ -118,18 +179,33 @@ object Manifests {
     else Some(Snapshot(dir, v, readManifest(fs, dir, v)))
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, v: Long): Map[String, Seq[String]] = {
+  private def manifestLines(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(dir, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** `#`-prefixed manifest lines are COMMIT METADATA (`#key<TAB>value`),
+    * skipped by table resolution — pre-metadata manifests simply have
+    * none, so both directions stay readable. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Map[String, Seq[String]] =
+    manifestLines(fs, dir, v).filterNot(_.startsWith("#"))
       .map { line =>
         val Array(t, ref) = line.split("\t", 2)
         (t, ref)
       }
       .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2) }
-  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Map[String, String] =
+    manifestLines(fs, dir, v).filter(_.startsWith("#"))
+      .map { line =>
+        val Array(k, value) = line.drop(1).split("\t", 2)
+        (k, value)
+      }.toMap
 
   /** ONE atomic commit: claim version N+1, let `stage` write new data
     * under `seg<N+1>/` (handed the claimed version, the segment's
@@ -139,25 +215,60 @@ object Manifests {
     * write the `v<N+1>` manifest, PUBLISH via exclusive marker create,
     * and GC manifests past `keepVersions` plus any segment no kept
     * manifest references. Returns the published version. */
-  def publish(spark: SparkSession, dir: String, keepVersions: Int = 2)
+  def publish(spark: SparkSession, dir: String, keepVersions: Int = 2,
+      tag: String = "")
       (stage: (Long, String, Option[Snapshot]) => Map[String, Seq[String]]): Long = {
+    require(!tag.contains("\n") && !tag.contains("\t"),
+      s"commit tag must not contain tab/newline, got '$tag'")
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val fs = fsOf(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     val live = snapshot(spark, dir)
     val next = live.map(_.version).getOrElse(0L) + 1
-    // Sweep any orphan a crashed predecessor left at this version.
-    fs.delete(new org.apache.hadoop.fs.Path(segDir(dir, next)), true)
-    fs.delete(manifestPath(dir, next), false)
-    val tables = stage(next, segDir(dir, next), live)
-    require(tables.nonEmpty, "a manifest commit must list at least one table")
-    val out = fs.create(manifestPath(dir, next), true)
-    try out.write(tables.toSeq.sortBy(_._1)
-      .flatMap { case (t, rs) => rs.map(r => s"$t\t$r") }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    // PUBLISH: one atomic exclusive create.
-    fs.create(markerPath(dir, next), false).close()
-    gc(fs, dir, keepVersions)
+    // CLAIM version `next` with one atomic exclusive create BEFORE
+    // touching anything: two writers racing the single-writer contract
+    // both resolve the same `next`, and without the claim the loser's
+    // staged segment is swept by the winner's orphan sweep while the
+    // marker can pair with MIXED segment contents — a torn commit. The
+    // claim turns the contract violation into one loud loser. A claim
+    // left by a CRASHED commit (death between claim and marker) also
+    // fails here — with the recovery step in the message — rather than
+    // silently overwriting state whose writer might still be alive.
+    try fs.create(claimPath(dir, next), false).close()
+    catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"cannot claim version $next of $dir: ${claimPath(dir, next)} " +
+          "exists — either a concurrent writer (mutations of one " +
+          "artifact dir must be externally serialized) or a crashed " +
+          "commit's leftover; if no writer is alive, delete the CLAIM " +
+          "file to recover", e)
+    }
+    try {
+      // Sweep any orphan a crashed predecessor left at this version.
+      fs.delete(new org.apache.hadoop.fs.Path(segDir(dir, next)), true)
+      fs.delete(manifestPath(dir, next), false)
+      val tables = stage(next, segDir(dir, next), live)
+      require(tables.nonEmpty, "a manifest commit must list at least one table")
+      val metaLines = if (tag.isEmpty) Seq.empty else Seq(s"#tag\t$tag")
+      val out = fs.create(manifestPath(dir, next), true)
+      try out.write((metaLines ++ tables.toSeq.sortBy(_._1)
+        .flatMap { case (t, rs) => rs.map(r => s"$t\t$r") })
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // PUBLISH: one atomic exclusive create.
+      fs.create(markerPath(dir, next), false).close()
+    } catch {
+      // A FAILED commit (stage threw; writer still alive) releases its
+      // claim so a retry in the same or a later process isn't wedged —
+      // only a process DEATH leaves a claim behind.
+      case scala.util.control.NonFatal(e) =>
+        fs.delete(claimPath(dir, next), false)
+        throw e
+    }
+    fs.delete(claimPath(dir, next), false)
+    // The store-level RETENTION pin (see [[setRetention]]) overrides
+    // the per-call default: GC honors the strictest contract on file.
+    gc(fs, dir, math.max(keepVersions, retentionOf(fs, dir).getOrElse(1)))
     next
   }
 
@@ -177,14 +288,20 @@ object Manifests {
       .toSeq.map(_.getPath.getName)
     names.flatMap(parseMarkerVersion).filter(_ < keepFrom)
       .foreach(v => fs.delete(markerPath(dir, v), false))
-    names.filter(n => n.length > 1 && n.startsWith("v") &&
-        n.drop(1).forall(_.isDigit))
+    // Claims at or below the live version are PROVABLY stale — their
+    // marker exists, so their commit finished and only the claim-delete
+    // was lost to a crash. Claims ABOVE live are never swept: that
+    // writer may still be staging.
+    val liveV = published.last
+    names.filter(n => n.startsWith("CLAIM-") && digitsFitLong(n.drop(6)))
+      .map(_.drop(6).toLong).filter(_ <= liveV)
+      .foreach(v => fs.delete(claimPath(dir, v), false))
+    names.filter(n => n.startsWith("v") && digitsFitLong(n.drop(1)))
       .map(_.drop(1).toLong).filter(_ < keepFrom)
       .foreach(v => fs.delete(manifestPath(dir, v), false))
     val referenced = kept.flatMap(v => readManifest(fs, dir, v).values.flatten)
       .map(_.takeWhile(_ != '/')).toSet
-    names.filter(n => n.startsWith("seg") &&
-        n.drop(3).forall(_.isDigit) && n.length > 3)
+    names.filter(n => n.startsWith("seg") && digitsFitLong(n.drop(3)))
       .filterNot(referenced.contains)
       .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), true))
   }
@@ -192,6 +309,34 @@ object Manifests {
   /** `dir`-relative ref of `table` inside version `v`'s segment — what
     * a `stage` callback puts in its returned map. */
   def ref(v: Long, table: String): String = s"${segName(v)}/$table"
+
+  /** COMMIT HISTORY of the artifact — the `DESCRIBE HISTORY` companion
+    * to [[snapshotAt]]'s `VERSION AS OF`: one row per (still-published
+    * version, table) with the commit's tag, the table's total segment
+    * count at that version, and the commit's OWN contribution (segments
+    * staged under `seg<version>/` and their row count). Row counts are
+    * derived ON DEMAND from the immutable segments (a parquet
+    * metadata-only count over ≤ keepVersions × tables paths), so
+    * commits pay nothing at publish time and counts can never drift
+    * from the data. Versions GC'd past the keep horizon leave the
+    * history with their segments — history answers "what does this
+    * store still remember", the retention contract made visible. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val rows = publishedVersions(fs, dir).flatMap { v =>
+      val tag = readMeta(fs, dir, v).getOrElse("tag", "")
+      readManifest(fs, dir, v).toSeq.sortBy(_._1).map { case (t, refs) =>
+        val own = refs.filter(_.startsWith(segName(v) + "/"))
+        val newRows =
+          if (own.isEmpty) 0L
+          else spark.read.parquet(own.map(r => s"$dir/$r"): _*).count()
+        (v, tag, t, refs.size.toLong, own.size.toLong, newRows)
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "tag", "table", "segments", "new_segments",
+        "new_rows")
+  }
 
   /** Resolve the live snapshot — or the PINNED one when `atVersion` is
     * set (time travel) — failing with an actionable message otherwise:

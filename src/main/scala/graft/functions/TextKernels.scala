@@ -694,4 +694,115 @@ object TextKernels {
 
   def cardCountCol(text: Column): Column =
     GraftSql.column(CardCountExpr(GraftSql.expression(text)))
+
+  /** Greedy left-to-right NON-OVERLAPPING BPE merge of adjacent
+    * `(lhs, rhs)` symbol pairs — the imperative twin of the fold
+    * `acc.last == lhs && x == rhs ? replace-last(lhs+rhs) : append(x)`
+    * (Sennrich BPE's one rewrite). The merged token `lhs+rhs` can
+    * never equal `lhs` (rhs nonempty), so a merge never cascades
+    * within one application — exactly the fold's semantics. A null
+    * element never matches and passes through. */
+  def bpeMerge(syms: ArrayData, lhs: UTF8String, rhs: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[AnyRef](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val x = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      if (m > 0 && x != null && rhs.equals(x) && out(m - 1) != null &&
+          lhs.equals(out(m - 1))) {
+        out(m - 1) = UTF8String.concat(lhs, rhs)
+      } else { out(m) = x; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** BPE-merge expression: `array<string> → array<string>` with the
+    * (lhs, rhs) pair fixed at plan time, codegen'd as one static call.
+    * Replaces the `aggregate` higher-order-function spelling in the
+    * trainer's per-round rewrite: HOFs evaluate INTERPRETED (per-symbol
+    * virtual `Expression.eval` dispatch), the documented positional-JIT
+    * hazard class once a long bench run has polluted those call-site
+    * profiles — a static monomorphic kernel stays inside whole-stage
+    * codegen instead. */
+  case class BpeMergeExpr(child: Expression, lhs: String, rhs: String)
+      extends UnaryExpression {
+    require(lhs.nonEmpty && rhs.nonEmpty, "BPE merge symbols are nonempty")
+    override def dataType: DataType = child.dataType
+    override def prettyName: String = "bpe_merge"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge expects array<string>, got ${other.catalogString}")
+      }
+    private lazy val lhsU = UTF8String.fromString(lhs)
+    private lazy val rhsU = UTF8String.fromString(rhs)
+    override protected def nullSafeEval(input: Any): Any =
+      bpeMerge(input.asInstanceOf[ArrayData], lhsU, rhsU)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("bpeLhs", lhsU,
+        "org.apache.spark.unsafe.types.UTF8String")
+      val rRef = ctx.addReferenceObj("bpeRhs", rhsU,
+        "org.apache.spark.unsafe.types.UTF8String")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.bpeMerge($c, $lRef, $rRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def bpeMergeCol(syms: Column, lhs: String, rhs: String): Column =
+    GraftSql.column(BpeMergeExpr(GraftSql.expression(syms), lhs, rhs))
+
+  /** Adjacent symbol pairs of one word: `[a b c] → [(a,b), (b,c)]` —
+    * the per-round pair statistic every BPE trainer aggregates. Null
+    * elements pass through as null struct fields. */
+  def adjacentPairs(syms: ArrayData): ArrayData = {
+    val n = syms.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](n - 1)
+    var prev: AnyRef = if (syms.isNullAt(0)) null else syms.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur: AnyRef = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      out(i - 1) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent-pairs expression: `array<string> →
+    * array<struct<lhs string, rhs string>>`, one static call inside
+    * whole-stage codegen — replaces the
+    * `transform(sequence(...), element_at ×2)` interpreted-HOF
+    * spelling on the trainer's hot path. */
+  case class AdjacentPairsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lhs", StringType),
+        org.apache.spark.sql.types.StructField("rhs", StringType))),
+      containsNull = false)
+    override def prettyName: String = "adjacent_pairs"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"adjacent_pairs expects array<string>, got ${other.catalogString}")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      adjacentPairs(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.adjacentPairs($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def adjacentPairsCol(syms: Column): Column =
+    GraftSql.column(AdjacentPairsExpr(GraftSql.expression(syms)))
 }

@@ -969,14 +969,12 @@ object CorpusStats {
     * corpus-vocabulary scale). */
   private[graft] def bpePairCounts(words: DataFrame): DataFrame =
     words
-      // Fully-merged single-symbol words have no pairs; without the
-      // filter, sequence(0, -1) DESCENDS and element_at(syms, 0)
-      // throws under ANSI. (The oracle's range(1, 1) is empty.)
+      // Fully-merged single-symbol words have no pairs (the native
+      // kernel returns an empty array; the filter prunes them before
+      // the explode — the oracle's range(1, 1) is empty).
       .filter(size(col("syms")) >= 2)
       .select(col("freq"), explode(
-        transform(sequence(lit(0), size(col("syms")) - lit(2)),
-          i => struct(element_at(col("syms"), i + 1).as("lhs"),
-            element_at(col("syms"), i + 2).as("rhs")))).as("p"))
+        graft.functions.TextKernels.adjacentPairsCol(col("syms"))).as("p"))
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum("freq").as("n"))
 
@@ -1042,19 +1040,19 @@ object CorpusStats {
     (merges.toSeq, cur)
   }
 
-  /** The greedy left-to-right non-overlapping (lhs, rhs) merge as a
-    * single fold over a symbol array — the ONE rewrite every BPE path
-    * uses (training rounds, and model replay in
-    * [[bpeTokenizeFromModel]]): merge when the accumulator's last
+  /** The greedy left-to-right non-overlapping (lhs, rhs) merge — the
+    * ONE rewrite every BPE path uses (training rounds, and model
+    * replay in [[bpeTokenizeFromModel]]): merge when the previous kept
     * symbol is `lhs` and the current is `rhs`; the merged token
     * `lhs+rhs` can never equal `lhs` (rhs nonempty), so a merge never
-    * cascades within one application. */
+    * cascades within one application. Spelled as the native codegen
+    * kernel [[graft.functions.TextKernels.bpeMerge]] — the original
+    * `aggregate` HOF spelling evaluated INTERPRETED per symbol, the
+    * positional-JIT hazard class that burst q140's first in-suite
+    * timing to 36× in one round-16 run (BENCH_NOTES round-17
+    * adjudication). */
   private def mergeFold(syms: Column, a: String, b: String): Column =
-    aggregate(syms, array().cast("array<string>"),
-      (acc, x) => when(size(acc) > 0 &&
-          element_at(acc, size(acc)) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
+    graft.functions.TextKernels.bpeMergeCol(syms, a, b)
 
   // --------------------------------------------- persisted BPE model
 
@@ -1077,7 +1075,7 @@ object CorpusStats {
     * One atomic manifest commit like every stored artifact. */
   def saveBpeModel(docs: DataFrame, textCol: String, rounds: Int,
       dir: String, minFreq: Long = 1L): Unit = {
-    graft.engine.Manifests.publish(docs.sparkSession, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(docs.sparkSession, dir, tag = "build") { (v, seg, _) =>
       bpeTrainLocal(docs, textCol, rounds, minFreq)
         .write.mode("overwrite").parquet(s"$seg/merges")
       Map("merges" -> Seq(graft.engine.Manifests.ref(v, "merges")))
@@ -1112,8 +1110,8 @@ object CorpusStats {
     * the distinct-word list, the same order as the broadcast the join
     * ships anyway. */
   def bpeTokenizeFromModel(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): DataFrame = {
-    val vocab = storedModelVocab(docs, textCol, dir)
+      dir: String, atVersion: Option[Long] = None): DataFrame = {
+    val vocab = storedModelVocab(docs, textCol, dir, atVersion)
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^\\p{L}+$"))
       .join(broadcast(vocab), Seq("word"))
@@ -1134,11 +1132,11 @@ object CorpusStats {
     * materialization is vocab-sized (distinct words), the same bound
     * as the trainer's word table. */
   private def storedModelVocab(docs: DataFrame, textCol: String,
-      dir: String): DataFrame = {
+      dir: String, atVersion: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
-      "BPE model", "run saveBpeModel first")
+      "BPE model", "run saveBpeModel first", atVersion)
     val merges = snap.read(spark, "merges")
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
@@ -1504,7 +1502,7 @@ object CorpusStats {
     * production 30k-round shape). */
   def saveByteBpeModel(docs: DataFrame, textCol: String, rounds: Int,
       dir: String, minFreq: Long = 1L): Unit = {
-    graft.engine.Manifests.publish(docs.sparkSession, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(docs.sparkSession, dir, tag = "build") { (v, seg, _) =>
       byteBpeTrainLocal(docs, textCol, rounds, minFreq)
         .write.mode("overwrite").parquet(s"$seg/merges")
       Map("merges" -> Seq(graft.engine.Manifests.ref(v, "merges")))
@@ -1523,9 +1521,10 @@ object CorpusStats {
     * broadcast the counting join ships anyway), the corpus itself
     * never collects. */
   def byteBpeTokenizeFromModel(docs: DataFrame, idCol: String,
-      textCol: String, dir: String): DataFrame =
+      textCol: String, dir: String,
+      atVersion: Option[Long] = None): DataFrame =
     docs.select(col(idCol), explode(bytePreTokens(col(textCol))).as("word"))
-      .join(broadcast(byteStoredModelVocab(docs, textCol, dir)),
+      .join(broadcast(byteStoredModelVocab(docs, textCol, dir, atVersion)),
         Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_pretokens"),
@@ -1537,11 +1536,11 @@ object CorpusStats {
     * of [[storedModelVocab]], shared by [[byteBpeTokenizeFromModel]]
     * and [[byteBpeFertilityByLang]]. */
   private def byteStoredModelVocab(docs: DataFrame, textCol: String,
-      dir: String): DataFrame = {
+      dir: String, atVersion: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
-      "BPE model", "run saveByteBpeModel first")
+      "BPE model", "run saveByteBpeModel first", atVersion)
     val merges = snap.read(spark, "merges")
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))

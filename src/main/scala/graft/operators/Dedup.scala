@@ -813,7 +813,7 @@ object Dedup {
       bands: Int = DefaultBands, seed: Long = 42L): Unit = {
     val spark = ref.sparkSession
     import spark.implicits._
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
       Seq((n, numHashes, bands, seed))
         .toDF("n", "num_hashes", "bands", "seed")
         .write.mode("overwrite").parquet(s"$seg/params")
@@ -865,7 +865,7 @@ object Dedup {
     val novelSh = materialized(sh.join(
       snap.read(spark, "sh").select("id"), Seq("id"), "left_anti"))
     if (!novelSh.isEmpty) {
-      graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
         novelSh.write.mode("overwrite").parquet(s"$seg/sh")
         val (as, bs) = hashFamily(numHashes, seed)
         novelSh.select(col("id"), explode(TextKernels.minhashBandsCol(
@@ -898,7 +898,7 @@ object Dedup {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
       "MinHash index", "compaction needs a finished build")
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "compact") { (v, seg, _) =>
       Seq("params", "sh", "bands").foreach(
         compactSnapshotTable(spark, snap, _, seg, targetBytes))
       Seq("params", "sh", "bands")
@@ -918,7 +918,7 @@ object Dedup {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
       "eval-gram index", "compaction needs a finished build")
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "compact") { (v, seg, _) =>
       Seq("params", "grams").foreach(
         compactSnapshotTable(spark, snap, _, seg, targetBytes))
       Seq("params", "grams")
@@ -1192,7 +1192,7 @@ object Dedup {
     * Versioned-manifest commits like every stored artifact. */
   def buildSimhashIndex(ref: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
-    graft.engine.Manifests.publish(ref.sparkSession, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(ref.sparkSession, dir, tag = "build") { (v, seg, _) =>
       simhash(ref, idCol, textCol)
         .write.mode("overwrite").parquet(s"$seg/sigs")
       Map("sigs" -> Seq(graft.engine.Manifests.ref(v, "sigs")))
@@ -1213,7 +1213,7 @@ object Dedup {
     val novel = materialized(simhash(newRef, idCol, textCol)
       .join(snap.read(spark, "sigs").select("id"), Seq("id"), "left_anti"))
     if (!novel.isEmpty) {
-      graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
         novel.write.mode("overwrite").parquet(s"$seg/sigs")
         Map("sigs" -> (snap.tables("sigs") :+
           graft.engine.Manifests.ref(v, "sigs")))
@@ -1518,7 +1518,7 @@ object Dedup {
     val spark = evalDocs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need k >= 1; got k=$k")
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
       Seq(k).toDF("k").write.mode("overwrite").parquet(s"$seg/params")
       charGrams(parallelized(evalDocs)
           .select(col(idCol).as("id"), col(textCol).as("text")), k)
@@ -1543,7 +1543,7 @@ object Dedup {
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
       "eval-gram index", "append needs a finished build")
     val k = snap.read(spark, "params").head().getInt(0)
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
       charGrams(parallelized(newEval)
           .select(col(idCol).as("id"), col(textCol).as("text")), k)
         .select("gram").distinct()
@@ -1967,7 +1967,7 @@ object Dedup {
   def buildLineIndex(ref: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = ref.sparkSession
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
       linePartial(ref, idCol, textCol, "base")
         .write.mode("overwrite").parquet(s"$seg/line_df")
       Map("line_df" -> Seq(graft.engine.Manifests.ref(v, "line_df")))
@@ -1991,7 +1991,7 @@ object Dedup {
     val seen = snap.read(spark, "line_df")
       .filter(col("batch_tag") === batchTag).limit(1).count() > 0
     if (!seen) {
-      graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
         linePartial(newRef, idCol, textCol, batchTag)
           .write.mode("overwrite").parquet(s"$seg/line_df")
         Map("line_df" -> (snap.tables("line_df") :+

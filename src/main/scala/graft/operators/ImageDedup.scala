@@ -482,7 +482,7 @@ object ImageDedup {
     * GC. [[phashNearDupAcrossFromIndex]] over this index is bit-equal
     * to the recompute-everything inline twin (ImageDedupSpec). */
   def buildPhashIndex(refHs: DataFrame, dir: String): Unit = {
-    graft.engine.Manifests.publish(refHs.sparkSession, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(refHs.sparkSession, dir, tag = "build") { (v, seg, _) =>
       refHs.select(col("img_id"), col("phash"))
         .write.mode("overwrite").parquet(s"$seg/hashes")
       Map("hashes" -> Seq(graft.engine.Manifests.ref(v, "hashes")))
@@ -499,7 +499,7 @@ object ImageDedup {
     val spark = newHs.sparkSession
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
       "pHash index", "append needs a finished build")
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
       newHs.select(col("img_id"), col("phash"))
         .write.mode("overwrite").parquet(s"$seg/hashes")
       Map("hashes" -> (snap.tables("hashes") :+
@@ -519,7 +519,7 @@ object ImageDedup {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
       "pHash index", "compaction needs a finished build")
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "compact") { (v, seg, _) =>
       Dedup.compactSnapshotTable(spark, snap, "hashes", seg, targetBytes)
       Map("hashes" -> Seq(graft.engine.Manifests.ref(v, "hashes")))
     }

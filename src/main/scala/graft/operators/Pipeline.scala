@@ -240,19 +240,31 @@ object Pipeline {
     * The batch arrives in the q207 harness shape (folded lines,
     * boilerplate planted by the registration); `docs` must carry
     * (doc_id, lang, text). */
+  /** Version pins for [[incrementalCuration]]'s four stored
+    * artifacts — pipeline-level TIME TRAVEL: "reproduce yesterday's
+    * daily run exactly" is resolving yesterday's snapshot of EVERY
+    * frozen reference this run consulted, not just one index. Each
+    * pin rides the corresponding reader's `atVersion`; None = live
+    * (PipelineSpec proves a pinned re-run after appends to all four
+    * stores is bit-equal to the original report). */
+  final case class AsOfVersions(
+      lineIdx: Option[Long] = None, minhashIdx: Option[Long] = None,
+      qualityModel: Option[Long] = None, bpeModel: Option[Long] = None)
+
   def incrementalCuration(batch: DataFrame,
       lineIdxDir: String, minhashIdxDir: String,
       qualityModelDir: String, bpeModelDir: String,
       minTokens: Int = 10, minQuality: Double = 0.3,
       minEntropy: Double = 2.0,
       lineMinDf: Int = 5, dedupThreshold: Double = 0.5,
-      budget: Long = 20000L, binTokens: Long = 512L): DataFrame = timeStages { staged =>
+      budget: Long = 20000L, binTokens: Long = 512L,
+      asOf: AsOfVersions = AsOfVersions()): DataFrame = timeStages { staged =>
     val t = col("text")
     val gates = gateColumns(t, minTokens, minQuality)
 
     val cleansed = staged("1_line_cleanse", Caches.truncated(
       Dedup.dropBoilerplateFromIndex(batch, lineIdxDir,
-        "doc_id", "text", lineMinDf)))
+        "doc_id", "text", lineMinDf, asOf.lineIdx)))
     val relabeled = cleansed.select(col("doc_id"), col("text"))
       .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
     val gated = staged("2_extract_gate",
@@ -264,19 +276,20 @@ object Pipeline {
 
     val victims = staged("4_history_dedup", Caches.truncated(
       Dedup.minhashNearDupFromIndex(surv, minhashIdxDir,
-          "doc_id", "text", dedupThreshold)
+          "doc_id", "text", dedupThreshold, asOf.minhashIdx)
         .select(col("new_id").as("doc_id")).distinct()))
     val kept = staged("5_novel", Caches.truncated(
       surv.join(victims, Seq("doc_id"), "left_anti")))
 
     val scored = staged("6_classify", Caches.truncated(
       QualityClassifier.scoreFromModel(
-        kept, qualityModelDir, "doc_id", "text")))
+        kept, qualityModelDir, "doc_id", "text", asOf.qualityModel)))
     val sel = staged("7_classifier_keep", Caches.truncated(kept.join(
       scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id"))))
 
     val priced = staged("8_bpe_price", Caches.truncated(
-      CorpusStats.bpeTokenizeFromModel(sel, "doc_id", "text", bpeModelDir)))
+      CorpusStats.bpeTokenizeFromModel(sel, "doc_id", "text", bpeModelDir,
+        asOf.bpeModel)))
 
     val budgeted = staged("9_budget", Caches.truncated(
       Curation.tokenBudgetSample(sel, "doc_id", "text", budget)))

@@ -157,7 +157,7 @@ object QualityClassifier {
     require(r.getLong(3) > 0 && r.getLong(4) > 0,
       s"training needs BOTH classes; got docs_pos=${r.getLong(3)} " +
         s"docs_neg=${r.getLong(4)}")
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
       p.write.mode("overwrite").parquet(s"$seg/params")
       val c = Caches.materialized(counts)
       c.write.mode("overwrite").parquet(s"$seg/counts")
@@ -215,7 +215,7 @@ object QualityClassifier {
         coalesce(sum("c_neg"), lit(0L)).as("n_neg"))
       .withColumn("docs_pos", lit(oldP.getLong(3) + newDocs.getLong(0)))
       .withColumn("docs_neg", lit(oldP.getLong(4) + newDocs.getLong(1))))
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
       p.write.mode("overwrite").parquet(s"$seg/params")
       merged.write.mode("overwrite").parquet(s"$seg/counts")
       merged.crossJoin(broadcast(p)).select(col("tok"),

@@ -282,7 +282,7 @@ object Retrieval {
   def buildBm25Index(docs: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val spark = docs.sparkSession
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
       writeBm25Segment(docs, idCol, textCol, seg)
       Bm25Tables.map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
@@ -305,7 +305,7 @@ object Retrieval {
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti"))
     if (!novel.isEmpty) {
-      graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+      graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
         writeBm25Segment(novel, idCol, textCol, seg)
         Bm25Tables.map(t => t ->
           (snap.tables(t) :+ graft.engine.Manifests.ref(v, t))).toMap
@@ -330,9 +330,20 @@ object Retrieval {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
       "BM25 index", "compaction needs a finished build")
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "compact") { (v, seg, _) =>
+      // Range-partition into ceil(bytes/targetBytes) files (the
+      // compactSnapshotTable sizing) — the default shuffle-partition
+      // count would leave a small index MORE fragmented after
+      // compaction than before it (review finding).
+      val postingPaths = snap.paths("postings")
+      val fs = new org.apache.hadoop.fs.Path(postingPaths.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val postingBytes = postingPaths.map(p => fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(p)).getLength).sum
+      val nf = math.max(1L,
+        (postingBytes + targetBytes - 1) / targetBytes).toInt
       snap.read(spark, "postings")
-        .repartitionByRange(col("w"), col("doc_id"))
+        .repartitionByRange(nf, col("w"), col("doc_id"))
         .sortWithinPartitions("w", "doc_id")
         .write.mode("overwrite").parquet(s"$seg/postings")
       graft.operators.Dedup.compactSnapshotTable(spark, snap, "dl", seg,

@@ -1063,7 +1063,7 @@ object Similarity {
   def buildPqIndex(corpus: DataFrame, dir: String, m: Int, subDim: Int,
       initStride: Long, iters: Int, maxCodebook: Long = 128): Unit = {
     requireFullCoverage(m, subDim)
-    graft.engine.Manifests.publish(corpus.sparkSession, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(corpus.sparkSession, dir, tag = "build") { (v, seg, _) =>
       writePqSegment(corpus, seg, m, subDim, initStride, iters, maxCodebook)
       Seq("codebook", "codes")
         .map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
@@ -1085,7 +1085,7 @@ object Similarity {
       maxCodebook: Long = 128): Unit = {
     requireFullCoverage(m, subDim)
     val spark = corpus.sparkSession
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
       Clustering.kmeansCentroids(corpus, "vec_id", "embedding",
           cellStride, cellIters)
         .write.mode("overwrite").parquet(s"$seg/cents")
@@ -1130,7 +1130,7 @@ object Similarity {
         "appended vectors get codes but no cell and stay unsearchable")
     val codebook = snap.read(spark, "codebook")
     val (m, subDim) = pqShapeOf(codebook)
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
       encodePqCodes(subVectors(newVectors, "vec_id", m, subDim),
           codebook, subDim)
         .write.mode("overwrite").parquet(s"$seg/codes")
@@ -1154,7 +1154,7 @@ object Similarity {
     val cents = snap.read(spark, "cents")
     val codebook = snap.read(spark, "codebook")
     val (m, subDim) = pqShapeOf(codebook)
-    graft.engine.Manifests.publish(spark, dir) { (v, seg, _) =>
+    graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
       assignCells(cents)(
           newVectors.select(col("vec_id").as("nid"),
             col("embedding").as("c_emb")),

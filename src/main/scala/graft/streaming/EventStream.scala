@@ -386,7 +386,7 @@ object EventStream {
   private def parseMarkerVersion(name: String): Option[Long] =
     Some(name.stripPrefix("MANIFEST-"))
       .filter(s => name.startsWith("MANIFEST-") && s.nonEmpty &&
-        s.forall(_.isDigit))
+        s.length <= 18 && s.forall(_.isDigit)) // <=18 digits: toLong can't overflow
       .map(_.toLong)
 
   /** All PUBLISHED versions at `path`, ascending (empty when the sink
@@ -490,8 +490,8 @@ object EventStream {
             .toSeq.map(_.getPath.getName)
           names.flatMap(parseMarkerVersion).filter(_ < keepFrom)
             .foreach(v => fs.delete(versionMarker(path, v), false))
-          names.filter(n => n.length > 1 && n.startsWith("v") &&
-              n.drop(1).forall(_.isDigit))
+          names.filter(n => n.length > 1 && n.length <= 19 &&
+              n.startsWith("v") && n.drop(1).forall(_.isDigit))
             .map(_.drop(1).toLong).filter(_ < keepFrom)
             .foreach(v => fs.delete(versionDir(path, v), true))
           ()

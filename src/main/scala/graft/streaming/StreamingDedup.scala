@@ -154,7 +154,8 @@ object StreamingDedup {
     * the live manifest snapshot (the index family's commit protocol). */
   private def storedLshShape(spark: SparkSession,
       dir: String): (Int, Int, Int) = {
-    val r = graft.engine.Manifests.snapshot(spark, dir).get
+    val r = graft.engine.Manifests.resolveOrFail(spark, dir,
+      "MinHash index", "run buildMinhashIndex first")
       .read(spark, "params").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }

@@ -66,4 +66,33 @@ class FixturesSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(d1), true)
     assert(ensure() == d1 && builds == 2)
   }
+
+  test("an interrupted build is wiped before the retry — version numbers restart, not stack") {
+    val root = s"${graft.engine.Sinks.scratch}/fixtures_spec_interrupted"
+    cleanRoot(root)
+    def ensure(fail: Boolean): String =
+      Fixtures.ensure(spark, frame(2.0f), "vec_id", root, "idx",
+        memoKey = None, contentSig = Some(sig)) { dir =>
+        // A manifest-protocol artifact: the build PUBLISHES versions as
+        // it goes, so a retry on a non-wiped dir would stack v3/v4 on
+        // top and GC the v1 a time-travel pin targets.
+        graft.engine.Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
+          frame(2.0f).write.mode("overwrite").parquet(s"$seg/t")
+          Map("t" -> Seq(graft.engine.Manifests.ref(v, "t")))
+        }
+        if (fail) throw new RuntimeException("interrupted mid-build")
+        graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, live) =>
+          frame(2.0f).write.mode("overwrite").parquet(s"$seg/t2")
+          live.get.tables + ("t2" -> Seq(graft.engine.Manifests.ref(v, "t2")))
+        }
+      }
+    intercept[RuntimeException] { ensure(fail = true) }
+    val dir = ensure(fail = false)
+    // The retried build must start from version 1 on a clean dir —
+    // the interrupted attempt's published v1 must not survive as
+    // history under the completed artifact.
+    assert(graft.engine.Manifests.earliestVersion(spark, dir).contains(1L))
+    assert(graft.engine.Manifests.liveVersion(spark, dir).contains(2L),
+      "retry must see a wiped dir: exactly the build+append commits")
+  }
 }

@@ -188,4 +188,187 @@ class ManifestsSpec extends SparkSpec {
     assert(after == Seq((101L, 1L), (101L, 2L)))
     graft.engine.Caches.release()
   }
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeRows(dir: String, ids: Long*): Unit =
+    df(ids.map(i => i -> s"row $i"): _*).write
+      .mode("overwrite").parquet(dir)
+
+  test("publish enforces the single-writer contract: one winner, one loud loser, no torn commit") {
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_claim_race"
+    IncrementalIngest.deleteDir(spark, dir)
+    val fs = fsOf(dir)
+    Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
+      writeRows(s"$seg/t", 1L)
+      Map("t" -> Seq(Manifests.ref(v, "t")))
+    }
+    // Writer A claims version 2 and HOLDS it mid-stage while writer B
+    // races the same version — pre-claim, B's orphan sweep would have
+    // deleted A's half-staged segment and one of the markers could
+    // publish a MIX of the two stagings. Now B must fail loudly
+    // before touching anything.
+    val aInStage = new java.util.concurrent.CountDownLatch(1)
+    val bFailed = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aError: Throwable = null
+    val a = new Thread(() => {
+      try Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
+        writeRows(s"$seg/t", 2L)
+        aInStage.countDown()
+        // Keep the claim held until B has lost.
+        assert(bFailed.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        Map("t" -> (Seq(Manifests.ref(1L, "t"), Manifests.ref(v, "t"))))
+      } catch { case t: Throwable => aError = t; aInStage.countDown() }
+    })
+    a.start()
+    assert(aInStage.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(aError == null, s"writer A must be staging, got $aError")
+    val e = intercept[IllegalStateException] {
+      Manifests.publish(spark, dir) { (v, seg, _) =>
+        writeRows(s"$seg/t", 99L)
+        Map("t" -> Seq(Manifests.ref(v, "t")))
+      }
+    }
+    assert(e.getMessage.contains("CLAIM"),
+      s"the loser's error must name the claim: ${e.getMessage}")
+    bFailed.countDown()
+    a.join(60000)
+    assert(aError == null, s"the claim holder must commit cleanly: $aError")
+    // The published snapshot is exactly A's commit — internally
+    // consistent, nothing of B's attempt mixed in or left behind.
+    val snap = Manifests.snapshot(spark, dir).get
+    assert(snap.version == 2L)
+    assert(snap.read(spark, "t").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/CLAIM-00000002")),
+      "a completed commit must release its claim")
+  }
+
+  test("claims: a crashed commit's claim refuses loudly with the recovery step; a post-marker claim is GC'd") {
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_claim_crash"
+    IncrementalIngest.deleteDir(spark, dir)
+    val fs = fsOf(dir)
+    Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
+      writeRows(s"$seg/t", 1L)
+      Map("t" -> Seq(Manifests.ref(v, "t")))
+    }
+    // Death BETWEEN claim and marker: the leftover claim must make the
+    // next publish fail with the recovery instruction, not overwrite
+    // state whose writer might still be alive.
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/CLAIM-00000002"),
+      false).close()
+    val e = intercept[IllegalStateException] {
+      Manifests.publish(spark, dir) { (v, seg, _) =>
+        Map("t" -> Seq(Manifests.ref(v, "t")))
+      }
+    }
+    assert(e.getMessage.contains("delete the CLAIM"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/CLAIM-00000002"), false)
+    // Death BETWEEN marker and claim-delete: the claim's version is at
+    // or below live, so the NEXT commit targets live+1 unblocked and
+    // its GC sweeps the provably-stale claim.
+    Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
+      writeRows(s"$seg/t", 2L)
+      Map("t" -> Seq(Manifests.ref(v, "t")))
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/CLAIM-00000002"),
+      false).close()
+    Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
+      writeRows(s"$seg/t", 3L)
+      Map("t" -> Seq(Manifests.ref(v, "t")))
+    }
+    assert(Manifests.liveVersion(spark, dir).contains(3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/CLAIM-00000002")),
+      "a claim at or below the live version is provably stale and swept")
+  }
+
+  test("claims: a failed stage releases its claim — retries are never wedged") {
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_claim_retry"
+    IncrementalIngest.deleteDir(spark, dir)
+    val fs = fsOf(dir)
+    intercept[RuntimeException] {
+      Manifests.publish(spark, dir) { (_, _, _) =>
+        throw new RuntimeException("staging job failed")
+      }
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/CLAIM-00000001")),
+      "a failed commit (writer alive) must release its claim")
+    Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
+      writeRows(s"$seg/t", 1L)
+      Map("t" -> Seq(Manifests.ref(v, "t")))
+    }
+    assert(Manifests.liveVersion(spark, dir).contains(1L))
+  }
+
+  test("retention pin + earliest-version resolution: the q218 contract survives a 3-commit store") {
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_retention"
+    IncrementalIngest.deleteDir(spark, dir)
+    // The registered q218 pattern: a store whose RETENTION pin keeps
+    // the build commit alive no matter what later call sites pass,
+    // and a pin resolved as the EARLIEST still-published version.
+    graft.engine.Manifests.setRetention(spark, dir, keepVersions = 8)
+    Dedup.buildMinhashIndex(
+      df(2L -> "alpha beta gamma delta epsilon zeta eta theta"),
+      dir, "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+    Dedup.appendToMinhashIndex(
+      df(3L -> "one two three four five six seven eight"),
+      dir, "doc_id", "text")
+    // The third commit is the exact hazard ADVICE named: a future
+    // append nobody cross-checked against q218. Publish's default
+    // keepVersions = 2 would GC v1; the store-level pin must win.
+    Dedup.appendToMinhashIndex(
+      df(5L -> "red orange yellow green blue indigo violet pink"),
+      dir, "doc_id", "text")
+    assert(Manifests.earliestVersion(spark, dir).contains(1L),
+      "the retention pin must keep the build commit published")
+    val probe = df(
+      101L -> "alpha beta gamma delta epsilon zeta eta zzz",
+      102L -> "one two three four five six seven zzz")
+    val pinned = Dedup.minhashNearDupFromIndex(probe, dir,
+        "doc_id", "text", 0.5,
+        atVersion = Manifests.earliestVersion(spark, dir))
+      .orderBy("new_id").collect().map(_.getLong(1)).toSeq
+    assert(pinned == Seq(2L),
+      "earliest-version resolution must land on the build-only state")
+    graft.engine.Caches.release()
+  }
+
+  test("history: one row per kept (version, table) with tag and the commit's own contribution; GC'd versions leave") {
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_history"
+    IncrementalIngest.deleteDir(spark, dir)
+    Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
+      writeRows(s"$seg/t", 1L, 2L)
+      writeRows(s"$seg/meta", 0L)
+      Map("t" -> Seq(Manifests.ref(v, "t")),
+        "meta" -> Seq(Manifests.ref(v, "meta")))
+    }
+    Manifests.publish(spark, dir, tag = "append") { (v, seg, live) =>
+      writeRows(s"$seg/t", 3L)
+      // meta carried forward untouched — its v2 row must show the
+      // carry (1 segment, 0 new).
+      live.get.tables + ("t" -> (live.get.tables("t") :+
+        Manifests.ref(v, "t")))
+    }
+    val got = Manifests.history(spark, dir)
+      .orderBy("version", "table").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, "build", "meta", 1L, 1L, 1L),
+      (1L, "build", "t", 1L, 1L, 2L),
+      (2L, "append", "meta", 1L, 0L, 0L),
+      (2L, "append", "t", 2L, 1L, 1L)), s"history mismatch: $got")
+    // A third commit under keepVersions = 2 ages v1 out: history must
+    // show only what the store still remembers.
+    Manifests.publish(spark, dir, tag = "append") { (v, seg, live) =>
+      writeRows(s"$seg/t", 4L)
+      live.get.tables + ("t" -> (live.get.tables("t") :+
+        Manifests.ref(v, "t")))
+    }
+    val versions = Manifests.history(spark, dir)
+      .select("version").distinct().collect().map(_.getLong(0)).toSet
+    assert(versions == Set(2L, 3L),
+      s"GC'd versions must leave the history: $versions")
+  }
 }

@@ -108,4 +108,84 @@ class PipelineSpec extends SparkSpec {
     assert(stages.forall(_._2 >= 0.0))
     assert(Pipeline.stageTimingReport(spark).count() == stages.size)
   }
+
+  test("pipeline time travel: a version-pinned re-run after appends to all four stores is bit-equal") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val root = s"${graft.engine.Sinks.scratch}/pipeline_asof"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    // Fresh single-commit twins of the four stored artifacts (the
+    // shared fixtures must stay immutable — other registrations pin
+    // their exact content).
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val refFolded = ref.select(col("doc_id"),
+      graft.operators.Dedup.plantBoilerplate(col("doc_id"), col("text"),
+        lineLen = 8, mod = 2).as("text"))
+    val (lineIdx, mhIdx, qm, bpe) =
+      (s"$root/linedf", s"$root/minhash", s"$root/nb", s"$root/bpe")
+    graft.operators.Dedup.buildLineIndex(refFolded, lineIdx, "doc_id", "text")
+    graft.operators.Dedup.buildMinhashIndex(ref, mhIdx, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32)
+    graft.operators.QualityClassifier.saveModel(
+      ref.withColumn("label_good", col("lang") === "en"),
+      "text", "label_good", qm)
+    graft.operators.CorpusStats.saveBpeModel(ref, "text", rounds = 10, bpe)
+    graft.engine.Caches.release()
+
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        graft.operators.Dedup.plantBoilerplate(col("doc_id"),
+          col("text"), lineLen = 8, mod = 2).as("text"))
+    def run(asOf: Pipeline.AsOfVersions): Seq[(String, Double)] = {
+      val r = Pipeline.incrementalCuration(batch, lineIdx, mhIdx, qm, bpe,
+          asOf = asOf)
+        .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+        .sortBy(_._1)
+      graft.engine.Caches.release()
+      r
+    }
+    val original = run(Pipeline.AsOfVersions())
+
+    // Append to EVERY store — "yesterday's run" must survive all of it.
+    // The line-index append plants a REAL batch line as boilerplate
+    // (df = minDf across 5 new reference docs), so the LIVE report is
+    // guaranteed to change while the pinned one must not. The line is
+    // picked df-0-at-v1 so the change is strictly new behavior.
+    val snapV1 = graft.engine.Manifests.snapshot(spark, lineIdx).get
+    val dfV1 = snapV1.read(spark, "line_df")
+      .groupBy("h").agg(sum("partial_df").as("d"))
+    val cand = batch.orderBy("doc_id").limit(20)
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .withColumn("h", md5(col("line")))
+      .join(dfV1, Seq("h"), "left")
+      .filter(coalesce(col("d"), lit(0L)) === 0L)
+      .orderBy("line").limit(1).collect()
+    assert(cand.nonEmpty, "need a batch line the v1 index has never seen")
+    val line = cand.head.getString(1)
+    graft.operators.Dedup.appendToLineIndex(
+      (0 until 5).map(i => (20000000L + i, line)).toDF("doc_id", "text"),
+      lineIdx, "doc_id", "text", batchTag = "extra")
+    graft.operators.Dedup.appendToMinhashIndex(
+      Seq((30000000L, "one two three four five six seven eight"))
+        .toDF("doc_id", "text"), mhIdx, "doc_id", "text")
+    graft.operators.QualityClassifier.appendToModel(
+      Seq((30000001L, "good fine splendid lovely", true),
+        (30000002L, "awful horrid bad", false))
+        .toDF("doc_id", "text", "label_good"), "text", "label_good", qm)
+    // The BPE "append" is a RETRAIN (frozen tokenizers version, they
+    // don't append): v2 with one merge round prices differently.
+    graft.operators.CorpusStats.saveBpeModel(ref, "text", rounds = 1, bpe)
+    graft.engine.Caches.release()
+
+    val pinned = run(Pipeline.AsOfVersions(lineIdx = Some(1L),
+      minhashIdx = Some(1L), qualityModel = Some(1L), bpeModel = Some(1L)))
+    assert(pinned == original,
+      "a fully version-pinned re-run must reproduce yesterday's report bit-for-bit")
+    val live = run(Pipeline.AsOfVersions()).toMap
+    val base = original.toMap
+    assert(live("050_line_lines_dropped") > base("050_line_lines_dropped"),
+      "the live run must see the newly indexed boilerplate line")
+  }
 }
