@@ -81,16 +81,28 @@ object ScaleProbe {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def timed(name: String, dir: String): Double = {
+    def timed(name: String, dir: String): (Double, Seq[(String, Double)]) = {
       val s0 = System.nanoTime()
       val res = try { SparkEntry.queries(name)(spark, dir).count(); None }
         catch { case t: Throwable => Some(t.toString) }
+      // Stage telemetry BEFORE the cache sweep (the Bench read order +
+      // the Bench name guard — lastStageSeconds persists across
+      // queries, so an unguarded read would attribute a pipeline's
+      // stale stages to the next query): a staged query (q209/q214)
+      // leaves one wall per stage — emitted at BOTH scales so a
+      // superlinear stage is measured, not inferred from the total's
+      // concavity.
+      val stages =
+        if (res.isEmpty &&
+            (name.startsWith("q209_") || name.startsWith("q214_")))
+          graft.operators.Pipeline.lastStageSeconds
+        else Seq.empty
       graft.engine.Caches.release()
       spark.catalog.clearCache()
       val sec = (System.nanoTime() - s0) / 1e9
       System.err.println(f"[scale] $name%-26s $dir%-40s $sec%8.2f s" +
         res.map(e => s"  ERR $e").getOrElse(""))
-      if (res.isDefined) -1.0 else sec
+      (if (res.isDefined) -1.0 else sec, stages)
     }
 
     // Untimed warm-up: the first timed query otherwise absorbs the
@@ -100,17 +112,23 @@ object ScaleProbe {
     // (review finding). On a marker-warm corpus this is the JVM's
     // first Spark action, so the warm-up matters most exactly then.
     names.headOption.foreach { name =>
-      val w = timed(name, baseDir)
+      val (w, _) = timed(name, baseDir)
       System.err.println(f"[scale] warmup($name) $w%.2f s (discarded)")
     }
+    def stageJson(stages: Seq[(String, Double)]): String =
+      stages.map { case (s, sec) => jstr(s) + ":" + n2(sec) }
+        .mkString("{", ",", "}")
     val rows = names.map { name =>
-      val base = timed(name, baseDir)
-      val scaled = timed(name, outDir)
+      val (base, baseStages) = timed(name, baseDir)
+      val (scaled, scaledStages) = timed(name, outDir)
       val ratio = if (base > 0 && scaled >= 0) scaled / base else -1.0
-      name -> ((base, scaled, ratio))
+      name -> ((base, scaled, ratio, baseStages, scaledStages))
     }
-    val qJson = rows.map { case (name, (b, s, r)) =>
-      s"""${jstr(name)}:{"base":${n2(b)},"scaled":${n2(s)},"ratio":${n2(r)}}"""
+    val qJson = rows.map { case (name, (b, s, r, bs, ss)) =>
+      val stagePart =
+        if (bs.isEmpty && ss.isEmpty) ""
+        else s""","stages_base":${stageJson(bs)},"stages_scaled":${stageJson(ss)}"""
+      s"""${jstr(name)}:{"base":${n2(b)},"scaled":${n2(s)},"ratio":${n2(r)}$stagePart}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","k":$k,"base_dir":${jstr(baseDir)},""" +
       s""""scaled_dir":${jstr(outDir)},"queries":$qJson}""")

@@ -304,7 +304,8 @@ object SparkEntry {
         ("qualitymodel", "nb"), ("bpemodel", "m10")),
       "q216_bm25_stored" -> Seq(("dedup", "bm25")),
       "q217_simhash_stored" -> Seq(("dedup", "simhash")),
-      "q218_index_time_travel" -> Seq(("dedup", "minhash")))
+      "q218_index_time_travel" -> Seq(("dedup", "minhash")),
+      "q219_index_history" -> Seq(("dedup", "minhash")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
