@@ -191,6 +191,18 @@ class RetrievalSpec extends SparkSpec {
     val dfreqC = snapC.read(spark, "dfreq")
     assert(dfreqC.count() == dfreqC.select("w").distinct().count(),
       "compaction must fold the df partials to one row per term")
+    // The postings rewrite sizes its file count from targetBytes (the
+    // compactSnapshotTable arithmetic) — a tiny index must come out as
+    // ONE postings file, not default-shuffle-partition-count fragments
+    // (review finding: repartitionByRange without an explicit count).
+    val postingsFiles = snapC.paths("postings").map { p =>
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(_.getPath.getName.startsWith("part-"))
+    }.sum
+    assert(postingsFiles == 1,
+      s"tiny postings must compact to one target-sized file: $postingsFiles")
     graft.engine.Caches.release()
     // Plan contract: the query path reads ONLY stored tables — the
     // corpus text is never re-tokenized (exactly one explode: the
