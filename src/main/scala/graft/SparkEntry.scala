@@ -218,9 +218,13 @@ object SparkEntry {
           .select(col("doc_id"), Dedup.plantBoilerplate(col("doc_id"),
             col("text"), lineLen = 8, mod = 2).as("text"))
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
-          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf2", Some(dir),
           contentSig = Some(pmod(xxhash64(col("text")),
             lit(1000000007L)))) { idx =>
+          // q220 CONTRACT (the q218 pattern): version 1 — the
+          // build-evens partials — must stay published; its oracle
+          // re-derives the v1 df from the evens slice.
+          graft.engine.Manifests.setRetention(s, idx, keepVersions = 8)
           Dedup.buildLineIndex(ref.filter(col("doc_id") % 2 === 0),
             idx, "doc_id", "text")
           Dedup.appendToLineIndex(ref.filter(col("doc_id") % 2 === 1),
@@ -238,8 +242,11 @@ object SparkEntry {
   private[graft] def storedBpeModel(s: SparkSession, dir: String): String = {
     val ref = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
     graft.engine.Fixtures.ensure(s, ref, "doc_id",
-      s"${Sinks.scratch}/bpe_model", "m10_mf1", Some(dir),
+      s"${Sinks.scratch}/bpe_model", "m10_mf2", Some(dir),
       contentSig = Some(pmod(xxhash64(col("text")), lit(1000000007L)))) { idx =>
+      // q220 pins this store's earliest version; the retention pin
+      // keeps it published whatever a future retrain commits.
+      graft.engine.Manifests.setRetention(s, idx, keepVersions = 8)
       CorpusStats.saveBpeModel(ref, "text", rounds = 10, idx)
     }
   }
@@ -253,9 +260,12 @@ object SparkEntry {
     val train = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
       .withColumn("label_good", col("lang") === "en")
     graft.engine.Fixtures.ensure(s, train, "doc_id",
-      s"${Sinks.scratch}/quality_model", "nb_mf1", Some(dir),
+      s"${Sinks.scratch}/quality_model", "nb_mf2", Some(dir),
       contentSig = Some(pmod(xxhash64(col("text"), col("lang")),
         lit(1000000007L)))) { idx =>
+      // q220 pins this store's earliest version; the retention pin
+      // keeps it published whatever a future append commits.
+      graft.engine.Manifests.setRetention(s, idx, keepVersions = 8)
       QualityClassifier.saveModel(train, "text", "label_good", idx)
     }
   }
@@ -305,7 +315,10 @@ object SparkEntry {
       "q216_bm25_stored" -> Seq(("dedup", "bm25")),
       "q217_simhash_stored" -> Seq(("dedup", "simhash")),
       "q218_index_time_travel" -> Seq(("dedup", "minhash")),
-      "q219_index_history" -> Seq(("dedup", "minhash")))
+      "q219_index_history" -> Seq(("dedup", "minhash")),
+      "q220_pipeline_as_of" -> Seq(
+        ("dedup", "linedf"), ("dedup", "minhash"),
+        ("qualitymodel", "nb"), ("bpemodel", "m10")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]

@@ -1424,6 +1424,16 @@ private[graft] object SparkOracles {
         |  (2, 'append', 'params', 1, 0, 0),
         |  (2, 'append', 'sh', 2, 1, (SELECT c FROM odds))
         |) AS t(version, tag, "table", segments, new_segments, new_rows)
-        |ORDER BY version, "table"""".stripMargin
+        |ORDER BY version, "table"""".stripMargin,
+
+    // The pinned daily loop replays against version 1 of the line-df
+    // and MinHash stores — the build-evens commits — so the oracle is
+    // the q214 chain with the stored-reference predicate narrowed to
+    // the evens of the reference slice (the model/tokenizer stores
+    // are single-commit: their pinned state IS the live state).
+    "q220_pipeline_as_of" ->
+      (graft.operators.Pipeline.incrementalCurationSql(
+        storedRefPred = "doc_id % 3 = 0 AND doc_id % 2 = 0") +
+        "\nORDER BY metric")
   )
 }

@@ -941,6 +941,36 @@ private[graft] object SparkQueriesExt {
     // params forward untouched.
     "q219_index_history" -> ((s, dir) =>
       graft.engine.Manifests.history(s, storedDedupIndex(s, dir, "minhash"))
-        .orderBy("version", "table"))
+        .orderBy("version", "table")),
+
+    // PIPELINE-LEVEL time travel (q218's VERSION AS OF lifted to the
+    // whole daily loop): the q214 batch re-run with EVERY stored
+    // artifact pinned at its EARLIEST still-published version — the
+    // auditor's "reproduce the first day's run exactly". For the
+    // line-df and MinHash stores that is the build-evens commit
+    // (retention-pinned, the q218 contract); the model and tokenizer
+    // stores have one commit, so their pins resolve to the same state
+    // the live run reads — which is the point: the pin is a RESOLVED
+    // version, not special-cased code. Oracle = the q214 chain with
+    // the stored-reference predicate narrowed to the evens slice.
+    "q220_pipeline_as_of" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          Dedup.plantBoilerplate(col("doc_id"), col("text"),
+            lineLen = 8, mod = 2).as("text"))
+      val lineIdx = storedDedupIndex(s, dir, "linedf")
+      val mhIdx = storedDedupIndex(s, dir, "minhash")
+      val qm = storedQualityModel(s, dir)
+      val bpe = storedBpeModel(s, dir)
+      graft.operators.Pipeline.incrementalCuration(batch,
+        lineIdx, mhIdx, qm, bpe,
+        asOf = graft.operators.Pipeline.AsOfVersions(
+          lineIdx = graft.engine.Manifests.earliestVersion(s, lineIdx),
+          minhashIdx = graft.engine.Manifests.earliestVersion(s, mhIdx),
+          qualityModel = graft.engine.Manifests.earliestVersion(s, qm),
+          bpeModel = graft.engine.Manifests.earliestVersion(s, bpe)))
+        .orderBy("metric")
+    })
   )
 }

@@ -480,13 +480,14 @@ object Pipeline {
       lineLen: Int = 8, linePlantMod: Int = 2, lineMinDf: Int = 5,
       dedupN: Int = 3, dedupThreshold: Double = 0.5,
       bpeRounds: Int = 10,
-      budget: Long = 20000L, binTokens: Long = 512L): String = {
+      budget: Long = 20000L, binTokens: Long = 512L,
+      storedRefPred: String = "doc_id % 3 = 0"): String = {
     val gates = gatesSql(minTokens, minQuality)
     val gatePred = gates.map { case (_, g) => s"($g)" }.mkString(" AND ")
     val sh = Dedup.shinglesSql(dedupN)
     s"""WITH
        |${Dedup.lineCleanseChainSql(lineLen, linePlantMod, lineMinDf,
-            refPred = "doc_id % 3 = 0", applyPred = "doc_id % 3 <> 0")},
+            refPred = storedRefPred, applyPred = "doc_id % 3 <> 0")},
        |ic_batch AS MATERIALIZED (SELECT c.doc_id, d.lang, c.text
        |  FROM lc_clean c JOIN documents d USING (doc_id)),
        |${plantChainSql("ic_batch")},
@@ -504,7 +505,7 @@ object Pipeline {
        |ic_surv AS MATERIALIZED (SELECT doc_id, lang, text FROM ic_gated
        |  WHERE $gatePred),
        |ic_ref AS MATERIALIZED (SELECT doc_id AS ref_id, $sh AS sh
-       |  FROM documents WHERE doc_id % 3 = 0),
+       |  FROM documents WHERE $storedRefPred),
        |ic_new AS MATERIALIZED (SELECT doc_id, $sh AS sh FROM ic_surv),
        |ic_victims AS MATERIALIZED (SELECT DISTINCT n.doc_id
        |  FROM ic_new n JOIN ic_ref r
