@@ -158,12 +158,38 @@ object Manifests {
   }
 
   /** Resolve the LIVE snapshot (one marker listing + one small manifest
-    * read); None on an unpublished dir. */
+    * read); None on an unpublished dir. Readers need no coordination:
+    * between the listing and the manifest read, a concurrent commit's
+    * GC can sweep what WAS the live version (only possible under
+    * `keepVersions = 1`, where each commit retires its predecessor) —
+    * on that FileNotFound the resolution simply re-lists, and the
+    * retry lands on the newer version whose commit did the sweeping. */
   def snapshot(spark: SparkSession, dir: String): Option[Snapshot] = {
     val fs = fsOf(spark, dir)
-    publishedVersions(fs, dir).lastOption.map { v =>
-      Snapshot(dir, v, readManifest(fs, dir, v))
-    }
+    @annotation.tailrec
+    def resolve(retries: Int): Option[Snapshot] =
+      publishedVersions(fs, dir).lastOption match {
+        case None => None
+        case Some(v) =>
+          val snap =
+            try Some(Snapshot(dir, v, readManifest(fs, dir, v)))
+            catch { case e: java.io.FileNotFoundException =>
+              // Bounded: a PERSISTENT marker-without-manifest is a
+              // corrupted store (publish writes the manifest strictly
+              // before the marker; GC deletes markers strictly before
+              // manifests) and must surface, not spin.
+              if (retries <= 0) throw new IllegalStateException(
+                s"$dir lists marker v$v but its manifest is missing " +
+                  "after retries — corrupted store", e)
+              else None
+            }
+          snap match {
+            case Some(_) => snap
+            case None if retries > 0 => resolve(retries - 1)
+            case None => None
+          }
+      }
+    resolve(retries = 3)
   }
 
   /** TIME TRAVEL: resolve a SPECIFIC published version — the
@@ -171,12 +197,17 @@ object Manifests {
     * because every kept version is a complete immutable snapshot.
     * None when version `v` is not currently published (never built,
     * or aged past the writer's `keepVersions` horizon — the one
-    * contract a historical reader sizes against). */
+    * contract a historical reader sizes against). A version swept by
+    * a concurrent commit's GC BETWEEN the listing and the manifest
+    * read resolves None like any other aged-out version, not a crash
+    * (the no-reader-coordination contract at the horizon edge). */
   def snapshotAt(spark: SparkSession, dir: String,
       v: Long): Option[Snapshot] = {
     val fs = fsOf(spark, dir)
     if (!publishedVersions(fs, dir).contains(v)) None
-    else Some(Snapshot(dir, v, readManifest(fs, dir, v)))
+    else
+      try Some(Snapshot(dir, v, readManifest(fs, dir, v)))
+      catch { case _: java.io.FileNotFoundException => None }
   }
 
   private def manifestLines(fs: org.apache.hadoop.fs.FileSystem,
@@ -324,13 +355,23 @@ object Manifests {
   def history(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
     val rows = publishedVersions(fs, dir).flatMap { v =>
-      val tag = readMeta(fs, dir, v).getOrElse("tag", "")
-      readManifest(fs, dir, v).toSeq.sortBy(_._1).map { case (t, refs) =>
-        val own = refs.filter(_.startsWith(segName(v) + "/"))
-        val newRows =
-          if (own.isEmpty) 0L
-          else spark.read.parquet(own.map(r => s"$dir/$r"): _*).count()
-        (v, tag, t, refs.size.toLong, own.size.toLong, newRows)
+      // A version swept by a concurrent commit's GC between the
+      // listing and this read LEAVES the history mid-query — exactly
+      // what it would have done had the listing run a moment later
+      // (the no-reader-coordination contract; history answers "what
+      // does this store still remember").
+      try {
+        val tag = readMeta(fs, dir, v).getOrElse("tag", "")
+        readManifest(fs, dir, v).toSeq.sortBy(_._1).map { case (t, refs) =>
+          val own = refs.filter(_.startsWith(segName(v) + "/"))
+          val newRows =
+            if (own.isEmpty) 0L
+            else spark.read.parquet(own.map(r => s"$dir/$r"): _*).count()
+          (v, tag, t, refs.size.toLong, own.size.toLong, newRows)
+        }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          Seq.empty[(Long, String, String, Long, Long, Long)]
       }
     }
     spark.createDataFrame(rows)
