@@ -162,6 +162,25 @@ object SparkEntry {
           Dedup.appendToMinhashIndex(ref.filter(col("doc_id") % 2 === 1),
             idx, "doc_id", "text")
         }
+      case "minhash_rb" =>
+        // The ROLLBACK lifecycle fixture (q221): build evens, append
+        // odds (the "bad batch" to be rolled back), RESTORE version 1
+        // — the live index must answer with the build-evens state,
+        // which is what distinguishes a real restore from a no-op
+        // (the odds-inclusive live answer would hash-mismatch).
+        val ref = docs.filter(col("doc_id") % 3 === 0)
+        graft.engine.Fixtures.ensure(s, ref, "doc_id",
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
+          contentSig = Some(pmod(xxhash64(col("text")),
+            lit(1000000007L)))) { idx =>
+          graft.engine.Manifests.setRetention(s, idx, keepVersions = 8)
+          Dedup.buildMinhashIndex(ref.filter(col("doc_id") % 2 === 0),
+            idx, "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+          Dedup.appendToMinhashIndex(ref.filter(col("doc_id") % 2 === 1),
+            idx, "doc_id", "text")
+          graft.engine.Manifests.rollback(s, idx, 1L)
+          ()
+        }
       case "phash" =>
         graft.engine.Fixtures.ensure(s, docs, "doc_id",
           s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir)) { idx =>
@@ -318,7 +337,8 @@ object SparkEntry {
       "q219_index_history" -> Seq(("dedup", "minhash")),
       "q220_pipeline_as_of" -> Seq(
         ("dedup", "linedf"), ("dedup", "minhash"),
-        ("qualitymodel", "nb"), ("bpemodel", "m10")))
+        ("qualitymodel", "nb"), ("bpemodel", "m10")),
+      "q221_index_rollback" -> Seq(("dedup", "minhash_rb")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]

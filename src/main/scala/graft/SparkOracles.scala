@@ -1434,6 +1434,14 @@ private[graft] object SparkOracles {
     "q220_pipeline_as_of" ->
       (graft.operators.Pipeline.incrementalCurationSql(
         storedRefPred = "doc_id % 3 = 0 AND doc_id % 2 = 0") +
-        "\nORDER BY metric")
+        "\nORDER BY metric"),
+
+    // After RESTORE to version 1, the live index IS the build-evens
+    // state — same truth set as q218's pinned read, reached through
+    // the opposite mechanism (a new commit vs a historical pin).
+    "q221_index_rollback" -> Dedup.trueJaccardAcrossPredSql(
+      n = 3, threshold = 0.5,
+      refPred = "doc_id % 3 = 0 AND doc_id % 2 = 0",
+      newPred = "doc_id % 3 <> 0")
   )
 }

@@ -971,6 +971,22 @@ private[graft] object SparkQueriesExt {
           qualityModel = graft.engine.Manifests.earliestVersion(s, qm),
           bpeModel = graft.engine.Manifests.earliestVersion(s, bpe)))
         .orderBy("metric")
+    }),
+
+    // ROLLBACK / RESTORE (Delta's RESTORE ... VERSION AS OF, zero-copy
+    // under the manifest layout — the restore manifest lists the old
+    // segments, no data moves): the fixture builds evens, appends a
+    // "bad" odds batch, then restores version 1; the LIVE read must
+    // answer with the build-evens state. The oracle is the evens-only
+    // exhaustive truth — an un-restored live (evens+odds) answer
+    // hash-mismatches, so the restore is adjudicated, not assumed.
+    "q221_index_rollback" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashNearDupFromIndex(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        storedDedupIndex(s, dir, "minhash_rb"),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("new_id", "ref_id")
     })
   )
 }

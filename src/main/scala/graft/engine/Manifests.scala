@@ -341,6 +341,28 @@ object Manifests {
     * a `stage` callback puts in its returned map. */
   def ref(v: Long, table: String): String = s"${segName(v)}/$table"
 
+  /** RESTORE: publish a NEW version whose table map is exactly
+    * version `v`'s — Delta's `RESTORE TABLE ... VERSION AS OF`,
+    * ZERO-COPY under this layout: the new manifest simply lists `v`'s
+    * segment refs (a manifest is already allowed to reference older
+    * segments — every append's does), so no data moves and GC keeps
+    * the restored segments alive through the new manifest's reference
+    * even after `v` itself ages out. The bad commit being rolled back
+    * stays in [[history]] (tagged) until the horizon sweeps it —
+    * restore is a new commit, not an erasure. Fails with the
+    * keep-horizon message when `v` is no longer published: you can
+    * only restore what the store still remembers. */
+  def rollback(spark: SparkSession, dir: String, v: Long,
+      keepVersions: Int = 2): Long = {
+    val snap = snapshotAt(spark, dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot restore $dir to version $v — never built, or aged " +
+          "past the keep horizon"))
+    publish(spark, dir, keepVersions, tag = s"rollback_v$v") {
+      (_, _, _) => snap.tables
+    }
+  }
+
   /** COMMIT HISTORY of the artifact — the `DESCRIBE HISTORY` companion
     * to [[snapshotAt]]'s `VERSION AS OF`: one row per (still-published
     * version, table) with the commit's tag, the table's total segment

@@ -334,6 +334,67 @@ class ManifestsSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("rollback: restore is a zero-copy new commit; restored segments outlive their origin version") {
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_rollback"
+    IncrementalIngest.deleteDir(spark, dir)
+    val fs = fsOf(dir)
+    Dedup.buildMinhashIndex(
+      df(1L -> "alpha beta gamma delta epsilon zeta eta theta"),
+      dir, "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+    Dedup.appendToMinhashIndex(
+      df(2L -> "one two three four five six seven eight"),
+      dir, "doc_id", "text")
+    val probe = df(
+      101L -> "alpha beta gamma delta epsilon zeta eta zzz",
+      102L -> "one two three four five six seven zzz")
+    def liveIds() = Dedup.minhashNearDupFromIndex(probe, dir,
+        "doc_id", "text", 0.5)
+      .orderBy("new_id").collect().map(_.getLong(1)).toSeq
+    assert(liveIds() == Seq(1L, 2L), "sanity: live sees both batches")
+    val restored = Manifests.rollback(spark, dir, 1L)
+    assert(restored == 3L, "restore is a NEW commit, not an erasure")
+    assert(liveIds() == Seq(1L),
+      "after restore the LIVE read must answer with the v1 state")
+    // Zero-copy: the restore staged no segment of its own.
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Manifests.segDir(dir, 3L))), "restore must not copy data")
+    // The restored segments must survive v1 itself aging out: one more
+    // commit puts the keep horizon at {v3, v4}; v3's manifest still
+    // references seg1, so GC must keep it.
+    Dedup.appendToMinhashIndex(
+      df(4L -> "red orange yellow green blue indigo violet pink"),
+      dir, "doc_id", "text")
+    assert(Manifests.snapshotAt(spark, dir, 1L).isEmpty,
+      "v1 itself ages out of the horizon")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      Manifests.segDir(dir, 1L))),
+      "segments referenced by the restore manifest must survive GC")
+    val wideProbe = df(
+      101L -> "alpha beta gamma delta epsilon zeta eta zzz",
+      102L -> "one two three four five six seven zzz",
+      103L -> "red orange yellow green blue indigo violet zzz")
+    val afterAppend = Dedup.minhashNearDupFromIndex(wideProbe, dir,
+        "doc_id", "text", 0.5)
+      .orderBy("new_id").collect().map(_.getLong(1)).toSeq
+    assert(afterAppend == Seq(1L, 4L),
+      "post-restore appends build on the restored state " +
+        s"(rolled-back doc 2 stays gone): $afterAppend")
+    // History shows the restore as a tagged commit with no
+    // contribution of its own.
+    val h = Manifests.history(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("version") === 3L)
+      .collect()
+    assert(h.nonEmpty && h.forall(r =>
+      r.getString(1) == "rollback_v1" && r.getLong(4) == 0L),
+      s"restore commit must be tagged with zero new segments: ${h.toSeq}")
+    // You can only restore what the store still remembers.
+    val e = intercept[IllegalArgumentException] {
+      Manifests.rollback(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("keep horizon"))
+    graft.engine.Caches.release()
+  }
+
   test("history: one row per kept (version, table) with tag and the commit's own contribution; GC'd versions leave") {
     val dir = s"${graft.engine.Sinks.scratch}/manifests_history"
     IncrementalIngest.deleteDir(spark, dir)
