@@ -183,11 +183,10 @@ object Manifests {
                   "after retries — corrupted store", e)
               else None
             }
-          snap match {
-            case Some(_) => snap
-            case None if retries > 0 => resolve(retries - 1)
-            case None => None
-          }
+          // `snap` is None ONLY on a caught FNF with retries left (the
+          // exhausted case throws above), so this always either returns
+          // the snapshot or re-lists.
+          if (snap.isDefined) snap else resolve(retries - 1)
       }
     resolve(retries = 3)
   }
@@ -230,6 +229,29 @@ object Manifests {
       }
       .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2) }
 
+  /** True iff `t`'s cause chain is a missing-path read — the shapes a
+    * concurrently GC-swept version surfaces as: a raw
+    * FileNotFoundException from the manifest open, or Spark's
+    * AnalysisException (`PATH_NOT_FOUND`) from a parquet read over the
+    * swept segment (review finding: the parquet path does NOT throw
+    * FileNotFoundException). */
+  private def isMissingPath(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 10) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getMessage != null &&
+              a.getMessage.contains("PATH_NOT_FOUND") => return true
+        case _ =>
+      }
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
+  }
+
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long): Map[String, String] =
     manifestLines(fs, dir, v).filter(_.startsWith("#"))
@@ -267,14 +289,31 @@ object Manifests {
     // silently overwriting state whose writer might still be alive.
     try fs.create(claimPath(dir, next), false).close()
     catch {
-      case e: java.io.IOException => throw new IllegalStateException(
-        s"cannot claim version $next of $dir: ${claimPath(dir, next)} " +
-          "exists — either a concurrent writer (mutations of one " +
-          "artifact dir must be externally serialized) or a crashed " +
-          "commit's leftover; if no writer is alive, delete the CLAIM " +
-          "file to recover", e)
+      // Only an actually-present claim means claim-conflict; any other
+      // I/O failure (full disk, permissions) must surface as ITSELF —
+      // a "delete the CLAIM file" instruction for a claim that doesn't
+      // exist is actively misleading (review finding).
+      case e: java.io.IOException if fs.exists(claimPath(dir, next)) =>
+        throw new IllegalStateException(
+          s"cannot claim version $next of $dir: ${claimPath(dir, next)} " +
+            "exists — either a concurrent writer (mutations of one " +
+            "artifact dir must be externally serialized) or a crashed " +
+            "commit's leftover; if no writer is alive, delete the CLAIM " +
+            "file to recover", e)
     }
     try {
+      // Close the stale-claim race the exclusive create alone leaves
+      // open (review finding): a rival that resolved the same `next`,
+      // then stalled past the winner's whole commit INCLUDING its
+      // claim release, claims successfully here — and its orphan
+      // sweep below would delete the winner's PUBLISHED manifest and
+      // segment out from under the marker. A published marker at
+      // `next` means this writer's view of `live` was stale; refuse
+      // before touching anything.
+      if (fs.exists(markerPath(dir, next))) throw new IllegalStateException(
+        s"version $next of $dir was published while this writer was " +
+          "claiming it — a concurrent writer (mutations of one artifact " +
+          "dir must be externally serialized)")
       // Sweep any orphan a crashed predecessor left at this version.
       fs.delete(new org.apache.hadoop.fs.Path(segDir(dir, next)), true)
       fs.delete(manifestPath(dir, next), false)
@@ -392,7 +431,7 @@ object Manifests {
           (v, tag, t, refs.size.toLong, own.size.toLong, newRows)
         }
       } catch {
-        case _: java.io.FileNotFoundException =>
+        case t if isMissingPath(t) =>
           Seq.empty[(Long, String, String, Long, Long, Long)]
       }
     }
