@@ -162,6 +162,20 @@ object SparkEntry {
           Dedup.appendToMinhashIndex(ref.filter(col("doc_id") % 2 === 1),
             idx, "doc_id", "text")
         }
+      case "minhash_clone" =>
+        // The CLONE lifecycle fixture (q222): the live minhash index
+        // exported as an independent store — the clone must answer
+        // exactly like its source (q148's oracle adjudicates the
+        // copied snapshot's fidelity).
+        val ref = docs.filter(col("doc_id") % 3 === 0)
+        graft.engine.Fixtures.ensure(s, ref, "doc_id",
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
+          contentSig = Some(pmod(xxhash64(col("text")),
+            lit(1000000007L)))) { idx =>
+          graft.engine.Manifests.cloneSnapshot(s,
+            storedDedupIndex(s, dir, "minhash"), idx)
+          ()
+        }
       case "minhash_rb" =>
         // The ROLLBACK lifecycle fixture (q221): build evens, append
         // odds (the "bad batch" to be rolled back), RESTORE version 1
@@ -338,7 +352,8 @@ object SparkEntry {
       "q220_pipeline_as_of" -> Seq(
         ("dedup", "linedf"), ("dedup", "minhash"),
         ("qualitymodel", "nb"), ("bpemodel", "m10")),
-      "q221_index_rollback" -> Seq(("dedup", "minhash_rb")))
+      "q221_index_rollback" -> Seq(("dedup", "minhash_rb")),
+      "q222_index_clone" -> Seq(("dedup", "minhash_clone")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]

@@ -1442,6 +1442,9 @@ private[graft] object SparkOracles {
     "q221_index_rollback" -> Dedup.trueJaccardAcrossPredSql(
       n = 3, threshold = 0.5,
       refPred = "doc_id % 3 = 0 AND doc_id % 2 = 0",
-      newPred = "doc_id % 3 <> 0")
+      newPred = "doc_id % 3 <> 0"),
+
+    // A faithful clone answers exactly like its source: q148's truth.
+    "q222_index_clone" -> Dedup.trueJaccardAcrossSql(3, 0.5, refMod = 3)
   )
 }

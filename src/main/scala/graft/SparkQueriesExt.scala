@@ -987,6 +987,22 @@ private[graft] object SparkQueriesExt {
         storedDedupIndex(s, dir, "minhash_rb"),
         "doc_id", "text", threshold = 0.5)
         .orderBy("new_id", "ref_id")
+    }),
+
+    // CLONE / EXPORT (the lifecycle family's last verb: time travel
+    // q218, history q219, restore q221, now branch-to-a-fresh-store):
+    // the live minhash index exported as an INDEPENDENT artifact —
+    // copied data files, fresh version 1, own retention and GC. The
+    // query reads the clone and must reproduce the source's full
+    // truth set (q148's oracle), adjudicating the copied snapshot's
+    // fidelity table by table.
+    "q222_index_clone" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashNearDupFromIndex(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        storedDedupIndex(s, dir, "minhash_clone"),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("new_id", "ref_id")
     })
   )
 }

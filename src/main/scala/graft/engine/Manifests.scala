@@ -402,6 +402,61 @@ object Manifests {
     }
   }
 
+  /** CLONE: materialize one version of `srcDir` (the live one, or a
+    * pinned `atVersion`) as a FRESH independent artifact at `dstDir` —
+    * version 1 of its own lifecycle (own retention, own GC, own
+    * appends), the "ship this index to another environment / branch it
+    * for an experiment" operation. Unlike [[rollback]] (zero-copy
+    * within one store), a clone COPIES the referenced data files:
+    * refs are dir-relative, and an independent store must not share
+    * segments a rival GC could sweep. The commit goes through
+    * [[publish]], so a half-copied clone is invisible (no marker) and
+    * a retry overwrites the orphan. `dstDir` must not already hold a
+    * published artifact — clone is an export, not a merge. */
+  def cloneSnapshot(spark: SparkSession, srcDir: String, dstDir: String,
+      atVersion: Option[Long] = None, keepVersions: Int = 2): Long = {
+    val snap = atVersion match {
+      case Some(v) => snapshotAt(spark, srcDir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot clone $srcDir at version $v — never built, or aged " +
+            "past the keep horizon"))
+      case None => snapshot(spark, srcDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot clone $srcDir — no published version"))
+    }
+    require(!exists(spark, dstDir),
+      s"$dstDir already holds a published artifact — clone exports to " +
+        "a fresh (or wiped) dir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    publish(spark, dstDir, keepVersions,
+      tag = s"clone_v${snap.version}") { (nv, seg, _) =>
+      snap.tables.map { case (t, refs) =>
+        val dstTable = new org.apache.hadoop.fs.Path(s"$seg/$t")
+        val dfs = dstTable.getFileSystem(conf)
+        dfs.mkdirs(dstTable)
+        refs.foreach { r =>
+          val srcP = new org.apache.hadoop.fs.Path(s"${snap.dir}/$r")
+          val sfs = srcP.getFileSystem(conf)
+          // Data files only: each source segment carries its own
+          // `_SUCCESS`-style metadata whose names would collide when
+          // several segments merge into the clone's one table dir
+          // (parquet readers ignore them anyway). Part-file names
+          // carry write-UUIDs, so cross-segment collisions cannot
+          // happen.
+          sfs.listStatus(srcP).filter(st => st.isFile &&
+              !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .foreach { st =>
+              org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs,
+                new org.apache.hadoop.fs.Path(dstTable,
+                  st.getPath.getName), false, conf)
+            }
+        }
+        t -> Seq(ref(nv, t))
+      }
+    }
+  }
+
   /** COMMIT HISTORY of the artifact — the `DESCRIBE HISTORY` companion
     * to [[snapshotAt]]'s `VERSION AS OF`: one row per (still-published
     * version, table) with the commit's tag, the table's total segment

@@ -395,6 +395,56 @@ class ManifestsSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("clone: an exported snapshot answers like its source and lives an independent lifecycle") {
+    val src = s"${graft.engine.Sinks.scratch}/manifests_clone_src"
+    val dst = s"${graft.engine.Sinks.scratch}/manifests_clone_dst"
+    Seq(src, dst).foreach(IncrementalIngest.deleteDir(spark, _))
+    Dedup.buildMinhashIndex(
+      df(1L -> "alpha beta gamma delta epsilon zeta eta theta"),
+      src, "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+    Dedup.appendToMinhashIndex(
+      df(2L -> "one two three four five six seven eight"),
+      src, "doc_id", "text")
+    val probe = df(
+      101L -> "alpha beta gamma delta epsilon zeta eta zzz",
+      102L -> "one two three four five six seven zzz",
+      103L -> "red orange yellow green blue indigo violet zzz")
+    def ids(dir: String) = Dedup.minhashNearDupFromIndex(probe, dir,
+        "doc_id", "text", 0.5)
+      .orderBy("new_id").collect().map(_.getLong(1)).toSeq
+    val v = Manifests.cloneSnapshot(spark, src, dst)
+    assert(v == 1L, "a clone starts its own lifecycle at version 1")
+    assert(ids(dst) == ids(src),
+      "the clone must answer exactly like its source")
+    // Independence, both directions: an append to either store is
+    // invisible to the other (copied files, no shared segments).
+    Dedup.appendToMinhashIndex(
+      df(3L -> "red orange yellow green blue indigo violet pink"),
+      src, "doc_id", "text")
+    assert(ids(src) == Seq(1L, 2L, 3L) && ids(dst) == Seq(1L, 2L),
+      "a source append must not leak into the clone")
+    Dedup.appendToMinhashIndex(
+      df(4L -> "cat dog fox wolf bear lion tiger puma"),
+      dst, "doc_id", "text")
+    assert(ids(dst) == Seq(1L, 2L) && ids(src) == Seq(1L, 2L, 3L),
+      "a clone append must not leak into the source")
+    // History names the provenance; exports refuse non-fresh dirs and
+    // aged versions.
+    val tag = Manifests.history(spark, dst)
+      .filter(org.apache.spark.sql.functions.col("version") === 1L)
+      .select("tag").head().getString(0)
+    assert(tag == "clone_v2", s"clone commit must carry provenance: $tag")
+    intercept[IllegalArgumentException] {
+      Manifests.cloneSnapshot(spark, src, dst)
+    }
+    intercept[IllegalArgumentException] {
+      Manifests.cloneSnapshot(spark, src,
+        s"${graft.engine.Sinks.scratch}/manifests_clone_dst2",
+        atVersion = Some(1L)) // v1 aged out of src's keep horizon
+    }
+    graft.engine.Caches.release()
+  }
+
   test("history: one row per kept (version, table) with tag and the commit's own contribution; GC'd versions leave") {
     val dir = s"${graft.engine.Sinks.scratch}/manifests_history"
     IncrementalIngest.deleteDir(spark, dir)
