@@ -168,9 +168,13 @@ object SparkEntry {
         // exactly like its source (q148's oracle adjudicates the
         // copied snapshot's fidelity).
         val ref = docs.filter(col("doc_id") % 3 === 0)
+        // The clone's key folds in the SOURCE fixture's layout token
+        // (src-mf2): bumping the minhash key rebuilds the source, and
+        // this key must miss with it — otherwise q222 would keep
+        // serving a clone of the retired layout (review finding).
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
-          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
-          contentSig = Some(pmod(xxhash64(col("text")),
+          s"${Sinks.scratch}/dedup_index", s"${kind}_src-mf2_v1",
+          Some(dir), contentSig = Some(pmod(xxhash64(col("text")),
             lit(1000000007L)))) { idx =>
           graft.engine.Manifests.cloneSnapshot(s,
             storedDedupIndex(s, dir, "minhash"), idx)

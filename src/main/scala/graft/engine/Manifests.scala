@@ -289,17 +289,21 @@ object Manifests {
     // silently overwriting state whose writer might still be alive.
     try fs.create(claimPath(dir, next), false).close()
     catch {
-      // Only an actually-present claim means claim-conflict; any other
-      // I/O failure (full disk, permissions) must surface as ITSELF —
-      // a "delete the CLAIM file" instruction for a claim that doesn't
-      // exist is actively misleading (review finding).
-      case e: java.io.IOException if fs.exists(claimPath(dir, next)) =>
+      // A present claim OR a now-present marker at `next` means
+      // conflict (the rival may have finished its whole commit —
+      // including its claim release — between our failed create and
+      // this probe); any OTHER I/O failure (full disk, permissions)
+      // must surface as ITSELF — a "delete the CLAIM file" instruction
+      // for a claim that doesn't exist is actively misleading (review
+      // findings, two rounds of them).
+      case e: java.io.IOException if fs.exists(claimPath(dir, next)) ||
+          fs.exists(markerPath(dir, next)) =>
         throw new IllegalStateException(
-          s"cannot claim version $next of $dir: ${claimPath(dir, next)} " +
-            "exists — either a concurrent writer (mutations of one " +
-            "artifact dir must be externally serialized) or a crashed " +
-            "commit's leftover; if no writer is alive, delete the CLAIM " +
-            "file to recover", e)
+          s"cannot claim version $next of $dir: a CLAIM or MANIFEST " +
+            "marker for it exists — either a concurrent writer " +
+            "(mutations of one artifact dir must be externally " +
+            "serialized) or a crashed commit's leftover; if no writer " +
+            "is alive, delete the CLAIM file to recover", e)
     }
     try {
       // Close the stale-claim race the exclusive create alone leaves
@@ -307,13 +311,21 @@ object Manifests {
       // then stalled past the winner's whole commit INCLUDING its
       // claim release, claims successfully here — and its orphan
       // sweep below would delete the winner's PUBLISHED manifest and
-      // segment out from under the marker. A published marker at
-      // `next` means this writer's view of `live` was stale; refuse
-      // before touching anything.
-      if (fs.exists(markerPath(dir, next))) throw new IllegalStateException(
-        s"version $next of $dir was published while this writer was " +
-          "claiming it — a concurrent writer (mutations of one artifact " +
-          "dir must be externally serialized)")
+      // segment out from under the marker. Probing the ONE marker at
+      // `next` is not enough (second review finding): the store may
+      // have advanced PAST `next` while this writer was stalled, with
+      // `next`'s own marker already GC'd — and `next`'s segment can
+      // still be referenced by the LIVE manifest (appends re-reference
+      // old segments), so the orphan sweep would destroy live data.
+      // Re-list after claiming: ANY published version >= `next` means
+      // this writer's view of `live` was stale — refuse before
+      // touching anything.
+      if (publishedVersions(fs, dir).exists(_ >= next))
+        throw new IllegalStateException(
+          s"version $next of $dir (or a later one) was published while " +
+            "this writer was claiming it — a concurrent writer " +
+            "(mutations of one artifact dir must be externally " +
+            "serialized)")
       // Sweep any orphan a crashed predecessor left at this version.
       fs.delete(new org.apache.hadoop.fs.Path(segDir(dir, next)), true)
       fs.delete(manifestPath(dir, next), false)
@@ -442,15 +454,25 @@ object Manifests {
           // several segments merge into the clone's one table dir
           // (parquet readers ignore them anyway). Part-file names
           // carry write-UUIDs, so cross-segment collisions cannot
-          // happen.
-          sfs.listStatus(srcP).filter(st => st.isFile &&
-              !st.getPath.getName.startsWith("_") &&
+          // happen. The copy assumes FLAT segment tables — every
+          // manifest-staged table today is — so a non-hidden
+          // SUBDIRECTORY (a future partitionBy'd table) must fail
+          // loudly here rather than publish a clone that silently
+          // dropped the nested data (review finding).
+          val entries = sfs.listStatus(srcP).filter(st =>
+            !st.getPath.getName.startsWith("_") &&
               !st.getPath.getName.startsWith("."))
-            .foreach { st =>
-              org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs,
-                new org.apache.hadoop.fs.Path(dstTable,
-                  st.getPath.getName), false, conf)
-            }
+          entries.filter(_.isDirectory).foreach { st =>
+            throw new IllegalStateException(
+              s"cloneSnapshot expects flat segment tables; $srcP " +
+                s"contains directory ${st.getPath.getName} — teach the " +
+                "copy to recurse before cloning partitioned tables")
+          }
+          entries.foreach { st =>
+            org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs,
+              new org.apache.hadoop.fs.Path(dstTable,
+                st.getPath.getName), false, conf)
+          }
         }
         t -> Seq(ref(nv, t))
       }
