@@ -232,9 +232,13 @@ object Manifests {
   /** True iff `t`'s cause chain is a missing-path read — the shapes a
     * concurrently GC-swept version surfaces as: a raw
     * FileNotFoundException from the manifest open, or Spark's
-    * AnalysisException (`PATH_NOT_FOUND`) from a parquet read over the
-    * swept segment (review finding: the parquet path does NOT throw
-    * FileNotFoundException). */
+    * AnalysisException from a parquet read over the swept segment
+    * (review finding: the parquet path does NOT throw
+    * FileNotFoundException). The AnalysisException match keys on the
+    * stable error CLASS first, with the current message substring AND
+    * the pre-error-class phrasing ("Path does not exist") as
+    * fallbacks — a Spark release rewording the message must not turn
+    * "skip the swept version" into "crash mid-listing". */
   private def isMissingPath(t: Throwable): Boolean = {
     var c: Throwable = t
     var depth = 0
@@ -242,8 +246,11 @@ object Manifests {
       c match {
         case _: java.io.FileNotFoundException => return true
         case a: org.apache.spark.sql.AnalysisException
-            if a.getMessage != null &&
-              a.getMessage.contains("PATH_NOT_FOUND") => return true
+            if a.getCondition == "PATH_NOT_FOUND" ||
+              (a.getMessage != null &&
+                (a.getMessage.contains("PATH_NOT_FOUND") ||
+                  a.getMessage.contains("Path does not exist"))) =>
+          return true
         case _ =>
       }
       c = if (c.getCause eq c) null else c.getCause
@@ -252,13 +259,31 @@ object Manifests {
     false
   }
 
+  /** Commit metadata of version `v`: every well-formed `#key<TAB>value`
+    * manifest line. A malformed `#` line WITHOUT a tab (hand-edited or
+    * corrupt manifest) is skipped like any other malformed stray — the
+    * data lines still resolve, so the metadata reader must not be the
+    * one path that crashes on it (review finding: the old
+    * `Array(k, v)` destructure threw MatchError, which
+    * [[isMissingPath]] does not catch, wedging [[history]]). */
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long): Map[String, String] =
     manifestLines(fs, dir, v).filter(_.startsWith("#"))
-      .map { line =>
-        val Array(k, value) = line.drop(1).split("\t", 2)
-        (k, value)
-      }.toMap
+      .map(_.drop(1).split("\t", 2))
+      .collect { case Array(k, value) => (k, value) }.toMap
+
+  /** Public read of version `v`'s commit metadata (`tag` plus any
+    * caller-supplied [[publish]] `meta` keys); empty when the version
+    * is not published. The [[RunLedger]] tag→version resolution and
+    * the [[lineage]] relation read through this. */
+  def commitMeta(spark: SparkSession, dir: String,
+      v: Long): Map[String, String] = {
+    val fs = fsOf(spark, dir)
+    if (!publishedVersions(fs, dir).contains(v)) Map.empty
+    else
+      try readMeta(fs, dir, v)
+      catch { case _: java.io.FileNotFoundException => Map.empty }
+  }
 
   /** ONE atomic commit: claim version N+1, let `stage` write new data
     * under `seg<N+1>/` (handed the claimed version, the segment's
@@ -267,17 +292,49 @@ object Manifests {
     * own [[ref]]s for an append; only own refs for a rebuild), then
     * write the `v<N+1>` manifest, PUBLISH via exclusive marker create,
     * and GC manifests past `keepVersions` plus any segment no kept
-    * manifest references. Returns the published version. */
+    * manifest references. Returns the published version.
+    *
+    * `meta` rides the manifest as extra `#key<TAB>value` commit
+    * metadata beside the tag (readable via [[commitMeta]]); keys and
+    * values must be tab/newline-free, and the keys `tag` is reserved.
+    *
+    * `reclaimOwnClaim` is for callers that guarantee single-writer
+    * STRUCTURALLY (one streaming query owning the store through its
+    * checkpoint): a pre-existing claim at the target version is then
+    * provably this writer's own crashed predecessor — a checkpoint
+    * replay of the same logical batch — and is reclaimed instead of
+    * refused, which keeps replay branch-free. Callers without that
+    * structural guarantee must leave it false: reclaiming a LIVE
+    * rival's claim re-opens the torn-commit race the claim exists to
+    * close.
+    *
+    * FILESYSTEM ASSUMPTION: the claim and marker writes rely on
+    * `fs.create(path, overwrite = false)` being an atomic exclusive
+    * create, which HDFS, ABFS, and conditional-write S3A provide.
+    * On filesystems where the exclusive create is check-then-act
+    * (RawLocalFileSystem; object stores without conditional PUT) two
+    * racing creates can both appear to succeed — so after claiming,
+    * the writer re-reads the claim file and proceeds only when it
+    * still holds ITS OWN token (last-writer-wins on such filesystems
+    * demotes the race to one winner in all but a sub-millisecond
+    * window); on those filesystems the single-writer enforcement is
+    * best-effort and external serialization remains the contract. */
   def publish(spark: SparkSession, dir: String, keepVersions: Int = 2,
-      tag: String = "")
+      tag: String = "", meta: Map[String, String] = Map.empty,
+      reclaimOwnClaim: Boolean = false)
       (stage: (Long, String, Option[Snapshot]) => Map[String, Seq[String]]): Long = {
     require(!tag.contains("\n") && !tag.contains("\t"),
       s"commit tag must not contain tab/newline, got '$tag'")
+    meta.foreach { case (k, v) =>
+      require(k.nonEmpty && k != "tag" && !s"$k$v".exists(c => c == '\n' || c == '\t'),
+        s"commit meta keys/values must be non-reserved and tab/newline-free, got '$k'")
+    }
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val fs = fsOf(spark, dir)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     val live = snapshot(spark, dir)
     val next = live.map(_.version).getOrElse(0L) + 1
+    if (reclaimOwnClaim) fs.delete(claimPath(dir, next), false)
     // CLAIM version `next` with one atomic exclusive create BEFORE
     // touching anything: two writers racing the single-writer contract
     // both resolve the same `next`, and without the claim the loser's
@@ -287,23 +344,52 @@ object Manifests {
     // left by a CRASHED commit (death between claim and marker) also
     // fails here — with the recovery step in the message — rather than
     // silently overwriting state whose writer might still be alive.
-    try fs.create(claimPath(dir, next), false).close()
-    catch {
-      // A present claim OR a now-present marker at `next` means
-      // conflict (the rival may have finished its whole commit —
-      // including its claim release — between our failed create and
-      // this probe); any OTHER I/O failure (full disk, permissions)
-      // must surface as ITSELF — a "delete the CLAIM file" instruction
-      // for a claim that doesn't exist is actively misleading (review
-      // findings, two rounds of them).
-      case e: java.io.IOException if fs.exists(claimPath(dir, next)) ||
-          fs.exists(markerPath(dir, next)) =>
-        throw new IllegalStateException(
-          s"cannot claim version $next of $dir: a CLAIM or MANIFEST " +
-            "marker for it exists — either a concurrent writer " +
-            "(mutations of one artifact dir must be externally " +
-            "serialized) or a crashed commit's leftover; if no writer " +
-            "is alive, delete the CLAIM file to recover", e)
+    // The claim file carries a writer-unique token, re-verified below
+    // (the non-atomic-create fallback in the scaladoc).
+    val claimToken = java.util.UUID.randomUUID().toString
+    val created =
+      try { val out = fs.create(claimPath(dir, next), false); Some(out) }
+      catch {
+        // A present claim OR a now-present marker at `next` — or the
+        // filesystem's own already-exists signal, or a re-listed
+        // published version at/past `next` (a rival completed its
+        // WHOLE commit and a later commit's GC already swept both its
+        // claim and the marker, possible under keepVersions = 1) —
+        // all mean conflict; any OTHER I/O failure (full disk,
+        // permissions) must surface as ITSELF — a "delete the CLAIM
+        // file" instruction for a claim that doesn't exist is actively
+        // misleading (review findings, two rounds of them).
+        case e: java.io.IOException
+            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              fs.exists(claimPath(dir, next)) ||
+              fs.exists(markerPath(dir, next)) ||
+              publishedVersions(fs, dir).exists(_ >= next) =>
+          throw new IllegalStateException(
+            s"cannot claim version $next of $dir: a CLAIM or MANIFEST " +
+              "marker for it exists — either a concurrent writer " +
+              "(mutations of one artifact dir must be externally " +
+              "serialized) or a crashed commit's leftover; if no writer " +
+              "is alive, delete the CLAIM file to recover", e)
+      }
+    // Token write + read-back OUTSIDE the conflict guard: a failure
+    // here (disk full mid-write) is an I/O error on a claim THIS
+    // writer holds — release it and surface the error as itself.
+    try {
+      val out = created.get
+      try out.write(claimToken.getBytes("UTF-8")) finally out.close()
+      val in = fs.open(claimPath(dir, next))
+      val back = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      if (back != claimToken) throw new IllegalStateException(
+        s"claim for version $next of $dir no longer holds this " +
+          "writer's token — a concurrent writer's create raced ours " +
+          "on a filesystem without atomic exclusive create " +
+          "(mutations of one artifact dir must be externally serialized)")
+    } catch {
+      case e: IllegalStateException => throw e
+      case scala.util.control.NonFatal(e) =>
+        fs.delete(claimPath(dir, next), false)
+        throw e
     }
     try {
       // Close the stale-claim race the exclusive create alone leaves
@@ -331,7 +417,9 @@ object Manifests {
       fs.delete(manifestPath(dir, next), false)
       val tables = stage(next, segDir(dir, next), live)
       require(tables.nonEmpty, "a manifest commit must list at least one table")
-      val metaLines = if (tag.isEmpty) Seq.empty else Seq(s"#tag\t$tag")
+      val metaLines =
+        (if (tag.isEmpty) Seq.empty else Seq(s"#tag\t$tag")) ++
+          meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k\t$v" }
       val out = fs.create(manifestPath(dir, next), true)
       try out.write((metaLines ++ tables.toSeq.sortBy(_._1)
         .flatMap { case (t, rs) => rs.map(r => s"$t\t$r") })
@@ -424,7 +512,26 @@ object Manifests {
     * segments a rival GC could sweep. The commit goes through
     * [[publish]], so a half-copied clone is invisible (no marker) and
     * a retry overwrites the orphan. `dstDir` must not already hold a
-    * published artifact — clone is an export, not a merge. */
+    * published artifact — clone is an export, not a merge.
+    *
+    * The data copy is DISTRIBUTED: the driver lists the referenced
+    * files (metadata only, one recursive walk per segment ref — so
+    * `partitionBy`'d nested table layouts clone faithfully, relative
+    * subpaths preserved), then ships the (src, dst) pairs as one Spark
+    * job with one task per file. Clone wall is then bounded by
+    * bytes-per-executor, not total artifact bytes on the driver — a
+    * billion-vector IVF-PQ store clones at cluster speed instead of a
+    * single-node serial copy (the one wall-∝-bytes-on-one-node path
+    * this module ever had). `_`/`.`-prefixed names are skipped at
+    * every level (per-segment `_SUCCESS` metadata would collide when
+    * segments merge into the clone's one table dir; parquet readers
+    * ignore them); data-file names carry write-UUIDs so cross-segment
+    * collisions cannot happen — and the driver verifies destination
+    * uniqueness before copying rather than trusting it.
+    *
+    * Provenance rides the clone's first commit as metadata
+    * (`clone_src`, `clone_src_version` — see [[lineage]]) beside the
+    * `clone_v<N>` tag. */
   def cloneSnapshot(spark: SparkSession, srcDir: String, dstDir: String,
       atVersion: Option[Long] = None, keepVersions: Int = 2): Long = {
     val snap = atVersion match {
@@ -440,43 +547,73 @@ object Manifests {
       s"$dstDir already holds a published artifact — clone exports to " +
         "a fresh (or wiped) dir")
     val conf = spark.sparkContext.hadoopConfiguration
-    publish(spark, dstDir, keepVersions,
-      tag = s"clone_v${snap.version}") { (nv, seg, _) =>
-      snap.tables.map { case (t, refs) =>
+    publish(spark, dstDir, keepVersions, tag = s"clone_v${snap.version}",
+      meta = Map("clone_src" -> snap.dir,
+        "clone_src_version" -> snap.version.toString)) { (nv, seg, _) =>
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      snap.tables.foreach { case (t, refs) =>
         val dstTable = new org.apache.hadoop.fs.Path(s"$seg/$t")
-        val dfs = dstTable.getFileSystem(conf)
-        dfs.mkdirs(dstTable)
+        dstTable.getFileSystem(conf).mkdirs(dstTable)
         refs.foreach { r =>
           val srcP = new org.apache.hadoop.fs.Path(s"${snap.dir}/$r")
           val sfs = srcP.getFileSystem(conf)
-          // Data files only: each source segment carries its own
-          // `_SUCCESS`-style metadata whose names would collide when
-          // several segments merge into the clone's one table dir
-          // (parquet readers ignore them anyway). Part-file names
-          // carry write-UUIDs, so cross-segment collisions cannot
-          // happen. The copy assumes FLAT segment tables — every
-          // manifest-staged table today is — so a non-hidden
-          // SUBDIRECTORY (a future partitionBy'd table) must fail
-          // loudly here rather than publish a clone that silently
-          // dropped the nested data (review finding).
-          val entries = sfs.listStatus(srcP).filter(st =>
-            !st.getPath.getName.startsWith("_") &&
-              !st.getPath.getName.startsWith("."))
-          entries.filter(_.isDirectory).foreach { st =>
-            throw new IllegalStateException(
-              s"cloneSnapshot expects flat segment tables; $srcP " +
-                s"contains directory ${st.getPath.getName} — teach the " +
-                "copy to recurse before cloning partitioned tables")
-          }
-          entries.foreach { st =>
-            org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs,
-              new org.apache.hadoop.fs.Path(dstTable,
-                st.getPath.getName), false, conf)
-          }
+          def walk(p: org.apache.hadoop.fs.Path, rel: String): Unit =
+            sfs.listStatus(p).foreach { st =>
+              val name = st.getPath.getName
+              if (!name.startsWith("_") && !name.startsWith(".")) {
+                if (st.isDirectory) walk(st.getPath, s"$rel/$name")
+                else pairs += ((st.getPath.toUri.toString,
+                  s"$seg/$t$rel/$name"))
+              }
+            }
+          walk(srcP, "")
         }
-        t -> Seq(ref(nv, t))
+      }
+      val dups = pairs.groupBy(_._2).filter(_._2.size > 1).keys
+      require(dups.isEmpty,
+        s"clone of ${snap.dir} v${snap.version} would merge distinct " +
+          s"source files onto one destination: ${dups.take(3).mkString(", ")}")
+      if (pairs.nonEmpty) {
+        val sc = spark.sparkContext
+        val confSer = new org.apache.spark.SerializableWritable(conf)
+        val slices = math.max(1, math.min(pairs.size, sc.defaultParallelism))
+        sc.parallelize(pairs.toSeq, slices).foreach { case (srcU, dstU) =>
+          val c = confSer.value
+          val sp = new org.apache.hadoop.fs.Path(srcU)
+          val dp = new org.apache.hadoop.fs.Path(dstU)
+          // FileUtil.copy creates missing parent dirs, so nested
+          // partition paths need no driver-side mkdirs.
+          org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(c), sp,
+            dp.getFileSystem(c), dp, false, c)
+          ()
+        }
+      }
+      snap.tables.map { case (t, _) => t -> Seq(ref(nv, t)) }
+    }
+  }
+
+  /** CLONE LINEAGE, the audit relation for "where did this exported
+    * artifact come from": one row per still-published version with the
+    * commit tag and — for clone commits — the source store and the
+    * source version the copy was taken at (null for ordinary
+    * commits; pre-provenance clones show the tag only). Joins against
+    * [[history]] on `version` for the per-table view. Like history,
+    * it answers over what the store still remembers (kept versions). */
+  def lineage(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val rows = publishedVersions(fs, dir).flatMap { v =>
+      try {
+        val m = readMeta(fs, dir, v)
+        Seq((v, m.getOrElse("tag", ""), m.get("clone_src").orNull,
+          m.get("clone_src_version").filter(digitsFitLong)
+            .map(_.toLong).map(java.lang.Long.valueOf).orNull))
+      } catch {
+        case t if isMissingPath(t) =>
+          Seq.empty[(Long, String, String, java.lang.Long)]
       }
     }
+    spark.createDataFrame(rows)
+      .toDF("version", "tag", "src_store", "src_version")
   }
 
   /** COMMIT HISTORY of the artifact — the `DESCRIBE HISTORY` companion
