@@ -236,6 +236,22 @@ object SparkEntry {
           graft.operators.Retrieval.appendToBm25Index(
             docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text")
         }
+      case "bm25p" =>
+        // The PARTITIONED-postings twin of the bm25 fixture (q223):
+        // same build-evens + append-odds lifecycle, postings nested
+        // under wb= term-bucket directories — the 100 TB layout whose
+        // query path prunes whole buckets. Same corpus, same oracle
+        // as q216: the layout must be answer-invisible.
+        graft.engine.Fixtures.ensure(s, docs, "doc_id",
+          s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
+          contentSig = Some(pmod(xxhash64(col("text")),
+            lit(1000000007L)))) { idx =>
+          graft.operators.Retrieval.buildBm25Index(
+            docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text",
+            postingsBuckets = Some(8))
+          graft.operators.Retrieval.appendToBm25Index(
+            docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text")
+        }
       case "evalgrams" =>
         val ref = docs.filter(col("doc_id") % 3 === 0)
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
@@ -357,7 +373,8 @@ object SparkEntry {
         ("dedup", "linedf"), ("dedup", "minhash"),
         ("qualitymodel", "nb"), ("bpemodel", "m10")),
       "q221_index_rollback" -> Seq(("dedup", "minhash_rb")),
-      "q222_index_clone" -> Seq(("dedup", "minhash_clone")))
+      "q222_index_clone" -> Seq(("dedup", "minhash_clone")),
+      "q223_bm25_partitioned" -> Seq(("dedup", "bm25p")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]

@@ -1445,6 +1445,26 @@ private[graft] object SparkOracles {
       newPred = "doc_id % 3 <> 0"),
 
     // A faithful clone answers exactly like its source: q148's truth.
-    "q222_index_clone" -> Dedup.trueJaccardAcrossSql(3, 0.5, refMod = 3)
+    "q222_index_clone" -> Dedup.trueJaccardAcrossSql(3, 0.5, refMod = 3),
+
+    // The partitioned-postings layout is answer-invisible: same truth
+    // as the flat store (q216).
+    "q223_bm25_partitioned" ->
+      (Retrieval.bm25TopKSql(nQueries = 10, k = 5) +
+        "\nORDER BY query_id, rank"),
+
+    // Version 1 of the upsert store = the fold of batch 1 alone
+    // (event_id <= mid), and within one batch the newest row per key
+    // wins — so the pinned read must equal newest-per-key over the
+    // lower half. The same `//`-floored midpoint as the Spark split.
+    "q224_upsert_time_travel" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id <= (SELECT MIN(event_id) +
+        |      (MAX(event_id) - MIN(event_id)) // 2 FROM events)) _
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

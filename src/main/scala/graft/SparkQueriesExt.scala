@@ -1003,6 +1003,46 @@ private[graft] object SparkQueriesExt {
         storedDedupIndex(s, dir, "minhash_clone"),
         "doc_id", "text", threshold = 0.5)
         .orderBy("new_id", "ref_id")
+    }),
+
+    // PARTITIONED-postings BM25 (q216's 100 TB layout twin): the
+    // stored postings nest under wb= term-bucket partition
+    // directories (the layout recorded as commit metadata), and the
+    // query path prunes the scan to the buckets its own terms hash
+    // into — directory-level pruning before any file opens, on top
+    // of the row-group stats the flat layout gets. Same corpus and
+    // parameters as q216, SAME oracle: a layout that changed one
+    // score or rank would hash-mismatch, adjudicating that
+    // partitioning is answer-invisible.
+    "q223_bm25_partitioned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Retrieval.bm25TopKFromIndex(
+        docs.filter(col("doc_id") < 10),
+        storedDedupIndex(s, dir, "bm25p"), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // VERSION AS OF on the streaming upsert table — the unification
+    // dividend made queryable: the q123 MERGE sink now commits
+    // through the shared manifest protocol, so batch boundaries are
+    // first-class versions and "the maintained state as of batch 1"
+    // is a plain pinned read, no sink-specific machinery. The store
+    // keeps two versions (publish's default), so the earliest kept
+    // one IS the post-batch-1 state; oracle = newest-per-key over the
+    // batch-1 slice alone (a live read — or a pin that leaked batch 2
+    // — would carry the upper half's rows and hash-mismatch).
+    "q224_upsert_time_travel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val range = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val mid = range.getLong(0) + (range.getLong(1) - range.getLong(0)) / 2
+      val table = graft.streaming.EventStream.runUpsertBatches(s,
+        Seq(ev.filter(col("event_id") <= mid),
+          ev.filter(col("event_id") > mid)),
+        s"${Sinks.scratch}/q224", "user_id", "event_id")
+      graft.streaming.EventStream.readUpsertTableAt(s, table,
+        graft.engine.Manifests.earliestVersion(s, table))
+        .orderBy("user_id")
     })
   )
 }

@@ -150,10 +150,27 @@ object Manifests {
     /** Absolute parquet paths of `table` in THIS snapshot. */
     def paths(table: String): Seq[String] =
       tables.getOrElse(table, Seq.empty).map(r => s"$dir/$r")
+    /** Read `table` across this snapshot's segments. Flat segment
+      * layouts (every store's default) read as ONE multi-path parquet
+      * scan — a single FileIndex, the plan shape downstream specs pin.
+      * A `partitionBy`'d nested layout cannot: Spark's partition
+      * discovery refuses sibling segment roots as "conflicting
+      * directory structures", so nested tables read per-segment and
+      * union — same distributed scan work, one FileIndex per segment.
+      * Nested-ness is probed with one metadata listing of the first
+      * ref (segments of one table share a layout by construction). */
     def read(spark: SparkSession, table: String): DataFrame = {
       val ps = paths(table)
       require(ps.nonEmpty, s"snapshot v$version of $dir has no table '$table'")
-      spark.read.parquet(ps: _*)
+      def nested: Boolean = {
+        val p = new org.apache.hadoop.fs.Path(ps.head)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).exists(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      }
+      if (ps.size == 1 || !nested) spark.read.parquet(ps: _*)
+      else ps.map(spark.read.parquet(_)).reduce(_ unionByName _)
     }
   }
 

@@ -249,8 +249,17 @@ object Retrieval {
     * document frequencies, corpus size, and total length sum across
     * segments exactly (integers) — which is what makes the append a
     * pure segment write with no merge. */
+  /** Term bucket of the PARTITIONED postings layout: a stable hash of
+    * the term modulo the store's bucket count. One spelling for the
+    * write path and the query path, so pruning can never diverge from
+    * placement. */
+  private def termBucket(w: org.apache.spark.sql.Column,
+      buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(w), lit(buckets.toLong))
+
   private def writeBm25Segment(docs: DataFrame, idCol: String,
-      textCol: String, seg: String): Unit = {
+      textCol: String, seg: String,
+      postingsBuckets: Option[Int] = None): Unit = {
     val tf = graft.engine.Caches.materialized(
       termFreq(docs, idCol, textCol)
         .select(col("w"), col(idCol).as("doc_id"), col("tf")))
@@ -260,9 +269,25 @@ object Retrieval {
     // The range partitioner's sampled (w, doc_id) boundaries split a
     // hot term ACROSS partitions while keeping files term-clustered,
     // so parquet row-group min/max stats still prune non-query terms.
-    tf.repartitionByRange(col("w"), col("doc_id"))
-      .sortWithinPartitions("w", "doc_id")
-      .write.mode("overwrite").parquet(s"$seg/postings")
+    postingsBuckets match {
+      case None =>
+        tf.repartitionByRange(col("w"), col("doc_id"))
+          .sortWithinPartitions("w", "doc_id")
+          .write.mode("overwrite").parquet(s"$seg/postings")
+      case Some(nb) =>
+        // PARTITIONED layout: postings land under `wb=<bucket>/`
+        // directories, so a query's file listing prunes to the
+        // buckets its terms hash into BEFORE any file is opened —
+        // directory-level pruning on top of the row-group stats the
+        // flat layout already gets. Ranging on (wb, w, doc) keeps
+        // each writer task inside few buckets (term-clustered files,
+        // hot buckets still split across tasks).
+        tf.withColumn("wb", termBucket(col("w"), nb))
+          .repartitionByRange(col("wb"), col("w"), col("doc_id"))
+          .sortWithinPartitions("wb", "w", "doc_id")
+          .write.partitionBy("wb").mode("overwrite")
+          .parquet(s"$seg/postings")
+    }
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     dl.write.mode("overwrite").parquet(s"$seg/dl")
     tf.groupBy("w").agg(count(lit(1)).as("partial_df"))
@@ -278,16 +303,46 @@ object Retrieval {
     * retrieval structure without a build/append/query lifecycle (the
     * q185 registration rebuilt postings inline per query). Versioned-
     * manifest commits like the MinHash index: atomic publish, reader
-    * snapshots, GC. */
+    * snapshots, GC.
+    *
+    * `postingsBuckets = Some(n)` selects the PARTITIONED postings
+    * layout — the natural 100 TB shape: postings nest under
+    * `wb=<hash(term) % n>/` partition directories, the layout choice
+    * rides every commit as manifest metadata (`postings_buckets`, so
+    * appends and compactions stay layout-consistent and the query
+    * path needs no out-of-band knowledge), and
+    * [[bm25TopKFromIndex]] prunes the postings scan to the buckets
+    * the query's terms hash into — directory-level pruning before a
+    * single file opens. Answers are layout-invariant (q223 runs under
+    * q216's oracle). Size `n` so a bucket's postings stay well under
+    * an executor's scan appetite; tens-to-hundreds at corpus scale. */
   def buildBm25Index(docs: DataFrame, dir: String, idCol: String,
-      textCol: String): Unit = {
+      textCol: String, postingsBuckets: Option[Int] = None): Unit = {
     val spark = docs.sparkSession
-    graft.engine.Manifests.publish(spark, dir, tag = "build") { (v, seg, _) =>
-      writeBm25Segment(docs, idCol, textCol, seg)
+    require(postingsBuckets.forall(_ >= 1),
+      s"postingsBuckets must be >= 1, got $postingsBuckets")
+    graft.engine.Manifests.publish(spark, dir, tag = "build",
+      meta = layoutMeta(postingsBuckets)) { (v, seg, _) =>
+      writeBm25Segment(docs, idCol, textCol, seg, postingsBuckets)
       Bm25Tables.map(t => t -> Seq(graft.engine.Manifests.ref(v, t))).toMap
     }
     ()
   }
+
+  private def layoutMeta(postingsBuckets: Option[Int]): Map[String, String] =
+    postingsBuckets.map(n => "postings_buckets" -> n.toString).toMap
+
+  /** The postings layout version `v` of the store was committed with:
+    * Some(bucket count) for the partitioned layout, None for flat —
+    * read from the commit's own metadata, so a reader can never apply
+    * the wrong pruning to a snapshot (layout is a property of the
+    * COMMIT, not of whoever queries it). */
+  private def postingsLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long): Option[Int] =
+    graft.engine.Manifests.commitMeta(spark, dir, v)
+      .get("postings_buckets")
+      .filter(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit))
+      .map(_.toInt)
 
   /** Index MAINTENANCE: one new segment of partial statistics for the
     * batch — O(|batch|) writes, no history rewrite, additive by
@@ -305,8 +360,13 @@ object Retrieval {
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti"))
     if (!novel.isEmpty) {
-      graft.engine.Manifests.publish(spark, dir, tag = "append") { (v, seg, _) =>
-        writeBm25Segment(novel, idCol, textCol, seg)
+      // The new segment inherits the live commit's postings layout
+      // (and re-emits it), so a store is partitioned or flat as a
+      // WHOLE — mixed-layout segments would break the union read.
+      val layout = postingsLayout(spark, dir, snap.version)
+      graft.engine.Manifests.publish(spark, dir, tag = "append",
+        meta = layoutMeta(layout)) { (v, seg, _) =>
+        writeBm25Segment(novel, idCol, textCol, seg, layout)
         Bm25Tables.map(t => t ->
           (snap.tables(t) :+ graft.engine.Manifests.ref(v, t))).toMap
       }
@@ -330,7 +390,9 @@ object Retrieval {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
       "BM25 index", "compaction needs a finished build")
-    graft.engine.Manifests.publish(spark, dir, tag = "compact") { (v, seg, _) =>
+    val layout = postingsLayout(spark, dir, snap.version)
+    graft.engine.Manifests.publish(spark, dir, tag = "compact",
+      meta = layoutMeta(layout)) { (v, seg, _) =>
       // Range-partition into ceil(bytes/targetBytes) files (the
       // compactSnapshotTable sizing) — the default shuffle-partition
       // count would leave a small index MORE fragmented after
@@ -342,10 +404,22 @@ object Retrieval {
         new org.apache.hadoop.fs.Path(p)).getLength).sum
       val nf = math.max(1L,
         (postingBytes + targetBytes - 1) / targetBytes).toInt
-      snap.read(spark, "postings")
-        .repartitionByRange(nf, col("w"), col("doc_id"))
-        .sortWithinPartitions("w", "doc_id")
-        .write.mode("overwrite").parquet(s"$seg/postings")
+      layout match {
+        case None =>
+          snap.read(spark, "postings")
+            .repartitionByRange(nf, col("w"), col("doc_id"))
+            .sortWithinPartitions("w", "doc_id")
+            .write.mode("overwrite").parquet(s"$seg/postings")
+        case Some(_) =>
+          // The partitioned layout keeps its directory scheme across
+          // compaction (wb is a real column of the partitioned read,
+          // re-emitted by partitionBy on the rewrite).
+          snap.read(spark, "postings")
+            .repartitionByRange(nf, col("wb"), col("w"), col("doc_id"))
+            .sortWithinPartitions("wb", "w", "doc_id")
+            .write.partitionBy("wb").mode("overwrite")
+            .parquet(s"$seg/postings")
+      }
       graft.operators.Dedup.compactSnapshotTable(spark, snap, "dl", seg,
         targetBytes)
       snap.read(spark, "dfreq").groupBy("w")
@@ -392,7 +466,22 @@ object Retrieval {
     val dfTotal = snap.read(spark, "dfreq")
       .join(broadcast(qterms.select("w").distinct()), Seq("w"))
       .groupBy("w").agg(sum("partial_df").as("df"))
-    val scored = snap.read(spark, "postings")
+    // PARTITIONED layout (postings_buckets in the commit metadata):
+    // hash the query's own terms with the store's bucket function and
+    // prune the postings scan to those `wb=` directories with a
+    // literal IN — static partition pruning, files of non-matching
+    // buckets are never even listed. The collect is bounded by the
+    // QUERY vocabulary (tiny by contract, like the IVF probe list),
+    // never by the corpus.
+    val postingsAll = postingsLayout(spark, dir, snap.version) match {
+      case None => snap.read(spark, "postings")
+      case Some(nb) =>
+        val qb = qterms.select(termBucket(col("w"), nb).as("wb"))
+          .distinct().collect().map(_.getLong(0))
+        snap.read(spark, "postings")
+          .filter(col("wb").isin(qb.toSeq: _*)).drop("wb")
+    }
+    val scored = postingsAll
       .join(broadcast(qterms), Seq("w"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(dfTotal, Seq("w"))

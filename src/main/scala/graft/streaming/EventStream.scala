@@ -367,40 +367,6 @@ object EventStream {
        |  AND v.ts <= p.ts
        |  AND v.ts >= p.ts - INTERVAL $lookbackMinutes MINUTES""".stripMargin
 
-  /** The upsert table's version layout: immutable `v<N>/` snapshot
-    * directories published by zero-byte `MANIFEST-<N>` marker files.
-    * The LIVE version is the greatest published marker; a version dir
-    * without its marker does not exist as far as any reader is
-    * concerned. Markers are zero-padded so a directory listing sorts
-    * them, but resolution parses the number (padding is cosmetic). */
-  private def versionDir(path: String, v: Long) =
-    new org.apache.hadoop.fs.Path(path, f"v$v%08d")
-  private def versionMarker(path: String, v: Long) =
-    new org.apache.hadoop.fs.Path(path, f"MANIFEST-$v%08d")
-
-  /** Version number named by a `MANIFEST-<N>` marker file name, or None
-    * for any malformed `MANIFEST-`-prefixed stray. The ONE parser both
-    * resolution and GC go through: a stray a reader tolerates must also
-    * be a stray the GC sweep tolerates, or a single junk file wedges the
-    * streaming query (every checkpoint replay re-crashes on it). */
-  private def parseMarkerVersion(name: String): Option[Long] =
-    Some(name.stripPrefix("MANIFEST-"))
-      .filter(s => name.startsWith("MANIFEST-") && s.nonEmpty &&
-        s.length <= 18 && s.forall(_.isDigit)) // <=18 digits: toLong can't overflow
-      .map(_.toLong)
-
-  /** All PUBLISHED versions at `path`, ascending (empty when the sink
-    * is uninitialized). One metadata listing. A `MANIFEST-`-prefixed
-    * name whose suffix is not a number is ignored rather than crashing
-    * resolution — only the writer's own well-formed markers publish. */
-  private def publishedVersions(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .flatMap(parseMarkerVersion).sorted
-  }
-
   /** Streaming MERGE sink: each micro-batch UPSERTs into a parquet
     * target by key ([[graft.operators.Merge.upsert]] inside
     * `foreachBatch`) — the CDC-apply pattern every lakehouse table
@@ -410,45 +376,37 @@ object EventStream {
     * the order column — a micro-batch can hold several changes for one
     * key).
     *
-    * COMMIT PROTOCOL — a versioned-directory manifest, the same
-    * metadata idea Delta/Iceberg implement, reduced to the two
-    * filesystem primitives that ARE atomic on HDFS and local FS
-    * (exclusive file create; file delete). Each batch: (1) resolve the
-    * live version N = max published `MANIFEST-*` marker; (2) merge the
-    * batch into `v<N>`'s rows and write the result to `v<N+1>/`
-    * (overwrite mode, so an orphan left by a previous crash is simply
-    * replaced); (3) PUBLISH by creating the zero-byte `MANIFEST-<N+1>`
-    * — one atomic create, after which every resolution sees N+1;
-    * (4) garbage-collect versions older than `keepVersions`, marker
-    * strictly BEFORE data dir so no reachable marker ever names a
-    * partially-deleted dir. Published version dirs are IMMUTABLE —
-    * nothing is ever renamed or rewritten under a reader, which is
-    * what eliminates the read-during-swap race the previous
-    * staged-rename protocol could only document.
+    * COMMIT PROTOCOL — the upsert table IS a [[graft.engine.Manifests]]
+    * store with one table `t`, each batch a REBUILD commit (a MERGE
+    * sink rewrites the full table every batch by definition, so the
+    * commit references only its own segment — the manifest layer costs
+    * one small file per batch and buys the whole protocol family:
+    * atomic publish, immutable reader snapshots, GC, [[graft.engine
+    * .Manifests.history]], `VERSION AS OF` reads via
+    * [[readUpsertTableAt]], and every race/staleness fix the shared
+    * module carries now and later. The sink previously duplicated the
+    * protocol as a whole-version-directory variant; two
+    * implementations of one protocol meant the next race fix lands in
+    * one of them — review finding.)
     *
-    * Crash recovery needs no branching: a death before (3) leaves an
-    * unpublished orphan `v<N+1>` that the checkpoint's replay
-    * overwrites (the upsert is idempotent per (key, batch)); a death
-    * after (3) but inside (4) leaves stale markers/dirs the next
-    * batch's GC sweeps. The table is ALWAYS the newest published
-    * version — never partial, never stale.
+    * Crash recovery stays branch-free: a death before the marker
+    * leaves an unpublished orphan segment (and this writer's own
+    * claim) that the checkpoint's replay reclaims and overwrites —
+    * `reclaimOwnClaim` is sound here because the checkpoint makes the
+    * streaming query the store's ONLY writer, so a leftover claim at
+    * the next version is provably its own crashed predecessor; a
+    * death inside GC leaves strays the next batch's commit sweeps.
+    * The table is ALWAYS the newest published version — never
+    * partial, never stale.
     *
     * `keepVersions` is the reader-horizon contract (Delta's vacuum
     * retention, in miniature): a reader that resolved version N keeps
     * a complete immutable snapshot under it for at least
-    * `keepVersions - 1` subsequent batch commits. Size it to the
-    * longest-running reader; 2 suffices for readers shorter than a
-    * batch interval. Object stores without atomic create/list
+    * `keepVersions - 1` subsequent batch commits; a store-level
+    * [[graft.engine.Manifests.setRetention]] pin widens it for
+    * time-travel consumers. Object stores without atomic create/list
     * visibility need the real table formats — that adjudication
-    * stands.
-    *
-    * Relation to [[graft.engine.Manifests]] (the shared segment-based
-    * generalization of this protocol the stored indexes run): the sink
-    * deliberately keeps WHOLE-VERSION directories rather than
-    * segment-listing manifests, because a MERGE sink rewrites the full
-    * table every batch by definition — there is no O(batch) append
-    * segment for a manifest to buy, so version dir = segment and the
-    * extra manifest file would be pure indirection. */
+    * stands (see the Manifests filesystem-assumption scaladoc). */
   def startUpsertSink(changes: DataFrame, path: String,
       checkpointDir: String, key: String, orderCol: String,
       keepVersions: Int = 2): StreamingQuery = {
@@ -460,63 +418,77 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val versions = publishedVersions(fs, path)
-          val live = versions.lastOption
-          val next = live.getOrElse(0L) + 1
           val cols = batch.columns.filterNot(_ == key)
           val newest = batch.groupBy(col(key))
             .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("_r"))
             .select(col(key) +: cols.map(c => col(s"_r.$c").as(c)): _*)
-          val merged = live match {
-            case None => newest
-            case Some(v) => graft.operators.Merge.upsert(
-              spark.read.parquet(versionDir(path, v).toString), newest, key)
+          graft.engine.Manifests.publish(spark, path, keepVersions,
+            tag = "upsert", reclaimOwnClaim = true) { (v, seg, live) =>
+            val merged = live match {
+              case None => newest
+              case Some(snap) => graft.operators.Merge.upsert(
+                snap.read(spark, "t"), newest, key)
+            }
+            merged.write.mode("overwrite").parquet(s"$seg/t")
+            Map("t" -> Seq(graft.engine.Manifests.ref(v, "t")))
           }
-          // (2) stage the new immutable snapshot; overwrite sweeps any
-          // unpublished orphan a crashed predecessor left here.
-          merged.write.mode("overwrite")
-            .parquet(versionDir(path, next).toString)
-          // (3) publish: one atomic exclusive create.
-          fs.create(versionMarker(path, next), false).close()
-          // (4) GC everything below the keep horizon, marker strictly
-          // before dir. Swept by LISTING rather than from the resolved
-          // version set, so a dir orphaned by a crash mid-GC (marker
-          // deleted, dir not) is reclaimed by the next batch instead
-          // of leaking forever.
-          val keepFrom = (versions :+ next).takeRight(keepVersions).head
-          val names = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-            .toSeq.map(_.getPath.getName)
-          names.flatMap(parseMarkerVersion).filter(_ < keepFrom)
-            .foreach(v => fs.delete(versionMarker(path, v), false))
-          names.filter(n => n.length > 1 && n.length <= 19 &&
-              n.startsWith("v") && n.drop(1).forall(_.isDigit))
-            .map(_.drop(1).toLong).filter(_ < keepFrom)
-            .foreach(v => fs.delete(versionDir(path, v), true))
           ()
         }
       }
       .start()
   }
 
-  /** Reader for a [[startUpsertSink]] table: resolve the greatest
-    * published `MANIFEST-<N>` marker, read the immutable `v<N>/` it
-    * names. No retries, no fallback precedence, no tolerated race
-    * spellings — a published version is complete by construction
-    * (the marker is created only after the snapshot's own `_SUCCESS`)
-    * and immutable until it ages past the writer's `keepVersions`
-    * horizon, which is the one contract the caller sizes (a reader
-    * must finish within `keepVersions - 1` subsequent commits).
-    * Fails loudly only on an uninitialized sink. */
-  def readUpsertTable(spark: SparkSession, path: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = publishedVersions(fs, path).lastOption.getOrElse(
-      throw new java.io.FileNotFoundException(
-        s"$path holds no published upsert-table version (no MANIFEST-* " +
-          "marker) — not an initialized sink, or an aborted first batch"))
-    spark.read.parquet(versionDir(path, live).toString)
+  /** Reader for a [[startUpsertSink]] table: the live manifest
+    * snapshot's single table. A published version is complete by
+    * construction and immutable until it ages past the writer's
+    * `keepVersions` horizon, which is the one contract the caller
+    * sizes (a reader must finish within `keepVersions - 1` subsequent
+    * commits). Fails loudly only on an uninitialized sink. */
+  def readUpsertTable(spark: SparkSession, path: String): DataFrame =
+    readUpsertTableAt(spark, path, None)
+
+  /** `VERSION AS OF` read of the upsert table — the unification
+    * dividend: "what did the maintained state look like N batches
+    * ago" needs no sink-specific machinery, it is
+    * [[graft.engine.Manifests.snapshotAt]] on the store every batch
+    * commit already writes. None pins nothing (live read). */
+  def readUpsertTableAt(spark: SparkSession, path: String,
+      atVersion: Option[Long]): DataFrame = {
+    val snap = atVersion match {
+      case Some(v) =>
+        graft.engine.Manifests.snapshotAt(spark, path, v).getOrElse(
+          throw new java.io.FileNotFoundException(
+            s"$path has no published upsert-table version $v — never " +
+              "committed, or aged past the keep horizon"))
+      case None =>
+        graft.engine.Manifests.snapshot(spark, path).getOrElse(
+          throw new java.io.FileNotFoundException(
+            s"$path holds no published upsert-table version (no " +
+              "MANIFEST-* marker) — not an initialized sink, or an " +
+              "aborted first batch"))
+    }
+    snap.read(spark, "t")
+  }
+
+  /** Run `batches` through [[startUpsertSink]] one AvailableNow drain
+    * each (same checkpoint, so run K folds ONLY batch K into the
+    * maintained state) and return the TABLE PATH — callers read the
+    * live fold via [[readUpsertTable]] or any historical batch
+    * boundary via [[readUpsertTableAt]] (version K = the state after
+    * batch K; the q224 registration pins the earliest kept one). */
+  def runUpsertBatches(spark: SparkSession, batches: Seq[DataFrame],
+      scratchRoot: String, key: String, orderCol: String): String = {
+    require(batches.nonEmpty, "runUpsertBatches needs at least one batch")
+    val src = s"$scratchRoot/src"
+    val table = s"$scratchRoot/table"
+    val cp = s"$scratchRoot/checkpoint"
+    Seq(src, table, cp).foreach(IncrementalIngest.deleteDir(spark, _))
+    batches.foreach { b =>
+      b.write.mode("append").parquet(src)
+      val changes = spark.readStream.schema(batches.head.schema).parquet(src)
+      startUpsertSink(changes, table, cp, key, orderCol).awaitTermination()
+    }
+    table
   }
 
   /** End-to-end batch-cadence driver for [[startUpsertSink]], returning
@@ -531,21 +503,9 @@ object EventStream {
     * batch 1's, the fold equals the global newest-per-key — a plain SQL
     * oracle (q123). */
   def twoRunUpsert(spark: SparkSession, batch1: DataFrame, batch2: DataFrame,
-      scratchRoot: String, key: String, orderCol: String): DataFrame = {
-    val src = s"$scratchRoot/src"
-    val table = s"$scratchRoot/table"
-    val cp = s"$scratchRoot/checkpoint"
-    Seq(src, table, cp).foreach(IncrementalIngest.deleteDir(spark, _))
-    def run(): Unit = {
-      val changes = spark.readStream.schema(batch1.schema).parquet(src)
-      startUpsertSink(changes, table, cp, key, orderCol).awaitTermination()
-    }
-    batch1.write.mode("append").parquet(src)
-    run()
-    batch2.write.mode("append").parquet(src)
-    run()
-    readUpsertTable(spark, table)
-  }
+      scratchRoot: String, key: String, orderCol: String): DataFrame =
+    readUpsertTable(spark, runUpsertBatches(spark,
+      Seq(batch1, batch2), scratchRoot, key, orderCol))
 
   /** Stream-static enrichment join: each streaming event looks up its key
     * in a STATIC (batch) dimension. The stateless member of the streaming

@@ -331,13 +331,18 @@ class EventStreamSpec extends SparkSpec {
       3L -> ("c-v1", 1L)))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash window: a death AFTER the snapshot write but BEFORE the
-    // marker create leaves an unpublished orphan v<next> holding stale
-    // content. The replay must resolve the PUBLISHED version, merge
-    // against it (keys 1 and 3 survive), and overwrite the orphan —
-    // never read it.
+    import graft.engine.Manifests
+    // Crash window: a death AFTER the segment write but BEFORE the
+    // marker leaves an unpublished orphan segment holding stale
+    // content — AND this writer's own claim (the sink commits through
+    // Manifests now). The replay must reclaim its own claim
+    // (single-writer structurally, via the checkpoint), resolve the
+    // PUBLISHED version, merge against it (keys 1 and 3 survive), and
+    // overwrite the orphan — never read it.
     Seq(Chg(9L, "stale-orphan", 9L)).toDF()
-      .write.mode("overwrite").parquet(s"$root/t/v00000003")
+      .write.mode("overwrite").parquet(s"$root/t/seg00000003/t")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/t/CLAIM-00000003"), true).close()
     // A malformed MANIFEST-prefixed stray must survive BOTH resolution
     // and the post-publish GC sweep — an unguarded parse in either
     // crashes the micro-batch, and since the stray persists, every
@@ -355,39 +360,58 @@ class EventStreamSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$root/t/MANIFEST-not-a-number"), false)
     // GC horizon: keepVersions = 2 (the default), so after three
-    // batches only the two newest published versions remain.
+    // batches only the two newest published versions remain — markers,
+    // manifest files, and segments all swept below it.
     assert(manifests() == Seq("MANIFEST-00000002", "MANIFEST-00000003"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t/v00000001")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Manifests.segDir(s"$root/t", 1L))))
     // Crash window: a death inside GC after deleting an old marker but
-    // before its data dir leaves an UNREACHABLE orphan dir. It must
+    // before its segment leaves an UNREACHABLE orphan dir. It must
     // never be read, and the next batch's list-based GC reclaims it
     // (everything below the keep horizon is swept, published or not).
-    Seq(Chg(8L, "gc-orphan", 8L)).toDF()
-      .write.mode("overwrite").parquet(s"$root/t/v00000001")
+    Seq(Chg(8L, "gc-orphan", 8L)).toDF().write.mode("overwrite")
+      .parquet(s"${Manifests.segDir(s"$root/t", 1L)}/t")
     src.addData(Chg(4L, "d-v1", 1L))
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
       3L -> ("c-v1", 1L), 4L -> ("d-v1", 1L)))
     assert(manifests() == Seq("MANIFEST-00000003", "MANIFEST-00000004"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t/v00000001")),
-      "a dir orphaned by a crash mid-GC must be reclaimed, not leak")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Manifests.segDir(s"$root/t", 1L))),
+      "a segment orphaned by a crash mid-GC must be reclaimed, not leak")
     // Replays are idempotent per (key, batch): re-running the same
     // logical change advances the version but not the answer.
     src.addData(Chg(4L, "d-v2", 2L))
     drain()
     assert(state() == Map(1L -> ("a-v2", 2L), 2L -> ("b-v3", 3L),
       3L -> ("c-v1", 1L), 4L -> ("d-v2", 2L)))
+    // The unification dividend: batch boundaries are first-class
+    // versions — history shows the kept upsert commits, and a pinned
+    // read answers with the state as of that batch.
+    val hist = Manifests.history(spark, s"$root/t")
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((4L, "upsert"), (5L, "upsert")),
+      s"upsert history must list the kept batch commits: $hist")
+    val pinned = EventStream.readUpsertTableAt(spark, s"$root/t",
+        Some(4L)).as[Chg].collect().map(c => c.k -> c.v).toMap
+    assert(pinned == Map(1L -> "a-v2", 2L -> "b-v3", 3L -> "c-v1",
+      4L -> "d-v1"), s"VERSION AS OF must answer pre-batch-5: $pinned")
+    assertThrows[java.io.FileNotFoundException](
+      EventStream.readUpsertTableAt(spark, s"$root/t", Some(1L)))
     // Cold start beside garbage: no markers at all plus a partial
-    // unpublished dir → the batch rebuilds from its own rows only.
+    // unpublished segment → the batch rebuilds from its own rows only.
     (1L to 5L).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(
         f"$root/t/MANIFEST-$v%08d"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(f"$root/t/v$v%08d"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(f"$root/t/v$v%08d"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        Manifests.segDir(s"$root/t", v)), true)
     }
-    Seq(Chg(9L, "stale-partial", 9L)).toDF()
-      .write.mode("overwrite").parquet(s"$root/t/v00000001")
+    Seq(Chg(9L, "stale-partial", 9L)).toDF().write.mode("overwrite")
+      .parquet(s"${Manifests.segDir(s"$root/t", 1L)}/t")
     fs.delete(new org.apache.hadoop.fs.Path(
-      s"$root/t/v00000001/_SUCCESS"), false)
+      s"${Manifests.segDir(s"$root/t", 1L)}/t/_SUCCESS"), false)
     src.addData(Chg(7L, "g-v1", 1L))
     drain()
     assert(state() == Map(7L -> ("g-v1", 1L)))
@@ -452,45 +476,56 @@ class EventStreamSpec extends SparkSpec {
     val t = s"$root/t"
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.engine.Manifests
     def rows(): Set[Long] =
       EventStream.readUpsertTable(spark, t).as[Chg].collect().map(_.k).toSet
+    // The sink's exact commit layout, hand-written: segment + manifest
+    // file + marker (what Manifests.publish emits for a one-table
+    // rebuild commit).
     def publish(v: Long, rs: Seq[Chg]): Unit = {
-      rs.toDF().write.mode("overwrite").parquet(f"$t/v$v%08d")
+      rs.toDF().write.mode("overwrite")
+        .parquet(s"${Manifests.segDir(t, v)}/t")
+      val out = fs.create(new Path(t, f"v$v%08d"), true)
+      try out.write(f"t\tseg$v%08d/t".getBytes("UTF-8"))
+      finally out.close()
       fs.create(new Path(f"$t/MANIFEST-$v%08d"), false).close()
     }
     // Uninitialized sink: no published version anywhere → loud failure,
-    // even when an UNPUBLISHED orphan dir sits there (never read).
-    Seq(Chg(9L, "orphan", 1L)).toDF().write.parquet(s"$t/v00000001")
+    // even when an UNPUBLISHED orphan segment sits there (never read).
+    Seq(Chg(9L, "orphan", 1L)).toDF()
+      .write.parquet(s"${Manifests.segDir(t, 1L)}/t")
     assertThrows[java.io.FileNotFoundException](rows())
-    fs.delete(new Path(s"$t/v00000001"), true)
+    fs.delete(new Path(Manifests.segDir(t, 1L)), true)
     // Normal state: the greatest published marker wins; a NEWER orphan
-    // dir without its marker is invisible (crash before publish).
+    // segment without its marker is invisible (crash before publish).
     publish(1L, Seq(Chg(1L, "a", 1L)))
     assert(rows() == Set(1L))
-    Seq(Chg(9L, "orphan", 1L)).toDF().write.parquet(s"$t/v00000002")
+    Seq(Chg(9L, "orphan", 1L)).toDF()
+      .write.parquet(s"${Manifests.segDir(t, 2L)}/t")
     assert(rows() == Set(1L), "an unpublished version must be invisible")
     // Publishing v2 flips resolution atomically; stale v1 still being
     // present (GC not yet run) changes nothing. A malformed
     // MANIFEST-prefixed stray file is ignored, not a crash.
-    fs.delete(new Path(s"$t/v00000002"), true)
+    fs.delete(new Path(Manifests.segDir(t, 2L)), true)
     publish(2L, Seq(Chg(1L, "a", 1L), Chg(2L, "b", 1L)))
     fs.create(new Path(s"$t/MANIFEST-not-a-number"), true).close()
     assert(rows() == Set(1L, 2L))
     fs.delete(new Path(s"$t/MANIFEST-not-a-number"), false)
     fs.delete(new Path(s"$t/MANIFEST-00000001"), false)
-    fs.delete(new Path(s"$t/v00000001"), true)
+    fs.delete(new Path(s"$t/v00000001"), false)
+    fs.delete(new Path(Manifests.segDir(t, 1L)), true)
     // Concurrent commits: a writer thread loops the sink's exact
-    // publish sequence (write v<next> → create marker → GC below the
-    // keep horizon) while the reader polls. Published versions are
-    // immutable, and the keep horizon (4 here — sized to the longest
-    // reader, per the keepVersions contract, so a read that spans
-    // several commits on a loaded host still holds a live snapshot)
-    // means the version a reader resolves survives every commit that
-    // can land during its read — so EVERY read must succeed with a
-    // valid version's key-set. No tolerated failure causes: any
-    // exception fails the test. (This is the property the old
-    // staged-swap protocol could not give; its spec tolerated four
-    // enumerated race spellings.)
+    // publish sequence (write seg<next> → manifest → marker → GC
+    // below the keep horizon) while the reader polls. Published
+    // versions are immutable, and the keep horizon (4 here — sized to
+    // the longest reader, per the keepVersions contract, so a read
+    // that spans several commits on a loaded host still holds a live
+    // snapshot) means the version a reader resolves survives every
+    // commit that can land during its read — so EVERY read must
+    // succeed with a valid version's key-set. No tolerated failure
+    // causes: any exception fails the test. (This is the property the
+    // old staged-swap protocol could not give; its spec tolerated
+    // four enumerated race spellings.)
     @volatile var writerDone = false
     @volatile var writerErr: Throwable = null
     val writer = new Thread(() => {
@@ -508,8 +543,9 @@ class EventStreamSpec extends SparkSpec {
           }
           fs.listStatus(new Path(t)).toSeq.map(_.getPath.getName).foreach {
             n =>
-              if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-                  n.drop(1).toLong < keepFrom)
+              if ((n.startsWith("v") || n.startsWith("seg")) &&
+                  n.dropWhile(!_.isDigit).forall(_.isDigit) &&
+                  n.dropWhile(!_.isDigit).toLong < keepFrom)
                 fs.delete(new Path(t, n), true)
           }
           Thread.sleep(100)

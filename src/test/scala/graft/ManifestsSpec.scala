@@ -445,6 +445,107 @@ class ManifestsSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("clone: a partitioned nested-layout table clones faithfully (distributed per-file copy) with provenance lineage") {
+    import spark.implicits._
+    val src = s"${graft.engine.Sinks.scratch}/manifests_part_clone_src"
+    val dst = s"${graft.engine.Sinks.scratch}/manifests_part_clone_dst"
+    Seq(src, dst).foreach(IncrementalIngest.deleteDir(spark, _))
+    val fs = fsOf(src)
+    // Two commits, each staging a partitionBy'd table — the nested
+    // layout the old copy refused loudly — in several files per
+    // partition, so the distributed copy moves MANY files across
+    // MERGING segments without destination collisions.
+    def stagePartitioned(rows: Seq[(Long, Long, String)]): Unit = {
+      Manifests.publish(spark, src, keepVersions = 4, tag = "batch") {
+        (v, seg, live) =>
+          rows.toDF("id", "bucket", "payload").repartition(3)
+            .write.partitionBy("bucket").parquet(s"$seg/t")
+          val own = Seq(Manifests.ref(v, "t"))
+          Map("t" -> (live.map(_.tables("t")).getOrElse(Seq.empty) ++ own))
+      }
+    }
+    stagePartitioned((1L to 20L).map(i => (i, i % 4, s"p$i")))
+    stagePartitioned((21L to 40L).map(i => (i, i % 4, s"p$i")))
+    val cloneV = Manifests.cloneSnapshot(spark, src, dst)
+    assert(cloneV == 1L)
+    def slurp(dir: String) = Manifests.snapshot(spark, dir).get
+      .read(spark, "t").select("id", "bucket", "payload")
+      .as[(Long, Long, String)].collect().toSet
+    assert(slurp(dst) == slurp(src),
+      "a partitioned table must clone faithfully, partition values included")
+    // The clone preserved the nested partition layout (not a flatten).
+    val dstSeg = new org.apache.hadoop.fs.Path(
+      s"${Manifests.segDir(dst, 1L)}/t")
+    val buckets = fsOf(dst).listStatus(dstSeg).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    assert(buckets == Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"),
+      s"partition dirs must survive the clone: $buckets")
+    // GC treats a partitioned segment as one unit: age the source's
+    // seg1 out (two rebuild commits under keepVersions = 1 horizons).
+    Manifests.publish(spark, src, keepVersions = 1, tag = "rebuild") {
+      (v, seg, _) =>
+        Seq((99L, 0L, "z")).toDF("id", "bucket", "payload")
+          .write.partitionBy("bucket").parquet(s"$seg/t")
+        Map("t" -> Seq(Manifests.ref(v, "t")))
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Manifests.segDir(src, 1L))),
+      "an unreferenced partitioned segment must be swept whole")
+    assert(slurp(dst).size == 40, "the clone is independent of source GC")
+    // Lineage: the clone commit names its source store and version;
+    // an ordinary commit carries nulls.
+    val lin = Manifests.lineage(spark, dst).collect()
+    assert(lin.length == 1)
+    val r = lin.head
+    assert(r.getLong(0) == 1L && r.getString(1) == "clone_v2" &&
+      r.getString(2) == src && r.getLong(3) == 2L,
+      s"clone lineage must carry (src_store, src_version): $r")
+    val plainLin = Manifests.lineage(spark, src)
+      .orderBy("version").collect()
+    assert(plainLin.forall(x => x.isNullAt(2) && x.isNullAt(3)),
+      "ordinary commits carry no clone provenance")
+  }
+
+  test("commit metadata: caller meta rides the manifest; malformed tab-less lines are skipped, not a crash") {
+    val dir = s"${graft.engine.Sinks.scratch}/manifests_meta"
+    IncrementalIngest.deleteDir(spark, dir)
+    val fs = fsOf(dir)
+    Manifests.publish(spark, dir, tag = "build",
+      meta = Map("run_id" -> "day1", "source" -> "crawl-7")) { (v, seg, _) =>
+      writeRows(s"$seg/t", 1L)
+      Map("t" -> Seq(Manifests.ref(v, "t")))
+    }
+    assert(Manifests.commitMeta(spark, dir, 1L) ==
+      Map("tag" -> "build", "run_id" -> "day1", "source" -> "crawl-7"))
+    assert(Manifests.commitMeta(spark, dir, 2L).isEmpty,
+      "an unpublished version has no metadata")
+    // Hand-corrupt the manifest with a tab-less '#' line: the data
+    // lines still resolve, so history/commitMeta must skip it rather
+    // than crash (the old destructure threw MatchError).
+    val mf = new org.apache.hadoop.fs.Path(dir, "v00000001")
+    val in = fs.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val out = fs.create(mf, true)
+    try out.write(s"#corrupt-no-tab\n$text".getBytes("UTF-8"))
+    finally out.close()
+    assert(Manifests.commitMeta(spark, dir, 1L)("tag") == "build")
+    val h = Manifests.history(spark, dir).collect()
+    assert(h.length == 1 && h.head.getString(1) == "build",
+      "history must tolerate a malformed metadata line")
+    // Reserved/ill-formed meta refuses loudly at publish time.
+    intercept[IllegalArgumentException] {
+      Manifests.publish(spark, dir, meta = Map("tag" -> "x")) { (v, _, _) =>
+        Map("t" -> Seq(Manifests.ref(v, "t")))
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Manifests.publish(spark, dir, meta = Map("k" -> "a\tb")) { (v, _, _) =>
+        Map("t" -> Seq(Manifests.ref(v, "t")))
+      }
+    }
+  }
+
   test("history: one row per kept (version, table) with tag and the commit's own contribution; GC'd versions leave") {
     val dir = s"${graft.engine.Sinks.scratch}/manifests_history"
     IncrementalIngest.deleteDir(spark, dir)

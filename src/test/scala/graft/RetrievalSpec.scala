@@ -224,4 +224,56 @@ class RetrievalSpec extends SparkSpec {
       "query vocabulary must broadcast into the postings probe")
     graft.engine.Caches.release()
   }
+
+  test("partitioned-postings BM25: layout rides commits, appends inherit it, the scan prunes buckets, answers are layout-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val dir = s"${graft.engine.Sinks.scratch}/bm25_part_spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, dir)
+    Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), dir,
+      "doc_id", "text", postingsBuckets = Some(4))
+    // The append names no layout — it must INHERIT the store's.
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1), dir,
+      "doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def wbDirs(seg: Long): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"${graft.engine.Manifests.segDir(dir, seg)}/postings")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("wb=")).toSet
+    }
+    assert(wbDirs(1L).nonEmpty, "build segment must nest under wb= dirs")
+    assert(wbDirs(2L).nonEmpty,
+      "an append must inherit the partitioned layout from the live commit")
+    assert(graft.engine.Manifests.commitMeta(spark, dir, 2L)
+      .get("postings_buckets").contains("4"),
+      "the append must re-emit the layout metadata")
+    // Layout-invariant answers: bit-equal to the inline path.
+    val inline = Retrieval.bm25TopK(docs, "doc_id", "text",
+      nQueries = 10, k = 5).orderBy("query_id", "rank").collect().toSeq
+    graft.engine.Caches.release()
+    val q = Retrieval.bm25TopKFromIndex(
+      docs.filter(col("doc_id") < 10), dir, "doc_id", "text", k = 5)
+    val qe = q.queryExecution
+    val stored = q.orderBy("query_id", "rank").collect().toSeq
+    assert(stored.map(_.toString) == inline.map(_.toString),
+      "partitioned-postings BM25 must be bit-equal to the inline path")
+    // The postings scan PRUNES: the executed plan carries a partition
+    // filter on wb (directory-level pruning, before row-group stats).
+    val p = qe.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("wb"),
+      s"the postings scan must prune wb= partition dirs:\n$p")
+    graft.engine.Caches.release()
+    // Compaction preserves the layout and the answers.
+    Retrieval.compactBm25Index(spark, dir)
+    assert(wbDirs(3L).nonEmpty,
+      "compaction must rewrite postings in the partitioned layout")
+    val compacted = Retrieval.bm25TopKFromIndex(
+      docs.filter(col("doc_id") < 10), dir, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(compacted.map(_.toString) == inline.map(_.toString),
+      "compacted partitioned index must answer bit-equally")
+    graft.engine.Caches.release()
+  }
 }
