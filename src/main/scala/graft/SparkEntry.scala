@@ -287,6 +287,34 @@ object SparkEntry {
     }
   }
 
+  /** The "day 1" run ledger for `dir`'s corpus (q225): one recorded
+    * run pinning the EARLIEST kept version of all four daily-loop
+    * stores — exactly the versions q220 resolves by hand (v1 = the
+    * build-evens commits, retention-pinned alive), recorded as ONE
+    * unit so the reproduction is a single ledger lookup. Content-keyed
+    * like the stores themselves: a regenerated corpus rebuilds the
+    * stores (versions restart at 1 via the Fixtures wipe), and the
+    * ledger must rebuild with them rather than serve stale pins. */
+  private[graft] def storedRunLedger(s: SparkSession, dir: String): String = {
+    val ref = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+    graft.engine.Fixtures.ensure(s, ref, "doc_id",
+      s"${Sinks.scratch}/run_ledger", "day1_v1", Some(dir),
+      contentSig = Some(pmod(xxhash64(col("text")), lit(1000000007L)))) { led =>
+      import graft.operators.Pipeline.RunStores
+      val pins = Seq(
+        (RunStores.LineDf, storedDedupIndex(s, dir, "linedf")),
+        (RunStores.Minhash, storedDedupIndex(s, dir, "minhash")),
+        (RunStores.QualityModel, storedQualityModel(s, dir)),
+        (RunStores.BpeModel, storedBpeModel(s, dir))).map { case (k, d) =>
+        graft.engine.RunLedger.Pin(k, d,
+          graft.engine.Manifests.earliestVersion(s, d).getOrElse(
+            sys.error(s"store '$k' at $d has no published version")))
+      }
+      graft.engine.RunLedger.commit(s, led, "day1", pins)
+      ()
+    }
+  }
+
   /** Persisted BPE tokenizer model for `dir`'s corpus: trained ONCE on
     * the reference slice (doc_id % 3 == 0 — the q148 split, so the
     * apply slice is genuinely unseen text) via the driver-local
@@ -374,7 +402,11 @@ object SparkEntry {
         ("qualitymodel", "nb"), ("bpemodel", "m10")),
       "q221_index_rollback" -> Seq(("dedup", "minhash_rb")),
       "q222_index_clone" -> Seq(("dedup", "minhash_clone")),
-      "q223_bm25_partitioned" -> Seq(("dedup", "bm25p")))
+      "q223_bm25_partitioned" -> Seq(("dedup", "bm25p")),
+      "q225_run_ledger_replay" -> Seq(
+        ("dedup", "linedf"), ("dedup", "minhash"),
+        ("qualitymodel", "nb"), ("bpemodel", "m10"),
+        ("runledger", "day1")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]
@@ -406,6 +438,9 @@ object SparkEntry {
         graft.engine.Caches.release()
       case ("qualitymodel", _) =>
         storedQualityModel(s, dir)
+        graft.engine.Caches.release()
+      case ("runledger", _) =>
+        storedRunLedger(s, dir)
         graft.engine.Caches.release()
       case (_, k) =>
         storedAnnIndex(s, dir, k)

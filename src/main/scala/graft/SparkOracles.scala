@@ -1465,6 +1465,13 @@ private[graft] object SparkOracles {
         |  FROM events
         |  WHERE event_id <= (SELECT MIN(event_id) +
         |      (MAX(event_id) - MIN(event_id)) // 2 FROM events)) _
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The recorded day-1 run pinned v1 of every store — the same
+    // state q220 pins by hand, so the same evens-narrowed oracle.
+    "q225_run_ledger_replay" ->
+      (graft.operators.Pipeline.incrementalCurationSql(
+        storedRefPred = "doc_id % 3 = 0 AND doc_id % 2 = 0") +
+        "\nORDER BY metric")
   )
 }

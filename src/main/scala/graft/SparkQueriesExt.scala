@@ -1043,6 +1043,31 @@ private[graft] object SparkQueriesExt {
       graft.streaming.EventStream.readUpsertTableAt(s, table,
         graft.engine.Manifests.earliestVersion(s, table))
         .orderBy("user_id")
+    }),
+
+    // RUN-LEVEL time travel (the production spelling of q220): the
+    // q214 batch reproduced from a RECORDED RUN — the "day 1" ledger
+    // commit pins the version every stored artifact was read at, as
+    // one unit, so the reproduction is a single `asOfFromRun` lookup
+    // instead of four hand-resolved version pins (which is q220's
+    // shape, kept registered as the mechanism-level form). The ledger
+    // is itself a manifest store: atomic commit AFTER the run's work,
+    // so a crashed run is never resolvable. Same pins, same oracle as
+    // q220: the evens-narrowed stored-reference chain.
+    "q225_run_ledger_replay" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          Dedup.plantBoilerplate(col("doc_id"), col("text"),
+            lineLen = 8, mod = 2).as("text"))
+      val ledger = SparkEntry.storedRunLedger(s, dir)
+      graft.operators.Pipeline.incrementalCuration(batch,
+        storedDedupIndex(s, dir, "linedf"),
+        storedDedupIndex(s, dir, "minhash"),
+        storedQualityModel(s, dir),
+        storedBpeModel(s, dir),
+        asOf = graft.operators.Pipeline.asOfFromRun(s, ledger, "day1"))
+        .orderBy("metric")
     })
   )
 }

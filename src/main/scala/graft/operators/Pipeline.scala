@@ -251,6 +251,83 @@ object Pipeline {
       lineIdx: Option[Long] = None, minhashIdx: Option[Long] = None,
       qualityModel: Option[Long] = None, bpeModel: Option[Long] = None)
 
+  /** The store keys a daily-loop run records in its
+    * [[graft.engine.RunLedger]] — ONE spelling shared by the recorder
+    * ([[incrementalCurationRecorded]]) and the resolver
+    * ([[asOfFromRun]]), so a ledger written by one can always be read
+    * by the other. */
+  object RunStores {
+    val LineDf = "line_df"
+    val Minhash = "minhash"
+    val QualityModel = "quality_model"
+    val BpeModel = "bpe_model"
+    val All: Seq[String] = Seq(LineDf, Minhash, QualityModel, BpeModel)
+  }
+
+  /** Resolve a past run's [[AsOfVersions]] from the run ledger — the
+    * production spelling of "reproduce run `runId` exactly": the four
+    * pins come from ONE recorded unit instead of four hand-resolved
+    * version calls (the q220 shape). Fails loudly when the ledger
+    * holds no such run — a crashed run commits nothing, so an
+    * incomplete run is never resolvable (the ledger's crash
+    * contract), and a reproduction attempt against it must say so
+    * rather than silently running live. */
+  def asOfFromRun(spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String, runId: String): AsOfVersions =
+    graft.engine.RunLedger.resolve(spark, ledgerDir, runId) match {
+      case None => throw new IllegalArgumentException(
+        s"run '$runId' is not recorded at $ledgerDir — never run, " +
+          "crashed before its ledger commit, or aged past the ledger's " +
+          "keep horizon; only completed runs are reproducible")
+      case Some(pins) => AsOfVersions(
+        lineIdx = pins.get(RunStores.LineDf),
+        minhashIdx = pins.get(RunStores.Minhash),
+        qualityModel = pins.get(RunStores.QualityModel),
+        bpeModel = pins.get(RunStores.BpeModel))
+    }
+
+  /** [[incrementalCuration]] with its reads RECORDED: resolve the live
+    * version of every stored artifact FIRST, run the whole batch
+    * pinned at exactly those versions (so the recorded pins are the
+    * versions actually read, even if a concurrent append lands
+    * mid-run), MATERIALIZE the report, and only then commit the run
+    * to the ledger — a crash anywhere earlier leaves no ledger row,
+    * so [[asOfFromRun]] can never resolve a half-finished run. The
+    * returned report is the materialized frame (safe to read after
+    * the ledger commit without re-execution). */
+  def incrementalCurationRecorded(batch: DataFrame,
+      lineIdxDir: String, minhashIdxDir: String,
+      qualityModelDir: String, bpeModelDir: String,
+      ledgerDir: String, runId: String,
+      minTokens: Int = 10, minQuality: Double = 0.3,
+      minEntropy: Double = 2.0,
+      lineMinDf: Int = 5, dedupThreshold: Double = 0.5,
+      budget: Long = 20000L, binTokens: Long = 512L): DataFrame = {
+    val spark = batch.sparkSession
+    def liveOf(store: String, dir: String): graft.engine.RunLedger.Pin = {
+      val v = graft.engine.Manifests.liveVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"cannot record a run over unbuilt store '$store' at $dir"))
+      graft.engine.RunLedger.Pin(store, dir, v)
+    }
+    val pins = Seq(liveOf(RunStores.LineDf, lineIdxDir),
+      liveOf(RunStores.Minhash, minhashIdxDir),
+      liveOf(RunStores.QualityModel, qualityModelDir),
+      liveOf(RunStores.BpeModel, bpeModelDir))
+    val byStore = pins.map(p => p.store -> p.version).toMap
+    val report = Caches.truncated(incrementalCuration(batch,
+      lineIdxDir, minhashIdxDir, qualityModelDir, bpeModelDir,
+      minTokens, minQuality, minEntropy, lineMinDf, dedupThreshold,
+      budget, binTokens,
+      asOf = AsOfVersions(
+        lineIdx = byStore.get(RunStores.LineDf),
+        minhashIdx = byStore.get(RunStores.Minhash),
+        qualityModel = byStore.get(RunStores.QualityModel),
+        bpeModel = byStore.get(RunStores.BpeModel))))
+    graft.engine.RunLedger.commit(spark, ledgerDir, runId, pins)
+    report
+  }
+
   def incrementalCuration(batch: DataFrame,
       lineIdxDir: String, minhashIdxDir: String,
       qualityModelDir: String, bpeModelDir: String,

@@ -146,7 +146,22 @@ class PipelineSpec extends SparkSpec {
       graft.engine.Caches.release()
       r
     }
-    val original = run(Pipeline.AsOfVersions())
+    // Day 1 runs RECORDED: the run resolves the live version of every
+    // store, executes pinned at exactly those versions, and commits
+    // its pins to the run ledger as one unit (only after the report
+    // materializes — the ledger's completion-certificate contract).
+    val ledger = s"$root/ledger"
+    val original = {
+      val r = Pipeline.incrementalCurationRecorded(batch, lineIdx, mhIdx,
+          qm, bpe, ledger, runId = "day1")
+        .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+        .sortBy(_._1)
+      graft.engine.Caches.release()
+      r
+    }
+    assert(Pipeline.asOfFromRun(spark, ledger, "day1") ==
+      Pipeline.AsOfVersions(Some(1L), Some(1L), Some(1L), Some(1L)),
+      "the recorded run must pin the version-1 state of all four stores")
 
     // Append to EVERY store — "yesterday's run" must survive all of it.
     // The line-index append plants a REAL batch line as boilerplate
@@ -179,10 +194,15 @@ class PipelineSpec extends SparkSpec {
     graft.operators.CorpusStats.saveBpeModel(ref, "text", rounds = 1, bpe)
     graft.engine.Caches.release()
 
-    val pinned = run(Pipeline.AsOfVersions(lineIdx = Some(1L),
-      minhashIdx = Some(1L), qualityModel = Some(1L), bpeModel = Some(1L)))
+    // "Reproduce run day1" = ONE ledger lookup, not four hand-pins.
+    val pinned = run(Pipeline.asOfFromRun(spark, ledger, "day1"))
     assert(pinned == original,
-      "a fully version-pinned re-run must reproduce yesterday's report bit-for-bit")
+      "a ledger-resolved re-run must reproduce yesterday's report bit-for-bit")
+    // An unrecorded (crashed or unknown) run is never resolvable.
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.asOfFromRun(spark, ledger, "day2")
+    }
+    assert(e.getMessage.contains("not recorded"))
     val live = run(Pipeline.AsOfVersions()).toMap
     val base = original.toMap
     assert(live("050_line_lines_dropped") > base("050_line_lines_dropped"),
