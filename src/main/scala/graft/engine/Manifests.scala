@@ -52,6 +52,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * coordination at all. */
 object Manifests {
 
+  /** Serializes claim acquisition across the THREADS of one JVM (see
+    * the gate comment inside [[publish]]): local filesystems make the
+    * "exclusive" create check-then-create, so same-process writers
+    * need a real mutex; cross-process writers get the token verify +
+    * the documented filesystem assumption. */
+  private val claimGate = new Object
+
   private def fsOf(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -362,51 +369,64 @@ object Manifests {
     // fails here — with the recovery step in the message — rather than
     // silently overwriting state whose writer might still be alive.
     // The claim file carries a writer-unique token, re-verified below
-    // (the non-atomic-create fallback in the scaladoc).
+    // (the non-atomic-create fallback in the scaladoc). The whole
+    // claim acquisition — create, token write, read-back — runs under
+    // one PROCESS-WIDE monitor: local filesystems implement the
+    // "exclusive" create as check-then-create, and without the gate
+    // two threads of one JVM can both win the claim inside that
+    // window (ManifestsConcurrencySpec reproduced it: torn staging,
+    // double markers). The gate closes the same-process race
+    // completely — it is held for one create plus one tiny read,
+    // never during staging — and the cross-PROCESS window remains the
+    // documented filesystem assumption above.
     val claimToken = java.util.UUID.randomUUID().toString
-    val created =
-      try { val out = fs.create(claimPath(dir, next), false); Some(out) }
-      catch {
-        // A present claim OR a now-present marker at `next` — or the
-        // filesystem's own already-exists signal, or a re-listed
-        // published version at/past `next` (a rival completed its
-        // WHOLE commit and a later commit's GC already swept both its
-        // claim and the marker, possible under keepVersions = 1) —
-        // all mean conflict; any OTHER I/O failure (full disk,
-        // permissions) must surface as ITSELF — a "delete the CLAIM
-        // file" instruction for a claim that doesn't exist is actively
-        // misleading (review findings, two rounds of them).
-        case e: java.io.IOException
-            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-              fs.exists(claimPath(dir, next)) ||
-              fs.exists(markerPath(dir, next)) ||
-              publishedVersions(fs, dir).exists(_ >= next) =>
-          throw new IllegalStateException(
-            s"cannot claim version $next of $dir: a CLAIM or MANIFEST " +
-              "marker for it exists — either a concurrent writer " +
-              "(mutations of one artifact dir must be externally " +
-              "serialized) or a crashed commit's leftover; if no writer " +
-              "is alive, delete the CLAIM file to recover", e)
+    claimGate.synchronized {
+      val created =
+        try fs.create(claimPath(dir, next), false)
+        catch {
+          // A present claim OR a now-present marker at `next` — or the
+          // filesystem's own already-exists signal, or a re-listed
+          // published version at/past `next` (a rival completed its
+          // WHOLE commit and a later commit's GC already swept both its
+          // claim and the marker, possible under keepVersions = 1) —
+          // all mean conflict; any OTHER I/O failure (full disk,
+          // permissions) must surface as ITSELF — a "delete the CLAIM
+          // file" instruction for a claim that doesn't exist is actively
+          // misleading (review findings, two rounds of them).
+          case e: java.io.IOException
+              if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                fs.exists(claimPath(dir, next)) ||
+                fs.exists(markerPath(dir, next)) ||
+                publishedVersions(fs, dir).exists(_ >= next) =>
+            throw new IllegalStateException(
+              s"cannot claim version $next of $dir: a CLAIM or MANIFEST " +
+                "marker for it exists — either a concurrent writer " +
+                "(mutations of one artifact dir must be externally " +
+                "serialized) or a crashed commit's leftover; if no writer " +
+                "is alive, delete the CLAIM file to recover", e)
+        }
+      // Token write + read-back OUTSIDE the conflict guard (a failure
+      // here — disk full mid-write — is an I/O error on a claim THIS
+      // writer holds: release it and surface the error as itself) but
+      // INSIDE the gate, so a same-JVM rival cannot interleave between
+      // our create and our verify.
+      try {
+        try created.write(claimToken.getBytes("UTF-8"))
+        finally created.close()
+        val in = fs.open(claimPath(dir, next))
+        val back = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        if (back != claimToken) throw new IllegalStateException(
+          s"claim for version $next of $dir no longer holds this " +
+            "writer's token — a concurrent writer's create raced ours " +
+            "on a filesystem without atomic exclusive create " +
+            "(mutations of one artifact dir must be externally serialized)")
+      } catch {
+        case e: IllegalStateException => throw e
+        case scala.util.control.NonFatal(e) =>
+          fs.delete(claimPath(dir, next), false)
+          throw e
       }
-    // Token write + read-back OUTSIDE the conflict guard: a failure
-    // here (disk full mid-write) is an I/O error on a claim THIS
-    // writer holds — release it and surface the error as itself.
-    try {
-      val out = created.get
-      try out.write(claimToken.getBytes("UTF-8")) finally out.close()
-      val in = fs.open(claimPath(dir, next))
-      val back = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      if (back != claimToken) throw new IllegalStateException(
-        s"claim for version $next of $dir no longer holds this " +
-          "writer's token — a concurrent writer's create raced ours " +
-          "on a filesystem without atomic exclusive create " +
-          "(mutations of one artifact dir must be externally serialized)")
-    } catch {
-      case e: IllegalStateException => throw e
-      case scala.util.control.NonFatal(e) =>
-        fs.delete(claimPath(dir, next), false)
-        throw e
     }
     try {
       // Close the stale-claim race the exclusive create alone leaves
