@@ -172,8 +172,10 @@ object SparkEntry {
         // (src-mf2): bumping the minhash key rebuilds the source, and
         // this key must miss with it — otherwise q222 would keep
         // serving a clone of the retired layout (review finding).
+        // _v2: clone commits now carry provenance metadata (q226
+        // reads it), so a pre-provenance cached clone must miss.
         graft.engine.Fixtures.ensure(s, ref, "doc_id",
-          s"${Sinks.scratch}/dedup_index", s"${kind}_src-mf2_v1",
+          s"${Sinks.scratch}/dedup_index", s"${kind}_src-mf2_v2",
           Some(dir), contentSig = Some(pmod(xxhash64(col("text")),
             lit(1000000007L)))) { idx =>
           graft.engine.Manifests.cloneSnapshot(s,
@@ -406,7 +408,8 @@ object SparkEntry {
       "q225_run_ledger_replay" -> Seq(
         ("dedup", "linedf"), ("dedup", "minhash"),
         ("qualitymodel", "nb"), ("bpemodel", "m10"),
-        ("runledger", "day1")))
+        ("runledger", "day1")),
+      "q226_clone_lineage" -> Seq(("dedup", "minhash_clone")))
 
   /** Queries whose timed body reads a pre-built fixture (stored media
     * payloads or a persisted ANN index) — the set [[warmFixtures]]

@@ -1472,6 +1472,12 @@ private[graft] object SparkOracles {
     "q225_run_ledger_replay" ->
       (graft.operators.Pipeline.incrementalCurationSql(
         storedRefPred = "doc_id % 3 = 0 AND doc_id % 2 = 0") +
-        "\nORDER BY metric")
+        "\nORDER BY metric"),
+
+    // The clone fixture's provenance: one commit, cloned from the
+    // source's live (build+append) version 2.
+    "q226_clone_lineage" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'clone_v2' AS tag,
+        |  CAST(2 AS BIGINT) AS src_version""".stripMargin
   )
 }

@@ -1068,6 +1068,23 @@ private[graft] object SparkQueriesExt {
         storedBpeModel(s, dir),
         asOf = graft.operators.Pipeline.asOfFromRun(s, ledger, "day1"))
         .orderBy("metric")
+    }),
+
+    // CLONE LINEAGE (the audit tail of the lifecycle family): "where
+    // did this exported index come from" as a queryable relation —
+    // clone commits carry their source store and version as manifest
+    // metadata, surfaced by Manifests.lineage (composes with q219's
+    // history on `version`). The q222 clone fixture must show exactly
+    // one commit, tagged clone_v2, taken at source version 2 (the
+    // live build+append state) — a clone that lost or mislabeled its
+    // provenance hash-mismatches. src_store is a scratch path
+    // (machine-local), so the registered projection carries the
+    // version columns the oracle can pin.
+    "q226_clone_lineage" -> ((s, dir) => {
+      val idx = storedDedupIndex(s, dir, "minhash_clone")
+      graft.engine.Manifests.lineage(s, idx)
+        .select(col("version"), col("tag"), col("src_version"))
+        .orderBy("version")
     })
   )
 }

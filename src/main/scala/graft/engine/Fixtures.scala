@@ -101,6 +101,17 @@ object Fixtures {
       // build/append sequence would PUBLISH NEW VERSIONS on top of the
       // partial ones (version numbers encode build history), aging the
       // early versions a time-travel pin targets past the keep horizon.
+      //
+      // SINGLE-PROCESS-PER-SCRATCH CONTRACT (the wipe makes it load-
+      // bearing): if two JVMs shared one scratch root, this delete
+      // could destroy the OTHER process's in-progress build mid-
+      // publish — before the wipe, concurrent rebuild-in-place was
+      // merely redundant; now it is destructive. The scratch layout
+      // has always been single-writer (the memo's immutability
+      // assumption, the Manifests claim being per-artifact not
+      // per-root); the harness honors it by running the verify and
+      // bench mains sequentially. Processes that must share a root
+      // need external serialization, same as any Manifests store.
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       build(dir)
       fs.create(marker(dir), true).close()
