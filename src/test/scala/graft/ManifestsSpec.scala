@@ -504,6 +504,12 @@ class ManifestsSpec extends SparkSpec {
       .orderBy("version").collect()
     assert(plainLin.forall(x => x.isNullAt(2) && x.isNullAt(3)),
       "ordinary commits carry no clone provenance")
+    // History's own-contribution row counts survive the nested layout
+    // (partition discovery under one segment root): the clone's single
+    // commit staged all 40 rows.
+    val dh = Manifests.history(spark, dst).collect()
+    assert(dh.length == 1 && dh.head.getLong(5) == 40L,
+      s"history must count a partitioned segment's rows: ${dh.toSeq}")
   }
 
   test("commit metadata: caller meta rides the manifest; malformed tab-less lines are skipped, not a crash") {
