@@ -73,6 +73,27 @@ object RunLedger {
       else Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
     }
 
+  /** COMPACT the ledger: one rebuild commit folding every kept run's
+    * pins into a single segment. Append-style commits grow the live
+    * manifest by one ref per run (O(runs) lines — harmless for years
+    * of daily runs, but unbounded); compaction re-bases it to one
+    * line, after which appends grow from there. [[resolve]] and
+    * [[runHistory]] read identically before and after (the pins
+    * TABLE is unchanged — RunLedgerSpec pins it); per-run commit
+    * tags age out with their manifests like any compacted store's. */
+  def compact(spark: SparkSession, ledgerDir: String,
+      keepVersions: Int = 64): Long = {
+    val snap = Manifests.snapshot(spark, ledgerDir).getOrElse(
+      throw new IllegalStateException(
+        s"no run ledger at $ledgerDir — nothing to compact"))
+    val all = snap.read(spark, "pins")
+    Manifests.publish(spark, ledgerDir, keepVersions, tag = "compact") {
+      (v, seg, _) =>
+        all.coalesce(1).write.parquet(s"$seg/pins")
+        Map("pins" -> Seq(Manifests.ref(v, "pins")))
+    }
+  }
+
   /** Every kept run's pins as one relation —
     * `(run_id, store, dir, version)`, the audit table "which version
     * of which store did each run read". Empty on an unbuilt ledger. */

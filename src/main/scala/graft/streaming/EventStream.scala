@@ -389,15 +389,20 @@ object EventStream {
     * implementations of one protocol meant the next race fix lands in
     * one of them — review finding.)
     *
-    * Crash recovery stays branch-free: a death before the marker
-    * leaves an unpublished orphan segment (and this writer's own
-    * claim) that the checkpoint's replay reclaims and overwrites —
-    * `reclaimOwnClaim` is sound here because the checkpoint makes the
-    * streaming query the store's ONLY writer, so a leftover claim at
-    * the next version is provably its own crashed predecessor; a
-    * death inside GC leaves strays the next batch's commit sweeps.
-    * The table is ALWAYS the newest published version — never
-    * partial, never stale.
+    * Crash recovery stays branch-free AND exactly-once: a death
+    * before the marker leaves an unpublished orphan segment (and this
+    * writer's own claim) that the checkpoint's replay reclaims and
+    * overwrites — `reclaimOwnClaim` is sound here because the
+    * checkpoint makes the streaming query the store's ONLY writer, so
+    * a leftover claim at the next version is provably its own crashed
+    * predecessor; a death AFTER the marker but before the checkpoint
+    * commit replays the batch, and the `batch_id` recorded in the
+    * commit's metadata makes that replay a NO-OP (see
+    * [[applyUpsertBatch]] — the Delta `txn` idempotence pattern, so
+    * the sink is exactly-once end to end, not merely
+    * answer-idempotent); a death inside GC leaves strays the next
+    * batch's commit sweeps. The table is ALWAYS the newest published
+    * version — never partial, never stale.
     *
     * `keepVersions` is the reader-horizon contract (Delta's vacuum
     * retention, in miniature): a reader that resolved version N keeps
@@ -415,27 +420,52 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val cols = batch.columns.filterNot(_ == key)
-          val newest = batch.groupBy(col(key))
-            .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("_r"))
-            .select(col(key) +: cols.map(c => col(s"_r.$c").as(c)): _*)
-          graft.engine.Manifests.publish(spark, path, keepVersions,
-            tag = "upsert", reclaimOwnClaim = true) { (v, seg, live) =>
-            val merged = live match {
-              case None => newest
-              case Some(snap) => graft.operators.Merge.upsert(
-                snap.read(spark, "t"), newest, key)
-            }
-            merged.write.mode("overwrite").parquet(s"$seg/t")
-            Map("t" -> Seq(graft.engine.Manifests.ref(v, "t")))
-          }
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyUpsertBatch(batch, batchId, path, key, orderCol, keepVersions)
       }
       .start()
+  }
+
+  /** One micro-batch of the MERGE sink, EXACTLY-ONCE: the batch id
+    * rides the commit as `batch_id` metadata (the Delta `txn`
+    * pattern), and a batch whose id is already at-or-below the live
+    * commit's recorded id is SKIPPED — a foreachBatch replay after a
+    * crash between the table commit and the checkpoint commit becomes
+    * a no-op instead of an extra (answer-identical but version-
+    * advancing) commit. Monotone batch ids are the streaming
+    * engine's own contract for one checkpoint, which is also the
+    * single-writer scope that makes the skip sound; the guard
+    * tolerates pre-metadata commits (no recorded id ⇒ apply).
+    * Exposed so the exactly-once property is spec-testable without
+    * streaming machinery (EventStreamSpec replays a batch id
+    * directly). */
+  private[graft] def applyUpsertBatch(batch: DataFrame, batchId: Long,
+      path: String, key: String, orderCol: String,
+      keepVersions: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val lastApplied = graft.engine.Manifests.liveVersion(spark, path)
+      .flatMap(v => graft.engine.Manifests.commitMeta(spark, path, v)
+        .get("batch_id"))
+      .filter(s => s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
+      .map(_.toLong)
+    if (lastApplied.exists(_ >= batchId)) return
+    val cols = batch.columns.filterNot(_ == key)
+    val newest = batch.groupBy(col(key))
+      .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("_r"))
+      .select(col(key) +: cols.map(c => col(s"_r.$c").as(c)): _*)
+    graft.engine.Manifests.publish(spark, path, keepVersions,
+      tag = "upsert", meta = Map("batch_id" -> batchId.toString),
+      reclaimOwnClaim = true) { (v, seg, live) =>
+      val merged = live match {
+        case None => newest
+        case Some(snap) => graft.operators.Merge.upsert(
+          snap.read(spark, "t"), newest, key)
+      }
+      merged.write.mode("overwrite").parquet(s"$seg/t")
+      Map("t" -> Seq(graft.engine.Manifests.ref(v, "t")))
+    }
+    ()
   }
 
   /** Reader for a [[startUpsertSink]] table: the live manifest

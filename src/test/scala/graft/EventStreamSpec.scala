@@ -453,6 +453,42 @@ class EventStreamSpec extends SparkSpec {
     } finally sink.stop()
   }
 
+  test("upsert sink exactly-once: a replayed batch id is a no-op; a new id applies") {
+    import spark.implicits._
+    val root = s"${graft.engine.Sinks.scratch}/upsert-txn-spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, root)
+    val t = s"$root/t"
+    def apply(batchId: Long, rs: Seq[Chg]): Unit =
+      EventStream.applyUpsertBatch(rs.toDF(), batchId, t,
+        key = "k", orderCol = "ver", keepVersions = 2)
+    def state(): Map[Long, String] =
+      EventStream.readUpsertTable(spark, t).as[Chg].collect()
+        .map(c => c.k -> c.v).toMap
+    apply(0L, Seq(Chg(1L, "a-v1", 1L)))
+    assert(graft.engine.Manifests.liveVersion(spark, t).contains(1L))
+    assert(graft.engine.Manifests.commitMeta(spark, t, 1L)
+      .get("batch_id").contains("0"), "the commit must record its batch id")
+    // The crash-between-table-commit-and-checkpoint-commit window:
+    // foreachBatch re-delivers batch 0. The recorded id makes the
+    // replay a NO-OP — version unchanged, not an answer-identical
+    // extra commit (the at-least-once shape this upgrade removes).
+    apply(0L, Seq(Chg(1L, "a-v1", 1L)))
+    assert(graft.engine.Manifests.liveVersion(spark, t).contains(1L),
+      "a replayed batch id must not publish")
+    // A replay with DIFFERENT content for the same id is still
+    // skipped — the first commit of an id is durable truth (the
+    // streaming engine re-delivers the same data for one id; this
+    // guard is about crash windows, not content merging).
+    apply(0L, Seq(Chg(9L, "ghost", 9L)))
+    assert(state() == Map(1L -> "a-v1"))
+    // Monotone progress: the next id applies and records itself.
+    apply(1L, Seq(Chg(2L, "b-v1", 1L)))
+    assert(graft.engine.Manifests.liveVersion(spark, t).contains(2L))
+    assert(state() == Map(1L -> "a-v1", 2L -> "b-v1"))
+    assert(graft.engine.Manifests.commitMeta(spark, t, 2L)
+      .get("batch_id").contains("1"))
+  }
+
   test("twoRunUpsert: file-source two-run fold equals global newest-per-key") {
     import spark.implicits._
     val root = s"${graft.engine.Sinks.scratch}/two-run-upsert-spec"

@@ -65,6 +65,35 @@ class RunLedgerSpec extends SparkSpec {
     }
   }
 
+  test("compact folds the pins into one segment; resolution and history unchanged; appends continue") {
+    val dir = s"${graft.engine.Sinks.scratch}/run_ledger_compact"
+    IncrementalIngest.deleteDir(spark, dir)
+    RunLedger.commit(spark, dir, "day1", Seq(pin("line_df", 1L)))
+    RunLedger.commit(spark, dir, "day2", Seq(pin("line_df", 2L)))
+    RunLedger.commit(spark, dir, "day3", Seq(pin("line_df", 3L)))
+    val before = RunLedger.runHistory(spark, dir)
+      .orderBy("run_id").collect().map(_.toString).toSeq
+    assert(Manifests.snapshot(spark, dir).get.tables("pins").size == 3,
+      "append-style commits carry one segment per run")
+    RunLedger.compact(spark, dir)
+    assert(Manifests.snapshot(spark, dir).get.tables("pins").size == 1,
+      "compaction re-bases the pins to one segment")
+    assert(RunLedger.runHistory(spark, dir)
+      .orderBy("run_id").collect().map(_.toString).toSeq == before,
+      "the pins relation must be unchanged by compaction")
+    assert(RunLedger.resolve(spark, dir, "day2").contains(
+      Map("line_df" -> 2L)))
+    // Post-compact commits append from the compacted base, and the
+    // duplicate guard still sees folded runs.
+    RunLedger.commit(spark, dir, "day4", Seq(pin("line_df", 4L)))
+    assert(Manifests.snapshot(spark, dir).get.tables("pins").size == 2)
+    assert(RunLedger.resolve(spark, dir, "day1").contains(
+      Map("line_df" -> 1L)))
+    intercept[IllegalArgumentException] {
+      RunLedger.commit(spark, dir, "day2", Seq(pin("line_df", 9L)))
+    }
+  }
+
   test("crash contract: a run that dies before its ledger commit is invisible — no partial pins ever resolve") {
     val dir = s"${graft.engine.Sinks.scratch}/run_ledger_crash"
     IncrementalIngest.deleteDir(spark, dir)
