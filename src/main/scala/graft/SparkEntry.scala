@@ -243,7 +243,11 @@ object SparkEntry {
         // same build-evens + append-odds lifecycle, postings nested
         // under wb= term-bucket directories — the 100 TB layout whose
         // query path prunes whole buckets. Same corpus, same oracle
-        // as q216: the layout must be answer-invisible.
+        // as q216: the layout must be answer-invisible. 8 buckets IS
+        // the q227 derivation's value for this corpus at the 64 KiB
+        // test-scale target (`Retrieval.bucketsForPostings`) — the
+        // constant is pinned to the derivation by the registered
+        // sizing query, not carried blind.
         graft.engine.Fixtures.ensure(s, docs, "doc_id",
           s"${Sinks.scratch}/dedup_index", s"${kind}_mf1", Some(dir),
           contentSig = Some(pmod(xxhash64(col("text")),

@@ -1478,6 +1478,20 @@ private[graft] object SparkOracles {
     // source's live (build+append) version 2.
     "q226_clone_lineage" ->
       """SELECT CAST(1 AS BIGINT) AS version, 'clone_v2' AS tag,
-        |  CAST(2 AS BIGINT) AS src_version""".stripMargin
+        |  CAST(2 AS BIGINT) AS src_version""".stripMargin,
+
+    // Same integer arithmetic over the same distinct (doc, term)
+    // count: est = rows * 4; buckets = clamp(ceildiv(est, 64 KiB)).
+    "q227_bm25_bucket_sizing" ->
+      """WITH t AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) _),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS posting_rows FROM t)
+        |SELECT posting_rows,
+        |  CAST(posting_rows * 4 AS BIGINT) AS est_bytes,
+        |  CAST(65536 AS BIGINT) AS target_bytes,
+        |  CAST(GREATEST(1, LEAST(4096,
+        |    (posting_rows * 4 + 65535) // 65536)) AS BIGINT) AS buckets
+        |FROM c""".stripMargin
   )
 }

@@ -1085,6 +1085,18 @@ private[graft] object SparkQueriesExt {
       graft.engine.Manifests.lineage(s, idx)
         .select(col("version"), col("tag"), col("src_version"))
         .orderBy("version")
-    })
+    }),
+
+    // The partitioned-postings bucket derivation AS DATA (the q215
+    // sizing-table shape applied to the new layout's one knob): the
+    // corpus's own posting-row count chooses the bucket count for a
+    // target bucket size, floored at 1 and capped at 4096, in exact
+    // integer arithmetic the oracle replays bit-for-bit. The 64 KiB
+    // target is the TEST-SCALE target (it lands the sf0.01 corpus at
+    // the q223 fixture's 8 buckets — the fixture constant IS this
+    // derivation's value); production stores use the 256 MiB default.
+    "q227_bm25_bucket_sizing" -> ((s, dir) =>
+      Retrieval.bucketsSizingTable(Tables.documents(s, dir),
+        "doc_id", "text", targetBucketBytes = 64L << 10))
   )
 }

@@ -332,6 +332,59 @@ object Retrieval {
   private def layoutMeta(postingsBuckets: Option[Int]): Map[String, String] =
     postingsBuckets.map(n => "postings_buckets" -> n.toString).toMap
 
+  /** Parquet-encoded bytes per (w, doc_id, tf) posting row — measured
+    * on the stored fixtures at sf0.01/sf0.1 (4.15–4.21 B/row with
+    * dictionary + RLE amortized at real sizes; tiny corpora encode
+    * denser). The sizing estimate, not a promise. */
+  val BytesPerPostingEstimate: Long = 4L
+
+  /** Bucket count for the partitioned-postings layout, DERIVED from
+    * the corpus instead of carried as a constant (the q212/q215
+    * convention applied to the new layout's one knob): enough buckets
+    * that each holds ≈ `targetBucketBytes` of postings, floored at 1
+    * (a corpus smaller than one bucket partitions into none) and
+    * capped at 4096 (directory-count sanity — past that, bucket size
+    * targets should rise instead). Exact integer arithmetic so the
+    * SQL twin can reproduce it bit-for-bit. */
+  def bucketsForPostings(postingRows: Long,
+      targetBucketBytes: Long = 256L << 20): Int = {
+    require(targetBucketBytes >= 1,
+      s"targetBucketBytes must be >= 1, got $targetBucketBytes")
+    require(postingRows >= 0, s"postingRows must be >= 0, got $postingRows")
+    val est = postingRows * BytesPerPostingEstimate
+    math.max(1L, math.min(4096L,
+      (est + targetBucketBytes - 1) / targetBucketBytes)).toInt
+  }
+
+  /** The bucket-count derivation AS DATA (the q215 sizing-table
+    * shape): one row — the corpus's posting-row count (distinct
+    * (doc, term) pairs, the exact row count [[writeBm25Segment]]
+    * stores), the byte estimate, the target, and the chosen bucket
+    * count. The choice is thereby oracle-adjudicated on the real
+    * corpus, not asserted in a comment. */
+  def bucketsSizingTable(docs: DataFrame, idCol: String, textCol: String,
+      targetBucketBytes: Long): DataFrame = {
+    require(targetBucketBytes >= 1,
+      s"targetBucketBytes must be >= 1, got $targetBucketBytes")
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+      .agg(count(lit(1)).as("posting_rows"))
+      .select(col("posting_rows"),
+        (col("posting_rows") * lit(BytesPerPostingEstimate))
+          .as("est_bytes"),
+        lit(targetBucketBytes).as("target_bytes"))
+      .withColumn("buckets", greatest(lit(1L), least(lit(4096L),
+        expr(s"(est_bytes + ${targetBucketBytes - 1}) DIV $targetBucketBytes"))))
+  }
+
+  /** [[bucketsForPostings]] evaluated on a corpus (one distinct-count
+    * aggregate): what a partitioned build passes as
+    * `postingsBuckets`. */
+  def derivePostingsBuckets(docs: DataFrame, idCol: String,
+      textCol: String, targetBucketBytes: Long = 256L << 20): Int =
+    bucketsSizingTable(docs, idCol, textCol, targetBucketBytes)
+      .head().getAs[Long]("buckets").toInt
+
   /** The postings layout version `v` of the store was committed with:
     * Some(bucket count) for the partitioned layout, None for flat —
     * read from the commit's own metadata, so a reader can never apply

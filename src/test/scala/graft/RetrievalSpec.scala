@@ -225,6 +225,29 @@ class RetrievalSpec extends SparkSpec {
     graft.engine.Caches.release()
   }
 
+  test("bucket derivation: floor 1, cap 4096, monotone in corpus, exact ceil-div; the q223 fixture constant is the sf0.01 derivation") {
+    import Retrieval.bucketsForPostings
+    val t = 64L << 10
+    assert(bucketsForPostings(0L, t) == 1, "empty corpus floors at 1")
+    assert(bucketsForPostings(1L, t) == 1)
+    // Exactly one bucket's worth of estimated bytes is one bucket;
+    // one more row tips into two (exact integer ceil-div — no float
+    // rounding to flip at the boundary).
+    assert(bucketsForPostings(t / Retrieval.BytesPerPostingEstimate, t) == 1)
+    assert(bucketsForPostings(t / Retrieval.BytesPerPostingEstimate + 1,
+      t) == 2)
+    assert(bucketsForPostings(Long.MaxValue / 8, t) == 4096,
+      "bucket count caps at 4096 — past that, raise the target")
+    val seq = Seq(1L, 1000L, 100000L, 10000000L)
+      .map(bucketsForPostings(_, t))
+    assert(seq == seq.sorted, s"derivation must be monotone: $seq")
+    // The q223 fixture's 8 buckets = this derivation at the sf0.01
+    // corpus's posting count (116,231 distinct (doc, term) pairs)
+    // and the 64 KiB test target — the registered q227 sizing table
+    // adjudicates the same number against the live corpus.
+    assert(bucketsForPostings(116231L, t) == 8)
+  }
+
   test("partitioned-postings BM25: layout rides commits, appends inherit it, the scan prunes buckets, answers are layout-invariant") {
     val docs = Tables.documents(spark, sf)
     val dir = s"${graft.engine.Sinks.scratch}/bm25_part_spec"
