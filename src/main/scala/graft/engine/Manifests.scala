@@ -56,8 +56,18 @@ object Manifests {
     * the gate comment inside [[publish]]): local filesystems make the
     * "exclusive" create check-then-create, so same-process writers
     * need a real mutex; cross-process writers get the token verify +
-    * the documented filesystem assumption. */
-  private val claimGate = new Object
+    * the documented filesystem assumption. One gate PER STORE DIR
+    * (interned on the normalized URI) — the race is between writers
+    * of one artifact, and a global monitor would serialize unrelated
+    * stores' claim I/O behind each other (review finding: the
+    * streaming sink's batch commits queuing behind a fixture build's
+    * claim round-trips). */
+  private val claimGates =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def claimGateFor(dir: String): Object =
+    claimGates.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(dir).toUri.toString,
+      _ => new Object)
 
   private def fsOf(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -151,9 +161,16 @@ object Manifests {
     liveVersion(spark, dir).nonEmpty
 
   /** A resolved immutable snapshot: table → `dir`-relative segment
-    * refs, in manifest order. */
+    * refs, in manifest order — plus the commit's METADATA (`tag` and
+    * any caller `meta` keys), parsed from the same single manifest
+    * read, so layout/transaction records that ride commits
+    * ([[graft.operators.Retrieval]]'s `postings_buckets`, the upsert
+    * sink's `batch_id`) cost a reader NO extra filesystem round-trip
+    * (review finding: the hot query path was re-listing the store and
+    * re-reading the manifest it had just resolved). */
   final case class Snapshot(dir: String, version: Long,
-      tables: Map[String, Seq[String]]) {
+      tables: Map[String, Seq[String]],
+      meta: Map[String, String] = Map.empty) {
     /** Absolute parquet paths of `table` in THIS snapshot. */
     def paths(table: String): Seq[String] =
       tables.getOrElse(table, Seq.empty).map(r => s"$dir/$r")
@@ -196,7 +213,7 @@ object Manifests {
         case None => None
         case Some(v) =>
           val snap =
-            try Some(Snapshot(dir, v, readManifest(fs, dir, v)))
+            try Some(loadSnapshot(fs, dir, v))
             catch { case e: java.io.FileNotFoundException =>
               // Bounded: a PERSISTENT marker-without-manifest is a
               // corrupted store (publish writes the manifest strictly
@@ -229,7 +246,7 @@ object Manifests {
     val fs = fsOf(spark, dir)
     if (!publishedVersions(fs, dir).contains(v)) None
     else
-      try Some(Snapshot(dir, v, readManifest(fs, dir, v)))
+      try Some(loadSnapshot(fs, dir, v))
       catch { case _: java.io.FileNotFoundException => None }
   }
 
@@ -244,14 +261,29 @@ object Manifests {
   /** `#`-prefixed manifest lines are COMMIT METADATA (`#key<TAB>value`),
     * skipped by table resolution — pre-metadata manifests simply have
     * none, so both directions stay readable. */
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, v: Long): Map[String, Seq[String]] =
-    manifestLines(fs, dir, v).filterNot(_.startsWith("#"))
+  private def parseTables(lines: Seq[String]): Map[String, Seq[String]] =
+    lines.filterNot(_.startsWith("#"))
       .map { line =>
         val Array(t, ref) = line.split("\t", 2)
         (t, ref)
       }
       .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2) }
+
+  private def parseMeta(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("#"))
+      .map(_.drop(1).split("\t", 2))
+      .collect { case Array(k, value) => (k, value) }.toMap
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Map[String, Seq[String]] =
+    parseTables(manifestLines(fs, dir, v))
+
+  /** One manifest read serving BOTH the table map and the metadata. */
+  private def loadSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Snapshot = {
+    val lines = manifestLines(fs, dir, v)
+    Snapshot(dir, v, parseTables(lines), parseMeta(lines))
+  }
 
   /** True iff `t`'s cause chain is a missing-path read — the shapes a
     * concurrently GC-swept version surfaces as: a raw
@@ -292,9 +324,7 @@ object Manifests {
     * [[isMissingPath]] does not catch, wedging [[history]]). */
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long): Map[String, String] =
-    manifestLines(fs, dir, v).filter(_.startsWith("#"))
-      .map(_.drop(1).split("\t", 2))
-      .collect { case Array(k, value) => (k, value) }.toMap
+    parseMeta(manifestLines(fs, dir, v))
 
   /** Public read of version `v`'s commit metadata (`tag` plus any
     * caller-supplied [[publish]] `meta` keys); empty when the version
@@ -344,15 +374,11 @@ object Manifests {
     * window); on those filesystems the single-writer enforcement is
     * best-effort and external serialization remains the contract. */
   def publish(spark: SparkSession, dir: String, keepVersions: Int = 2,
-      tag: String = "", meta: Map[String, String] = Map.empty,
+      tag: String = "", meta: => Map[String, String] = Map.empty,
       reclaimOwnClaim: Boolean = false)
       (stage: (Long, String, Option[Snapshot]) => Map[String, Seq[String]]): Long = {
     require(!tag.contains("\n") && !tag.contains("\t"),
       s"commit tag must not contain tab/newline, got '$tag'")
-    meta.foreach { case (k, v) =>
-      require(k.nonEmpty && k != "tag" && !s"$k$v".exists(c => c == '\n' || c == '\t'),
-        s"commit meta keys/values must be non-reserved and tab/newline-free, got '$k'")
-    }
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val fs = fsOf(spark, dir)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
@@ -380,7 +406,7 @@ object Manifests {
     // never during staging — and the cross-PROCESS window remains the
     // documented filesystem assumption above.
     val claimToken = java.util.UUID.randomUUID().toString
-    claimGate.synchronized {
+    claimGateFor(dir).synchronized {
       val created =
         try fs.create(claimPath(dir, next), false)
         catch {
@@ -454,9 +480,18 @@ object Manifests {
       fs.delete(manifestPath(dir, next), false)
       val tables = stage(next, segDir(dir, next), live)
       require(tables.nonEmpty, "a manifest commit must list at least one table")
+      // `meta` is BY-NAME, evaluated here — after the stage — so a
+      // caller can derive commit metadata from state its stage
+      // callback resolved under the claim (rollback carries the
+      // restored version's own metadata forward this way).
+      val metaVal = meta
+      metaVal.foreach { case (k, v) =>
+        require(k.nonEmpty && k != "tag" && !s"$k$v".exists(c => c == '\n' || c == '\t'),
+          s"commit meta keys/values must be non-reserved and tab/newline-free, got '$k'")
+      }
       val metaLines =
         (if (tag.isEmpty) Seq.empty else Seq(s"#tag\t$tag")) ++
-          meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k\t$v" }
+          metaVal.toSeq.sortBy(_._1).map { case (k, v) => s"#$k\t$v" }
       val out = fs.create(manifestPath(dir, next), true)
       try out.write((metaLines ++ tables.toSeq.sortBy(_._1)
         .flatMap { case (t, rs) => rs.map(r => s"$t\t$r") })
@@ -530,12 +565,33 @@ object Manifests {
     * only restore what the store still remembers. */
   def rollback(spark: SparkSession, dir: String, v: Long,
       keepVersions: Int = 2): Long = {
-    val snap = snapshotAt(spark, dir, v).getOrElse(
+    // Existence pre-check for a clean not-restorable error; the
+    // AUTHORITATIVE resolution happens INSIDE the stage callback — a
+    // restore that resolved its source before claiming could commit
+    // refs a racing keepVersions=1 commit's GC swept in between
+    // (dangling live refs, the one corruption mode the concurrency
+    // stress's completeness invariant names; review finding). After
+    // the claim + staleness re-list, no rival commit (and so no GC)
+    // can run until this commit releases, so refs resolved there are
+    // stable by construction.
+    def resolveOrRefuse(): Snapshot = snapshotAt(spark, dir, v).getOrElse(
       throw new IllegalArgumentException(
         s"cannot restore $dir to version $v — never built, or aged " +
           "past the keep horizon"))
-    publish(spark, dir, keepVersions, tag = s"rollback_v$v") {
-      (_, _, _) => snap.tables
+    resolveOrRefuse()
+    // Caller metadata is STATE DESCRIPTION (a partitioned store's
+    // layout record, a sink's transaction id) and must survive the
+    // restore with the data it describes — a rollback that dropped
+    // `postings_buckets` would make the next append write a
+    // mixed-layout segment beside nested ones, wedging every read
+    // (review finding). The by-name `meta` evaluates after the stage,
+    // so it carries the stage's own authoritative resolution.
+    var restored: Map[String, String] = Map.empty
+    publish(spark, dir, keepVersions, tag = s"rollback_v$v",
+      meta = restored) { (_, _, _) =>
+      val snap = resolveOrRefuse()
+      restored = snap.meta - "tag"
+      snap.tables
     }
   }
 
@@ -584,8 +640,13 @@ object Manifests {
       s"$dstDir already holds a published artifact — clone exports to " +
         "a fresh (or wiped) dir")
     val conf = spark.sparkContext.hadoopConfiguration
+    // The source commit's caller metadata travels WITH the data it
+    // describes (a partitioned store's layout record must hold in the
+    // clone, or the clone's first append writes a mixed layout —
+    // review finding); the clone's own provenance keys overlay, so a
+    // clone of a clone records its NEAREST source.
     publish(spark, dstDir, keepVersions, tag = s"clone_v${snap.version}",
-      meta = Map("clone_src" -> snap.dir,
+      meta = (snap.meta - "tag") ++ Map("clone_src" -> snap.dir,
         "clone_src_version" -> snap.version.toString)) { (nv, seg, _) =>
       val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       snap.tables.foreach { case (t, refs) =>

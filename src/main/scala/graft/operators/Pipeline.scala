@@ -261,7 +261,6 @@ object Pipeline {
     val Minhash = "minhash"
     val QualityModel = "quality_model"
     val BpeModel = "bpe_model"
-    val All: Seq[String] = Seq(LineDf, Minhash, QualityModel, BpeModel)
   }
 
   /** Resolve a past run's [[AsOfVersions]] from the run ledger — the
@@ -310,21 +309,19 @@ object Pipeline {
           s"cannot record a run over unbuilt store '$store' at $dir"))
       graft.engine.RunLedger.Pin(store, dir, v)
     }
-    val pins = Seq(liveOf(RunStores.LineDf, lineIdxDir),
-      liveOf(RunStores.Minhash, minhashIdxDir),
-      liveOf(RunStores.QualityModel, qualityModelDir),
-      liveOf(RunStores.BpeModel, bpeModelDir))
-    val byStore = pins.map(p => p.store -> p.version).toMap
+    val lineP = liveOf(RunStores.LineDf, lineIdxDir)
+    val mhP = liveOf(RunStores.Minhash, minhashIdxDir)
+    val qmP = liveOf(RunStores.QualityModel, qualityModelDir)
+    val bpeP = liveOf(RunStores.BpeModel, bpeModelDir)
     val report = Caches.truncated(incrementalCuration(batch,
       lineIdxDir, minhashIdxDir, qualityModelDir, bpeModelDir,
       minTokens, minQuality, minEntropy, lineMinDf, dedupThreshold,
       budget, binTokens,
       asOf = AsOfVersions(
-        lineIdx = byStore.get(RunStores.LineDf),
-        minhashIdx = byStore.get(RunStores.Minhash),
-        qualityModel = byStore.get(RunStores.QualityModel),
-        bpeModel = byStore.get(RunStores.BpeModel))))
-    graft.engine.RunLedger.commit(spark, ledgerDir, runId, pins)
+        lineIdx = Some(lineP.version), minhashIdx = Some(mhP.version),
+        qualityModel = Some(qmP.version), bpeModel = Some(bpeP.version))))
+    graft.engine.RunLedger.commit(spark, ledgerDir, runId,
+      Seq(lineP, mhP, qmP, bpeP))
     report
   }
 

@@ -385,15 +385,16 @@ object Retrieval {
     bucketsSizingTable(docs, idCol, textCol, targetBucketBytes)
       .head().getAs[Long]("buckets").toInt
 
-  /** The postings layout version `v` of the store was committed with:
+  /** The postings layout the snapshot's commit was made with:
     * Some(bucket count) for the partitioned layout, None for flat —
-    * read from the commit's own metadata, so a reader can never apply
+    * read from the commit's own metadata (carried ON the resolved
+    * snapshot, so the hot query path pays no extra listing or
+    * manifest read — review finding), so a reader can never apply
     * the wrong pruning to a snapshot (layout is a property of the
     * COMMIT, not of whoever queries it). */
-  private def postingsLayout(spark: org.apache.spark.sql.SparkSession,
-      dir: String, v: Long): Option[Int] =
-    graft.engine.Manifests.commitMeta(spark, dir, v)
-      .get("postings_buckets")
+  private def postingsLayout(
+      snap: graft.engine.Manifests.Snapshot): Option[Int] =
+    snap.meta.get("postings_buckets")
       .filter(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit))
       .map(_.toInt)
 
@@ -416,7 +417,7 @@ object Retrieval {
       // The new segment inherits the live commit's postings layout
       // (and re-emits it), so a store is partitioned or flat as a
       // WHOLE — mixed-layout segments would break the union read.
-      val layout = postingsLayout(spark, dir, snap.version)
+      val layout = postingsLayout(snap)
       graft.engine.Manifests.publish(spark, dir, tag = "append",
         meta = layoutMeta(layout)) { (v, seg, _) =>
         writeBm25Segment(novel, idCol, textCol, seg, layout)
@@ -443,7 +444,7 @@ object Retrieval {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val snap = graft.engine.Manifests.resolveOrFail(spark, dir,
       "BM25 index", "compaction needs a finished build")
-    val layout = postingsLayout(spark, dir, snap.version)
+    val layout = postingsLayout(snap)
     graft.engine.Manifests.publish(spark, dir, tag = "compact",
       meta = layoutMeta(layout)) { (v, seg, _) =>
       // Range-partition into ceil(bytes/targetBytes) files (the
@@ -526,7 +527,7 @@ object Retrieval {
     // buckets are never even listed. The collect is bounded by the
     // QUERY vocabulary (tiny by contract, like the IVF probe list),
     // never by the corpus.
-    val postingsAll = postingsLayout(spark, dir, snap.version) match {
+    val postingsAll = postingsLayout(snap) match {
       case None => snap.read(spark, "postings")
       case Some(nb) =>
         val qb = qterms.select(termBucket(col("w"), nb).as("wb"))

@@ -421,43 +421,65 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyUpsertBatch(batch, batchId, path, key, orderCol, keepVersions)
+        applyUpsertBatch(batch, batchId, path, key, orderCol, keepVersions,
+          appId = appIdOf(checkpointDir))
       }
       .start()
   }
 
+  /** The transaction APPLICATION identity the exactly-once guard is
+    * scoped to: the normalized checkpoint location, because the
+    * checkpoint IS what makes micro-batch ids monotone. Delta's `txn`
+    * keys on (appId, version) for the same reason. */
+  private def appIdOf(checkpointDir: String): String =
+    new org.apache.hadoop.fs.Path(checkpointDir).toUri.toString
+
   /** One micro-batch of the MERGE sink, EXACTLY-ONCE: the batch id
-    * rides the commit as `batch_id` metadata (the Delta `txn`
-    * pattern), and a batch whose id is already at-or-below the live
-    * commit's recorded id is SKIPPED — a foreachBatch replay after a
-    * crash between the table commit and the checkpoint commit becomes
-    * a no-op instead of an extra (answer-identical but version-
-    * advancing) commit. Monotone batch ids are the streaming
-    * engine's own contract for one checkpoint, which is also the
-    * single-writer scope that makes the skip sound; the guard
-    * tolerates pre-metadata commits (no recorded id ⇒ apply).
-    * Exposed so the exactly-once property is spec-testable without
-    * streaming machinery (EventStreamSpec replays a batch id
-    * directly). */
+    * AND the checkpoint identity ride the commit as metadata
+    * (`batch_id` / `txn_app` — the Delta `txn` (appId, version)
+    * pattern), and a batch is SKIPPED only when the live commit
+    * records the SAME application at an id at-or-above this one — a
+    * foreachBatch replay after a crash between the table commit and
+    * the checkpoint commit becomes a no-op instead of an extra
+    * (answer-identical but version-advancing) commit. Scoping the
+    * skip to the checkpoint identity matters (review finding): a NEW
+    * checkpoint pointed at an existing table restarts batch ids at 0,
+    * and an unscoped guard would silently discard its first batches
+    * — data loss dressed as success. Monotone batch ids are the
+    * streaming engine's contract per checkpoint, which is also the
+    * single-writer scope that makes the skip sound; pre-metadata
+    * commits (no recorded id/app) always apply. Exposed so the
+    * exactly-once property is spec-testable without streaming
+    * machinery. */
   private[graft] def applyUpsertBatch(batch: DataFrame, batchId: Long,
       path: String, key: String, orderCol: String,
-      keepVersions: Int): Unit = {
+      keepVersions: Int, appId: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val lastApplied = graft.engine.Manifests.liveVersion(spark, path)
-      .flatMap(v => graft.engine.Manifests.commitMeta(spark, path, v)
-        .get("batch_id"))
+    val live =
+      try graft.engine.Manifests.snapshot(spark, path)
+      catch {
+        // Legacy whole-version layout reads as "corrupted store" to
+        // the resolver — re-diagnose to the migration message (costs
+        // a listing only on the failure path).
+        case e: IllegalStateException =>
+          failIfLegacyLayout(spark, path)
+          throw e
+      }
+    val sameApp = live.exists(_.meta.get("txn_app").contains(appId))
+    val lastApplied = live.flatMap(_.meta.get("batch_id"))
       .filter(s => s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
       .map(_.toLong)
-    if (lastApplied.exists(_ >= batchId)) return
+    if (sameApp && lastApplied.exists(_ >= batchId)) return
     val cols = batch.columns.filterNot(_ == key)
     val newest = batch.groupBy(col(key))
       .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("_r"))
       .select(col(key) +: cols.map(c => col(s"_r.$c").as(c)): _*)
     graft.engine.Manifests.publish(spark, path, keepVersions,
-      tag = "upsert", meta = Map("batch_id" -> batchId.toString),
-      reclaimOwnClaim = true) { (v, seg, live) =>
-      val merged = live match {
+      tag = "upsert", meta = Map("batch_id" -> batchId.toString,
+        "txn_app" -> appId),
+      reclaimOwnClaim = true) { (v, seg, liveSnap) =>
+      val merged = liveSnap match {
         case None => newest
         case Some(snap) => graft.operators.Merge.upsert(
           snap.read(spark, "t"), newest, key)
@@ -466,6 +488,87 @@ object EventStream {
       Map("t" -> Seq(graft.engine.Manifests.ref(v, "t")))
     }
     ()
+  }
+
+  /** The greatest legacy whole-version snapshot at `path`, if the dir
+    * holds the RETIRED pre-unification upsert layout: `MANIFEST-<N>`
+    * markers naming `v<N>/` parquet DIRECTORIES (the unified layout
+    * names `v<N>` manifest FILES, so one status probe of the live
+    * version's path distinguishes them). */
+  private def legacyLiveVersion(spark: SparkSession,
+      path: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("MANIFEST-"))
+      .map(_.stripPrefix("MANIFEST-"))
+      .filter(s => s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
+      .map(_.toLong).sorted.reverse
+      .find { v =>
+        val vp = new org.apache.hadoop.fs.Path(path, f"v$v%08d")
+        fs.exists(vp) && fs.getFileStatus(vp).isDirectory
+      }
+  }
+
+  /** Tables written by the retired whole-version protocol must fail
+    * with the MIGRATION step, not with Manifests' generic
+    * "corrupted store" (review finding: the unification would
+    * otherwise wedge a healthy pre-upgrade table — every checkpoint
+    * replay re-crashing on a misleading message). */
+  private def failIfLegacyLayout(spark: SparkSession,
+      path: String): Unit =
+    legacyLiveVersion(spark, path).foreach { v =>
+      throw new IllegalStateException(
+        f"$path holds a pre-unification whole-version upsert table " +
+          f"(v$v%08d is a data DIRECTORY, not a manifest file) — run " +
+          "EventStream.migrateUpsertTable(spark, path) once to convert " +
+          "it; the unified sink reads manifest commits only")
+    }
+
+  /** ONE-TIME migration of a retired whole-version upsert table to
+    * the unified manifest layout: the legacy LIVE snapshot becomes
+    * manifest version 1 (tag `migrate_legacy`), older legacy versions
+    * are dropped (they were GC fodder under the old protocol too).
+    * Crash-safe and resumable: the legacy data is first RENAMED to a
+    * staging dir (so the legacy name can't collide with the manifest
+    * FILE the new layout writes at the same path), and a re-run
+    * completes from staging if a previous attempt died after the
+    * rename — the data is never deleted before the new commit's
+    * marker is durable. No-op on an already-migrated (or empty)
+    * dir. */
+  def migrateUpsertTable(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path, "_legacy_data")
+    legacyLiveVersion(spark, path).foreach { v =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(path, f"v$v%08d"),
+        staging), s"cannot stage legacy v$v of $path for migration")
+      // Sweep the remaining legacy state: markers, and any OTHER
+      // whole-version data directories (aged snapshots).
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("MANIFEST-")) fs.delete(st.getPath, false)
+        else if (n.startsWith("v") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) && st.isDirectory)
+          fs.delete(st.getPath, true)
+      }
+    }
+    if (fs.exists(staging)) {
+      if (graft.engine.Manifests.exists(spark, path)) {
+        // A previous attempt committed but died before cleanup.
+        fs.delete(staging, true)
+      } else {
+        graft.engine.Manifests.publish(spark, path,
+          tag = "migrate_legacy") { (v, seg, _) =>
+          spark.read.parquet(staging.toString)
+            .write.mode("overwrite").parquet(s"$seg/t")
+          Map("t" -> Seq(graft.engine.Manifests.ref(v, "t")))
+        }
+        fs.delete(staging, true)
+      }
+    }
   }
 
   /** Reader for a [[startUpsertSink]] table: the live manifest
@@ -483,6 +586,19 @@ object EventStream {
     * [[graft.engine.Manifests.snapshotAt]] on the store every batch
     * commit already writes. None pins nothing (live read). */
   def readUpsertTableAt(spark: SparkSession, path: String,
+      atVersion: Option[Long]): DataFrame = try {
+    readUpsertTableAtResolved(spark, path, atVersion)
+  } catch {
+    // A legacy whole-version table reads as "corrupted store" to the
+    // manifest resolver (marker present, manifest FILE unreadable) —
+    // re-diagnose to the actionable migration message; costs a
+    // listing only on the failure path.
+    case e: IllegalStateException =>
+      failIfLegacyLayout(spark, path)
+      throw e
+  }
+
+  private def readUpsertTableAtResolved(spark: SparkSession, path: String,
       atVersion: Option[Long]): DataFrame = {
     val snap = atVersion match {
       case Some(v) =>

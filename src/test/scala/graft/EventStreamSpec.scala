@@ -453,14 +453,14 @@ class EventStreamSpec extends SparkSpec {
     } finally sink.stop()
   }
 
-  test("upsert sink exactly-once: a replayed batch id is a no-op; a new id applies") {
+  test("upsert sink exactly-once: a replayed (app, batch id) is a no-op; a new id or NEW CHECKPOINT applies") {
     import spark.implicits._
     val root = s"${graft.engine.Sinks.scratch}/upsert-txn-spec"
     graft.streaming.IncrementalIngest.deleteDir(spark, root)
     val t = s"$root/t"
-    def apply(batchId: Long, rs: Seq[Chg]): Unit =
+    def apply(batchId: Long, rs: Seq[Chg], app: String = "cp-A"): Unit =
       EventStream.applyUpsertBatch(rs.toDF(), batchId, t,
-        key = "k", orderCol = "ver", keepVersions = 2)
+        key = "k", orderCol = "ver", keepVersions = 2, appId = app)
     def state(): Map[Long, String] =
       EventStream.readUpsertTable(spark, t).as[Chg].collect()
         .map(c => c.k -> c.v).toMap
@@ -468,9 +468,12 @@ class EventStreamSpec extends SparkSpec {
     assert(graft.engine.Manifests.liveVersion(spark, t).contains(1L))
     assert(graft.engine.Manifests.commitMeta(spark, t, 1L)
       .get("batch_id").contains("0"), "the commit must record its batch id")
+    assert(graft.engine.Manifests.commitMeta(spark, t, 1L)
+      .get("txn_app").contains("cp-A"),
+      "the commit must record its checkpoint identity")
     // The crash-between-table-commit-and-checkpoint-commit window:
-    // foreachBatch re-delivers batch 0. The recorded id makes the
-    // replay a NO-OP — version unchanged, not an answer-identical
+    // foreachBatch re-delivers batch 0. The recorded (app, id) makes
+    // the replay a NO-OP — version unchanged, not an answer-identical
     // extra commit (the at-least-once shape this upgrade removes).
     apply(0L, Seq(Chg(1L, "a-v1", 1L)))
     assert(graft.engine.Manifests.liveVersion(spark, t).contains(1L),
@@ -487,6 +490,70 @@ class EventStreamSpec extends SparkSpec {
     assert(state() == Map(1L -> "a-v1", 2L -> "b-v1"))
     assert(graft.engine.Manifests.commitMeta(spark, t, 2L)
       .get("batch_id").contains("1"))
+    // A NEW checkpoint over the existing table restarts batch ids at
+    // 0 — the skip is scoped to the checkpoint identity, so the new
+    // stream's first batches APPLY instead of being silently dropped
+    // (the data-loss shape an unscoped guard would have).
+    apply(0L, Seq(Chg(3L, "c-v1", 1L)), app = "cp-B")
+    assert(graft.engine.Manifests.liveVersion(spark, t).contains(3L),
+      "a new checkpoint's batch 0 must apply over a higher recorded id")
+    assert(state() == Map(1L -> "a-v1", 2L -> "b-v1", 3L -> "c-v1"))
+  }
+
+  test("legacy whole-version upsert tables fail with the migration step, and migrate cleanly") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = s"${graft.engine.Sinks.scratch}/upsert-legacy-spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, root)
+    val t = s"$root/t"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The RETIRED layout, built exactly as the old sink did: v<N>/
+    // parquet DIRECTORIES published by MANIFEST-<N> markers.
+    Seq(Chg(1L, "old-a", 1L)).toDF()
+      .write.mode("overwrite").parquet(s"$t/v00000001")
+    fs.create(new Path(s"$t/MANIFEST-00000001"), false).close()
+    Seq(Chg(1L, "old-a", 1L), Chg(2L, "old-b", 2L)).toDF()
+      .write.mode("overwrite").parquet(s"$t/v00000002")
+    fs.create(new Path(s"$t/MANIFEST-00000002"), false).close()
+    // Readers and the sink must name the migration, not "corrupted".
+    val e1 = intercept[IllegalStateException](
+      EventStream.readUpsertTable(spark, t))
+    assert(e1.getMessage.contains("migrateUpsertTable"),
+      s"legacy reads must point at the migration: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException](
+      EventStream.applyUpsertBatch(Seq(Chg(3L, "c", 3L)).toDF(), 0L, t,
+        "k", "ver", 2, appId = "cp"))
+    assert(e2.getMessage.contains("migrateUpsertTable"))
+    // Migration: legacy LIVE content becomes manifest version 1.
+    EventStream.migrateUpsertTable(spark, t)
+    def state(): Map[Long, String] =
+      EventStream.readUpsertTable(spark, t).as[Chg].collect()
+        .map(c => c.k -> c.v).toMap
+    assert(state() == Map(1L -> "old-a", 2L -> "old-b"),
+      "migration must carry the legacy live snapshot")
+    assert(graft.engine.Manifests.liveVersion(spark, t).contains(1L))
+    assert(graft.engine.Manifests.commitMeta(spark, t, 1L)
+      .get("tag").contains("migrate_legacy"))
+    assert(!fs.exists(new Path(s"$t/_legacy_data")),
+      "migration must clean its staging dir")
+    // Idempotent: a re-run is a no-op; the sink continues normally.
+    EventStream.migrateUpsertTable(spark, t)
+    assert(graft.engine.Manifests.liveVersion(spark, t).contains(1L))
+    EventStream.applyUpsertBatch(Seq(Chg(3L, "c", 3L)).toDF(), 0L, t,
+      "k", "ver", 2, appId = "cp")
+    assert(state() == Map(1L -> "old-a", 2L -> "old-b", 3L -> "c"))
+    // Resume path: a migration that died after staging but before the
+    // manifest commit completes on the next run.
+    val root2 = s"${graft.engine.Sinks.scratch}/upsert-legacy-resume"
+    graft.streaming.IncrementalIngest.deleteDir(spark, root2)
+    val t2 = s"$root2/t"
+    Seq(Chg(7L, "g", 1L)).toDF()
+      .write.mode("overwrite").parquet(s"$t2/_legacy_data")
+    EventStream.migrateUpsertTable(spark, t2)
+    assert(EventStream.readUpsertTable(spark, t2).as[Chg]
+      .collect().map(_.k).toSet == Set(7L),
+      "an interrupted migration must complete from staging")
   }
 
   test("twoRunUpsert: file-source two-run fold equals global newest-per-key") {

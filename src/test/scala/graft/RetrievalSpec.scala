@@ -298,5 +298,36 @@ class RetrievalSpec extends SparkSpec {
     assert(compacted.map(_.toString) == inline.map(_.toString),
       "compacted partitioned index must answer bit-equally")
     graft.engine.Caches.release()
+    // ROLLBACK carries the layout record with the state it restores —
+    // a restore that dropped `postings_buckets` would make the next
+    // append write a FLAT segment beside nested ones, wedging every
+    // read (review finding).
+    graft.engine.Manifests.rollback(spark, dir, 2L)
+    assert(graft.engine.Manifests.commitMeta(spark, dir, 4L)
+      .get("postings_buckets").contains("4"),
+      "rollback must carry the restored commit's layout metadata")
+    import spark.implicits._
+    Retrieval.appendToBm25Index(
+      Seq((90000001L, "zeta omega kappa sigma")).toDF("doc_id", "text"),
+      dir, "doc_id", "text")
+    assert(wbDirs(5L).nonEmpty,
+      "an append after rollback must stay partitioned")
+    // CLONE likewise: the exported store keeps the layout, and its
+    // own appends stay partitioned.
+    val dst = s"${graft.engine.Sinks.scratch}/bm25_part_clone_spec"
+    graft.streaming.IncrementalIngest.deleteDir(spark, dst)
+    graft.engine.Manifests.cloneSnapshot(spark, dir, dst)
+    assert(graft.engine.Manifests.commitMeta(spark, dst, 1L)
+      .get("postings_buckets").contains("4"),
+      "clone must carry the source's layout metadata")
+    Retrieval.appendToBm25Index(
+      Seq((90000002L, "omicron upsilon rho tau")).toDF("doc_id", "text"),
+      dst, "doc_id", "text")
+    val dstSeg2 = new org.apache.hadoop.fs.Path(
+      s"${graft.engine.Manifests.segDir(dst, 2L)}/postings")
+    assert(fs.exists(dstSeg2) && fs.listStatus(dstSeg2)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("wb=")),
+      "an append to the clone must stay partitioned")
+    graft.engine.Caches.release()
   }
 }
