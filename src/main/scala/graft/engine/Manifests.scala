@@ -64,9 +64,14 @@ object Manifests {
     * claim round-trips). */
   private val claimGates =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def claimGateFor(dir: String): Object =
+  private def claimGateFor(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Object =
     claimGates.computeIfAbsent(
-      new org.apache.hadoop.fs.Path(dir).toUri.toString,
+      // FULLY QUALIFIED against the resolved filesystem: two spellings
+      // of one physical dir ("/data/s" vs "file:/data/s") must land on
+      // ONE gate object, or differently-spelled same-JVM writers
+      // bypass the mutex entirely (review finding).
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toUri.toString,
       _ => new Object)
 
   private def fsOf(spark: SparkSession, dir: String) =
@@ -406,7 +411,7 @@ object Manifests {
     // never during staging — and the cross-PROCESS window remains the
     // documented filesystem assumption above.
     val claimToken = java.util.UUID.randomUUID().toString
-    claimGateFor(dir).synchronized {
+    claimGateFor(fs, dir).synchronized {
       val created =
         try fs.create(claimPath(dir, next), false)
         catch {
@@ -579,21 +584,33 @@ object Manifests {
         s"cannot restore $dir to version $v — never built, or aged " +
           "past the keep horizon"))
     resolveOrRefuse()
-    // Caller metadata is STATE DESCRIPTION (a partitioned store's
-    // layout record, a sink's transaction id) and must survive the
-    // restore with the data it describes — a rollback that dropped
-    // `postings_buckets` would make the next append write a
-    // mixed-layout segment beside nested ones, wedging every read
-    // (review finding). The by-name `meta` evaluates after the stage,
-    // so it carries the stage's own authoritative resolution.
+    // STATE-describing metadata (a partitioned store's layout record)
+    // must survive the restore with the data it describes — a rollback
+    // that dropped `postings_buckets` would make the next append write
+    // a mixed-layout segment beside nested ones, wedging every read
+    // (review finding). EVENT-describing metadata must NOT: clone
+    // provenance re-emitted by a rollback would make the restore
+    // commit read as a clone in [[lineage]] (a copy that never
+    // happened), and a re-emitted upsert transaction id would make a
+    // streaming sink skip its next genuinely-new batch (second review
+    // finding). The by-name `meta` evaluates after the stage, so it
+    // carries the stage's own authoritative resolution.
     var restored: Map[String, String] = Map.empty
     publish(spark, dir, keepVersions, tag = s"rollback_v$v",
       meta = restored) { (_, _, _) =>
       val snap = resolveOrRefuse()
-      restored = snap.meta - "tag"
+      restored = snap.meta -- CommitEventMetaKeys
       snap.tables
     }
   }
+
+  /** Metadata keys that describe the COMMIT EVENT rather than the
+    * state it produced — never carried forward by [[rollback]]: the
+    * tag, clone provenance ([[cloneSnapshot]]), and the streaming
+    * sink's transaction identity. Everything else is presumed
+    * state-descriptive and travels with restores. */
+  private val CommitEventMetaKeys: Set[String] =
+    Set("tag", "clone_src", "clone_src_version", "batch_id", "txn_app")
 
   /** CLONE: materialize one version of `srcDir` (the live one, or a
     * pinned `atVersion`) as a FRESH independent artifact at `dstDir` —
@@ -640,14 +657,16 @@ object Manifests {
       s"$dstDir already holds a published artifact — clone exports to " +
         "a fresh (or wiped) dir")
     val conf = spark.sparkContext.hadoopConfiguration
-    // The source commit's caller metadata travels WITH the data it
-    // describes (a partitioned store's layout record must hold in the
-    // clone, or the clone's first append writes a mixed layout —
-    // review finding); the clone's own provenance keys overlay, so a
-    // clone of a clone records its NEAREST source.
+    // The source commit's STATE-describing metadata travels WITH the
+    // data it describes (a partitioned store's layout record must hold
+    // in the clone, or the clone's first append writes a mixed layout
+    // — review finding); EVENT metadata (the source's own provenance,
+    // a sink's transaction id) does not — the clone records its own
+    // provenance, so a clone of a clone names its NEAREST source.
     publish(spark, dstDir, keepVersions, tag = s"clone_v${snap.version}",
-      meta = (snap.meta - "tag") ++ Map("clone_src" -> snap.dir,
-        "clone_src_version" -> snap.version.toString)) { (nv, seg, _) =>
+      meta = (snap.meta -- CommitEventMetaKeys) ++
+        Map("clone_src" -> snap.dir,
+          "clone_src_version" -> snap.version.toString)) { (nv, seg, _) =>
       val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       snap.tables.foreach { case (t, refs) =>
         val dstTable = new org.apache.hadoop.fs.Path(s"$seg/$t")

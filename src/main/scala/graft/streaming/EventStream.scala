@@ -422,17 +422,24 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyUpsertBatch(batch, batchId, path, key, orderCol, keepVersions,
-          appId = appIdOf(checkpointDir))
+          appId = appIdOf(batch.sparkSession, checkpointDir))
       }
       .start()
   }
 
   /** The transaction APPLICATION identity the exactly-once guard is
-    * scoped to: the normalized checkpoint location, because the
-    * checkpoint IS what makes micro-batch ids monotone. Delta's `txn`
-    * keys on (appId, version) for the same reason. */
-  private def appIdOf(checkpointDir: String): String =
-    new org.apache.hadoop.fs.Path(checkpointDir).toUri.toString
+    * scoped to: the checkpoint location FULLY QUALIFIED against its
+    * filesystem, because the checkpoint IS what makes micro-batch ids
+    * monotone (Delta's `txn` keys on (appId, version) for the same
+    * reason) — and two spellings of one physical location
+    * ("/ckpt" vs "file:/ckpt" across restarts) must yield ONE
+    * identity, or a restart under the other spelling re-applies the
+    * crash-window batch as a fresh commit (review finding). */
+  private def appIdOf(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.toString
+  }
 
   /** One micro-batch of the MERGE sink, EXACTLY-ONCE: the batch id
     * AND the checkpoint identity ride the commit as metadata
@@ -531,44 +538,81 @@ object EventStream {
     * the unified manifest layout: the legacy LIVE snapshot becomes
     * manifest version 1 (tag `migrate_legacy`), older legacy versions
     * are dropped (they were GC fodder under the old protocol too).
-    * Crash-safe and resumable: the legacy data is first RENAMED to a
-    * staging dir (so the legacy name can't collide with the manifest
-    * FILE the new layout writes at the same path), and a re-run
-    * completes from staging if a previous attempt died after the
-    * rename — the data is never deleted before the new commit's
-    * marker is durable. No-op on an already-migrated (or empty)
-    * dir. */
+    * Crash-safe and resumable across EVERY window — the protocol
+    * (re-derived after a review pass found two resume hazards in the
+    * first cut: a leftover legacy marker masquerading as a completed
+    * unified commit deleted the only data copy; a second-oldest
+    * legacy dir renamed ONTO an existing staging dir wedged or
+    * corrupted the read):
+    *
+    *   1. STAGE: rename the legacy live `v<N>/` to `_legacy_data` —
+    *      ONLY if staging does not already exist (a pre-existing
+    *      staging dir is a previous attempt's, already holding the
+    *      then-live version; any v-dirs still present are OLDER and
+    *      are swept, never re-staged);
+    *   2. SWEEP: delete every legacy data DIRECTORY, then every
+    *      marker not backed by a manifest FILE (the unified layout's
+    *      `v<N>` is a file; only that distinguishes a completed
+    *      unified commit's marker from a legacy leftover —
+    *      `Manifests.exists` alone cannot);
+    *   3. COMMIT: if no unified version is published, publish staging
+    *      as version 1 (reclaiming this migration's own crashed
+    *      claim, single-writer by the one-time contract);
+    *   4. CLEAN: delete staging only after the marker is durable.
+    *
+    * A re-run resumes at whichever step the crash left off. No-op on
+    * an already-migrated (or empty) dir. */
   def migrateUpsertTable(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(path)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirP)) return
     val staging = new org.apache.hadoop.fs.Path(path, "_legacy_data")
-    legacyLiveVersion(spark, path).foreach { v =>
-      require(fs.rename(new org.apache.hadoop.fs.Path(path, f"v$v%08d"),
-        staging), s"cannot stage legacy v$v of $path for migration")
-      // Sweep the remaining legacy state: markers, and any OTHER
-      // whole-version data directories (aged snapshots).
-      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("MANIFEST-")) fs.delete(st.getPath, false)
-        else if (n.startsWith("v") && n.drop(1).nonEmpty &&
-            n.drop(1).forall(_.isDigit) && st.isDirectory)
-          fs.delete(st.getPath, true)
+    def digits(s: String): Boolean =
+      s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)
+    def unifiedManifestFileOf(markerName: String): Boolean = {
+      val s = markerName.stripPrefix("MANIFEST-")
+      digits(s) && {
+        val mf = new org.apache.hadoop.fs.Path(path, f"v${s.toLong}%08d")
+        fs.exists(mf) && fs.getFileStatus(mf).isFile
       }
     }
-    if (fs.exists(staging)) {
-      if (graft.engine.Manifests.exists(spark, path)) {
-        // A previous attempt committed but died before cleanup.
-        fs.delete(staging, true)
-      } else {
-        graft.engine.Manifests.publish(spark, path,
-          tag = "migrate_legacy") { (v, seg, _) =>
-          spark.read.parquet(staging.toString)
-            .write.mode("overwrite").parquet(s"$seg/t")
-          Map("t" -> Seq(graft.engine.Manifests.ref(v, "t")))
-        }
-        fs.delete(staging, true)
+    // 1. STAGE (first attempt only).
+    if (!fs.exists(staging))
+      legacyLiveVersion(spark, path).foreach { v =>
+        require(fs.rename(new org.apache.hadoop.fs.Path(path, f"v$v%08d"),
+          staging), s"cannot stage legacy v$v of $path for migration")
       }
+    if (!fs.exists(staging)) return // nothing legacy, nothing staged
+    // 2. SWEEP legacy leftovers: data directories first, then markers
+    // whose version has no unified manifest FILE behind it.
+    fs.listStatus(dirP).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && digits(n.drop(1)) && st.isDirectory)
+        fs.delete(st.getPath, true)
     }
+    fs.listStatus(dirP).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("MANIFEST-") && digits(n.stripPrefix("MANIFEST-")) &&
+          !unifiedManifestFileOf(n))
+        fs.delete(st.getPath, false)
+    }
+    // 3. COMMIT (unless a previous attempt's commit is already
+    // durable — judged by marker-with-manifest-FILE, the one probe a
+    // legacy leftover cannot fake).
+    val committed = fs.listStatus(dirP).toSeq.map(_.getPath.getName)
+      .exists(n => n.startsWith("MANIFEST-") && unifiedManifestFileOf(n))
+    if (!committed) {
+      graft.engine.Manifests.publish(spark, path, tag = "migrate_legacy",
+        reclaimOwnClaim = true) { (v, seg, _) =>
+        spark.read.parquet(staging.toString)
+          .write.mode("overwrite").parquet(s"$seg/t")
+        Map("t" -> Seq(graft.engine.Manifests.ref(v, "t")))
+      }
+      ()
+    }
+    // 4. CLEAN.
+    fs.delete(staging, true)
+    ()
   }
 
   /** Reader for a [[startUpsertSink]] table: the live manifest

@@ -554,6 +554,31 @@ class EventStreamSpec extends SparkSpec {
     assert(EventStream.readUpsertTable(spark, t2).as[Chg]
       .collect().map(_.k).toSet == Set(7L),
       "an interrupted migration must complete from staging")
+    // The HARD resume window (second review pass): died after the
+    // rename but BEFORE the marker sweep — staging holds the only
+    // copy of the live data, the renamed-away version's LEGACY marker
+    // is still on disk (and must not read as a completed unified
+    // commit: that misread deleted the data in the first cut), and an
+    // OLDER legacy version's dir is still present (and must be swept,
+    // never re-staged over the existing staging dir).
+    val root3 = s"${graft.engine.Sinks.scratch}/upsert-legacy-crash"
+    graft.streaming.IncrementalIngest.deleteDir(spark, root3)
+    val t3 = s"$root3/t"
+    Seq(Chg(7L, "live", 2L)).toDF()
+      .write.mode("overwrite").parquet(s"$t3/_legacy_data")
+    Seq(Chg(1L, "stale", 1L)).toDF()
+      .write.mode("overwrite").parquet(s"$t3/v00000001")
+    fs.create(new Path(s"$t3/MANIFEST-00000001"), false).close()
+    fs.create(new Path(s"$t3/MANIFEST-00000002"), false).close()
+    EventStream.migrateUpsertTable(spark, t3)
+    val got3 = EventStream.readUpsertTable(spark, t3).as[Chg]
+      .collect().map(c => c.k -> c.v).toMap
+    assert(got3 == Map(7L -> "live"),
+      s"resume must publish the STAGED live data, not the stale dir: $got3")
+    assert(graft.engine.Manifests.liveVersion(spark, t3).contains(1L))
+    assert(!fs.exists(new Path(s"$t3/_legacy_data")) &&
+      !fs.exists(new Path(s"$t3/MANIFEST-00000002")),
+      "resume must clean staging and the orphaned legacy marker")
   }
 
   test("twoRunUpsert: file-source two-run fold equals global newest-per-key") {

@@ -510,6 +510,16 @@ class ManifestsSpec extends SparkSpec {
     val dh = Manifests.history(spark, dst).collect()
     assert(dh.length == 1 && dh.head.getLong(5) == 40L,
       s"history must count a partitioned segment's rows: ${dh.toSeq}")
+    // A rollback on the clone must NOT re-emit the clone's provenance
+    // (event metadata) — lineage would otherwise report a copy that
+    // never happened on the restore commit.
+    Manifests.rollback(spark, dst, 1L)
+    val rb = Manifests.lineage(spark, dst)
+      .filter(org.apache.spark.sql.functions.col("version") === 2L)
+      .collect()
+    assert(rb.length == 1 && rb.head.getString(1) == "rollback_v1" &&
+      rb.head.isNullAt(2) && rb.head.isNullAt(3),
+      s"a restore is not a clone event: ${rb.toSeq}")
   }
 
   test("commit metadata: caller meta rides the manifest; malformed tab-less lines are skipped, not a crash") {
