@@ -943,13 +943,34 @@ object Similarity {
 
   /** The per-subspace slice explosion shared by training, encoding and
     * query ADC: one row per (vector, subspace) with the subDim-wide
-    * slice. */
+    * slice. ONE scan + posexplode of the m slices — the previous m-way
+    * `unionByName` planned m separate scans of the input (m=16 full
+    * corpus reads per training/encode/append pass; measured 16 scan
+    * legs in the q117/q121 plans). Row content is identical: `pos` is
+    * exactly the old `lit(j)` subspace ordinal, and every consumer
+    * aggregates or joins (order-insensitive), so results are bit-equal
+    * while the corpus is read once. */
   private def subVectors(df: DataFrame, idOut: String, m: Int,
-      subDim: Int): DataFrame =
-    (0 until m).map { j =>
-      df.select(col("vec_id").as(idOut), lit(j).as("sub_j"),
-        slice(col("embedding"), j * subDim + 1, subDim).as("sub_emb"))
-    }.reduce(_ unionByName _)
+      subDim: Int): DataFrame = {
+    // Partition floor (the Dedup.parallelized rationale): one scan of a
+    // few-file corpus is one task, and the exploded frame inherits that
+    // single partition — the m-way union accidentally provided m scan
+    // partitions, so without this floor every downstream trainer/encode
+    // pass serializes (measured: q117 6.4 s → 21 s). Repartition the
+    // UN-exploded rows (m× fewer) only when the file count is below the
+    // core count; at 100 TB the file count dwarfs cores and this is the
+    // identity.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.inputFiles.length < p) df.repartition(p) else df
+    // Slice FIRST, explode the m pre-sliced subvectors: only the
+    // subDim-wide slices flow through the generate (the alternative —
+    // explode ordinals, slice after — copies the full embedding into
+    // every exploded row, m× the bytes).
+    src.select(col("vec_id").as(idOut),
+        posexplode(array((0 until m).map(j =>
+          slice(col("embedding"), j * subDim + 1, subDim)): _*)))
+      .toDF(idOut, "sub_j", "sub_emb")
+  }
 
   /** Encode the corpus against a codebook, carrying the assigned
     * centroid's self-dot: the reconstructed vector's squared norm is

@@ -36,13 +36,11 @@ object DevProbe {
       if (args.length > 1) args(1).split(",").toSeq else defaultQueries
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // The EXACT bench/verify session (extensions + AQE-coalesce
+    // settings): a probe session without GraftExtensions misses the
+    // native-kernel SQL functions and the range-join rewrite rule, so
+    // its plans (and timings) can diverge from what Bench measures.
+    val spark = graft.engine.Sessions.local(cpus)
 
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
@@ -134,8 +132,26 @@ object DevProbe {
           spark.catalog.clearCache()
         }
 
+      // `.explain("formatted")` capture for the round's plan-evidence
+      // files (plans/rNN/<query>_{before,after}.txt): the formatted
+      // initial plan (operator list + PushedFilters/ReadSchema), then
+      // the AQE-final executed plan after one run — both in one file so
+      // Exchange-count / join-strategy claims are checkable offline.
+      case "explain" =>
+        names.foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          println(s"[probe] ==== $name explain(formatted) ====")
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          df.count()
+          println(s"[probe] ==== $name AQE-final executed plan ====")
+          println(df.queryExecution.executedPlan.toString)
+          graft.engine.Caches.release()
+          spark.catalog.clearCache()
+        }
+
       case other =>
-        sys.error(s"unknown probe mode '$other' (wall|warm|stages|plan)")
+        sys.error(s"unknown probe mode '$other' (wall|warm|stages|plan|explain)")
     }
     spark.stop()
   }
