@@ -27,16 +27,8 @@ object Dedup {
     * parallelism must track cores, not file sizes; inputs that already
     * have enough partitions pass through untouched (no shuffle at 100 TB,
     * where scans are naturally wide). */
-  private def parallelized(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    // Source-file count is a logical-plan metadata probe — unlike
-    // `df.rdd.getNumPartitions` it triggers no physical planning or RDD
-    // construction at plan-build time. Few files ⇒ few scan tasks (these
-    // corpora are single-row-group parquet, unsplittable below file
-    // granularity); at 100 TB the file count dwarfs the core count and no
-    // shuffle is added.
-    if (df.inputFiles.length < p) df.repartition(p) else df
-  }
+  private def parallelized(df: DataFrame): DataFrame =
+    graft.engine.Partitioning.parallelized(df)
 
   /** Persist + eager count barrier + deferred-release registration —
     * see [[graft.engine.Caches.materialized]]. */

@@ -174,7 +174,13 @@ object ImageDedup {
   private def texturedSubset(spark: SparkSession, docs: DataFrame,
       emitBases: Boolean, emitTwins: Boolean): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+    // Parallelism floor BEFORE the codec slot: a one-file corpus plans
+    // one scan task, and the fused encode→decode→hash stage downstream
+    // serializes on one core (measured: the pHash family at 1.0–1.5
+    // busy cores on local[32]). Only 8-byte ids are shuffled; at 100 TB
+    // the scan is naturally wide and this is the identity.
+    graft.engine.Partitioning.parallelized(docs.select(col("doc_id")))
+      .as[Long].mapPartitions(_.flatMap { id =>
       // The twin-id scheme requires the base id space below the first
       // offset — a corpus with doc_id >= 10^6 would silently collide
       // twin img_ids with real bases. Per-row check: zero extra jobs,

@@ -76,7 +76,8 @@ object Multimodal {
     * (`mapPartitions`) — at scale this stage IS the ingest scan. */
   def pngMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.engine.Partitioning.parallelized(docs.select(col("doc_id")))
+      .as[Long].mapPartitions(_.map { id =>
       val png = encodePng(id)
       MediaRow(id, if (isCorrupt(id)) png.take(8) else png, "image/png")
     })
@@ -173,7 +174,8 @@ object Multimodal {
     * only the first 8 header bytes. */
   def wavMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.engine.Partitioning.parallelized(docs.select(col("doc_id")))
+      .as[Long].mapPartitions(_.map { id =>
       val wav = encodeWav(id)
       MediaRow(id, if (isCorruptAudio(id)) wav.take(8) else wav, "audio/wav")
     })
@@ -241,7 +243,8 @@ object Multimodal {
     * fingerprint can). */
   def toneMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+    graft.engine.Partitioning.parallelized(docs.select(col("doc_id")))
+      .as[Long].mapPartitions(_.flatMap { id =>
       require(id >= 0 && id < AudioTwinOffset,
         s"doc_id $id outside [0, $AudioTwinOffset) — twin ids would collide")
       val wav = encodeWav(id)
@@ -406,7 +409,8 @@ object Multimodal {
     * slots keep only the first 10 bytes (header + truncated LSD). */
   def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.engine.Partitioning.parallelized(docs.select(col("doc_id")))
+      .as[Long].mapPartitions(_.map { id =>
       val gif = encodeGif(id)
       MediaRow(id, if (isCorruptVideo(id)) gif.take(10) else gif, "video/gif")
     })
