@@ -93,8 +93,12 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm"))
+    // Parallelism floor (graft.engine.Partitioning): the scored scan
+    // carries |corpus|x|queries| cosines fused into the scan stage — a
+    // one-file corpus would run them all in one task.
+    val c = graft.engine.Partitioning.parallelized(
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineWithNorms(col("q_emb"), col("c_emb"),
         col("q_nrm"), col("c_nrm")))
@@ -288,10 +292,13 @@ object Similarity {
       s"need nBits % bands == 0 and nBits <= 62, got nBits=$nBits bands=$bands")
     val fT = ArrayType(FloatType, containsNull = true)
     val e = col("embedding").cast(fT)
+    // Parallelism floor: the signature is nBits (32) 384-dim dot
+    // products per row fused into the scan — one file, one task without it.
     val base = graft.engine.Caches.materialized(
-      corpus.select(col("vec_id").as("id"), e.as("e"),
-        norm(col("embedding")).as("nrm"),
-        srpSignature(nBits, seed).as("sig")))
+      graft.engine.Partitioning.parallelized(corpus)
+        .select(col("vec_id").as("id"), e.as("e"),
+          norm(col("embedding")).as("nrm"),
+          srpSignature(nBits, seed).as("sig")))
     val r = nBits / bands
     val mask = (1L << r) - 1
     val bandArr = array((0 until bands).map(j =>
@@ -374,7 +381,11 @@ object Similarity {
     * ([[ivfNearDupPairs]]). */
   private def assignCells(cents: DataFrame)(df: DataFrame, idC: String,
       embC: String, keep: Int): DataFrame = {
-    val crossed = df.join(broadcast(cents), lit(true))
+    // Parallelism floor: the assignment is |df|x|cents| cosines fused
+    // into df's scan stage — a one-file input serializes it on one task
+    // (identity at 100 TB where scans are naturally wide).
+    val crossed = graft.engine.Partitioning.parallelized(df)
+      .join(broadcast(cents), lit(true))
       .withColumn("sim", cosine(col(embC), col("cent_emb")))
     // keep=1 also emits the CHOSEN cell's cosine (`cent_sim` = max sim,
     // which IS the argmax centroid's sim): SemDeDup's keep-rule needs
@@ -428,7 +439,9 @@ object Similarity {
     * query against the broadcast centroid table, like assignCells. */
   private def rankedQueryCells(queries: DataFrame, cents: DataFrame,
       maxProbe: Int): DataFrame =
-    queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    graft.engine.Partitioning.parallelized(
+        queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")))
       .join(broadcast(cents), lit(true))
       .withColumn("sim", cosine(col("q_emb"), col("cent_emb")))
       .groupBy("query_id").agg(first("q_emb").as("q_emb"),
