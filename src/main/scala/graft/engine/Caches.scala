@@ -66,6 +66,22 @@ object Caches {
     cached.sparkSession.createDataFrame(cached.rdd, cached.schema)
   }
 
+  /** [[truncated]] that also RETURNS the barrier count — the
+    * materializing count() is computed either way, so a caller whose
+    * report needs `count(stage output)` can reuse it as a plan-time
+    * literal instead of planning one more aggregation subtree over the
+    * cached rows (the q209/q214 report assembly was ~10 such one-row
+    * agg subtrees per run; each is a partial+final agg pair of stages
+    * in the final action). Values are identical by construction: the
+    * literal IS the count of the rows every downstream consumer
+    * reads. */
+  def truncatedCounted(df: DataFrame): (DataFrame, Long) = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    track(cached)
+    (cached.sparkSession.createDataFrame(cached.rdd, cached.schema), n)
+  }
+
   /** Unpersist every tracked cache (non-blocking) and forget them.
     * Correctness-neutral at any point — an unpersisted frame recomputes
     * from lineage — so callers time it after the consuming action. */

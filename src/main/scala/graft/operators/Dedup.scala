@@ -1916,7 +1916,7 @@ object Dedup {
   /** One row per line occurrence, with position and 16-byte hash key. */
   private def explodedLines(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol),
+    parallelized(docs).select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))
 

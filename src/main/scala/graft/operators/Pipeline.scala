@@ -82,8 +82,16 @@ object Pipeline {
     * the frame both the funnel REPORT and the survivor SET read, exposed
     * so PipelineSpec can run the standalone funnel on exactly it. */
   def gatedCorpus(docs: DataFrame, minEntropy: Double): DataFrame = {
-    val planted = docs.select(col("doc_id"), col("lang"),
-      plantAll(col("doc_id"), col("text")).as("text"))
+    // Parallelism floor at the DAG's head: HTML synthesis/extraction and
+    // NFC normalization are per-row kernels fused into the input scan
+    // (one file ⇒ one task), and every staged barrier downstream caches
+    // its input's partitioning — so an under-partitioned head serializes
+    // the ENTIRE pipeline. Identity at 100 TB (wide scans); downstream
+    // stages are layout-invariant (gates are per-row, budget/pack
+    // range-repartition internally, funnel/card aggregate).
+    val planted = graft.engine.Partitioning.parallelized(docs)
+      .select(col("doc_id"), col("lang"),
+        plantAll(col("doc_id"), col("text")).as("text"))
     val pages = planted.select(col("doc_id"), col("lang"),
       WebText.syntheticHtml(col("doc_id"), col("text")).as("html"))
     val ext = pages.select(col("doc_id"), col("lang"),
@@ -124,18 +132,41 @@ object Pipeline {
     lastTimings.toDF("stage", "seconds")
   }
 
-  private def timeStages[A](body: ((String, => DataFrame) => DataFrame) => A): A = {
+  /** Stage wall clock: `apply` times a plain staged frame, `counted`
+    * times a [[Caches.truncatedCounted]] stage whose barrier count the
+    * report reuses as a literal row (one fewer aggregation subtree in
+    * the final action per reused count). */
+  private final class StageTimer {
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def staged(name: String, f: => DataFrame): DataFrame = {
+    def apply(name: String, f: => DataFrame): DataFrame = time(name)(f)
+    def counted(name: String,
+        f: => (DataFrame, Long)): (DataFrame, Long) = time(name)(f)
+    private def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
       acc += name -> (System.nanoTime() - t0) / 1e9
       r
     }
-    val out = body(staged)
-    lastTimings = acc.toList
+  }
+
+  private def timeStages[A](body: StageTimer => A): A = {
+    val timer = new StageTimer
+    val out = body(timer)
+    lastTimings = timer.acc.toList
     out
   }
+
+  /** Multi-metric aggregation over ONE frame, emitted as `(metric,
+    * value)` rows — the [[Curation.datasetCard]] struct-explode idiom:
+    * n metrics over the same source cost one aggregation subtree, not
+    * n. Values identical to n separate `df.agg(...)` calls. */
+  private def aggRows(df: DataFrame, ms: (String, Column)*): DataFrame =
+    df.agg(ms.head._2.cast("double").as("m0"),
+        ms.tail.zipWithIndex.map { case ((_, c), i) =>
+          c.cast("double").as(s"m${i + 1}") }: _*)
+      .select(explode(array(ms.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("metric"), col(s"m$i").as("value")) }: _*)))
+      .select(col("col.metric").as("metric"), col("col.value").as("value"))
 
   /** Run the whole DAG; returns the `(metric, value)` report. */
   def fullCuration(docs: DataFrame,
@@ -151,55 +182,62 @@ object Pipeline {
     val gated = staged("1_extract_gate",
       Caches.truncated(gatedCorpus(docs, minEntropy)))
     val funnel = Curation.filterFunnel(gated, gates)
-    val surv = staged("2_survivors", Caches.truncated(
+    val (surv, nSurv) = staged.counted("2_survivors", Caches.truncatedCounted(
       gated.filter(gates.map(_._2).reduce(_ && _))
         .select("doc_id", "lang", "text")))
 
-    val victims = staged("3_dedup_pairs", Caches.truncated(Dedup.dedupClusters(
+    val (victims, nVictims) = staged.counted("3_dedup_pairs",
+      Caches.truncatedCounted(Dedup.dedupClusters(
         Dedup.prefixJaccardPairs(surv, "doc_id", "text",
           jaccardN, jaccardThreshold))
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))))
-    val kept = staged("4_dedup_survivors", Caches.truncated(
-      surv.join(victims, Seq("doc_id"), "left_anti")))
+    val (kept, nKept) = staged.counted("4_dedup_survivors",
+      Caches.truncatedCounted(
+        surv.join(victims, Seq("doc_id"), "left_anti")))
 
     val scored = staged("5_classify", Caches.truncated(
       QualityClassifier.trainScore(
         kept.filter(col("doc_id") % 3 === 0)
           .withColumn("label_good", col("lang") === "en"),
         "text", "label_good", kept, "doc_id", "text")))
-    val sel = staged("6_classifier_keep", Caches.truncated(kept.join(
-      scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id"))))
+    val (sel, nSel) = staged.counted("6_classifier_keep",
+      Caches.truncatedCounted(kept.join(
+        scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id"))))
 
     val budgeted = staged("7_budget", Caches.truncated(
       Curation.tokenBudgetSample(sel, "doc_id", "text", budget)))
-    val fin = staged("8_final_select", Caches.truncated(
-      sel.join(budgeted.select("doc_id"), Seq("doc_id"))))
+    val (fin, nFin) = staged.counted("8_final_select",
+      Caches.truncatedCounted(
+        sel.join(budgeted.select("doc_id"), Seq("doc_id"))))
     val bins = staged("9_pack", Caches.truncated(
       Curation.packSequences(fin, "doc_id", "text", binTokens)))
 
-    def one(name: String, df: DataFrame, v: Column): DataFrame =
-      df.agg(v.cast("double").as("value"))
-        .select(lit(name).as("metric"), col("value"))
-    val report =
-      one("000_input_docs", docs, count(lit(1)))
+    // Count rows the stage barriers already computed ride as a local
+    // relation (zero jobs in the final action); the input count is a
+    // column-pruned parquet count. Remaining aggregates share one
+    // subtree per source frame ([[aggRows]]). Values — and, after the
+    // driver's row-order canonicalization, the whole report — are
+    // identical to the former one-subtree-per-metric union.
+    val literals = Seq(
+      "000_input_docs" -> docs.count().toDouble,
+      "190_gate_survivors" -> nSurv.toDouble,
+      "200_dedup_victims" -> nVictims.toDouble,
+      "210_dedup_survivors" -> nKept.toDouble,
+      "310_classifier_kept" -> nSel.toDouble,
+      "400_budget_docs" -> nFin.toDouble).toDF("metric", "value")
+    val report = literals
         .unionAll(funnel.select(
           format_string("1%02d_drop_%s", col("stage"), col("gate"))
             .as("metric"),
           col("n_dropped").cast("double").as("value")))
-        .unionAll(one("190_gate_survivors", surv, count(lit(1))))
-        .unionAll(one("200_dedup_victims", victims, count(lit(1))))
-        .unionAll(one("210_dedup_survivors", kept, count(lit(1))))
-        .unionAll(one("300_classifier_rejected",
-          scored.filter(col("is_good") === 0), count(lit(1))))
-        .unionAll(one("310_classifier_kept", sel, count(lit(1))))
-        .unionAll(one("400_budget_docs", fin, count(lit(1))))
-        .unionAll(one("410_budget_tokens", budgeted,
-          coalesce(sum("n_tokens"), lit(0L))))
-        .unionAll(one("500_packed_sequences", bins,
-          coalesce(countDistinct(col("bin")), lit(0L))))
-        .unionAll(one("510_packed_tokens", bins,
-          coalesce(sum("n_tokens"), lit(0L))))
+        .unionAll(aggRows(scored.filter(col("is_good") === 0),
+          "300_classifier_rejected" -> count(lit(1))))
+        .unionAll(aggRows(budgeted,
+          "410_budget_tokens" -> coalesce(sum("n_tokens"), lit(0L))))
+        .unionAll(aggRows(bins,
+          "500_packed_sequences" -> coalesce(countDistinct(col("bin")), lit(0L)),
+          "510_packed_tokens" -> coalesce(sum("n_tokens"), lit(0L))))
         .unionAll(Curation.datasetCard(fin, "text", "lang")
           .select(concat(lit("600_card_"), col("metric")).as("metric"),
             col("value")))
@@ -333,6 +371,8 @@ object Pipeline {
       lineMinDf: Int = 5, dedupThreshold: Double = 0.5,
       budget: Long = 20000L, binTokens: Long = 512L,
       asOf: AsOfVersions = AsOfVersions()): DataFrame = timeStages { staged =>
+    val spark = batch.sparkSession
+    import spark.implicits._
     val t = col("text")
     val gates = gateColumns(t, minTokens, minQuality)
 
@@ -344,22 +384,24 @@ object Pipeline {
     val gated = staged("2_extract_gate",
       Caches.truncated(gatedCorpus(relabeled, minEntropy)))
     val funnel = Curation.filterFunnel(gated, gates)
-    val surv = staged("3_survivors", Caches.truncated(
+    val (surv, nSurv) = staged.counted("3_survivors", Caches.truncatedCounted(
       gated.filter(gates.map(_._2).reduce(_ && _))
         .select("doc_id", "lang", "text")))
 
-    val victims = staged("4_history_dedup", Caches.truncated(
-      Dedup.minhashNearDupFromIndex(surv, minhashIdxDir,
-          "doc_id", "text", dedupThreshold, asOf.minhashIdx)
-        .select(col("new_id").as("doc_id")).distinct()))
-    val kept = staged("5_novel", Caches.truncated(
+    val (victims, nVictims) = staged.counted("4_history_dedup",
+      Caches.truncatedCounted(
+        Dedup.minhashNearDupFromIndex(surv, minhashIdxDir,
+            "doc_id", "text", dedupThreshold, asOf.minhashIdx)
+          .select(col("new_id").as("doc_id")).distinct()))
+    val (kept, nKept) = staged.counted("5_novel", Caches.truncatedCounted(
       surv.join(victims, Seq("doc_id"), "left_anti")))
 
     val scored = staged("6_classify", Caches.truncated(
       QualityClassifier.scoreFromModel(
         kept, qualityModelDir, "doc_id", "text", asOf.qualityModel)))
-    val sel = staged("7_classifier_keep", Caches.truncated(kept.join(
-      scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id"))))
+    val (sel, nSel) = staged.counted("7_classifier_keep",
+      Caches.truncatedCounted(kept.join(
+        scored.filter(col("is_good") === 1).select("doc_id"), Seq("doc_id"))))
 
     val priced = staged("8_bpe_price", Caches.truncated(
       CorpusStats.bpeTokenizeFromModel(sel, "doc_id", "text", bpeModelDir,
@@ -367,41 +409,39 @@ object Pipeline {
 
     val budgeted = staged("9_budget", Caches.truncated(
       Curation.tokenBudgetSample(sel, "doc_id", "text", budget)))
-    val fin = staged("10_final_select", Caches.truncated(
-      sel.join(budgeted.select("doc_id"), Seq("doc_id"))))
+    val (fin, nFin) = staged.counted("10_final_select",
+      Caches.truncatedCounted(
+        sel.join(budgeted.select("doc_id"), Seq("doc_id"))))
     val bins = staged("11_pack", Caches.truncated(
       Curation.packSequences(fin, "doc_id", "text", binTokens)))
 
-    def one(name: String, df: DataFrame, v: Column): DataFrame =
-      df.agg(v.cast("double").as("value"))
-        .select(lit(name).as("metric"), col("value"))
-    val report =
-      one("000_batch_docs", batch, count(lit(1)))
-        .unionAll(one("050_line_lines_dropped", cleansed,
-          coalesce(sum("n_dropped"), lit(0L))))
-        .unionAll(one("060_line_lines_kept", cleansed,
-          coalesce(sum("n_kept"), lit(0L))))
+    // Same assembly shape as [[fullCuration]]: barrier counts as a
+    // local relation, one aggregation subtree per remaining source.
+    val literals = Seq(
+      "000_batch_docs" -> batch.count().toDouble,
+      "190_gate_survivors" -> nSurv.toDouble,
+      "200_history_dup_docs" -> nVictims.toDouble,
+      "210_novel_docs" -> nKept.toDouble,
+      "310_classifier_kept" -> nSel.toDouble,
+      "400_budget_docs" -> nFin.toDouble).toDF("metric", "value")
+    val report = literals
+        .unionAll(aggRows(cleansed,
+          "050_line_lines_dropped" -> coalesce(sum("n_dropped"), lit(0L)),
+          "060_line_lines_kept" -> coalesce(sum("n_kept"), lit(0L))))
         .unionAll(funnel.select(
           format_string("1%02d_drop_%s", col("stage"), col("gate"))
             .as("metric"),
           col("n_dropped").cast("double").as("value")))
-        .unionAll(one("190_gate_survivors", surv, count(lit(1))))
-        .unionAll(one("200_history_dup_docs", victims, count(lit(1))))
-        .unionAll(one("210_novel_docs", kept, count(lit(1))))
-        .unionAll(one("300_classifier_rejected",
-          scored.filter(col("is_good") === 0), count(lit(1))))
-        .unionAll(one("310_classifier_kept", sel, count(lit(1))))
-        .unionAll(one("350_stored_bpe_words", priced,
-          coalesce(sum("n_words"), lit(0L))))
-        .unionAll(one("360_stored_bpe_subwords", priced,
-          coalesce(sum("n_subwords"), lit(0L))))
-        .unionAll(one("400_budget_docs", fin, count(lit(1))))
-        .unionAll(one("410_budget_tokens", budgeted,
-          coalesce(sum("n_tokens"), lit(0L))))
-        .unionAll(one("500_packed_sequences", bins,
-          coalesce(countDistinct(col("bin")), lit(0L))))
-        .unionAll(one("510_packed_tokens", bins,
-          coalesce(sum("n_tokens"), lit(0L))))
+        .unionAll(aggRows(scored.filter(col("is_good") === 0),
+          "300_classifier_rejected" -> count(lit(1))))
+        .unionAll(aggRows(priced,
+          "350_stored_bpe_words" -> coalesce(sum("n_words"), lit(0L)),
+          "360_stored_bpe_subwords" -> coalesce(sum("n_subwords"), lit(0L))))
+        .unionAll(aggRows(budgeted,
+          "410_budget_tokens" -> coalesce(sum("n_tokens"), lit(0L))))
+        .unionAll(aggRows(bins,
+          "500_packed_sequences" -> coalesce(countDistinct(col("bin")), lit(0L)),
+          "510_packed_tokens" -> coalesce(sum("n_tokens"), lit(0L))))
         .unionAll(Curation.datasetCard(fin, "text", "lang")
           .select(concat(lit("600_card_"), col("metric")).as("metric"),
             col("value")))
