@@ -1913,10 +1913,17 @@ object Dedup {
     reassembleKept(tagged, idCol)
   }
 
-  /** One row per line occurrence, with position and 16-byte hash key. */
+  /** One row per line occurrence, with position and 16-byte hash key.
+    * Deliberately NO parallelism floor here (unlike the media/ANN
+    * kernels): a floor round-robins the FULL document text through an
+    * exchange to parallelize an md5-per-line kernel far cheaper than
+    * that shuffle — the r18 driver measured q198 1.02→1.83 s wall
+    * (cpu 1.7→19.8 s) with the floor in place. The bytes shuffled
+    * dominate the work parallelized; at 100 TB the scan is naturally
+    * wide and the floor would be the identity anyway. */
   private def explodedLines(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    parallelized(docs).select(col(idCol),
+    docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))
 

@@ -132,6 +132,43 @@ object DevProbe {
           spark.catalog.clearCache()
         }
 
+      // Job/stage/task counts in the timed body — the evidence for
+      // "this change removed sequential jobs" (the r18 verdict's ask on
+      // the barrier-bound pipeline family, where wall is job-count-
+      // bound: 8c/32c ≈ 1). Jobs counted from onJobStart on the
+      // listener bus, drained with the same stability poll as `stages`.
+      case "jobs" =>
+        val jobs = mutable.ArrayBuffer[(Int, Int)]() // (jobId, nStages)
+        val taskCount = new java.util.concurrent.atomic.AtomicLong(0)
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.synchronized { jobs += ((js.jobId, js.stageInfos.size)) }
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            taskCount.incrementAndGet()
+        })
+        def jobsDrained(): Unit = {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          var last = -1L
+          var stable = 0
+          while (stable < 5 && System.nanoTime() < deadline) {
+            Thread.sleep(100)
+            val n = jobs.synchronized(jobs.size.toLong) + taskCount.get()
+            if (n == last) stable += 1 else { stable = 0; last = n }
+          }
+        }
+        names.foreach { name =>
+          jobsDrained()
+          jobs.synchronized(jobs.clear()); taskCount.set(0)
+          val wall = timed(name)
+          jobsDrained()
+          val (nJobs, nStages) = jobs.synchronized(
+            (jobs.size, jobs.map(_._2).sum))
+          println(f"[probe] $name%-26s wall=$wall%7.2f s " +
+            f"jobs=$nJobs%4d stages=$nStages%4d tasks=${taskCount.get()}%5d")
+        }
+
       // `.explain("formatted")` capture for the round's plan-evidence
       // files (plans/rNN/<query>_{before,after}.txt): the formatted
       // initial plan (operator list + PushedFilters/ReadSchema), then
