@@ -591,6 +591,75 @@ object TextKernels {
   def nfcNormalizeCol(text: Column): Column =
     GraftSql.column(NfcNormalizeExpr(GraftSql.expression(text)))
 
+  /** Per-row character-entropy statistics over an already-split token
+    * array: `(n_chars, term_sum)` where `n_chars` is the element count
+    * and `term_sum` replays `CAST(SUM(CAST(cnt*ln(cnt) AS
+    * DECIMAL(28,6))) AS DOUBLE)` over the per-distinct-token counts —
+    * BIT-IDENTICAL to the explode → groupBy(doc, ch) →
+    * [[graft.engine.Aggregates.sumExact]] formulation it replaces
+    * (each term is the same double, converted by Spark's own
+    * [[org.apache.spark.sql.types.Decimal]] with the same
+    * changePrecision(28, 6) rounding, summed exactly; decimal addition
+    * is order-insensitive, so a one-row loop equals the distributed
+    * sum). Taking the SPLIT ARRAY rather than the raw text keeps
+    * tokenization Spark's own `split(text, "")` — the kernel never
+    * re-implements code-point segmentation. Replacing the aggregation
+    * with a projection removes a corpus-bytes explode and two
+    * exchanges from every entropy consumer (q203, the q209/q214
+    * pipeline gate): at 100 TB that was one row PER CHARACTER through
+    * a hash exchange. */
+  def entropyStats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long](64)
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      counts.merge(tok, java.lang.Long.valueOf(1L), (a, b) =>
+        java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      i += 1
+    }
+    var acc = java.math.BigDecimal.ZERO
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val k = it.next().longValue()
+      val term = k.toDouble * java.lang.Math.log(k.toDouble)
+      // Spark's Cast(double -> DECIMAL(28,6)): Decimal(d) then
+      // changePrecision — reuse Spark's own Decimal so the rounding can
+      // never drift from the aggregation twin.
+      val dec = org.apache.spark.sql.types.Decimal(term)
+      if (!dec.changePrecision(28, 6))
+        throw new ArithmeticException(s"entropy term overflow: $term")
+      acc = acc.add(dec.toJavaBigDecimal)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, acc.doubleValue()))
+  }
+
+  /** Entropy-stats expression: `array<string> → struct<n_chars: long,
+    * term_sum: double>` ([[entropyStats]]), one static call. */
+  case class EntropyStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_chars", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("term_sum",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    override def prettyName: String = "entropy_stats"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"entropy_stats expects array<string>, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      entropyStats(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.entropyStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def entropyStatsCol(tokens: Column): Column =
+    GraftSql.column(EntropyStatsExpr(GraftSql.expression(tokens)))
+
   /** Luhn checksum (ISO/IEC 7812) over `len` ASCII digit bytes at
     * `off`: rightmost digit plain, every second digit doubled with
     * 9-wrap; valid iff the sum is ≡ 0 (mod 10). The validation every

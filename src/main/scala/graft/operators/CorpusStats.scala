@@ -274,17 +274,48 @@ object CorpusStats {
     * map-side combinable, linear in corpus bytes. */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String,
       minEntropy: Double): DataFrame = {
-    val counts = docs
-      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
-      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("cnt"))
-    counts.groupBy(col(idCol))
-      .agg(sum("cnt").cast("long").as("n_chars"),
-        round(log(sum("cnt")) -
-          Aggregates.sumExact(col("cnt") * log(col("cnt"))) / sum("cnt"),
-          6).as("char_entropy"))
+    // Per-ROW kernel, not an aggregation (r19): the former explode →
+    // groupBy(doc, ch) → groupBy(doc) shape pushed one row PER
+    // CHARACTER through two hash exchanges to compute a quantity that
+    // is a pure function of each document's own text.
+    // [[TextKernels.entropyStats]] replays the same
+    // count → cnt·ln(cnt) → DECIMAL(28,6) exact sum arithmetic per row
+    // (bit-identical — CorpusStatsSpec pins kernel == aggregation on
+    // adversarial inputs), and the `ln`/division/round tail stays in
+    // the plan as the same Spark expressions. Contract narrowing: one
+    // row per INPUT ROW (null text dropped, like the old explode) —
+    // duplicate ids are no longer merged into one combined histogram;
+    // every caller keys unique ids (and the SQL twin, which still
+    // groups, agrees wherever ids are unique).
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextKernels.entropyStatsCol(
+        split(col(textCol), "")).as("_es"))
+      .select(col(idCol), col("_es.n_chars").as("n_chars"),
+        entropyOf(col("_es")).as("char_entropy"))
       .withColumn("low_entropy",
         (col("char_entropy") < minEntropy).cast("int"))
   }
+
+  /** The entropy tail over an [[TextKernels.entropyStatsCol]] struct —
+    * ONE spelling of `round(ln(N) − Σ/N, 6)` shared by [[charEntropy]]
+    * and [[withLowEntropy]]. */
+  private def entropyOf(es: Column): Column =
+    round(log(es.getField("n_chars")) -
+      es.getField("term_sum") / es.getField("n_chars"), 6)
+
+  /** [[charEntropy]]'s verdict ATTACHED as a per-row column — the
+    * pipeline-gate form (q209/q214 [[graft.operators.Pipeline]]): adds
+    * `low_entropy` to `df` with the identical expression chain, no
+    * aggregation and no join. The struct rides one named column so the
+    * kernel runs once per row (CollapseProject keeps multiply-referenced
+    * non-cheap aliases materialized). */
+  def withLowEntropy(df: DataFrame, textCol: String,
+      minEntropy: Double): DataFrame =
+    df.withColumn("_es",
+        TextKernels.entropyStatsCol(split(col(textCol), "")))
+      .withColumn("low_entropy",
+        (entropyOf(col("_es")) < minEntropy).cast("int"))
+      .drop("_es")
 
   /** q203 degenerate-text planting: every 23rd document becomes a
     * repeated two-character run (the padding/key-mash shape). */
@@ -1006,8 +1037,21 @@ object CorpusStats {
     val spark = words0.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // ONE action per round (r19; was two): each round's argmax collect
+    // is the SINGLE in-plan consumer of the lazily-persisted symbol
+    // table, and rounds are sequential driver actions — so that collect
+    // doubles as the materialization barrier (the AQE concurrent-
+    // consumer race Caches.materialized guards against needs two
+    // consumers in one plan; here there is one). The PREVIOUS round's
+    // cache is released only after the collect has filled the current
+    // one — dropping it earlier would chain recomputation through every
+    // round's lineage. The final table is materialized once at loop
+    // exit so the input cache behind it can be released before return.
     var cur = words0.persist()
-    cur.count()
+    var prev: DataFrame = null
+    def dropPrev(): Unit = if (prev != null) {
+      prev.unpersist(blocking = false); prev = null
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var r = 1
@@ -1017,6 +1061,9 @@ object CorpusStats {
           .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
           .limit(1)
           .as[(String, String, Long)].collect()
+        // The top-1 sort scanned every partition of `cur` — its cache
+        // is warm; the previous round's can go.
+        dropPrev()
         if (best.isEmpty) exhausted = true
         else {
           val (a, b, n) = best.head
@@ -1024,18 +1071,20 @@ object CorpusStats {
           val next = cur
             .withColumn("syms", mergeFold(col("syms"), a, b))
             .persist()
-          // A failed barrier must release ITS cache too — the outer
-          // catch only sees `cur`.
-          try next.count()
-          catch { case t: Throwable =>
-            next.unpersist(blocking = false); throw t }
-          cur.unpersist(blocking = false)
+          prev = cur
           cur = next
           r += 1
         }
       }
+      // The last rewrite was never the input of a collect: materialize
+      // it so `prev` can be released and callers read a warm cache.
+      if (prev != null) {
+        cur.count()
+        dropPrev()
+      }
     } catch {
-      case t: Throwable => cur.unpersist(blocking = false); throw t
+      case t: Throwable =>
+        cur.unpersist(blocking = false); dropPrev(); throw t
     }
     (merges.toSeq, cur)
   }

@@ -346,16 +346,27 @@ object Curation {
     * count — then all funnel arithmetic runs on the gates-sized frame
     * (the unpartitioned cumulative window is over |gates| rows, never
     * the corpus). */
-  def filterFunnel(docs: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+  def filterFunnel(docs: DataFrame, gates: Seq[(String, Column)],
+      materialize: Boolean = true): DataFrame = {
     require(gates.nonEmpty, "need at least one gate")
     val spark = docs.sparkSession
     import spark.implicits._
     val firstFail = gates.zipWithIndex.foldRight(lit(-1)) {
       case (((_, g), i), acc) => when(!g, lit(i)).otherwise(acc)
     }
-    val counts = graft.engine.Caches.materialized(
-      docs.select(firstFail.as("ff")).groupBy("ff")
-        .agg(count(lit(1)).as("n")))
+    // `materialize = true` (standalone default): the gate-counts frame
+    // is consumed twice (total + per-gate join), so over a raw corpus
+    // scan the eager cache halves the scan count. `false` is for
+    // callers whose `docs` is ALREADY a cached stage (the q209/q214
+    // pipelines): re-running the tiny ff-aggregation over cached rows
+    // in both legs of ONE action is cheaper than paying a sequential
+    // driver barrier job just to avoid it (r18 verdict: this family's
+    // wall is serial-job-count-bound).
+    val rawCounts = docs.select(firstFail.as("ff")).groupBy("ff")
+      .agg(count(lit(1)).as("n"))
+    val counts =
+      if (materialize) graft.engine.Caches.materialized(rawCounts)
+      else rawCounts
     val totalDf = counts.agg(coalesce(sum("n"), lit(0L)).as("total"))
     val gateNames = gates.map(_._1).zipWithIndex
       .map { case (g, i) => (i, g) }.toDF("stage", "gate")

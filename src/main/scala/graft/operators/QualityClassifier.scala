@@ -125,16 +125,32 @@ object QualityClassifier {
   def trainScore(labeled: DataFrame, textCol: String, labelCol: String,
       docs: DataFrame, idCol: String, docTextCol: String): DataFrame = {
     val (counts, params) = fit(labeled, textCol, labelCol)
-    val p = Caches.materialized(params)
+    // Cache the vocabulary counts ONCE: params and weights both derive
+    // from `counts`, and the former shape (materialize params, leave
+    // counts lazy) re-ran the training-corpus tokenize + groupBy for
+    // the weights projection — two full passes over the labeled slice
+    // at 100 TB. The 1-row params then collects to a LOCAL relation:
+    // its three consumers (class-balance probe, weights crossJoin,
+    // scoreWith's crossJoin) embed local rows instead of each paying a
+    // cache read + broadcast-build job. Values unchanged: same counts,
+    // same expressions.
+    val c = Caches.materialized(counts)
+    val spark = labeled.sparkSession
+    // params' plan embeds counts' exact subtree, so this collect reads
+    // the cache just materialized (CacheManager plan matching).
+    val pRow = params.collect()
+    require(pRow.length == 1, s"params must be 1 row, got ${pRow.length}")
     // Same 1-row class-balance probe as [[saveModel]]: a single-class
     // training set has no log-prior — without the guard the inline
     // path silently emits ±Inf scores (every doc is_good or none),
     // while the persisted path refuses. Refuse identically.
-    val r = p.head()
+    val r = pRow.head
     require(r.getLong(3) > 0 && r.getLong(4) > 0,
       "single-class training set — the NB log-prior is undefined; " +
         "label both classes before training")
-    val weights = counts.crossJoin(broadcast(p)).select(col("tok"),
+    val p = spark.createDataFrame(
+      java.util.Arrays.asList(pRow: _*), params.schema)
+    val weights = c.crossJoin(broadcast(p)).select(col("tok"),
       weightExpr(col("c_pos"), col("c_neg"), col("n_pos"), col("n_neg"),
         col("v")).as("w"))
     scoreWith(docs, Caches.materialized(weights), p, idCol, docTextCol)

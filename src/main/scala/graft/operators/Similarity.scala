@@ -1225,11 +1225,15 @@ object Similarity {
       "IVF-PQ index", "append needs a finished build")
     require(snap.tables.contains("cents"),
       s"$dir holds no IVF layer (cents) — use appendToPqIndex")
-    val novel = graft.engine.Caches.materialized(
+    // truncatedCounted: the materializing barrier's count answers the
+    // novelty check directly — the former materialized + isEmpty shape
+    // paid a second driver action per micro-batch for a bit the first
+    // action already knew (r19 serial-job reduction).
+    val (novel, nNovel) = graft.engine.Caches.truncatedCounted(
       newVectors.select(col("vec_id"), col("embedding"))
         .join(snap.read(spark, "cells").select(col("nid").as("vec_id")),
           Seq("vec_id"), "left_anti"))
-    if (!novel.isEmpty) appendToIvfPqIndex(novel, dir)
+    if (nNovel > 0) appendToIvfPqIndex(novel, dir)
   }
 
   /** (m, subDim) of a stored codebook — derived from the index itself

@@ -459,6 +459,48 @@ class CorpusStatsSpec extends SparkSpec {
       "all ids ≡ 0 mod 23 → every doc is the planted run")
   }
 
+  test("charEntropy kernel is bit-identical to the explode-aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Aggregates
+    // Adversarial inputs for the r19 per-row kernel: empty string,
+    // single char, multi-byte UTF-8 (é, 中, emoji incl. surrogate
+    // pairs), long degenerate runs, whitespace/newlines, and a
+    // high-cardinality mix — the kernel must reproduce the former
+    // explode → groupBy(doc, ch) → sumExact(cnt·ln cnt) plan to the
+    // LAST BIT (same doubles, same DECIMAL(28,6) rounding), because
+    // the DuckDB oracle still replays the aggregation form.
+    val texts = Seq(
+      "", "a", "aaab", "abcd", "aa \n\naa\t", "héllo wörld 中文 字",
+      "🎉🎉x🎉", "the quick brown fox jumps over the lazy dog",
+      ("ab" * 500) + "c", (1 to 200).map(i => ('a' + i % 26).toChar).mkString,
+      "aa " * 40)
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val viaKernel = CorpusStats.charEntropy(d, "doc_id", "text", 2.0)
+      .orderBy("doc_id").collect()
+    val viaAgg = {
+      val counts = d
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum("cnt").cast("long").as("n_chars"),
+          round(log(sum("cnt")) -
+            Aggregates.sumExact(col("cnt") * log(col("cnt"))) / sum("cnt"),
+            6).as("char_entropy"))
+        .withColumn("low_entropy", (col("char_entropy") < 2.0).cast("int"))
+        .orderBy("doc_id").collect()
+    }
+    assert(viaKernel.length == viaAgg.length)
+    viaKernel.zip(viaAgg).foreach { case (k, a) =>
+      assert(k.getLong(0) == a.getLong(0))
+      assert(k.getAs[Long]("n_chars") == a.getAs[Long]("n_chars"),
+        s"n_chars diverged for doc ${k.getLong(0)}")
+      assert(k.getAs[Double]("char_entropy") == a.getAs[Double]("char_entropy"),
+        s"entropy diverged for doc ${k.getLong(0)}: " +
+          s"${k.getAs[Double]("char_entropy")} vs ${a.getAs[Double]("char_entropy")}")
+      assert(k.getAs[Int]("low_entropy") == a.getAs[Int]("low_entropy"))
+    }
+  }
+
   test("gopherLines folds tokens into lines and plants the repeated header") {
     import spark.implicits._
     val d = Seq(5L -> "a b c d e f g h i j", 6L -> "a b c d e")

@@ -169,6 +169,48 @@ object DevProbe {
             f"jobs=$nJobs%4d stages=$nStages%4d tasks=${taskCount.get()}%5d")
         }
 
+      // Per-job trace: one line per job with its callSite and timing —
+      // answers WHICH driver actions a 100-job query body is made of.
+      case "jobtrace" =>
+        val trace = mutable.ArrayBuffer[(Int, Long, String)]()
+        val ends = mutable.Map[Int, Long]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse(js.stageInfos.headOption.map(_.name.split("\n").head)
+                .getOrElse("?"))
+            trace.synchronized { trace += ((js.jobId, js.time, site.take(90))) }
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            ends.synchronized { ends(je.jobId) = je.time }
+        })
+        def traceDrained(): Unit = {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          var last = -1
+          var stable = 0
+          while (stable < 5 && System.nanoTime() < deadline) {
+            Thread.sleep(100)
+            val n = trace.synchronized(trace.size)
+            if (n == last) stable += 1 else { stable = 0; last = n }
+          }
+        }
+        names.foreach { name =>
+          traceDrained()
+          trace.synchronized(trace.clear()); ends.synchronized(ends.clear())
+          val wall = timed(name)
+          traceDrained()
+          println(f"[probe] ==== $name wall=$wall%7.2f s ====")
+          val t = trace.synchronized(trace.toList)
+          t.sortBy(_._2).foreach { case (id, t0, site) =>
+            val dur = ends.synchronized(ends.get(id))
+              .map(t1 => f"${(t1 - t0) / 1000.0}%7.2f s").getOrElse("  (open)")
+            println(f"[probe]   job $id%4d $dur  $site")
+          }
+        }
+
       // `.explain("formatted")` capture for the round's plan-evidence
       // files (plans/rNN/<query>_{before,after}.txt): the formatted
       // initial plan (operator list + PushedFilters/ReadSchema), then
