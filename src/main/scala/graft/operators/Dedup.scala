@@ -1858,19 +1858,48 @@ object Dedup {
     * Σdf² cost as any inverted index — for adversarial vocabularies cap
     * df like q23's stop-shingle prune. */
   def editDistancePairs(df: DataFrame, strCol: String): DataFrame = {
-    val variants = df.select(col(strCol).as("s")).distinct()
+    // Floor + cache (r19): the deletion-neighborhood frame was LAZY, so
+    // the self-join's two legs each re-generated every variant off a
+    // one-file scan's single task (bench: 4.6 s wall at 4.8% busy).
+    // Floored (identity at 100 TB) and materialized once, both legs
+    // read the cache — the standard prefix-index shape.
+    val variants = materialized(parallelized(
+        df.select(col(strCol).as("s")).distinct())
       // pos = -1 is the identity variant; 0..len-1 delete that position.
       .withColumn("pos", explode(sequence(lit(-1), length(col("s")) - 1)))
       .withColumn("v", when(col("pos") === -1, col("s"))
         .otherwise(expr("concat(substring(s, 1, pos), substring(s, pos + 2, length(s)))")))
-      .select("s", "v")
+      .select("s", "v"))
+    // Explicit v-keyed repartition on both legs (r19): the variant
+    // frame is a few MB, so AQE's size-based coalescing ran the ENTIRE
+    // self-join — posting-list cross products plus every candidate's
+    // levenshtein — in ONE post-shuffle task (measured 3.9 cpu-s on one
+    // task while 31 cores idled). Join work here is super-linear in
+    // bytes, exactly the case byte-targeted coalescing mis-sizes; an
+    // explicit user repartition pins the width (AQE does not coalesce
+    // below it), and both legs sharing the same HashPartitioning(v, p)
+    // means the join adds no further exchange. Scale-adaptive: p tracks
+    // defaultParallelism, and at 100 TB the frame is large enough that
+    // AQE would have kept it wide anyway.
+    val p = df.sparkSession.sparkContext.defaultParallelism
     variants.select(col("s").as("name_a"), col("v"))
-      .join(variants.select(col("s").as("name_b"), col("v")), Seq("v"))
+      .repartition(p, col("v"))
+      .join(variants.select(col("s").as("name_b"), col("v"))
+        .repartition(p, col("v")), Seq("v"))
       .where(col("name_a") < col("name_b"))
-      .select("name_a", "name_b").distinct()
       // Thresholded levenshtein returns -1 above the bound (O(d·n), not
-      // O(n²) per pair); within-bound distances are >= 0.
+      // O(n²) per pair); within-bound distances are >= 0. Verified
+      // BEFORE the dedup exchange (r19): the old filter-after-distinct
+      // ran every candidate's levenshtein in the AQE-coalesced
+      // single-partition stage after the shuffle (measured 3.6 s on one
+      // task); here it runs in the join's wide stage and only true
+      // matches cross the exchange (guide §2.3). A pair sharing several
+      // deletion variants pays the kernel once per occurrence instead
+      // of once — cheap against a 32x-wider stage and a smaller
+      // shuffle. Same rows: the filter is deterministic per row, so
+      // filter∘distinct = distinct∘filter.
       .where(levenshtein(col("name_a"), col("name_b"), 1) >= 0)
+      .select("name_a", "name_b").distinct()
   }
 
   /** SQL twin of [[editDistancePairs]]: the exhaustive spelling — every
